@@ -1,0 +1,199 @@
+"""Relational core — SURVEY.md §2.2-§2.7 (joins, aggregations, dedup, pivot).
+
+Design: thin, composable helpers over the DataFrame API. No planner of our
+own — each helper returns a lazy DataFrame and Catalyst chooses the physical
+strategy (broadcast-hash for the tiny dims, sort-merge + AQE skew splitting
+for fact-fact joins).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+
+# --- J4: natural join (dplyr's implicit-key inner_join) ---------------------
+def natural_join(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """dplyr ``inner_join(a, b)`` with no ``by`` joins on *all shared column
+    names* (ningaloo-etl.Rmd:314,366). Key inference happens at plan-build
+    time; order follows the left frame's column order so results are stable.
+    """
+    shared = [c for c in left.columns if c in set(right.columns)]
+    if not shared:
+        raise ValueError("natural_join: no shared columns between inputs")
+    return left.join(right, on=shared, how=how)
+
+
+# --- J6: lookup-resolve chain ----------------------------------------------
+def resolve_lookups(
+    fact: DataFrame,
+    lookups: Sequence[tuple[DataFrame, str]],
+    drop_keys: bool = True,
+) -> DataFrame:
+    """Chain of left joins to small dimension tables, then drop the id cols
+    (ningaloo-etl.Rmd:273-277). Every lookup is broadcast — at 100 TB the
+    fact side never shuffles for these."""
+    out = fact
+    for dim, key in lookups:
+        out = out.join(F.broadcast(dim), on=key, how="left")
+        if drop_keys:
+            out = out.drop(key)
+    return out
+
+
+# --- J5/J8: referential-integrity joins ------------------------------------
+def orphans(fact: DataFrame, parent: DataFrame, on: str | list[str]) -> DataFrame:
+    """Anti-join orphan detection (ningaloo-etl.Rmd:402-405)."""
+    return fact.join(parent, on=on, how="left_anti")
+
+
+def with_parent_only(fact: DataFrame, parent: DataFrame, on: str | list[str]) -> DataFrame:
+    """Semi-join existence filter — FlipperTagExists/PitTagExists semantics
+    (tagging-etl.Rmd:179-184)."""
+    return fact.join(parent, on=on, how="left_semi")
+
+
+# --- P11: duplicated() ------------------------------------------------------
+def duplicated_rows(
+    df: DataFrame, keys: Sequence[str], order_by: str | Column | None = None
+) -> DataFrame:
+    """R ``df[duplicated(df$key), ]`` — rows whose key appeared earlier
+    (ningaloo-etl.Rmd:377). With ``order_by`` the first occurrence is defined
+    by that ordering; without, "first" is arbitrary, so we fall back to the
+    key itself (stable for the count-style QA the reference runs)."""
+    ordering = order_by if order_by is not None else keys[0]
+    w = Window.partitionBy(*keys).orderBy(ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def distinct_combinations(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """A9: "unique combinations of subsection and date" framing
+    (ningaloo-etl.Rmd:295-311) — dedup by grouping, key columns only."""
+    return df.select(*keys).distinct()
+
+
+# --- A1-A3: group-count and pivot ------------------------------------------
+def group_count(
+    df: DataFrame, keys: Sequence[str], sort_desc: bool = False, name: str = "n"
+) -> DataFrame:
+    """``group_by(...) %>% tally(...)`` — the reference's workhorse (≥12 call
+    sites, e.g. ningaloo-etl.Rmd:309-311, turtle-tracks.Rmd:93-103). Spark
+    runs this as partial (map-side) + final hash aggregation."""
+    out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(name))
+    if sort_desc:
+        out = out.orderBy(F.desc(name))
+    return out
+
+
+def count_pivot(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str] | None = None,
+    fill: int = 0,
+) -> DataFrame:
+    """``spread(species_name, n, fill=0)`` after a tally
+    (ningaloo-etl.Rmd:308-315,321-329,361-368; wastd-api.Rmd:72).
+
+    Pass ``values`` explicitly (the reference's species list is closed:
+    Green/Loggerhead/Hawksbill/Flatback/Unidentified) to skip the extra
+    distinct-scan job Spark otherwise runs — one less pass at 100 TB.
+    """
+    pivoted = (
+        df.groupBy(*keys).pivot(pivot_col, list(values) if values else None).count()
+    )
+    value_cols = [c for c in pivoted.columns if c not in keys]
+    return pivoted.na.fill(fill, subset=value_cols)
+
+
+def spread(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    value_col: str,
+    values: Sequence[str] | None = None,
+    fill: float | int | None = 0,
+) -> DataFrame:
+    """tidyr ``spread(key, value, fill=…)`` over an already-aggregated long
+    frame — long→wide with one column per ``pivot_col`` value. ``first`` is
+    the cell function because (keys, pivot_col) is unique post-aggregation."""
+    pivoted = (
+        df.groupBy(*keys)
+        .pivot(pivot_col, list(values) if values else None)
+        .agg(F.first(value_col))
+    )
+    if fill is not None:
+        value_cols = [c for c in pivoted.columns if c not in keys]
+        pivoted = pivoted.na.fill(fill, subset=value_cols)
+    return pivoted
+
+
+# --- A7: histogram binning --------------------------------------------------
+def histogram(df: DataFrame, col: str, binwidth: float, name: str = "n") -> DataFrame:
+    """``stat_bin(binwidth=…)`` (wastd-api.Rmd:43-45) as floor-bucket counts —
+    a single hash aggregation, no driver-side histogramming."""
+    bucket = (F.floor(F.col(col) / F.lit(binwidth)) * F.lit(binwidth)).alias("bin")
+    return df.groupBy(bucket).agg(F.count(F.lit(1)).alias(name))
+
+
+# --- §2.5: encounter-order window products ---------------------------------
+def with_observation_status(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    season_col: str,
+    name: str = "observation_status",
+) -> DataFrame:
+    """ObservationStatus ∈ {Initial, Remigrant, Resighting} — first-vs-
+    subsequent encounter logic described as T-SQL in tagging-etl.Rmd:188-196:
+    first observation of an entity → Initial; later observation in a *new*
+    season → Remigrant; later observation in the same season → Resighting.
+    """
+    w = Window.partitionBy(entity_col).orderBy(time_col)
+    prev_season = F.lag(season_col).over(w)
+    return df.withColumn(
+        name,
+        F.when(prev_season.isNull(), F.lit("Initial"))
+        .when(F.col(season_col) != prev_season, F.lit("Remigrant"))
+        .otherwise(F.lit("Resighting")),
+    )
+
+
+def with_prev_season(
+    df: DataFrame, entity_col: str, season_col: str, name: str = "prev_season"
+) -> DataFrame:
+    """InterseasonRemigration history (tagging-etl.Rmd:202-204):
+    lag(season) over (partition by turtle order by season)."""
+    w = Window.partitionBy(entity_col).orderBy(season_col)
+    return df.withColumn(name, F.lag(season_col).over(w))
+
+
+# --- M7: windowed min-max rescale ------------------------------------------
+def with_rescaled(
+    df: DataFrame, col: str, name: str | None = None, by: Iterable[str] = ()
+) -> DataFrame:
+    """``scales::rescale`` to [0,1] (spatial_modelling.Rmd:171-172), optionally
+    per group. Implemented as agg + broadcast join-back rather than an
+    unpartitioned window: a whole-frame window collapses to one task at scale.
+    """
+    name = name or f"{col}_rescaled"
+    by = list(by)
+    bounds = df.groupBy(*by).agg(
+        F.min(col).alias("_mn"), F.max(col).alias("_mx")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=by, how="left")
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    scaled = (F.col(col) - F.col("_mn")) / F.nullif(
+        F.col("_mx") - F.col("_mn"), F.lit(0)
+    )
+    return joined.withColumn(name, scaled).drop("_mn", "_mx")

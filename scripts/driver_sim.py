@@ -1,0 +1,111 @@
+"""Simulate the grading driver: t1 smoke (entry on sf0.001) + t2 DuckDB-oracle
+comparison (sf0.01) for every registered query. Exit non-zero on any mismatch.
+
+Usage: python scripts/driver_sim.py [--sf /root/testdata/sf0.01] [--only name,name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_frame(df, cols):
+    rows = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            elif isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows, key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-smoke", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from ningaloo_turtle_etl_spark.session import get_spark
+
+    spark = get_spark("driver-sim", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_smoke:
+        t0 = time.time()
+        rows = e.entry(spark).collect()
+        print(f"t1 smoke: {len(rows)} rows in {time.time()-t0:.1f}s")
+        assert len(rows) > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as ex:
+            print(f"t2 {name}: SPARK ERROR {ex}")
+            failed.append(name)
+            continue
+        if name not in osql:
+            print(f"t2 {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        ddf = con.sql(osql[name]).df()
+        scols = sorted(c.lower() for c in sdf.columns)
+        dcols = sorted(c.lower() for c in ddf.columns)
+        sdf.columns = [c.lower() for c in sdf.columns]
+        ddf.columns = [c.lower() for c in ddf.columns]
+        if scols != dcols:
+            print(f"t2 {name}: COLUMN MISMATCH {scols} vs {dcols}")
+            failed.append(name)
+            continue
+        if len(sdf) != len(ddf):
+            print(f"t2 {name}: ROWCOUNT MISMATCH {len(sdf)} vs {len(ddf)}")
+            failed.append(name)
+            continue
+        s, d = norm_frame(sdf, scols), norm_frame(ddf, scols)
+        if s != d:
+            bad = next(i for i, (a, b) in enumerate(zip(s, d)) if a != b)
+            print(f"t2 {name}: VALUE MISMATCH at sorted-row {bad}:")
+            print(f"   spark={s[bad]}")
+            print(f"   duck ={d[bad]}")
+            failed.append(name)
+            continue
+        print(f"t2 {name}: OK {len(sdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries OK")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
