@@ -58,14 +58,23 @@ def with_parent_only(fact: DataFrame, parent: DataFrame, on: str | list[str]) ->
 
 # --- P11: duplicated() ------------------------------------------------------
 def duplicated_rows(
-    df: DataFrame, keys: Sequence[str], order_by: str | Column | None = None
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str | Column | Sequence[str | Column] | None = None,
 ) -> DataFrame:
     """R ``df[duplicated(df$key), ]`` — rows whose key appeared earlier
-    (ningaloo-etl.Rmd:377). With ``order_by`` the first occurrence is defined
-    by that ordering; without, "first" is arbitrary, so we fall back to the
-    key itself (stable for the count-style QA the reference runs)."""
-    ordering = order_by if order_by is not None else keys[0]
-    w = Window.partitionBy(*keys).orderBy(ordering)
+    (ningaloo-etl.Rmd:377). ``order_by`` defines which occurrence counts as
+    "first"; order by every non-key output column to make the result a
+    deterministic multiset even when full duplicates exist. Without it we
+    fall back to the key itself (stable for the count-style QA the reference
+    runs)."""
+    if order_by is None:
+        ordering: list = [keys[0]]
+    elif isinstance(order_by, (str, Column)):
+        ordering = [order_by]
+    else:
+        ordering = list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)

@@ -1,0 +1,220 @@
+"""Projection / filter / predicate queries — SURVEY.md §2.2 (P1-P13) and the
+conditional-expression scalars F6/F12 they carry.
+
+Each query is the testdata expression of a reference pipeline stage; the
+docstring cites the behavior being re-expressed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.functions.scalars import patch_where, season
+from ningaloo_turtle_etl_spark.operators.relational import (
+    distinct_combinations,
+    duplicated_rows,
+)
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+
+@register(
+    "transmute_compute",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS INT) AS qty,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           UPPER(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def transmute_compute(spark, sf_dir):
+    """P1: dplyr transmute — project+compute+cast+rename in one
+    (ningaloo-etl.Rmd:67-78). Filter + projection both reach the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty"),
+        # Per-row arithmetic stays unrounded: identical IEEE ops are
+        # bit-equal across engines, while ROUND implementations differ at
+        # .xx5 boundaries. Rounding is reserved for aggregates.
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "select_drop_rename",
+    """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           o_orderstatus AS status,
+           o_totalprice AS total_price
+    FROM orders
+    """,
+)
+def select_drop_rename(spark, sf_dir):
+    """P3/P5: drop-list + bulk rename (ningaloo-etl.Rmd:181-198,236)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.drop("o_orderdate", "o_orderpriority").withColumnsRenamed(
+        {
+            "o_orderkey": "order_id",
+            "o_custkey": "customer_id",
+            "o_orderstatus": "status",
+            "o_totalprice": "total_price",
+        }
+    )
+
+
+@register(
+    "filter_conjunctive",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_linestatus <> ''
+    """,
+)
+def filter_conjunctive(spark, sf_dir):
+    """P7: conjunctive predicates — equality, inequality, range, != ''
+    (ningaloo-etl.Rmd:310,472-475; app.R:196-201)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_linestatus") != "")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@register(
+    "filter_null_disjunction",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name IS NULL OR p.p_brand IS NULL
+    """,
+)
+def filter_null_disjunction(spark, sf_dir):
+    """P8: disjunctive is.na QA predicate (ningaloo-etl.Rmd:386-389) over a
+    left join that manufactures the NULLs the bad-site scan looks for."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") > 40)
+    joined = li.join(p, li.l_partkey == p.p_partkey, "left")
+    return joined.filter(F.col("p_name").isNull() | F.col("p_brand").isNull()).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+    )
+
+
+@register(
+    "conditional_patch",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_totalprice < 1000 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def conditional_patch(spark, sf_dir):
+    """P10/F12: patch-by-predicate re-expression of R's in-place indexed
+    update (ningaloo-etl.Rmd:83-84,202,289). Non-matching rows must survive
+    bit-exactly — that is the hash-oracle's point."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o = patch_where(o, F.col("o_orderstatus") == "P", o_orderstatus=F.lit("O"))
+    return patch_where(o, F.col("o_totalprice") < 1000, o_totalprice=F.lit(0.0))
+
+
+@register(
+    "duplicated_keys",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey) AS rn
+          FROM lineitem)
+    WHERE rn > 1
+    """,
+)
+def duplicated_keys(spark, sf_dir):
+    """P11: R duplicated() — rows whose key appeared earlier
+    (ningaloo-etl.Rmd:377), as a ranked window."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return duplicated_rows(
+        li, keys=["l_orderkey"], order_by=["l_linenumber", "l_partkey"]
+    )
+
+
+@register(
+    "distinct_combinations",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_combos(spark, sf_dir):
+    """A9: 'unique combinations of subsection and date' framing
+    (ningaloo-etl.Rmd:295-311)."""
+    return distinct_combinations(
+        load_table(spark, "orders", sf_dir), ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """O1/O3: descending sort + limit (ningaloo-etl.Rmd:311, head/limit
+    tagging-etl.Rmd:408). Spark plans this as TakeOrderedAndProject — no full
+    sort at scale. Tie-broken on the key for determinism."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "positional_slice",
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem",
+)
+def positional_slice(spark, sf_dir):
+    """P13: positional column slice df[, 1:5] (ningaloo-etl.Rmd:403,406)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(*li.columns[:5])
+
+
+@register(
+    "season_watershed",
+    """
+    SELECT CASE WHEN MONTH(o_orderdate) > 7 THEN YEAR(o_orderdate)
+                ELSE YEAR(o_orderdate) - 1 END AS season,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def season_watershed(spark, sf_dir):
+    """P9/F6: the fiscal-season watershed (ningaloo-etl.Rmd:164-167,179) —
+    month>7 → year else year-1 — then the A1 tally over it."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(season("o_orderdate").alias("season")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,199 @@
+"""Scalar-layer queries — SURVEY.md §2.8 (F1-F14) exercised end-to-end.
+
+Each query drives one scalar family through a realistic pipeline fragment so
+the oracle checks the *semantics* (parse order, timezone math, null paths),
+not just that the expression compiles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.functions.scalars import (
+    make_timestamp_from,
+    parse_date_time,
+)
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+
+@register(
+    "timestamp_parse_multi",
+    """
+    WITH raw AS (
+        SELECT event_id,
+               CASE event_id % 3
+                   WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                   WHEN 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+                   ELSE strftime(ts, '%Y-%m-%d')
+               END AS raw_ts
+        FROM events
+    )
+    SELECT event_id, raw_ts,
+           COALESCE(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(raw_ts, '%m/%d/%Y %H:%M:%S'),
+                    try_strptime(raw_ts, '%Y-%m-%d')) AS parsed
+    FROM raw
+    """,
+)
+def timestamp_parse_multi(spark, sf_dir):
+    """F1: lubridate parse_date_time(orders=c(...)) — try formats in sequence
+    (ningaloo-etl.Rmd:170-178, turtle-tracks.Rmd:46-54). The mixed-format
+    string column is manufactured from events.ts, then re-parsed through the
+    engine's coalesce(try_to_timestamp…) chain."""
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("raw_ts"),
+    )
+    return raw.withColumn(
+        "parsed",
+        parse_date_time(
+            "raw_ts", ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd"]
+        ),
+    )
+
+
+@register(
+    "tz_convert_perth",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS ts_perth,
+           CAST(CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS DATE) AS observation_date
+    FROM events
+    """,
+)
+def tz_convert_perth(spark, sf_dir):
+    """F2/F5: with_tz(ts, 'Australia/Perth') then as_date — the local
+    observation-day derivation (turtle-tracks.Rmd:55,64; tagging-etl.Rmd:396).
+    Spark side uses the real tz database (AWST = UTC+8, no DST, so the oracle
+    can state it as fixed-interval arithmetic)."""
+    ev = load_table(spark, "events", sf_dir)
+    perth = F.from_utc_timestamp("ts", "Australia/Perth")
+    return ev.select(
+        "event_id",
+        "ts",
+        perth.alias("ts_perth"),
+        F.to_date(perth).alias("observation_date"),
+    )
+
+
+@register(
+    "component_extract",
+    """
+    SELECT event_id,
+           YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
+           HOUR(ts) AS h, MINUTE(ts) AS mi,
+           CAST(EXTRACT(SECOND FROM ts) AS INT) AS s,
+           WEEK(ts) AS isoweek
+    FROM events
+    """,
+)
+def component_extract(spark, sf_dir):
+    """F3: lubridate year/month/hour/minute/second/isoweek extraction
+    (ningaloo-etl.Rmd:178-179, wastd-api.Rmd:40,67)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.weekofyear("ts").alias("isoweek"),
+    )
+
+
+@register(
+    "timestamp_recombine",
+    """
+    SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS recombined
+    FROM events
+    """,
+)
+def timestamp_recombine(spark, sf_dir):
+    """F4: date.id + hours()+minutes()+seconds() recombination
+    (ningaloo-etl.Rmd:178, tagging-etl.Rmd:395) via make_timestamp — feeding
+    ts to itself as both date part and time part reproduces
+    date_trunc('second'), which is what the oracle states."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id", make_timestamp_from("ts", "ts").alias("recombined")
+    )
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           REGEXP_REPLACE(LOWER(c_name), '[# ]', '_', 'g') AS slug,
+           CONCAT_WS(' / ', c_name, c_mktsegment) AS label,
+           LENGTH(c_name) AS name_len
+    FROM customer
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """F9/F10: str_replace_all sanitation + paste() concatenation
+    (turtle-tracks.Rmd:38-39,89; tagging-etl.Rmd:283)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.lower("c_name"), "[# ]", "_").alias("slug"),
+        F.concat_ws(" / ", "c_name", "c_mktsegment").alias("label"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           COALESCE(p.p_name, 'NA') AS part_name,
+           COALESCE(p.p_retailprice, 0.0) AS retail_price,
+           (p.p_partkey IS NULL) AS is_orphan
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p ON l.l_partkey = p.p_partkey
+    """,
+)
+def null_handling(spark, sf_dir):
+    """F11: is.na / NA→'NA' / fill=0 (ningaloo-etl.Rmd:238,313) over
+    manufactured lookup misses."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") > 40)
+    j = li.join(p, li.l_partkey == p.p_partkey, "left")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_name", F.lit("NA")).alias("part_name"),
+        F.coalesce("p_retailprice", F.lit(0.0)).alias("retail_price"),
+        F.col("p_partkey").isNull().alias("is_orphan"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """F14: nested-JSON field extraction (turtle-tracks.Rmd:28-43,
+    track_analysis.R:17-35) with an explicit payload schema — from_json, not
+    string hacking, so malformed payloads become NULLs not errors."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, "events", sf_dir)
+    payload = StructType([StructField("k", IntegerType())])
+    parsed = ev.withColumn("_p", F.from_json("props", payload))
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("k"),
+        (F.col("_p.k") * 2).alias("k2"),
+    )

@@ -35,6 +35,9 @@ _DEFAULTS = {
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Spark has no nanosecond timestamp type; read TIMESTAMP(NANOS) parquet
+    # columns as raw int64 and let the source layer convert (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
 }
 

@@ -33,7 +33,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Lazy scan of one synthetic table; schema comes from Parquet footer
     metadata (no inference pass over the data)."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _repair_schema(name, df)
+
+
+def _repair_schema(name: str, df: DataFrame) -> DataFrame:
+    """First-stage type repair, the reference's universal pattern
+    (`as.is=T` load then cast, ningaloo-etl.Rmd:54,67-78).
+
+    events.ts is written as parquet TIMESTAMP(NANOS); Spark's timestamp is
+    microseconds, so the session reads nanos as int64 and this layer converts
+    (`div 1000` truncation — matches DuckDB's CAST(ns AS TIMESTAMP))."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -19,18 +19,28 @@ TABLES = (
 ).split()
 
 
+def _canon(v):
+    import datetime
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        # Spark DATE arrives as datetime.date, DuckDB DATE as midnight
+        # Timestamp — canonicalize both to the ISO date string.
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
 def norm_frame(df, cols):
     rows = []
     for row in df[cols].itertuples(index=False):
-        vals = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                vals.append(None)
-            elif isinstance(v, float):
-                vals.append(round(v, 6))
-            else:
-                vals.append(str(v))
-        rows.append(tuple(vals))
+        rows.append(tuple(_canon(v) for v in row))
     return sorted(rows, key=repr)
 
 

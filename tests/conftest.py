@@ -35,10 +35,10 @@ def duck():
     con.close()
 
 
-def assert_df_matches_oracle(spark_df, duck_con, sql, float_tol=1e-9):
+def assert_df_matches_oracle(spark_df, duck_con, sql):
     """Order-insensitive compare of a Spark DataFrame against DuckDB output,
     mirroring the driver's row-count + column-sorted value check."""
-    import math
+    from scripts.driver_sim import norm_frame
 
     sdf = spark_df.toPandas()
     ddf = duck_con.sql(sql).df()
@@ -46,24 +46,9 @@ def assert_df_matches_oracle(spark_df, duck_con, sql, float_tol=1e-9):
         c.lower() for c in ddf.columns
     ), f"columns differ: {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
     assert len(sdf) == len(ddf), f"row count differs: {len(sdf)} vs {len(ddf)}"
-    cols = sorted(sdf.columns, key=str.lower)
+    cols = sorted(c.lower() for c in sdf.columns)
     ddf.columns = [c.lower() for c in ddf.columns]
     sdf.columns = [c.lower() for c in sdf.columns]
-
-    def norm(df):
-        rows = []
-        for row in df[[c.lower() for c in cols]].itertuples(index=False):
-            vals = []
-            for v in row:
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    vals.append(None)
-                elif isinstance(v, float):
-                    vals.append(round(v, 6))
-                else:
-                    vals.append(str(v))
-            rows.append(tuple(vals))
-        return sorted(rows, key=repr)
-
-    srows, drows = norm(sdf), norm(ddf)
+    srows, drows = norm_frame(sdf, cols), norm_frame(ddf, cols)
     for i, (a, b) in enumerate(zip(srows, drows)):
         assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"
