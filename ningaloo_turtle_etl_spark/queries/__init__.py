@@ -9,4 +9,5 @@ import ningaloo_turtle_etl_spark.queries.joins  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.projection  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.scalars  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.setops  # noqa: F401
+import ningaloo_turtle_etl_spark.queries.spatial  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.windows  # noqa: F401

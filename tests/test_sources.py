@@ -1,0 +1,113 @@
+"""Source/sink tests — S3-S6, S8 (REST pushdown, CSV, snapshots)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ningaloo_turtle_etl_spark.sources.files import (
+    load_snapshot,
+    read_csv,
+    snapshot,
+    write_csv,
+)
+from ningaloo_turtle_etl_spark.sources.rest import RestSource
+
+TRACK_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("species", StringType()),
+        StructField("longitude", DoubleType()),
+        StructField("latitude", DoubleType()),
+        StructField("area_id", LongType()),
+    ]
+)
+
+FEED = [
+    {"id": "t1", "species": "green", "longitude": 113.1, "latitude": -21.9, "area_id": 17},
+    {"id": "t2", "species": "flatback", "longitude": 113.2, "latitude": -21.8, "area_id": 17},
+    {"id": "t3", "species": "green", "longitude": 115.0, "latitude": -32.0, "area_id": 18},
+]
+
+
+def test_rest_source_pushdown_and_residual(spark):
+    calls = []
+
+    def fake_fetcher(url, headers):
+        calls.append((url, headers))
+        # Server-side filter honoring the area param (the reference's
+        # ?where=17 pattern, track_analysis.R:14-18).
+        from urllib.parse import parse_qs, urlparse
+
+        qs = parse_qs(urlparse(url).query)
+        records = FEED
+        if "where" in qs:
+            records = [r for r in records if r["area_id"] == int(qs["where"][0])]
+        if "limit" in qs:
+            records = records[: int(qs["limit"][0])]
+        return json.dumps({"objects": records})
+
+    src = RestSource(
+        base_url="https://example.test/api/tracks",
+        schema=TRACK_SCHEMA,
+        records_path="objects",
+        pushdown_params={"area_id": "where"},
+        headers={"Authorization": "Token sekrit"},
+        fetcher=fake_fetcher,
+    )
+    df = src.read(spark, filters={"area_id": 17, "species": "green"}, limit=10)
+    rows = df.collect()
+
+    # area_id pushed into the URL; species applied post-parse by Catalyst.
+    url, headers = calls[0]
+    assert "where=17" in url and "limit=10" in url and "species" not in url
+    assert headers["Authorization"] == "Token sekrit"
+    assert [r["id"] for r in rows] == ["t1"]
+
+
+def test_rest_source_bad_records_path(spark):
+    src = RestSource(
+        base_url="https://example.test/api",
+        schema=TRACK_SCHEMA,
+        records_path="rows",
+        fetcher=lambda url, h: json.dumps({"rows": {"not": "a list"}}),
+    )
+    try:
+        src.read(spark)
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "records_path" in str(ex)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path, single_file=True)
+    back = read_csv(spark, path, "id long, s string, v double")
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", None),
+    ]
+
+
+def test_parquet_snapshot_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, d string"
+    )
+    path = str(tmp_path / "snap")
+    snapshot(df, path, partition_by=["d"])
+    back = load_snapshot(spark, path)
+    assert back.filter("d = '2024-01-01'").count() == 1
+    # Partition pruning: the date filter must reach the file listing, not
+    # scan both partitions.
+    plan = back.filter("d = '2024-01-01'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in plan or "d#" in plan
