@@ -1,0 +1,60 @@
+"""Batch-equivalent streaming queries — SURVEY.md §2.9 (ST3/ST5).
+
+Structured Streaming and batch share one plan here: ``daily_tally`` is the
+same function the streaming tests drive through a file-source stream; the
+oracle checks its batch semantics (window boundaries, late-date convention).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+from ningaloo_turtle_etl_spark.streaming.tallies import (
+    daily_tally,
+    normalize_after_midnight,
+)
+
+
+@register(
+    "tumbling_daily_tally",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_daily_tally(spark, sf_dir):
+    """ST3: tumbling 1-day event-time window tally (turtle-tracks.Rmd:93-103's
+    daily track counts). Session tz is UTC so window boundaries are UTC
+    midnights — exactly date_trunc('day')."""
+    ev = load_table(spark, "events", sf_dir)
+    return daily_tally(ev, event_time="ts", keys=("event_type",))
+
+
+@register(
+    "after_midnight_observation_date",
+    """
+    WITH local AS (
+        SELECT CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS lts FROM events
+    )
+    SELECT CASE WHEN HOUR(lts) < 6 THEN CAST(lts - INTERVAL 1 DAY AS DATE)
+                ELSE CAST(lts AS DATE) END AS observation_date,
+           COUNT(*) AS n
+    FROM local GROUP BY 1
+    """,
+)
+def after_midnight_observation_date(spark, sf_dir):
+    """ST5: the Pendoley-Rawcliffe convention (tagging-etl.Rmd:82-85) —
+    after-midnight nesting (before 6am Perth local) counts for the previous
+    day — applied as event-time normalization, then tallied."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        normalize_after_midnight("ts", cutoff_hour=6, tz_offset_hours=8).alias(
+            "observation_date"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,129 @@
+"""Structured Streaming tests — ST1/ST3/ST4/ST6/ST7 driven through real
+streaming queries over a file-source directory (the append-only feed shape)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+from ningaloo_turtle_etl_spark.streaming.sinks import foreach_batch_upserter
+from ningaloo_turtle_etl_spark.streaming.tallies import (
+    complete_tally_query,
+    daily_tally,
+    read_stream_dir,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """An append-only directory seeded with the events table (ST1)."""
+    d = tmp_path / "feed"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _events_schema(spark):
+    return load_table(spark, "events", SF_DIR).schema
+
+
+def test_streaming_daily_tally_matches_batch(spark, events_stream_dir):
+    """ST3: the streaming daily tally over the feed equals the batch plan on
+    the same data (one code path, two execution modes)."""
+    batch = load_table(spark, "events", SF_DIR)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in daily_tally(batch).collect()
+    }
+
+    # Raw parquet (ts in nanos→int64) needs the same repair the batch loader
+    # does; express it on the stream to prove plan parity.
+    import pyspark.sql.functions as F
+
+    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        daily_tally(stream, watermark="10 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("daily_tally_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM daily_tally_test").collect()
+    }
+    assert got == expected
+
+
+def test_complete_mode_dashboard_tally(spark, events_stream_dir):
+    """ST6: the app.R reactive re-tally as a complete-mode in-memory agg."""
+    import pyspark.sql.functions as F
+
+    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = complete_tally_query(stream, ("event_type",), "dashboard_tally_test")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_type"]: r["n"]
+            for r in spark.sql("SELECT * FROM dashboard_tally_test").collect()
+        }
+        batch = load_table(spark, "events", SF_DIR).groupBy("event_type").count()
+        expected = {r["event_type"]: r["count"] for r in batch.collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """ST7: EntryBatchProcess re-runnability — same batch twice is a no-op;
+    a changed record with the same key replaces the old version."""
+    target = str(tmp_path / "target")
+    upsert = foreach_batch_upserter(target, ["id"])
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upsert(b1, 0)
+    upsert(b1, 0)  # re-run: idempotent
+    assert sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(target).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    upsert(b2, 1)
+    assert sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(target).collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_watermark_append_mode_emits_closed_windows(spark, events_stream_dir):
+    """ST4: append mode + watermark — only windows the watermark has passed
+    are emitted; the tail stays in state (late data would still be merged)."""
+    import pyspark.sql.functions as F
+
+    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        daily_tally(stream, watermark="2 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_tally_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "SELECT DISTINCT window_start FROM append_tally_test"
+    ).count()
+    total = (
+        load_table(spark, "events", SF_DIR)
+        .select(F.date_trunc("day", "ts"))
+        .distinct()
+        .count()
+    )
+    assert 0 < emitted < total  # closed windows out, open tail retained
