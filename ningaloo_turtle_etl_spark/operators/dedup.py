@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design notes:
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle of (hash, id),
+  never of document bodies.
+- MinHash signatures and LSH band keys are pure Catalyst expressions
+  (xxhash64 over shingles), so signature computation is a map-only codegen'd
+  pass; the only shuffle is the band-key self-join, whose candidate sets are
+  tiny compared to all-pairs.
+- Verification (exact Jaccard) runs only on LSH candidates — the classic
+  filter-verify pattern; all-pairs O(n²) never materializes.
+- SimHash uses one Arrow-batched pandas UDF (bit-twiddling is not
+  expressible as Catalyst columns) and then bucket-joins on rotated
+  prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+
+from ningaloo_turtle_etl_spark.operators.text import tokens
+
+
+# --- exact ------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group
+    (after whitespace/case normalization via the fingerprint)."""
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+    from pyspark.sql.window import Window
+
+    fp = with_fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+# --- shingles / MinHash -----------------------------------------------------
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (distinct). Pure columns:
+    slide an index sequence over the token array."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(i ⊕ s).
+    One array column of length ``num_hashes``; entirely JVM-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+
+    shingle → minhash → band-hash → bucket self-join (candidates) →
+    verify(J(a,b) ≥ threshold). Returns (id_a, id_b, jaccard), id_a < id_b.
+    With b bands of r rows the candidate curve is 1-(1-s^r)^b.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- n-gram Jaccard (blocked all-pairs, for oracle-sized candidate sets) ---
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard within blocks (same ``block_col`` value).
+    Blocking bounds the quadratic term; for unblocked dedup at scale use
+    minhash_near_dup_pairs."""
+    cols = [F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    sh = df.select(*cols)
+    a, b = sh.alias("a"), sh.alias("b")
+    on = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        on.insert(0, F.col("a.blk") == F.col("b.blk"))
+    pairs = a.join(b, on=on)
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash_udf(num_bits: int = 64):
+    """64-bit SimHash over whitespace tokens: sum ±1 per bit of each token's
+    hash, sign → bit. Arrow-batched; numpy bit kernel."""
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            acc = np.zeros(num_bits, dtype=np.int64)
+            for tok in str(t).split():
+                h = np.uint64(hash64(tok))
+                bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sig = np.uint64(0)
+            for b in range(num_bits):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return simhash
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a), stable across processes —
+    Python's builtin hash() is salted per-interpreter and unusable here."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    rotations: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share a ``prefix_bits`` prefix of
+    some rotation of the signature (pigeonhole over bit blocks), verified by
+    exact Hamming distance via bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
+    )
+    rot = sh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.shiftrightunsigned(
+                            F.expr(
+                                f"shiftleft(sig, {r * prefix_bits}) | "
+                                f"shiftrightunsigned(sig, {64 - r * prefix_bits})"
+                                if r
+                                else "sig"
+                            ),
+                            64 - prefix_bits,
+                        ).alias("bucket"),
+                    )
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.r", "bk.bucket")
+    a, b = rot.alias("a"), rot.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.r") == F.col("b.r"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

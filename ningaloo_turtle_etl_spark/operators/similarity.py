@@ -1,0 +1,229 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, same result contract (query_id, vec_id, cosine, rank):
+
+- ``cosine_topk`` — brute force. The query set is broadcast; the corpus is
+  scanned map-side; per-query top-k via ranked window. Exact; the baseline
+  every approximate tier is measured against.
+- ``lsh_topk`` — random-hyperplane LSH: b sign-bits as the bucket key,
+  computed as PURE column expressions (one dot product per bit against a
+  literal hyperplane), candidates = bucket collisions (multi-probe over
+  single-bit flips), exact re-rank inside buckets.
+- ``ivf_topk`` — inverted-file: k-means-lite centroids fit on a driver
+  sample, corpus assigned to nearest centroid (one Arrow pass), queries
+  probe ``nprobe`` nearest centroids, exact re-rank inside probed cells.
+
+At 100 TB: brute force is one broadcast + map + per-query TakeOrdered (no
+all-pairs shuffle); LSH/IVF turn the scan into a bucket-pruned scan — the
+partition key IS the bucket, so a probe touches only matching partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Embeddings are upcast to double so
+    accumulation is deterministic and oracle-comparable."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    ).withColumn("q_norm", _norm(F.col("q")))
+
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- random-hyperplane LSH --------------------------------------------------
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype(np.float64)
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket as a single integer column: bit i = (v · h_i) > 0."""
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0, 1
+        ).otherwise(0)
+        for i in range(planes.shape[0])
+    ]
+    bucket = F.lit(0)
+    for i, b in enumerate(bits):
+        bucket = bucket + (b * F.lit(int(2**i)))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k, multi-table sign-LSH: L independent tables of b
+    hyperplane sign-bits; candidates collide with the query in ANY table
+    (recall = 1-(1-p^b)^L where p = 1-θ/π), then exact cosine re-rank.
+
+    b trades candidate-set size against per-table recall; L buys recall
+    back. Low-similarity corpora (θ near 90°) need small b / larger L —
+    tune with the recall harness in tests/test_llm_ops.py."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    )
+    tbl_buckets_c, tbl_buckets_q = [], []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        tbl_buckets_c.append(
+            F.struct(F.lit(t).alias("t"), _bucket_expr(F.col("v"), planes).alias("bk"))
+        )
+        tbl_buckets_q.append(
+            F.struct(F.lit(t).alias("t"), _bucket_expr(F.col("q"), planes).alias("bk"))
+        )
+    c = c.withColumn("tb", F.explode(F.array(*tbl_buckets_c))).select(
+        "vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
+    ).withColumn("v_norm", _norm(F.col("v")))
+    q = q.withColumn("tb", F.explode(F.array(*tbl_buckets_q))).select(
+        "query_id", "q", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
+    ).withColumn("q_norm", _norm(F.col("q")))
+
+    cand = c.join(F.broadcast(q), on=["t", "bk"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- IVF --------------------------------------------------------------------
+def fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """k-means-lite on a driver-side sample (Lloyd iterations in numpy).
+    The reference's own PCNM trick (spatial_modelling.Rmd:211-224) — compute
+    the expensive thing on a small distinct set, apply to the big set —
+    generalized: centroids come from a bounded sample regardless of corpus
+    size."""
+    sample = np.asarray(
+        [
+            r["v"]
+            for r in corpus.select(_as_double(F.col(vec_col)).alias("v"))
+            .limit(sample_rows)
+            .collect()
+        ]
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(0)
+    return cents
+
+
+def _nearest_centroids_expr(vec_col, cents: np.ndarray, n: int = 1):
+    """Index array of the n nearest centroids — pure columns: one squared-
+    distance expression per centroid, then array sort by distance."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid, query
+    probes its ``nprobe`` nearest cells, exact re-rank inside."""
+    cents = centroids if centroids is not None else fit_centroids(corpus, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    c = c.withColumn("cell", _nearest_centroids_expr(F.col("v"), cents, 1)[0]).withColumn(
+        "v_norm", _norm(F.col("v"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    )
+    q = q.withColumn(
+        "cell", F.explode(_nearest_centroids_expr(F.col("q"), cents, nprobe))
+    ).withColumn("q_norm", _norm(F.col("q")))
+
+    cand = c.join(F.broadcast(q), on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is pure Catalyst column expressions over the ``documents``
+table — no Python UDFs — so at 100 TB these are map-only, codegen'd passes
+that fuse with the scan. (The reference has no text layer; this extends the
+engine per the build brief's training-data-pipeline surface.)
+
+Operators: token counting (whitespace + BPE-ish regex estimate), quality
+scoring (length/punct/stopword ratios), language ID (marker-word n-gram
+heuristic), document fingerprinting (stable content hash + shingle hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# A tiny multilingual stopword/marker table. At scale this would live in a
+# broadcast dimension table; inlined literals keep it codegen-able.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "una", "en"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("it", "that", "was", "for", "on")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace words plus a BPE-ish subword estimate
+    (wordpieces ≈ runs of letters / digits / single punctuation — the
+    pre-tokenizer regex family GPT-2-style BPEs use)."""
+    toks = tokens(text_col)
+    bpe_pieces = F.filter(
+        F.split(
+            F.regexp_replace(F.col(text_col), r"([^\w\s]|\d)", r" $1 "), r"\s+"
+        ),
+        lambda t: t != "",
+    )
+    return df.withColumns(
+        {
+            "n_words": F.size(toks),
+            "n_chars": F.length(text_col),
+            # ~4 chars/token floor keeps the estimate sane for CJK strings
+            # where whitespace tokenization collapses.
+            "n_tokens_est": F.greatest(
+                F.size(bpe_pieces), F.ceil(F.length(text_col) / 4).cast("int")
+            ),
+        }
+    )
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = ENGLISH_STOPWORDS,
+) -> DataFrame:
+    """Heuristic document quality in [0,1]: penalize too-short/too-long docs,
+    reward healthy stopword density and word shape, penalize punctuation
+    soup. The C4/Gopher-style rule family as one fused projection."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+
+    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.2)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio > 0.05, 1.0).otherwise(0.5)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio < 0.2, 1.0).otherwise(0.3)
+    shape_ok = F.when((mean_word_len >= 2) & (mean_word_len <= 12), 1.0).otherwise(0.5)
+
+    return df.withColumns(
+        {
+            "stopword_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "quality_score": (length_ok * stop_ok * punct_ok * shape_ok),
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = count of language-marker tokens;
+    argmax wins, ties broken by language code order, no markers → 'und'.
+    A real system would use char-n-gram models; the *engine shape* is the
+    same single map-only projection."""
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        # NB: the lambda must be unary — F.filter passes the element index to
+        # a second parameter, so a default-arg closure would be clobbered.
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    return out.withColumn("predicted_lang", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable content fingerprint: md5 prefix of the casefolded,
+    whitespace-collapsed text. Normalization-then-hash is the dedup key the
+    exact-dedup operator groups on; md5 (not xxhash) keeps it portable
+    across engines and languages."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.substring(F.md5(normalized), 1, 16))

@@ -1,0 +1,260 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings`` —
+dedup, text analysis, similarity search. Oracle-checked where ANSI-SQL can
+express the semantics; MinHash/SimHash/LSH/IVF are rows-only here and
+verified against independent Python reference implementations in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ningaloo_turtle_etl_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from ningaloo_turtle_etl_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY substr(md5({_NORM}), 1, 16)
+                     ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalize → fingerprint → hash-groupBy keep lowest id.
+    Only (fingerprint, id) shuffles — document bodies never do."""
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           len({_TOKENS}) AS n_words,
+           length(text) AS n_chars,
+           greatest(
+               len(list_filter(string_split_regex(
+                   regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+'),
+                   x -> x <> '')),
+               CAST(ceil(length(text) / 4.0) AS INT)
+           ) AS n_tokens_est
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish subword estimate."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_token_counts(docs).select("doc_id", "n_words", "n_chars", "n_tokens_est")
+
+
+@register(
+    "text_quality_scores",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKENS} AS toks, length(text) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_chars, len(toks) AS n_words,
+               len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','a','in','is','it','that','was','for','on')))
+                   AS n_stop,
+               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6)
+               AS stopword_ratio,
+           ROUND(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6)
+               AS punct_ratio,
+           ROUND(
+             (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN 1.0 ELSE 0.3 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+                   THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Gopher/C4-style quality heuristics as one fused projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = with_quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+_MARKER_SQL = {
+    "en": "('the','and','of','to','a','in','is')",
+    "de": "('der','die','das','und','ist','nicht','ein')",
+    "fr": "('le','la','les','et','est','une','dans')",
+    "es": "('el','la','los','y','es','una','en')",
+    "zh": "('的','是','在','了','和','有','我')",
+}
+_SCORES_SQL = ",\n".join(
+    f"len(list_filter(toks, t -> t IN {v})) AS score_{k}" for k, v in _MARKER_SQL.items()
+)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_SCORES_SQL} FROM t),
+    p AS (
+        SELECT lang,
+               CASE WHEN greatest(score_en,score_de,score_fr,score_es,score_zh) = 0
+                        THEN 'und'
+                    WHEN score_de = greatest(score_en,score_de,score_fr,score_es,score_zh) THEN 'de'
+                    WHEN score_en = greatest(score_en,score_de,score_fr,score_es,score_zh) THEN 'en'
+                    WHEN score_es = greatest(score_en,score_de,score_fr,score_es,score_zh) THEN 'es'
+                    WHEN score_fr = greatest(score_en,score_de,score_fr,score_es,score_zh) THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM s
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang vs marker-word prediction.
+    (Synthetic word-salad text makes accuracy meaningless; determinism of
+    the scoring — including tie-breaks — is what the oracle pins.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    tagged = with_lang_id(docs)
+    return tagged.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "doc_fingerprints",
+    f"SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark, sf_dir):
+    """Portable content fingerprint (md5 prefix of normalized text)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, lang, list_distinct({_TOKENS}) AS sh
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def ngram_jaccard_near_dups(spark, sf_dir):
+    """Blocked exact n-gram Jaccard (block = lang): the verify stage of the
+    filter-verify dedup pattern, run exact on a bounded candidate set."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(
+        docs, block_col="lang", shingle_n=1, threshold=0.5
+    )
+
+
+_DOT = "list_sum(list_transform(list_zip(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), x -> x[1]*x[2]))"
+_NORMSQ = "list_sum(list_transform(CAST({0}.embedding AS DOUBLE[]), x -> x*x))"
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_DOT} / (sqrt({_NORMSQ.format('c')}) * sqrt({_NORMSQ.format('q')})), 6)
+                   AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast query
+    set, map-side dot products in double, ranked window per query."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# --- approximate / non-SQL-expressible: rows-only driver check + pytest ----
+
+@register("minhash_near_dups", None)
+def minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (filter-verify). xxhash64 signatures have
+    no DuckDB equivalent → rows-only here; reference-implementation parity
+    is pinned in tests/test_llm_ops.py."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    return minhash_near_dup_pairs(docs, shingle_n=3, threshold=0.5)
+
+
+@register("simhash_near_dups", None)
+def simhash_near_dups(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    return simhash_near_dup_pairs(docs, max_hamming=8)
+
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (bucket + multiprobe + exact re-rank)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=6, tables=6)
+
+
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (centroid cells + nprobe + exact re-rank)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=3)
+
+
+@register("multimodal_image_features", None)
+def multimodal_image_features(spark, sf_dir):
+    """Binary-column decode/feature plumbing via mapInPandas (deterministic
+    fake codec — real codecs aren't in this container)."""
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        documents_as_media,
+        extract_image_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return extract_image_features(documents_as_media(docs), decoder="fake")
