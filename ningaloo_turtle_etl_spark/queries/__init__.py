@@ -11,5 +11,6 @@ import ningaloo_turtle_etl_spark.queries.projection  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.scalars  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.setops  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.spatial  # noqa: F401
+import ningaloo_turtle_etl_spark.queries.stats_queries  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.streaming_batch  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.windows  # noqa: F401

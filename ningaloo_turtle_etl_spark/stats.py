@@ -1,0 +1,208 @@
+"""Statistical layer — SURVEY.md §2.11 (the spatial_modelling.Rmd surface).
+
+Scale design: the reference computes everything in one R process; here the
+row-parallel parts (transforms, Gram matrices, residuals) are Spark
+aggregations/projections and only the tiny p×p / k×k solves run at the
+driver — the reference's own dedup-then-join-back trick
+(spatial_modelling.Rmd:211-224) generalized.
+
+- M1 Hellinger transform: pure columns.
+- M2 RDA (multi-response linear regression + residuals): X'X and X'Y as ONE
+  distributed aggregation (p×p sums of products), solve at driver, residuals
+  as column expressions. No per-partition model fitting, no collect of data.
+- M3 PCNM: distinct coords → driver eigen-decomposition → broadcast
+  join-back of eigenvector scores.
+- M4 forward selection / M5 variation partitioning: driver loops re-using
+  the M2 machinery (each step is one Spark agg, not one data collect).
+- M6 correlation, M7 min-max rescale: built-in agg/window forms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+# --- M1 --------------------------------------------------------------------
+def hellinger(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """decostand(method='hellinger') (spatial_modelling.Rmd:149): each count
+    column → sqrt(value / row_total). Zero-total rows map to 0."""
+    total = sum(F.col(c) for c in cols)
+    return df.withColumns(
+        {
+            c: F.when(total > 0, F.sqrt(F.col(c) / total)).otherwise(F.lit(0.0))
+            for c in cols
+        }
+    )
+
+
+# --- M2 --------------------------------------------------------------------
+def _gram(df: DataFrame, x_cols: list[str], y_cols: list[str]):
+    """One pass: X'X (with intercept) and X'Y as sums of products."""
+    xs = [F.lit(1.0), *[F.col(c).cast("double") for c in x_cols]]
+    exprs = []
+    p, q = len(xs), len(y_cols)
+    for i in range(p):
+        for j in range(i, p):
+            exprs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
+    for i in range(p):
+        for j, yc in enumerate(y_cols):
+            exprs.append(F.sum(xs[i] * F.col(yc).cast("double")).alias(f"xy_{i}_{j}"))
+    for j, yc in enumerate(y_cols):
+        exprs.append(F.sum(F.col(yc).cast("double") ** 2).alias(f"yy_{j}"))
+        exprs.append(F.sum(F.col(yc).cast("double")).alias(f"ysum_{j}"))
+    exprs.append(F.count(F.lit(1)).alias("n"))
+    row = df.agg(*exprs).collect()[0]
+
+    xx = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            xx[i, j] = xx[j, i] = row[f"xx_{i}_{j}"]
+    xy = np.array([[row[f"xy_{i}_{j}"] for j in range(q)] for i in range(p)])
+    yy = np.array([row[f"yy_{j}"] for j in range(q)])
+    ysum = np.array([row[f"ysum_{j}"] for j in range(q)])
+    return xx, xy, yy, ysum, row["n"]
+
+
+def fit_rda(df: DataFrame, y_cols: Sequence[str], x_cols: Sequence[str]):
+    """RDA's regression step (spatial_modelling.Rmd:194,334): OLS of every
+    response on the shared predictors via normal equations. Returns
+    (coef[p+1, q], r2[q]) with coef row 0 = intercepts."""
+    x_cols, y_cols = list(x_cols), list(y_cols)
+    xx, xy, yy, ysum, n = _gram(df, x_cols, y_cols)
+    coef, *_ = np.linalg.lstsq(xx, xy, rcond=None)
+    # R² per response: 1 - SSE/SST with SSE = y'y - 2b'X'y + b'X'X b.
+    sse = yy - 2 * np.einsum("pq,pq->q", coef, xy) + np.einsum(
+        "pq,pr,rq->q", coef, xx, coef
+    )
+    sst = yy - (ysum**2) / n
+    r2 = np.where(sst > 0, 1 - sse / sst, 0.0)
+    return coef, r2
+
+
+def with_residuals(
+    df: DataFrame,
+    y_cols: Sequence[str],
+    x_cols: Sequence[str],
+    coef: np.ndarray,
+    suffix: str = "_resid",
+) -> DataFrame:
+    """Residuals as column expressions from a fitted coefficient matrix —
+    the 'keep residuals' half of RDA, map-only at any scale."""
+    out = df
+    for j, yc in enumerate(y_cols):
+        pred = F.lit(float(coef[0, j]))
+        for i, xc in enumerate(x_cols):
+            pred = pred + F.lit(float(coef[i + 1, j])) * F.col(xc).cast("double")
+        out = out.withColumn(f"{yc}{suffix}", F.col(yc).cast("double") - pred)
+    return out
+
+
+# --- M3 --------------------------------------------------------------------
+def pcnm_scores(
+    df: DataFrame,
+    coord_cols: Sequence[str],
+    n_vectors: int = 4,
+    truncation: float | None = None,
+) -> DataFrame:
+    """PCNM (spatial_modelling.Rmd:217-224): principal coordinates of the
+    truncated neighbour (distance) matrix over the DISTINCT coordinate set,
+    joined back — dedup-before-expensive-op exactly as the reference does
+    (61 sites, not 12k surveys). Returns df + PCNM1..PCNMk columns."""
+    coord_cols = list(coord_cols)
+    pts_rows = df.select(*coord_cols).distinct().collect()
+    pts = np.array([[float(r[c]) for c in coord_cols] for r in pts_rows])
+    m = len(pts)
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    if truncation is None:
+        # vegan's default: the largest minimum spanning distance — approximated
+        # by max over rows of the nearest-neighbor distance, times 1.0.
+        nn = np.where(d > 0, d, np.inf).min(axis=1)
+        truncation = float(nn.max())
+    dt = np.where(d <= truncation, d, 4.0 * truncation)
+    # Principal coordinates: double-center -0.5*D², eigh, keep positive part.
+    a = -0.5 * dt**2
+    row_mean = a.mean(1, keepdims=True)
+    centered = a - row_mean - a.mean(0, keepdims=True) + a.mean()
+    vals, vecs = np.linalg.eigh(centered)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    keep = min(n_vectors, int((vals > 1e-9).sum()))
+    scores = vecs[:, :keep] * np.sqrt(np.maximum(vals[:keep], 0))
+
+    spark = df.sparkSession
+    score_rows = [
+        (*[float(p) for p in pts[i]], *[float(s) for s in scores[i]])
+        for i in range(m)
+    ]
+    schema = ", ".join(
+        [f"{c} double" for c in coord_cols]
+        + [f"PCNM{i + 1} double" for i in range(keep)]
+    )
+    score_df = spark.createDataFrame(score_rows, schema)
+    return df.join(F.broadcast(score_df), on=coord_cols, how="left")
+
+
+# --- M4 --------------------------------------------------------------------
+def forward_select(
+    df: DataFrame,
+    y_cols: Sequence[str],
+    candidate_x: Sequence[str],
+    max_vars: int = 5,
+    min_improvement: float = 1e-4,
+) -> list[str]:
+    """forward.sel (spatial_modelling.Rmd:236-241): greedy predictor choice
+    maximizing mean R² across responses. Each candidate evaluation is one
+    distributed aggregation (never a data collect)."""
+    chosen: list[str] = []
+    best_r2 = 0.0
+    remaining = list(candidate_x)
+    while remaining and len(chosen) < max_vars:
+        scored = []
+        for c in remaining:
+            _, r2 = fit_rda(df, y_cols, [*chosen, c])
+            scored.append((float(np.mean(r2)), c))
+        r2_new, pick = max(scored)
+        if r2_new - best_r2 < min_improvement:
+            break
+        chosen.append(pick)
+        remaining.remove(pick)
+        best_r2 = r2_new
+    return chosen
+
+
+# --- M5 --------------------------------------------------------------------
+def variation_partition(
+    df: DataFrame,
+    y_cols: Sequence[str],
+    x_cols: Sequence[str],
+    w_cols: Sequence[str],
+) -> dict[str, float]:
+    """varpart (spatial_modelling.Rmd:251-254) for two predictor sets:
+    fractions [a] pure-X, [b] shared, [c] pure-W, [d] unexplained, from the
+    three R² fits (adjusted-R² bookkeeping simplified to plain R²)."""
+    _, r2_x = fit_rda(df, y_cols, x_cols)
+    _, r2_w = fit_rda(df, y_cols, w_cols)
+    _, r2_xw = fit_rda(df, y_cols, [*x_cols, *w_cols])
+    rx, rw, rxw = map(lambda v: float(np.mean(v)), (r2_x, r2_w, r2_xw))
+    return {
+        "a_pure_x": rxw - rw,
+        "b_shared": rx + rw - rxw,
+        "c_pure_w": rxw - rx,
+        "d_unexplained": 1.0 - rxw,
+    }
+
+
+# --- M6 --------------------------------------------------------------------
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
+    """pairs()-style diagnostics (spatial_modelling.Rmd:118-119): pairwise
+    Pearson correlations via Spark's built-in stat engine."""
+    cols = list(cols)
+    out = np.eye(len(cols))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            out[i, j] = out[j, i] = df.stat.corr(cols[i], cols[j])
+    return out

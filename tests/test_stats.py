@@ -1,0 +1,104 @@
+"""Statistical layer vs numpy reference implementations (M1-M7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.stats import (
+    correlation_matrix,
+    fit_rda,
+    forward_select,
+    hellinger,
+    pcnm_scores,
+    variation_partition,
+    with_residuals,
+)
+
+
+def _toy_regression(spark, n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    x1 = rng.randn(n)
+    x2 = rng.randn(n)
+    noise = 0.1 * rng.randn(n)
+    y = 2.0 + 1.5 * x1 - 0.7 * x2 + noise
+    y2 = -1.0 + 0.5 * x1 + noise
+    rows = [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(x1, x2, y, y2)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double, y2 double")
+    return df, np.column_stack([np.ones(n), x1, x2]), np.column_stack([y, y2])
+
+
+def test_fit_rda_matches_numpy_lstsq(spark):
+    df, X, Y = _toy_regression(spark)
+    coef, r2 = fit_rda(df, ["y", "y2"], ["x1", "x2"])
+    expect, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    assert np.allclose(coef, expect, atol=1e-8)
+    assert r2[0] > 0.95 and r2[1] > 0.9
+
+
+def test_residuals_orthogonal_to_predictors(spark):
+    df, _, _ = _toy_regression(spark)
+    coef, _ = fit_rda(df, ["y"], ["x1", "x2"])
+    resid = with_residuals(df, ["y"], ["x1", "x2"], coef)
+    checks = resid.agg(
+        F.avg("y_resid").alias("mean"),
+        F.corr("y_resid", "x1").alias("c1"),
+        F.corr("y_resid", "x2").alias("c2"),
+    ).collect()[0]
+    assert abs(checks["mean"]) < 1e-9
+    assert abs(checks["c1"]) < 1e-7 and abs(checks["c2"]) < 1e-7
+
+
+def test_hellinger_rows_have_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(4, 1, 0), (0, 0, 0), (2, 2, 2)], "a int, b int, c int"
+    )
+    h = hellinger(df, ["a", "b", "c"]).collect()
+    for r in h[:1] + h[2:]:
+        assert abs(r["a"] ** 2 + r["b"] ** 2 + r["c"] ** 2 - 1.0) < 1e-9
+    assert h[1]["a"] == 0.0  # zero-total row
+
+
+def test_forward_select_prefers_true_predictor(spark):
+    rng = np.random.RandomState(5)
+    n = 300
+    x_signal = rng.randn(n)
+    x_noise1, x_noise2 = rng.randn(n), rng.randn(n)
+    y = 3 * x_signal + 0.05 * rng.randn(n)
+    df = spark.createDataFrame(
+        [tuple(map(float, t)) for t in zip(x_signal, x_noise1, x_noise2, y)],
+        "xs double, xn1 double, xn2 double, y double",
+    )
+    chosen = forward_select(df, ["y"], ["xn1", "xs", "xn2"], max_vars=3)
+    assert chosen[0] == "xs"
+    assert len(chosen) <= 2  # noise vars add ~nothing
+
+
+def test_variation_partition_fractions_sum_to_one(spark):
+    df, _, _ = _toy_regression(spark)
+    parts = variation_partition(df, ["y"], ["x1"], ["x2"])
+    assert abs(sum(parts.values()) - 1.0) < 1e-9
+    assert parts["a_pure_x"] > 0.5  # x1 dominates y
+    assert parts["d_unexplained"] < 0.1
+
+
+def test_pcnm_scores_join_back(spark):
+    # 2x3 grid of coords, several rows per coord → scores constant per coord.
+    rows = [(i, float(i % 2), float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, gx double, gy double")
+    scored = pcnm_scores(df, ["gx", "gy"], n_vectors=2)
+    assert "PCNM1" in scored.columns
+    per_coord = scored.groupBy("gx", "gy").agg(
+        F.countDistinct(F.round("PCNM1", 9)).alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in per_coord)
+    # Eigenvector scores are centered: mean over distinct coords ≈ 0.
+    distinct = scored.select("gx", "gy", "PCNM1").distinct().collect()
+    assert abs(sum(r["PCNM1"] for r in distinct)) < 1e-8
+
+
+def test_correlation_matrix_symmetry(spark):
+    df, _, _ = _toy_regression(spark)
+    m = correlation_matrix(df, ["x1", "x2", "y"])
+    assert np.allclose(m, m.T)
+    assert m[0, 2] > 0.7  # y strongly driven by x1
