@@ -57,6 +57,14 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Local mode runs everything in the driver JVM. 8g is the measured sweet
+    # spot on this harness: enough headroom for wide shuffles, while very
+    # large heaps (24g+) degrade GC pathologically under the 32-thread
+    # UDF-heavy workloads (60s+ regressions on array-heavy queries). Only
+    # effective if set before JVM launch.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

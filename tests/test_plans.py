@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale — pushdown, pruning, broadcast strategy, bounded shuffles — asserted
+against the executed plan, so a refactor that silently loses one fails CI."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ningaloo_turtle_etl_spark import registry
+from tests.conftest import SF_DIR
+
+QUERIES = registry.queries()
+
+
+def plan_of(spark, name, execute=False):
+    df = QUERIES[name](spark, SF_DIR)
+    if execute:
+        # AQE finalizes (and annotates codegen stages) only on execution.
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "l_orderkey" not in m.group(1)  # unused columns pruned
+
+
+def test_lookup_chain_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "lookup_chain_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") == 0
+    # Fact scan pruned to join key + measure inputs.
+    first_read = re.search(r"ReadSchema: (\S+)", plan)
+    assert first_read and "l_quantity" not in first_read.group(1)
+
+
+def test_topk_per_group_single_shuffle(spark):
+    plan = plan_of(spark, "topk_per_group")
+    assert plan.count("Exchange") <= 1
+    # Spark's rank-limit pushdown keeps per-group state bounded.
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_orders_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER+LIMIT
+
+
+def test_filter_pushdown_on_transmute(spark):
+    plan = plan_of(spark, "transmute_compute")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_spatial_tag_is_map_side_only_before_agg(spark):
+    plan = plan_of(spark, "spatial_tag_regions")
+    # One shuffle total: the final tally. The UDF tagging itself is map-only.
+    assert plan.count("Exchange") <= 2
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "group_count_sorted", "summary_stats"]
+)
+def test_aggregations_are_codegen_hash_agg(spark, name):
+    plan = plan_of(spark, name, execute=True)
+    # "*(n)" prefixes mark whole-stage-codegen'd operators in the simple
+    # plan format (the literal "WholeStageCodegen" only appears pre-AQE).
+    assert "*(" in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
