@@ -170,6 +170,81 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- embedding-cosine near-dup ---------------------------------------------
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh_blocking: bool = True,
+    bits: int = 6,
+    tables: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``use_lsh_blocking`` the candidate set comes from multi-table
+    sign-LSH bucket collisions (see operators.similarity) — at corpus scale
+    the all-pairs product never materializes; exact cosine verifies each
+    candidate. Without it, a plain self-join (only for oracle-sized inputs).
+    """
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _hyperplanes,
+        _bucket_expr,
+        _norm,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
+
+    if use_lsh_blocking:
+        tb = [
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_expr(F.col("v"), _hyperplanes(64, bits, 7 + 1000 * t)).alias("bk"),
+            )
+            for t in range(tables)
+        ]
+        exploded = base.withColumn("tb", F.explode(F.array(*tb))).select(
+            "id", "v", "v_norm", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
+        )
+        a, b = exploded.alias("a"), exploded.alias("b")
+        pairs = a.join(
+            b,
+            on=[
+                F.col("a.t") == F.col("b.t"),
+                F.col("a.bk") == F.col("b.bk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.v_norm").alias("na"),
+            F.col("b.v_norm").alias("nb"),
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, on=[F.col("a.id") < F.col("b.id")]).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.v_norm").alias("na"),
+            F.col("b.v_norm").alias("nb"),
+        )
+
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash_udf(num_bits: int = 64):
     """64-bit SimHash over whitespace tokens: sum ±1 per bit of each token's

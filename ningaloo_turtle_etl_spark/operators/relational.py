@@ -184,6 +184,90 @@ def with_prev_season(
     return df.withColumn(name, F.lag(season_col).over(w))
 
 
+# --- P4: predicate-based column selection ----------------------------------
+def select_regex(df: DataFrame, pattern: str) -> DataFrame:
+    """dplyr ``select(starts_with('PCNM'))`` (spatial_modelling.Rmd:221,
+    239-241): column keep-list by regex over names, preserving order."""
+    import re
+
+    rx = re.compile(pattern)
+    keep = [c for c in df.columns if rx.match(c)]
+    if not keep:
+        raise ValueError(f"select_regex: no columns match {pattern!r}")
+    return df.select(*keep)
+
+
+# --- A8/U3: per-group rendered sub-table -----------------------------------
+def grouped_html_table(
+    df: DataFrame, group_col: str, value_cols: Sequence[str], name: str = "html"
+) -> DataFrame:
+    """``group_by(subsection) %>% htmlTable()`` / make_popup
+    (tagging_etl.R:25-32, ningaloo-etl.Rmd:336-344): one HTML table string
+    per group. Pure aggregation — rows become <tr> strings, sorted for
+    determinism, concatenated per group. No Python in the loop."""
+    row_html = F.concat(
+        F.lit("<tr>"),
+        *[F.concat(F.lit("<td>"), F.col(c).cast("string"), F.lit("</td>")) for c in value_cols],
+        F.lit("</tr>"),
+    )
+    header = "<tr>" + "".join(f"<th>{c}</th>" for c in value_cols) + "</tr>"
+    return df.groupBy(group_col).agg(
+        F.concat(
+            F.lit(f"<table>{header}"),
+            F.concat_ws("", F.array_sort(F.collect_list(row_html))),
+            F.lit("</table>"),
+        ).alias(name)
+    )
+
+
+# --- A10: pairwise distance matrix (long form) -----------------------------
+def pairwise_distances(
+    df: DataFrame,
+    id_col: str,
+    coord_cols: Sequence[str],
+    max_distance: float | None = None,
+) -> DataFrame:
+    """``dist(X)`` (spatial_modelling.Rmd:217,223) as the long (i<j, d)
+    relation. The reference materializes the full n×n matrix in memory; here
+    the self-join emits pairs and ``max_distance`` prunes the quadratic
+    blow-up (the τ-threshold trick) — at scale, pre-bucket coordinates so
+    the join key bounds candidates instead of a full cross."""
+    sel = df.select(F.col(id_col).alias("id"), *coord_cols)
+    a, b = sel.alias("a"), sel.alias("b")
+    d2 = sum(
+        (F.col(f"a.{c}") - F.col(f"b.{c}")) * (F.col(f"a.{c}") - F.col(f"b.{c}"))
+        for c in coord_cols
+    )
+    pairs = a.join(b, on=[F.col("a.id") < F.col("b.id")]).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.sqrt(d2).alias("dist")
+    )
+    if max_distance is not None:
+        pairs = pairs.filter(F.col("dist") <= max_distance)
+    return pairs
+
+
+def encounter_history_pivot(
+    df: DataFrame,
+    entity_col: str,
+    season_col: str,
+    seasons: Sequence[int | str],
+) -> DataFrame:
+    """The MARK capture-history matrix (wastd-api.Rmd:69-72; tag-history
+    product tagging-etl.Rmd:434-437): one column per season, cell = 1 if the
+    entity was encountered that season else 0 — groupBy+pivot+count clamped
+    to 0/1."""
+    wide = df.groupBy(entity_col).pivot(season_col, list(seasons)).count()
+    return wide.select(
+        entity_col,
+        *[
+            F.when(F.col(str(s)).isNotNull() & (F.col(str(s)) > 0), 1)
+            .otherwise(0)
+            .alias(str(s))
+            for s in seasons
+        ],
+    )
+
+
 # --- M7: windowed min-max rescale ------------------------------------------
 def with_rescaled(
     df: DataFrame, col: str, name: str | None = None, by: Iterable[str] = ()
