@@ -1,0 +1,134 @@
+"""Scale-mechanics tests: salted joins preserve semantics; bucketed tables
+join without a shuffle; the full ETL graph runs end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ningaloo_turtle_etl_spark.operators.scale import (
+    read_table,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # One pathological hot key (0) + uniform tail.
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, k) for k in range(1, 50)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(k, f"v{k}") for k in range(50)], "k long, v string")
+    plain = skewed.join(dim, "k").groupBy("k").count()
+    salted = salted_join(skewed, dim, "k", salt_buckets=8).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_distributes_hot_key(spark):
+    skewed = spark.createDataFrame([(0, i) for i in range(1000)], "k long, payload long")
+    dim = spark.createDataFrame([(0, "x")], "k long, v string")
+    s = skewed.withColumn("_salt", (F.rand(seed=42) * 8).cast("int"))
+    n_salts = s.select("_salt").distinct().count()
+    assert n_salts == 8  # hot key fans out across all buckets
+    assert salted_join(skewed, dim, "k", salt_buckets=8).count() == 1000
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # warehouse dir is a static config — uses the session default
+    # (./spark-warehouse, gitignored); tables dropped at the end.
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    # Stale-state hygiene: an interrupted prior run may have left the managed
+    # table dir without catalog metadata.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bucketed_a", "bucketed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    write_bucketed(a, "bucketed_a", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bucketed_b", ["k"], num_buckets=8, sort_cols=["k"])
+    # Disable auto-broadcast: at test scale the planner would broadcast (and
+    # skip bucketed reads entirely); at warehouse scale both sides are big
+    # and the bucketed sort-merge path is exactly what runs.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "bucketed_a").join(
+            read_table(spark, "bucketed_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bucketed_a")
+        spark.sql("DROP TABLE bucketed_b")
+
+
+def test_etl_graph_end_to_end(spark, tmp_path):
+    import json
+
+    from ningaloo_turtle_etl_spark.plans.etl_graph import publish_products, run_batch_etl
+    from ningaloo_turtle_etl_spark.sources.catalogue import Catalogue
+
+    raw_sites = spark.createDataFrame(
+        [
+            (1, "Ningaloo", "North", "Red Bluff", -23.0, 113.0, -22.9, -23.1, 113.0, 112.9),
+            (2, "Ningaloo", "North", "Gnaraloo", -23.8, 113.5, -23.7, -23.9, 113.6, None),
+        ],
+        "id long, division string, section string, subsection string, lat double,"
+        " lon double, y_max double, y_min double, x_max double, x_min double",
+    )
+    area = spark.createDataFrame(
+        [(100, 1, "7/15/2020 6:30:00", "Ningaloo", "North", "Red Bluff", 1)],
+        "survey_id long, date_id long, date_raw string, division string,"
+        " section string, subsection string, site_disturbed int",
+    )
+    env = spark.createDataFrame([(1, 10.0, 25.0)], "date_id long, wind_speed double, air_temp double")
+    species = spark.createDataFrame([(1, "Green")], "species_id long, species_name string")
+    crawls = spark.createDataFrame(
+        [(1, 100, 1, 2), (2, 999, None, 1)],
+        "crawl_id long, survey_id long, species_id long, no_false_crawls int",
+    )
+    nests_joined = spark.createDataFrame(
+        [(1, 100, "New", "Green", "2020-07-15", "Red Bluff")],
+        "nest_id long, survey_id long, nest_type string, species_name string,"
+        " date string, subsection string",
+    )
+
+    out = str(tmp_path / "products")
+    result = run_batch_etl(
+        {
+            "raw_sites": raw_sites,
+            "area_surveyed": area,
+            "environment": env,
+            "species": species,
+            "raw_crawls": crawls,
+            "nests_joined": nests_joined,
+        },
+        out_dir=out,
+    )
+    # QA counts reflect the planted issues: one missing bbox corner, one
+    # orphan crawl, one NA-species crawl.
+    assert result.qa["sites_missing_coords"] == 1
+    assert result.qa["orphan_crawls"] == 1
+    assert result.qa["na_species_crawls"] == 1
+    report = json.load(open(f"{out}/qa_report.json"))
+    assert report == result.qa
+
+    import os
+
+    assert os.path.exists(f"{out}/sites.geojson")
+    assert any(f.endswith(".csv") for f in os.listdir(f"{out}/surveys_csv"))
+
+    cat = Catalogue({}, staging_dir=str(tmp_path / "stage"))
+    publish_products(result, cat)
+    assert "sites_geojson" in cat.published and "surveys" in cat.published
