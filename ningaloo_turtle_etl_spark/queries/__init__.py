@@ -4,6 +4,7 @@ Importing this package populates the registry (see registry.py).
 """
 
 import ningaloo_turtle_etl_spark.queries.aggregations  # noqa: F401
+import ningaloo_turtle_etl_spark.queries.analytics  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.core  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.extended  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.joins  # noqa: F401
