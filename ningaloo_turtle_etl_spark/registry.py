@@ -25,9 +25,24 @@ class Q:
 _REGISTRY: dict[str, Q] = {}
 
 
+def _prepare_session(spark: SparkSession) -> None:
+    """Pin the runtime confs query correctness depends on, in case the
+    harness hands us a session built without session.py: UTC event-time math
+    (oracle parity with DuckDB's naive timestamps) and nanos-as-long parquet
+    reads (events.ts is TIMESTAMP(NANOS), unreadable natively)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Q(fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Q(wrapped, oracle)
         return fn
 
     return deco

@@ -33,6 +33,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Lazy scan of one synthetic table; schema comes from Parquet footer
     metadata (no inference pass over the data)."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # Defensive: events.parquet carries TIMESTAMP(NANOS), which Spark
+        # cannot read natively. session.py sets this at build time, but the
+        # harness may hand us a vanilla session — the conf is runtime-safe.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _repair_schema(name, df)
 
