@@ -89,43 +89,35 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     )
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Candidate generation carries ONLY (id, band-bucket): shingle arrays
+    # must not ride through the banded self-join and the pair-dedup shuffle
+    # (measured 2-3x slower at 50k docs when they do).
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.bucket")
-
-    left = banded.alias("a")
-    right = banded.alias("b")
+        ).alias("bucket"),
+    )
     cand = (
-        left.join(
-            right,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification: attach each side's shingle set once, then exact Jaccard.
+    cand = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
