@@ -44,6 +44,29 @@ def exact_dedup(
     )
 
 
+def exact_dedup_semi(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup without shuffling document bodies: shuffle only
+    (fingerprint, id) to elect keepers, then semi-join ids back.
+
+    vs exact_dedup (window): the window shuffles full rows once; this
+    variant shuffles two narrow columns plus an id semi-join. On a
+    high-duplication corpus the keeper set is much smaller than the input
+    and broadcasts, making the body side map-only — the right trade at
+    100 TB; at small scale the window form is simpler and equivalent."""
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(df, text_col)
+    keepers = (
+        fp.select("fingerprint", id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(keepers), on=id_col, how="left_semi")
+
+
 # --- shingles / MinHash -----------------------------------------------------
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct). Pure columns:
