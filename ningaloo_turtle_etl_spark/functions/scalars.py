@@ -120,9 +120,11 @@ def sanitize_column_names(df: DataFrame) -> DataFrame:
 
 # --- M7/F13: rescale to [0,1] ----------------------------------------------
 def rescale_minmax(col: ColumnOrName) -> Column:
-    """``scales::rescale`` (spatial_modelling.Rmd:171-172) as a window-free
-    expression usable inside an agg-join; for the windowed form see
-    operators.relational.with_rescaled."""
+    """``scales::rescale`` (spatial_modelling.Rmd:171-172) as a whole-frame
+    WINDOW expression — convenient for small frames, but the unpartitioned
+    window collapses to a single task at scale. Prefer
+    operators.relational.with_rescaled (agg + broadcast join-back) on
+    anything fact-sized."""
     c = _col(col)
     mn = F.min(c).over(_whole_frame_window())
     mx = F.max(c).over(_whole_frame_window())

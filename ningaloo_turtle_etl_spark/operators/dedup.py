@@ -26,6 +26,10 @@ from pyspark.sql.functions import pandas_udf
 from ningaloo_turtle_etl_spark.operators.text import tokens
 
 
+def spark_empty_pairs(df: DataFrame) -> DataFrame:
+    return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+
+
 # --- exact ------------------------------------------------------------------
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -64,7 +68,10 @@ def exact_dedup_semi(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(F.broadcast(keepers), on=id_col, how="left_semi")
+    # No forced broadcast: on a low-duplication corpus the keeper set is
+    # nearly the full id set and a broadcast hint would OOM; AQE broadcasts
+    # it automatically exactly when it is small enough.
+    return df.join(keepers, on=id_col, how="left_semi")
 
 
 # --- shingles / MinHash -----------------------------------------------------
@@ -81,15 +88,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed i, min over shingles of xxhash64(i ⊕ s).
-    One array column of length ``num_hashes``; entirely JVM-side."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    One array column of length ``num_hashes``; entirely JVM-side.
+
+    NB: the per-seed lambda must be UNARY — F.transform passes the element
+    index to a second parameter, so a `lambda s, i=i:` closure would receive
+    the index as ``i`` and collapse every signature slot into the same hash
+    function (destroying LSH recall). Seeds are bound via a helper scope.
+    """
+
+    def slot(i: int) -> Column:
+        seed = F.lit(i)
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(seed, s)))
+
+    return F.array(*[slot(i) for i in range(num_hashes)])
 
 
 def minhash_near_dup_pairs(
@@ -175,13 +186,15 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # Raw-value threshold, rounded display (see embedding_near_dup_pairs).
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )
 
 
@@ -194,6 +207,7 @@ def embedding_near_dup_pairs(
     use_lsh_blocking: bool = True,
     bits: int = 6,
     tables: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -201,6 +215,10 @@ def embedding_near_dup_pairs(
     sign-LSH bucket collisions (see operators.similarity) — at corpus scale
     the all-pairs product never materializes; exact cosine verifies each
     candidate. Without it, a plain self-join (only for oracle-sized inputs).
+
+    ``dim`` is inferred from the data when not given: hyperplanes of the
+    wrong width would null out every dot product (zip_with pads with NULL)
+    and silently collapse all vectors into one bucket.
     """
     from ningaloo_turtle_etl_spark.operators.similarity import (
         _as_double,
@@ -215,10 +233,15 @@ def embedding_near_dup_pairs(
     ).withColumn("v_norm", _norm(F.col("v")))
 
     if use_lsh_blocking:
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            if first is None:
+                return spark_empty_pairs(df)
+            dim = int(first["d"])
         tb = [
             F.struct(
                 F.lit(t).alias("t"),
-                _bucket_expr(F.col("v"), _hyperplanes(64, bits, 7 + 1000 * t)).alias("bk"),
+                _bucket_expr(F.col("v"), _hyperplanes(dim, bits, 7 + 1000 * t)).alias("bk"),
             )
             for t in range(tables)
         ]
@@ -253,10 +276,13 @@ def embedding_near_dup_pairs(
         )
 
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Threshold the RAW cosine (matching the oracles and minhash); round
+    # only for display. Filtering the rounded value admits boundary rows
+    # the raw filter excludes.
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
 
 
@@ -300,47 +326,44 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    prefix_bits: int = 16,
-    rotations: int = 4,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share a ``prefix_bits`` prefix of
-    some rotation of the signature (pigeonhole over bit blocks), verified by
-    exact Hamming distance via bit_count(xor)."""
+    """SimHash near-dup pairs with a sound pigeonhole guarantee.
+
+    The 64-bit signature splits into ``num_blocks`` disjoint near-equal
+    blocks; candidates share ANY (block index, block value). Two signatures
+    within Hamming distance H differ in at most H blocks, so with
+    B > H blocks at least one block matches — ``num_blocks`` defaults to
+    ``max_hamming + 1``, making the recall guarantee exact. Candidates are
+    verified by bit_count(xor) ≤ max_hamming.
+    """
+    blocks = num_blocks if num_blocks is not None else max_hamming + 1
+    if blocks > 64:
+        raise ValueError("num_blocks cannot exceed signature width (64)")
+    bounds = [round(64 * k / blocks) for k in range(blocks + 1)]
+
     sh = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
     )
-    rot = sh.select(
+
+    def block_bucket(k: int) -> Column:
+        start, end = bounds[k], bounds[k + 1]
+        width = end - start
+        value = F.shiftrightunsigned(F.col("sig"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        return F.xxhash64(F.lit(k), value)
+
+    banded = sh.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.shiftrightunsigned(
-                            F.expr(
-                                f"shiftleft(sig, {r * prefix_bits}) | "
-                                f"shiftrightunsigned(sig, {64 - r * prefix_bits})"
-                                if r
-                                else "sig"
-                            ),
-                            64 - prefix_bits,
-                        ).alias("bucket"),
-                    )
-                    for r in range(rotations)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", "bk.r", "bk.bucket")
-    a, b = rot.alias("a"), rot.alias("b")
+        F.explode(F.array(*[block_bucket(k) for k in range(blocks)])).alias("bucket"),
+    )
     cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.r") == F.col("b.r"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")],
         )
         .select(
             F.col("a.id").alias("id_a"),

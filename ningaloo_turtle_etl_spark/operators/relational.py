@@ -205,9 +205,18 @@ def grouped_html_table(
     (tagging_etl.R:25-32, ningaloo-etl.Rmd:336-344): one HTML table string
     per group. Pure aggregation — rows become <tr> strings, sorted for
     determinism, concatenated per group. No Python in the loop."""
+    # NULL cells render as empty <td> — F.concat is null-propagating, and a
+    # NULL row string would then be silently dropped by collect_list.
     row_html = F.concat(
         F.lit("<tr>"),
-        *[F.concat(F.lit("<td>"), F.col(c).cast("string"), F.lit("</td>")) for c in value_cols],
+        *[
+            F.concat(
+                F.lit("<td>"),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+                F.lit("</td>"),
+            )
+            for c in value_cols
+        ],
         F.lit("</tr>"),
     )
     header = "<tr>" + "".join(f"<th>{c}</th>" for c in value_cols) + "</tr>"

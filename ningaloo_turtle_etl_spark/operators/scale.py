@@ -32,7 +32,12 @@ def salted_join(
     (key, salt). Shuffle partitions for a hot key go from 1 to
     ``salt_buckets``. The non-skewed side grows by the salt factor — use for
     dim-ish or pre-aggregated right sides; for two huge skewed sides prefer
-    AQE skew splitting."""
+    AQE skew splitting.
+
+    Only inner/left are supported: an outer join would emit one copy of each
+    unmatched ``other`` row per salt bucket."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     s = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -41,7 +41,9 @@ def except_segments(spark, sf_dir):
     c = load_table(spark, "customer", sf_dir)
     a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
     b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT DISTINCT (the oracle's semantics); exceptAll+distinct
+    # would wrongly keep a left value that outnumbers its right occurrences.
+    return a.subtract(b)
 
 
 @register(

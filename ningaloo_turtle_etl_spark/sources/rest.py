@@ -63,9 +63,7 @@ class RestSource:
         limit: int | None = None,
     ) -> DataFrame:
         pushed, residual = self._split_filters(filters or {})
-        url = self._build_url(pushed, limit)
-        body = self.fetcher(url, self.headers)
-        records = self._extract_records(body)
+        records = list(self._fetch_all(pushed, limit))
         # Parallelize the raw JSON strings; parse on executors with the
         # explicit schema (F14: no driver-side row loop, unlike the
         # reference's unlist/get_stuff per-record extraction).
@@ -76,6 +74,33 @@ class RestSource:
         for col, value in residual.items():
             df = df.filter(F.col(col) == F.lit(value))
         return df
+
+    def _fetch_all(
+        self, pushed: dict[str, object], limit: int | None
+    ) -> Iterable[dict]:
+        """Single fetch, or a pagination loop when ``page_size`` is set:
+        offset/limit pages until a short page or the caller's limit. The
+        reference's feed caps at limit=10000 and silently truncates
+        (track_analysis.R:14); paging makes the full feed reachable."""
+        if self.page_size is None:
+            url = self._build_url(pushed, limit)
+            yield from self._extract_records(self.fetcher(url, self.headers))
+            return
+        fetched = 0
+        offset = 0
+        while True:
+            page_limit = self.page_size
+            if limit is not None:
+                page_limit = min(page_limit, limit - fetched)
+                if page_limit <= 0:
+                    return
+            url = self._build_url({**pushed, "_offset": offset}, page_limit)
+            page = list(self._extract_records(self.fetcher(url, self.headers)))
+            yield from page
+            fetched += len(page)
+            offset += len(page)
+            if len(page) < page_limit:
+                return
 
     # -- pushdown mechanics --------------------------------------------------
     def _split_filters(
@@ -88,7 +113,10 @@ class RestSource:
     def _build_url(self, pushed: dict[str, object], limit: int | None) -> str:
         from urllib.parse import urlencode
 
-        params = {self.pushdown_params[k]: v for k, v in pushed.items()}
+        params = {
+            ("offset" if k == "_offset" else self.pushdown_params[k]): v
+            for k, v in pushed.items()
+        }
         if limit is not None:
             params["limit"] = limit
         qs = urlencode(params)

@@ -5,6 +5,7 @@ pieces no SQL oracle can check, multimodal plumbing."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -73,6 +74,55 @@ def test_minhash_jaccard_is_exact_on_candidates(spark, docs):
         a, b = py_shingles(rows[r["id_a"]]), py_shingles(rows[r["id_b"]])
         expect = len(a & b) / len(a | b)
         assert abs(r["jaccard"] - expect) < 1e-6
+
+
+def test_minhash_signature_slots_are_distinct_hash_functions(spark, docs):
+    # Regression: a 2-arg transform lambda receives the array INDEX as its
+    # second param, which once collapsed all seeds into one hash function.
+    from ningaloo_turtle_etl_spark.operators.dedup import minhash_signature, shingles
+
+    sig = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(minhash_signature(shingles("text", 3), 32).alias("sig"))
+        .collect()[0]["sig"]
+    )
+    assert len(sig) == 32
+    assert len(set(sig)) >= 24  # independent seeds → (almost) all distinct
+
+
+def _spread_bits_udf(num_bits=64):
+    # Deterministic fake: 'b' differs from 'a' by 8 bits, one per 8-bit
+    # block — the adversarial layout for prefix/rotation bucketing.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fake(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            base = 0x0123456789ABCDEF
+            if t == "b":
+                for k in range(8):
+                    base ^= 1 << (8 * k)
+            out.append(base - 2**63)  # into signed long range
+        return pd.Series(out, dtype="int64")
+
+    return fake
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    # Signatures at Hamming distance exactly max_hamming with the differing
+    # bits spread across blocks — the old rotation scheme missed these; the
+    # disjoint-block scheme must always catch them.
+    from ningaloo_turtle_etl_spark.operators import dedup as dd
+
+    real_udf = dd.simhash_udf
+    dd.simhash_udf = _spread_bits_udf
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        pairs = dd.simhash_near_dup_pairs(df, max_hamming=8).collect()
+    finally:
+        dd.simhash_udf = real_udf
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 8)]
 
 
 def test_simhash_near_dups_and_fnv_reference(spark, docs):

@@ -72,6 +72,34 @@ def test_rest_source_pushdown_and_residual(spark):
     assert [r["id"] for r in rows] == ["t1"]
 
 
+def test_rest_source_pagination(spark):
+    calls = []
+    corpus = [{"id": f"t{i}", "species": "green", "longitude": 1.0, "latitude": 2.0, "area_id": 1} for i in range(25)]
+
+    def fake_fetcher(url, headers):
+        from urllib.parse import parse_qs, urlparse
+
+        calls.append(url)
+        qs = parse_qs(urlparse(url).query)
+        off = int(qs.get("offset", ["0"])[0])
+        lim = int(qs.get("limit", ["100"])[0])
+        return json.dumps({"objects": corpus[off : off + lim]})
+
+    src = RestSource(
+        base_url="https://example.test/api",
+        schema=TRACK_SCHEMA,
+        page_size=10,
+        fetcher=fake_fetcher,
+    )
+    df = src.read(spark)
+    assert df.count() == 25  # 10 + 10 + 5 across three pages
+    assert len(calls) == 3
+    # Caller limit caps the paging loop.
+    calls.clear()
+    assert src.read(spark, limit=15).count() == 15
+    assert len(calls) == 2
+
+
 def test_rest_source_bad_records_path(spark):
     src = RestSource(
         base_url="https://example.test/api",
