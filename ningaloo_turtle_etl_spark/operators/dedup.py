@@ -366,7 +366,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     num_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with a sound pigeonhole guarantee.
@@ -377,15 +377,26 @@ def simhash_near_dup_pairs(
     B > H blocks at least one block matches — ``num_blocks`` defaults to
     ``max_hamming + 1``, making the recall guarantee exact. Candidates are
     verified by bit_count(xor) ≤ max_hamming.
+
+    Cost scales hard with H: B blocks means 64/B-bit bucket keys, and
+    bucket occupancy (hence candidate pairs) grows ~quadratically as blocks
+    shrink. H=3 → 16-bit blocks is the classic operating point (Manku et
+    al.'s web-dedup setting); H=8 → 7-bit blocks is only tractable for
+    small candidate sets.
     """
     blocks = num_blocks if num_blocks is not None else max_hamming + 1
     if blocks > 64:
         raise ValueError("num_blocks cannot exceed signature width (64)")
     bounds = [round(64 * k / blocks) for k in range(blocks + 1)]
 
+    from pyspark import StorageLevel
+
+    # Persist: the signature is referenced from four self-join branches, and
+    # the per-token Python UDF is the most expensive thing in the plan —
+    # without materialization it runs once per branch.
     sh = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def block_bucket(k: int) -> Column:
         start, end = bounds[k], bounds[k + 1]

@@ -230,7 +230,7 @@ def minhash_near_dups(spark, sf_dir):
 @register("simhash_near_dups", None)
 def simhash_near_dups(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
-    return simhash_near_dup_pairs(docs, max_hamming=8)
+    return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
 @register("ann_lsh_topk", None)
