@@ -143,7 +143,9 @@ def minhash_near_dup_pairs(
     # branches (two banded sides, two verification sides), and without a
     # materialization Spark replays shingling + 32 hash passes per branch
     # (measured 200s vs 40s at 50k docs). Hashed shingles + signature are
-    # ~1-2% of corpus size; MEMORY_AND_DISK spills cleanly.
+    # ~1-2% of corpus size; MEMORY_AND_DISK spills cleanly. The cache cannot
+    # be unpersisted here (the returned frame is lazy); long-lived sessions
+    # issuing many dedup calls should spark.catalog.clearCache() between runs.
     sig = sh.select(
         "id", "sh", minhash_signature(F.col("sh_str"), num_hashes).alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -180,8 +182,11 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verification: attach each side's hashed shingle set once, then exact
-    # Jaccard via intersect size + size arithmetic.
-    sets = sh.select("id", "sh", F.size("sh").alias("n_sh"))
+    # Jaccard via intersect size + size arithmetic. Derived from the PERSISTED
+    # frame: Spark's cache matches whole analyzed sub-plans, so building this
+    # from the pre-persist `sh` would re-run tokenize+shingle+hash on both
+    # verification branches and only the banded branches would hit the cache.
+    sets = sig.select("id", "sh", F.size("sh").alias("n_sh"))
     cand = cand.join(
         sets.select(
             F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -328,6 +333,47 @@ def embedding_near_dup_pairs(
 
 
 # --- SimHash ----------------------------------------------------------------
+# Bit masks for assembling a signed-long signature: bit 63's mask is the long
+# MIN_VALUE bit pattern (Python ints won't wrap on their own).
+_SIGN_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def _bit_signs(h: Column) -> Column:
+    """array<int> of 64 ±1 terms, one per bit of ``h`` (LSB first)."""
+    return F.array(
+        *[
+            F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for b in range(64)
+        ]
+    )
+
+
+def simhash_expr(text_col: Column | str) -> Column:
+    """64-bit SimHash as a PURE Catalyst expression — map-only, zero shuffle,
+    no Python in the path (the round-1 pandas-UDF form looped per token in
+    interpreted Python and was the plan's dominant cost).
+
+    tokens → per-token xxhash64 → accumulate 64 ±1 counters with a
+    higher-order ``aggregate``/``zip_with`` → sign bits OR'd into one long.
+    Null/empty text hashes to 0, matching the UDF form.
+    """
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda a, h: F.zip_with(a, _bit_signs(h), lambda x, y: x + y),
+    )
+    masks = F.array(*[F.lit(m).cast("long") for m in _SIGN_MASKS])
+    bits = F.zip_with(
+        acc, masks, lambda a, m: F.when(a > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda s, x: s.bitwiseOR(x))
+    return F.coalesce(sig, F.lit(0).cast("long"))
+
+
 def simhash_udf(num_bits: int = 64):
     """64-bit SimHash over whitespace tokens: sum ±1 per bit of each token's
     hash, sign → bit. Arrow-batched; numpy bit kernel."""
@@ -368,6 +414,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_blocks: int | None = None,
+    signature: str = "catalyst",
 ) -> DataFrame:
     """SimHash near-dup pairs with a sound pigeonhole guarantee.
 
@@ -391,12 +438,22 @@ def simhash_near_dup_pairs(
 
     from pyspark import StorageLevel
 
-    # Persist: the signature is referenced from four self-join branches, and
-    # the per-token Python UDF is the most expensive thing in the plan —
-    # without materialization it runs once per branch.
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ``signature='catalyst'`` (default) computes signatures entirely JVM-side
+    # (map-only); ``'fnv_udf'`` keeps the round-1 pandas-UDF/FNV-1a form as a
+    # slow cross-check path (tests pin both families to the same pair set).
+    if signature == "catalyst":
+        sig_col = simhash_expr(F.col(text_col))
+    elif signature == "fnv_udf":
+        sig_col = simhash_udf()(F.col(text_col))
+    else:
+        raise ValueError(f"unknown signature family: {signature!r}")
+    # Persist: the signature is referenced from four self-join branches —
+    # without materialization the signature expression runs once per branch.
+    # Not unpersisted here (the result is lazy); long-lived sessions issuing
+    # many dedup calls should spark.catalog.clearCache() between runs.
+    sh = df.select(F.col(id_col).alias("id"), sig_col.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def block_bucket(k: int) -> Column:
         start, end = bounds[k], bounds[k + 1]

@@ -76,8 +76,10 @@ def extract_image_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for _, row in batch.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            # zip over column arrays, not iterrows(): iterrows materializes a
+            # Series per row and dominated the batch cost at round 1.
+            for media_id, raw in zip(batch["media_id"], batch["content"]):
+                content = bytes(raw) if raw is not None else b""
                 w, h, pixels = decode(content)
                 flat = pixels.astype(np.float64).ravel()
                 hist = (
@@ -87,7 +89,7 @@ def extract_image_features(
                 total = hist.sum()
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "width": w,
                         "height": h,
                         "n_bytes": len(content),
@@ -113,13 +115,13 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for _, row in batch.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for media_id, raw in zip(batch["media_id"], batch["content"]):
+                content = bytes(raw) if raw is not None else b""
                 for i in range(min(max_frames, max(1, len(content) // every_n_bytes))):
                     chunk = content[i * every_n_bytes : (i + 1) * every_n_bytes]
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "frame_no": i,
                             "frame_bytes": chunk,
                             "frame_size": len(chunk),

@@ -92,7 +92,7 @@ def lsh_topk(
     k: int = 10,
     bits: int = 6,
     tables: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -103,7 +103,19 @@ def lsh_topk(
 
     b trades candidate-set size against per-table recall; L buys recall
     back. Low-similarity corpora (θ near 90°) need small b / larger L —
-    tune with the recall harness in tests/test_llm_ops.py."""
+    tune with the recall harness in tests/test_llm_ops.py.
+
+    ``dim`` is inferred from the data when not given: hyperplanes of the
+    wrong width null out every dot product (zip_with pads with NULL), which
+    collapses all vectors into bucket 0 — still correct after re-rank, but
+    the bucket-pruned scan silently degrades to all-pairs."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, vec_id long, cosine double, rank int"
+            )
+        dim = int(first["d"])
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -150,15 +162,19 @@ def fit_centroids(
     The reference's own PCNM trick (spatial_modelling.Rmd:211-224) — compute
     the expensive thing on a small distinct set, apply to the big set —
     generalized: centroids come from a bounded sample regardless of corpus
-    size."""
-    sample = np.asarray(
-        [
-            r["v"]
-            for r in corpus.select(_as_double(F.col(vec_col)).alias("v"))
-            .limit(sample_rows)
-            .collect()
-        ]
+    size.
+
+    The sample is a seeded uniform ``takeSample`` over ALL partitions —
+    ``limit().collect()`` reads the first partitions only, which on
+    partition-correlated corpora (time-ordered crawls) biases centroids and
+    silently degrades IVF recall."""
+    rows = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .rdd.takeSample(False, sample_rows, seed)
     )
+    if not rows:
+        raise ValueError("fit_centroids: empty corpus")
+    sample = np.asarray([r["v"] for r in rows])
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):

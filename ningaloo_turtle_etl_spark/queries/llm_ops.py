@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ningaloo_turtle_etl_spark.operators.dedup import (
-    exact_dedup,
+    exact_dedup_semi,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -46,10 +46,12 @@ _TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: normalize → fingerprint → hash-groupBy keep lowest id.
-    Only (fingerprint, id) shuffles — document bodies never do."""
+    """Exact dedup via the zero-body-shuffle variant: only (fingerprint, id)
+    shuffles to elect keepers, then an id semi-join — document bodies stay
+    map-side. (The window form in operators.dedup.exact_dedup shuffles full
+    rows on the fingerprint; same answer, wrong trade at 100 TB.)"""
     docs = load_table(spark, "documents", sf_dir)
-    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+    return exact_dedup_semi(docs).select("doc_id", "lang", "source", "n_chars")
 
 
 @register(
@@ -250,11 +252,25 @@ def ann_ivf_topk(spark, sf_dir):
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Binary-column decode/feature plumbing via mapInPandas (deterministic
-    fake codec — real codecs aren't in this container)."""
+    fake codec — real codecs aren't in this container).
+
+    The operator returns ``feature array<double>``; the REGISTERED query
+    serializes it to a comma-joined string so the harness canonicalizer can
+    hash rows (round-1 driver err: unhashable type 'list')."""
     from ningaloo_turtle_etl_spark.operators.multimodal import (
         documents_as_media,
         extract_image_features,
     )
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
-    return extract_image_features(documents_as_media(docs), decoder="fake")
+    feats = extract_image_features(documents_as_media(docs), decoder="fake")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))
+        ).alias("feature_csv"),
+    )

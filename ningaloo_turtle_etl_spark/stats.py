@@ -107,13 +107,25 @@ def pcnm_scores(
     coord_cols: Sequence[str],
     n_vectors: int = 4,
     truncation: float | None = None,
+    max_sites: int = 4096,
 ) -> DataFrame:
     """PCNM (spatial_modelling.Rmd:217-224): principal coordinates of the
     truncated neighbour (distance) matrix over the DISTINCT coordinate set,
     joined back — dedup-before-expensive-op exactly as the reference does
-    (61 sites, not 12k surveys). Returns df + PCNM1..PCNMk columns."""
+    (61 sites, not 12k surveys). Returns df + PCNM1..PCNMk columns.
+
+    ``max_sites`` bounds the driver-side m×m eigen-problem: the collect is
+    limited to max_sites+1 rows, so a high-cardinality coordinate column
+    fails fast with a clear error instead of OOMing the driver."""
     coord_cols = list(coord_cols)
-    pts_rows = df.select(*coord_cols).distinct().collect()
+    pts_rows = df.select(*coord_cols).distinct().limit(max_sites + 1).collect()
+    if len(pts_rows) > max_sites:
+        raise ValueError(
+            f"pcnm_scores: > {max_sites} distinct coordinate tuples — the "
+            "m×m principal-coordinate eigen-problem is driver-side by design "
+            "(the reference's 61-site trick); bin/round the coordinates or "
+            "raise max_sites explicitly"
+        )
     pts = np.array([[float(r[c]) for c in coord_cols] for r in pts_rows])
     m = len(pts)
     d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
@@ -198,11 +210,15 @@ def variation_partition(
 
 # --- M6 --------------------------------------------------------------------
 def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
-    """pairs()-style diagnostics (spatial_modelling.Rmd:118-119): pairwise
-    Pearson correlations via Spark's built-in stat engine."""
+    """pairs()-style diagnostics (spatial_modelling.Rmd:118-119): the full
+    k×k Pearson matrix in ONE distributed pass via ml.stat.Correlation over
+    an assembled vector — the round-1 ``df.stat.corr`` loop ran one full scan
+    per column pair (O(k²) passes)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
     cols = list(cols)
-    out = np.eye(len(cols))
-    for i in range(len(cols)):
-        for j in range(i + 1, len(cols)):
-            out[i, j] = out[j, i] = df.stat.corr(cols[i], cols[j])
-    return out
+    assembled = VectorAssembler(inputCols=cols, outputCol="_v").transform(
+        df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    )
+    return Correlation.corr(assembled, "_v", "pearson").head()[0].toArray()

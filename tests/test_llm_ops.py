@@ -119,7 +119,7 @@ def test_simhash_pigeonhole_guarantee(spark):
     dd.simhash_udf = _spread_bits_udf
     try:
         df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
-        pairs = dd.simhash_near_dup_pairs(df, max_hamming=8).collect()
+        pairs = dd.simhash_near_dup_pairs(df, max_hamming=8, signature="fnv_udf").collect()
     finally:
         dd.simhash_udf = real_udf
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 8)]
@@ -135,6 +135,37 @@ def test_simhash_near_dups_and_fnv_reference(spark, docs):
     # FNV-1a reference vector (independently computed constants).
     assert hash64("") == 0xCBF29CE484222325
     assert hash64("a") == 0xAF63DC4C8601EC8C
+
+
+def test_simhash_catalyst_matches_fnv_udf_pair_set(spark, docs):
+    # The default JVM-side signature (xxhash64 tokens) and the round-1
+    # pandas-UDF/FNV form use different token hashes, so signatures differ —
+    # but both must find the same planted near-dup structure.
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=8, signature="fnv_udf"
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_simhash_expr_determinism_and_null_safety(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import simhash_expr
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", simhash_expr(F.col("text")).alias("sig")
+    ).collect()}
+    assert rows[1] == rows[2]  # identical text → identical signature
+    assert rows[3] == 0 and rows[4] == 0  # null/empty → 0, like the UDF form
 
 
 def _recall(approx_rows, exact_rows):

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 from ningaloo_turtle_etl_spark.stats import (
     correlation_matrix,
@@ -102,3 +103,39 @@ def test_correlation_matrix_symmetry(spark):
     m = correlation_matrix(df, ["x1", "x2", "y"])
     assert np.allclose(m, m.T)
     assert m[0, 2] > 0.7  # y strongly driven by x1
+
+
+def test_correlation_matrix_matches_per_pair_corr(spark):
+    # One ml.stat.Correlation pass must agree with Spark's pairwise corr.
+    df, _, _ = _toy_regression(spark)
+    cols = ["x1", "x2", "y"]
+    m = correlation_matrix(df, cols)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(m[i, j] - df.stat.corr(cols[i], cols[j])) < 1e-9
+
+
+def test_correlation_matrix_is_single_pass(spark):
+    # The round-1 form ran one job per column pair; the matrix form must not
+    # scale job count with k². VectorAssembler+Correlation costs a bounded
+    # number of jobs (< k*(k-1)/2 for k=4 ⇒ < 6).
+    df, _, _ = _toy_regression(spark)
+    df = df.withColumn("x3", F.col("x1") + F.col("x2"))
+    sc = spark.sparkContext
+    sc.setJobGroup("corr-one-pass", "corr job count probe")
+    try:
+        correlation_matrix(df, ["x1", "x2", "x3", "y"])
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("corr-one-pass")
+    assert 0 < len(jobs) < 6
+
+
+def test_pcnm_scores_cardinality_guard(spark):
+    # High-cardinality coordinates must fail fast, not OOM the driver.
+    df = spark.range(200).select(
+        F.col("id"), F.col("id").cast("double").alias("gx"),
+        (F.col("id") * 2).cast("double").alias("gy"),
+    )
+    with pytest.raises(ValueError, match="distinct coordinate"):
+        pcnm_scores(df, ["gx", "gy"], n_vectors=2, max_sites=100)
