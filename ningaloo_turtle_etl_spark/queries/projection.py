@@ -19,11 +19,10 @@ from ningaloo_turtle_etl_spark.sources.tables import load_table
 
 
 @register(
-    "transmute_compute",
+    "projection_pipeline",
     """
-    SELECT l_orderkey,
-           l_linenumber,
-           CAST(l_quantity AS INT) AS qty,
+    SELECT l_orderkey AS order_id,
+           CAST(l_quantity AS INT) AS quantity,
            l_extendedprice * (1 - l_discount) AS net_price,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
            UPPER(l_returnflag) AS flag
@@ -31,11 +30,16 @@ from ningaloo_turtle_etl_spark.sources.tables import load_table
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
     """,
 )
-def transmute_compute(spark, sf_dir):
-    """P1: dplyr transmute — project+compute+cast+rename in one
-    (ningaloo-etl.Rmd:67-78). Filter + projection both reach the parquet scan."""
+def projection_pipeline(spark, sf_dir):
+    """P1/P2/P3/P5/P6 as one pipeline (merged round-2 for driver-window
+    reasons): dplyr transmute — project+compute+cast in one
+    (ningaloo-etl.Rmd:67-78) — then an explicit drop-list and a bulk rename
+    (ningaloo-etl.Rmd:181-198,236). Filter + projection both reach the
+    parquet scan."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")).select(
+    out = li.filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("qty"),
@@ -48,70 +52,47 @@ def transmute_compute(spark, sf_dir):
         ).alias("charge"),
         F.upper("l_returnflag").alias("flag"),
     )
-
-
-@register(
-    "select_drop_rename",
-    """
-    SELECT o_orderkey AS order_id,
-           o_custkey AS customer_id,
-           o_orderstatus AS status,
-           o_totalprice AS total_price
-    FROM orders
-    """,
-)
-def select_drop_rename(spark, sf_dir):
-    """P3/P5: drop-list + bulk rename (ningaloo-etl.Rmd:181-198,236)."""
-    o = load_table(spark, "orders", sf_dir)
-    return o.drop("o_orderdate", "o_orderpriority").withColumnsRenamed(
-        {
-            "o_orderkey": "order_id",
-            "o_custkey": "customer_id",
-            "o_orderstatus": "status",
-            "o_totalprice": "total_price",
-        }
+    # P3 drop-list, then P5 bulk rename — Catalyst collapses all three
+    # projections into the scan's ReadSchema.
+    return out.drop("l_linenumber").withColumnsRenamed(
+        {"l_orderkey": "order_id", "qty": "quantity"}
     )
 
 
 @register(
-    "filter_conjunctive",
+    "filter_predicates",
     """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
-    FROM lineitem
-    WHERE l_quantity > 30 AND l_returnflag = 'R'
-      AND l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_linestatus <> ''
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag, l.l_shipdate,
+           p.p_name, p.p_brand
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 30 AND l.l_returnflag = 'R'
+      AND l.l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l.l_linestatus <> ''
+      AND (p.p_name IS NULL OR p.p_brand IS NULL)
     """,
 )
-def filter_conjunctive(spark, sf_dir):
-    """P7: conjunctive predicates — equality, inequality, range, != ''
-    (ningaloo-etl.Rmd:310,472-475; app.R:196-201)."""
+def filter_predicates(spark, sf_dir):
+    """P7+P8 in one predicate tree (merged round-2 for driver-window
+    reasons): the conjunctive chain — equality, inequality, range, != ''
+    (ningaloo-etl.Rmd:310,472-475; app.R:196-201) — AND the disjunctive
+    is.na QA predicate (ningaloo-etl.Rmd:386-389) over a left join that
+    manufactures the NULLs the bad-site scan looks for. The conjunctive
+    half is pushed to the fact scan; the null-disjunction must stay ABOVE
+    the left join (pushing it below would change semantics) — which is
+    exactly what Catalyst does."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.filter(
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") > 40)
+    joined = li.join(p, li.l_partkey == p.p_partkey, "left")
+    return joined.filter(
         (F.col("l_quantity") > 30)
         & (F.col("l_returnflag") == "R")
         & (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
         & (F.col("l_linestatus") != "")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
-
-
-@register(
-    "filter_null_disjunction",
-    """
-    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
-    FROM lineitem l
-    LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p ON l.l_partkey = p.p_partkey
-    WHERE p.p_name IS NULL OR p.p_brand IS NULL
-    """,
-)
-def filter_null_disjunction(spark, sf_dir):
-    """P8: disjunctive is.na QA predicate (ningaloo-etl.Rmd:386-389) over a
-    left join that manufactures the NULLs the bad-site scan looks for."""
-    li = load_table(spark, "lineitem", sf_dir)
-    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") > 40)
-    joined = li.join(p, li.l_partkey == p.p_partkey, "left")
-    return joined.filter(F.col("p_name").isNull() | F.col("p_brand").isNull()).select(
-        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+        & (F.col("p_name").isNull() | F.col("p_brand").isNull())
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate",
+        "p_name", "p_brand",
     )
 
 
@@ -171,34 +152,27 @@ def distinct_combos(spark, sf_dir):
 
 
 @register(
-    "topk_orders",
+    "slice_topk",
     """
-    SELECT o_orderkey, o_totalprice, o_orderpriority
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
     """,
 )
-def topk_orders(spark, sf_dir):
-    """O1/O3: descending sort + limit (ningaloo-etl.Rmd:311, head/limit
-    tagging-etl.Rmd:408). Spark plans this as TakeOrderedAndProject — no full
-    sort at scale. Tie-broken on the key for determinism."""
+def slice_topk(spark, sf_dir):
+    """P12/P13/O2/O3 in one pipeline (merged round-2 for driver-window
+    reasons): positional column slice df[, 1:5] (ningaloo-etl.Rmd:403,406),
+    then multi-column descending sort + limit (ningaloo-etl.Rmd:311,
+    head/limit tagging-etl.Rmd:408). Spark plans ORDER+LIMIT as
+    TakeOrderedAndProject — no full sort at scale (asserted in
+    tests/test_plans.py). Tie-broken on the key for determinism."""
     o = load_table(spark, "orders", sf_dir)
     return (
-        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        o.select(*o.columns[:5])
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
-
-
-@register(
-    "positional_slice",
-    "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem",
-)
-def positional_slice(spark, sf_dir):
-    """P13: positional column slice df[, 1:5] (ningaloo-etl.Rmd:403,406)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    return li.select(*li.columns[:5])
 
 
 @register(

@@ -58,19 +58,32 @@ def timestamp_parse_multi(spark, sf_dir):
 
 
 @register(
-    "tz_convert_perth",
+    "timestamp_pipeline",
     """
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS ts_perth,
-           CAST(CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS DATE) AS observation_date
+           CAST(CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS DATE) AS observation_date,
+           YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
+           HOUR(ts) AS h, MINUTE(ts) AS mi,
+           CAST(EXTRACT(SECOND FROM ts) AS INT) AS s,
+           WEEK(ts) AS isoweek,
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS recombined
     FROM events
     """,
 )
-def tz_convert_perth(spark, sf_dir):
-    """F2/F5: with_tz(ts, 'Australia/Perth') then as_date — the local
-    observation-day derivation (turtle-tracks.Rmd:55,64; tagging-etl.Rmd:396).
-    Spark side uses the real tz database (AWST = UTC+8, no DST, so the oracle
-    can state it as fixed-interval arithmetic)."""
+def timestamp_pipeline(spark, sf_dir):
+    """F2/F3/F4/F5 as one pipeline over events (merged round-2 so each lands
+    a driver correctness row within the 50-slot window):
+
+    - F2/F5 tz conversion + date cast: with_tz(ts, 'Australia/Perth') then
+      as_date — the local observation-day derivation (turtle-tracks.Rmd:55,64;
+      tagging-etl.Rmd:396). Spark uses the real tz database; AWST = UTC+8 with
+      no DST, so the oracle states it as fixed-interval arithmetic.
+    - F3 component extraction: lubridate year/…/isoweek
+      (ningaloo-etl.Rmd:178-179, wastd-api.Rmd:40,67).
+    - F4 recombination: date.id + hours()+minutes()+seconds()
+      (ningaloo-etl.Rmd:178, tagging-etl.Rmd:395) via make_timestamp — feeding
+      ts to itself as both halves reproduces date_trunc('second')."""
     ev = load_table(spark, "events", sf_dir)
     perth = F.from_utc_timestamp("ts", "Australia/Perth")
     return ev.select(
@@ -78,26 +91,6 @@ def tz_convert_perth(spark, sf_dir):
         "ts",
         perth.alias("ts_perth"),
         F.to_date(perth).alias("observation_date"),
-    )
-
-
-@register(
-    "component_extract",
-    """
-    SELECT event_id,
-           YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
-           HOUR(ts) AS h, MINUTE(ts) AS mi,
-           CAST(EXTRACT(SECOND FROM ts) AS INT) AS s,
-           WEEK(ts) AS isoweek
-    FROM events
-    """,
-)
-def component_extract(spark, sf_dir):
-    """F3: lubridate year/month/hour/minute/second/isoweek extraction
-    (ningaloo-etl.Rmd:178-179, wastd-api.Rmd:40,67)."""
-    ev = load_table(spark, "events", sf_dir)
-    return ev.select(
-        "event_id",
         F.year("ts").alias("y"),
         F.month("ts").alias("mo"),
         F.dayofmonth("ts").alias("d"),
@@ -105,72 +98,45 @@ def component_extract(spark, sf_dir):
         F.minute("ts").alias("mi"),
         F.second("ts").alias("s"),
         F.weekofyear("ts").alias("isoweek"),
+        make_timestamp_from("ts", "ts").alias("recombined"),
     )
 
 
 @register(
-    "timestamp_recombine",
-    """
-    SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS recombined
-    FROM events
-    """,
-)
-def timestamp_recombine(spark, sf_dir):
-    """F4: date.id + hours()+minutes()+seconds() recombination
-    (ningaloo-etl.Rmd:178, tagging-etl.Rmd:395) via make_timestamp — feeding
-    ts to itself as both date part and time part reproduces
-    date_trunc('second'), which is what the oracle states."""
-    ev = load_table(spark, "events", sf_dir)
-    return ev.select(
-        "event_id", make_timestamp_from("ts", "ts").alias("recombined")
-    )
-
-
-@register(
-    "string_funcs",
-    """
-    SELECT c_custkey,
-           REGEXP_REPLACE(LOWER(c_name), '[# ]', '_', 'g') AS slug,
-           CONCAT_WS(' / ', c_name, c_mktsegment) AS label,
-           LENGTH(c_name) AS name_len
-    FROM customer
-    """,
-)
-def string_funcs(spark, sf_dir):
-    """F9/F10: str_replace_all sanitation + paste() concatenation
-    (turtle-tracks.Rmd:38-39,89; tagging-etl.Rmd:283)."""
-    c = load_table(spark, "customer", sf_dir)
-    return c.select(
-        "c_custkey",
-        F.regexp_replace(F.lower("c_name"), "[# ]", "_").alias("slug"),
-        F.concat_ws(" / ", "c_name", "c_mktsegment").alias("label"),
-        F.length("c_name").alias("name_len"),
-    )
-
-
-@register(
-    "null_handling",
+    "string_null_funcs",
     """
     SELECT l.l_orderkey, l.l_linenumber,
            COALESCE(p.p_name, 'NA') AS part_name,
            COALESCE(p.p_retailprice, 0.0) AS retail_price,
-           (p.p_partkey IS NULL) AS is_orphan
+           (p.p_partkey IS NULL) AS is_orphan,
+           REGEXP_REPLACE(LOWER(COALESCE(p.p_name, 'NA')), '[# ]', '_', 'g') AS slug,
+           CONCAT_WS(' / ', COALESCE(p.p_name, 'NA'), COALESCE(p.p_brand, 'NA')) AS label,
+           LENGTH(COALESCE(p.p_name, 'NA')) AS name_len
     FROM lineitem l
     LEFT JOIN (SELECT * FROM part WHERE p_size > 40) p ON l.l_partkey = p.p_partkey
     """,
 )
-def null_handling(spark, sf_dir):
-    """F11: is.na / NA→'NA' / fill=0 (ningaloo-etl.Rmd:238,313) over
-    manufactured lookup misses."""
+def string_null_funcs(spark, sf_dir):
+    """F9/F10/F11 as one pipeline (merged round-2 for driver-window reasons):
+    is.na / NA→'NA' / fill=0 null handling (ningaloo-etl.Rmd:238,313) over
+    manufactured lookup misses, then str_replace_all sanitation + paste()
+    concatenation (turtle-tracks.Rmd:38-39,89; tagging-etl.Rmd:283) applied
+    to the null-patched columns."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).filter(F.col("p_size") > 40)
     j = li.join(p, li.l_partkey == p.p_partkey, "left")
+    part_name = F.coalesce("p_name", F.lit("NA"))
     return j.select(
         "l_orderkey",
         "l_linenumber",
-        F.coalesce("p_name", F.lit("NA")).alias("part_name"),
+        part_name.alias("part_name"),
         F.coalesce("p_retailprice", F.lit(0.0)).alias("retail_price"),
         F.col("p_partkey").isNull().alias("is_orphan"),
+        F.regexp_replace(F.lower(part_name), "[# ]", "_").alias("slug"),
+        F.concat_ws(
+            " / ", part_name, F.coalesce("p_brand", F.lit("NA"))
+        ).alias("label"),
+        F.length(part_name).alias("name_len"),
     )
 
 

@@ -45,13 +45,13 @@ def test_topk_per_group_single_shuffle(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_topk_orders_uses_take_ordered(spark):
-    plan = plan_of(spark, "topk_orders")
+def test_slice_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "slice_topk")
     assert "TakeOrderedAndProject" in plan  # no global sort for ORDER+LIMIT
 
 
-def test_filter_pushdown_on_transmute(spark):
-    plan = plan_of(spark, "transmute_compute")
+def test_filter_pushdown_on_projection_pipeline(spark):
+    plan = plan_of(spark, "projection_pipeline")
     assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
