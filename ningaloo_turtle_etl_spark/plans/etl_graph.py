@@ -45,12 +45,14 @@ class EtlResult:
     products: dict[str, DataFrame]
     qa: dict[str, int]
     out_dir: str
+    qa_detail: dict | None = None
 
 
 def run_batch_etl(
     inputs: dict[str, DataFrame],
     out_dir: str,
     write_products: bool = True,
+    expected_qa: dict[str, int] | None = None,
 ) -> EtlResult:
     """Run the product graph over loaded inputs.
 
@@ -79,15 +81,43 @@ def run_batch_etl(
         "summary_nests_seasons": summary_nests_seasons,
     }
 
-    # QA section (ningaloo-etl.Rmd:372-425) — counts, not crashes.
-    qa = {
-        "duplicated_sites": duplicated_key_rows(sites, ["subsection"]).count(),
-        "sites_missing_coords": missing_coordinates(sites).count(),
-        "orphan_crawls": orphan_observations(
-            inputs["raw_crawls"], surveys, "survey_id"
-        ).count(),
-        "na_species_crawls": na_lookup_rows(crawls, "species_name").count(),
-    }
+    # QA section (ningaloo-etl.Rmd:372-425) as a rendered run report:
+    # the four reference checks, each with an optional expected count
+    # (the reference's prose "we expect 22 NA crawls" as an assertion).
+    from ningaloo_turtle_etl_spark.plans.qa_report import QaCheck, run_qa, write_qa_report
+
+    expected_qa = expected_qa or {}
+    checks = [
+        QaCheck(
+            "duplicated_sites",
+            "Site rows whose subsection key appeared earlier "
+            "(ningaloo-etl.Rmd:377).",
+            duplicated_key_rows(sites, ["subsection"]),
+            expected_qa.get("duplicated_sites"),
+        ),
+        QaCheck(
+            "sites_missing_coords",
+            "Sites with any NULL bbox coordinate (ningaloo-etl.Rmd:386-389).",
+            missing_coordinates(sites),
+            expected_qa.get("sites_missing_coords"),
+        ),
+        QaCheck(
+            "orphan_crawls",
+            "Crawl observations whose survey_id has no surveys parent — the "
+            "302-vs-299 referential check (ningaloo-etl.Rmd:402-405).",
+            orphan_observations(inputs["raw_crawls"], surveys, "survey_id"),
+            expected_qa.get("orphan_crawls"),
+        ),
+        QaCheck(
+            "na_species_crawls",
+            "Crawls whose species lookup resolved to NA — the 22-crawl scan "
+            "(ningaloo-etl.Rmd:415-424).",
+            na_lookup_rows(crawls, "species_name"),
+            expected_qa.get("na_species_crawls"),
+        ),
+    ]
+    qa_detail = run_qa(checks)
+    qa = {name: r["count"] for name, r in qa_detail.items()}
 
     if write_products:
         os.makedirs(out_dir, exist_ok=True)
@@ -101,10 +131,13 @@ def run_batch_etl(
             ),
         )
         write_feature_collection(geo, "feature", os.path.join(out_dir, "sites.geojson"))
+        # Legacy flat counts (qa_report.json 'counts' mirrors this file's old
+        # shape) plus the rendered human-readable report.
         with open(os.path.join(out_dir, "qa_report.json"), "w") as f:
             json.dump(qa, f, indent=2)
+        write_qa_report(qa_detail, out_dir, stem="qa_run_report")
 
-    return EtlResult(products=products, qa=qa, out_dir=out_dir)
+    return EtlResult(products=products, qa=qa, out_dir=out_dir, qa_detail=qa_detail)
 
 
 def publish_products(result: EtlResult, catalogue: Any) -> None:

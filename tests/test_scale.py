@@ -115,6 +115,12 @@ def test_etl_graph_end_to_end(spark, tmp_path):
             "nests_joined": nests_joined,
         },
         out_dir=out,
+        expected_qa={
+            "duplicated_sites": 0,
+            "sites_missing_coords": 1,
+            "orphan_crawls": 1,
+            "na_species_crawls": 1,
+        },
     )
     # QA counts reflect the planted issues: one missing bbox corner, one
     # orphan crawl, one NA-species crawl.
@@ -123,6 +129,16 @@ def test_etl_graph_end_to_end(spark, tmp_path):
     assert result.qa["na_species_crawls"] == 1
     report = json.load(open(f"{out}/qa_report.json"))
     assert report == result.qa
+
+    # Rendered QA run report (ningaloo-etl.Rmd:372-425 analog): every check
+    # matched its expected count, sample rows captured, Markdown rendered.
+    detail = json.load(open(f"{out}/qa_run_report.json"))
+    assert detail["ok"] is True
+    assert detail["counts"] == result.qa
+    assert detail["checks"]["orphan_crawls"]["expected"] == 1
+    assert len(detail["checks"]["orphan_crawls"]["sample"]) == 1
+    md = open(f"{out}/qa_run_report.md").read()
+    assert "# QA run report" in md and "orphan_crawls — OK" in md
 
     import os
 
