@@ -50,6 +50,70 @@ CHECKSUM = {
 }
 
 
+# --- extras: scale probes OUTSIDE the headline total (round-over-round
+# continuity keeps `value` summing the same 11 queries) -----------------------
+
+def _spatial_tag_regions_10x(spark, sf_dir):
+    """spatial_tag_regions at 10x the sf's point count — pins the vectorized
+    ray-cast pandas-UDF throughput claim on a row count where the UDF, not
+    session overhead, dominates."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.spatial import tag_regions
+    from ningaloo_turtle_etl_spark.queries.spatial import REGIONS
+
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count() * 10
+    # 8 partitions, not default parallelism: range() at 32 partitions spawns
+    # 32 Python workers, which measurably degrades the rest of the session
+    # in local mode (see the warmup note in main()).
+    pts = spark.range(1, n + 1, 1, 8).select(
+        F.col("id").alias("c_custkey"),
+        (F.lit(-180) + (F.col("id") * 7) % 360 + 0.5).alias("lon"),
+        (F.lit(-90) + (F.col("id") * 13) % 180 + 0.5).alias("lat"),
+    )
+    tagged = tag_regions(pts, REGIONS, lon_col="lon", lat_col="lat")
+    return tagged.groupBy("location").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _simhash_signatures(signature):
+    """SimHash signature stage over documents replicated to 50k rows — the
+    round-1 perf-weak item. Catalyst (filter-count bit kernel) vs the
+    pandas-UDF/FNV form; the ratio is the measured speedup."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.dedup import simhash_udf, with_simhash
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        copies = 50_000 // max(docs.count(), 1)
+        big = docs
+        for _ in range(max(copies - 1, 0)):
+            big = big.unionByName(docs)
+        if signature == "catalyst":
+            sig = with_simhash(big)
+        else:
+            sig = big.select(
+                F.col("doc_id").alias("id"), simhash_udf()(F.col("text")).alias("sig")
+            )
+        return sig.agg(F.sum(F.bit_count("sig")).alias("chk"))
+
+    return run
+
+
+# Ordered: JVM-only probes before the pandas-UDF-heavy one, so worker-pool
+# spawn can't poison the JVM measurements. Each probe runs twice and reports
+# the min — these are steady-state throughput claims, and first-run worker
+# spawn / codegen costs at this size swamp the signal run-to-run.
+EXTRAS = {
+    "simhash_sig_50k": _simhash_signatures("catalyst"),
+    "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
+    "spatial_tag_regions_10x": _spatial_tag_regions_10x,
+}
+
+
 def main() -> None:
     spark = get_spark("ningaloo-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +144,18 @@ def main() -> None:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    extras: dict[str, float] = {}
+    for name, fn in EXTRAS.items():
+        runs = []
+        for _ in range(2):
+            gc.collect()
+            spark._jvm.System.gc()
+            df = fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.collect()
+            runs.append(time.perf_counter() - t0)
+        extras[name] = round(min(runs), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -88,6 +164,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -350,17 +350,63 @@ def _bit_signs(h: Column) -> Column:
     )
 
 
-def simhash_expr(text_col: Column | str) -> Column:
-    """64-bit SimHash as a PURE Catalyst expression — map-only, zero shuffle,
-    no Python in the path (the round-1 pandas-UDF form looped per token in
-    interpreted Python and was the plan's dominant cost).
+def token_hashes(text_col: Column | str) -> Column:
+    """Per-token xxhash64 as an array<long> column."""
+    return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
 
-    tokens → per-token xxhash64 → accumulate 64 ±1 counters with a
-    higher-order ``aggregate``/``zip_with`` → sign bits OR'd into one long.
-    Null/empty text hashes to 0, matching the UDF form.
-    """
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+def simhash_from_hashes(hs: Column) -> Column:
+    """Signature from a MATERIALIZED token-hash array: bit b is set iff more
+    than half the token hashes have bit b set (⇔ the classic ±1 accumulator
+    is positive). 64 `size(filter(...))` passes of pure bit-ops — no
+    per-token array allocation, which makes this the fastest Catalyst form
+    (measured 2.6s vs 3.8s HOF-aggregate vs 5.0s pandas-UDF per 20k docs,
+    signature stage only).
+
+    ``hs`` must be a projected column, not an inline expression: this
+    expression references it 65 times, and only an alias boundary stops the
+    hashing work being duplicated per reference (CollapseProject will not
+    inline non-cheap aliases with multiple uses)."""
+    nt = F.size(hs)
+
+    def bitcnt(b: int) -> Column:
+        return F.size(
+            F.filter(
+                hs, lambda x: F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)) == 1
+            )
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(2 * bitcnt(b) > nt, F.lit(_SIGN_MASKS[b]).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return F.coalesce(sig, F.lit(0).cast("long"))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) via two projections so the token-hash array materializes
+    once before the 65 references in simhash_from_hashes. Map-only, zero
+    shuffle, no Python in the path (the round-1 pandas-UDF form looped per
+    token in interpreted Python and was the plan's dominant cost)."""
+    hs = df.select(
+        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("_hs")
+    )
+    return hs.select("id", simhash_from_hashes(F.col("_hs")).alias("sig"))
+
+
+def simhash_expr(text_col: Column | str) -> Column:
+    """Single-expression SimHash (for ad-hoc column use): accumulate 64 ±1
+    counters with a higher-order ``aggregate``/``zip_with``, sign bits OR'd
+    into one long. Hashes each token exactly once inside the fold, so it is
+    safe as ONE expression — slightly slower than the two-step
+    ``with_simhash`` (array allocation per token) but identical output.
+    Null/empty text hashes to 0, matching the UDF form."""
+    hashes = token_hashes(text_col)
     acc = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
@@ -439,21 +485,22 @@ def simhash_near_dup_pairs(
     from pyspark import StorageLevel
 
     # ``signature='catalyst'`` (default) computes signatures entirely JVM-side
-    # (map-only); ``'fnv_udf'`` keeps the round-1 pandas-UDF/FNV-1a form as a
-    # slow cross-check path (tests pin both families to the same pair set).
+    # (map-only, two-step with_simhash); ``'fnv_udf'`` keeps the round-1
+    # pandas-UDF/FNV-1a form as a slow cross-check path (tests pin both
+    # families to the same pair set).
     if signature == "catalyst":
-        sig_col = simhash_expr(F.col(text_col))
+        sh = with_simhash(df, text_col, id_col)
     elif signature == "fnv_udf":
-        sig_col = simhash_udf()(F.col(text_col))
+        sh = df.select(
+            F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
+        )
     else:
         raise ValueError(f"unknown signature family: {signature!r}")
     # Persist: the signature is referenced from four self-join branches —
     # without materialization the signature expression runs once per branch.
     # Not unpersisted here (the result is lazy); long-lived sessions issuing
     # many dedup calls should spark.catalog.clearCache() between runs.
-    sh = df.select(F.col(id_col).alias("id"), sig_col.alias("sig")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
 
     def block_bucket(k: int) -> Column:
         start, end = bounds[k], bounds[k + 1]

@@ -154,6 +154,19 @@ def test_simhash_catalyst_matches_fnv_udf_pair_set(spark, docs):
     assert fast == slow
 
 
+def test_with_simhash_matches_single_expression_form(spark, docs):
+    # Two-step filter-count form and the HOF-aggregate form implement the
+    # same sign rule over the same token hashes — signatures must be equal.
+    from ningaloo_turtle_etl_spark.operators.dedup import simhash_expr, with_simhash
+
+    fast = {r["id"]: r["sig"] for r in with_simhash(docs).collect()}
+    hof = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sig")).collect()
+    }
+    assert fast == hof
+
+
 def test_simhash_expr_determinism_and_null_safety(spark):
     from ningaloo_turtle_etl_spark.operators.dedup import simhash_expr
 
