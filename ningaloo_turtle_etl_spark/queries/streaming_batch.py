@@ -14,6 +14,7 @@ from ningaloo_turtle_etl_spark.sources.tables import load_table
 from ningaloo_turtle_etl_spark.streaming.tallies import (
     daily_tally,
     normalize_after_midnight,
+    session_tally,
 )
 
 
@@ -58,3 +59,39 @@ def after_midnight_observation_date(spark, sf_dir):
             "observation_date"
         )
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "session_window_tally",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marks AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 6 HOURS
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOURS AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_tally(spark, sf_dir):
+    """Session windows per user (gap = 6h) — Spark's native session_window
+    against the classic gaps-and-islands SQL (lag → new-session mark →
+    cumulative sum → group). A new session starts when the idle gap is
+    ≥ the gap (Spark merges only strictly-overlapping [ts, ts+gap)
+    half-open windows); session_end = last event + gap in both."""
+    ev = load_table(spark, "events", sf_dir)
+    return session_tally(ev, event_time="ts", keys=("user_id",), gap="6 hours")

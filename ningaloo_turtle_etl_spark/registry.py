@@ -97,6 +97,8 @@ PRIORITY: list[str] = [
     "simhash_near_dups",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # Extensions beyond the reference surface (oracle-swept by pytest).
+    "session_window_tally",
 ]
 
 

@@ -72,6 +72,36 @@ def daily_tally(
     )
 
 
+def session_tally(
+    df: DataFrame,
+    event_time: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Gap-based session windows per key (beyond the reference's surface —
+    a complete streaming engine needs them): events closer than ``gap``
+    merge into one session; a quiet period of ≥ gap closes it. Built on
+    Spark's native ``session_window`` (dynamic, state-merging), so streaming
+    gets incremental session merging with watermark-bounded state, and batch
+    gets the same plan.
+
+    Output: session_start = first event, session_end = last event + gap
+    (Spark's half-open convention), n = events in session."""
+    src = df.withWatermark(event_time, watermark) if df.isStreaming else df
+    win = F.session_window(F.col(event_time), gap)
+    return (
+        src.groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
 def complete_tally_query(
     stream: DataFrame, keys: tuple[str, ...], table_name: str
 ):

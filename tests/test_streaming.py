@@ -81,6 +81,41 @@ def test_complete_mode_dashboard_tally(spark, events_stream_dir):
         q.stop()
 
 
+def test_streaming_session_tally_matches_batch(spark, events_stream_dir):
+    """Session windows on a stream (state-merging, watermark-bounded) equal
+    the batch plan on the same data."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.streaming.tallies import session_tally
+
+    batch = load_table(spark, "events", SF_DIR)
+    expected = {
+        (r["session_start"], r["user_id"]): (r["session_end"], r["n"])
+        for r in session_tally(batch, keys=("user_id",), gap="6 hours").collect()
+    }
+    assert expected  # fixture has sessions
+
+    raw = read_stream_dir(
+        spark, events_stream_dir,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        session_tally(stream, keys=("user_id",), gap="6 hours", watermark="10 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_tally_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["user_id"]): (r["session_end"], r["n"])
+        for r in spark.sql("SELECT * FROM session_tally_test").collect()
+    }
+    assert got == expected
+
+
 def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     """ST7: EntryBatchProcess re-runnability — same batch twice is a no-op;
     a changed record with the same key replaces the old version."""
