@@ -1,0 +1,89 @@
+"""Temporal-join queries (extensions beyond the reference surface): as-of
+join checked against DuckDB's native ASOF JOIN, range join against a plain
+BETWEEN theta-join. Registered past the driver window; swept by
+tests/test_oracle_all.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.temporal import asof_join, range_join
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+
+def _rates(ev):
+    """Sparse per-type daily 'rate' table derived deterministically from the
+    events table (rates exist only on days divisible by 3, so most events
+    as-of match a PREVIOUS day's rate)."""
+    return (
+        ev.filter(F.dayofmonth("ts") % 3 == 0)
+        .select("event_type", F.date_trunc("day", "ts").alias("rts"))
+        .distinct()
+        .withColumn("rate", F.round(F.dayofmonth("rts") * 1.5, 2))
+    )
+
+
+@register(
+    "asof_join_rates",
+    """
+    WITH rates AS (
+        SELECT DISTINCT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS rts,
+               ROUND(day(date_trunc('day', CAST(ts AS TIMESTAMP))) * 1.5, 2) AS rate
+        FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 3 = 0
+    )
+    SELECT e.event_type, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           r.rate, r.rts AS matched_time
+    FROM events e
+    ASOF LEFT JOIN rates r
+      ON e.event_type = r.event_type AND CAST(e.ts AS TIMESTAMP) >= r.rts
+    """,
+)
+def asof_join_rates(spark, sf_dir):
+    """Backward as-of join (each event picks the latest same-type rate at or
+    before its timestamp; events before the first rate keep NULL) — the
+    union + carry-forward-window formulation vs DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts")
+    out = asof_join(
+        ev, _rates(ev), on="event_type", left_time="ts", right_time="rts"
+    )
+    return out.select(
+        "event_type", "event_id", "ts", "rate",
+        F.col("_matched_time").alias("matched_time"),
+    )
+
+
+@register(
+    "range_join_tally",
+    """
+    WITH iv AS (
+        SELECT DISTINCT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS ivs,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 2 DAYS AS ive
+        FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 5 = 0
+    )
+    SELECT iv.event_type, iv.ivs, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e
+    JOIN iv ON e.event_type = iv.event_type
+           AND CAST(e.ts AS TIMESTAMP) >= iv.ivs
+           AND CAST(e.ts AS TIMESTAMP) < iv.ive
+    GROUP BY 1, 2
+    """,
+)
+def range_join_tally(spark, sf_dir):
+    """Interval-containment join (events inside per-type 2-day maintenance
+    windows), tallied. Spark side is the bucketed equi-join + residual
+    filter — a hash join; the oracle states the naive BETWEEN theta-join."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "ts")
+    iv = (
+        ev.filter(F.dayofmonth("ts") % 5 == 0)
+        .select("event_type", F.date_trunc("day", "ts").alias("ivs"))
+        .distinct()
+        .withColumn("ive", F.col("ivs") + F.expr("INTERVAL 2 DAYS"))
+    )
+    joined = range_join(
+        ev, iv, on="event_type", left_time="ts",
+        start_col="ivs", end_col="ive", bucket_seconds=86400,
+    )
+    return joined.groupBy("event_type", "ivs").agg(F.count(F.lit(1)).alias("n"))

@@ -99,6 +99,8 @@ PRIORITY: list[str] = [
     "ann_ivf_topk",
     # Extensions beyond the reference surface (oracle-swept by pytest).
     "session_window_tally",
+    "asof_join_rates",
+    "range_join_tally",
 ]
 
 

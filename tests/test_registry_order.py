@@ -61,6 +61,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_ivf_topk",
         # extensions beyond the reference surface, oracle-swept by pytest
         "session_window_tally",
+        "asof_join_rates",
+        "range_join_tally",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.

@@ -1,0 +1,74 @@
+"""Temporal-join operator tests: as-of edge cases (tie at equal ts,
+before-first-match NULLs, name collisions) and the range join's hash-join
+plan guarantee."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2020, 1, 1, h, m)
+
+
+def test_asof_backward_inclusive_and_null_before_first(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(8)), (1, _ts(10)), (1, _ts(10, 30)), (2, _ts(12))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 1.0), (1, _ts(10), 2.0), (2, _ts(12), 9.0)],
+        "k long, ts timestamp, rate double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["rate"], r["_matched_time"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, _ts(8))] == (None, None)  # before first right row
+    assert out[(1, _ts(10))] == (2.0, _ts(10))  # equal ts matches (inclusive)
+    assert out[(1, _ts(10, 30))] == (2.0, _ts(10))  # latest earlier
+    assert out[(2, _ts(12))] == (9.0, _ts(12))  # keys independent
+
+
+def test_asof_suffixes_colliding_payload_names(spark):
+    left = spark.createDataFrame([(1, _ts(10), "L")], "k long, ts timestamp, v string")
+    right = spark.createDataFrame([(1, _ts(9), "R")], "k long, ts timestamp, v string")
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["v"] == "L" and row["v_r"] == "R"
+
+
+def test_range_join_half_open_and_multi_bucket(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(8)), (1, datetime.datetime(2020, 1, 2, 23)), (1, _ts(6))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), datetime.datetime(2020, 1, 3, 0))],  # spans 2+ day-buckets
+        "k long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        r["ts"] for r in range_join(left, right, on="k").collect()
+    )
+    # 06:00 is before start; 08:00 matches (inclusive start); Jan 2 23:00
+    # matches through the second bucket; end is exclusive.
+    assert got == [_ts(8), datetime.datetime(2020, 1, 2, 23)]
+
+
+def test_range_join_plans_as_hash_join_not_nested_loop(spark):
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 86400).alias("start"),
+        F.timestamp_seconds(F.col("id") * 86400 + 7200).alias("end"),
+    )
+    df = range_join(left, right, on="k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
