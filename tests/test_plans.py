@@ -55,6 +55,33 @@ def test_filter_pushdown_on_projection_pipeline(spark):
     assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
+def test_filter_predicates_conjunctive_half_pushed_to_fact_scan(spark):
+    # Formatted mode prints the full PushedFilters list (the simple string
+    # elides long lists with "...").
+    df = QUERIES["filter_predicates"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # The conjunctive chain reaches the lineitem scan; the null-disjunction
+    # stays above the left join (pushing it below would change semantics).
+    assert "GreaterThan(l_quantity,30" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_timestamp_pipeline_is_map_only(spark):
+    plan = plan_of(spark, "timestamp_pipeline")
+    assert plan.count("Exchange") == 0  # pure projection, fuses with scan
+
+
+def test_asof_join_single_window_shuffle(spark):
+    # union + carry-forward window: one shuffle for the window partitioning
+    # plus the sparse rates-side prep — never a nested loop.
+    plan = plan_of(spark, "asof_join_rates")
+    assert plan.count("Exchange") <= 2
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_spatial_tag_is_map_side_only_before_agg(spark):
     plan = plan_of(spark, "spatial_tag_regions")
     # One shuffle total: the final tally. The UDF tagging itself is map-only.
