@@ -249,6 +249,32 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=3)
 
 
+@register("sketch_profile", None)
+def sketch_profile(spark, sf_dir):
+    """One-pass sketch profile per event_type: HLL++ distinct users +
+    Greenwald-Khanna value quantiles — the bounded-state form of the
+    profiling questions that need full shuffles when asked exactly.
+    Approximations are engine-specific → rows-only; error bounds vs exact
+    are pinned in tests/test_sketches.py."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        approx_distinct,
+        approx_quantiles,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    d = approx_distinct(ev, "user_id", by=["event_type"], rsd=0.02)
+    q = approx_quantiles(
+        ev, "value", probabilities=(0.5, 0.95), accuracy=10_000, by=["event_type"]
+    )
+    out = d.join(q, on="event_type")
+    return out.select(
+        "event_type",
+        F.col("approx_distinct_user_id").alias("approx_users"),
+        F.round(F.col("approx_quantiles_value")[0], 4).alias("p50_value"),
+        F.round(F.col("approx_quantiles_value")[1], 4).alias("p95_value"),
+    )
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Binary-column decode/feature plumbing via mapInPandas (deterministic

@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "session_window_tally",
     "asof_join_rates",
     "range_join_tally",
+    "sketch_profile",
 ]
 
 

@@ -63,6 +63,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "session_window_tally",
         "asof_join_rates",
         "range_join_tally",
+        "sketch_profile",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
