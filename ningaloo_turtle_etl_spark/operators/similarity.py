@@ -210,6 +210,79 @@ def _nearest_centroids_expr(vec_col, cents: np.ndarray, n: int = 1):
     return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class IvfIndex:
+    """A built IVF index: centroids (driver-side, tiny) + the assigned
+    corpus (vec_id, v, v_norm, cell). Build once, query many — the fit and
+    the corpus-assignment pass are the expensive part, and they are
+    identical across queries."""
+
+    centroids: np.ndarray
+    assigned: DataFrame
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> IvfIndex:
+    """Fit centroids (seeded takeSample) and assign every corpus vector to
+    its nearest cell in one map-only pass."""
+    cents = centroids if centroids is not None else fit_centroids(corpus, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = c.withColumn(
+        "cell", _nearest_centroids_expr(F.col("v"), cents, 1)[0]
+    ).withColumn("v_norm", _norm(F.col("v")))
+    return IvfIndex(centroids=cents, assigned=assigned)
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the assigned corpus PARTITIONED BY cell — a probe then reads
+    only the matching cell directories (partition pruning), which is the
+    on-disk form of 'the partition key IS the bucket'."""
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def load_ivf_index(spark, path: str, centroids: np.ndarray) -> IvfIndex:
+    return IvfIndex(centroids=centroids, assigned=spark.read.parquet(path))
+
+
+def ivf_index_topk(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a built index: each query probes its ``nprobe`` nearest cells,
+    exact cosine re-rank inside the probed cells. No fitting, no corpus
+    re-assignment — the serving path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    )
+    q = q.withColumn(
+        "cell", F.explode(_nearest_centroids_expr(F.col("q"), index.centroids, nprobe))
+    ).withColumn("q_norm", _norm(F.col("q")))
+
+    cand = index.assigned.join(F.broadcast(q), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,25 +294,10 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned by nearest centroid, query
-    probes its ``nprobe`` nearest cells, exact re-rank inside."""
-    cents = centroids if centroids is not None else fit_centroids(corpus, n_centroids)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    probes its ``nprobe`` nearest cells, exact re-rank inside. One-shot
+    convenience over build_ivf_index + ivf_index_topk — reuse the index for
+    repeated queries."""
+    index = build_ivf_index(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, centroids=centroids
     )
-    c = c.withColumn("cell", _nearest_centroids_expr(F.col("v"), cents, 1)[0]).withColumn(
-        "v_norm", _norm(F.col("v"))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
-    )
-    q = q.withColumn(
-        "cell", F.explode(_nearest_centroids_expr(F.col("q"), cents, nprobe))
-    ).withColumn("q_norm", _norm(F.col("q")))
-
-    cand = c.join(F.broadcast(q), on="cell").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
-    scored = cand.select(
-        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
-    ).dropDuplicates(["query_id", "vec_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return ivf_index_topk(index, queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col)

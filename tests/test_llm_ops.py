@@ -181,6 +181,48 @@ def test_simhash_expr_determinism_and_null_safety(spark):
     assert rows[3] == 0 and rows[4] == 0  # null/empty → 0, like the UDF form
 
 
+def test_ivf_index_build_once_query_many(spark, tmp_path):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        load_ivf_index,
+        write_ivf_index,
+    )
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 5)
+    index = build_ivf_index(emb, n_centroids=8)
+
+    oneshot = sorted(
+        (r["query_id"], r["vec_id"]) for r in ivf_topk(
+            emb, queries, k=3, n_centroids=8, nprobe=3
+        ).collect()
+    )
+    via_index = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in ivf_index_topk(index, queries, k=3, nprobe=3).collect()
+    )
+    assert via_index == oneshot
+
+    # Round-trip through the partitioned on-disk form; a probe prunes to the
+    # matching cell partitions (PartitionFilters on the scan).
+    path = str(tmp_path / "ivf")
+    write_ivf_index(index, path)
+    loaded = load_ivf_index(spark, path, index.centroids)
+    reloaded = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in ivf_index_topk(loaded, queries, k=3, nprobe=3).collect()
+    )
+    assert reloaded == oneshot
+
+    one_cell = loaded.assigned.filter(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan
+
+
 def _recall(approx_rows, exact_rows):
     approx = {}
     exact = {}
