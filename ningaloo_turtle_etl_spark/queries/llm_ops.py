@@ -249,6 +249,55 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=3)
 
 
+@register(
+    "corpus_clean_pipeline",
+    rf"""
+    WITH fp AS (
+        SELECT doc_id, text, lang, n_chars,
+               substr(md5({_NORM}), 1, 16) AS fingerprint
+        FROM documents
+    ),
+    kept AS (
+        SELECT f.* FROM fp f JOIN (
+            SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+        ) k ON f.doc_id = k.doc_id
+    ),
+    t AS (
+        SELECT doc_id, lang, n_chars, {_TOKENS} AS toks, text FROM kept
+    ),
+    m AS (
+        SELECT doc_id, lang, n_chars, len(toks) AS n_words,
+               len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','a','in','is','it','that','was','for','on')))
+                   AS n_stop,
+               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM t
+    )
+    SELECT doc_id, lang, n_words, n_chars
+    FROM m
+    WHERE n_words >= 5
+      AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END) < 0.2
+      AND lang IN ('en', 'de', 'fr', 'es')
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end LLM corpus prep as ONE lazy plan: exact dedup (keep lowest
+    id per fingerprint) → quality gate (min words, punctuation ratio) →
+    language allowlist → per-doc stats. The composition the individual
+    operators exist for — each stage is the same operator the standalone
+    queries register, fused by Catalyst into dedup's shuffle plus map-only
+    stages."""
+    docs = load_table(spark, "documents", sf_dir)
+    deduped = exact_dedup_semi(docs)
+    q = with_quality_score(with_token_counts(deduped))
+    cleaned = q.filter(
+        (F.col("n_words") >= 5)
+        & (F.col("punct_ratio") < 0.2)
+        & (F.col("lang").isin("en", "de", "fr", "es"))
+    )
+    return cleaned.select("doc_id", "lang", "n_words", "n_chars")
+
+
 @register("sketch_profile", None)
 def sketch_profile(spark, sf_dir):
     """One-pass sketch profile per event_type: HLL++ distinct users +

@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "asof_join_rates",
     "range_join_tally",
     "sketch_profile",
+    "corpus_clean_pipeline",
 ]
 
 
