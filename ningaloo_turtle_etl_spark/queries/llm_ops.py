@@ -324,6 +324,22 @@ def sketch_profile(spark, sf_dir):
     )
 
 
+@register("ann_quantized_topk", None)
+def ann_quantized_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized corpus vectors (4x storage cut;
+    dequantize is a map-only Catalyst expression in the scan projection).
+    Rows-only; round-trip error and recall >= 0.8 vs full precision are
+    pinned in tests/test_quantize.py."""
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_quantizer,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = fit_quantizer(emb)
+    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), lo, hi, k=3)
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Binary-column decode/feature plumbing via mapInPandas (deterministic

@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "range_join_tally",
     "sketch_profile",
     "corpus_clean_pipeline",
+    "ann_quantized_topk",
 ]
 
 

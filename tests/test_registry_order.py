@@ -65,6 +65,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "range_join_tally",
         "sketch_profile",
         "corpus_clean_pipeline",
+        "ann_quantized_topk",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
