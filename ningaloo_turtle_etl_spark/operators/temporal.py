@@ -104,7 +104,7 @@ def range_join(
     left_time: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    bucket_seconds: int = 86400,
+    bucket_seconds: int | str = 86400,
 ) -> DataFrame:
     """Interval-containment INNER join: left rows to the right intervals
     containing them (``start <= t < end``, half-open). Time is chunked into
@@ -114,8 +114,20 @@ def range_join(
     tests/test_temporal.py).
 
     Pick ``bucket_seconds`` near the typical interval length: too small
-    explodes interval rows, too big inflates candidate pairs."""
+    explodes interval rows, too big inflates candidate pairs.
+    ``bucket_seconds='auto'`` measures the p75 interval length on the right
+    side (one GK-sketch aggregation — the right side is the small one) and
+    uses it, clamped to [60s, 30d]."""
     on = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if bucket_seconds == "auto":
+        p75 = right.agg(
+            F.percentile_approx(
+                F.col(end_col).cast("long") - F.col(start_col).cast("long"),
+                F.lit(0.75),
+                10_000,
+            )
+        ).collect()[0][0]
+        bucket_seconds = int(min(max(p75 or 86400, 60), 30 * 86400))
     step = F.lit(int(bucket_seconds))
     lb = left.withColumn(
         "_b", F.floor(F.col(left_time).cast("long") / step)

@@ -7,6 +7,7 @@ import ningaloo_turtle_etl_spark.queries.aggregations  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.analytics  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.core  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.extended  # noqa: F401
+import ningaloo_turtle_etl_spark.queries.geo  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.joins  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.llm_ops  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.projection  # noqa: F401

@@ -1,0 +1,81 @@
+"""Geodesic queries (extensions): haversine distance stats oracle-checked
+against DuckDB's trig (aggregates rounded to absorb libm ulps; raw per-row
+trig is never compared), and the grid-blocked nearest-site join rows-only
+with brute-force parity in tests/test_geo.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.geo import haversine_km, nearest_site_join
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+# Reference point ~ Ningaloo reef.
+REF_LAT, REF_LON = -22.7, 113.7
+
+_HAV = (
+    "2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians({rlat} - lat) / 2), 2) + "
+    "cos(radians(lat)) * cos(radians({rlat})) * "
+    "pow(sin(radians({rlon} - lon) / 2), 2)))"
+).format(rlat=REF_LAT, rlon=REF_LON)
+
+
+def _pts(c):
+    return c.select(
+        "c_nationkey",
+        (F.lit(-180) + (F.col("c_custkey") * 7) % 360 + 0.5).alias("lon"),
+        (F.lit(-90) + (F.col("c_custkey") * 13) % 180 + 0.5).alias("lat"),
+    )
+
+
+@register(
+    "geo_distance_stats",
+    f"""
+    WITH pts AS (
+        SELECT c_nationkey,
+               -180 + ((c_custkey * 7) % 360) + 0.5 AS lon,
+               -90 + ((c_custkey * 13) % 180) + 0.5 AS lat
+        FROM customer
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG({_HAV}), 2) AS avg_km,
+           ROUND(MAX({_HAV}), 2) AS max_km
+    FROM pts GROUP BY 1
+    """,
+)
+def geo_distance_stats(spark, sf_dir):
+    """Great-circle distance from every (synthetic) customer point to the
+    Ningaloo reference, aggregated per nation — geodesic trig as pure
+    columns, compared cross-engine only through rounded aggregates."""
+    pts = _pts(load_table(spark, "customer", sf_dir))
+    d = haversine_km(F.col("lat"), F.col("lon"), F.lit(REF_LAT), F.lit(REF_LON))
+    return pts.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(d), 2).alias("avg_km"),
+        F.round(F.max(d), 2).alias("max_km"),
+    )
+
+
+@register("geo_nearest_site", None)
+def geo_nearest_site(spark, sf_dir):
+    """Grid-blocked nearest-site join: synthetic customer points to
+    synthetic nation sites within 1500 km. Rows-only (per-row geodesic
+    argmin is trig-threshold-sensitive cross-engine); brute-force parity is
+    pinned in tests/test_geo.py."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 500)
+    points = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(-90) + (F.col("c_custkey") * 13) % 180 + 0.5).alias("lat"),
+        (F.lit(-180) + (F.col("c_custkey") * 7) % 360 + 0.5).alias("lon"),
+    )
+    n = load_table(spark, "nation", sf_dir)
+    sites = n.select(
+        F.col("n_nationkey").alias("site_id"),
+        (F.lit(-30) + (F.col("n_nationkey") * 3) % 20).cast("double").alias("lat"),
+        (F.lit(100) + (F.col("n_nationkey") * 7) % 40).cast("double").alias("lon"),
+    )
+    return nearest_site_join(
+        points, sites, max_km=1500.0, point_id="point_id", site_id="site_id"
+    )

@@ -104,6 +104,8 @@ PRIORITY: list[str] = [
     "sketch_profile",
     "corpus_clean_pipeline",
     "ann_quantized_topk",
+    "geo_distance_stats",
+    "geo_nearest_site",
 ]
 
 

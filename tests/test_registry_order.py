@@ -66,6 +66,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "sketch_profile",
         "corpus_clean_pipeline",
         "ann_quantized_topk",
+        "geo_distance_stats",
+        "geo_nearest_site",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.

@@ -58,6 +58,27 @@ def test_range_join_half_open_and_multi_bucket(spark):
     assert got == [_ts(8), datetime.datetime(2020, 1, 2, 23)]
 
 
+def test_range_join_auto_bucket_matches_fixed(spark):
+    left = spark.range(500).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 7200).alias("ts"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 100000).alias("start"),
+        F.timestamp_seconds(F.col("id") * 100000 + 50000).alias("end"),
+    )
+    fixed = sorted(
+        (r["k"], r["ts"], r["start"])
+        for r in range_join(left, right, on="k", bucket_seconds=3600).collect()
+    )
+    auto = sorted(
+        (r["k"], r["ts"], r["start"])
+        for r in range_join(left, right, on="k", bucket_seconds="auto").collect()
+    )
+    assert auto == fixed and len(auto) > 0
+
+
 def test_range_join_plans_as_hash_join_not_nested_loop(spark):
     left = spark.range(1000).select(
         (F.col("id") % 7).alias("k"),
