@@ -76,3 +76,75 @@ def test_patch_where_is_identity_off_predicate(spark, rows):
     df = spark.createDataFrame(rows, "k int, v double")
     patched = patch_where(df, F.col("k") > 1000, v=F.lit(0.0))  # matches nothing
     assert sorted(map(tuple, patched.collect())) == sorted(map(tuple, df.collect()))
+
+
+# --- temporal operators vs independent references ---------------------------
+
+_KT = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.datetimes(
+        min_value=datetime.datetime(2020, 1, 1),
+        max_value=datetime.datetime(2020, 1, 10),
+    ),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_KT, min_size=1, max_size=40),
+    st.lists(_KT, min_size=1, max_size=20),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    import pandas as pd
+
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    lrows = [(k, t.replace(microsecond=0)) for k, t in lrows]
+    # pandas merge_asof is undefined on duplicate (key, ts) right rows the
+    # same way our window tie is — dedup the right side (documented contract).
+    rrows = {(k, t.replace(microsecond=0)) for k, t in rrows}
+    rrows = [(k, t, float(k * 100 + t.day)) for k, t in rrows]
+
+    left = spark.createDataFrame(lrows, "k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rate double")
+    got = {
+        (r["k"], r["ts"]): r["rate"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rate"]).sort_values("ts", kind="stable")
+    expected = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in expected.iterrows():
+        want = None if pd.isna(row["rate"]) else row["rate"]
+        assert got[(row["k"], row["ts"].to_pydatetime())] == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_KT, min_size=1, max_size=40),
+    st.lists(_KT, min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=72),
+)
+def test_range_join_matches_naive_filter(spark, lrows, ivals, dur_hours):
+    from ningaloo_turtle_etl_spark.operators.temporal import range_join
+
+    lrows = [(k, t.replace(microsecond=0)) for k, t in lrows]
+    ivals = [
+        (k, t.replace(microsecond=0), t.replace(microsecond=0) + datetime.timedelta(hours=dur_hours))
+        for k, t in ivals
+    ]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp")
+    right = spark.createDataFrame(ivals, "k long, start timestamp, end timestamp")
+
+    got = sorted(
+        (r["k"], r["ts"], r["start"])
+        for r in range_join(left, right, on="k", bucket_seconds=3600 * 5).collect()
+    )
+    naive = sorted(
+        (k, t, s)
+        for (k, t) in lrows
+        for (ik, s, e) in ivals
+        if ik == k and s <= t < e
+    )
+    assert got == naive
