@@ -1,0 +1,106 @@
+"""Graph operators for dedup clustering: near-dup PAIRS (from MinHash /
+SimHash / n-gram Jaccard) are only half the job — dedup needs the
+transitive clusters and one representative per cluster.
+
+``connected_components`` is iterative min-label propagation with pointer
+jumping: every node starts labeled with its own id; each round takes the
+min of its own and its neighbors' labels, then shortcuts label ←
+label(label). The shortcut doubles the distance a label travels per round,
+so convergence is O(log diameter) rounds, not O(diameter) — the same
+geometric contraction as the map-reduce small-star/large-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond"). Each
+round is two joins + one aggregation — all distributed, nothing
+driver-side but the convergence counter — and each round's result is
+eagerly ``localCheckpoint``-ed, truncating the logical plan so the plan
+(and Catalyst analysis cost) stays O(1) per round instead of growing with
+the iteration count. On a real cluster with lineage-reliability
+requirements, swap localCheckpoint for checkpoint + a checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Undirected edges → (id, component), component = min id reachable.
+    Raises if not converged within ``max_iterations`` (component diameter
+    bound — near-dup graphs converge in a handful)."""
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nmin"))
+            )
+            stepped = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            # Pointer jump: component ← component(component). Every label is
+            # itself a node id, so the self-join shortcuts chains, doubling
+            # effective propagation distance per round.
+            lookup = stepped.select(
+                F.col("id").alias("cid"), F.col("component").alias("cc")
+            )
+            new_labels = (
+                stepped.join(lookup, stepped.component == lookup.cid, "left")
+                .select(
+                    "id", F.coalesce("cc", F.col("component")).alias("component")
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iterations} rounds "
+            "(component diameter exceeds the bound — raise max_iterations)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Dedup by cluster: every doc maps to its component's min id (singletons
+    map to themselves); keep one representative row per component — the
+    'collapse near-dup clusters' step after any pair-producing stage."""
+    comp = connected_components(pairs, src_col, dst_col)
+    labeled = docs.join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    return labeled.filter(F.col(id_col) == F.col("component")).drop("component")

@@ -324,6 +324,45 @@ def sketch_profile(spark, sf_dir):
     )
 
 
+@register(
+    "near_dup_clusters",
+    rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, list_distinct({_TOKENS}) AS sh
+        FROM documents WHERE doc_id < 150
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(anc) AS component FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: the oracle-checked n-gram Jaccard pairs
+    fed through distributed min-label propagation, checked against DuckDB's
+    recursive-CTE transitive closure — component = min doc_id reachable.
+    The step that turns pair-finding into actual dedup."""
+    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=1, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 @register("ann_quantized_topk", None)
 def ann_quantized_topk(spark, sf_dir):
     """Cosine top-k over int8-quantized corpus vectors (4x storage cut;

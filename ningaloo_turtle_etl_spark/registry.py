@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "ann_quantized_topk",
     "geo_distance_stats",
     "geo_nearest_site",
+    "near_dup_clusters",
 ]
 
 

@@ -1,0 +1,49 @@
+"""Connected-components / cluster-representative tests on planted graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from ningaloo_turtle_etl_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def test_chain_star_and_separate_components(spark):
+    # chain 1-2-3-4 (diameter test), star 10-{11,12,13}, pair 20-21.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4)} == {1}
+    assert {comp[i] for i in (10, 11, 12, 13)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    # 40-node chain, the worst case for label propagation: pointer jumping
+    # must cover it in O(log n) rounds, well inside the default budget.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_cluster_representatives_keep_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in cluster_representatives(docs, pairs).collect())
+    assert kept == [1, 7, 9]  # cluster {1,2,3} → 1; singletons survive

@@ -68,6 +68,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_quantized_topk",
         "geo_distance_stats",
         "geo_nearest_site",
+        "near_dup_clusters",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
