@@ -1,0 +1,236 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, intra-document repetition metrics, deterministic stratified
+mix sampling, and PII redaction.
+
+Everything is Catalyst column expressions — map-only passes that fuse with
+the parquet scan — except where an operator genuinely needs another table
+(decontamination joins a *broadcast* benchmark vocabulary; mix sampling
+joins *broadcast* per-stratum rates). No corpus-sized shuffle anywhere:
+at 100 TB the corpus side of every operator here stays on the mappers.
+
+The reference pipeline has no curation layer (it is a wildlife ETL); this
+extends the engine per the build brief's training-data-pipeline surface,
+following the C4 / Gopher / fuzzy-decontamination recipes from the public
+literature (Raffel et al. 2020; Rae et al. 2021 appendix A).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ningaloo_turtle_etl_spark.operators.text import tokens
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Space-joined word n-grams as an array column; [] when the doc has
+    fewer than ``n`` tokens. Index arithmetic (1-based ``element_at`` over a
+    ``sequence``) rather than explode/re-group keeps it a single projection."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngram_vocab(
+    benchmark: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams of an eval/benchmark set, one row per gram.
+    Eval suites are MBs while corpora are TBs — this frame is the broadcast
+    side of decontamination."""
+    return (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("is_bench", F.lit(True))
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: per doc, the fraction of its distinct word
+    n-grams that also occur in the benchmark set; ``contaminated`` flags
+    docs at/over ``threshold``.
+
+    Scale shape: corpus grams explode map-side, hit the *broadcast* vocab
+    (no corpus shuffle for the join), and partial aggregation collapses the
+    exploded rows back to one (doc, count) row per doc before the only
+    shuffle — whose width is the doc count, not the gram count.
+    """
+    per_doc = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    )
+    vocab = benchmark_ngram_vocab(benchmark, text_col, n)
+    exploded = per_doc.select(
+        id_col, F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+    )
+    marked = exploded.join(F.broadcast(vocab), on="gram", how="left")
+    agg = marked.groupBy(id_col, "n_grams").agg(
+        F.count("is_bench").alias("n_contaminated")
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        ratio.alias("contam_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def with_repetition_metrics(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style intra-document repetition: for each n in ``ns``, the
+    fraction of word n-grams that are repeats of an earlier occurrence
+    (1 - distinct/total; 0.0 for docs too short to have any). High ratios
+    mean boilerplate / template spam — a standard pre-training drop rule."""
+    out = df
+    for n in ns:
+        grams = word_ngrams(text_col, n)
+        total = F.size(grams)
+        dup = F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumns(
+            {f"n_{n}grams": total, f"dup_{n}gram_ratio": dup}
+        )
+    return out
+
+
+def _sample_hash(id_col: str) -> Column:
+    # First 32 bits of md5(id-as-string), as 8 lowercase hex chars. md5 is
+    # bit-identical across engines (unlike xxhash64 seeds), which is what
+    # makes the sample reproducible anywhere — including the DuckDB oracle.
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+
+
+def _rate_threshold(rate: Column) -> Column:
+    # rate in [0,1] → 8-hex-char cutoff such that P(hash < cutoff) = rate.
+    return F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(4294967296.0)).cast("bigint")), 8, "0")
+    )
+
+
+def deterministic_stratified_sample(
+    docs: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with per-stratum probability ``rates[stratum]``,
+    deterministically: row kept iff the 32-bit md5 prefix of its id is under
+    ``rate * 2^32``. No RNG state, stable under re-runs, partitioning and
+    retries — the property a 100 TB sampling job actually needs (a
+    ``rand()`` sample changes under task retry). Strata absent from
+    ``rates`` are dropped. Map-only: the rates table is broadcast."""
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()], f"{stratum_col} string, rate double"
+    )
+    joined = docs.join(F.broadcast(rate_df), on=stratum_col, how="inner")
+    # rate >= 1.0 needs the short-circuit: its 9-hex-char threshold would
+    # compare lexicographically *below* 8-char hashes.
+    keep = (F.col("rate") >= 1.0) | (
+        _sample_hash(id_col) < _rate_threshold(F.col("rate"))
+    )
+    return joined.filter(keep)
+
+
+def mix_rebalance_rates(
+    docs: DataFrame,
+    target_shares: Mapping[str, float],
+    budget_fraction: float = 0.5,
+    stratum_col: str = "lang",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum sampling rates that rebalance the corpus toward
+    ``target_shares`` (fractions summing to ≤1) within a budget of
+    ``budget_fraction`` × total weight: rate_s = min(1, budget·share_s /
+    weight_s). One tiny aggregation over (stratum, weight) — the corpus
+    scan's partial agg — then pure arithmetic; the result is a
+    broadcast-sized dim of one row per stratum."""
+    per = docs.groupBy(stratum_col).agg(F.sum(weight_col).alias("w"))
+    total = per.agg(F.sum("w").alias("tw"))
+    share = F.lit(None).cast("double")
+    for k in sorted(target_shares, reverse=True):
+        share = F.when(
+            F.col(stratum_col) == k, F.lit(float(target_shares[k]))
+        ).otherwise(share)
+    # Filter unlisted strata BEFORE least(): Spark's least() skips NULLs
+    # (returns the least non-NULL value), so least(1.0, NULL·x) would give
+    # rate-less strata a rate of 1.0 instead of dropping them.
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col(stratum_col).isin([str(k) for k in target_shares]))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget_fraction)) * share)
+                * (F.col("tw").cast("double") / F.col("w").cast("double")),
+            ).alias("rate"),
+        )
+    )
+
+
+def training_mix_sample(
+    docs: DataFrame,
+    target_shares: Mapping[str, float],
+    budget_fraction: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic sample of the corpus whose per-stratum weight hits
+    ``target_shares`` of a ``budget_fraction`` budget — the "mix the
+    training set to 40% en / 20% de / …" step as one plan: tiny agg →
+    broadcast rates → map-only hash filter."""
+    rates = mix_rebalance_rates(
+        docs, target_shares, budget_fraction, stratum_col, weight_col
+    )
+    joined = docs.join(F.broadcast(rates), on=stratum_col, how="inner")
+    keep = (F.col("rate") >= 1.0) | (
+        _sample_hash(id_col) < _rate_threshold(F.col("rate"))
+    )
+    return joined.filter(keep)
+
+
+# Deliberately simple, RE2-compatible patterns (both Spark's Java regex and
+# DuckDB/RE2 accept them) — production systems plug in their own table.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def with_pii_redaction(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Mapping[str, str] = PII_PATTERNS,
+    out_col: str = "redacted_text",
+) -> DataFrame:
+    """Count and strip PII spans: per-pattern match counts plus a redacted
+    text column with every match replaced by ``[<NAME>]``. Order matters
+    (emails contain dots that would otherwise feed the ipv4 pattern), so
+    counting happens on the original text, redaction sequentially."""
+    out = df
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn(out_col, red)

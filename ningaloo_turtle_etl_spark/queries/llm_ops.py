@@ -404,3 +404,190 @@ def multimodal_image_features(spark, sf_dir):
             ",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))
         ).alias("feature_csv"),
     )
+
+
+_G3 = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+_G2 = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+
+
+@register(
+    "decontaminate_corpus",
+    rf"""
+    WITH g AS (
+        SELECT doc_id, list_distinct({_G3}) AS grams
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ),
+    bv AS (SELECT COALESCE(list(gram), []) AS bench_grams FROM bench),
+    scored AS (
+        SELECT doc_id, len(grams) AS n_grams,
+               len(list_intersect(grams, bv.bench_grams)) AS n_contaminated
+        FROM g, bv WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS contam_ratio,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END >= 0.2 AS contaminated
+    FROM scored
+    """,
+)
+def decontaminate_corpus(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for a
+    held-out eval suite; every other doc is scored by the fraction of its
+    distinct word 3-grams that appear in the eval set. The corpus side never
+    shuffles — the eval n-gram vocabulary broadcasts and the exploded grams
+    collapse map-side (partial agg) before the doc-width shuffle."""
+    from ningaloo_turtle_etl_spark.operators.curation import contamination_flags
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags(corpus, bench, n=3, threshold=0.2)
+
+
+@register(
+    "repetition_metrics",
+    rf"""
+    SELECT doc_id,
+           len(g2) AS n_2grams,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE)
+                ELSE 0.0 END AS dup_2gram_ratio,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                           / CAST(len(g3) AS DOUBLE)
+                ELSE 0.0 END AS dup_3gram_ratio
+    FROM (SELECT doc_id, {_G2} AS g2, {_G3} AS g3
+          FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents))
+    """,
+)
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style intra-doc repetition: duplicate word-2/3-gram fractions
+    as one map-only projection fused with the scan — the boilerplate/spam
+    drop rule of pre-training pipelines."""
+    from ningaloo_turtle_etl_spark.operators.curation import with_repetition_metrics
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    return with_repetition_metrics(docs).select(
+        "doc_id", "n_2grams", "dup_2gram_ratio", "dup_3gram_ratio"
+    )
+
+
+@register(
+    "training_mix_sample",
+    """
+    WITH per AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tw FROM documents),
+    rates AS (
+        SELECT lang,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(0.5 AS DOUBLE) *
+                      CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                                WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                                WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                                WHEN 'es' THEN CAST(0.2 AS DOUBLE) END)
+                     * (tw / w)) AS rate
+        FROM per, tot
+        WHERE lang IN ('en', 'de', 'fr', 'es')
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                       8, '0'))
+    """,
+)
+def training_mix_sample(spark, sf_dir):
+    """Deterministic training-mix rebalance: per-language char totals (tiny
+    agg) set sampling rates toward a 40/20/20/20 en/de/fr/es mix within a
+    half-corpus budget; docs kept iff their 32-bit md5-of-id prefix clears
+    the rate threshold. No RNG — stable under retries and re-runs, which is
+    what a 100 TB sampling job needs — and the corpus pass is map-only
+    against broadcast rates. zh is excluded from the mix (rate-less strata
+    drop)."""
+    from ningaloo_turtle_etl_spark.operators.curation import training_mix_sample as mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    shares = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
+    return mix(docs, shares, budget_fraction=0.5).select("doc_id", "lang")
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com at 10.0.'
+                         || CAST(doc_id % 255 AS VARCHAR)
+                         || '.7 or 555-123-4567'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           substr(md5(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
+           ), 1, 16) AS redacted_fp
+    FROM planted
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrub over a corpus with deterministically planted emails /
+    phones / IPs (every 7th doc): per-pattern counts plus a fingerprint of
+    the redacted text, proving removal. Map-only regexp work, codegen'd;
+    the oracle replays the same plant + RE2-compatible patterns."""
+    from ningaloo_turtle_etl_spark.operators.curation import with_pii_redaction
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 255).cast("string"),
+                F.lit(".7 or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = with_pii_redaction(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.substring(F.md5("redacted_text"), 1, 16).alias("redacted_fp"),
+    )

@@ -107,6 +107,10 @@ PRIORITY: list[str] = [
     "geo_distance_stats",
     "geo_nearest_site",
     "near_dup_clusters",
+    "decontaminate_corpus",
+    "repetition_metrics",
+    "training_mix_sample",
+    "pii_redaction",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Curation-operator tests: planted contamination, repetition, sampling
+determinism/calibration, and PII redaction."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.curation import (
+    contamination_flags,
+    deterministic_stratified_sample,
+    mix_rebalance_rates,
+    training_mix_sample,
+    with_pii_redaction,
+    with_repetition_metrics,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_shapes(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("",)], "text string")
+    rows = df.select(word_ngrams("text", 3).alias("g")).collect()
+    assert rows[0]["g"] == ["a b c", "b c d"]
+    assert rows[1]["g"] == []  # shorter than n
+    assert rows[2]["g"] == []
+
+
+def test_contamination_planted(spark):
+    bench = spark.createDataFrame([("the quick brown fox jumps",)], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "here is the quick brown fox again"),  # contains bench 3-grams
+            (2, "completely different words entirely here now"),
+            (3, "xy"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_flags(docs, bench, n=3, threshold=0.3).collect()
+    }
+    # doc 1's 5 distinct 3-grams include 'the quick brown' + 'quick brown fox'
+    assert out[1]["n_contaminated"] == 2
+    assert abs(out[1]["contam_ratio"] - 0.4) < 1e-12
+    assert out[1]["contaminated"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and out[3]["contam_ratio"] == 0.0
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "one two three four five"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_metrics(df).collect()}
+    # "a b a b..." has 7 2-grams, only 2 distinct ('a b','b a') → ratio 5/7.
+    assert rows[1]["n_2grams"] == 7
+    assert abs(rows[1]["dup_2gram_ratio"] - 5 / 7) < 1e-12
+    assert rows[2]["dup_2gram_ratio"] == 0.0 and rows[2]["dup_3gram_ratio"] == 0.0
+    assert rows[3]["n_2grams"] == 0 and rows[3]["dup_2gram_ratio"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    a = deterministic_stratified_sample(docs, {"en": 0.25, "de": 1.0})
+    b = deterministic_stratified_sample(docs, {"en": 0.25, "de": 1.0})
+    got_a = sorted(r["doc_id"] for r in a.collect())
+    got_b = sorted(r["doc_id"] for r in b.collect())
+    assert got_a == got_b  # bit-for-bit reproducible
+    n_en = sum(1 for i in got_a if i % 2 == 0)
+    n_de = sum(1 for i in got_a if i % 2 == 1)
+    assert n_de == 1000  # rate 1.0 keeps everything (9-hex threshold edge)
+    assert 150 <= n_en <= 350  # ~250 expected; md5 is uniform
+    # matches an independent python reference of the same rule
+    expect_en = {
+        i
+        for i in range(0, 2000, 2)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < 0.25 * 2**32
+    }
+    assert {i for i in got_a if i % 2 == 0} == expect_en
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "zz")], "doc_id long, lang string"
+    )
+    kept = deterministic_stratified_sample(docs, {"en": 1.0}).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_mix_rebalance_rates_hit_budget(spark):
+    # en weight 800, de weight 200; budget 0.5*1000=500; shares en .5 de .5
+    # → rate_en = min(1, 250/800)=0.3125, rate_de = min(1, 250/200)=1.0
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de", 10) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    rates = {
+        r["lang"]: r["rate"]
+        for r in mix_rebalance_rates(docs, {"en": 0.5, "de": 0.5}).collect()
+    }
+    assert abs(rates["en"] - 0.3125) < 1e-12
+    assert rates["de"] == 1.0
+    sampled = training_mix_sample(docs, {"en": 0.5, "de": 0.5})
+    langs = {r["lang"] for r in sampled.collect()}
+    assert "de" in langs  # rate-1.0 stratum fully present
+
+
+def test_pii_redaction_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 555-867-5309 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "[EMAIL]" in rows[1]["redacted_text"]
+    assert "[PHONE]" in rows[1]["redacted_text"]
+    assert "jo.doe" not in rows[1]["redacted_text"]
+    assert rows[2]["n_ipv4"] == 2 and "[IPV4]" in rows[2]["redacted_text"]
+    assert rows[3]["redacted_text"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0

@@ -69,6 +69,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "geo_distance_stats",
         "geo_nearest_site",
         "near_dup_clusters",
+        "decontaminate_corpus",
+        "repetition_metrics",
+        "training_mix_sample",
+        "pii_redaction",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
