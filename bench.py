@@ -107,9 +107,33 @@ def _simhash_signatures(signature):
 # spawn can't poison the JVM measurements. Each probe runs twice and reports
 # the min — these are steady-state throughput claims, and first-run worker
 # spawn / codegen costs at this size swamp the signal run-to-run.
+def _decontam_50k(spark, sf_dir):
+    """Decontamination throughput at 50k docs: word-3-gram explode into a
+    broadcast eval vocabulary with map-side partial agg — the corpus-side
+    pass is shuffle-free, so this should scale with scan width."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = max(docs.count(), 1)
+    copies = 50_000 // n
+    big = docs
+    for i in range(max(copies - 1, 0)):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
+        )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = contamination_flags(big, bench, n=3, threshold=0.2)
+    return flags.agg(
+        F.sum("n_contaminated").alias("chk"), F.count(F.lit(1)).alias("n")
+    )
+
+
 EXTRAS = {
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
+    "decontam_50k": _decontam_50k,
     "spatial_tag_regions_10x": _spatial_tag_regions_10x,
 }
 

@@ -24,16 +24,26 @@ from pyspark.sql import Column, DataFrame
 from ningaloo_turtle_etl_spark.operators.text import tokens
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Space-joined word n-grams as an array column; [] when the doc has
-    fewer than ``n`` tokens. Index arithmetic (1-based ``element_at`` over a
-    ``sequence``) rather than explode/re-group keeps it a single projection."""
-    toks = tokens(col)
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from a token-array column; [] when the doc
+    has fewer than ``n`` tokens. Index arithmetic (1-based ``element_at``
+    over a ``sequence``) rather than explode/re-group keeps it a single
+    projection. IMPORTANT: pass a *bound attribute* (a projected alias), not
+    the tokenizer expression — this column is referenced once per gram
+    inside the transform lambda, and an inlined tokenizer would re-split the
+    text O(tokens) times per doc (measured 5× on the 50k-doc bench probe)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """n-grams straight from a text column — fine for one-off expressions;
+    hot paths should project ``tokens(col)`` behind an alias and use
+    ``word_ngrams_from_tokens`` (see its docstring)."""
+    return word_ngrams_from_tokens(tokens(col), n)
 
 
 def benchmark_ngram_vocab(
@@ -43,7 +53,8 @@ def benchmark_ngram_vocab(
     Eval suites are MBs while corpora are TBs — this frame is the broadcast
     side of decontamination."""
     return (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        benchmark.select(tokens(text_col).alias("toks"))
+        .select(F.explode(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
         .distinct()
         .withColumn("is_bench", F.lit(True))
     )
@@ -66,9 +77,11 @@ def contamination_flags(
     exploded rows back to one (doc, count) row per doc before the only
     shuffle — whose width is the doc count, not the gram count.
     """
-    per_doc = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    # Two projections, not one: the alias boundaries keep the tokenizer and
+    # the gram builder from inlining into every downstream reference.
+    per_doc = docs.select(F.col(id_col), tokens(text_col).alias("toks")).select(
+        id_col,
+        F.array_distinct(word_ngrams_from_tokens(F.col("toks"), n)).alias("grams"),
     )
     vocab = benchmark_ngram_vocab(benchmark, text_col, n)
     exploded = per_doc.select(
@@ -97,9 +110,16 @@ def with_repetition_metrics(
     fraction of word n-grams that are repeats of an earlier occurrence
     (1 - distinct/total; 0.0 for docs too short to have any). High ratios
     mean boilerplate / template spam — a standard pre-training drop rule."""
-    out = df
+    # Tokens and each gram array go behind alias boundaries (projected
+    # columns referenced 2+ times stay materialized per row; inline
+    # expressions would re-tokenize per reference).
+    out = df.withColumn("_toks", tokens(text_col))
     for n in ns:
-        grams = word_ngrams(text_col, n)
+        out = out.withColumn(
+            f"_g{n}", word_ngrams_from_tokens(F.col("_toks"), n)
+        )
+    for n in ns:
+        grams = F.col(f"_g{n}")
         total = F.size(grams)
         dup = F.when(
             total > 0,
@@ -108,7 +128,7 @@ def with_repetition_metrics(
         out = out.withColumns(
             {f"n_{n}grams": total, f"dup_{n}gram_ratio": dup}
         )
-    return out
+    return out.drop("_toks", *[f"_g{n}" for n in ns])
 
 
 def _sample_hash(id_col: str) -> Column:

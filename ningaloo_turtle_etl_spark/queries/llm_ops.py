@@ -591,3 +591,45 @@ def pii_redaction(spark, sf_dir):
         "n_ipv4",
         F.substring(F.md5("redacted_text"), 1, 16).alias("redacted_fp"),
     )
+
+
+@register(
+    "near_dup_dedup",
+    rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars, list_distinct({_TOKENS}) AS sh
+        FROM documents WHERE doc_id < 150
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(anc) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM t d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR d.doc_id = c.component
+    """,
+)
+def near_dup_dedup(spark, sf_dir):
+    """The full near-dup dedup, end to end: Jaccard pair-finding →
+    connected components → keep one representative (min doc_id) per cluster,
+    singletons untouched. Completes the dedup story the pair queries start;
+    the oracle replays it as a recursive-CTE transitive closure."""
+    from ningaloo_turtle_etl_spark.operators.graph import cluster_representatives
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=1, threshold=0.5)
+    kept = cluster_representatives(docs, pairs)
+    return kept.select("doc_id", "lang", "n_chars")

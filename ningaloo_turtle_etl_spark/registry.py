@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "repetition_metrics",
     "training_mix_sample",
     "pii_redaction",
+    "near_dup_dedup",
 ]
 
 

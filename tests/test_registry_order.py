@@ -73,6 +73,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "repetition_metrics",
         "training_mix_sample",
         "pii_redaction",
+        "near_dup_dedup",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
