@@ -254,3 +254,66 @@ def with_pii_redaction(
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global prefix selection under a budget: order rows by
+    (``order_col``, ``id_col``), keep the prefix whose running ``weight_col``
+    sum stays within ``budget`` — "take the highest-quality docs until the
+    token budget is spent".
+
+    The naive form is ``SUM(w) OVER (ORDER BY ...)``, which Spark executes
+    as a single-partition window — the one-reducer bottleneck that dies at
+    100 TB. This is the distributed exact equivalent: range-repartition on
+    the sort key (cluster-wide sort, no single reducer), take per-partition
+    weight totals (one tiny agg — one row per partition — collected to the
+    driver), turn them into per-partition prefix offsets (broadcast), and
+    add a *within-partition* window cumsum to each row's offset. Identical
+    answer, and every stage is partition-parallel; driver state is
+    O(num_partitions), not O(rows).
+
+    The range-partitioned frame is eagerly localCheckpoint-ed because two
+    jobs read it (totals, then the filter) — without pinning, the second job
+    could re-sample different range boundaries and the offsets would lie.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    part = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: r["w"]
+        for r in part.groupBy("_pid").agg(F.sum(weight_col).alias("w")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df), on="_pid")
+        .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_offset"))
+        .filter(F.col("_cum") <= F.lit(int(budget)))
+        .drop("_pid", "_offset", "_cum")
+    )

@@ -633,3 +633,66 @@ def near_dup_dedup(spark, sf_dir):
     pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=1, threshold=0.5)
     kept = cluster_representatives(docs, pairs)
     return kept.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "quality_budget_select",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKENS} AS toks, length(text) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_chars, len(toks) AS n_words,
+               len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','a','in','is','it','that','was','for','on')))
+                   AS n_stop,
+               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+               greatest(
+                   len(list_filter(string_split_regex(
+                       regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+'),
+                       x -> x <> '')),
+                   CAST(ceil(length(text) / 4.0) AS INT)
+               ) AS n_tokens_est
+        FROM t
+    ), q AS (
+        SELECT doc_id, n_tokens_est,
+             (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE)/n_words > 0.05
+                   THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2
+                   THEN 1.0 ELSE 0.3 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+                   THEN 1.0 ELSE 0.5 END) AS quality_score
+        FROM m
+    ), c AS (
+        SELECT doc_id, n_tokens_est, quality_score,
+               SUM(n_tokens_est) OVER (ORDER BY quality_score DESC, doc_id) AS cum
+        FROM q
+    )
+    SELECT doc_id, n_tokens_est, ROUND(quality_score, 6) AS quality_score
+    FROM c WHERE cum <= 15000
+    """,
+)
+def quality_budget_select(spark, sf_dir):
+    """Token-budget curation: keep the highest-quality docs until a 15k
+    estimated-token budget is spent — exact global prefix selection WITHOUT
+    the single-reducer global window the oracle's ``SUM() OVER (ORDER BY)``
+    implies. budget_select range-partitions on the sort key, turns
+    per-partition totals (one row per partition) into broadcast prefix
+    offsets, and adds a within-partition cumsum — identical answer,
+    partition-parallel at any scale."""
+    from ningaloo_turtle_etl_spark.operators.curation import budget_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = with_quality_score(with_token_counts(docs))
+    sel = budget_select(
+        scored,
+        budget=15000,
+        weight_col="n_tokens_est",
+        order_col="quality_score",
+        id_col="doc_id",
+        num_partitions=8,
+    )
+    return sel.select(
+        "doc_id", "n_tokens_est", F.round("quality_score", 6).alias("quality_score")
+    )

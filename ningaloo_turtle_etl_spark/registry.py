@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "training_mix_sample",
     "pii_redaction",
     "near_dup_dedup",
+    "quality_budget_select",
 ]
 
 

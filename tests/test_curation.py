@@ -127,3 +127,44 @@ def test_pii_redaction_planted(spark):
     assert rows[2]["n_ipv4"] == 2 and "[IPV4]" in rows[2]["redacted_text"]
     assert rows[3]["redacted_text"] == "nothing sensitive here"
     assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+
+
+def test_budget_select_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 50), round(rng.random(), 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, q double")
+    from ningaloo_turtle_etl_spark.operators.curation import budget_select
+
+    got = sorted(
+        r["doc_id"]
+        for r in budget_select(
+            df, budget=2000, weight_col="w", order_col="q", num_partitions=7
+        ).collect()
+    )
+    # python reference: sort by (q desc, id), prefix while cum <= budget
+    expect, cum = [], 0
+    for i, w, q in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += w
+        if cum > 2000:
+            break
+        expect.append(i)
+    assert got == sorted(expect)
+    assert 0 < len(got) < 400
+
+
+def test_budget_select_boundary_and_ascending(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 4.0), (3, 10, 3.0)], "doc_id long, w long, q double"
+    )
+    from ningaloo_turtle_etl_spark.operators.curation import budget_select
+
+    # budget exactly covers two rows; third row crosses and is cut
+    got = {r["doc_id"] for r in budget_select(df, 20, "w", "q").collect()}
+    assert got == {1, 2}
+    # ascending order flips the kept prefix
+    got_asc = {
+        r["doc_id"] for r in budget_select(df, 20, "w", "q", descending=False).collect()
+    }
+    assert got_asc == {3, 2}
