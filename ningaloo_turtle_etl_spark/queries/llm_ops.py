@@ -696,3 +696,104 @@ def quality_budget_select(spark, sf_dir):
     return sel.select(
         "doc_id", "n_tokens_est", F.round("quality_score", 6).alias("quality_score")
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    rf"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars, lower(text) AS text FROM documents
+    ),
+    dedup AS (
+        SELECT doc_id, lang, n_chars, text FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY substr(md5({_NORM}), 1, 16)
+                ORDER BY doc_id) AS rn
+            FROM base) WHERE rn = 1
+    ),
+    btok AS (SELECT doc_id, {_TOKENS} AS toks FROM base),
+    bench AS (
+        SELECT DISTINCT unnest(list_distinct({_G3})) AS gram
+        FROM btok WHERE doc_id % 97 = 0
+    ),
+    bv AS (SELECT COALESCE(list(gram), []) AS bench_grams FROM bench),
+    ctok AS (
+        SELECT doc_id, lang, n_chars, {_TOKENS} AS toks
+        FROM dedup WHERE doc_id % 97 <> 0
+    ),
+    feat AS (
+        SELECT doc_id, lang, n_chars, len(toks) AS n_words,
+               {_G2} AS g2, list_distinct({_G3}) AS g3d
+        FROM ctok
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars, n_words,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                               / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END AS dup2,
+               CASE WHEN len(g3d) > 0
+                    THEN CAST(len(list_intersect(g3d, bv.bench_grams)) AS DOUBLE)
+                         / CAST(len(g3d) AS DOUBLE)
+                    ELSE 0.0 END AS contam
+        FROM feat, bv
+    ),
+    gated AS (
+        SELECT doc_id, lang, n_chars FROM scored
+        WHERE n_words >= 5 AND dup2 < 0.5 AND contam < 0.2
+    ),
+    per AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w FROM gated GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tw FROM gated),
+    rates AS (
+        SELECT lang,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(0.5 AS DOUBLE) *
+                      CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                                WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                                WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                                WHEN 'es' THEN CAST(0.2 AS DOUBLE) END)
+                     * (tw / w)) AS rate
+        FROM per, tot
+        WHERE lang IN ('en', 'de', 'fr', 'es')
+    )
+    SELECT g.doc_id, g.lang, g.n_chars
+    FROM gated g JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                       8, '0'))
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full curation chain as ONE lazy plan: exact dedup (zero-body
+    shuffle) → repetition + length gate → benchmark-decontamination gate
+    (broadcast eval vocab) → deterministic 40/20/20/20 mix sample within a
+    half-corpus budget, rates derived from the GATED corpus (the plan's own
+    tiny agg). Every stage is the same operator its standalone query
+    registers; the oracle replays the whole composition in SQL."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        contamination_flags,
+        training_mix_sample as mix,
+        with_repetition_metrics,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = exact_dedup_semi(docs).filter(F.col("doc_id") % 97 != 0)
+    rep = with_repetition_metrics(with_token_counts(corpus))
+    flags = contamination_flags(
+        corpus.select("doc_id", "text"), bench, n=3
+    ).select("doc_id", "contam_ratio")
+    gated = (
+        rep.join(flags, on="doc_id")
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("dup_2gram_ratio") < 0.5)
+            & (F.col("contam_ratio") < 0.2)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+    shares = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
+    return mix(gated, shares, budget_fraction=0.5).select("doc_id", "lang", "n_chars")

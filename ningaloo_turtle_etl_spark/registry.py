@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "pii_redaction",
     "near_dup_dedup",
     "quality_budget_select",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -98,3 +98,37 @@ def test_aggregations_are_codegen_hash_agg(spark, name):
     # plan format (the literal "WholeStageCodegen" only appears pre-AQE).
     assert "*(" in plan
     assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_decontaminate_corpus_broadcasts_vocab_no_corpus_shuffle_join(spark):
+    plan = plan_of(spark, "decontaminate_corpus")
+    # eval vocabulary is the broadcast side; the corpus join never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial agg collapses exploded grams before the only corpus exchange
+    assert "partial_count" in plan
+
+
+def test_repetition_metrics_is_map_only(spark):
+    plan = plan_of(spark, "repetition_metrics")
+    assert "Exchange" not in plan  # pure projection fused with the scan
+
+
+def test_training_mix_sample_broadcasts_rates(spark):
+    plan = plan_of(spark, "training_mix_sample")
+    # rates dim joins via broadcast; the only exchanges build the tiny agg
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    plan = plan_of(spark, "pii_redaction")
+    assert "Exchange" not in plan
+
+
+def test_quality_budget_select_no_single_partition_window(spark):
+    plan = plan_of(spark, "quality_budget_select")
+    # the scale hazard this operator exists to avoid: a global-order window
+    # (empty partitionBy → SinglePartition exchange)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # within-partition cumsum survives

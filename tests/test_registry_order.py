@@ -75,6 +75,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "pii_redaction",
         "near_dup_dedup",
         "quality_budget_select",
+        "corpus_curation_pipeline",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
