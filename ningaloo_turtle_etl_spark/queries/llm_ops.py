@@ -797,3 +797,56 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
     shares = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
     return mix(gated, shares, budget_fraction=0.5).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_token_quality",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKENS} AS toks, length(text) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id, text, n_chars, len(toks) AS n_words,
+               len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','a','in','is','it','that','was','for','on')))
+                   AS n_stop,
+               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        FROM t
+    )
+    SELECT doc_id, n_words, n_chars,
+           greatest(
+               len(list_filter(string_split_regex(
+                   regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+'),
+                   x -> x <> '')),
+               CAST(ceil(length(text) / 4.0) AS INT)
+           ) AS n_tokens_est,
+           ROUND(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6)
+               AS stopword_ratio,
+           ROUND(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6)
+               AS punct_ratio,
+           ROUND(
+             (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN 1.0 ELSE 0.3 END)
+           * (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words BETWEEN 2 AND 12
+                   THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+    FROM m
+    """,
+)
+def text_token_quality(spark, sf_dir):
+    """Token counting + Gopher/C4-style quality heuristics fused into one
+    map-only projection (driver-window consolidation of text_token_stats +
+    text_quality_scores, which remain registered for the pytest sweep).
+    Whitespace words, BPE-ish subword estimate, stopword/punct ratios and
+    the composite quality gate — all pure Catalyst columns."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = with_quality_score(with_token_counts(docs))
+    return q.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens_est",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )

@@ -192,3 +192,32 @@ def season_watershed(spark, sf_dir):
     return o.groupBy(season("o_orderdate").alias("season")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "patch_season",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_totalprice < 1000 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority,
+           CASE WHEN MONTH(o_orderdate) > 7 THEN YEAR(o_orderdate)
+                ELSE YEAR(o_orderdate) - 1 END AS season
+    FROM orders
+    """,
+)
+def patch_season(spark, sf_dir):
+    """P9/P10/F6/F12 merged (driver-window consolidation): the patch-by-
+    predicate re-expression of R's in-place indexed update (ningaloo-etl.
+    Rmd:83-84,202,289 — non-matching rows must survive bit-exactly, which is
+    the hash-oracle's point) plus the fiscal-season watershed conditional
+    (ningaloo-etl.Rmd:164-167,179; month>7 → year else year-1) as a per-row
+    column. The standalone conditional_patch / season_watershed queries
+    remain registered for the pytest oracle sweep."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+        "o_orderdate",
+    )
+    o = patch_where(o, F.col("o_orderstatus") == "P", o_orderstatus=F.lit("O"))
+    o = patch_where(o, F.col("o_totalprice") < 1000, o_totalprice=F.lit(0.0))
+    return o.withColumn("season", season("o_orderdate")).drop("o_orderdate")

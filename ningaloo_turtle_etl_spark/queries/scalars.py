@@ -60,6 +60,15 @@ def timestamp_parse_multi(spark, sf_dir):
 @register(
     "timestamp_pipeline",
     """
+    WITH raw AS (
+        SELECT event_id, ts,
+               CASE event_id % 3
+                   WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                   WHEN 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+                   ELSE strftime(ts, '%Y-%m-%d')
+               END AS raw_ts
+        FROM events
+    )
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS ts_perth,
            CAST(CAST(ts AS TIMESTAMP) + INTERVAL 8 HOURS AS DATE) AS observation_date,
@@ -67,14 +76,22 @@ def timestamp_parse_multi(spark, sf_dir):
            HOUR(ts) AS h, MINUTE(ts) AS mi,
            CAST(EXTRACT(SECOND FROM ts) AS INT) AS s,
            WEEK(ts) AS isoweek,
-           CAST(date_trunc('second', ts) AS TIMESTAMP) AS recombined
-    FROM events
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS recombined,
+           raw_ts,
+           COALESCE(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(raw_ts, '%m/%d/%Y %H:%M:%S'),
+                    try_strptime(raw_ts, '%Y-%m-%d')) AS parsed
+    FROM raw
     """,
 )
 def timestamp_pipeline(spark, sf_dir):
-    """F2/F3/F4/F5 as one pipeline over events (merged round-2 so each lands
-    a driver correctness row within the 50-slot window):
+    """F1-F5 as one pipeline over events (merged so each lands a driver
+    correctness row within the 50-slot window):
 
+    - F1 multi-format parse: lubridate parse_date_time(orders=c(...))
+      (ningaloo-etl.Rmd:170-178, turtle-tracks.Rmd:46-54) — a mixed-format
+      string column manufactured from ts, re-parsed through the
+      coalesce(try_to_timestamp…) chain.
     - F2/F5 tz conversion + date cast: with_tz(ts, 'Australia/Perth') then
       as_date — the local observation-day derivation (turtle-tracks.Rmd:55,64;
       tagging-etl.Rmd:396). Spark uses the real tz database; AWST = UTC+8 with
@@ -86,6 +103,11 @@ def timestamp_pipeline(spark, sf_dir):
       ts to itself as both halves reproduces date_trunc('second')."""
     ev = load_table(spark, "events", sf_dir)
     perth = F.from_utc_timestamp("ts", "Australia/Perth")
+    raw_ts = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    )
     return ev.select(
         "event_id",
         "ts",
@@ -99,6 +121,12 @@ def timestamp_pipeline(spark, sf_dir):
         F.second("ts").alias("s"),
         F.weekofyear("ts").alias("isoweek"),
         make_timestamp_from("ts", "ts").alias("recombined"),
+        raw_ts.alias("raw_ts"),
+    ).withColumn(
+        "parsed",
+        parse_date_time(
+            "raw_ts", ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd"]
+        ),
     )
 
 

@@ -37,6 +37,14 @@ def test_critical_components_inside_driver_window():
         "dedup_exact",
         "multimodal_image_features",
         "embedding_near_dup_pairs",
+        # curation family (round-2): graded first-class, must hold driver rows
+        "corpus_curation_pipeline",
+        "quality_budget_select",
+        "pii_redaction",
+        "text_token_quality",
+        # merged twins that carry F1-F6/P9/P10/F12 coverage
+        "timestamp_pipeline",
+        "patch_season",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -72,10 +80,15 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "decontaminate_corpus",
         "repetition_metrics",
         "training_mix_sample",
-        "pii_redaction",
         "near_dup_dedup",
-        "quality_budget_select",
-        "corpus_curation_pipeline",
+        # displaced by window consolidation; their merged twins (see
+        # text_token_quality / patch_season / timestamp_pipeline) hold the
+        # driver rows for the same components
+        "text_token_stats",
+        "text_quality_scores",
+        "conditional_patch",
+        "season_watershed",
+        "timestamp_parse_multi",
     }
     assert set(beyond) <= allowed
     # Anything out-of-window with an oracle still gets swept by pytest.
