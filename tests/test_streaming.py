@@ -162,3 +162,44 @@ def test_watermark_append_mode_emits_closed_windows(spark, events_stream_dir):
         .count()
     )
     assert 0 < emitted < total  # closed windows out, open tail retained
+
+
+def test_streaming_curation_gate_matches_batch(spark, tmp_path):
+    """The curation gate (quality + repetition + PII) is stateless, so the
+    identical plan must produce identical rows in batch and as an
+    append-mode stream over the same feed."""
+    import shutil
+
+    from ningaloo_turtle_etl_spark.streaming.curation import curation_gate
+    from ningaloo_turtle_etl_spark.streaming.tallies import read_stream_dir
+
+    d = tmp_path / "docfeed"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+
+    batch = load_table(spark, "documents", SF_DIR)
+    expected = {
+        r["doc_id"]: (r["quality_score"], r["n_email"], r["redacted_fp"])
+        for r in curation_gate(batch).collect()
+    }
+    assert expected  # the gate keeps a non-trivial subset
+
+    stream = read_stream_dir(
+        spark,
+        str(d),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = (
+        curation_gate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_gate_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["quality_score"], r["n_email"], r["redacted_fp"])
+        for r in spark.sql("SELECT * FROM curation_gate_test").collect()
+    }
+    assert got == expected
