@@ -130,12 +130,35 @@ def _decontam_50k(spark, sf_dir):
     )
 
 
+def _connected_components_100k(spark, sf_dir):
+    """Connected components over 100k nodes in 3,125 diameter-31 chains —
+    the worst case for label propagation. Pointer jumping should close it in
+    ~log2(31) rounds; wall-clock here is iterative join+checkpoint overhead,
+    the cost that dominates CC at any scale."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+
+    base = spark.range(100_000, numPartitions=8)
+    edges = base.filter((F.col("id") + 1) % 32 != 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(edges)
+    return comp.agg(F.sum("component").alias("chk"), F.count(F.lit(1)).alias("n"))
+
+
 EXTRAS = {
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
     "decontam_50k": _decontam_50k,
+    "connected_components_100k": _connected_components_100k,
     "spatial_tag_regions_10x": _spatial_tag_regions_10x,
 }
+
+# Probes whose operator executes eagerly inside the builder (iterative
+# algorithms driving their own jobs): time fn()+collect, not collect alone —
+# a collect-only clock would miss all the work.
+EAGER_EXTRAS = {"connected_components_100k"}
 
 
 def main() -> None:
@@ -174,9 +197,13 @@ def main() -> None:
         for _ in range(2):
             gc.collect()
             spark._jvm.System.gc()
-            df = fn(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.collect()
+            if name in EAGER_EXTRAS:
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+            else:
+                df = fn(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.collect()
             runs.append(time.perf_counter() - t0)
         extras[name] = round(min(runs), 3)
 

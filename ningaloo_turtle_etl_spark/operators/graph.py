@@ -54,31 +54,31 @@ def connected_components(
                 neighbor_min, labels.id == neighbor_min.src, "left"
             ).select(
                 "id",
+                F.col("component").alias("old"),
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+                ).alias("mid"),
             )
             # Pointer jump: component ← component(component). Every label is
             # itself a node id, so the self-join shortcuts chains, doubling
             # effective propagation distance per round.
             lookup = stepped.select(
-                F.col("id").alias("cid"), F.col("component").alias("cc")
+                F.col("id").alias("cid"), F.col("mid").alias("cc")
             )
+            jumped = F.coalesce("cc", F.col("mid"))
+            # The old label rides along so convergence is a filter on the
+            # checkpointed frame, not another join job per round.
             new_labels = (
-                stepped.join(lookup, stepped.component == lookup.cid, "left")
+                stepped.join(lookup, stepped.mid == lookup.cid, "left")
                 .select(
-                    "id", F.coalesce("cc", F.col("component")).alias("component")
+                    "id",
+                    jumped.alias("component"),
+                    (jumped != F.col("old")).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter("chg").limit(1).count()
+            labels = new_labels.select("id", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(

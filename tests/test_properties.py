@@ -148,3 +148,65 @@ def test_range_join_matches_naive_filter(spark, lrows, ivals, dur_hours):
         if ik == k and s <= t < e
     )
     assert got == naive
+
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=0, max_size=30), min_size=1, max_size=40))
+def test_word_ngrams_and_repetition_match_python(spark, docs):
+    """word_ngrams and duplicate-n-gram ratios agree with a direct python
+    reference over arbitrary token soups (empty docs, short docs, heavy
+    repeats)."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        with_repetition_metrics,
+        word_ngrams,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams("text", 2).alias("g")).collect()
+    }
+    got_rep = {
+        r["doc_id"]: (r["n_2grams"], r["dup_2gram_ratio"])
+        for r in with_repetition_metrics(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        ref = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        assert got_grams[i] == ref
+        n, dup = got_rep[i]
+        assert n == len(ref)
+        ref_dup = 1.0 - len(set(ref)) / len(ref) if ref else 0.0
+        assert abs(dup - ref_dup) < 1e-12
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_deterministic_sample_matches_md5_rule(spark, ids, rate):
+    """The sampling rule is exactly 'md5 32-bit prefix < rate * 2^32' for
+    every id and any rate, including the 0.0 and 1.0 edges."""
+    import hashlib
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        deterministic_stratified_sample,
+    )
+
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, lang string")
+    kept = {
+        r["doc_id"]
+        for r in deterministic_stratified_sample(df, {"x": rate}).collect()
+    }
+    expect = {
+        i
+        for i in ids
+        if rate >= 1.0
+        or int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        < int(rate * 4294967296.0)
+    }
+    assert kept == expect
