@@ -850,3 +850,58 @@ def text_token_quality(spark, sf_dir):
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("quality_score", 6).alias("quality_score"),
     )
+
+
+@register(
+    "dedup_audit",
+    rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars, list_distinct({_TOKENS}) AS sh
+        FROM documents WHERE doc_id < 150
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(anc) AS component FROM reach GROUP BY id)
+    SELECT c.component,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN d.doc_id = c.component THEN 0 ELSE d.n_chars END)
+                AS BIGINT) AS chars_removed
+    FROM comp c JOIN t d ON c.id = d.doc_id
+    GROUP BY c.component
+    """,
+)
+def dedup_audit(spark, sf_dir):
+    """Dedup observability: per near-dup cluster, how many docs collapse and
+    how many chars the collapse removes — the audit table a curation run
+    ships alongside its output (what got deleted and why is the first
+    question asked of any dedup job)."""
+    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=1, threshold=0.5)
+    comp = connected_components(pairs)
+    labeled = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), on="id"
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(
+            F.when(F.col("id") == F.col("component"), 0).otherwise(F.col("n_chars"))
+        ).alias("chars_removed"),
+    )

@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "repetition_metrics",
     "training_mix_sample",
     "near_dup_dedup",
+    "dedup_audit",
 ]
 
 

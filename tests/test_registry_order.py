@@ -81,6 +81,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "repetition_metrics",
         "training_mix_sample",
         "near_dup_dedup",
+        "dedup_audit",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
