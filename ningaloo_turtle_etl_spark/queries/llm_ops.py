@@ -783,16 +783,15 @@ def corpus_curation_pipeline(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = exact_dedup_semi(docs).filter(F.col("doc_id") % 97 != 0)
     rep = with_repetition_metrics(with_token_counts(corpus))
+    # Map-only gates run BEFORE the contamination join-back, so the only
+    # row-keyed shuffle in the plan carries gate survivors, not the corpus.
+    pre = rep.filter((F.col("n_words") >= 5) & (F.col("dup_2gram_ratio") < 0.5))
     flags = contamination_flags(
-        corpus.select("doc_id", "text"), bench, n=3
+        pre.select("doc_id", "text"), bench, n=3
     ).select("doc_id", "contam_ratio")
     gated = (
-        rep.join(flags, on="doc_id")
-        .filter(
-            (F.col("n_words") >= 5)
-            & (F.col("dup_2gram_ratio") < 0.5)
-            & (F.col("contam_ratio") < 0.2)
-        )
+        pre.join(flags, on="doc_id")
+        .filter(F.col("contam_ratio") < 0.2)
         .select("doc_id", "lang", "n_chars")
     )
     shares = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
