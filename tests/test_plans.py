@@ -132,3 +132,11 @@ def test_quality_budget_select_no_single_partition_window(spark):
     # (empty partitionBy → SinglePartition exchange)
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan  # within-partition cumsum survives
+
+
+def test_text_token_quality_prunes_scan_to_two_columns(spark):
+    plan = plan_of(spark, "text_token_quality")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+    assert "Exchange" not in plan  # fused map-only projection
