@@ -317,3 +317,73 @@ def budget_select(
         .filter(F.col("_cum") <= F.lit(int(budget)))
         .drop("_pid", "_offset", "_cum")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Split each document into consecutive ≤``max_tokens`` token chunks —
+    the context-window pre-chunking step of LLM training prep. One map-only
+    pass: tokens behind an alias boundary, chunk index exploded from a
+    ``sequence``, each chunk cut with ``slice``. Docs with no tokens produce
+    no chunks. Output grain: one row per (doc, chunk_id)."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(max_tokens)).cast("int")
+    exploded = toks_df.select(
+        id_col,
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * max_tokens + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    weight_col: str,
+    bin_capacity: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic distributed sequence packing: assign items to
+    ~``bin_capacity``-weight bins. Items hash (md5, engine-portable) into
+    ``num_buckets`` independent buckets; within a bucket a cumulative sum in
+    ``id_col`` order bins items at capacity boundaries. Parallelism comes
+    from the buckets (each bucket is one window partition — no global
+    window); determinism from the hash + id order. Streaming-pack tradeoff:
+    an item that straddles a boundary overflows its bin rather than
+    splitting — bins can exceed capacity by at most one item's weight.
+    Output adds ``bucket``, ``bin_id``, ``bin_pos``."""
+    from pyspark.sql.window import Window
+
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % num_buckets
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_bucket = df.withColumn("bucket", bucket)
+    cum = F.sum(weight_col).over(w)
+    return with_bucket.withColumns(
+        {
+            "bin_id": F.floor((cum - F.col(weight_col)) / F.lit(bin_capacity)).cast(
+                "int"
+            ),
+            "bin_pos": (cum - F.col(weight_col)).cast("long"),
+        }
+    )

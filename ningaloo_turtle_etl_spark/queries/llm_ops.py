@@ -904,3 +904,75 @@ def dedup_audit(spark, sf_dir):
             F.when(F.col("id") == F.col("component"), 0).otherwise(F.col("n_chars"))
         ).alias("chars_removed"),
     )
+
+
+@register(
+    "doc_chunks",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    e AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(ceil(n / 64.0) AS INT))) AS chunk_id
+        FROM nz
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(list_slice(toks, chunk_id * 64 + 1,
+                          least((chunk_id + 1) * 64, n))) AS n_chunk_tokens,
+           substr(md5(array_to_string(
+               list_slice(toks, chunk_id * 64 + 1,
+                          least((chunk_id + 1) * 64, n)), ' ')), 1, 16)
+               AS chunk_fp
+    FROM e
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking: each doc split into consecutive ≤64-token
+    chunks (one row per chunk, fingerprint instead of text so the harness
+    hashes compactly) — the pre-training sharding step. Map-only:
+    sequence+slice inside one projection, no shuffle."""
+    from ningaloo_turtle_etl_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    ch = chunk_documents(docs, max_tokens=64)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_fp"),
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 16 AS bucket
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, bucket, n_chars,
+               SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+        FROM b
+    )
+    SELECT doc_id, bucket,
+           CAST(floor((cum - n_chars) / 2000.0) AS INT) AS bin_id,
+           CAST(cum - n_chars AS BIGINT) AS bin_pos
+    FROM c
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Deterministic distributed sequence packing: docs hash into 16
+    buckets (window partitions — no single-partition window), a
+    within-bucket cumsum bins them at ~2000-char capacity boundaries.
+    The batch-building step of training prep, reproducible under retries;
+    the straddle-overflow rule is pinned in tests/test_curation.py."""
+    from ningaloo_turtle_etl_spark.operators.curation import pack_chunks
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    packed = pack_chunks(docs, "n_chars", bin_capacity=2000, num_buckets=16)
+    return packed.select("doc_id", "bucket", "bin_id", "bin_pos")

@@ -119,6 +119,8 @@ PRIORITY: list[str] = [
     "training_mix_sample",
     "near_dup_dedup",
     "dedup_audit",
+    "doc_chunks",
+    "sequence_packing",
 ]
 
 

@@ -168,3 +168,43 @@ def test_budget_select_boundary_and_ascending(spark):
         r["doc_id"] for r in budget_select(df, 20, "w", "q", descending=False).collect()
     }
     assert got_asc == {3, 2}
+
+
+def test_chunk_documents_shapes_and_roundtrip(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, max_tokens=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [4, 4, 2]
+    # chunks reassemble to the original token stream
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    )
+    assert joined == " ".join(f"t{i}" for i in range(10))
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty doc yields no chunks
+
+
+def test_pack_chunks_bins_and_determinism(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1, 5)], "doc_id long, w long"
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_pos"])
+        for r in pack_chunks(df, "w", bin_capacity=25, num_buckets=1).collect()
+    }
+    # cumsum-exclusive 0,10,20,30 → bins 0,0,0,1 (overflow-at-boundary rule)
+    assert got == {1: (0, 0), 2: (0, 10), 3: (0, 20), 4: (1, 30)}
+    again = {
+        r["doc_id"]: (r["bin_id"], r["bin_pos"])
+        for r in pack_chunks(df, "w", bin_capacity=25, num_buckets=1).collect()
+    }
+    assert got == again

@@ -82,6 +82,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "training_mix_sample",
         "near_dup_dedup",
         "dedup_audit",
+        "doc_chunks",
+        "sequence_packing",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
