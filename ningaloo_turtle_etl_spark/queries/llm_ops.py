@@ -976,3 +976,60 @@ def sequence_packing(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     packed = pack_chunks(docs, "n_chars", bin_capacity=2000, num_buckets=16)
     return packed.select("doc_id", "bucket", "bin_id", "bin_pos")
+
+
+@register(
+    "packed_chunk_batches",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    e AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(ceil(n / 64.0) AS INT))) AS chunk_id
+        FROM nz
+    ),
+    ch AS (
+        SELECT doc_id * 16 + chunk_id AS chunk_key,
+               len(list_slice(toks, chunk_id * 64 + 1,
+                              least((chunk_id + 1) * 64, n))) AS n_chunk_tokens
+        FROM e
+    ),
+    b AS (
+        SELECT chunk_key, n_chunk_tokens,
+               CAST(concat('0x', substr(md5(CAST(chunk_key AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 16 AS bucket
+        FROM ch
+    ),
+    c AS (
+        SELECT chunk_key, n_chunk_tokens, bucket,
+               SUM(n_chunk_tokens) OVER (PARTITION BY bucket ORDER BY chunk_key)
+                   AS cum
+        FROM b
+    )
+    SELECT chunk_key, bucket,
+           CAST(floor((cum - n_chunk_tokens) / 256.0) AS INT) AS bin_id,
+           n_chunk_tokens
+    FROM c
+    """,
+)
+def packed_chunk_batches(spark, sf_dir):
+    """Chunk → pack, composed: docs split into ≤64-token chunks, chunks
+    packed into ~256-token training batches (md5-bucketed cumsum bins).
+    The full batch-building path of LLM data prep as one lazy plan — the
+    only shuffle is the 16-partition window for binning."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    ch = chunk_documents(docs, max_tokens=64).select(
+        (F.col("doc_id") * 16 + F.col("chunk_id")).alias("chunk_key"),
+        "n_chunk_tokens",
+    )
+    packed = pack_chunks(
+        ch, "n_chunk_tokens", bin_capacity=256, id_col="chunk_key", num_buckets=16
+    )
+    return packed.select("chunk_key", "bucket", "bin_id", "n_chunk_tokens")

@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "dedup_audit",
     "doc_chunks",
     "sequence_packing",
+    "packed_chunk_batches",
 ]
 
 
