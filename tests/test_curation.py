@@ -208,3 +208,12 @@ def test_pack_chunks_bins_and_determinism(spark):
         for r in pack_chunks(df, "w", bin_capacity=25, num_buckets=1).collect()
     }
     assert got == again
+
+
+def test_contamination_empty_benchmark(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import contamination_flags
+
+    bench = spark.createDataFrame([], "text string")
+    docs = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    rows = contamination_flags(docs, bench, n=2).collect()
+    assert rows[0]["n_contaminated"] == 0 and not rows[0]["contaminated"]
