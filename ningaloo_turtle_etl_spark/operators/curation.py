@@ -324,16 +324,28 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_tokens: int = 64,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document into consecutive ≤``max_tokens`` token chunks —
-    the context-window pre-chunking step of LLM training prep. One map-only
-    pass: tokens behind an alias boundary, chunk index exploded from a
-    ``sequence``, each chunk cut with ``slice``. Docs with no tokens produce
-    no chunks. Output grain: one row per (doc, chunk_id)."""
+    """Split each document into ≤``max_tokens`` token chunks — the
+    context-window pre-chunking step of LLM training prep. ``stride``
+    (default ``max_tokens``: disjoint chunks) sets the distance between
+    chunk starts; ``stride < max_tokens`` yields overlapping sliding
+    windows (long-context training convention: chunk i starts at
+    ``i*stride``, so consecutive chunks share ``max_tokens - stride``
+    tokens). One map-only pass: tokens behind an alias boundary, chunk
+    index exploded from a ``sequence``, each chunk cut with ``slice``.
+    Docs with no tokens produce no chunks. Output grain: one row per
+    (doc, chunk_id)."""
+    if stride is None:
+        stride = max_tokens
+    if not 0 < stride <= max_tokens:
+        raise ValueError(f"stride must be in (0, max_tokens]; got {stride}")
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") > 0
     )
-    n_chunks = F.ceil(F.size("toks") / F.lit(max_tokens)).cast("int")
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens — i.e.
+    # ceil(n/stride) chunks; the final ones are shorter than max_tokens.
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
     exploded = toks_df.select(
         id_col,
         "toks",
@@ -341,7 +353,7 @@ def chunk_documents(
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
     )
     chunk = F.slice(
-        F.col("toks"), F.col("chunk_id") * max_tokens + 1, max_tokens
+        F.col("toks"), F.col("chunk_id") * stride + 1, max_tokens
     )
     return exploded.select(
         id_col,

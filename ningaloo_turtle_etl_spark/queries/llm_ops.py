@@ -1033,3 +1033,48 @@ def packed_chunk_batches(spark, sf_dir):
         ch, "n_chunk_tokens", bin_capacity=256, id_col="chunk_key", num_buckets=16
     )
     return packed.select("chunk_key", "bucket", "bin_id", "n_chunk_tokens")
+
+
+@register(
+    "chunk_dedup",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    e AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(ceil(n / 32.0) AS INT))) AS chunk_id
+        FROM nz
+    ),
+    ch AS (
+        SELECT doc_id * 64 + chunk_id AS chunk_key,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * 32 + 1,
+                              least((chunk_id + 1) * 32, n)), ' ')) AS fp
+        FROM e
+    )
+    SELECT chunk_key, substr(fp, 1, 16) AS chunk_fp
+    FROM (SELECT chunk_key, fp,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY chunk_key) AS rn
+          FROM ch)
+    WHERE rn = 1
+    """,
+)
+def chunk_dedup(spark, sf_dir):
+    """Chunk-granularity exact dedup: identical ≤32-token chunks collapse to
+    the lowest chunk_key — the boilerplate-paragraph form of dedup that
+    doc-level fingerprints miss (repeated headers/footers across distinct
+    docs). Same zero-body-shuffle shape as dedup_exact: only
+    (fingerprint, key) pairs shuffle to elect keepers."""
+    from ningaloo_turtle_etl_spark.operators.curation import chunk_documents
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    ch = chunk_documents(docs, max_tokens=32).select(
+        (F.col("doc_id") * 64 + F.col("chunk_id")).alias("chunk_key"),
+        F.md5("chunk_text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("chunk_key")
+    kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.select("chunk_key", F.substring("fp", 1, 16).alias("chunk_fp"))

@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "doc_chunks",
     "sequence_packing",
     "packed_chunk_batches",
+    "chunk_dedup",
 ]
 
 

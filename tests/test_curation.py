@@ -217,3 +217,27 @@ def test_contamination_empty_benchmark(spark):
     docs = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
     rows = contamination_flags(docs, bench, n=2).collect()
     assert rows[0]["n_contaminated"] == 0 and not rows[0]["contaminated"]
+
+
+def test_chunk_documents_sliding_windows(spark):
+    import pytest as _pytest
+
+    from ningaloo_turtle_etl_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, max_tokens=4, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,2,4,6,8 → windows of 4 (last ones truncated)
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+        "t8 t9",
+    ]
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_tokens=4, stride=5)
