@@ -1078,3 +1078,43 @@ def chunk_dedup(spark, sf_dir):
     w = Window.partitionBy("fp").orderBy("chunk_key")
     kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.select("chunk_key", F.substring("fp", 1, 16).alias("chunk_fp"))
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS l2
+        FROM embeddings
+    )
+    SELECT COUNT(*) AS n_vectors,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(MAX(l2), 6) AS max_norm,
+           ROUND(AVG(l2), 6) AS avg_norm,
+           CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM n
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Embedding-column hygiene profile: L2-norm distribution + zero-vector
+    count — the sanity pass before any cosine math (zero vectors NaN-poison
+    cosine similarity). Norms via a JVM-side F.aggregate fold over the float
+    array; one map pass + one scalar agg."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    n = emb.select(l2.alias("l2"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+        F.round(F.avg("l2"), 6).alias("avg_norm"),
+        F.sum(F.when(F.col("l2") == 0, 1).otherwise(0)).alias("n_zero"),
+    )

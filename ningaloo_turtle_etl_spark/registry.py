@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "sequence_packing",
     "packed_chunk_batches",
     "chunk_dedup",
+    "embedding_norm_stats",
 ]
 
 
