@@ -256,6 +256,123 @@ def with_pii_redaction(
     return out.withColumn(out_col, red)
 
 
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2), with a
+    64-bit floor so the bitmap is always at least one word."""
+    import math
+
+    n = max(1, int(n_items))
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def build_bloom_words(hashes, m_bits: int, k: int) -> list[int]:
+    """Pack 64-bit hashes into a Bloom bitmap of ``m_bits`` bits, returned
+    as signed int64 words (Spark ``array<bigint>``). Bit positions use
+    Kirsch–Mitzenmacher double hashing — g_i = h1 + i·h2 (mod m) with
+    h1 = low 32 bits, h2 = high 32 bits forced odd — so the Spark-side
+    membership expression can re-derive the exact same positions from the
+    same ``xxhash64`` value with plain integer arithmetic."""
+    import numpy as np
+
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if hashes is not None and len(hashes):
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (pos // np.uint64(64)).astype(np.int64),
+                np.left_shift(np.uint64(1), pos % np.uint64(64)),
+            )
+    return [int(w) - (1 << 64 if w >= 1 << 63 else 0) for w in words]
+
+
+def bloom_might_contain(m_bits: int, k: int) -> Column:
+    """Membership test as ONE pure-Catalyst boolean over pre-projected
+    columns ``_h1``/``_h2`` (the split 64-bit hash) and ``_bw`` (the bitmap
+    words): all k derived bit positions set. ``shiftright`` is arithmetic,
+    but ``& 1`` only reads the target bit, so sign extension is harmless."""
+    conds = []
+    for i in range(k):
+        pos = f"((_h1 + {i}L * _h2) % {m_bits}L)"
+        conds.append(
+            f"((shiftright(element_at(_bw, cast({pos} div 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Decontamination for eval sets too big to broadcast-join: EXACT same
+    output as ``contamination_flags``, different scale shape.
+
+    ``contamination_flags`` broadcasts the eval vocabulary itself — fine for
+    MB-sized suites, dead at a 10⁹-gram union of eval sets (tens of GB as a
+    join table). Here the broadcast is a Bloom bitmap (~1.2 GB at 10⁹ grams
+    / 1% fpp — broadcastable), tested map-side with pure integer Catalyst
+    expressions over the corpus grams; only the ~fpp fraction of grams that
+    pass feed the exact verification join against the vocabulary (now a
+    shuffle join, but over a candidate set ~100× smaller than the corpus
+    gram stream). Bloom false positives die in the verify join, so the
+    result is exact — no false negatives by construction.
+
+    Driver state is O(bitmap), built from the vocab's xxhash64 values (8
+    bytes/gram collected once); at the 10⁹-gram scale you would fold the
+    bitmap with a distributed ``treeAggregate`` instead — noted, not needed
+    here."""
+    per_doc = docs.select(F.col(id_col), tokens(text_col).alias("toks")).select(
+        id_col,
+        F.array_distinct(word_ngrams_from_tokens(F.col("toks"), n)).alias("grams"),
+    )
+    vocab = benchmark_ngram_vocab(benchmark, text_col, n).select("gram")
+    hashes = [r["h"] for r in vocab.select(F.xxhash64("gram").alias("h")).collect()]
+    m_bits, k = bloom_parameters(len(hashes), fpp)
+    words = build_bloom_words(hashes, m_bits, k)
+    spark = docs.sparkSession
+    words_df = spark.createDataFrame([(words,)], "_bw array<bigint>")
+
+    base = per_doc.select(id_col, F.size("grams").alias("n_grams"))
+    exploded = per_doc.select(id_col, F.explode("grams").alias("gram"))
+    hashed = exploded.withColumn("_h", F.xxhash64("gram")).withColumns(
+        {
+            "_h1": F.col("_h").bitwiseAND(F.lit(4294967295)),
+            "_h2": F.expr("shiftrightunsigned(_h, 32)").bitwiseOR(F.lit(1)),
+        }
+    )
+    cand = (
+        hashed.crossJoin(F.broadcast(words_df))
+        .filter(bloom_might_contain(m_bits, k))
+        .select(id_col, "gram")
+    )
+    hits = cand.join(vocab, on="gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    joined = base.join(hits, on=id_col, how="left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        ratio.alias("contam_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
 def budget_select(
     df: DataFrame,
     budget: int,

@@ -1118,3 +1118,49 @@ def embedding_norm_stats(spark, sf_dir):
         F.round(F.avg("l2"), 6).alias("avg_norm"),
         F.sum(F.when(F.col("l2") == 0, 1).otherwise(0)).alias("n_zero"),
     )
+
+
+@register(
+    "bloom_decontaminate",
+    rf"""
+    WITH g AS (
+        SELECT doc_id, list_distinct({_G3}) AS grams
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ),
+    bv AS (SELECT COALESCE(list(gram), []) AS bench_grams FROM bench),
+    scored AS (
+        SELECT doc_id, len(grams) AS n_grams,
+               len(list_intersect(grams, bv.bench_grams)) AS n_contaminated
+        FROM g, bv WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS contam_ratio,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END >= 0.2 AS contaminated
+    FROM scored
+    """,
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination: same fixture, threshold, and EXACT
+    output as ``decontaminate_corpus`` (identical oracle), but the eval set
+    is broadcast as a Bloom bitmap tested with pure integer Catalyst
+    expressions, and only bloom-surviving grams reach the exact verification
+    join — the shape that still works when the eval vocabulary is too big to
+    broadcast as a join table (false positives die in the verify join, so no
+    approximation leaks into the result)."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        bloom_contamination_flags,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_contamination_flags(corpus, bench, n=3, threshold=0.2)

@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "packed_chunk_batches",
     "chunk_dedup",
     "embedding_norm_stats",
+    "bloom_decontaminate",
 ]
 
 

@@ -87,6 +87,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "packed_chunk_batches",
         "chunk_dedup",
         "embedding_norm_stats",
+        "bloom_decontaminate",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
