@@ -157,6 +157,8 @@ def fit_centroids(
     iters: int = 8,
     vec_col: str = "embedding",
     seed: int = 7,
+    method: str = "sample",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """k-means-lite on a driver-side sample (Lloyd iterations in numpy).
     The reference's own PCNM trick (spatial_modelling.Rmd:211-224) — compute
@@ -164,14 +166,34 @@ def fit_centroids(
     generalized: centroids come from a bounded sample regardless of corpus
     size.
 
-    The sample is a seeded uniform ``takeSample`` over ALL partitions —
-    ``limit().collect()`` reads the first partitions only, which on
-    partition-correlated corpora (time-ordered crawls) biases centroids and
-    silently degrades IVF recall."""
-    rows = (
-        corpus.select(_as_double(F.col(vec_col)).alias("v"))
-        .rdd.takeSample(False, sample_rows, seed)
-    )
+    ``method="sample"`` (default) is a seeded uniform ``takeSample`` over
+    ALL partitions — ``limit().collect()`` reads the first partitions only,
+    which on partition-correlated corpora (time-ordered crawls) biases
+    centroids and silently degrades IVF recall. It is seeded but still
+    partition-layout-dependent. ``method="hash"`` instead takes the
+    ``sample_rows`` smallest md5(id) rows: hash order decorrelates from
+    partition/time order like a uniform sample, but the selection is a pure
+    function of the ids — bit-identical across runs, partitionings and
+    engines (the repo's deterministic-sampling primitive, cf. curation
+    ``_sample_hash``). Use it when downstream results must be reproducible
+    (e.g. the registered semantic_dedup query)."""
+    if method == "hash":
+        rows = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("_mh"),
+            )
+            .orderBy("_mh")
+            .limit(sample_rows)
+            .collect()
+        )
+    elif method == "sample":
+        rows = (
+            corpus.select(_as_double(F.col(vec_col)).alias("v"))
+            .rdd.takeSample(False, sample_rows, seed)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'sample' or 'hash')")
     if not rows:
         raise ValueError("fit_centroids: empty corpus")
     sample = np.asarray([r["v"] for r in rows])

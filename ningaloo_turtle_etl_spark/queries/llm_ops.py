@@ -1164,3 +1164,18 @@ def bloom_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return bloom_contamination_flags(corpus, bench, n=3, threshold=0.2)
+
+
+@register("semantic_dedup", None)
+def semantic_dedup_query(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: k-means-cell
+    blocking (deterministic md5-hash-sampled centroids, so output is stable
+    across runs/partitionings), within-cell exact cosine pairs at ≥0.4,
+    connected components, keep min-id per cluster. Rows-only: the k-means
+    fit is not SQL-expressible; the n_centroids=1 configuration is pinned
+    equal to exact all-pairs dedup in tests/test_llm_ops.py."""
+    from ningaloo_turtle_etl_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    kept = semantic_dedup(emb, threshold=0.4, n_centroids=16, deterministic=True)
+    return kept.select("vec_id", "label")

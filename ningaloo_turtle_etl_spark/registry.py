@@ -125,6 +125,7 @@ PRIORITY: list[str] = [
     "chunk_dedup",
     "embedding_norm_stats",
     "bloom_decontaminate",
+    "semantic_dedup",
 ]
 
 

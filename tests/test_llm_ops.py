@@ -293,3 +293,83 @@ def test_multimodal_stub_and_fake_paths(spark, docs):
     assert {r["media_id"] for r in frames} == {1, 2, 3, 4, 5}
     assert all(r["frame_size"] <= 32 for r in frames)
     assert max(r["frame_no"] for r in frames) <= 2
+
+
+# --- semantic (SemDeDup-style) dedup ----------------------------------------
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    """60 well-separated random vectors + planted near-dup pairs (100,101)
+    and (102,103,104): duplicates are tiny perturbations, cosine > 0.99."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v], 0))
+    base = rng.randn(16)
+    for j, vid in enumerate([100, 101]):
+        rows.append((vid, [float(x) for x in base + 0.001 * j], 1))
+    base2 = rng.randn(16)
+    for j, vid in enumerate([102, 103, 104]):
+        rows.append((vid, [float(x) for x in base2 + 0.001 * j], 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_semantic_dedup_collapses_planted_clusters(spark, planted_vecs):
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_near_dup_pairs,
+    )
+
+    pairs = semantic_near_dup_pairs(
+        planted_vecs, threshold=0.99, n_centroids=8, deterministic=True
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # Near-identical vectors must land in the same cell and be found.
+    assert (100, 101) in found
+    assert {(102, 103), (102, 104), (103, 104)} <= found
+
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            planted_vecs, threshold=0.99, n_centroids=8, deterministic=True
+        ).collect()
+    )
+    assert 100 in kept and 101 not in kept
+    assert 102 in kept and 103 not in kept and 104 not in kept
+    assert len(kept) == 60 + 2  # singletons all kept, clusters → 1 rep each
+
+
+def test_semantic_pairs_single_cell_equals_exact_allpairs(spark):
+    """n_centroids=1 puts everything in one cell — the blocked path must
+    then reproduce the exact all-pairs result bit-for-bit."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_near_dup_pairs,
+    )
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR).filter(F.col("vec_id") < 150)
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, use_lsh_blocking=False
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in semantic_near_dup_pairs(
+            emb, threshold=0.3, n_centroids=1, deterministic=True
+        ).collect()
+    }
+    assert blocked == exact and len(exact) > 0
+
+
+def test_hash_centroids_partitioning_invariant(spark, planted_vecs):
+    """method='hash' centroid fit is a pure function of the data — identical
+    across arbitrary repartitionings (takeSample is not)."""
+    a = fit_centroids(planted_vecs, 4, sample_rows=32, method="hash")
+    b = fit_centroids(planted_vecs.repartition(7), 4, sample_rows=32, method="hash")
+    assert np.allclose(a, b)
