@@ -130,6 +130,38 @@ def _decontam_50k(spark, sf_dir):
     )
 
 
+def _bloom_decontam_50k(spark, sf_dir):
+    """Bloom-prefiltered decontamination at 50k docs, same fixture as
+    decontam_50k: the eval vocab broadcasts as a Bloom bitmap tested with
+    integer Catalyst expressions; only surviving grams reach the exact
+    verify join. Eager: the bitmap build collects vocab hashes inside the
+    builder. Headline comparison: ~2-3× decontam_50k here — this fixture's
+    corpus shares the eval vocabulary, so most grams are TRUE hits and the
+    verify join carries nearly the full gram stream; the bloom path's win
+    appears when the vocab outgrows broadcast (which this container can't
+    hold) and contamination is rare (real corpora), where the verify join
+    shrinks to ~fpp of the gram stream."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        bloom_contamination_flags,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = max(docs.count(), 1)
+    copies = 50_000 // n
+    big = docs
+    for i in range(max(copies - 1, 0)):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
+        )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = bloom_contamination_flags(big, bench, n=3, threshold=0.2)
+    return flags.agg(
+        F.sum("n_contaminated").alias("chk"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def _connected_components_100k(spark, sf_dir):
     """Connected components over 100k nodes in 3,125 diameter-31 chains —
     the worst case for label propagation. Pointer jumping should close it in
@@ -151,6 +183,7 @@ EXTRAS = {
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
     "decontam_50k": _decontam_50k,
+    "bloom_decontam_50k": _bloom_decontam_50k,
     "connected_components_100k": _connected_components_100k,
     "spatial_tag_regions_10x": _spatial_tag_regions_10x,
 }
@@ -158,7 +191,7 @@ EXTRAS = {
 # Probes whose operator executes eagerly inside the builder (iterative
 # algorithms driving their own jobs): time fn()+collect, not collect alone —
 # a collect-only clock would miss all the work.
-EAGER_EXTRAS = {"connected_components_100k"}
+EAGER_EXTRAS = {"connected_components_100k", "bloom_decontam_50k"}
 
 
 def main() -> None:

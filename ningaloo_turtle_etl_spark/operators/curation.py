@@ -287,22 +287,37 @@ def build_bloom_words(hashes, m_bits: int, k: int) -> list[int]:
                 words, (pos // np.uint64(64)).astype(np.int64),
                 np.left_shift(np.uint64(1), pos % np.uint64(64)),
             )
-    return [int(w) - (1 << 64 if w >= 1 << 63 else 0) for w in words]
+    # int64 VIEW (not a Python list): F.lit of a Python list builds a
+    # CreateArray expression — re-evaluated per row, 360 child exprs × k
+    # references — while F.lit of a numpy int64 array becomes a true
+    # Literal(long[]) constant.
+    return words.view(np.int64)
 
 
-def bloom_might_contain(m_bits: int, k: int) -> Column:
+def bloom_might_contain(words: Column, m_bits: int, k: int) -> Column:
     """Membership test as ONE pure-Catalyst boolean over pre-projected
-    columns ``_h1``/``_h2`` (the split 64-bit hash) and ``_bw`` (the bitmap
-    words): all k derived bit positions set. ``shiftright`` is arithmetic,
-    but ``& 1`` only reads the target bit, so sign extension is harmless."""
-    conds = []
+    columns ``_h1``/``_h2`` (the split 64-bit hash): all k derived bit
+    positions set in ``words``.
+
+    ``words`` must be a LITERAL array (``F.lit(build_bloom_words(...))``),
+    not a column joined onto the rows: a literal is a single constant object
+    in the generated code, while a crossJoin'd one-row bitmap column gets
+    its bytes COPIED into every joined row — measured 17× slower at 50k docs
+    (7.5M gram rows × a 7 KB bitmap of row traffic). Literal plans carry the
+    bitmap once per task; beyond ~tens of MB of bitmap (≈50M+ grams),
+    restructure as k sequential broadcast joins against an (idx, word)
+    table instead.
+
+    ``shiftright`` is arithmetic, but ``& 1`` only reads the target bit, so
+    sign extension from negative words is harmless."""
+    cond = None
     for i in range(k):
-        pos = f"((_h1 + {i}L * _h2) % {m_bits}L)"
-        conds.append(
-            f"((shiftright(element_at(_bw, cast({pos} div 64 as int) + 1), "
-            f"cast({pos} % 64 as int)) & 1) = 1)"
-        )
-    return F.expr(" AND ".join(conds))
+        pos = (F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(m_bits)
+        word = F.element_at(words, F.shiftright(pos, 6).cast("int") + F.lit(1))
+        bit = pos.bitwiseAND(F.lit(63)).cast("int")
+        c = F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def bloom_contamination_flags(
@@ -323,8 +338,9 @@ def bloom_contamination_flags(
     / 1% fpp — broadcastable), tested map-side with pure integer Catalyst
     expressions over the corpus grams; only the ~fpp fraction of grams that
     pass feed the exact verification join against the vocabulary (now a
-    shuffle join, but over a candidate set ~100× smaller than the corpus
-    gram stream). Bloom false positives die in the verify join, so the
+    shuffle join over true hits + an ~fpp sliver of false positives — far
+    smaller than the corpus gram stream whenever contamination is the rare
+    case, which at real corpus scale it is). Bloom false positives die in the verify join, so the
     result is exact — no false negatives by construction.
 
     Driver state is O(bitmap), built from the vocab's xxhash64 values (8
@@ -338,25 +354,40 @@ def bloom_contamination_flags(
     vocab = benchmark_ngram_vocab(benchmark, text_col, n).select("gram")
     hashes = [r["h"] for r in vocab.select(F.xxhash64("gram").alias("h")).collect()]
     m_bits, k = bloom_parameters(len(hashes), fpp)
-    words = build_bloom_words(hashes, m_bits, k)
-    spark = docs.sparkSession
-    words_df = spark.createDataFrame([(words,)], "_bw array<bigint>")
+    words = F.lit(build_bloom_words(hashes, m_bits, k))
 
-    base = per_doc.select(id_col, F.size("grams").alias("n_grams"))
-    exploded = per_doc.select(id_col, F.explode("grams").alias("gram"))
+    # explode_OUTER, deliberately (same as contamination_flags): a plain
+    # explode makes InferFiltersFromGenerate add `size(grams)>0 AND
+    # isnotnull(grams)` and push it to the scan with the ENTIRE
+    # tokenizer+gram expression inlined into each conjunct — the text gets
+    # re-split per gram inside the inferred filter (measured 6× slower at
+    # 5k docs). Outer generate infers no filter. The null gram rows it adds
+    # are harmless: xxhash64(null gram) is the seed constant, and a null
+    # gram can never equi-join the vocabulary, so no count is affected.
+    # n_grams riding along (and being grouped on below — functionally
+    # dependent on the doc id) also keeps `grams` doubly-referenced so the
+    # gram build stays a materialized projection.
+    exploded = per_doc.select(
+        id_col, F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+    )
     hashed = exploded.withColumn("_h", F.xxhash64("gram")).withColumns(
         {
             "_h1": F.col("_h").bitwiseAND(F.lit(4294967295)),
             "_h2": F.expr("shiftrightunsigned(_h, 32)").bitwiseOR(F.lit(1)),
         }
     )
-    cand = (
-        hashed.crossJoin(F.broadcast(words_df))
-        .filter(bloom_might_contain(m_bits, k))
-        .select(id_col, "gram")
+    # base comes from the SAME exploded stream (explode_outer keeps ≥1 row
+    # per doc, so no doc is lost): a doc-width partial agg instead of a
+    # second scan + tokenize pass over the corpus.
+    base = exploded.groupBy(id_col).agg(F.first("n_grams").alias("n_grams"))
+    cand = hashed.filter(bloom_might_contain(words, m_bits, k)).select(
+        id_col, "n_grams", "gram"
     )
-    hits = cand.join(vocab, on="gram").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_contaminated")
+    hits = (
+        cand.join(vocab, on="gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(id_col, "n_contaminated")
     )
     joined = base.join(hits, on=id_col, how="left").withColumn(
         "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))

@@ -285,20 +285,14 @@ def test_bloom_no_false_negatives(spark):
     df = spark.createDataFrame(grams, "gram string")
     hashes = [r["h"] for r in df.select(F.xxhash64("gram").alias("h")).collect()]
     m, k = bloom_parameters(len(hashes), fpp=0.01)
-    words_df = spark.createDataFrame(
-        [(build_bloom_words(hashes, m, k),)], "_bw array<bigint>"
-    )
+    words = F.lit(build_bloom_words(hashes, m, k))
     hashed = df.withColumn("_h", F.xxhash64("gram")).withColumns(
         {
             "_h1": F.col("_h").bitwiseAND(F.lit(4294967295)),
             "_h2": F.expr("shiftrightunsigned(_h, 32)").bitwiseOR(F.lit(1)),
         }
     )
-    n_pass = (
-        hashed.crossJoin(F.broadcast(words_df))
-        .filter(bloom_might_contain(m, k))
-        .count()
-    )
+    n_pass = hashed.filter(bloom_might_contain(words, m, k)).count()
     assert n_pass == 500
     # And unseen grams mostly fail (fpp is 1%; 500 probes → expect ~5 hits,
     # allow generous slack).
@@ -311,9 +305,5 @@ def test_bloom_no_false_negatives(spark):
             "_h2": F.expr("shiftrightunsigned(_h, 32)").bitwiseOR(F.lit(1)),
         }
     )
-    n_fp = (
-        o_hashed.crossJoin(F.broadcast(words_df))
-        .filter(bloom_might_contain(m, k))
-        .count()
-    )
+    n_fp = o_hashed.filter(bloom_might_contain(words, m, k)).count()
     assert n_fp <= 50
