@@ -52,9 +52,14 @@ def benchmark_ngram_vocab(
     """Distinct word n-grams of an eval/benchmark set, one row per gram.
     Eval suites are MBs while corpora are TBs — this frame is the broadcast
     side of decontamination."""
+    # explode_OUTER + a filter on the GENERATED attribute (which cannot be
+    # pushed below the Generate): inner explode would re-build the gram
+    # array twice more per row inside an inferred size()>0/isnotnull scan
+    # filter.
     return (
         benchmark.select(tokens(text_col).alias("toks"))
-        .select(F.explode(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
+        .select(F.explode_outer(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
         .withColumn("is_bench", F.lit(True))
     )

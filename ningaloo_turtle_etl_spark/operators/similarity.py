@@ -290,8 +290,13 @@ def ivf_index_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
     )
+    # explode_OUTER: a plain explode would make InferFiltersFromGenerate
+    # re-evaluate the full all-centroid distance expression two more times
+    # per query row inside an inferred size()>0/isnotnull filter; outer
+    # infers nothing, and a null cell can never match the equi-join below.
     q = q.withColumn(
-        "cell", F.explode(_nearest_centroids_expr(F.col("q"), index.centroids, nprobe))
+        "cell",
+        F.explode_outer(_nearest_centroids_expr(F.col("q"), index.centroids, nprobe)),
     ).withColumn("q_norm", _norm(F.col("q")))
 
     cand = index.assigned.join(F.broadcast(q), on="cell").filter(
