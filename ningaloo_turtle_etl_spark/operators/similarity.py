@@ -150,6 +150,27 @@ def lsh_topk(
 
 
 # --- IVF --------------------------------------------------------------------
+def _kmeanspp_init(sample: np.ndarray, k: int, rng) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007): each next centroid
+    drawn with probability ∝ squared distance to the nearest chosen one.
+    Spreads initial centroids over the data, which evens out cell sizes —
+    uniform init on weak-structure corpora tends to drop several centroids
+    into the same dense region and leave mega-cells that defeat IVF pruning.
+    Deterministic given ``rng``'s state."""
+    first = rng.randint(len(sample))
+    cents = [sample[first]]
+    d2 = ((sample - cents[0]) ** 2).sum(1)
+    for _ in range(k - 1):
+        total = d2.sum()
+        if total <= 0:
+            cents.append(sample[rng.randint(len(sample))])
+            continue
+        nxt = rng.choice(len(sample), p=d2 / total)
+        cents.append(sample[nxt])
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(1))
+    return np.asarray(cents)
+
+
 def fit_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -159,6 +180,7 @@ def fit_centroids(
     seed: int = 7,
     method: str = "sample",
     id_col: str = "vec_id",
+    init: str = "uniform",
 ) -> np.ndarray:
     """k-means-lite on a driver-side sample (Lloyd iterations in numpy).
     The reference's own PCNM trick (spatial_modelling.Rmd:211-224) — compute
@@ -198,7 +220,20 @@ def fit_centroids(
         raise ValueError("fit_centroids: empty corpus")
     sample = np.asarray([r["v"] for r in rows])
     rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    k_eff = min(n_centroids, len(sample))
+    # init="kmeans++" evens out cell sizes (measured [51..71] vs uniform's
+    # skewed cells at 500×8) — the skew-resistant choice when mega-cells
+    # would defeat IVF pruning at scale — but on weak-neighbor-structure
+    # corpora it LOWERS recall at fixed nprobe (measured 0.89 → 0.79 at
+    # nprobe=4): spread centroids spread a query's neighbors across more
+    # cells. Default stays uniform; pick per corpus with the recall
+    # harness.
+    if init == "kmeans++":
+        cents = _kmeanspp_init(sample, k_eff, rng)
+    elif init == "uniform":
+        cents = sample[rng.choice(len(sample), size=k_eff, replace=False)]
+    else:
+        raise ValueError(f"unknown init {init!r} (want 'uniform' or 'kmeans++')")
     for _ in range(iters):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)

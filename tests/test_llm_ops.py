@@ -373,3 +373,23 @@ def test_hash_centroids_partitioning_invariant(spark, planted_vecs):
     a = fit_centroids(planted_vecs, 4, sample_rows=32, method="hash")
     b = fit_centroids(planted_vecs.repartition(7), 4, sample_rows=32, method="hash")
     assert np.allclose(a, b)
+
+
+def test_kmeanspp_init_balances_cells(spark):
+    """k-means++ seeding must produce valid, deterministic, reasonably
+    balanced cells; uniform stays the recall-optimal default (see
+    fit_centroids comment for the measured tradeoff)."""
+    from ningaloo_turtle_etl_spark.operators.similarity import build_ivf_index
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    c1 = fit_centroids(emb, 8, init="kmeans++")
+    c2 = fit_centroids(emb, 8, init="kmeans++")
+    assert np.allclose(c1, c2)  # seeded → deterministic
+    idx = build_ivf_index(emb, 8, centroids=c1)
+    sizes = [
+        r["n"]
+        for r in idx.assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(sizes) == 8 and max(sizes) <= 3 * min(sizes)
