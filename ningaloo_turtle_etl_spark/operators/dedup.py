@@ -74,6 +74,37 @@ def exact_dedup_semi(
     return df.join(keepers, on=id_col, how="left_semi")
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-deduped corpus snapshot without
+    touching the snapshot's bodies: the daily-crawl-increment shape.
+
+    ``seen`` is the snapshot's fingerprint column only (write it out
+    partitioned/bucketed by fingerprint and this anti-join is co-located).
+    Steps: (1) anti-join the new batch's fingerprints against ``seen`` —
+    drops docs the corpus already has; (2) elect one keeper per fingerprint
+    WITHIN the batch (min id, narrow-column shuffle) and semi-join ids back.
+    Bodies of both sides never shuffle; the per-increment cost scales with
+    the increment, not the corpus."""
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(new_docs, text_col)
+    seen_fps = seen.select(F.col(seen_fp_col).alias("fingerprint")).distinct()
+    fresh = fp.join(seen_fps, on="fingerprint", how="left_anti")
+    keepers = (
+        fresh.select("fingerprint", id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_docs.join(keepers, on=id_col, how="left_semi")
+
+
 # --- shingles / MinHash -----------------------------------------------------
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct). Pure columns:

@@ -1166,6 +1166,43 @@ def bloom_decontaminate(spark, sf_dir):
     return bloom_contamination_flags(corpus, bench, n=3, threshold=0.2)
 
 
+@register(
+    "incremental_dedup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(md5({_NORM}), 1, 16) AS fingerprint
+        FROM documents
+    ),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 4),
+    fresh AS (
+        SELECT n.* FROM fp n LEFT JOIN seen s USING (fingerprint)
+        WHERE n.doc_id % 5 = 4 AND s.fingerprint IS NULL
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fresh)
+    WHERE rn = 1
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: docs with doc_id % 5 == 4 stand in for
+    today's crawl increment, the rest for the existing corpus snapshot (as
+    a fingerprint set). The increment is deduped against the snapshot by
+    fingerprint anti-join, then within itself — snapshot bodies are never
+    read, so per-day cost scales with the increment, not the corpus."""
+    from ningaloo_turtle_etl_spark.operators.dedup import incremental_exact_dedup
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 4)
+    snapshot_fps = with_fingerprint(
+        docs.filter(F.col("doc_id") % 5 != 4)
+    ).select("fingerprint")
+    out = incremental_exact_dedup(new_batch, snapshot_fps)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 @register("semantic_dedup", None)
 def semantic_dedup_query(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table: k-means-cell

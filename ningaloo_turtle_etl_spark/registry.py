@@ -126,6 +126,7 @@ PRIORITY: list[str] = [
     "embedding_norm_stats",
     "bloom_decontaminate",
     "semantic_dedup",
+    "incremental_dedup",
 ]
 
 

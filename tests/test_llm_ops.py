@@ -393,3 +393,24 @@ def test_kmeanspp_init_balances_cells(spark):
         for r in idx.assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     ]
     assert len(sizes) == 8 and max(sizes) <= 3 * min(sizes)
+
+
+def test_incremental_dedup_against_snapshot(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import incremental_exact_dedup
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    snapshot = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "existing doc one"),     # dup of snapshot → dropped
+            (11, "brand new document"),   # survives
+            (12, "brand new document"),   # intra-batch dup of 11 → dropped
+            (13, "another new one"),      # survives
+        ],
+        "doc_id long, text string",
+    )
+    seen = with_fingerprint(snapshot).select("fingerprint")
+    kept = sorted(r["doc_id"] for r in incremental_exact_dedup(new, seen).collect())
+    assert kept == [11, 13]

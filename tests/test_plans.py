@@ -140,3 +140,31 @@ def test_text_token_quality_prunes_scan_to_two_columns(spark):
     assert m and "doc_id" in m.group(1) and "text" in m.group(1)
     assert "lang" not in m.group(1) and "source" not in m.group(1)
     assert "Exchange" not in plan  # fused map-only projection
+
+
+def test_bloom_decontaminate_no_nested_loop_no_inferred_gram_filter(spark):
+    plan = plan_of(spark, "bloom_decontaminate")
+    # The bitmap is a plan literal, not a joined one-row frame.
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explode_outer infers no size()>0 filter, so no Filter node re-builds
+    # the gram array: every split() in the plan lives in a Project/Generate.
+    for line in plan.splitlines():
+        if "Filter" in line and "split(text" in line:
+            raise AssertionError(f"gram expression inlined into a Filter: {line[:160]}")
+
+
+def test_semantic_dedup_pairs_payload_free_candidates(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import semantic_near_dup_pairs
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    df = semantic_near_dup_pairs(emb, threshold=0.4, n_centroids=4, deterministic=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The self-join that forms the pair product must not carry embedding
+    # arrays — vectors attach by id afterwards.
+    m = re.search(r"SortMergeJoin.*?\n|BroadcastHashJoin.*?\n", plan)
+    assert m is not None
+    joins = [l for l in plan.splitlines() if "Join" in l and "vec_id" in l]
+    pair_join = [l for l in joins if "cell" in l]
+    assert pair_join, f"no cell-keyed pair join found: {joins}"
+    assert all("embedding" not in l and " v#" not in l for l in pair_join)

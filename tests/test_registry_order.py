@@ -89,6 +89,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "embedding_norm_stats",
         "bloom_decontaminate",
         "semantic_dedup",
+        "incremental_dedup",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
