@@ -104,3 +104,35 @@ def cluster_representatives(
         comp.withColumnRenamed("id", id_col), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
     return labeled.filter(F.col(id_col) == F.col("component")).drop("component")
+
+
+def best_cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup: keep the HIGHEST-``score_col`` row of each
+    near-dup component (ties broken by min id so output is deterministic),
+    instead of the min-id row. This is what production dedup actually wants
+    — when a boilerplate-laden copy and a clean copy collide, keep the
+    clean one. Costs one extra narrow shuffle vs cluster_representatives:
+    a (component, score, id) window ranks representatives; bodies stay on
+    the map side of the final semi-join."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src_col, dst_col)
+    labeled = docs.select(id_col, score_col).join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    keepers = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    return docs.join(keepers, on=id_col, how="left_semi")

@@ -124,3 +124,50 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     across engines and languages."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn("fingerprint", F.substring(F.md5(normalized), 1, 16))
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    vocab_size: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring with a unigram model fit on the corpus
+    itself: per doc, the average negative log-likelihood of its tokens under
+    p(w) = count(w)/N for the ``vocab_size`` most frequent words, with an
+    out-of-vocabulary floor of 1/N. Low avg_nll ≈ ordinary, fluent text;
+    high ≈ rare-token soup — the "keep the head of the perplexity
+    distribution" filter of the CCNet pipeline (Wenzek et al. 2020), with
+    the n-gram LM reduced to its unigram backbone so the whole thing stays
+    in Catalyst.
+
+    Scale shape: token counts collapse map-side (partial agg) to a
+    vocab-sized table; the top-V cut is a TakeOrdered (count desc, word asc
+    — deterministic under ties); scoring joins the *broadcast* vocab and
+    re-aggregates per doc. The corpus never shuffles bodies; the two
+    doc-width shuffles are the token-count agg input (vocab-sized after
+    combine) and the per-doc score agg."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    # explode_outer + filter ABOVE the generate (cannot be pushed below it):
+    # inner explode would re-build the token array in an inferred filter.
+    exploded = toks.select(
+        id_col, F.explode_outer("toks").alias("w")
+    ).filter(F.col("w").isNotNull())
+    counts = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+    scored = (
+        exploded.join(F.broadcast(vocab), on="w", how="left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll",
+            -F.log(
+                F.coalesce(F.col("c"), F.lit(1)).cast("double")
+                / F.col("n").cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

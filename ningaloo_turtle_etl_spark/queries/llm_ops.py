@@ -1203,6 +1203,40 @@ def incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+@register(
+    "lm_quality_scores",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKENS}) AS w
+        FROM (SELECT doc_id, lower(text) AS text FROM documents)
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+    vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 20),
+    scored AS (
+        SELECT t.doc_id,
+               -ln(CAST(COALESCE(v.c, 1) AS DOUBLE) / tot.n) AS nll
+        FROM t LEFT JOIN vocab v USING (w), tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_quality_scores(spark, sf_dir):
+    """CCNet-style perplexity filter, unigram backbone: score every doc by
+    average negative log-likelihood under a corpus-fit unigram LM (top-20
+    vocab here so the OOV floor path is exercised on the synthetic corpus).
+    Token counts collapse map-side to a vocab-sized table; scoring is a
+    broadcast join + per-doc agg — no body shuffle."""
+    from ningaloo_turtle_etl_spark.operators.text import unigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    return unigram_lm_scores(docs, vocab_size=20)
+
+
 @register("semantic_dedup", None)
 def semantic_dedup_query(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table: k-means-cell

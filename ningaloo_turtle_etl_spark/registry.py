@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "bloom_decontaminate",
     "semantic_dedup",
     "incremental_dedup",
+    "lm_quality_scores",
 ]
 
 

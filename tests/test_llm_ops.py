@@ -414,3 +414,42 @@ def test_incremental_dedup_against_snapshot(spark):
     seen = with_fingerprint(snapshot).select("fingerprint")
     kept = sorted(r["doc_id"] for r in incremental_exact_dedup(new, seen).collect())
     assert kept == [11, 13]
+
+
+def test_best_cluster_representatives_keeps_highest_quality(spark):
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        best_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, quality double",
+    )
+    # {1,2,3} one cluster, {5} paired with nothing, 4 singleton.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in best_cluster_representatives(docs, pairs, "quality").collect()
+    )
+    # Cluster {1,2,3}: max quality 0.9 tie between 2 and 3 → min id 2.
+    assert kept == [2, 4, 5]
+
+
+def test_unigram_lm_scores_match_numpy(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.text import unigram_lm_scores
+
+    rows = [(1, "a a b c"), (2, "a rare rare"), (3, "b b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # Corpus counts: a=4, b=3, rare=2, c=1; N=10. vocab_size=3 → {a, b, rare}
+    # (count desc, word asc); OOV floor p = 1/10 applies to c.
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df, vocab_size=3).collect()}
+    p = {"a": 0.4, "b": 0.3, "rare": 0.2, "c": 0.1}
+    for doc_id, text in rows:
+        toks = text.split()
+        ref = sum(-math.log(p[t]) for t in toks) / len(toks)
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert abs(out[doc_id]["avg_nll"] - ref) < 1e-6, doc_id

@@ -90,6 +90,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "bloom_decontaminate",
         "semantic_dedup",
         "incremental_dedup",
+        "lm_quality_scores",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
