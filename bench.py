@@ -134,8 +134,9 @@ def _bloom_decontam_50k(spark, sf_dir):
     """Bloom-prefiltered decontamination at 50k docs, same fixture as
     decontam_50k: the eval vocab broadcasts as a Bloom bitmap tested with
     integer Catalyst expressions; only surviving grams reach the exact
-    verify join. Eager: the bitmap build collects vocab hashes inside the
-    builder. Headline comparison: ~2-3× decontam_50k here — this fixture's
+    verify join. Eager: the bitmap build (vocab count + executor-side
+    treeReduce bitmap fold) runs inside the builder.
+    Headline comparison: ~2-3× decontam_50k here — this fixture's
     corpus shares the eval vocabulary, so most grams are TRUE hits and the
     verify join carries nearly the full gram stream; the bloom path's win
     appears when the vocab outgrows broadcast (which this container can't
@@ -179,7 +180,16 @@ def _connected_components_100k(spark, sf_dir):
     return comp.agg(F.sum("component").alias("chk"), F.count(F.lit(1)).alias("n"))
 
 
+def _range_join_tally(spark, sf_dir):
+    """The bucketed interval-containment join (hash equi-join on
+    (key, bucket) + residual filter — never a nested loop) on the registered
+    range_join_tally query; lands the r03 TIMESTAMP_NTZ fix with a
+    measurement."""
+    return registry.queries()["range_join_tally"](spark, sf_dir)
+
+
 EXTRAS = {
+    "range_join_tally": _range_join_tally,
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
     "decontam_50k": _decontam_50k,

@@ -272,7 +272,25 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def build_bloom_words(hashes, m_bits: int, k: int) -> list[int]:
+def _bloom_fold(words, hashes, m_bits: int, k: int):
+    """OR each hash's k Kirsch–Mitzenmacher bit positions into ``words``
+    (uint64 array, mutated in place) — the shared numpy core of the local
+    and distributed bitmap builds."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            words, (pos // np.uint64(64)).astype(np.int64),
+            np.left_shift(np.uint64(1), pos % np.uint64(64)),
+        )
+    return words
+
+
+def build_bloom_words(hashes, m_bits: int, k: int):
     """Pack 64-bit hashes into a Bloom bitmap of ``m_bits`` bits, returned
     as signed int64 words (Spark ``array<bigint>``). Bit positions use
     Kirsch–Mitzenmacher double hashing — g_i = h1 + i·h2 (mod m) with
@@ -283,20 +301,74 @@ def build_bloom_words(hashes, m_bits: int, k: int) -> list[int]:
 
     words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
     if hashes is not None and len(hashes):
-        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-        h1 = h & np.uint64(0xFFFFFFFF)
-        h2 = (h >> np.uint64(32)) | np.uint64(1)
-        for i in range(k):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-            np.bitwise_or.at(
-                words, (pos // np.uint64(64)).astype(np.int64),
-                np.left_shift(np.uint64(1), pos % np.uint64(64)),
-            )
+        _bloom_fold(words, hashes, m_bits, k)
     # int64 VIEW (not a Python list): F.lit of a Python list builds a
     # CreateArray expression — re-evaluated per row, 360 child exprs × k
     # references — while F.lit of a numpy int64 array becomes a true
     # Literal(long[]) constant.
     return words.view(np.int64)
+
+
+# Crossover for the Bloom bitmap build: ≤ this many hashes (8 B each →
+# ≤32 MB) collect-and-build at the driver; beyond it, fold executor-side.
+_BLOOM_COLLECT_MAX = 4_000_000
+
+
+def build_bloom_words_distributed(
+    hash_df: DataFrame,
+    m_bits: int,
+    k: int,
+    depth: int = 2,
+    n_items: int | None = None,
+):
+    """Executor-side Bloom build: each partition folds its hashes into a
+    local numpy bitmap (vectorized, zero per-row Python), partial bitmaps
+    OR-merge up a ``treeReduce`` — so the driver receives O(bitmap) bytes
+    total, independent of vocabulary size. The collect-then-build
+    alternative moves 8 bytes/gram through the driver: ~8 GB at the 10⁹-gram
+    design point, vs ~1.2 GB once here (and intermediate merges land on
+    executors, not the driver, at depth ≥ 2).
+
+    ``hash_df`` must be a single int64 column of 64-bit hashes. The
+    per-partition fold is Arrow-batched ``mapInPandas`` (no per-row Python),
+    emitting ONE bitmap row per partition; only those n_partitions bitmap
+    rows ride the (tiny) RDD hop into ``treeReduce``. Bit-for-bit identical
+    output to :func:`build_bloom_words` on the same hashes (asserted in
+    tests/test_curation.py).
+
+    Pass ``n_items`` (the hash count, known from Bloom sizing) to right-size
+    the fold's parallelism: ~2M hashes per partition, so a small vocabulary
+    folds in ONE task/Python worker instead of one per shuffle partition
+    (spawning 32 workers for a few thousand hashes measurably degrades a
+    local session), while a 10⁹-gram vocabulary still fans out."""
+    import operator
+
+    import numpy as np
+    import pandas as pd
+
+    if n_items is not None:
+        parts = max(1, min(64, int(n_items) // 2_000_000 + 1))
+        hash_df = hash_df.coalesce(parts)
+        if parts <= 8:
+            depth = 1
+
+    n_words = (m_bits + 63) // 64
+
+    def fold(batches):
+        w = np.zeros(n_words, dtype=np.uint64)
+        for batch in batches:
+            hs = batch.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+            if hs.size:
+                _bloom_fold(w, hs, m_bits, k)
+        yield pd.DataFrame({"bm": [w.tobytes()]})
+
+    partials = hash_df.mapInPandas(fold, schema="bm binary").rdd.map(
+        lambda r: np.frombuffer(bytes(r[0]), dtype=np.uint64).copy()
+    )
+    try:
+        return partials.treeReduce(operator.or_, depth).view(np.int64)
+    except ValueError:  # zero-partition frame (empty vocab)
+        return np.zeros(n_words, dtype=np.uint64).view(np.int64)
 
 
 def bloom_might_contain(words: Column, m_bits: int, k: int) -> Column:
@@ -348,18 +420,40 @@ def bloom_contamination_flags(
     case, which at real corpus scale it is). Bloom false positives die in the verify join, so the
     result is exact — no false negatives by construction.
 
-    Driver state is O(bitmap), built from the vocab's xxhash64 values (8
-    bytes/gram collected once); at the 10⁹-gram scale you would fold the
-    bitmap with a distributed ``treeAggregate`` instead — noted, not needed
-    here."""
+    Driver state is bounded: below ``_BLOOM_COLLECT_MAX`` hashes the bitmap
+    builds from a (cached, ≤32 MB) collect — the cheapest path for MB-scale
+    eval suites; above it the bitmap folds executor-side
+    (:func:`build_bloom_words_distributed` — per-partition numpy bitmaps,
+    treeReduce OR-merge) and only the final ~m_bits/8 bytes reach the
+    driver, never the vocabulary's hashes. Either way driver traffic is
+    capped at 32 MB, not O(vocab)."""
     per_doc = docs.select(F.col(id_col), tokens(text_col).alias("toks")).select(
         id_col,
         F.array_distinct(word_ngrams_from_tokens(F.col("toks"), n)).alias("grams"),
     )
     vocab = benchmark_ngram_vocab(benchmark, text_col, n).select("gram")
-    hashes = [r["h"] for r in vocab.select(F.xxhash64("gram").alias("h")).collect()]
-    m_bits, k = bloom_parameters(len(hashes), fpp)
-    words = F.lit(build_bloom_words(hashes, m_bits, k))
+    # Persist the (8-byte-wide) hash column across the two eager passes the
+    # sizing needs (count → fold) so the vocab's explode+distinct pipeline
+    # runs once, not once per pass; both passes complete here, so the cache
+    # is released before returning.
+    from pyspark import StorageLevel
+
+    hashes_df = vocab.select(F.xxhash64("gram").alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n_vocab = hashes_df.count()
+        m_bits, k = bloom_parameters(n_vocab, fpp)
+        if n_vocab <= _BLOOM_COLLECT_MAX:
+            words = F.lit(
+                build_bloom_words([r["h"] for r in hashes_df.collect()], m_bits, k)
+            )
+        else:
+            words = F.lit(
+                build_bloom_words_distributed(hashes_df, m_bits, k, n_items=n_vocab)
+            )
+    finally:
+        hashes_df.unpersist()
 
     # explode_OUTER, deliberately (same as contamination_flags): a plain
     # explode makes InferFiltersFromGenerate add `size(grams)>0 AND

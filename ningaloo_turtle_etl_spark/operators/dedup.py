@@ -25,6 +25,61 @@ from pyspark.sql.functions import pandas_udf
 
 from ningaloo_turtle_etl_spark.operators.text import tokens
 
+# --- cache lifecycle --------------------------------------------------------
+# minhash/simhash persist per-doc signature state (four self-join branches
+# reference it; without materialization the signature recomputes per branch).
+# The RESULT frames are lazy, so the operator cannot unpersist before the
+# caller consumes them — instead every persist is tracked here and released
+# explicitly, so long-lived sessions issuing many dedup calls don't
+# accumulate storage.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every cache created by dedup operators since the last
+    release. Call after the result frames have been consumed (collected /
+    written); returns the number of caches released."""
+    n = 0
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _LIVE_CACHES.clear()
+    return n
+
+
+def dedup_cache_scope():
+    """Context manager: caches created by dedup operators inside the scope
+    are unpersisted on exit. Consume (collect/write) results INSIDE the
+    scope — the frames are lazy and lose their backing cache at exit::
+
+        with dedup_cache_scope():
+            pairs = minhash_near_dup_pairs(docs).collect()
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        mark = len(_LIVE_CACHES)
+        try:
+            yield
+        finally:
+            for df in _LIVE_CACHES[mark:]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            del _LIVE_CACHES[mark:]
+
+    return _scope()
+
 
 def spark_empty_pairs(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
@@ -175,11 +230,14 @@ def minhash_near_dup_pairs(
     # materialization Spark replays shingling + 32 hash passes per branch
     # (measured 200s vs 40s at 50k docs). Hashed shingles + signature are
     # ~1-2% of corpus size; MEMORY_AND_DISK spills cleanly. The cache cannot
-    # be unpersisted here (the returned frame is lazy); long-lived sessions
-    # issuing many dedup calls should spark.catalog.clearCache() between runs.
-    sig = sh.select(
-        "id", "sh", minhash_signature(F.col("sh_str"), num_hashes).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # be unpersisted here (the returned frame is lazy) — it is tracked;
+    # release with release_dedup_caches() / dedup_cache_scope() after
+    # consuming the result.
+    sig = _track_cache(
+        sh.select(
+            "id", "sh", minhash_signature(F.col("sh_str"), num_hashes).alias("sig")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Candidate generation carries ONLY (id, band-bucket): shingle arrays
     # must not ride through the banded self-join and the pair-dedup shuffle
     # (measured 2-3x slower at 50k docs when they do).
@@ -614,9 +672,9 @@ def simhash_near_dup_pairs(
         raise ValueError(f"unknown signature family: {signature!r}")
     # Persist: the signature is referenced from four self-join branches —
     # without materialization the signature expression runs once per branch.
-    # Not unpersisted here (the result is lazy); long-lived sessions issuing
-    # many dedup calls should spark.catalog.clearCache() between runs.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # Not unpersisted here (the result is lazy) — tracked; release with
+    # release_dedup_caches() / dedup_cache_scope() after consuming.
+    sh = _track_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
 
     def block_bucket(k: int) -> Column:
         start, end = bounds[k], bounds[k + 1]

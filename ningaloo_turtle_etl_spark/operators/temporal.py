@@ -26,6 +26,20 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+
+def _epoch_seconds(df: DataFrame, col: str) -> F.Column:
+    """Epoch seconds for bucketing, for any time representation the catalog
+    may hand us: TIMESTAMP / TIMESTAMP_NTZ → ``to_unix_timestamp`` (a direct
+    CAST(ntz AS BIGINT) is an AnalysisException), integral epoch-seconds →
+    passthrough cast."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.to_unix_timestamp(F.col(col))
+    if isinstance(dt, LongType):
+        return F.col(col)
+    return F.col(col).cast("long")
 
 
 def asof_join(
@@ -122,22 +136,20 @@ def range_join(
     if bucket_seconds == "auto":
         p75 = right.agg(
             F.percentile_approx(
-                F.col(end_col).cast("long") - F.col(start_col).cast("long"),
+                _epoch_seconds(right, end_col) - _epoch_seconds(right, start_col),
                 F.lit(0.75),
                 10_000,
             )
         ).collect()[0][0]
         bucket_seconds = int(min(max(p75 or 86400, 60), 30 * 86400))
     step = F.lit(int(bucket_seconds))
-    lb = left.withColumn(
-        "_b", F.floor(F.col(left_time).cast("long") / step)
-    )
+    lb = left.withColumn("_b", F.floor(_epoch_seconds(left, left_time) / step))
     rb = right.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / step),
-                F.floor(F.col(end_col).cast("long") / step),
+                F.floor(_epoch_seconds(right, start_col) / step),
+                F.floor(_epoch_seconds(right, end_col) / step),
             )
         ),
     )

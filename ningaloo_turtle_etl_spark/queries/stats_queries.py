@@ -88,10 +88,50 @@ def rescale_minmax(spark, sf_dir):
     )
 
 
-@register("rda_residual_stats", None)
+@register(
+    "rda_residual_stats",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS y,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x1,
+               CAST(day(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x2
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+               SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        FROM ev
+    ),
+    c AS (
+        SELECT sx1/n AS m1, sx2/n AS m2, sy/n AS my,
+               s11 - sx1*sx1/n AS c11, s12 - sx1*sx2/n AS c12,
+               s22 - sx2*sx2/n AS c22,
+               s1y - sx1*sy/n AS c1y, s2y - sx2*sy/n AS c2y
+        FROM s
+    ),
+    b AS (
+        SELECT my, m1, m2,
+               (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+               (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+        FROM c
+    )
+    SELECT ev.event_type,
+           ROUND(AVG(y - (my - b1*m1 - b2*m2 + b1*x1 + b2*x2)), 4) AS mean_resid,
+           ROUND(STDDEV_SAMP(y - (my - b1*m1 - b2*m2 + b1*x1 + b2*x2)), 4)
+               AS std_resid
+    FROM ev CROSS JOIN b
+    GROUP BY ev.event_type
+    """,
+)
 def rda_residual_stats(spark, sf_dir):
     """M2: distributed normal-equation OLS of event value on time features,
-    residuals as map-only expressions; output = per-type residual summary."""
+    residuals as map-only expressions; output = per-type residual summary.
+
+    The oracle states the same fit closed-form: 2-predictor + intercept OLS
+    by Cramer's rule over centered sums of products — algebraically the
+    normal equations ``fit_rda`` solves with lstsq."""
     from ningaloo_turtle_etl_spark.stats import fit_rda, with_residuals
 
     ev = load_table(spark, "events", sf_dir).select(

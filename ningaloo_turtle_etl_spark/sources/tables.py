@@ -34,9 +34,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     metadata (no inference pass over the data)."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name == "events":
-        # Defensive: events.parquet carries TIMESTAMP(NANOS), which Spark
-        # cannot read natively. session.py sets this at build time, but the
-        # harness may hand us a vanilla session — the conf is runtime-safe.
+        # Harness-proof: some testdata generations write events.ts as parquet
+        # TIMESTAMP(NANOS) (unreadable natively — this conf reads it as int64
+        # and _repair_schema converts); the current generation writes native
+        # timestamp[us], where the conf is a harmless no-op.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _repair_schema(name, df)
@@ -46,14 +47,40 @@ def _repair_schema(name: str, df: DataFrame) -> DataFrame:
     """First-stage type repair, the reference's universal pattern
     (`as.is=T` load then cast, ningaloo-etl.Rmd:54,67-78).
 
-    events.ts is written as parquet TIMESTAMP(NANOS); Spark's timestamp is
-    microseconds, so the session reads nanos as int64 and this layer converts
-    (`div 1000` truncation — matches DuckDB's CAST(ns AS TIMESTAMP))."""
+    The repair is conditional on the footer shape: when events.ts arrives as
+    int64 (a TIMESTAMP(NANOS) generation read under ``nanosAsLong``) it is
+    converted with ``div 1000`` truncation — matching DuckDB's
+    CAST(ns AS TIMESTAMP); when it arrives as a native timestamp (the
+    current testdata shape) it passes through untouched."""
     import pyspark.sql.functions as F
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_table_dir(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Stream an append-only directory of one table's parquet files with the
+    SAME schema handling as the batch loader: the explicit schema a streaming
+    source requires comes from the footer of the files already present (a
+    metadata-only batch read), and :func:`_repair_schema` applies the same
+    conditional repair — so tests and pipelines get identical semantics in
+    batch and streaming regardless of which testdata shape is on disk."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    df = _repair_schema(name, raw)
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ). The session runs UTC, so NTZ→TIMESTAMP preserves every value;
+    # batch keeps NTZ, and both collect to identical naive datetimes.
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

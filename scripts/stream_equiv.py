@@ -1,0 +1,153 @@
+"""Machine-checked batch≡stream evidence for the streaming layer (ST3 / ST6
+/ ST7 + session windows) — the equality a DuckDB oracle cannot express
+(it cannot run a stream).
+
+For each check the SAME logical plan runs twice over the SAME events data:
+once as a batch DataFrame, once as an availableNow Structured Streaming
+query over a file-source feed directory. The collected results are compared
+exactly (sorted row tuples). Writes a driver-style JSON artifact.
+
+Usage: python scripts/stream_equiv.py [--sf /root/testdata/sf0.01]
+       [--json STREAM_EQUIV.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from ningaloo_turtle_etl_spark.session import get_spark
+    from ningaloo_turtle_etl_spark.sources.tables import load_table, stream_table_dir
+    from ningaloo_turtle_etl_spark.streaming.rollup import (
+        continuous_rollup,
+        rollup_with_tail,
+    )
+    from ningaloo_turtle_etl_spark.streaming.tallies import daily_tally, session_tally
+
+    spark = get_spark("stream-equiv", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="stream_equiv_")
+    feed = os.path.join(tmp, "feed")
+    os.mkdir(feed)
+    shutil.copy(f"{args.sf}/events.parquet", os.path.join(feed, "part-000.parquet"))
+
+    batch = load_table(spark, "events", args.sf)
+    report: dict[str, dict] = {}
+    failed = []
+
+    def run_stream(df, name, mode="complete"):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+
+    def check(name, batch_df, stream_df, cols):
+        t0 = time.time()
+        b, s = _rows(batch_df, cols), _rows(stream_df, cols)
+        rec = {
+            "batch_rows": len(b),
+            "stream_rows": len(s),
+            "rows_match": len(b) == len(s),
+            "values_match": b == s,
+            "err": None,
+        }
+        report[name] = rec
+        ok = rec["values_match"]
+        if not ok:
+            failed.append(name)
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} "
+              f"{len(s)} rows ({time.time()-t0:.1f}s)")
+
+    stream = stream_table_dir(spark, feed, "events")
+
+    # ST3: tumbling daily tally, complete mode ≡ batch plan.
+    cols = ["window_start", "event_type", "n", "total_value"]
+    check(
+        "st3_daily_tally",
+        daily_tally(batch),
+        run_stream(daily_tally(stream, watermark="40 days"), "se_daily"),
+        cols,
+    )
+
+    # Session windows: state-merging gap sessions ≡ batch plan.
+    scols = ["session_start", "session_end", "user_id", "n"]
+    check(
+        "session_tally",
+        session_tally(batch, keys=("user_id",), gap="6 hours"),
+        run_stream(
+            session_tally(stream, keys=("user_id",), gap="6 hours", watermark="40 days"),
+            "se_session",
+        ),
+        scols,
+    )
+
+    # ST6: complete-mode dashboard tally ≡ batch groupBy.
+    import pyspark.sql.functions as F
+
+    check(
+        "st6_complete_tally",
+        batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        run_stream(
+            stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+            "se_complete",
+        ),
+        ["event_type", "n"],
+    )
+
+    # ST7 + rollup: closed windows maintained incrementally via the
+    # idempotent merge sink, open tail recomputed — union ≡ full batch tally.
+    rollup_dir = os.path.join(tmp, "rollup")
+    q = continuous_rollup(stream, rollup_dir, watermark="2 days",
+                          checkpoint=os.path.join(tmp, "ckpt"))
+    q.awaitTermination(300)
+    check(
+        "st7_rollup_with_tail",
+        daily_tally(batch),
+        rollup_with_tail(spark, rollup_dir, batch),
+        cols,
+    )
+    n_closed = spark.read.parquet(rollup_dir).count()
+    report["st7_rollup_with_tail"]["closed_windows_in_rollup"] = n_closed
+    report["st7_rollup_with_tail"]["only_closed_windows"] = (
+        0 < n_closed < report["st7_rollup_with_tail"]["batch_rows"]
+    )
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {args.json} ({len(report)} checks)")
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"\n{len(report) - len(failed)}/{len(report)} stream-equivalence checks OK")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -307,3 +307,35 @@ def test_bloom_no_false_negatives(spark):
     )
     n_fp = o_hashed.filter(bloom_might_contain(words, m, k)).count()
     assert n_fp <= 50
+
+
+def test_distributed_bloom_build_matches_local(spark):
+    """The executor-side treeReduce bitmap fold is bit-for-bit identical to
+    the local build on the same hashes, and what crosses to the driver is
+    O(bitmap) — one array of m/64 words regardless of vocabulary size."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        bloom_parameters,
+        build_bloom_words,
+        build_bloom_words_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(5000)], "gram string"
+    ).repartition(13)  # many partitions → real partial-bitmap merging
+    hashes = [r["h"] for r in df.select(F.xxhash64("gram").alias("h")).collect()]
+    m, k = bloom_parameters(len(hashes), fpp=0.01)
+
+    local = build_bloom_words(hashes, m, k)
+    dist = build_bloom_words_distributed(
+        df.select(F.xxhash64("gram").alias("h")), m, k
+    )
+    assert np.array_equal(np.asarray(local), np.asarray(dist))
+    # Driver-side result is the bitmap itself: m/64 words, NOT O(n_hashes).
+    assert len(dist) == (m + 63) // 64
+
+    # Empty vocabulary → all-zero bitmap, no crash.
+    empty = spark.createDataFrame([], "h bigint")
+    zeros = build_bloom_words_distributed(empty, 640, 3)
+    assert len(zeros) == 10 and not np.asarray(zeros).any()

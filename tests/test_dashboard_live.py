@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 
 from ningaloo_turtle_etl_spark.operators.dedup import exact_dedup, exact_dedup_semi
 from ningaloo_turtle_etl_spark.plans.dashboard import TracksDashboard
-from ningaloo_turtle_etl_spark.streaming.tallies import read_stream_dir
+from ningaloo_turtle_etl_spark.sources.tables import load_table, stream_table_dir
 from tests.conftest import SF_DIR
 
 
@@ -19,13 +19,10 @@ def test_streaming_ingest_feeds_dashboard(spark, tmp_path):
     feed.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", feed / "p0.parquet")
 
-    raw = read_stream_dir(
-        spark,
-        str(feed),
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    )
-    # Ingest: repair types and project the tracks-shaped view the dashboard
-    # expects, materialized to an in-memory table by the stream.
+    raw = stream_table_dir(spark, str(feed), "events")
+    # Ingest: project the tracks-shaped view the dashboard expects,
+    # materialized to an in-memory table by the stream (ts arrives repaired
+    # by stream_table_dir, same as the batch loader).
     tracks = raw.select(
         F.col("event_id").cast("string").alias("id"),
         (F.lit(113.0) + F.col("user_id") % 10 / 10.0).alias("longitude"),
@@ -34,8 +31,8 @@ def test_streaming_ingest_feeds_dashboard(spark, tmp_path):
         F.when(F.col("value") > 100, "fresh").otherwise("old").alias("nest_age"),
         F.lit("nest").alias("nest_type"),
         F.lit("WA").alias("location"),
-        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("observation_date"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("observation_start_time"),
+        F.to_date("ts").alias("observation_date"),
+        F.col("ts").alias("observation_start_time"),
     )
     q = (
         tracks.writeStream.outputMode("append")
@@ -54,6 +51,17 @@ def test_streaming_ingest_feeds_dashboard(spark, tmp_path):
     assert tally_total == n_purchase
     status = d.latest_observation().collect()[0]
     assert status["n_obs"] == n_purchase and status["latest"] is not None
+    # Absolute-date pin: a silent epoch shift (e.g. a stale nanos repair on
+    # micros data collapsing everything to Jan 1970) must fail loudly. The
+    # streamed dates must equal the batch loader's, and be post-2000.
+    batch_max = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert status["latest"] == batch_max
+    assert batch_max.year > 2000
 
 
 def test_exact_dedup_semi_matches_window(spark):

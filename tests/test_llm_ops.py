@@ -295,6 +295,39 @@ def test_multimodal_stub_and_fake_paths(spark, docs):
     assert max(r["frame_no"] for r in frames) <= 2
 
 
+def test_multimodal_resize_and_audio(spark, docs):
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    media = documents_as_media(
+        docs.withColumns({"source": F.lit("test"), "lang": F.lit("en"), "n_chars": F.length("text")})
+    )
+    with pytest.raises(NotImplementedError):
+        resize_images(media)  # stub default, same honesty tier as decode
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(media)
+
+    resized = {r["media_id"]: r for r in resize_images(media, 16, 12, decoder="fake").collect()}
+    assert set(resized) == {1, 2, 3, 4, 5}
+    for r in resized.values():
+        assert (r["width"], r["height"]) == (16, 12)
+        assert len(bytes(r["pixels"])) == 16 * 12  # exact raw frame size
+    # Determinism: identical bytes (docs 1 and 2) → identical resized frame.
+    assert bytes(resized[1]["pixels"]) == bytes(resized[2]["pixels"])
+
+    audio = {r["media_id"]: r for r in extract_audio_features(media, decoder="fake").collect()}
+    a = audio[1]
+    n_bytes = len(BASE.encode())
+    assert a["n_samples"] == n_bytes  # int8 PCM: one sample per byte
+    assert abs(a["duration_sec"] - n_bytes / 8000) < 1e-12
+    assert a["rms"] > 0 and len(a["energy_bands"]) == 4
+    # Parseval-ish sanity: band energies sum to total energy = n·rms².
+    assert abs(sum(a["energy_bands"]) - a["n_samples"] * a["rms"] ** 2) < 1e-6
+    assert audio[1]["rms"] == audio[2]["rms"]
+
+
 # --- semantic (SemDeDup-style) dedup ----------------------------------------
 @pytest.fixture(scope="module")
 def planted_vecs(spark):
@@ -453,3 +486,33 @@ def test_unigram_lm_scores_match_numpy(spark):
         ref = sum(-math.log(p[t]) for t in toks) / len(toks)
         assert out[doc_id]["n_tokens"] == len(toks)
         assert abs(out[doc_id]["avg_nll"] - ref) < 1e-6, doc_id
+
+
+def test_dedup_cache_scope_releases_storage(spark, docs):
+    """Repeated dedup calls inside dedup_cache_scope leave NO cached RDDs
+    behind — long-lived sessions don't accumulate signature caches."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        dedup_cache_scope,
+        release_dedup_caches,
+        simhash_near_dup_pairs,
+    )
+
+    release_dedup_caches()  # clean slate from earlier tests in the session
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    for _ in range(3):
+        with dedup_cache_scope():
+            minhash_near_dup_pairs(docs, threshold=0.5).collect()
+            simhash_near_dup_pairs(docs, max_hamming=8).collect()
+            assert n_cached() > base  # caches live while results are consumed
+        assert n_cached() == base  # and released at scope exit
+
+    # The explicit-release path behaves the same.
+    minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    assert n_cached() > base
+    assert release_dedup_caches() >= 1
+    assert n_cached() == base

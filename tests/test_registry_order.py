@@ -29,8 +29,11 @@ def test_critical_components_inside_driver_window():
         "observation_status",
         "remigration_lag",
         "set_operations",
-        "string_null_funcs",
         "json_extract_props",
+        # r03: the custom temporal operator promoted in place of the
+        # redundant string_null_funcs twin (F9/F10/F11 stay oracle-swept
+        # by pytest + the supplement artifact)
+        "range_join_tally",
         "hellinger_transform",
         "pcnm_join_back",
         # LLM family
@@ -70,7 +73,6 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # extensions beyond the reference surface, oracle-swept by pytest
         "session_window_tally",
         "asof_join_rates",
-        "range_join_tally",
         "sketch_profile",
         "corpus_clean_pipeline",
         "ann_quantized_topk",
@@ -94,6 +96,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
+        "string_null_funcs",
         "text_token_stats",
         "text_quality_scores",
         "conditional_patch",

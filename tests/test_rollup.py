@@ -9,18 +9,13 @@ import shutil
 import pyspark.sql.functions as F
 import pytest
 
-from ningaloo_turtle_etl_spark.sources.tables import load_table
+from ningaloo_turtle_etl_spark.sources.tables import load_table, stream_table_dir
 from ningaloo_turtle_etl_spark.streaming.rollup import (
     continuous_rollup,
     rollup_with_tail,
 )
-from ningaloo_turtle_etl_spark.streaming.tallies import daily_tally, read_stream_dir
+from ningaloo_turtle_etl_spark.streaming.tallies import daily_tally
 from tests.conftest import SF_DIR
-
-SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double,"
-    " props string"
-)
 
 
 @pytest.fixture()
@@ -32,8 +27,7 @@ def feed(spark, tmp_path):
 
 
 def _stream(spark, feed):
-    raw = read_stream_dir(spark, feed, SCHEMA)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_table_dir(spark, feed, "events")
 
 
 def test_continuous_rollup_serves_full_tally(spark, feed, tmp_path):

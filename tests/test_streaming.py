@@ -7,7 +7,7 @@ import shutil
 
 import pytest
 
-from ningaloo_turtle_etl_spark.sources.tables import load_table
+from ningaloo_turtle_etl_spark.sources.tables import load_table, stream_table_dir
 from ningaloo_turtle_etl_spark.streaming.sinks import foreach_batch_upserter
 from ningaloo_turtle_etl_spark.streaming.tallies import (
     complete_tally_query,
@@ -39,12 +39,9 @@ def test_streaming_daily_tally_matches_batch(spark, events_stream_dir):
         for r in daily_tally(batch).collect()
     }
 
-    # Raw parquet (ts in nanos→int64) needs the same repair the batch loader
-    # does; express it on the stream to prove plan parity.
-    import pyspark.sql.functions as F
-
-    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The stream goes through the same conditional schema repair as the
+    # batch loader (stream_table_dir) — plan parity for either testdata shape.
+    stream = stream_table_dir(spark, events_stream_dir, "events")
     q = (
         daily_tally(stream, watermark="10 days")
         .writeStream.outputMode("complete")
@@ -63,10 +60,7 @@ def test_streaming_daily_tally_matches_batch(spark, events_stream_dir):
 
 def test_complete_mode_dashboard_tally(spark, events_stream_dir):
     """ST6: the app.R reactive re-tally as a complete-mode in-memory agg."""
-    import pyspark.sql.functions as F
-
-    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream_table_dir(spark, events_stream_dir, "events")
     q = complete_tally_query(stream, ("event_type",), "dashboard_tally_test")
     try:
         q.processAllAvailable()
@@ -84,8 +78,6 @@ def test_complete_mode_dashboard_tally(spark, events_stream_dir):
 def test_streaming_session_tally_matches_batch(spark, events_stream_dir):
     """Session windows on a stream (state-merging, watermark-bounded) equal
     the batch plan on the same data."""
-    import pyspark.sql.functions as F
-
     from ningaloo_turtle_etl_spark.streaming.tallies import session_tally
 
     batch = load_table(spark, "events", SF_DIR)
@@ -95,11 +87,7 @@ def test_streaming_session_tally_matches_batch(spark, events_stream_dir):
     }
     assert expected  # fixture has sessions
 
-    raw = read_stream_dir(
-        spark, events_stream_dir,
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream_table_dir(spark, events_stream_dir, "events")
     q = (
         session_tally(stream, keys=("user_id",), gap="6 hours", watermark="10 days")
         .writeStream.outputMode("complete")
@@ -141,8 +129,7 @@ def test_watermark_append_mode_emits_closed_windows(spark, events_stream_dir):
     are emitted; the tail stays in state (late data would still be merged)."""
     import pyspark.sql.functions as F
 
-    raw = read_stream_dir(spark, events_stream_dir, "event_id long, ts long, user_id long, event_type string, value double, props string")
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream_table_dir(spark, events_stream_dir, "events")
     q = (
         daily_tally(stream, watermark="2 days")
         .writeStream.outputMode("append")
