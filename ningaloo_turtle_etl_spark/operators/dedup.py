@@ -709,3 +709,82 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- cross-document duplicate-passage removal -------------------------------
+def duplicate_passage_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup at passage granularity — the Spark-first form
+    of the 'Deduplicating Training Data Makes Language Models Better'
+    suffix-array pass (Lee et al. 2022): split each document into
+    non-overlapping ``passage_tokens``-token passages, keep the globally
+    FIRST occurrence (ordered by doc id, then position) of every passage,
+    drop the rest, and reconstruct each document from its surviving
+    passages in order.
+
+    Output: one row per input doc — ``(id, n_passages, n_removed,
+    cleaned_text)``; tokenless docs pass through with 0/0/''.
+
+    Scale shape: passage building is a map-only Catalyst pass fused with
+    the scan (no UDFs); first-occurrence election is ONE window shuffle
+    partitioned by the passage content; reconstruction is ONE groupBy(id)
+    shuffle carrying surviving passages (reassembly is the irreducible
+    shuffle — at 100 TB, prefer emitting (id, idx) removal masks and
+    applying them at read time if the cleaned text isn't needed
+    materialized). Within-doc repeats count as duplicates too (second
+    occurrence loses), matching the global policy."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    n_pas = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
+    # sequence(0, -1) would yield [0, -1] (negative step); guard empties.
+    idx_seq = F.when(n_pas > 0, F.sequence(F.lit(0), n_pas - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    passages = F.transform(
+        idx_seq,
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * passage_tokens + 1, passage_tokens)
+            ).alias("passage"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(passages).alias("p")
+    ).select(id_col, F.col("p.idx").alias("idx"), F.col("p.passage").alias("passage"))
+
+    w = Window.partitionBy("passage").orderBy(id_col, "idx")
+    marked = exploded.withColumn("_rn", F.row_number().over(w))
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("_rn") == 1, 0).otherwise(1)).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rn") == 1,
+                            F.struct(F.col("idx"), F.col("passage")),
+                        )
+                    )
+                ),
+                lambda s: s.passage,
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1250,3 +1250,58 @@ def semantic_dedup_query(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     kept = semantic_dedup(emb, threshold=0.4, n_centroids=16, deterministic=True)
     return kept.select("vec_id", "label")
+
+
+@register(
+    "duplicate_passage_removal",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    pas AS (
+        SELECT doc_id, idx,
+               array_to_string(list_slice(t, idx*20 + 1, idx*20 + 20), ' ')
+                   AS passage
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(CAST(ceil(len(t)/20.0) AS BIGINT))) AS idx
+            FROM toks
+        )
+    ),
+    marked AS (
+        SELECT doc_id, idx, passage,
+               ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, idx)
+                   AS rn
+        FROM pas
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(
+                   STRING_AGG(CASE WHEN rn = 1 THEN passage END, ' '
+                              ORDER BY idx), '') AS cleaned_text
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_passages, 0) AS n_passages,
+           COALESCE(p.n_removed, 0) AS n_removed,
+           COALESCE(p.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def duplicate_passage_removal(spark, sf_dir):
+    """Cross-document duplicate-passage removal (Lee et al. 2022's exact
+    substring dedup at passage granularity): global first occurrence of
+    every 20-token passage survives, later occurrences are cut, documents
+    are reconstructed from their surviving passages. The oracle states the
+    identical policy relationally (ROW_NUMBER over passage groups)."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        duplicate_passage_removal as dpr,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dpr(docs, passage_tokens=20)

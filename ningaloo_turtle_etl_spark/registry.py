@@ -132,6 +132,7 @@ PRIORITY: list[str] = [
     "semantic_dedup",
     "incremental_dedup",
     "lm_quality_scores",
+    "duplicate_passage_removal",
 ]
 
 

@@ -516,3 +516,34 @@ def test_dedup_cache_scope_releases_storage(spark, docs):
     assert n_cached() > base
     assert release_dedup_caches() >= 1
     assert n_cached() == base
+
+
+def test_duplicate_passage_removal_policy(spark):
+    """Global first occurrence (by doc_id, then position) survives; later
+    occurrences — cross-doc AND within-doc — are cut; tokenless docs pass
+    through; reconstruction preserves passage order."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        duplicate_passage_removal,
+    )
+
+    P = 3  # passage size in tokens
+    rows = [
+        # doc 1: two passages, the second repeated inside doc 3
+        (1, "a b c d e f"),
+        # doc 2: repeats doc 1's FIRST passage (loses it), plus its own
+        (2, "a b c x y z"),
+        # doc 3: repeats doc 1's second passage twice (both lose), own tail
+        (3, "d e f d e f tail"),
+        (4, ""),  # tokenless
+        (5, "q r"),  # single short passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_removed"], r["cleaned_text"])
+        for r in duplicate_passage_removal(df, passage_tokens=P).collect()
+    }
+    assert got[1] == (2, 0, "a b c d e f")
+    assert got[2] == (2, 1, "x y z")
+    assert got[3] == (3, 2, "tail")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 0, "q r")
