@@ -53,26 +53,36 @@ CHECKSUM = {
 # --- extras: scale probes OUTSIDE the headline total (round-over-round
 # continuity keeps `value` summing the same 11 queries) -----------------------
 
-def _spatial_tag_regions_10x(spark, sf_dir):
-    """spatial_tag_regions at 10x the sf's point count — pins the vectorized
-    ray-cast pandas-UDF throughput claim on a row count where the UDF, not
-    session overhead, dominates."""
-    import pyspark.sql.functions as F
+def _spatial_10x(variant):
+    """spatial_tag_regions at 10x the sf's point count — pins tagger
+    throughput where the tagger, not session overhead, dominates. Two
+    variants: the vectorized ray-cast pandas UDF vs the r03 pure-Catalyst
+    fold (tag_regions_expr); the ratio is the measured Python-boundary
+    cost."""
 
-    from ningaloo_turtle_etl_spark.operators.spatial import tag_regions
-    from ningaloo_turtle_etl_spark.queries.spatial import REGIONS
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count() * 10
-    # 8 partitions, not default parallelism: range() at 32 partitions spawns
-    # 32 Python workers, which measurably degrades the rest of the session
-    # in local mode (see the warmup note in main()).
-    pts = spark.range(1, n + 1, 1, 8).select(
-        F.col("id").alias("c_custkey"),
-        (F.lit(-180) + (F.col("id") * 7) % 360 + 0.5).alias("lon"),
-        (F.lit(-90) + (F.col("id") * 13) % 180 + 0.5).alias("lat"),
-    )
-    tagged = tag_regions(pts, REGIONS, lon_col="lon", lat_col="lat")
-    return tagged.groupBy("location").agg(F.count(F.lit(1)).alias("n"))
+        from ningaloo_turtle_etl_spark.operators.spatial import (
+            tag_regions,
+            tag_regions_expr,
+        )
+        from ningaloo_turtle_etl_spark.queries.spatial import REGIONS
+
+        n = spark.read.parquet(f"{sf_dir}/customer.parquet").count() * 10
+        # 8 partitions, not default parallelism: range() at 32 partitions
+        # spawns 32 Python workers, which measurably degrades the rest of
+        # the session in local mode (see the warmup note in main()).
+        pts = spark.range(1, n + 1, 1, 8).select(
+            F.col("id").alias("c_custkey"),
+            (F.lit(-180) + (F.col("id") * 7) % 360 + 0.5).alias("lon"),
+            (F.lit(-90) + (F.col("id") * 13) % 180 + 0.5).alias("lat"),
+        )
+        tagger = tag_regions if variant == "udf" else tag_regions_expr
+        tagged = tagger(pts, REGIONS, lon_col="lon", lat_col="lat")
+        return tagged.groupBy("location").agg(F.count(F.lit(1)).alias("n"))
+
+    return run
 
 
 def _simhash_signatures(signature):
@@ -195,7 +205,8 @@ EXTRAS = {
     "decontam_50k": _decontam_50k,
     "bloom_decontam_50k": _bloom_decontam_50k,
     "connected_components_100k": _connected_components_100k,
-    "spatial_tag_regions_10x": _spatial_tag_regions_10x,
+    "spatial_tag_regions_10x": _spatial_10x("udf"),
+    "spatial_tag_regions_expr_10x": _spatial_10x("expr"),
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

@@ -108,3 +108,80 @@ def point_in_polygon(lon: Column, lat: Column, region: Region) -> Column:
     """Boolean membership column for a single polygon (exact test only)."""
     tagger = region_tagger([region], default="_out")
     return tagger(lon, lat) == region.name
+
+
+def region_membership_expr(lon: Column, lat: Column, region: Region) -> Column:
+    """Even-odd ray cast as a PURE Catalyst expression: fold over a literal
+    edge array with ``F.aggregate``, XOR-ing crossing parity. Identical
+    half-open edge behavior to :func:`_ray_cast` (pinned by the equivalence
+    test in tests/test_spatial.py).
+
+    ``nullif`` guards the horizontal-edge division (ANSI mode would raise
+    DIVIDE_BY_ZERO if the crossing predicate ever evaluated it; a null
+    comparison folds to no-crossing, same as numpy's ignored inf)."""
+    xs = [float(p[0]) for p in region.ring]
+    ys = [float(p[1]) for p in region.ring]
+    edges, j = [], len(xs) - 1
+    for i in range(len(xs)):
+        edges.append((xs[i], ys[i], xs[j], ys[j]))
+        j = i
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(xi).alias("xi"),
+                F.lit(yi).alias("yi"),
+                F.lit(xj).alias("xj"),
+                F.lit(yj).alias("yj"),
+            )
+            for xi, yi, xj, yj in edges
+        ]
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        crosses = (e["yi"] > lat) != (e["yj"] > lat)
+        x_at = (e["xj"] - e["xi"]) * (lat - e["yi"]) / F.nullif(
+            e["yj"] - e["yi"], F.lit(0.0)
+        ) + e["xi"]
+        return F.when(crosses & (lon < x_at), ~acc).otherwise(acc)
+
+    return F.aggregate(arr, F.lit(False), step)
+
+
+def tag_regions_expr(
+    df: DataFrame,
+    regions: Sequence[Region],
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    tag_col: str = "location",
+    default: str = "WA",
+) -> DataFrame:
+    """J7 as pure Catalyst: same cascade/default/NULL semantics as
+    :func:`tag_regions`, zero Python — the whole tagger (bbox pre-mask +
+    ray-cast fold + last-wins cascade) is one codegen'd expression fused
+    with the scan. Preferred for dimension-sized region sets (the reference
+    has a handful of sites): no Python worker pool, no Arrow hop, and the
+    plan stays inside WholeStageCodegen at any corpus size.
+
+    The pandas-UDF :func:`tag_regions` remains the right tool when the
+    region set or vertex count is large (hundreds of polygons × many
+    vertices would blow up generated code; numpy amortizes there)."""
+    lon = F.col(lon_col).cast("double")
+    lat = F.col(lat_col).cast("double")
+    expr: Column = F.lit(default)
+    # Forward fold, each region's when() wrapping the previous: the LAST
+    # listed region's test sits outermost → last match wins (reference
+    # cascade semantics).
+    for r in regions:
+        xs = [float(p[0]) for p in r.ring]
+        ys = [float(p[1]) for p in r.ring]
+        bbox = (
+            (lon >= min(xs)) & (lon <= max(xs))
+            & (lat >= min(ys)) & (lat <= max(ys))
+        )
+        expr = F.when(
+            bbox & region_membership_expr(lon, lat, r), F.lit(r.name)
+        ).otherwise(expr)
+    expr = F.when(
+        lon.isNull() | lat.isNull(), F.lit(None).cast("string")
+    ).otherwise(expr)
+    return df.withColumn(tag_col, expr)

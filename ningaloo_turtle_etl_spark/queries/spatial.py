@@ -63,3 +63,41 @@ def spatial_tag_regions(spark, sf_dir):
     )
     tagged = tag_regions(pts, REGIONS, lon_col="lon", lat_col="lat")
     return tagged.groupBy("location").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "spatial_tag_regions_expr",
+    """
+    WITH pts AS (
+        SELECT c_custkey,
+               -180 + ((c_custkey * 7) % 360) + 0.5 AS lon,
+               -90 + ((c_custkey * 13) % 180) + 0.5 AS lat
+        FROM customer
+    )
+    SELECT location, COUNT(*) AS n FROM (
+        SELECT CASE
+                 WHEN lon > -60  AND lon < -20 AND lat > 20  AND lat < 60 THEN 'Perth'
+                 WHEN lon > 110  AND lon < 140 AND lat > -25 AND lat < 10 THEN 'Montebello'
+                 WHEN lon > 100  AND lon < 130 AND lat > -30 AND lat < 0  THEN 'Thevenard'
+                 ELSE 'WA'
+               END AS location
+        FROM pts
+    ) GROUP BY location
+    """,
+)
+def spatial_tag_regions_expr(spark, sf_dir):
+    """J7, zero-Python variant: the same tagging via the pure-Catalyst
+    ray-cast fold (tag_regions_expr) — one codegen'd expression, no worker
+    pool. Same oracle as spatial_tag_regions; equivalence with the UDF
+    tagger is pinned point-for-point in tests/test_spatial.py."""
+    from ningaloo_turtle_etl_spark.operators.spatial import tag_regions_expr
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+    c = load_table(spark, "customer", sf_dir)
+    pts = c.select(
+        "c_custkey",
+        (F.lit(-180) + (F.col("c_custkey") * 7) % 360 + 0.5).alias("lon"),
+        (F.lit(-90) + (F.col("c_custkey") * 13) % 180 + 0.5).alias("lat"),
+    )
+    tagged = tag_regions_expr(pts, REGIONS, lon_col="lon", lat_col="lat")
+    return tagged.groupBy("location").agg(F.count(F.lit(1)).alias("n"))

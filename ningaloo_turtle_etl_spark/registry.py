@@ -133,6 +133,7 @@ PRIORITY: list[str] = [
     "incremental_dedup",
     "lm_quality_scores",
     "duplicate_passage_removal",
+    "spatial_tag_regions_expr",
 ]
 
 

@@ -94,6 +94,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "incremental_dedup",
         "lm_quality_scores",
         "duplicate_passage_removal",
+        "spatial_tag_regions_expr",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -7,7 +7,7 @@ import json
 
 import pyspark.sql.functions as F
 
-from ningaloo_turtle_etl_spark.operators.spatial import tag_regions
+from ningaloo_turtle_etl_spark.operators.spatial import tag_regions, tag_regions_expr
 from ningaloo_turtle_etl_spark.sources.geojson import (
     Region,
     bbox_ring,
@@ -69,6 +69,38 @@ def test_cascade_last_region_wins(spark):
     # overlap (7,7) → b (later region overwrites), like the reference's
     # sequential over() assignments; null coords stay null.
     assert got == ["a", "b", "b", "WA", None]
+
+
+def test_catalyst_tagger_matches_pandas_udf(spark):
+    """tag_regions_expr (pure Catalyst fold) must agree with the pandas-UDF
+    tagger point-for-point — grid sweep over convex + concave polygons with
+    an overlap cascade, edge-adjacent points, nulls, and the default."""
+    regions = [
+        TRIANGLE,
+        CONCAVE,
+        Region("box", [(4.0, 4.0), (12.0, 4.0), (12.0, 12.0), (4.0, 12.0), (4.0, 4.0)]),
+    ]
+    pts = [
+        (i, x / 2 + 0.25, y / 2 + 0.25)
+        for i, (x, y) in enumerate((x, y) for x in range(-6, 27) for y in range(-6, 27))
+    ]
+    pts += [(9000, None, 3.0), (9001, 3.0, None), (9002, None, None)]
+    # Points exactly on vertices/edges — both implementations must take the
+    # same half-open side.
+    pts += [(9100, 0.0, 0.0), (9101, 5.0, 10.0), (9102, 4.0, 2.0), (9103, 10.0, 5.0)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    udf_out = {
+        r["id"]: r["location"]
+        for r in tag_regions(df, regions, lon_col="lon", lat_col="lat").collect()
+    }
+    expr_out = {
+        r["id"]: r["location"]
+        for r in tag_regions_expr(df, regions, lon_col="lon", lat_col="lat").collect()
+    }
+    assert udf_out == expr_out
+    # And the plan is UDF-free: no ArrowEvalPython / BatchEvalPython node.
+    plan = tag_regions_expr(df, regions, lon_col="lon", lat_col="lat")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
 
 
 def test_geojson_feature_collection_roundtrip(spark, tmp_path):
