@@ -102,6 +102,28 @@ def session_tally(
     )
 
 
+def watermarked_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    event_time: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: first row per key wins,
+    and per-key state is evicted once the watermark passes — the production
+    form of at-least-once feed dedup (duplicate deliveries cluster in time,
+    so watermark-bounded suppression catches them; plain ``dropDuplicates``
+    on a stream keeps state forever and would OOM a 100 TB feed).
+
+    Batch frames take the plain ``dropDuplicates`` path, so one callsite
+    serves both modes (the engine's batch≡stream convention; equality is
+    machine-checked by scripts/stream_equiv.py)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(keys))
+    return df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def complete_tally_query(
     stream: DataFrame, keys: tuple[str, ...], table_name: str
 ):

@@ -118,6 +118,25 @@ def main() -> int:
         ["event_type", "n"],
     )
 
+    # Watermark-bounded streaming dedup over a feed with a redelivered file
+    # ≡ batch dropDuplicates on the original data (at-least-once → exactly
+    # once per key).
+    from ningaloo_turtle_etl_spark.streaming.tallies import watermarked_dedup
+
+    dupfeed = os.path.join(tmp, "dupfeed")
+    os.mkdir(dupfeed)
+    shutil.copy(f"{args.sf}/events.parquet", os.path.join(dupfeed, "part-000.parquet"))
+    shutil.copy(f"{args.sf}/events.parquet", os.path.join(dupfeed, "part-001.parquet"))
+    dupstream = stream_table_dir(spark, dupfeed, "events")
+    check(
+        "watermarked_dedup",
+        watermarked_dedup(batch),
+        run_stream(
+            watermarked_dedup(dupstream, watermark="40 days"), "se_dedup", mode="append"
+        ),
+        ["event_id", "ts", "event_type", "value"],
+    )
+
     # ST7 + rollup: closed windows maintained incrementally via the
     # idempotent merge sink, open tail recomputed — union ≡ full batch tally.
     rollup_dir = os.path.join(tmp, "rollup")

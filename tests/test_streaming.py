@@ -104,6 +104,41 @@ def test_streaming_session_tally_matches_batch(spark, events_stream_dir):
     assert got == expected
 
 
+def test_watermarked_dedup_drops_redelivered_rows(spark, tmp_path):
+    """At-least-once delivery: the same file lands in the feed twice; the
+    watermark-bounded streaming dedup must emit each event_id exactly once,
+    equal to the batch dropDuplicates result."""
+    from ningaloo_turtle_etl_spark.streaming.tallies import watermarked_dedup
+
+    d = tmp_path / "dupfeed"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")  # redelivery
+
+    batch = load_table(spark, "events", SF_DIR)
+    expected = {
+        r["event_id"]: (r["ts"], r["event_type"])
+        for r in watermarked_dedup(batch).collect()  # batch path: dropDuplicates
+    }
+
+    stream = stream_table_dir(spark, str(d), "events")
+    q = (
+        watermarked_dedup(stream, watermark="40 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["ts"], r["event_type"])
+        for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    }
+    assert len(got) == len(expected)  # exactly once per id, not twice
+    assert got == expected
+
+
 def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     """ST7: EntryBatchProcess re-runnability — same batch twice is a no-op;
     a changed record with the same key replaces the old version."""
