@@ -168,3 +168,22 @@ def test_semantic_dedup_pairs_payload_free_candidates(spark):
     pair_join = [l for l in joins if "cell" in l]
     assert pair_join, f"no cell-keyed pair join found: {joins}"
     assert all("embedding" not in l and " v#" not in l for l in pair_join)
+
+
+def test_duplicate_passage_removal_plan_shape(spark):
+    """Passage build is map-only (fused with the scan, no Python); the only
+    shuffles are the election window (by passage) and the reassembly agg
+    (by doc id); the join back to the id scan broadcasts."""
+    plan = plan_of(spark, "duplicate_passage_removal")
+    assert "EvalPython" not in plan  # pure Catalyst end to end
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_spatial_tag_regions_expr_is_pure_codegen(spark):
+    """The Catalyst tagger's plan has no Python eval node and only the
+    tally's single exchange."""
+    plan = plan_of(spark, "spatial_tag_regions_expr")
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
