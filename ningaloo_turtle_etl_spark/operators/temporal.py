@@ -50,16 +50,34 @@ def asof_join(
     right_time: str = "ts",
     right_cols: Sequence[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of LEFT join: each left row picks the LATEST right row of
-    the same key with ``right_time <= left_time`` (inclusive — DuckDB
-    `ASOF JOIN`'s convention; at equal timestamps the right row matches).
-    Left rows before any right row keep NULL payload.
+    """As-of LEFT join (pandas ``merge_asof`` / kdb ``aj`` surface):
 
-    Right payload columns that collide with left names get ``suffix``. If
-    several right rows share (key, right_time), the survivor is undefined —
-    deduplicate upstream.
+    - ``direction='backward'`` (default): each left row picks the LATEST
+      right row of the same key with ``right_time <= left_time`` (inclusive
+      — DuckDB `ASOF JOIN`'s convention; at equal timestamps the right row
+      matches).
+    - ``direction='forward'``: the EARLIEST right row with
+      ``right_time >= left_time`` (inclusive).
+    - ``direction='nearest'``: whichever of the two is closer in absolute
+      time; exact ties prefer the backward match.
+    - ``tolerance_seconds``: matches farther than this from the left time
+      are discarded (payload NULL), any direction.
+
+    Left rows with no admissible right row keep NULL payload. Right payload
+    columns that collide with left names get ``suffix``. If several right
+    rows share (key, right_time), the survivor is undefined — deduplicate
+    upstream.
+
+    Scale shape (all directions): one union + per-key ordered window
+    carry — ONE shuffle on the key, state bounded by the frame, no row
+    explosion. ``nearest`` computes both carries over the SAME partitioning
+    (one exchange, two sorts).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     on = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {*on, right_time}]
@@ -85,29 +103,84 @@ def asof_join(
         *[F.col(c).alias(renamed[c]) for c in right_cols],
         F.col(right_time).alias("_rt"),
     )
-    # Right sorts BEFORE left at equal _t (0 < 1) → inclusive match.
-    w = (
+    unioned = l2.unionByName(r2)
+
+    # Backward: right sorts BEFORE left at equal _t (0 < 1) → inclusive
+    # last() carry over the preceding frame. Forward: right sorts AFTER left
+    # (1 - _is_left) → inclusive first() carry over the following frame.
+    w_b = (
         Window.partitionBy(*on)
         .orderBy(F.col("_t"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l2.unionByName(r2).select(
-        *on,
-        *lcols,
-        "_t",
-        "_is_left",
-        *[
-            F.last(renamed[c], ignorenulls=True).over(w).alias(renamed[c])
-            for c in right_cols
-        ],
-        F.last("_rt", ignorenulls=True).over(w).alias("_matched_time"),
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.lit(1) - F.col("_is_left"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    return carried.filter(F.col("_is_left") == 1).select(
+
+    def carry(w, agg):
+        return {
+            **{renamed[c]: agg(renamed[c]).over(w) for c in right_cols},
+            "_matched_time": agg("_rt").over(w),
+        }
+
+    def last_nn(c):
+        return F.last(c, ignorenulls=True)
+
+    def first_nn(c):
+        return F.first(c, ignorenulls=True)
+
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    cols = {}
+    if need_b:
+        cols.update({f"_b_{k}": v for k, v in carry(w_b, last_nn).items()})
+    if need_f:
+        cols.update({f"_f_{k}": v for k, v in carry(w_f, first_nn).items()})
+    carried = unioned.select(*on, *lcols, "_t", "_is_left", *[
+        v.alias(k) for k, v in cols.items()
+    ]).filter(F.col("_is_left") == 1)
+
+    lt_dt = left.schema[left_time].dataType
+
+    def epoch(c):
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(lt_dt, (TimestampType, TimestampNTZType)):
+            return F.to_unix_timestamp(c).cast("double")
+        return c.cast("double")
+
+    def delta(side):
+        return F.abs(epoch(F.col("_t")) - epoch(F.col(f"_{side}__matched_time")))
+
+    def admissible(side):
+        ok = F.col(f"_{side}__matched_time").isNotNull()
+        if tolerance_seconds is not None:
+            ok = ok & (delta(side) <= F.lit(float(tolerance_seconds)))
+        return ok
+
+    out_names = [*[renamed[c] for c in right_cols], "_matched_time"]
+    if direction in ("backward", "forward"):
+        side = "b" if direction == "backward" else "f"
+        valid = admissible(side)
+        picked = {
+            name: F.when(valid, F.col(f"_{side}_{name}")) for name in out_names
+        }
+    else:
+        ok_b, ok_f = admissible("b"), admissible("f")
+        use_b = ok_b & (~ok_f | (delta("b") <= delta("f")))
+        picked = {
+            name: F.when(use_b, F.col(f"_b_{name}")).otherwise(
+                F.when(ok_f, F.col(f"_f_{name}"))
+            )
+            for name in out_names
+        }
+    return carried.select(
         *on,
         *lcols,
         F.col("_t").alias(left_time),
-        *[renamed[c] for c in right_cols],
-        "_matched_time",
+        *[picked[name].alias(name) for name in out_names],
     )
 
 

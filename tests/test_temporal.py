@@ -93,3 +93,54 @@ def test_range_join_plans_as_hash_join_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward/forward/nearest (± tolerance) against pandas.merge_asof as
+    an independent reference, on numeric times with no exact-tie distances
+    (tie policy differs between libraries and is documented, not contracted)."""
+    import numpy as np
+    import pandas as pd
+
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    # Odd left times, even right times → |lt-rt| never ties between sides.
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 60),
+            "t": np.sort(rng.choice(np.arange(1, 401, 2), 60, replace=False)).astype("int64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 40),
+            "t": np.sort(rng.choice(np.arange(0, 402, 2), 40, replace=False)).astype("int64"),
+            "v": np.arange(40).astype("float64"),
+        }
+    )
+    ldf = spark.createDataFrame(left_pd.assign(rowid=np.arange(60)))
+    rdf = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 20):
+            expect = pd.merge_asof(
+                left_pd.assign(rowid=np.arange(60)).sort_values("t"),
+                right_pd.sort_values("t"),
+                on="t",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+            ).set_index("rowid")["v"]
+            got_rows = asof_join(
+                ldf, rdf, on="k", left_time="t", right_time="t",
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+            got = {r["rowid"]: r["v"] for r in got_rows}
+            assert len(got_rows) == 60  # left join: every left row survives
+            for rowid, v in expect.items():
+                g = got[rowid]
+                if pd.isna(v):
+                    assert g is None, (direction, tol, rowid)
+                else:
+                    assert g == v, (direction, tol, rowid, g, v)
