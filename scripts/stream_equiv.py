@@ -40,7 +40,12 @@ def main() -> int:
         continuous_rollup,
         rollup_with_tail,
     )
-    from ningaloo_turtle_etl_spark.streaming.tallies import daily_tally, session_tally
+    from ningaloo_turtle_etl_spark.streaming.tallies import (
+        daily_tally,
+        enrich_with_dimension,
+        interval_self_join,
+        session_tally,
+    )
 
     spark = get_spark("stream-equiv", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -116,6 +121,39 @@ def main() -> int:
             "se_complete",
         ),
         ["event_type", "n"],
+    )
+
+    # Stream-static enrichment: per-batch broadcast join against a static
+    # dimension ≡ the batch join.
+    import pyspark.sql.functions as F  # noqa: F811
+
+    dim = (
+        batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    enrich_cols = ["event_id", "user_id", "user_events"]
+    check(
+        "stream_static_enrich",
+        enrich_with_dimension(batch.select("event_id", "user_id"), dim, "user_id"),
+        run_stream(
+            enrich_with_dimension(stream.select("event_id", "user_id"), dim, "user_id"),
+            "se_enrich",
+            mode="append",
+        ),
+        enrich_cols,
+    )
+
+    # Watermarked stream-stream inner join (purchases × preceding clicks
+    # within 1 day per user) ≡ the identical batch conditional join.
+    ssj_cols = ["user_id", "l_ts", "l_event_id", "r_ts", "r_event_id"]
+    check(
+        "stream_stream_interval_join",
+        interval_self_join(batch, "purchase", "click"),
+        run_stream(
+            interval_self_join(stream, "purchase", "click", watermark="40 days"),
+            "se_ssjoin",
+            mode="append",
+        ),
+        ssj_cols,
     )
 
     # Watermark-bounded streaming dedup over a feed with a redelivered file

@@ -225,3 +225,32 @@ def test_streaming_curation_gate_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM curation_gate_test").collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Watermarked stream-stream inner join (purchases × preceding clicks
+    within 1 day per user) emits exactly the batch conditional-join pairs."""
+    from ningaloo_turtle_etl_spark.streaming.tallies import interval_self_join
+
+    batch = load_table(spark, "events", SF_DIR)
+    expected = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_self_join(batch, "purchase", "click").collect()
+    )
+    assert expected  # fixture has qualifying pairs
+
+    stream = stream_table_dir(spark, events_stream_dir, "events")
+    q = (
+        interval_self_join(stream, "purchase", "click", watermark="40 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_test").collect()
+    )
+    assert got == expected
