@@ -234,6 +234,44 @@ def training_mix_sample(
     return joined.filter(keep)
 
 
+def temperature_mix_sample(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    budget_fraction: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-flattened training mix (the multilingual-sampling
+    standard: q_s ∝ p_s^(1/T)): T=1 keeps natural proportions, T→∞ tends to
+    uniform over strata — low-resource strata get upsampled relative to
+    their natural share without hand-written targets. Per-stratum rates are
+    min(1, budget·q_s·W/w_s); rows kept by the same deterministic md5-of-id
+    rule as the stratified sampler (stable under retries/re-runs). Plan
+    shape: two tiny aggs (stratum weights, their powered totals) → broadcast
+    rates → map-only filter."""
+    per = docs.groupBy(stratum_col).agg(F.sum(weight_col).alias("w"))
+    powered = per.select(
+        stratum_col,
+        F.col("w").cast("double").alias("w"),
+        F.pow(F.col("w").cast("double"), F.lit(1.0 / float(temperature))).alias("pw"),
+    )
+    tot = powered.agg(F.sum("w").alias("tw"), F.sum("pw").alias("tpw"))
+    rates = powered.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(budget_fraction)) * (F.col("pw") / F.col("tpw")))
+            * (F.col("tw") / F.col("w")),
+        ).alias("rate"),
+    )
+    joined = docs.join(F.broadcast(rates), on=stratum_col, how="inner")
+    keep = (F.col("rate") >= 1.0) | (
+        _sample_hash(id_col) < _rate_threshold(F.col("rate"))
+    )
+    return joined.filter(keep)
+
+
 # Deliberately simple, RE2-compatible patterns (both Spark's Java regex and
 # DuckDB/RE2 accept them) — production systems plug in their own table.
 PII_PATTERNS: dict[str, str] = {

@@ -1305,3 +1305,39 @@ def duplicate_passage_removal(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return dpr(docs, passage_tokens=20)
+
+
+@register(
+    "temperature_mix_sample",
+    """
+    WITH per AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w
+        FROM documents GROUP BY lang
+    ),
+    p2 AS (SELECT lang, w, power(w, 0.5) AS pw FROM per),
+    tot AS (SELECT SUM(w) AS tw, SUM(pw) AS tpw FROM p2),
+    rates AS (
+        SELECT lang,
+               LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(0.5 AS DOUBLE) * (pw / tpw)) * (tw / w)) AS rate
+        FROM p2, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                       8, '0'))
+    """,
+)
+def temperature_mix_sample(spark, sf_dir):
+    """Temperature-flattened mix at T=2 (exponent 0.5 = sqrt, IEEE-exact on
+    both engines) over language strata within a half-corpus budget — the
+    no-hand-targets counterpart of training_mix_sample; same deterministic
+    md5-of-id keep rule."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        temperature_mix_sample as tms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tms(docs, temperature=2.0, budget_fraction=0.5).select("doc_id", "lang")

@@ -55,6 +55,37 @@ def asof_join_rates(spark, sf_dir):
 
 
 @register(
+    "asof_join_rates_forward",
+    """
+    WITH rates AS (
+        SELECT DISTINCT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS rts,
+               ROUND(day(date_trunc('day', CAST(ts AS TIMESTAMP))) * 1.5, 2) AS rate
+        FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 3 = 0
+    )
+    SELECT e.event_type, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           r.rate, r.rts AS matched_time
+    FROM events e
+    ASOF LEFT JOIN rates r
+      ON e.event_type = r.event_type AND CAST(e.ts AS TIMESTAMP) <= r.rts
+    """,
+)
+def asof_join_rates_forward(spark, sf_dir):
+    """Forward as-of join (each event picks the EARLIEST same-type rate at
+    or after its timestamp; events after the last rate keep NULL) — the r03
+    mirrored-carry formulation vs DuckDB's native forward ASOF (`<=`)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts")
+    out = asof_join(
+        ev, _rates(ev), on="event_type", left_time="ts", right_time="rts",
+        direction="forward",
+    )
+    return out.select(
+        "event_type", "event_id", "ts", "rate",
+        F.col("_matched_time").alias("matched_time"),
+    )
+
+
+@register(
     "range_join_tally",
     """
     WITH iv AS (

@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     # Extensions beyond the reference surface (oracle-swept by pytest).
     "session_window_tally",
     "asof_join_rates",
+    "asof_join_rates_forward",
     "sketch_profile",
     "corpus_clean_pipeline",
     "ann_quantized_topk",
@@ -134,6 +135,7 @@ PRIORITY: list[str] = [
     "lm_quality_scores",
     "duplicate_passage_removal",
     "spatial_tag_regions_expr",
+    "temperature_mix_sample",
 ]
 
 

@@ -339,3 +339,31 @@ def test_distributed_bloom_build_matches_local(spark):
     empty = spark.createDataFrame([], "h bigint")
     zeros = build_bloom_words_distributed(empty, 640, 3)
     assert len(zeros) == 10 and not np.asarray(zeros).any()
+
+
+def test_temperature_mix_flattens_toward_low_resource(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import temperature_mix_sample
+
+    rows = [(i, "big" if i < 900 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    # T=1 is natural sampling: every stratum's rate collapses to exactly the
+    # budget fraction (q_s·W/w_s = 1), so kept fractions are ~equal.
+    t1 = temperature_mix_sample(df, temperature=1.0, budget_fraction=0.5)
+    kept1 = t1.groupBy("lang").count().collect()
+    frac1 = {r["lang"]: r["count"] for r in kept1}
+    assert 0.4 < frac1["big"] / 900 < 0.6
+    assert 0.4 < frac1["small"] / 100 < 0.6
+
+    # T=4 flattens hard: the small stratum must keep a strictly larger
+    # fraction of itself than the big one (upsampled relative share).
+    t4 = temperature_mix_sample(df, temperature=4.0, budget_fraction=0.5)
+    frac4 = {r["lang"]: r["count"] for r in t4.groupBy("lang").count().collect()}
+    assert frac4["small"] / 100 > frac4["big"] / 900
+    # Determinism: same call → identical kept id set (md5 rule, no RNG).
+    a = sorted(r["doc_id"] for r in t4.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(df, temperature=4.0, budget_fraction=0.5).collect()
+    )
+    assert a == b

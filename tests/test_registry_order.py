@@ -73,6 +73,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # extensions beyond the reference surface, oracle-swept by pytest
         "session_window_tally",
         "asof_join_rates",
+        "asof_join_rates_forward",
         "sketch_profile",
         "corpus_clean_pipeline",
         "ann_quantized_topk",
@@ -95,6 +96,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "lm_quality_scores",
         "duplicate_passage_removal",
         "spatial_tag_regions_expr",
+        "temperature_mix_sample",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
