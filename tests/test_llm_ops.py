@@ -500,22 +500,29 @@ def test_dedup_cache_scope_releases_storage(spark, docs):
     release_dedup_caches()  # clean slate from earlier tests in the session
     sc = spark.sparkContext
 
-    def n_cached():
-        return len(sc._jsc.sc().getRDDStorageInfo())
+    # Assert on the RDD ids THIS test creates, not global cache counts: the
+    # ContextCleaner asynchronously unpersists GC'd frames from earlier tests
+    # (localCheckpoint debris especially), so a global baseline can shrink
+    # mid-test.
+    def cached_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
 
-    base = n_cached()
     for _ in range(3):
+        before = cached_ids()
         with dedup_cache_scope():
             minhash_near_dup_pairs(docs, threshold=0.5).collect()
             simhash_near_dup_pairs(docs, max_hamming=8).collect()
-            assert n_cached() > base  # caches live while results are consumed
-        assert n_cached() == base  # and released at scope exit
+            ours = cached_ids() - before
+            assert ours  # caches live while results are consumed
+        assert not (cached_ids() & ours)  # and released at scope exit
 
     # The explicit-release path behaves the same.
+    before = cached_ids()
     minhash_near_dup_pairs(docs, threshold=0.5).collect()
-    assert n_cached() > base
+    ours = cached_ids() - before
+    assert ours
     assert release_dedup_caches() >= 1
-    assert n_cached() == base
+    assert not (cached_ids() & ours)
 
 
 def test_duplicate_passage_removal_policy(spark):
