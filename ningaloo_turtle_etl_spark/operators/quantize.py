@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 
 def fit_quantizer(
@@ -103,3 +104,208 @@ def quantized_cosine_topk(
         F.col(id_col), dequantize_expr("_q", lo, hi).alias(vec_col)
     )
     return cosine_topk(restored, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# --- product quantization (PQ) ----------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+# (IEEE TPAMI 2011): split each vector into m subvectors, k-means each
+# subspace into k codes, store m small code ids per vector (64-dim float32 →
+# 8 bytes at m=8), and answer queries with asymmetric distance computation
+# (ADC): the query precomputes an m×k lookup table of exact
+# subvector-to-centroid distances, so scoring a corpus vector is m table
+# lookups — no float math per vector. The codebook fit follows the repo's
+# dedup-then-join-back discipline (bounded driver-side sample, cf.
+# fit_centroids); encode and ADC scoring are pure Catalyst and fuse with
+# the scan.
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m_subvectors: int = 8,
+    k_codes: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    method: str = "hash",
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m, k, dim//m). Sampling uses
+    the deterministic smallest-md5(id) rule by default (``method="hash"``,
+    bit-identical across runs/partitionings — the repo's reproducible-sample
+    primitive) or a seeded uniform ``takeSample`` (``method="sample"``).
+    Requires dim % m == 0."""
+    from ningaloo_turtle_etl_spark.operators.similarity import _as_double
+
+    if method == "hash":
+        rows = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("_mh"),
+            )
+            .orderBy("_mh")
+            .limit(sample_rows)
+            .collect()
+        )
+    elif method == "sample":
+        rows = corpus.select(_as_double(F.col(vec_col)).alias("v")).rdd.takeSample(
+            False, sample_rows, seed
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'hash' or 'sample')")
+    if not rows:
+        raise ValueError("fit_pq_codebooks: empty corpus")
+    sample = np.asarray([r["v"] for r in rows])
+    dim = sample.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    d_sub = dim // m_subvectors
+    rng = np.random.RandomState(seed)
+    books = []
+    for i in range(m_subvectors):
+        sub = sample[:, i * d_sub : (i + 1) * d_sub]
+        k_eff = min(k_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(len(cents)):
+                members = sub[assign == j]
+                if len(members):
+                    cents[j] = members.mean(0)
+        if k_eff < k_codes:  # degenerate tiny corpus: repeat last centroid
+            cents = np.vstack([cents, np.repeat(cents[-1:], k_codes - k_eff, 0)])
+        books.append(cents)
+    return np.asarray(books)
+
+
+def pq_encode_expr(vec_col: Column | str, codebooks: np.ndarray) -> Column:
+    """array<float> → array<tinyint> of m code ids (argmin centroid per
+    subvector). Pure Catalyst: one squared-distance expression per
+    (subvector, code) over fixed element_at indices — codegen size is
+    m·k·d_sub terms, which bounds sensible k at ~16-32 for this path (the
+    classic PQ byte-code regime k=256 would go through a Pandas UDF
+    instead)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    m, k, d_sub = codebooks.shape
+
+    codes = []
+    for i in range(m):
+        dists = F.array(
+            *[
+                sum(
+                    (
+                        (
+                            F.element_at(c, i * d_sub + j + 1).cast("double")
+                            - float(codebooks[i, code, j])
+                        )
+                        ** 2
+                        for j in range(d_sub)
+                    ),
+                    start=F.lit(0.0),
+                )
+                for code in range(k)
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint"))
+    return F.array(*codes)
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    return df.withColumn(out_col, pq_encode_expr(vec_col, codebooks))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: encode the corpus map-side (m tinyint codes per vector),
+    precompute each query's m×k exact subvector-distance lookup table at the
+    driver (queries are a small broadcast set by contract, as in
+    cosine_topk), then score = m ``element_at`` lookups per corpus vector —
+    no per-vector float math. ``rerank > 0`` takes that many ADC candidates
+    per query and re-scores them exactly (squared L2 on the original
+    vectors) — the standard two-stage PQ serving shape; output rank/distance
+    then come from the exact stage.
+
+    Returns (query_id, vec_id, distance, rank): squared-L2 ADC approximation
+    when rerank=0, exact squared L2 on the shortlist otherwise."""
+    from ningaloo_turtle_etl_spark.operators.similarity import _as_double
+
+    m, kcodes, d_sub = codebooks.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    ).collect()
+    encoded = corpus.select(
+        F.col(id_col).alias("vec_id"), pq_encode_expr(vec_col, codebooks).alias("code")
+    )
+
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r["q"])
+        subs = qv.reshape(m, d_sub)
+        lut = ((subs[:, None, :] - codebooks) ** 2).sum(-1)  # (m, k)
+        luts.append((r["query_id"], [float(x) for x in lut.ravel()]))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(luts, "query_id long, lut array<double>")
+
+    adc = sum(
+        (
+            F.element_at(
+                F.col("lut"),
+                F.lit(i * kcodes + 1) + F.element_at(F.col("code"), i + 1).cast("int"),
+            )
+            for i in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")
+        )
+
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rerank))
+        .select("query_id", "vec_id")
+    )
+    exact_corpus = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q_df = spark.createDataFrame(
+        [(r["query_id"], r["q"]) for r in q_rows], "query_id long, q array<double>"
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        shortlist.join(exact_corpus, on="vec_id")
+        .join(F.broadcast(q_df), on="query_id")
+        .select("query_id", "vec_id", l2.alias("distance"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")
+    )

@@ -1,0 +1,328 @@
+"""Data-selection operators for training-data pipelines: exact-allocation
+stratified sampling, corpus drift metrics, and DSIR-style hashed n-gram
+importance weighting.
+
+The reference has no selection layer (its sampling is "keep everything",
+≤200k rows — e.g. the full-table extractions at tagging-etl.Rmd:64-66); this
+module extends the engine per the build brief's training-data-pipeline
+surface. Published-method citations:
+
+- Exact stratified allocation: classic largest-remainder (Hamilton)
+  apportionment over strata.
+- DSIR: Xie et al., "Data Selection for Language Models via Importance
+  Resampling" (NeurIPS 2023) — hashed n-gram bucket features, importance
+  weight = target/raw bucket-probability ratio.
+- Drift: smoothed unigram KL / Jensen-Shannon / total-variation between two
+  corpus snapshots (the monitoring standard for crawl-over-crawl drift).
+
+Scale notes (100 TB):
+
+- Everything is built from deterministic md5-derived hashes so results are
+  stable under task retries, re-runs, AND reproducible in the DuckDB oracle
+  (unlike xxhash64, which DuckDB lacks). No RNG state
+  anywhere.
+- The stratified sampler's only per-row shuffle is the per-stratum
+  row_number window. With few strata that shuffle is skewed by design;
+  ``prefilter_margin`` applies a map-side hash-rate gate FIRST (same hash,
+  same ordering), so only ~margin×quota rows per stratum reach the window
+  instead of the whole corpus.
+- DSIR's corpus pass is explode → broadcast-join a ≤n_buckets-row ratio dim
+  → per-doc partial-agg sum: the only row-keyed shuffle carries (doc_id,
+  partial sums), never text. Selection is a TakeOrderedAndProject, not a
+  global sort.
+- Drift aggregates by token: two shuffles of vocabulary-sized frames (the
+  corpus scans collapse map-side via partial aggregation).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from ningaloo_turtle_etl_spark.operators.curation import (
+    _rate_threshold,
+    _sample_hash,
+    word_ngrams_from_tokens,
+)
+from ningaloo_turtle_etl_spark.operators.text import tokens
+
+# --- exact-allocation stratified sampling -----------------------------------
+
+
+def stratum_quotas(
+    docs: DataFrame, total_n: int, stratum_col: str = "source"
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of ``total_n`` sample
+    slots across strata, proportional to stratum row counts: every stratum
+    gets floor(n·w/W); leftover slots go to the largest fractional parts
+    (ties by stratum name). Quotas are capped at the stratum size and sum to
+    exactly ``total_n`` whenever total_n ≤ corpus size.
+
+    One tiny aggregation (stratum → count) then single-partition window
+    arithmetic over the strata dim — strata are few by construction, so the
+    no-partition window is a deliberate non-hazard (documented here so the
+    WindowExec warning isn't mistaken for a scale bug)."""
+    per = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("w"))
+    tot = per.agg(F.sum("w").alias("tw"))
+    exact = F.lit(int(total_n)) * F.col("w").cast("double") / F.col("tw").cast("double")
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "w",
+        F.floor(exact).cast("long").alias("base"),
+        (exact - F.floor(exact)).alias("frac"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(F.desc("frac"), F.col(stratum_col))
+    leftover = F.lit(int(total_n)) - F.sum("base").over(w_all)
+    return alloc.select(
+        stratum_col,
+        "w",
+        F.least(
+            F.col("w"),
+            F.col("base")
+            + F.when(F.row_number().over(w_rank) <= leftover, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ).alias("quota"),
+    )
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    total_n: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    prefilter_margin: float | None = None,
+) -> DataFrame:
+    """EXACT-size stratified sample: precisely ``quota_s`` rows from each
+    stratum (largest-remainder proportional allocation), chosen as the
+    quota_s smallest md5-of-id hashes — deterministic, no RNG, stable under
+    retries. Complements the rate-based Bernoulli sampler
+    (``deterministic_stratified_sample``), whose output size is only
+    expected, not exact — exactness is what a fixed training-token budget
+    needs.
+
+    ``prefilter_margin`` (e.g. 2.0) turns on the scale path: a map-side
+    hash-rate gate at rate margin·quota/w runs before the per-stratum
+    window, so the skewed stratum shuffle carries ~margin·quota rows, not
+    the corpus. Because the gate keeps exactly the rows with the SMALLEST
+    hashes (same hash, same ascending order the window ranks by), any
+    margin that passes ≥ quota rows yields the identical sample; margins
+    ≥2 make the shortfall probability negligible for quotas ≥ ~50 (binomial
+    lower tail), and a shortfall is detectable: output size < total_n.
+
+    Output: the sampled rows plus ``sample_rank`` (1-based rank within the
+    stratum by hash order)."""
+    quotas = stratum_quotas(docs, total_n, stratum_col)
+    joined = docs.join(
+        F.broadcast(quotas.select(stratum_col, "w", "quota")),
+        on=stratum_col,
+        how="inner",
+    )
+    if prefilter_margin is not None:
+        rate = F.least(
+            F.lit(1.0),
+            F.lit(float(prefilter_margin))
+            * F.col("quota").cast("double")
+            / F.col("w").cast("double"),
+        )
+        joined = joined.filter(
+            (rate >= 1.0) | (_sample_hash(id_col) < _rate_threshold(rate))
+        )
+    w = Window.partitionBy(stratum_col).orderBy(_sample_hash(id_col), F.col(id_col))
+    return (
+        joined.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("w", "quota")
+    )
+
+
+# --- corpus drift metrics ---------------------------------------------------
+
+
+def token_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram counts over lowercased whitespace tokens: (token, n). The
+    corpus scan collapses map-side (partial agg) before the vocab-sized
+    shuffle."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def corpus_drift_metrics(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, as one row:
+    smoothed unigram KL(a‖b), KL(b‖a), Jensen-Shannon divergence, and total
+    variation distance, plus token/vocab totals. Add-λ smoothing over the
+    union vocabulary keeps every term finite (no zero-probability logs).
+
+    Plan shape: two token aggregations → one full outer join on token
+    (co-partitioned) → a scalar aggregate. The frames past the first agg are
+    vocabulary-sized, so at 100 TB the cost is the two corpus scans."""
+    lam = float(smoothing)
+    ca = token_distribution(a, text_col).withColumnRenamed("n", "na")
+    cb = token_distribution(b, text_col).withColumnRenamed("n", "nb")
+    j = (
+        ca.join(cb, on="token", how="full_outer")
+        .select(
+            F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count(F.lit(1)).alias("v")
+    )
+    pa = (F.col("na") + F.lit(lam)) / (F.col("ta") + F.lit(lam) * F.col("v"))
+    pb = (F.col("nb") + F.lit(lam)) / (F.col("tb") + F.lit(lam) * F.col("v"))
+    m = (pa + pb) / F.lit(2.0)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").alias("n_tokens_a"),
+            F.max("tb").alias("n_tokens_b"),
+            F.max("v").alias("vocab_size"),
+            F.round(F.sum(pa * F.log(pa / pb)), 6).alias("kl_ab"),
+            F.round(F.sum(pb * F.log(pb / pa)), 6).alias("kl_ba"),
+            F.round(
+                F.sum(pa * F.log(pa / m)) / 2 + F.sum(pb * F.log(pb / m)) / 2, 6
+            ).alias("js_divergence"),
+            F.round(F.sum(F.abs(pa - pb)) / 2, 6).alias("total_variation"),
+        )
+    )
+
+
+# --- DSIR importance weighting ----------------------------------------------
+
+
+def hashed_gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hash a gram into [0, n_buckets): first 32 bits of md5, mod buckets.
+    md5-based so the bucketing is bit-identical in the DuckDB oracle
+    (``CAST('0x'||substr(md5(g),1,8) AS BIGINT) % B``)."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % F.lit(
+        int(n_buckets)
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, ngram_n: int, n_buckets: int, text_col: str
+) -> DataFrame:
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("_toks"))
+    grams = toks.select(
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("gram")
+    )
+    return (
+        grams.select(hashed_gram_bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_bucket_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    ngram_n: int = 2,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket importance log-ratio log p_target(b) − log p_raw(b) over
+    hashed word-``ngram_n``-gram buckets, add-λ smoothed over all
+    ``n_buckets`` buckets (so buckets unseen in either side stay finite).
+    The result is a ≤n_buckets-row dimension — broadcast it."""
+    lam = float(smoothing)
+    bt = _bucket_counts(target, ngram_n, n_buckets, text_col).withColumnRenamed(
+        "n", "nt"
+    )
+    br = _bucket_counts(raw, ngram_n, n_buckets, text_col).withColumnRenamed("n", "nr")
+    j = bt.join(br, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+        F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
+    )
+    tot = j.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
+    b = F.lit(lam * n_buckets)
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("nt") + F.lit(lam)) / (F.col("tt") + b))
+            - F.log((F.col("nr") + F.lit(lam)) / (F.col("tr") + b))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(
+    pool: DataFrame,
+    log_ratios: DataFrame,
+    ngram_n: int = 2,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: Σ over the doc's hashed
+    n-gram features (bag, duplicates counted) of the bucket log-ratio.
+    Docs too short to have any n-gram score 0 with n_grams=0.
+
+    The explode side joins the broadcast ratio dim and partially aggregates
+    map-side; only (doc_id, sums) shuffle."""
+    toks = pool.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("gram"),
+    )
+    scored = (
+        grams.select(
+            F.col(id_col), hashed_gram_bucket(F.col("gram"), n_buckets).alias("bucket")
+        )
+        .join(F.broadcast(log_ratios), on="bucket", how="inner")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+    return (
+        pool.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_top_select(
+    pool: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    ngram_n: int = 2,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style selection: weight the candidate ``pool`` by hashed-n-gram
+    importance toward ``target``'s distribution (raw distribution = the
+    pool itself), take the top ``n_select`` by log-weight. Deterministic
+    rank: rounded log-weight desc, then id — the rounding (6 dp) makes the
+    rank reproducible across engines/summation orders, and the top-n is a
+    TakeOrderedAndProject (no global sort)."""
+    ratios = dsir_bucket_log_ratios(
+        target, pool, ngram_n, n_buckets, smoothing, text_col
+    )
+    scores = dsir_scores(pool, ratios, ngram_n, n_buckets, id_col, text_col)
+    ranked = scores.select(
+        id_col,
+        "n_grams",
+        F.round(F.col("log_weight"), 6).alias("log_weight"),
+    )
+    return ranked.orderBy(F.desc("log_weight"), F.col(id_col)).limit(int(n_select))

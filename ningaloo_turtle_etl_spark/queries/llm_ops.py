@@ -379,6 +379,23 @@ def ann_quantized_topk(spark, sf_dir):
     return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), lo, hi, k=3)
 
 
+@register("ann_pq_topk", None)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks
+    (deterministic hash-rule sample), map-side encode to m tinyint codes,
+    ADC lookup-table scoring, exact re-rank of the shortlist. Rows-only
+    (codebooks come from driver-side k-means); encode parity, recall floors
+    and exact-rerank distances are pinned in tests/test_quantize.py."""
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = fit_pq_codebooks(emb, m_subvectors=16, k_codes=16)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=3, rerank=50)
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Binary-column decode/feature plumbing via mapInPandas (deterministic

@@ -136,6 +136,10 @@ PRIORITY: list[str] = [
     "duplicate_passage_removal",
     "spatial_tag_regions_expr",
     "temperature_mix_sample",
+    "stratified_sample_exact",
+    "corpus_drift_metrics",
+    "dsir_importance_select",
+    "ann_pq_topk",
 ]
 
 

@@ -54,3 +54,91 @@ def test_quantized_topk_recall_vs_full_precision(spark):
     hits = sum(len(exact_sets[q] & quant_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.8  # int8 loses little on cosine ordering
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        with_pq_codes,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    books = fit_pq_codebooks(emb, m_subvectors=8, k_codes=16)
+    m, k, d_sub = books.shape
+    assert (m, k, d_sub) == (8, 16, 8)
+    rows = with_pq_codes(emb, books).select("embedding", "pq_code").limit(40).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64).reshape(m, d_sub)
+        ref = ((v[:, None, :] - books) ** 2).sum(-1).argmin(1)
+        assert list(r["pq_code"]) == [int(x) for x in ref]
+
+
+def test_pq_codebooks_deterministic(spark):
+    from ningaloo_turtle_etl_spark.operators.quantize import fit_pq_codebooks
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    a = fit_pq_codebooks(emb, m_subvectors=4, k_codes=8)
+    b = fit_pq_codebooks(emb.repartition(7), m_subvectors=4, k_codes=8)
+    # hash-rule sampling → bit-identical across partitionings
+    assert np.array_equal(a, b)
+
+
+def test_pq_topk_recall_and_rerank(spark):
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        pq_topk,
+    )
+    from ningaloo_turtle_etl_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    # m=16 (4-dim subspaces): near-random unit vectors are PQ's worst case,
+    # so the test uses the finer split; coarser m=8 measured adc≈0.20.
+    books = fit_pq_codebooks(emb, m_subvectors=16, k_codes=16)
+    # Exact baseline: squared-L2 == cosine ordering only for normalized
+    # vectors, so build the L2 exact baseline directly.
+    k = 5
+    corpus_rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in corpus_rows}
+    exact_sets = {}
+    for q in range(10):
+        d = sorted(
+            (float(((vecs[i] - vecs[q]) ** 2).sum()), i)
+            for i in vecs if i != q
+        )[:k]
+        exact_sets[q] = {i for _, i in d}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact_sets[q] & got.get(q, set())) for q in exact_sets)
+        return hits / (k * len(exact_sets))
+
+    adc = recall(pq_topk(emb, queries, books, k=k))
+    two_stage = recall(pq_topk(emb, queries, books, k=k, rerank=100))
+    assert adc >= 0.15  # raw ADC on random unit vectors (measured 0.26)
+    assert two_stage >= adc  # exact re-rank can only help
+    assert two_stage >= 0.85  # 100-candidate shortlist closes the gap (measured 0.98)
+
+
+def test_pq_rerank_distances_are_exact(spark):
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = fit_pq_codebooks(emb, m_subvectors=8, k_codes=16)
+    out = pq_topk(emb, queries, books, k=3, rerank=20).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in out:
+        ref = float(((vecs[r["vec_id"]] - vecs[r["query_id"]]) ** 2).sum())
+        assert abs(r["distance"] - ref) < 1e-5

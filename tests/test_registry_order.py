@@ -97,6 +97,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "duplicate_passage_removal",
         "spatial_tag_regions_expr",
         "temperature_mix_sample",
+        "stratified_sample_exact",
+        "corpus_drift_metrics",
+        "dsir_importance_select",
+        "ann_pq_topk",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

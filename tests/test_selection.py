@@ -1,0 +1,198 @@
+"""Data-selection operators: exact stratified sampling, drift metrics, and
+DSIR importance weighting — semantics pinned against independent Python
+references (the oracle sweep in test_oracle_all covers cross-engine parity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ningaloo_turtle_etl_spark.operators.selection import (
+    corpus_drift_metrics,
+    dsir_bucket_log_ratios,
+    dsir_scores,
+    dsir_top_select,
+    stratified_sample_exact,
+    stratum_quotas,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (
+            i,
+            f"s{i % 5}",
+            " ".join(f"w{(i * 7 + j) % 23}" for j in range(6)),
+        )
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _hamilton(counts: dict[str, int], n: int) -> dict[str, int]:
+    total = sum(counts.values())
+    base = {s: math.floor(n * w / total) for s, w in counts.items()}
+    frac = {s: n * counts[s] / total - base[s] for s in counts}
+    leftover = n - sum(base.values())
+    for s in sorted(counts, key=lambda s: (-frac[s], s))[:leftover]:
+        base[s] += 1
+    return {s: min(base[s], counts[s]) for s in counts}
+
+
+def test_quotas_are_hamilton_and_sum_exactly(spark, docs):
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["quota"] for r in stratum_quotas(
+        docs, 37, "source").collect()}
+    assert got == _hamilton(counts, 37)
+    assert sum(got.values()) == 37
+
+
+def test_exact_sample_size_and_membership(spark, docs):
+    out = stratified_sample_exact(docs, 50, "source", "doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    # Per-stratum counts equal the quotas.
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == _hamilton(counts, 50)
+    # The chosen ids are exactly the quota smallest md5-of-id per stratum.
+    by_stratum: dict[str, list[tuple[str, int]]] = {}
+    for r in docs.select("doc_id", "source").collect():
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        by_stratum.setdefault(r["source"], []).append((h, r["doc_id"]))
+    expected = set()
+    for s, pairs in by_stratum.items():
+        for _, doc_id in sorted(pairs)[: per[s]]:
+            expected.add(doc_id)
+    assert {r["doc_id"] for r in rows} == expected
+
+
+def test_prefilter_scale_path_is_equivalent(spark, docs):
+    exact = stratified_sample_exact(docs, 60, "source", "doc_id")
+    gated = stratified_sample_exact(
+        docs, 60, "source", "doc_id", prefilter_margin=3.0
+    )
+    assert sorted(r["doc_id"] for r in exact.collect()) == sorted(
+        r["doc_id"] for r in gated.collect()
+    )
+
+
+def test_drift_zero_on_identical_snapshots(spark, docs):
+    row = corpus_drift_metrics(docs, docs).collect()[0]
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+    assert row["js_divergence"] == 0.0 and row["total_variation"] == 0.0
+
+
+def test_drift_matches_numpy_reference(spark):
+    a_texts = ["a a b c", "a b b d"]
+    b_texts = ["a c c c", "d d e"]
+    a = spark.createDataFrame([(i, t) for i, t in enumerate(a_texts)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(i, t) for i, t in enumerate(b_texts)],
+                              "doc_id long, text string")
+    row = corpus_drift_metrics(a, b, smoothing=0.5).collect()[0]
+
+    def counts(texts):
+        c: dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    ca, cb = counts(a_texts), counts(b_texts)
+    vocab = sorted(set(ca) | set(cb))
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    pa = [(ca.get(w, 0) + 0.5) / (ta + 0.5 * v) for w in vocab]
+    pb = [(cb.get(w, 0) + 0.5) / (tb + 0.5 * v) for w in vocab]
+    kl_ab = sum(x * math.log(x / y) for x, y in zip(pa, pb))
+    kl_ba = sum(y * math.log(y / x) for x, y in zip(pa, pb))
+    js = 0.5 * sum(x * math.log(x / ((x + y) / 2)) for x, y in zip(pa, pb)) + \
+        0.5 * sum(y * math.log(y / ((x + y) / 2)) for x, y in zip(pa, pb))
+    tv = 0.5 * sum(abs(x - y) for x, y in zip(pa, pb))
+    assert row["n_tokens_a"] == ta and row["n_tokens_b"] == tb
+    assert row["vocab_size"] == v
+    assert abs(row["kl_ab"] - kl_ab) < 1e-6
+    assert abs(row["kl_ba"] - kl_ba) < 1e-6
+    assert abs(row["js_divergence"] - js) < 1e-6
+    assert abs(row["total_variation"] - tv) < 1e-6
+    # JS is bounded by ln 2; TV by 1; KLs nonnegative.
+    assert 0 <= row["js_divergence"] <= math.log(2.0)
+    assert 0 <= row["total_variation"] <= 1.0
+    assert row["kl_ab"] >= 0 and row["kl_ba"] >= 0
+
+
+def _py_bucket(gram: str, n_buckets: int) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def test_dsir_weights_match_python_reference(spark):
+    target_texts = ["the cat sat on the mat", "the dog sat on the rug"]
+    pool_texts = {
+        10: "the cat sat on the mat",  # identical to target style
+        11: "qq ww ee rr tt yy",  # disjoint vocabulary
+        12: "the cat ate qq ww",  # mixed
+    }
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        list(pool_texts.items()), "doc_id long, text string"
+    )
+    B, lam = 64, 1.0
+    ratios = {r["bucket"]: r["log_ratio"] for r in dsir_bucket_log_ratios(
+        target, pool, ngram_n=2, n_buckets=B, smoothing=lam).collect()}
+    scores = {r["doc_id"]: r for r in dsir_scores(
+        pool, dsir_bucket_log_ratios(target, pool, 2, B, lam),
+        ngram_n=2, n_buckets=B).collect()}
+
+    def grams(text):
+        toks = text.lower().split()
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    # Independent ratio computation.
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for t in target_texts:
+        for g in grams(t):
+            b = _py_bucket(g, B)
+            ct[b] = ct.get(b, 0) + 1
+    for t in pool_texts.values():
+        for g in grams(t):
+            b = _py_bucket(g, B)
+            cr[b] = cr.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for b in set(ct) | set(cr):
+        ref = math.log((ct.get(b, 0) + lam) / (tt + lam * B)) - math.log(
+            (cr.get(b, 0) + lam) / (tr + lam * B)
+        )
+        assert abs(ratios[b] - ref) < 1e-9, b
+
+    # Per-doc weights = sum of ratios over the doc's gram buckets.
+    for doc_id, text in pool_texts.items():
+        ref_w = sum(ratios[_py_bucket(g, B)] for g in grams(text))
+        assert abs(scores[doc_id]["log_weight"] - ref_w) < 1e-9
+        assert scores[doc_id]["n_grams"] == len(grams(text))
+
+    # Target-like docs outrank disjoint-vocabulary docs.
+    assert scores[10]["log_weight"] > scores[12]["log_weight"] > scores[11]["log_weight"]
+
+
+def test_dsir_select_plan_is_top_n_not_global_sort(spark, docs):
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    pool = docs.filter(F.col("doc_id") % 3 != 0)
+    sel = dsir_top_select(pool, target, 10, ngram_n=2, n_buckets=64)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    out = sel.collect()
+    assert len(out) == 10
+    weights = [r["log_weight"] for r in out]
+    assert weights == sorted(weights, reverse=True)
