@@ -190,6 +190,49 @@ def _connected_components_100k(spark, sf_dir):
     return comp.agg(F.sum("component").alias("chk"), F.count(F.lit(1)).alias("n"))
 
 
+def _dsir_50k(spark, sf_dir):
+    """DSIR importance scoring at 50k pool docs: ONE hashed-bigram
+    explode into a persisted (id, bucket, n) frame shared by the
+    raw-distribution aggregate and the scoring join (broadcast ≤512-row
+    log-ratio dim, per-doc partial-agg sums). Eager: runs inside a
+    tracked-cache scope so the shared persist is released per run."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        track_cache,
+        tracked_cache_scope,
+    )
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        doc_bucket_counts,
+        dsir_bucket_log_ratios,
+        dsir_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = max(docs.count(), 1)
+    copies = 50_000 // n
+    big = docs
+    for i in range(max(copies - 1, 0)):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
+        )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    with tracked_cache_scope():
+        db = track_cache(doc_bucket_counts(big, 2, 512).persist())
+        ratios = dsir_bucket_log_ratios(
+            target, big, 2, 512, raw_bucket_counts=db
+        )
+        row = (
+            dsir_scores(big, ratios, 2, 512, doc_bucket_counts_df=db)
+            .agg(
+                F.round(F.sum("log_weight"), 3).alias("chk"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+    return spark.createDataFrame([(float(row["chk"]), row["n"])], "chk double, n long")
+
+
 def _range_join_tally(spark, sf_dir):
     """The bucketed interval-containment join (hash equi-join on
     (key, bucket) + residual filter — never a nested loop) on the registered
@@ -203,6 +246,7 @@ EXTRAS = {
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
     "decontam_50k": _decontam_50k,
+    "dsir_50k": _dsir_50k,
     "bloom_decontam_50k": _bloom_decontam_50k,
     "connected_components_100k": _connected_components_100k,
     "spatial_tag_regions_10x": _spatial_10x("udf"),
@@ -212,7 +256,7 @@ EXTRAS = {
 # Probes whose operator executes eagerly inside the builder (iterative
 # algorithms driving their own jobs): time fn()+collect, not collect alone —
 # a collect-only clock would miss all the work.
-EAGER_EXTRAS = {"connected_components_100k", "bloom_decontam_50k"}
+EAGER_EXTRAS = {"connected_components_100k", "bloom_decontam_50k", "dsir_50k"}
 
 
 def main() -> None:

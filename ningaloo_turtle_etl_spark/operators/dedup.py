@@ -29,56 +29,33 @@ from ningaloo_turtle_etl_spark.operators.text import tokens
 # minhash/simhash persist per-doc signature state (four self-join branches
 # reference it; without materialization the signature recomputes per branch).
 # The RESULT frames are lazy, so the operator cannot unpersist before the
-# caller consumes them — instead every persist is tracked here and released
-# explicitly, so long-lived sessions issuing many dedup calls don't
-# accumulate storage.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _track_cache(df: DataFrame) -> DataFrame:
-    _LIVE_CACHES.append(df)
-    return df
+# caller consumes them — the shared tracker in operators.cache registers
+# every persist for explicit release, so long-lived sessions issuing many
+# dedup calls don't accumulate storage. Re-exported under the original names
+# (selection's DSIR shares the same registry).
+from ningaloo_turtle_etl_spark.operators.cache import (  # noqa: E402
+    release_tracked_caches,
+    track_cache as _track_cache,
+    tracked_cache_scope,
+)
 
 
 def release_dedup_caches() -> int:
-    """Unpersist every cache created by dedup operators since the last
-    release. Call after the result frames have been consumed (collected /
-    written); returns the number of caches released."""
-    n = 0
-    for df in _LIVE_CACHES:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped
-    _LIVE_CACHES.clear()
-    return n
+    """Unpersist every tracked operator cache since the last release. Call
+    after the result frames have been consumed (collected / written);
+    returns the number of caches released."""
+    return release_tracked_caches()
 
 
 def dedup_cache_scope():
-    """Context manager: caches created by dedup operators inside the scope
-    are unpersisted on exit. Consume (collect/write) results INSIDE the
-    scope — the frames are lazy and lose their backing cache at exit::
+    """Context manager: operator caches created inside the scope are
+    unpersisted on exit. Consume (collect/write) results INSIDE the scope —
+    the frames are lazy and lose their backing cache at exit::
 
         with dedup_cache_scope():
             pairs = minhash_near_dup_pairs(docs).collect()
     """
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _scope():
-        mark = len(_LIVE_CACHES)
-        try:
-            yield
-        finally:
-            for df in _LIVE_CACHES[mark:]:
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
-            del _LIVE_CACHES[mark:]
-
-    return _scope()
+    return tracked_cache_scope()
 
 
 def spark_empty_pairs(df: DataFrame) -> DataFrame:

@@ -47,13 +47,20 @@ def nearest_site_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     cell_deg: float | None = None,
+    rank_decimals: int | None = None,
 ) -> DataFrame:
     """Each point → its nearest site within ``max_km`` (points with no site
     in range drop out). Grid-blocked: sites register in their own cell,
     points explode into the 3×3 neighborhood, equi-join on the cell, exact
     haversine, per-point argmin window. ``cell_deg`` defaults to the search
     radius in degrees of latitude (the safe complete-cover choice; longitude
-    shrinks toward the poles, which only makes covers larger)."""
+    shrinks toward the poles, which only makes covers larger).
+
+    ``rank_decimals`` ranks and thresholds on the distance ROUNDED to that
+    many decimals (ties then break by site_id): a last-ulp libm difference
+    between engines can no longer flip the argmin, which is what makes the
+    result oracle-comparable (6 ⇒ a site must be within 0.5 mm of another
+    for the tie-break to engage)."""
     if cell_deg is None:
         cell_deg = max(max_km / 111.0, 0.1)
     s = sites.select(
@@ -80,8 +87,13 @@ def nearest_site_join(
         "dist_km",
         haversine_km(F.col("p_lat"), F.col("p_lon"), F.col("s_lat"), F.col("s_lon")),
     )
-    in_range = cand.filter(F.col("dist_km") <= max_km)
-    w = Window.partitionBy("point_id").orderBy(F.asc("dist_km"), F.asc("site_id"))
+    rank_col = (
+        F.round(F.col("dist_km"), rank_decimals)
+        if rank_decimals is not None
+        else F.col("dist_km")
+    )
+    in_range = cand.filter(rank_col <= max_km)
+    w = Window.partitionBy("point_id").orderBy(rank_col.asc(), F.asc("site_id"))
     return (
         in_range.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

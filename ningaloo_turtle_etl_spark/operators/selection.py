@@ -138,6 +138,43 @@ def stratified_sample_exact(
     )
 
 
+# --- weighted sampling without replacement ----------------------------------
+
+
+def weighted_sample_topn(
+    docs: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, deterministically:
+    Efraimidis & Spirakis (2006, "Weighted random sampling with a
+    reservoir", A-Res): each row gets key u^(1/w) with u uniform in (0,1),
+    and the n largest keys form an exact weighted sample. Here u is the
+    md5-of-id uniform ((h32+1)/(2^32+1), never 0 so pow is safe), so the
+    draw has no RNG state — stable under retries/re-runs and bit-reproducible
+    in the DuckDB oracle.
+
+    Keys are rounded (``key_decimals``) BEFORE ranking so the order — and
+    therefore the selected set — can't flip on a last-ulp pow/exp difference
+    between engines; ties break by id. The top-n is a
+    TakeOrderedAndProject: map-only scan + per-partition heaps, no global
+    sort. Rows with weight <= 0 are excluded (their key is undefined)."""
+    h32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h32 + F.lit(1.0)) / F.lit(4294967297.0)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), key_decimals)
+    return (
+        docs.filter(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(int(n))
+    )
+
+
 # --- corpus drift metrics ---------------------------------------------------
 
 
@@ -149,6 +186,41 @@ def token_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_from_counts(
+    joined: DataFrame,
+    keys: tuple[str, ...] = (),
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Drift metrics from an already-joined count frame ``(keys..., na,
+    nb)`` — one output row per key group (one row total when ``keys`` is
+    empty). Shared by the batch snapshot comparison and the streaming
+    per-window monitor so both compute the identical formula: add-λ
+    smoothing over each group's union vocabulary, KL both ways, JS, TV."""
+    lam = float(smoothing)
+    tot = joined.groupBy(*keys).agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count(F.lit(1)).alias("v")
+    )
+    e = (
+        joined.join(F.broadcast(tot), on=list(keys))
+        if keys
+        else joined.crossJoin(F.broadcast(tot))
+    )
+    pa = (F.col("na") + F.lit(lam)) / (F.col("ta") + F.lit(lam) * F.col("v"))
+    pb = (F.col("nb") + F.lit(lam)) / (F.col("tb") + F.lit(lam) * F.col("v"))
+    m = (pa + pb) / F.lit(2.0)
+    return e.groupBy(*keys).agg(
+        F.max("ta").alias("n_tokens_a"),
+        F.max("tb").alias("n_tokens_b"),
+        F.max("v").alias("vocab_size"),
+        F.round(F.sum(pa * F.log(pa / pb)), 6).alias("kl_ab"),
+        F.round(F.sum(pb * F.log(pb / pa)), 6).alias("kl_ba"),
+        F.round(
+            F.sum(pa * F.log(pa / m)) / 2 + F.sum(pb * F.log(pb / m)) / 2, 6
+        ).alias("js_divergence"),
+        F.round(F.sum(F.abs(pa - pb)) / 2, 6).alias("total_variation"),
     )
 
 
@@ -166,36 +238,13 @@ def corpus_drift_metrics(
     Plan shape: two token aggregations → one full outer join on token
     (co-partitioned) → a scalar aggregate. The frames past the first agg are
     vocabulary-sized, so at 100 TB the cost is the two corpus scans."""
-    lam = float(smoothing)
     ca = token_distribution(a, text_col).withColumnRenamed("n", "na")
     cb = token_distribution(b, text_col).withColumnRenamed("n", "nb")
-    j = (
-        ca.join(cb, on="token", how="full_outer")
-        .select(
-            F.coalesce(F.col("na"), F.lit(0)).alias("na"),
-            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
-        )
+    j = ca.join(cb, on="token", how="full_outer").select(
+        F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
     )
-    tot = j.agg(
-        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count(F.lit(1)).alias("v")
-    )
-    pa = (F.col("na") + F.lit(lam)) / (F.col("ta") + F.lit(lam) * F.col("v"))
-    pb = (F.col("nb") + F.lit(lam)) / (F.col("tb") + F.lit(lam) * F.col("v"))
-    m = (pa + pb) / F.lit(2.0)
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("ta").alias("n_tokens_a"),
-            F.max("tb").alias("n_tokens_b"),
-            F.max("v").alias("vocab_size"),
-            F.round(F.sum(pa * F.log(pa / pb)), 6).alias("kl_ab"),
-            F.round(F.sum(pb * F.log(pb / pa)), 6).alias("kl_ba"),
-            F.round(
-                F.sum(pa * F.log(pa / m)) / 2 + F.sum(pb * F.log(pb / m)) / 2, 6
-            ).alias("js_divergence"),
-            F.round(F.sum(F.abs(pa - pb)) / 2, 6).alias("total_variation"),
-        )
-    )
+    return drift_from_counts(j, (), smoothing)
 
 
 # --- DSIR importance weighting ----------------------------------------------
@@ -224,6 +273,33 @@ def _bucket_counts(
     )
 
 
+def doc_bucket_counts(
+    df: DataFrame,
+    ngram_n: int = 2,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document hashed-gram bucket counts (id, bucket, n) — the shared
+    intermediate both DSIR stages need. Computing it once and persisting
+    (see ``dsir_top_select``) halves the corpus explode+hash work: the raw
+    bucket distribution is a re-aggregation of this frame, and scoring joins
+    it directly. Its size is Σ_doc distinct-buckets ≤ docs × n_buckets —
+    far smaller than the gram stream."""
+    toks = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("gram"),
+    )
+    return (
+        grams.select(
+            F.col(id_col), hashed_gram_bucket(F.col("gram"), n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def dsir_bucket_log_ratios(
     target: DataFrame,
     raw: DataFrame,
@@ -231,16 +307,26 @@ def dsir_bucket_log_ratios(
     n_buckets: int = 1024,
     smoothing: float = 1.0,
     text_col: str = "text",
+    raw_bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket importance log-ratio log p_target(b) − log p_raw(b) over
     hashed word-``ngram_n``-gram buckets, add-λ smoothed over all
     ``n_buckets`` buckets (so buckets unseen in either side stay finite).
-    The result is a ≤n_buckets-row dimension — broadcast it."""
+    The result is a ≤n_buckets-row dimension — broadcast it.
+
+    Pass ``raw_bucket_counts`` (a ``doc_bucket_counts`` frame of ``raw``,
+    ideally persisted) to reuse the scoring stage's explode instead of
+    re-hashing the corpus."""
     lam = float(smoothing)
     bt = _bucket_counts(target, ngram_n, n_buckets, text_col).withColumnRenamed(
         "n", "nt"
     )
-    br = _bucket_counts(raw, ngram_n, n_buckets, text_col).withColumnRenamed("n", "nr")
+    if raw_bucket_counts is not None:
+        br = raw_bucket_counts.groupBy("bucket").agg(F.sum("n").alias("nr"))
+    else:
+        br = _bucket_counts(raw, ngram_n, n_buckets, text_col).withColumnRenamed(
+            "n", "nr"
+        )
     j = bt.join(br, on="bucket", how="full_outer").select(
         "bucket",
         F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
@@ -264,31 +350,52 @@ def dsir_scores(
     n_buckets: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doc_bucket_counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight: Σ over the doc's hashed
     n-gram features (bag, duplicates counted) of the bucket log-ratio.
     Docs too short to have any n-gram score 0 with n_grams=0.
 
-    The explode side joins the broadcast ratio dim and partially aggregates
-    map-side; only (doc_id, sums) shuffle."""
-    toks = pool.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(word_ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("gram"),
-    )
-    scored = (
-        grams.select(
-            F.col(id_col), hashed_gram_bucket(F.col("gram"), n_buckets).alias("bucket")
+    Without ``doc_bucket_counts_df``, scoring is gram-level: explode →
+    broadcast-join ratios → groupBy(id) with map-side partial agg — one
+    doc-width shuffle, no intermediate materialization (fastest when the
+    corpus scan is cheap). With a persisted ``doc_bucket_counts`` frame the
+    join runs on (id, bucket, n) instead, sharing ONE corpus explode with
+    the ratio stage — that adds the (id, bucket) aggregation shuffle, the
+    right trade when corpus scans dominate (the 100 TB regime; measured
+    locally at 50k docs the two-scan form is ~25% faster because the scan
+    is page-cached)."""
+    if doc_bucket_counts_df is not None:
+        scored = (
+            doc_bucket_counts_df.join(
+                F.broadcast(log_ratios), on="bucket", how="inner"
+            )
+            .groupBy(id_col)
+            .agg(
+                F.sum("n").alias("n_grams"),
+                F.sum(F.col("n") * F.col("log_ratio")).alias("log_weight"),
+            )
         )
-        .join(F.broadcast(log_ratios), on="bucket", how="inner")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("log_ratio").alias("log_weight"),
+    else:
+        toks = pool.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
         )
-    )
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), ngram_n)).alias("gram"),
+        )
+        scored = (
+            grams.select(
+                F.col(id_col),
+                hashed_gram_bucket(F.col("gram"), n_buckets).alias("bucket"),
+            )
+            .join(F.broadcast(log_ratios), on="bucket", how="inner")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("log_ratio").alias("log_weight"),
+            )
+        )
     return (
         pool.select(id_col)
         .join(scored, on=id_col, how="left")
@@ -309,17 +416,38 @@ def dsir_top_select(
     smoothing: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    share_scan: bool = True,
 ) -> DataFrame:
     """DSIR-style selection: weight the candidate ``pool`` by hashed-n-gram
     importance toward ``target``'s distribution (raw distribution = the
     pool itself), take the top ``n_select`` by log-weight. Deterministic
     rank: rounded log-weight desc, then id — the rounding (6 dp) makes the
     rank reproducible across engines/summation orders, and the top-n is a
-    TakeOrderedAndProject (no global sort)."""
+    TakeOrderedAndProject (no global sort).
+
+    ``share_scan=True`` (default) computes the pool's per-doc bucket counts
+    ONCE, persists them, and shares the frame between the raw-distribution
+    aggregate and the scoring join — the corpus is exploded and hashed a
+    single time (two scans → one; the right default when the corpus scan
+    dominates). The persist is registered with the shared operator-cache
+    tracker: release it after consuming the result
+    (``operators.cache.release_tracked_caches`` / ``tracked_cache_scope``,
+    also exposed as ``release_dedup_caches`` / ``dedup_cache_scope``).
+    ``share_scan=False`` skips the materialization and scans twice —
+    faster when the input is small or page-cached (see ``dsir_scores``)."""
+    db = None
+    if share_scan:
+        from ningaloo_turtle_etl_spark.operators.cache import track_cache
+
+        db = track_cache(
+            doc_bucket_counts(pool, ngram_n, n_buckets, id_col, text_col).persist()
+        )
     ratios = dsir_bucket_log_ratios(
-        target, pool, ngram_n, n_buckets, smoothing, text_col
+        target, pool, ngram_n, n_buckets, smoothing, text_col, raw_bucket_counts=db
     )
-    scores = dsir_scores(pool, ratios, ngram_n, n_buckets, id_col, text_col)
+    scores = dsir_scores(
+        pool, ratios, ngram_n, n_buckets, id_col, text_col, doc_bucket_counts_df=db
+    )
     ranked = scores.select(
         id_col,
         "n_grams",

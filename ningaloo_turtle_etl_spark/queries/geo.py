@@ -58,12 +58,52 @@ def geo_distance_stats(spark, sf_dir):
     )
 
 
-@register("geo_nearest_site", None)
+_NS_HAV = (
+    "2 * 6371.0088 * asin(sqrt("
+    "sin(radians(s_lat - p_lat) / 2) * sin(radians(s_lat - p_lat) / 2)"
+    " + cos(radians(p_lat)) * cos(radians(s_lat))"
+    " * sin(radians(s_lon - p_lon) / 2) * sin(radians(s_lon - p_lon) / 2)))"
+)
+
+
+@register(
+    "geo_nearest_site",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS point_id,
+               -90 + ((c_custkey * 13) % 180) + 0.5 AS p_lat,
+               -180 + ((c_custkey * 7) % 360) + 0.5 AS p_lon
+        FROM customer WHERE c_custkey <= 500
+    ),
+    sites AS (
+        SELECT n_nationkey AS site_id,
+               CAST(-30 + (n_nationkey * 3) % 20 AS DOUBLE) AS s_lat,
+               CAST(100 + (n_nationkey * 7) % 40 AS DOUBLE) AS s_lon
+        FROM nation
+    ),
+    cand AS (
+        SELECT point_id, site_id, {_NS_HAV} AS dist,
+               ROUND({_NS_HAV}, 6) AS dist_r
+        FROM pts, sites
+    ),
+    ranked AS (
+        SELECT point_id, site_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY point_id
+                                  ORDER BY dist_r, site_id) AS rn
+        FROM cand WHERE dist_r <= 1500.0
+    )
+    SELECT point_id, site_id, ROUND(dist, 3) AS dist_km
+    FROM ranked WHERE rn = 1
+    """,
+)
 def geo_nearest_site(spark, sf_dir):
     """Grid-blocked nearest-site join: synthetic customer points to
-    synthetic nation sites within 1500 km. Rows-only (per-row geodesic
-    argmin is trig-threshold-sensitive cross-engine); brute-force parity is
-    pinned in tests/test_geo.py."""
+    synthetic nation sites within 1500 km. Upgraded from rows-only to a
+    full oracle (r03): ranking and the range threshold use the distance
+    rounded to 6 dp (sub-mm), so a last-ulp sin/cos/asin difference between
+    the JVM and DuckDB's libm cannot flip the argmin or the cut; the oracle
+    is the brute-force cross join. The blocked join's parity with brute
+    force stays pinned independently in tests/test_geo.py."""
     c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 500)
     points = c.select(
         F.col("c_custkey").alias("point_id"),
@@ -77,5 +117,10 @@ def geo_nearest_site(spark, sf_dir):
         (F.lit(100) + (F.col("n_nationkey") * 7) % 40).cast("double").alias("lon"),
     )
     return nearest_site_join(
-        points, sites, max_km=1500.0, point_id="point_id", site_id="site_id"
+        points,
+        sites,
+        max_km=1500.0,
+        point_id="point_id",
+        site_id="site_id",
+        rank_decimals=6,
     )

@@ -1,6 +1,8 @@
-"""Data-selection queries: exact stratified sampling, corpus drift, and
-DSIR importance selection — all with full DuckDB oracles (every hash is
-md5-derived, so the oracle reproduces the sample bit-for-bit).
+"""Data-selection queries: exact stratified sampling, weighted sampling,
+corpus drift, DSIR importance selection (full DuckDB oracles — every hash
+is md5-derived, so the oracle reproduces the sample bit-for-bit), plus the
+learned quality classifier (rows-only: LBFGS training is not
+SQL-expressible; semantics pinned in tests/test_classify.py).
 """
 
 from __future__ import annotations
@@ -11,6 +13,7 @@ from ningaloo_turtle_etl_spark.operators.selection import (
     corpus_drift_metrics,
     dsir_top_select,
     stratified_sample_exact,
+    weighted_sample_topn,
 )
 from ningaloo_turtle_etl_spark.registry import register
 from ningaloo_turtle_etl_spark.sources.tables import load_table
@@ -116,6 +119,34 @@ def q_corpus_drift_metrics(spark, sf_dir):
     return corpus_drift_metrics(a, b, smoothing=0.5)
 
 
+@register(
+    "weighted_sample_topn",
+    """
+    SELECT doc_id, n_chars, sample_key
+    FROM (
+        SELECT doc_id, n_chars,
+               ROUND(POW(
+                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / 4294967297.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 150
+    """,
+)
+def q_weighted_sample_topn(spark, sf_dir):
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirakis A-Res keys over md5 uniforms): longer docs (by
+    n_chars) are proportionally likelier to be kept. The oracle reproduces
+    the exact selected set — keys are md5-derived and rounded before
+    ranking."""
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample_topn(docs, 150, weight_col="n_chars").select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
 _DSIR_B = 512
 _DSIR_N = 100
 
@@ -174,4 +205,30 @@ def q_dsir_importance_select(spark, sf_dir):
     target = docs.filter(F.col("lang") == "en")
     return dsir_top_select(
         pool, target, _DSIR_N, ngram_n=2, n_buckets=_DSIR_B, smoothing=1.0
+    )
+
+
+@register("quality_classifier_scores", None)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Learned quality filter (CCNet/fastText pattern): weak labels from
+    the heuristic rules bootstrap a distributed MLlib logistic regression;
+    the fitted coefficients serve as a closed-form sigmoid column
+    expression (no MLlib at scoring time). Rows-only — training is
+    iterative LBFGS; separability, AUC and Catalyst-serve parity are pinned
+    in tests/test_classify.py."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        featurize,
+        train_quality_model,
+        with_quality_probability,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    weak = featurize(docs).withColumn(
+        "label",
+        ((F.col("quality_score") >= 0.4) & (F.col("dup_2gram_ratio") < 0.3))
+        .cast("double"),
+    ).select("doc_id", "text", "label")
+    model = train_quality_model(weak)
+    return with_quality_probability(docs, model).select(
+        "doc_id", F.round("quality_prob", 3).alias("quality_prob")
     )

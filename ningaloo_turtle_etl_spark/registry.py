@@ -140,6 +140,8 @@ PRIORITY: list[str] = [
     "corpus_drift_metrics",
     "dsir_importance_select",
     "ann_pq_topk",
+    "weighted_sample_topn",
+    "quality_classifier_scores",
 ]
 
 

@@ -193,6 +193,66 @@ def main() -> int:
         0 < n_closed < report["st7_rollup_with_tail"]["batch_rows"]
     )
 
+    # Streaming drift monitor: per-window token tallies maintained via the
+    # merge sink, drift-vs-baseline on read ≡ the BATCH corpus_drift_metrics
+    # operator run window by window (different code path — the batch op
+    # never sees the rollup table).
+    from functools import reduce
+
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        corpus_drift_metrics,
+        token_distribution,
+    )
+    from ningaloo_turtle_etl_spark.streaming.drift import (
+        drift_maintenance,
+        windowed_drift,
+    )
+
+    docs_ts = (
+        load_table(spark, "documents", args.sf)
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestamp'2025-03-01 00:00:00' + make_interval("
+                "0, 0, 0, CAST(doc_id % 10 AS INT), CAST(doc_id % 24 AS INT), 0, 0)"
+            ),
+        )
+    )
+    docfeed = os.path.join(tmp, "docfeed")
+    docs_ts.coalesce(1).write.parquet(docfeed)
+    docstream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        docfeed
+    )
+    drift_dir = os.path.join(tmp, "driftroll")
+    q = drift_maintenance(
+        docstream, drift_dir, checkpoint=os.path.join(tmp, "driftckpt")
+    )
+    q.awaitTermination(300)
+    rolled = spark.read.parquet(drift_dir)
+    baseline_docs = docs_ts.filter(F.to_date("ts") == "2025-03-01")
+    closed = [
+        r["window_start"] for r in rolled.select("window_start").distinct().collect()
+    ]
+    batch_drift = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            corpus_drift_metrics(
+                docs_ts.filter(F.to_date("ts") == F.lit(w.date().isoformat())),
+                baseline_docs,
+            ).withColumn("window_start", F.lit(w))
+            for w in closed
+        ],
+    )
+    check(
+        "streaming_drift_monitor",
+        batch_drift,
+        windowed_drift(rolled, token_distribution(baseline_docs)),
+        ["window_start", "n_tokens_a", "n_tokens_b", "vocab_size",
+         "kl_ab", "kl_ba", "js_divergence", "total_variation"],
+    )
+    report["streaming_drift_monitor"]["closed_windows"] = len(closed)
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)

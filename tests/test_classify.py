@@ -1,0 +1,87 @@
+"""Learned quality classifier: distributed MLlib training over Catalyst
+features, closed-form sigmoid serving. Pinned: separation on planted data,
+AUC, serve-expression parity with the exported coefficients, and schema
+hygiene."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ningaloo_turtle_etl_spark.operators.classify import (
+    QUALITY_FEATURES,
+    featurize,
+    train_quality_model,
+    with_quality_probability,
+)
+
+_CLEAN = (
+    "the quick brown fox jumps over the lazy dog and it was a good day in the sun"
+)
+_JUNK = "@@@ ### $$$ 1234 zxqv !!!! %%% 98765 ???? &&&& qqqq @@@@ 0000 ****"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = []
+    for i in range(150):
+        rows.append((i, _CLEAN + f" extra{i % 7} words here", 1.0))
+        rows.append((1000 + i, _JUNK + f" {i % 7}!!!", 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_classifier_separates_planted_data(spark, planted):
+    train = planted.filter(F.col("doc_id") % 3 != 0)
+    test = planted.filter(F.col("doc_id") % 3 == 0)
+    model = train_quality_model(train)
+    assert model["features"] == list(QUALITY_FEATURES)
+    assert len(model["coefficients"]) == len(QUALITY_FEATURES)
+
+    scored = with_quality_probability(test, model).collect()
+    # AUC by pairwise comparison (small held-out set).
+    pos = [r["quality_prob"] for r in scored if r["doc_id"] < 1000]
+    neg = [r["quality_prob"] for r in scored if r["doc_id"] >= 1000]
+    wins = sum(1 for p in pos for q in neg if p > q) + 0.5 * sum(
+        1 for p in pos for q in neg if p == q
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.99  # planted data is linearly separable in these features
+    assert min(pos) > 0.5 and max(neg) < 0.5
+
+
+def test_serving_expression_matches_exported_coefficients(spark, planted):
+    model = train_quality_model(planted)
+    feats = featurize(planted).select("doc_id", *QUALITY_FEATURES).collect()
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in with_quality_probability(planted, model).collect()
+    }
+    for r in feats:
+        z = model["intercept"] + sum(
+            w * float(r[name])
+            for name, w in zip(model["features"], model["coefficients"])
+        )
+        ref = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[r["doc_id"]] - ref) < 1e-9, r["doc_id"]
+
+
+def test_scoring_keeps_input_schema_plus_probability(spark, planted):
+    model = train_quality_model(planted)
+    out = with_quality_probability(planted.select("doc_id", "text"), model)
+    assert out.columns == ["doc_id", "text", "quality_prob"]
+    vals = [r["quality_prob"] for r in out.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_scoring_plan_is_map_only(spark, planted):
+    model = train_quality_model(planted)
+    plan = (
+        with_quality_probability(planted.select("doc_id", "text"), model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # featurize+sigmoid fuse into the scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -196,3 +196,80 @@ def test_dsir_select_plan_is_top_n_not_global_sort(spark, docs):
     assert len(out) == 10
     weights = [r["log_weight"] for r in out]
     assert weights == sorted(weights, reverse=True)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+
+    rows = [(i, 10 if i % 10 == 0 else 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample_topn(df, 40, weight_col="n_chars").collect()
+    assert len(out) == 40
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967297.0
+        return round(u ** (1.0 / w), 9)
+
+    expected = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:40]
+    assert [(r["doc_id"], r["n_chars"]) for r in out] == expected
+    # keys are valid A-Res keys and the frame is ranked by them
+    keys = [r["sample_key"] for r in out]
+    assert all(0 < k <= 1 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+
+    # 10% of rows carry weight 20, the rest weight 1: heavy rows should be
+    # included at a much higher rate (A-Res inclusion is monotone in weight).
+    rows = [(i, 20 if i % 10 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample_topn(df, 200, weight_col="n_chars").collect()
+    heavy = sum(1 for r in out if r["n_chars"] == 20)
+    light = len(out) - heavy
+    heavy_rate = heavy / 200  # 200 heavy rows exist
+    light_rate = light / 1800
+    assert heavy_rate > 4 * light_rate
+    # zero/negative weights are excluded entirely
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, n_chars long")
+    kept = weighted_sample_topn(df2, 10, weight_col="n_chars").collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_weighted_sample_equal_weights_is_hash_uniform(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import _sample_hash
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame([(i, 7) for i in range(500)], "doc_id long, n_chars long")
+    out = {r["doc_id"] for r in weighted_sample_topn(df, 50, "n_chars").collect()}
+    # u^(1/w) with constant w is monotone in u → the winners are exactly the
+    # 50 LARGEST md5 hashes (the mirror image of the stratified sampler's
+    # smallest-hash rule).
+    ranked = df.select("doc_id", _sample_hash("doc_id").alias("h")).orderBy(
+        FF.desc("h"), "doc_id"
+    ).limit(50).collect()
+    assert out == {r["doc_id"] for r in ranked}
+
+
+def test_dsir_share_scan_paths_agree_and_release(spark, docs):
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        release_tracked_caches,
+        tracked_cache_scope,
+    )
+
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    pool = docs.filter(F.col("doc_id") % 3 != 0)
+    release_tracked_caches()
+    with tracked_cache_scope():
+        shared = dsir_top_select(pool, target, 15, ngram_n=2, n_buckets=64).collect()
+    unshared = dsir_top_select(
+        pool, target, 15, ngram_n=2, n_buckets=64, share_scan=False
+    ).collect()
+    assert [(r["doc_id"], r["log_weight"]) for r in shared] == [
+        (r["doc_id"], r["log_weight"]) for r in unshared
+    ]
+    # scope released the shared persist; unshared never created one
+    assert release_tracked_caches() == 0
