@@ -116,3 +116,125 @@ def with_quality_probability(
     added = set(QUALITY_FEATURES + ("n_words", "n_chars", "n_tokens_est",
                                     "quality_score", "n_2grams")) - set(df.columns)
     return scored.drop(*added)
+
+
+# --- hashed bag-of-words classifier (fastText-style) -------------------------
+# The heuristic-feature model above separates junk from prose; real corpus
+# filters (CCNet's fastText, the GPT-3 WebText classifier) learn over the
+# VOCABULARY. Same Spark-first split: hashed token features are Catalyst
+# expressions keyed by F.hash (Murmur3, seed 42) — one hash function used
+# at BOTH train and serve time, so there is no train/serve skew by
+# construction (MLlib's HashingTF hashes differently, which is exactly the
+# skew this avoids) — training is distributed MLlib LR over sparse vectors,
+# and serving is explode → broadcast-join the coefficient dim → per-doc sum
+# → sigmoid: no MLlib, no Python, one doc-width shuffle.
+
+
+def hashed_token_features(
+    df: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, idx, cnt): lowercased whitespace tokens hashed into
+    [0, n_features) buckets with Spark's Murmur3 (`F.hash`)."""
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    return (
+        toks.select(
+            F.col(id_col), F.pmod(F.hash("_tok"), F.lit(n_features)).alias("idx")
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_hashed_text_model(
+    labeled: DataFrame,
+    n_features: int = 1024,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 64,
+    reg_param: float = 1e-3,
+) -> dict:
+    """Fit LR over hashed bag-of-words counts. The sparse-vector assembly
+    uses a Python UDF — train-time only, over the labeled set (bounded by
+    labeling budget, not corpus size); gradients aggregate executor-side as
+    usual. Returns ``{"n_features", "coefficients" (dense list),
+    "intercept"}`` for the Catalyst serving path."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.functions import udf
+
+    feats = hashed_token_features(labeled, n_features, id_col, text_col)
+    pairs = feats.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("idx"), F.col("cnt")))
+        ).alias("_pairs")
+    )
+
+    @udf(returnType=VectorUDT())
+    def to_vec(pairs_):
+        return SparseVector(
+            n_features,
+            [int(p["idx"]) for p in pairs_],
+            [float(p["cnt"]) for p in pairs_],
+        )
+
+    assembled = (
+        labeled.select(id_col, label_col)
+        .join(pairs, on=id_col, how="inner")
+        .withColumn("_features", to_vec(F.col("_pairs")))
+    )
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    model = lr.fit(assembled)
+    return {
+        "n_features": int(n_features),
+        "coefficients": [float(c) for c in model.coefficients.toArray()],
+        "intercept": float(model.intercept),
+    }
+
+
+def hashed_text_scores(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus with the hashed-BoW model, MLlib-free: explode tokens
+    → hash to idx → broadcast-join the (idx, weight) dim (non-zero
+    coefficients only) → per-doc partial-agg sum → sigmoid. Docs with no
+    tokens (or only zero-weight buckets) score σ(intercept)."""
+    spark = df.sparkSession
+    coef = [
+        (i, w) for i, w in enumerate(model["coefficients"]) if w != 0.0
+    ]
+    coef_df = spark.createDataFrame(coef or [(0, 0.0)], "idx int, w double")
+    feats = hashed_token_features(df, model["n_features"], id_col, text_col)
+    z = (
+        feats.join(F.broadcast(coef_df), on="idx", how="inner")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("_z"))
+    )
+    b = float(model["intercept"])
+    return (
+        df.join(z, on=id_col, how="left")
+        .withColumn(
+            out_col,
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(b)))),
+        )
+        .drop("_z")
+    )

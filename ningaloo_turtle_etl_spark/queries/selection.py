@@ -232,3 +232,23 @@ def q_quality_classifier_scores(spark, sf_dir):
     return with_quality_probability(docs, model).select(
         "doc_id", F.round("quality_prob", 3).alias("quality_prob")
     )
+
+
+@register("text_classifier_scores", None)
+def q_text_classifier_scores(spark, sf_dir):
+    """Hashed bag-of-words classifier (the fastText pattern): trained
+    distributed to recognize English documents from hashed token counts,
+    served MLlib-free (explode → broadcast coefficient dim → per-doc sum →
+    sigmoid). Rows-only; vocabulary separation and serve parity are pinned
+    in tests/test_classify.py."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        train_hashed_text_model,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = docs.withColumn("label", (F.col("lang") == "en").cast("double"))
+    model = train_hashed_text_model(labeled, n_features=512)
+    return hashed_text_scores(docs, model, out_col="p_english").select(
+        "doc_id", "lang", F.round("p_english", 3).alias("p_english")
+    )

@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "ann_pq_topk",
     "weighted_sample_topn",
     "quality_classifier_scores",
+    "text_classifier_scores",
 ]
 
 

@@ -85,3 +85,79 @@ def test_scoring_plan_is_map_only(spark, planted):
     )
     assert "Exchange" not in plan  # featurize+sigmoid fuse into the scan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- hashed bag-of-words model ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vocab_planted(spark):
+    # Separable by VOCABULARY (not by shape): both classes are well-formed
+    # text, so the heuristic features can't split them but hashed BoW can.
+    good = "science method result data theory model evidence study"
+    spam = "winner prize click free offer deal bonus casino"
+    rows = []
+    for i in range(120):
+        g = " ".join(good.split()[j % 8] for j in range(i % 5 + 5))
+        s = " ".join(spam.split()[j % 8] for j in range(i % 5 + 5))
+        rows.append((i, "the " + g + " is here", 1.0))
+        rows.append((1000 + i, "the " + s + " is here", 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_hashed_bow_separates_by_vocabulary(spark, vocab_planted):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        train_hashed_text_model,
+    )
+
+    train = vocab_planted.filter(F.col("doc_id") % 3 != 0)
+    test = vocab_planted.filter(F.col("doc_id") % 3 == 0)
+    model = train_hashed_text_model(train, n_features=256)
+    assert len(model["coefficients"]) == 256
+    scored = hashed_text_scores(test, model).collect()
+    pos = [r["quality_prob"] for r in scored if r["doc_id"] < 1000]
+    neg = [r["quality_prob"] for r in scored if r["doc_id"] >= 1000]
+    assert min(pos) > 0.5 and max(neg) < 0.5  # fully separable vocab
+
+
+def test_hashed_bow_serving_matches_exported_coefficients(spark, vocab_planted):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_token_features,
+        hashed_text_scores,
+        train_hashed_text_model,
+    )
+
+    n = 128
+    model = train_hashed_text_model(vocab_planted, n_features=n)
+    served = {
+        r["doc_id"]: r["quality_prob"]
+        for r in hashed_text_scores(vocab_planted, model).collect()
+    }
+    # Reference: per-doc sigmoid from the raw hashed counts and the exported
+    # coefficients (independent of the serving join).
+    feats = hashed_token_features(vocab_planted, n).collect()
+    z: dict = {}
+    for r in feats:
+        z[r["doc_id"]] = z.get(r["doc_id"], 0.0) + r["cnt"] * model["coefficients"][r["idx"]]
+    import math
+
+    for doc_id, zi in z.items():
+        ref = 1.0 / (1.0 + math.exp(-(zi + model["intercept"])))
+        assert abs(served[doc_id] - ref) < 1e-9
+
+
+def test_hashed_bow_tokenless_doc_scores_intercept(spark, vocab_planted):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        train_hashed_text_model,
+    )
+
+    model = train_hashed_text_model(vocab_planted, n_features=64)
+    empty = spark.createDataFrame([(9999, "")], "doc_id long, text string")
+    row = hashed_text_scores(empty, model).collect()[0]
+    assert abs(
+        row["quality_prob"] - 1.0 / (1.0 + math.exp(-model["intercept"]))
+    ) < 1e-9

@@ -210,3 +210,51 @@ def test_deterministic_sample_matches_md5_rule(spark, ids, rate):
         < int(rate * 4294967296.0)
     }
     assert kept == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=120),
+)
+def test_hamilton_quotas_exact_and_bounded(spark, counts, n):
+    """Largest-remainder quotas: each stratum gets ≥ its floor share,
+    ≤ its row count, and the total is exactly min(n, corpus)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.selection import stratum_quotas
+
+    rows = [(f"s{i}_{j}", f"s{i}") for i, c in enumerate(counts) for j in range(c)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {r["source"]: r["quota"] for r in stratum_quotas(df, n, "source").collect()}
+    total = sum(counts)
+    assert sum(got.values()) == min(n, total)
+    for i, c in enumerate(counts):
+        q = got[f"s{i}"]
+        # floor share is the lower bound until the stratum-size cap bites
+        # (n > corpus makes the floor share exceed the stratum).
+        assert min(math.floor(n * c / total), c) <= q <= c
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=5, max_size=40),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_is_partition_invariant_and_nested(spark, weights, n):
+    """Efraimidis–Spirakis top-n: identical result under repartitioning
+    (the determinism a retry needs), and top-n is a prefix of top-(n+k)."""
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = [r["doc_id"] for r in weighted_sample_topn(df, n, "n_chars").collect()]
+    b = [
+        r["doc_id"]
+        for r in weighted_sample_topn(df.repartition(7), n, "n_chars").collect()
+    ]
+    big = [
+        r["doc_id"] for r in weighted_sample_topn(df, n + 5, "n_chars").collect()
+    ]
+    assert a == b
+    assert big[: len(a)] == a  # ranked by the same keys → nested prefixes

@@ -103,6 +103,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_pq_topk",
         "weighted_sample_topn",
         "quality_classifier_scores",
+        "text_classifier_scores",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
