@@ -299,3 +299,42 @@ def with_rescaled(
         F.col("_mx") - F.col("_mn"), F.lit(0)
     )
     return joined.withColumn(name, scaled).drop("_mn", "_mx")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    name: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Winsorize/clip ``col`` to its [lower, upper] quantiles — the standard
+    outlier-robust cleaning step before aggregating skewed measures. Same
+    agg + broadcast join-back shape as ``rescale_minmax`` (no unpartitioned
+    window).
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` — its
+    aggregation buffers the column per group, which is fine up to ~10⁷ rows
+    per group and is bit-identical to DuckDB's ``quantile_cont`` (what makes
+    the oracle row possible). At 100 TB set ``exact=False``:
+    ``approx_percentile`` (relative-error sketch, mergeable, bounded
+    memory) — same plan, approximate cut points."""
+    name = name or f"{col}_w"
+    pct = (
+        F.percentile(col, F.lit(float(lower)))
+        if exact
+        else F.approx_percentile(col, F.lit(float(lower)), F.lit(accuracy))
+    )
+    pct_hi = (
+        F.percentile(col, F.lit(float(upper)))
+        if exact
+        else F.approx_percentile(col, F.lit(float(upper)), F.lit(accuracy))
+    )
+    bounds = df.agg(pct.alias("_lo"), pct_hi.alias("_hi"))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(name, F.greatest(F.least(F.col(col), F.col("_hi")), F.col("_lo")))
+        .drop("_lo", "_hi")
+    )

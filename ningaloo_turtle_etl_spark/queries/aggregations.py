@@ -166,3 +166,38 @@ def pricing_summary(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+    WITH b AS (
+        SELECT quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(GREATEST(LEAST(value, hi), lo)), 6) AS avg_w,
+           ROUND(MIN(GREATEST(LEAST(value, hi), lo)), 6) AS min_w,
+           ROUND(MAX(GREATEST(LEAST(value, hi), lo)), 6) AS max_w
+    FROM events, b GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark, sf_dir):
+    """Outlier-robust per-type stats: event values winsorized to their
+    global [p01, p99] before aggregating. Spark's exact interpolated
+    `percentile` is bit-identical to DuckDB's `quantile_cont` (verified),
+    so the clip points — and therefore the full oracle row — reproduce
+    cross-engine; the 100 TB path flips `exact=False` for the mergeable
+    approx_percentile sketch (same plan shape, documented on the
+    operator)."""
+    from ningaloo_turtle_etl_spark.operators.relational import winsorize
+
+    ev = load_table(spark, "events", sf_dir)
+    w = winsorize(ev, "value", 0.01, 0.99, name="vw")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("vw"), 6).alias("avg_w"),
+        F.round(F.min("vw"), 6).alias("min_w"),
+        F.round(F.max("vw"), 6).alias("max_w"),
+    )

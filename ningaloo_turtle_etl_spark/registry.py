@@ -143,6 +143,7 @@ PRIORITY: list[str] = [
     "weighted_sample_topn",
     "quality_classifier_scores",
     "text_classifier_scores",
+    "winsorized_value_stats",
 ]
 
 

@@ -114,3 +114,28 @@ def test_encounter_history_clamps_to_binary(spark):
     }
     assert out[1] == (1, 0, 1)  # double encounter clamps to 1
     assert out[2] == (0, 1, 0)
+
+
+def test_winsorize_clips_to_quantiles_exact_and_approx(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.relational import winsorize
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    lo, hi = ev.agg(
+        F.percentile("value", F.lit(0.1)), F.percentile("value", F.lit(0.9))
+    ).collect()[0]
+    out = winsorize(ev, "value", 0.1, 0.9, name="vw")
+    got_lo, got_hi = out.agg(F.min("vw"), F.max("vw")).collect()[0]
+    assert got_lo == lo and got_hi == hi
+    # interior values pass through untouched
+    n_changed = out.filter(F.col("vw") != F.col("value")).count()
+    n_outside = ev.filter((F.col("value") < lo) | (F.col("value") > hi)).count()
+    assert n_changed == n_outside > 0
+    # approx path: same plan, sketch cut points within 5% of exact
+    a = winsorize(ev, "value", 0.1, 0.9, name="vw", exact=False)
+    a_lo, a_hi = a.agg(F.min("vw"), F.max("vw")).collect()[0]
+    assert abs(a_lo - lo) <= 0.05 * max(abs(lo), 1)
+    assert abs(a_hi - hi) <= 0.05 * max(abs(hi), 1)
