@@ -171,3 +171,46 @@ def unigram_lm_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n_top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``n_top`` terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing) — the classic
+    keyword-extraction / representation primitive. All relational: the
+    (doc, token, tf) pairs come from one explode + partial-agg pass, the
+    document frequency is a re-aggregation of those pairs (each pair is
+    distinct by construction — no countDistinct), and N broadcasts as a
+    one-row dim. Scores are rounded to 6 dp BEFORE ranking (ties break by
+    term) so the selected terms are reproducible cross-engine despite
+    last-ulp ln() differences.
+
+    Output: (id, term, tfidf, rank)."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = (
+        pairs.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n_top))
+    )

@@ -1358,3 +1358,37 @@ def temperature_mix_sample(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return tms(docs, temperature=2.0, budget_fraction=0.5).select("doc_id", "lang")
+
+
+@register(
+    "tfidf_top_terms",
+    rf"""
+    WITH pairs AS (
+        SELECT doc_id, unnest(toks) AS term
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
+    df_ AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df_ USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (smoothed sklearn idf): one
+    explode pass builds (doc, term, tf); document frequency re-aggregates
+    those pairs; scores round to 6 dp before ranking so the top-3 terms
+    reproduce cross-engine despite last-ulp ln() differences."""
+    from ningaloo_turtle_etl_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, n_top=3)

@@ -144,6 +144,7 @@ PRIORITY: list[str] = [
     "quality_classifier_scores",
     "text_classifier_scores",
     "winsorized_value_stats",
+    "tfidf_top_terms",
 ]
 
 

@@ -554,3 +554,41 @@ def test_duplicate_passage_removal_policy(spark):
     assert got[3] == (3, 2, "tail")
     assert got[4] == (0, 0, "")
     assert got[5] == (1, 0, "q r")
+
+
+def test_tfidf_top_terms_matches_reference(spark):
+    """TF-IDF scores equal the hand-computed smoothed-idf values and the
+    per-doc ranking picks the distinctive (low-df) terms first."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.text import tfidf_top_terms
+
+    texts = {
+        1: "apple apple banana common common",
+        2: "banana cherry common common common",
+        3: "durian common apple",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = tfidf_top_terms(df, n_top=2).collect()
+    n_docs = len(texts)
+    # document frequencies
+    dfreq: dict[str, int] = {}
+    for t in texts.values():
+        for w in set(t.split()):
+            dfreq[w] = dfreq.get(w, 0) + 1
+
+    def score(doc, w):
+        tf = texts[doc].split().count(w)
+        return round(tf * (math.log((n_docs + 1) / (dfreq[w] + 1)) + 1), 6)
+
+    for r in out:
+        assert r["tfidf"] == score(r["doc_id"], r["term"]), (r["doc_id"], r["term"])
+    # doc 3: 'durian' (df=1) must outrank 'common' (df=3)
+    doc3 = [r["term"] for r in sorted(
+        (r for r in out if r["doc_id"] == 3), key=lambda r: r["rank"])]
+    assert doc3[0] == "durian"
+    # every doc yields exactly min(2, n_distinct_terms) rows
+    per = {}
+    for r in out:
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert per == {1: 2, 2: 2, 3: 2}
