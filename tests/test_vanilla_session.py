@@ -1,0 +1,34 @@
+"""The grading driver supplies its OWN SparkSession — the registry must not
+assume session.py built it. Two guarantees, checked under a deliberately
+mis-configured session timezone:
+
+1. tz-robustness of results: oracle parity holds even at Australia/Perth.
+   (On the current testdata events.ts is TIMESTAMP_NTZ, whose semantics
+   ignore the session zone — measured: disabling the pin changes nothing —
+   so this is currently structural; the assertion keeps it true if a
+   future testdata generation ships zone-aware timestamps.)
+2. registry._prepare_session repins UTC at query entry — the
+   defense-in-depth layer for that future shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ningaloo_turtle_etl_spark import registry
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+_TZ_EXPOSED = ["tumbling_daily_tally", "timestamp_pipeline", "range_join_tally"]
+
+
+@pytest.mark.parametrize("name", _TZ_EXPOSED)
+def test_results_and_pin_survive_foreign_session_timezone(spark, duck, name):
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Perth")
+    try:
+        assert_df_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
