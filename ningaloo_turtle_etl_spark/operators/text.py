@@ -182,12 +182,18 @@ def tfidf_top_terms(
     """Top-``n_top`` terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing) — the classic
     keyword-extraction / representation primitive. All relational: the
-    (doc, token, tf) pairs come from one explode + partial-agg pass, the
+    (doc, token, tf) pairs come from an explode + partial-agg pass, the
     document frequency is a re-aggregation of those pairs (each pair is
     distinct by construction — no countDistinct), and N broadcasts as a
-    one-row dim. Scores are rounded to 6 dp BEFORE ranking (ties break by
-    term) so the selected terms are reproducible cross-engine despite
-    last-ulp ln() differences.
+    one-row dim. Catalyst recomputes the pair subplan for the docfreq
+    branch rather than materializing it (two corpus scans; persist the
+    pair frame via operators.cache to trade the second scan for storage,
+    the same knob as DSIR's share_scan). The docfreq dim broadcasts, and
+    the final per-doc top-k runs under Spark's WindowGroupLimit pushdown
+    (rank filter applied before the window shuffle — pinned in tests).
+    Scores are rounded to 6 dp BEFORE ranking (ties break by term) so the
+    selected terms are reproducible cross-engine despite last-ulp ln()
+    differences.
 
     Output: (id, term, tfidf, rank)."""
     from pyspark.sql.window import Window

@@ -187,3 +187,36 @@ def test_spatial_tag_regions_expr_is_pure_codegen(spark):
     plan = plan_of(spark, "spatial_tag_regions_expr")
     assert "EvalPython" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        weighted_sample_topn(docs, 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # map-side keying + per-partition heaps only
+
+
+def test_tfidf_plan_has_group_limit_and_broadcast_docfreq(spark):
+    from ningaloo_turtle_etl_spark.operators.text import tfidf_top_terms
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        tfidf_top_terms(docs, n_top=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    # top-k per doc runs under the WindowGroupLimit pushdown (rank filter
+    # applied map-side before the window shuffle), and the docfreq dim
+    # joins as a broadcast — no sort-merge join anywhere.
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
