@@ -5,17 +5,29 @@ R's geosphere; here they are pure Catalyst trig columns).
 Scale design: the nearest-site join is GRID-BLOCKED — points explode into
 their 3×3 neighborhood of lat/lon cells and equi-join with site cells, so
 the candidate set is bounded by cell occupancy and the plan is a hash join
-(never a point×site cross product). Cell size must be ≥ the search radius
-(in degrees) for the 3×3 neighborhood to be a complete cover.
+(never a point×site cross product). Complete-cover condition: the latitude
+cell height must be ≥ the search radius in degrees of latitude, and the
+longitude cell width must be ≥ the WIDEST longitude span the radius can
+reach anywhere in the latitude band the data occupies — a fixed-km radius
+spans MORE longitude degrees at higher latitude (Δλ grows like 1/cos φ),
+so the longitude width is derived from max|lat| of the sites plus the
+radius, using the exact spherical bound
+    Δλ_max = 2·asin( sin(r / 2R) / cos(φ_bound) ).
+Longitude cells wrap modulo 360° so the cover also holds across the
+antimeridian.
 """
 
 from __future__ import annotations
+
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 EARTH_RADIUS_KM = 6371.0088
+# Degrees of latitude per km (slightly conservative: 111.0 < 111.195).
+_KM_PER_LAT_DEG = 111.0
 
 
 def haversine_km(lat1, lon1, lat2, lon2) -> Column:
@@ -31,11 +43,42 @@ def haversine_km(lat1, lon1, lat2, lon2) -> Column:
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
 
 
-def grid_cell(lat, lon, cell_deg: float) -> Column:
-    """Stable integer cell id for a lat/lon at ``cell_deg`` resolution."""
+def max_lon_span_deg(max_km: float, lat_bound_deg: float) -> float:
+    """Widest longitude separation (degrees) two points within ``max_km``
+    of each other can have when both latitudes are ≤ ``lat_bound_deg`` in
+    absolute value. Exact on the sphere: the minimum great-circle distance
+    between two meridians Δλ apart within the band is attained at the band
+    edge, d = 2R·asin(cos φ·sin(Δλ/2)); inverting gives the bound. Returns
+    360 when the radius reaches past the band edge toward the pole (any
+    longitude reachable)."""
+    sin_half = math.sin(min(max_km / (2.0 * EARTH_RADIUS_KM), math.pi / 2))
+    cos_b = math.cos(math.radians(min(abs(lat_bound_deg), 90.0)))
+    if sin_half >= cos_b:
+        return 360.0
+    return 2.0 * math.degrees(math.asin(sin_half / cos_b))
+
+
+def grid_cell(lat, lon, cell_deg: float, cell_deg_lon: float | None = None) -> Column:
+    """Stable integer cell id for a lat/lon; ``cell_deg`` is the latitude
+    cell height, ``cell_deg_lon`` the longitude width (defaults to square
+    cells). Longitude wraps modulo 360°."""
+    if cell_deg_lon is None:
+        cell_deg_lon = cell_deg
+    nx, cell_deg_lon = _snap_lon_grid(cell_deg_lon)
     gy = F.floor((lat + 90.0) / cell_deg).cast("long")
-    gx = F.floor((lon + 180.0) / cell_deg).cast("long")
+    gx = F.pmod(F.floor((lon + 180.0) / cell_deg_lon).cast("long"), F.lit(nx))
     return gy * F.lit(100_000) + gx
+
+
+def _snap_lon_grid(min_width_deg: float) -> tuple[int, float]:
+    """Longitude cell count and width such that the cells tile 360°
+    EXACTLY (nx·width = 360) with width ≥ ``min_width_deg``. Exact tiling
+    matters: with nx = ceil(360/w) the last cell is narrower than w and the
+    wrap seam is misaligned, so a point near the seam can need a ±2 cell —
+    snapping the width up to 360/floor(360/w) keeps ±1 a complete cover
+    across the antimeridian."""
+    nx = max(int(math.floor(360.0 / min_width_deg)), 1)
+    return nx, 360.0 / nx
 
 
 def nearest_site_join(
@@ -48,34 +91,61 @@ def nearest_site_join(
     lon_col: str = "lon",
     cell_deg: float | None = None,
     rank_decimals: int | None = None,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """Each point → its nearest site within ``max_km`` (points with no site
     in range drop out). Grid-blocked: sites register in their own cell,
     points explode into the 3×3 neighborhood, equi-join on the cell, exact
-    haversine, per-point argmin window. ``cell_deg`` defaults to the search
-    radius in degrees of latitude (the safe complete-cover choice; longitude
-    shrinks toward the poles, which only makes covers larger).
+    haversine, per-point argmin window.
+
+    Cover geometry: ``cell_deg`` (latitude cell height) defaults to the
+    search radius in degrees of latitude. The longitude cell width is
+    widened separately to ``max_lon_span_deg(max_km, φ_bound)`` where
+    φ_bound = max|site lat| + radius — a fixed-km radius spans more
+    longitude degrees at higher latitude, so a square cell is NOT a
+    complete cover off the equator; the anisotropic cell is. φ_bound is a
+    one-scalar aggregate over the (small, dimension-side) sites table;
+    pass ``max_abs_lat`` to skip that driver round-trip when the band is
+    known. Longitude cells wrap modulo 360°, so pairs straddling the
+    antimeridian are still covered.
 
     ``rank_decimals`` ranks and thresholds on the distance ROUNDED to that
     many decimals (ties then break by site_id): a last-ulp libm difference
     between engines can no longer flip the argmin, which is what makes the
     result oracle-comparable (6 ⇒ a site must be within 0.5 mm of another
     for the tie-break to engage)."""
+    radius_deg = max_km / _KM_PER_LAT_DEG
     if cell_deg is None:
-        cell_deg = max(max_km / 111.0, 0.1)
+        cell_deg = max(radius_deg, 0.1)
+    if max_abs_lat is None:
+        row = sites.agg(F.max(F.abs(F.col(lat_col))).alias("m")).collect()[0]
+        max_abs_lat = float(row["m"] if row["m"] is not None else 0.0)
+    lat_bound = min(max_abs_lat + radius_deg, 89.9)
+    # If the caller widened cell_deg beyond the radius, keep the same slack
+    # ratio in longitude; the max() guarantees the cover either way.
+    nx, cell_deg_lon = _snap_lon_grid(
+        max(cell_deg, max_lon_span_deg(max_km, lat_bound))
+    )
+
     s = sites.select(
         F.col(site_id).alias("site_id"),
         F.col(lat_col).alias("s_lat"),
         F.col(lon_col).alias("s_lon"),
-    ).withColumn("_cell", grid_cell(F.col("s_lat"), F.col("s_lon"), cell_deg))
+    ).withColumn(
+        "_cell", grid_cell(F.col("s_lat"), F.col("s_lon"), cell_deg, cell_deg_lon)
+    )
     gy = F.floor((F.col(lat_col) + 90.0) / cell_deg).cast("long")
-    gx = F.floor((F.col(lon_col) + 180.0) / cell_deg).cast("long")
-    neighborhood = F.array(
-        *[
-            (gy + dy) * F.lit(100_000) + (gx + dx)
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-        ]
+    gx = F.floor((F.col(lon_col) + 180.0) / cell_deg_lon).cast("long")
+    # array_distinct: when nx ≤ 3 the wrapped ±1 neighbors alias to the
+    # same cell — dedupe so candidates aren't generated twice.
+    neighborhood = F.array_distinct(
+        F.array(
+            *[
+                (gy + dy) * F.lit(100_000) + F.pmod(gx + dx, F.lit(nx))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
     )
     p = points.select(
         F.col(point_id).alias("point_id"),

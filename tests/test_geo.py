@@ -57,6 +57,63 @@ def test_nearest_site_matches_brute_force(spark):
             assert pid not in got
 
 
+def test_nearest_site_covers_high_latitude(spark):
+    # Regression (ADVICE r03): a fixed-km radius spans MORE longitude
+    # degrees at higher latitude, so the old square cell (radius/111°) with
+    # a ±1 neighborhood missed in-range sites 2 longitude cells away. At
+    # lat -45 a site 18° east is ~1414 km away (< 1500 km radius) but lands
+    # 2 cells apart under the old scheme — it must be found.
+    points = spark.createDataFrame(
+        [(1, -45.0, 118.0)], "point_id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(10, -45.0, 100.0)], "site_id long, lat double, lon double"
+    )
+    got = nearest_site_join(points, sites, max_km=1500.0).collect()
+    assert len(got) == 1 and got[0]["site_id"] == 10
+    expect = _py_haversine(-45.0, 118.0, -45.0, 100.0)
+    assert expect < 1500.0  # the pair really is in range
+    assert abs(got[0]["dist_km"] - expect) < 1e-3
+
+
+def test_nearest_site_brute_force_parity_high_latitude(spark):
+    # Randomized cover check in a band where cos(lat) ≈ 0.4 — every
+    # brute-force nearest neighbor within the radius must be reproduced.
+    import random
+
+    rng = random.Random(11)
+    pts = [(i, -70 + rng.random() * 8, -30 + rng.random() * 60) for i in range(300)]
+    sts = [(j, -70 + rng.random() * 8, -30 + rng.random() * 60) for j in range(12)]
+    points = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    site_df = spark.createDataFrame(sts, "site_id long, lat double, lon double")
+    got = {
+        r["point_id"]: (r["site_id"], r["dist_km"])
+        for r in nearest_site_join(points, site_df, max_km=800.0).collect()
+    }
+    for pid, plat, plon in pts:
+        dists = sorted(
+            (_py_haversine(plat, plon, slat, slon), sid) for sid, slat, slon in sts
+        )
+        best_d, best_s = dists[0]
+        if best_d <= 800.0:
+            assert got[pid][0] == best_s, pid
+        else:
+            assert pid not in got
+
+
+def test_nearest_site_covers_antimeridian(spark):
+    # Longitude cells wrap mod 360: a pair straddling ±180 is in range.
+    points = spark.createDataFrame(
+        [(1, -40.0, 179.5)], "point_id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(7, -40.0, -179.5)], "site_id long, lat double, lon double"
+    )
+    got = nearest_site_join(points, sites, max_km=300.0).collect()
+    assert len(got) == 1 and got[0]["site_id"] == 7
+    assert got[0]["dist_km"] < 100.0
+
+
 def test_nearest_site_is_hash_join(spark):
     points = spark.range(100).select(
         F.col("id").alias("point_id"),
