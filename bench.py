@@ -50,6 +50,37 @@ CHECKSUM = {
 }
 
 
+def _minhash_family(hash_family):
+    """minhash_near_dups' computation with an explicit hash family. The
+    registered query switched to the md5 family in r04 (DuckDB-reproducible
+    → full oracle row); the HEADLINE keeps timing the xxhash64 scale
+    default so the r01-r03 series stays apples-to-apples, and the md5
+    form's measured overhead lands in extras instead."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.dedup import minhash_near_dup_pairs
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+        )
+        return minhash_near_dup_pairs(
+            docs, shingle_n=3, threshold=0.5, hash_family=hash_family
+        )
+
+    return run
+
+
+# Headline entries measured via a pinned callable instead of the registry
+# (keeps round-over-round continuity when a registered query's evidence
+# form changes).
+HEADLINE_OVERRIDES = {
+    "minhash_near_dups": _minhash_family("xxhash64"),
+}
+
+
 # --- extras: scale probes OUTSIDE the headline total (round-over-round
 # continuity keeps `value` summing the same 11 queries) -----------------------
 
@@ -243,6 +274,7 @@ def _range_join_tally(spark, sf_dir):
 
 EXTRAS = {
     "range_join_tally": _range_join_tally,
+    "minhash_near_dups_md5": _minhash_family("md5"),
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),
     "decontam_50k": _decontam_50k,
@@ -281,7 +313,8 @@ def main() -> None:
         # py4j releases JVM-side references System.gc() can then reclaim.
         gc.collect()
         spark._jvm.System.gc()
-        df = queries[name](spark, SF_DIR)
+        fn = HEADLINE_OVERRIDES.get(name)
+        df = fn(spark, SF_DIR) if fn else queries[name](spark, SF_DIR)
         t0 = time.perf_counter()
         if name in CHECKSUM:
             df.agg({CHECKSUM[name]: "sum"}).collect()

@@ -137,6 +137,64 @@ def incremental_exact_dedup(
     return new_docs.join(keepers, on=id_col, how="left_semi")
 
 
+# --- cross-engine (md5) hash family ----------------------------------------
+# xxhash64 is the fastest JVM-side hash but has no DuckDB equivalent, so
+# signatures built on it can only be verified rows-only. The md5 family is
+# bit-identical across engines: ONE md5 per shingle/token (60-bit prefix as
+# int64), then 2-universal integer hashing (a·h + b) mod p for the per-slot
+# MinHash values — integer ops, not 32 more digests — and integer mod-folds
+# for band buckets. Same constants, same arithmetic, same answer in DuckDB.
+
+#: Mersenne prime 2^61-1: the universal-hash modulus (a·h31 + b < 2^62 < 2^63).
+MERSENNE61 = (1 << 61) - 1
+#: 31-bit fold modulus for band buckets (prev·mult + 32-bit term < 2^52).
+FOLD_P = (1 << 31) - 1
+FOLD_MULT = 1_000_003
+FOLD_MULT2 = 69_069
+
+
+def md5_hash60(col: Column) -> Column:
+    """First 60 bits (15 hex chars) of md5 as a non-negative int64 —
+    deterministic and identical in DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs for the universal-hash MinHash slots, derived from
+    md5 of the slot index — deterministic constants, no RNG state, shared by
+    the Spark expressions and the oracle SQL. ``a`` is odd and 31-bit."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-coeff-{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) | 1) & 0x7FFFFFFF
+        b = int(d[8:16], 16) & 0x7FFFFFFF
+        out.append((a, b))
+    return out
+
+
+def fold_bucket(terms: list[Column], init: Column) -> Column:
+    """Order-dependent integer fold of 32-bit-masked terms into a 62-bit
+    bucket id: two independent 31-bit Horner folds
+    acc = (acc·mult + (t & 0xFFFFFFFF)) % (2^31-1), combined as
+    fold₁·2³¹ + fold₂. 62 bits keeps merge-collisions negligible at
+    billion-row band tables (a 31-bit space would merge real buckets there,
+    and a merged bucket crossing ``max_bucket_size`` silently drops pairs).
+    Remaining collisions only ADD candidates (verified afterwards) — a
+    deterministic map can never split equal keys, so recall is unaffected.
+    Identical arithmetic runs in the DuckDB oracle."""
+
+    def fold(mult: int) -> Column:
+        acc = init.cast("long") % F.lit(FOLD_P)
+        for t in terms:
+            acc = (acc * mult + t.bitwiseAND(F.lit(0xFFFFFFFF))) % F.lit(FOLD_P)
+        return acc
+
+    return fold(FOLD_MULT) * F.lit(1 << 31) + fold(FOLD_MULT2)
+
+
 # --- shingles / MinHash -----------------------------------------------------
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct). Pure columns:
@@ -150,8 +208,9 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(i ⊕ s).
-    One array column of length ``num_hashes``; entirely JVM-side.
+    """MinHash signature (xxhash64 family): for seed i, min over shingles of
+    xxhash64(i ⊕ s). One array column of length ``num_hashes``; entirely
+    JVM-side.
 
     NB: the per-seed lambda must be UNARY — F.transform passes the element
     index to a second parameter, so a `lambda s, i=i:` closure would receive
@@ -166,6 +225,25 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     return F.array(*[slot(i) for i in range(num_hashes)])
 
 
+def minhash_signature_md5(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (md5 family): slots are 2-universal integer hashes
+    of the ALREADY md5-hashed shingle values — min over shingles of
+    (aᵢ·(h & 2³¹-1) + bᵢ) mod (2⁶¹-1). One digest per shingle total (paid
+    in the shared ``sh`` column), then pure integer min-folds per slot;
+    reproducible verbatim in DuckDB, which is what buys the oracle row."""
+
+    def slot(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hashed_shingle_col,
+                lambda h: (F.lit(a) * h.bitwiseAND(F.lit(0x7FFFFFFF)) + F.lit(b))
+                % F.lit(MERSENNE61),
+            )
+        )
+
+    return F.array(*[slot(a, b) for a, b in minhash_coeffs(num_hashes)])
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -175,6 +253,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 500,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -187,49 +266,68 @@ def minhash_near_dup_pairs(
     vocabularies, boilerplate) whose hot buckets grow the candidate set
     quadratically. Pairs inside a dropped bucket can still surface through
     their other bands; None disables the cap.
+
+    ``hash_family``: 'xxhash64' (default) is the fastest JVM path —
+    measured ~1.7× quicker warm than 'md5' at 500 sf0.1 docs (1.4 s vs
+    2.4 s), so it stays the scale default. 'md5' hashes each shingle ONCE
+    with md5 and derives the 32 slots by 2-universal integer hashing —
+    bit-reproducible in DuckDB, which is what gives the registered query
+    its full oracle row. Both are filter-verify; recall/candidate behavior
+    is equivalent (tests pin planted-pair recall for both).
     """
     from pyspark import StorageLevel
 
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     rows = num_hashes // bands
     # Verification operates on HASHED shingle sets: array_intersect over
     # longs is far cheaper than over 3-gram strings, and |A∪B| comes from
     # set sizes (|A|+|B|-|A∩B|) instead of materializing the union.
-    # Exactness is preserved up to 64-bit hash collisions (~n²/2⁶⁴).
+    # Exactness is preserved up to hash collisions (~n²/2⁶⁰).
+    shingle_hash = md5_hash60 if hash_family == "md5" else F.xxhash64
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh_str")
     ).select(
         "id",
-        F.array_distinct(F.transform("sh_str", lambda s: F.xxhash64(s))).alias("sh"),
+        F.array_distinct(F.transform("sh_str", lambda s: shingle_hash(s))).alias("sh"),
         F.col("sh_str"),
     )
     # Persist the per-doc state: the plan references it from four self-join
     # branches (two banded sides, two verification sides), and without a
-    # materialization Spark replays shingling + 32 hash passes per branch
+    # materialization Spark replays shingling + the hash passes per branch
     # (measured 200s vs 40s at 50k docs). Hashed shingles + signature are
     # ~1-2% of corpus size; MEMORY_AND_DISK spills cleanly. The cache cannot
     # be unpersisted here (the returned frame is lazy) — it is tracked;
     # release with release_dedup_caches() / dedup_cache_scope() after
     # consuming the result.
+    if hash_family == "md5":
+        # Slots derive from the already-hashed shingle set: integer ops only.
+        sig_expr = minhash_signature_md5(F.col("sh"), num_hashes)
+    else:
+        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
     sig = _track_cache(
-        sh.select(
-            "id", "sh", minhash_signature(F.col("sh_str"), num_hashes).alias("sig")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh.select("id", "sh", sig_expr.alias("sig")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # Candidate generation carries ONLY (id, band-bucket): shingle arrays
     # must not ride through the banded self-join and the pair-dedup shuffle
     # (measured 2-3x slower at 50k docs when they do).
+    if hash_family == "md5":
+        band_bucket = [
+            fold_bucket(
+                [F.col("sig")[b * rows + r] for r in range(rows)], F.lit(b)
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_bucket = [
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
     banded = sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*band_bucket)).alias("bucket"),
     )
     if max_bucket_size is not None:
         counts = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
@@ -501,23 +599,26 @@ def _bit_signs(h: Column) -> Column:
     )
 
 
-def token_hashes(text_col: Column | str) -> Column:
-    """Per-token xxhash64 as an array<long> column."""
+def token_hashes(text_col: Column | str, hash_family: str = "xxhash64") -> Column:
+    """Per-token hash as an array<long> column: 64-bit xxhash64 (default,
+    fastest JVM path) or the 60-bit md5 family (DuckDB-reproducible)."""
+    if hash_family == "md5":
+        return F.transform(tokens(text_col), lambda t: md5_hash60(t))
     return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
 
 
-def simhash_from_hashes(hs: Column) -> Column:
+def simhash_from_hashes(hs: Column, num_bits: int = 64) -> Column:
     """Signature from a MATERIALIZED token-hash array: bit b is set iff more
     than half the token hashes have bit b set (⇔ the classic ±1 accumulator
-    is positive). 64 `size(filter(...))` passes of pure bit-ops — no
-    per-token array allocation, which makes this the fastest Catalyst form
-    (measured 2.6s vs 3.8s HOF-aggregate vs 5.0s pandas-UDF per 20k docs,
-    signature stage only).
+    is positive). ``num_bits`` `size(filter(...))` passes of pure bit-ops —
+    no per-token array allocation, which makes this the fastest Catalyst
+    form (measured 2.6s vs 3.8s HOF-aggregate vs 5.0s pandas-UDF per 20k
+    docs, signature stage only).
 
     ``hs`` must be a projected column, not an inline expression: this
-    expression references it 65 times, and only an alias boundary stops the
-    hashing work being duplicated per reference (CollapseProject will not
-    inline non-cheap aliases with multiple uses)."""
+    expression references it num_bits+1 times, and only an alias boundary
+    stops the hashing work being duplicated per reference (CollapseProject
+    will not inline non-cheap aliases with multiple uses)."""
     nt = F.size(hs)
 
     def bitcnt(b: int) -> Column:
@@ -528,7 +629,7 @@ def simhash_from_hashes(hs: Column) -> Column:
         )
 
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(num_bits):
         sig = sig.bitwiseOR(
             F.when(2 * bitcnt(b) > nt, F.lit(_SIGN_MASKS[b]).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -538,16 +639,25 @@ def simhash_from_hashes(hs: Column) -> Column:
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) via two projections so the token-hash array materializes
     once before the 65 references in simhash_from_hashes. Map-only, zero
     shuffle, no Python in the path (the round-1 pandas-UDF form looped per
-    token in interpreted Python and was the plan's dominant cost)."""
+    token in interpreted Python and was the plan's dominant cost).
+
+    ``hash_family='md5'`` builds a 60-bit signature from md5-derived token
+    hashes — bit-identical in DuckDB, which is what makes the registered
+    query's full oracle row possible."""
+    bits = 60 if hash_family == "md5" else 64
     hs = df.select(
-        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("_hs")
+        F.col(id_col).alias("id"),
+        token_hashes(F.col(text_col), hash_family).alias("_hs"),
     )
-    return hs.select("id", simhash_from_hashes(F.col("_hs")).alias("sig"))
+    return hs.select("id", simhash_from_hashes(F.col("_hs"), bits).alias("sig"))
 
 
 def simhash_expr(text_col: Column | str) -> Column:
@@ -622,25 +732,29 @@ def simhash_near_dup_pairs(
     ``max_hamming + 1``, making the recall guarantee exact. Candidates are
     verified by bit_count(xor) ≤ max_hamming.
 
-    Cost scales hard with H: B blocks means 64/B-bit bucket keys, and
+    Cost scales hard with H: B blocks means width/B-bit bucket keys, and
     bucket occupancy (hence candidate pairs) grows ~quadratically as blocks
     shrink. H=3 → 16-bit blocks is the classic operating point (Manku et
     al.'s web-dedup setting); H=8 → 7-bit blocks is only tractable for
     small candidate sets.
     """
+    # ``signature='catalyst'`` (default) computes 64-bit signatures entirely
+    # JVM-side (map-only, two-step with_simhash); ``'md5'`` is the 60-bit
+    # DuckDB-reproducible family (full oracle row); ``'fnv_udf'`` keeps the
+    # round-1 pandas-UDF/FNV-1a form as a slow cross-check path (tests pin
+    # the families to the same pair set).
+    width = 60 if signature == "md5" else 64
     blocks = num_blocks if num_blocks is not None else max_hamming + 1
-    if blocks > 64:
-        raise ValueError("num_blocks cannot exceed signature width (64)")
-    bounds = [round(64 * k / blocks) for k in range(blocks + 1)]
+    if blocks > width:
+        raise ValueError(f"num_blocks cannot exceed signature width ({width})")
+    bounds = [round(width * k / blocks) for k in range(blocks + 1)]
 
     from pyspark import StorageLevel
 
-    # ``signature='catalyst'`` (default) computes signatures entirely JVM-side
-    # (map-only, two-step with_simhash); ``'fnv_udf'`` keeps the round-1
-    # pandas-UDF/FNV-1a form as a slow cross-check path (tests pin both
-    # families to the same pair set).
     if signature == "catalyst":
         sh = with_simhash(df, text_col, id_col)
+    elif signature == "md5":
+        sh = with_simhash(df, text_col, id_col, hash_family="md5")
     elif signature == "fnv_udf":
         sh = df.select(
             F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
@@ -653,12 +767,18 @@ def simhash_near_dup_pairs(
     # release_dedup_caches() / dedup_cache_scope() after consuming.
     sh = _track_cache(sh.persist(StorageLevel.MEMORY_AND_DISK))
 
+    w_max = max(bounds[k + 1] - bounds[k] for k in range(blocks))
+
     def block_bucket(k: int) -> Column:
         start, end = bounds[k], bounds[k + 1]
-        width = end - start
+        w = end - start
         value = F.shiftrightunsigned(F.col("sig"), start).bitwiseAND(
-            F.lit((1 << width) - 1)
+            F.lit((1 << w) - 1)
         )
+        if signature == "md5":
+            # Exact integer pack (k, value) — no hash, identical in DuckDB.
+            # k ≤ blocks-1 and w_max ≈ width/blocks keeps k·2^w_max < 2^63.
+            return F.lit(k) * F.lit(1 << w_max) + value
         return F.xxhash64(F.lit(k), value)
 
     banded = sh.select(

@@ -218,21 +218,165 @@ def embedding_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
-# --- approximate / non-SQL-expressible: rows-only driver check + pytest ----
+# --- MinHash / SimHash: full oracles via the md5 hash family ----------------
+# The md5 family (operators/dedup.py) pays ONE digest per shingle/token and
+# derives everything else with integer arithmetic DuckDB reproduces verbatim
+# — which is what turns these two flagship dedup operators from pytest-
+# trusted rows-only checks into hash-proven oracle rows.
 
-@register("minhash_near_dups", None)
+_H60 = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle_sql(
+    max_id: int = 500,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+) -> str:
+    """DuckDB SQL replicating minhash_near_dup_pairs(hash_family='md5')
+    end-to-end: shingle → md5-60 hash → universal-hash signature → folded
+    band buckets (with the size cap) → candidate self-join → exact Jaccard
+    on the hashed shingle sets."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        FOLD_MULT,
+        FOLD_MULT2,
+        FOLD_P,
+        MERSENNE61,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    slots = ",\n               ".join(
+        f"list_min(list_transform(sh, h -> ({a} * (h & 2147483647) + {b}) "
+        f"% {MERSENNE61}))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+
+    def fold(b: int, mult: int) -> str:
+        acc = f"({b} % {FOLD_P})"
+        for r in range(rows):
+            acc = f"(({acc} * {mult} + (sig[{b * rows + r + 1}] & 4294967295)) % {FOLD_P})"
+        return acc
+
+    buckets = ", ".join(
+        f"{fold(b, FOLD_MULT)} * 2147483648 + {fold(b, FOLD_MULT2)}"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id AS id, {_TOKENS} AS toks
+        FROM documents WHERE doc_id < {max_id}
+    ),
+    sstr AS (
+        SELECT id,
+               CASE WHEN len(toks) >= {shingle_n}
+                    THEN list_distinct(list_transform(
+                             range(len(toks) - {shingle_n - 1}),
+                             i -> array_to_string(
+                                 list_slice(toks, i + 1, i + {shingle_n}), ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS sh_str
+        FROM t
+    ),
+    hashed AS (
+        SELECT id,
+               list_distinct(list_transform(sh_str, s -> {_H60.format('s')})) AS sh
+        FROM sstr
+    ),
+    sig AS (
+        SELECT id,
+               [{slots}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT id, unnest([{buckets}]) AS bucket FROM sig
+    ),
+    capped AS (
+        SELECT id, bucket FROM (
+            SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn
+            FROM banded
+        ) WHERE bn <= {max_bucket_size}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                   AS jac
+        FROM cand
+        JOIN hashed sa ON cand.id_a = sa.id
+        JOIN hashed sb ON cand.id_b = sb.id
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(
+    max_id: int = 500, max_hamming: int = 3, width: int = 60
+) -> str:
+    """DuckDB SQL replicating simhash_near_dup_pairs(signature='md5'):
+    60-bit md5-token-hash signature by bit-majority, exact (block, value)
+    integer-packed buckets, pigeonhole candidate join, bit_count(xor)
+    verification."""
+    blocks = max_hamming + 1
+    bounds = [round(width * k / blocks) for k in range(blocks + 1)]
+    w_max = max(bounds[k + 1] - bounds[k] for k in range(blocks))
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(width)
+    )
+    buckets = ", ".join(
+        f"{k * (1 << w_max)} + ((sig >> {bounds[k]}) & {(1 << (bounds[k + 1] - bounds[k])) - 1})"
+        for k in range(blocks)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id AS id, {_TOKENS} AS toks
+        FROM documents WHERE doc_id < {max_id}
+    ),
+    th AS (
+        SELECT id, list_transform(toks, tk -> {_H60.format('tk')}) AS hs FROM t
+    ),
+    sig AS (
+        SELECT id, COALESCE({bits}, 0) AS sig FROM th
+    ),
+    banded AS (
+        SELECT id, sig, unnest([{buckets}]) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("minhash_near_dups", _minhash_oracle_sql())
 def minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (filter-verify). xxhash64 signatures have
-    no DuckDB equivalent → rows-only here; reference-implementation parity
-    is pinned in tests/test_llm_ops.py."""
+    """MinHash+LSH near-dup pairs (filter-verify), md5 hash family: one
+    digest per shingle, 2-universal integer slots, folded band buckets —
+    the whole pipeline (including the bucket-size cap) replays in DuckDB,
+    so this is a full hash row, not rows-only. Planted-pair recall and the
+    xxhash64 family's parity stay pinned in tests/test_llm_ops.py."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
-    return minhash_near_dup_pairs(docs, shingle_n=3, threshold=0.5)
+    return minhash_near_dup_pairs(docs, shingle_n=3, threshold=0.5, hash_family="md5")
 
 
-@register("simhash_near_dups", None)
+@register("simhash_near_dups", _simhash_oracle_sql())
 def simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs, md5 family: 60-bit bit-majority signature
+    over md5 token hashes, exact integer-packed pigeonhole blocks — fully
+    reproduced by the DuckDB oracle (bit_count(xor) verification included)."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(docs, max_hamming=3, signature="md5")
 
 
 @register("ann_lsh_topk", None)

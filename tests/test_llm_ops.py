@@ -90,6 +90,57 @@ def test_minhash_signature_slots_are_distinct_hash_functions(spark, docs):
     assert len(set(sig)) >= 24  # independent seeds → (almost) all distinct
 
 
+def test_minhash_md5_family_matches_xxhash64_semantics(spark, docs):
+    # The md5 family (default, DuckDB-reproducible) must satisfy the same
+    # planted-pair contract as the xxhash64 family, and its verify stage is
+    # the same exact Jaccard (identical to 60-bit hash collisions).
+    for fam in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_near_dup_pairs(
+                docs, threshold=0.5, hash_family=fam
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0, fam
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0, fam
+        assert not any({a, b} & {4, 5} for a, b in pairs), fam
+
+
+def test_minhash_md5_signature_slots_are_distinct_hash_functions(spark, docs):
+    # The 2-universal (a·h+b) mod p slots must behave as independent hash
+    # functions, mirroring the xxhash64 slot-distinctness regression test.
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        md5_hash60,
+        minhash_signature_md5,
+        shingles,
+    )
+
+    sig = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(
+            F.array_distinct(
+                F.transform(shingles("text", 3), lambda s: md5_hash60(s))
+            ).alias("sh")
+        )
+        .select(minhash_signature_md5(F.col("sh"), 32).alias("sig"))
+        .collect()[0]["sig"]
+    )
+    assert len(sig) == 32
+    assert len(set(sig)) >= 24
+
+
+def test_simhash_md5_family_planted_pairs(spark, docs):
+    # 60-bit md5 signature family: exact dup at hamming 0; near dup within
+    # a generous budget; the unrelated/short docs never pair up.
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=8, signature="md5").collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
 def _spread_bits_udf(num_bits=64):
     # Deterministic fake: 'b' differs from 'a' by 8 bits, one per 8-bit
     # block — the adversarial layout for prefix/rotation bucketing.
