@@ -20,6 +20,9 @@ build brief's training-data-pipeline surface.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -28,6 +31,19 @@ from ningaloo_turtle_etl_spark.operators.text import (
     with_quality_score,
     with_token_counts,
 )
+
+#: Frozen model fixtures (trained by scripts/train_classifier_fixtures.py).
+#: The registered queries serve these so the scoring path — the piece that
+#: runs over 100 TB — is oracle-verifiable with fixed coefficients; training
+#: itself stays covered by tests/test_classify.py.
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+def load_model_fixture(name: str) -> dict:
+    """Load a frozen classifier model dict from the package fixtures."""
+    with open(os.path.join(FIXTURE_DIR, f"{name}.json")) as f:
+        return json.load(f)
+
 
 #: Feature order is part of the model contract: coefficients are exported in
 #: this order and the serving expression indexes it positionally.
@@ -40,9 +56,40 @@ QUALITY_FEATURES: tuple[str, ...] = (
 )
 
 
+#: Every column featurize adds (features + intermediates). Part of the
+#: public contract: callers whose frames already carry one of these names
+#: must rename/drop first (featurize refuses to silently clobber), and
+#: with_quality_probability sets colliding caller columns aside
+#: automatically and restores them.
+FEATURIZE_ADDS: tuple[str, ...] = (
+    "n_words",
+    "n_chars",
+    "n_tokens_est",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "n_2grams",
+    "dup_2gram_ratio",
+    "log_n_words",
+    "chars_per_word",
+)
+
+
 def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the QUALITY_FEATURES columns — one fused pure-Catalyst
-    projection built from the text-analysis operators."""
+    projection built from the text-analysis operators.
+
+    Raises when an input column collides with a column this adds: the
+    recomputed value would silently replace the caller's data (the
+    ``documents`` table really has ``n_chars``). Rename or drop the
+    colliding columns first, or use ``with_quality_probability`` which
+    handles the set-aside automatically."""
+    clash = [c for c in df.columns if c in FEATURIZE_ADDS]
+    if clash:
+        raise ValueError(
+            f"featurize would overwrite input column(s) {clash}; rename or "
+            "drop them first (with_quality_probability does this for you)"
+        )
     out = with_repetition_metrics(
         with_quality_score(with_token_counts(df, text_col), text_col), text_col, ns=(2,)
     )
@@ -108,14 +155,20 @@ def with_quality_probability(
     text_col: str = "text",
     out_col: str = "quality_prob",
 ) -> DataFrame:
-    """Featurize + score in one plan; drops the intermediate feature
-    columns it added."""
-    scored = featurize(df, text_col).withColumn(
+    """Featurize + score in one plan; every feature/intermediate column is
+    dropped from the output, and caller columns that collide with feature
+    names (e.g. documents.n_chars) are set aside before featurizing and
+    restored afterwards — the output carries the caller's ORIGINAL values,
+    never recomputed ones (ADVICE r03)."""
+    aside = {c: f"_orig_{c}" for c in df.columns if c in FEATURIZE_ADDS}
+    base = df.withColumnsRenamed(aside) if aside else df
+    scored = featurize(base, text_col).withColumn(
         out_col, quality_probability_expr(model)
     )
-    added = set(QUALITY_FEATURES + ("n_words", "n_chars", "n_tokens_est",
-                                    "quality_score", "n_2grams")) - set(df.columns)
-    return scored.drop(*added)
+    scored = scored.drop(*FEATURIZE_ADDS)
+    if aside:
+        scored = scored.withColumnsRenamed({v: k for k, v in aside.items()})
+    return scored
 
 
 # --- hashed bag-of-words classifier (fastText-style) -------------------------
@@ -135,19 +188,29 @@ def hashed_token_features(
     n_features: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """(id, idx, cnt): lowercased whitespace tokens hashed into
-    [0, n_features) buckets with Spark's Murmur3 (`F.hash`)."""
+    [0, n_features) buckets. ``hash_family``: 'murmur3' (default, Spark's
+    `F.hash`, fastest) or 'md5' (60-bit md5 prefix mod n_features —
+    bit-identical in DuckDB, which is what lets the registered query's
+    frozen-coefficient serving path carry a full oracle row). The family is
+    part of the model contract: train and serve MUST use the same one."""
+    from ningaloo_turtle_etl_spark.operators.dedup import md5_hash60
     from ningaloo_turtle_etl_spark.operators.text import tokens
 
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
     )
+    if hash_family == "md5":
+        idx = F.pmod(md5_hash60(F.col("_tok")), F.lit(n_features))
+    elif hash_family == "murmur3":
+        idx = F.pmod(F.hash("_tok"), F.lit(n_features))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return (
-        toks.select(
-            F.col(id_col), F.pmod(F.hash("_tok"), F.lit(n_features)).alias("idx")
-        )
+        toks.select(F.col(id_col), idx.alias("idx"))
         .groupBy(id_col, "idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -161,17 +224,18 @@ def train_hashed_text_model(
     text_col: str = "text",
     max_iter: int = 64,
     reg_param: float = 1e-3,
+    hash_family: str = "murmur3",
 ) -> dict:
     """Fit LR over hashed bag-of-words counts. The sparse-vector assembly
     uses a Python UDF — train-time only, over the labeled set (bounded by
     labeling budget, not corpus size); gradients aggregate executor-side as
-    usual. Returns ``{"n_features", "coefficients" (dense list),
-    "intercept"}`` for the Catalyst serving path."""
+    usual. Returns ``{"n_features", "hash_family", "coefficients" (dense
+    list), "intercept"}`` for the Catalyst serving path."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.linalg import SparseVector, VectorUDT
     from pyspark.sql.functions import udf
 
-    feats = hashed_token_features(labeled, n_features, id_col, text_col)
+    feats = hashed_token_features(labeled, n_features, id_col, text_col, hash_family)
     pairs = feats.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("idx"), F.col("cnt")))
@@ -201,6 +265,7 @@ def train_hashed_text_model(
     model = lr.fit(assembled)
     return {
         "n_features": int(n_features),
+        "hash_family": hash_family,
         "coefficients": [float(c) for c in model.coefficients.toArray()],
         "intercept": float(model.intercept),
     }
@@ -222,7 +287,13 @@ def hashed_text_scores(
         (i, w) for i, w in enumerate(model["coefficients"]) if w != 0.0
     ]
     coef_df = spark.createDataFrame(coef or [(0, 0.0)], "idx int, w double")
-    feats = hashed_token_features(df, model["n_features"], id_col, text_col)
+    feats = hashed_token_features(
+        df,
+        model["n_features"],
+        id_col,
+        text_col,
+        model.get("hash_family", "murmur3"),
+    )
     z = (
         feats.join(F.broadcast(coef_df), on="idx", how="inner")
         .groupBy(id_col)

@@ -208,47 +208,134 @@ def q_dsir_importance_select(spark, sf_dir):
     )
 
 
-@register("quality_classifier_scores", None)
+def _quality_oracle_sql() -> str:
+    """DuckDB SQL replicating with_quality_probability over the frozen
+    quality_model fixture: the 5 Catalyst features recomputed in SQL, then
+    the closed-form sigmoid with the fixture's coefficients embedded as
+    literals (repr round-trips doubles exactly)."""
+    from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
+
+    m = load_model_fixture("quality_model")
+    w = {name: repr(float(c)) for name, c in zip(m["features"], m["coefficients"])}
+    b = repr(float(m["intercept"]))
+    stop = "('the','and','of','to','a','in','is','it','that','was','for','on')"
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, text, toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS g2
+        FROM t
+    ),
+    feats AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, tk -> lower(tk) IN {stop}))
+                         / len(toks)
+                    ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN length(text) > 0
+                    THEN (length(text)
+                          - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                         / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               ln(1 + len(toks)) AS log_n_words,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(length(text) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS chars_per_word,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                    ELSE 0.0 END AS dup_2gram_ratio
+        FROM g
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({b}
+                 + {w['stopword_ratio']} * stopword_ratio
+                 + {w['punct_ratio']} * punct_ratio
+                 + {w['log_n_words']} * log_n_words
+                 + {w['chars_per_word']} * chars_per_word
+                 + {w['dup_2gram_ratio']} * dup_2gram_ratio))), 3)
+               AS quality_prob
+    FROM feats
+    """
+
+
+def _text_oracle_sql() -> str:
+    """DuckDB SQL replicating hashed_text_scores over the frozen md5-family
+    text_model fixture: explode lowercased tokens → md5-60 bucket →
+    join the embedded (idx, w) coefficient rows → per-doc sum → sigmoid."""
+    from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
+
+    m = load_model_fixture("text_model")
+    assert m.get("hash_family") == "md5", "oracle requires the md5-family fixture"
+    nf = int(m["n_features"])
+    b = repr(float(m["intercept"]))
+    coef_rows = ", ".join(
+        f"({i}, {repr(float(c))})"
+        for i, c in enumerate(m["coefficients"])
+        if c != 0.0
+    ) or "(0, 0.0)"
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tk), 1, 15))::BIGINT % {nf} AS idx,
+               COUNT(*) AS cnt
+        FROM tok GROUP BY doc_id, idx
+    ),
+    coef(idx, w) AS (VALUES {coef_rows}),
+    z AS (
+        SELECT f.doc_id, SUM(f.cnt * c.w) AS z
+        FROM feats f JOIN coef c ON f.idx = c.idx
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(z.z, 0.0) + {b}))), 3) AS p_english
+    FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+    """
+
+
+@register("quality_classifier_scores", _quality_oracle_sql())
 def q_quality_classifier_scores(spark, sf_dir):
-    """Learned quality filter (CCNet/fastText pattern): weak labels from
-    the heuristic rules bootstrap a distributed MLlib logistic regression;
-    the fitted coefficients serve as a closed-form sigmoid column
-    expression (no MLlib at scoring time). Rows-only — training is
-    iterative LBFGS; separability, AUC and Catalyst-serve parity are pinned
-    in tests/test_classify.py."""
+    """Learned quality filter (CCNet/fastText pattern), serving the FROZEN
+    fixture model (scripts/train_classifier_fixtures.py): the fitted
+    coefficients run as a closed-form sigmoid column expression — no MLlib,
+    no Python at scoring time — and the full serving path now carries a
+    DuckDB oracle row (r03 item 2). Training (distributed MLlib LR,
+    executor-side gradients) stays pinned by tests/test_classify.py's
+    separability/AUC/serve-parity tests."""
     from ningaloo_turtle_etl_spark.operators.classify import (
-        featurize,
-        train_quality_model,
+        load_model_fixture,
         with_quality_probability,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    weak = featurize(docs).withColumn(
-        "label",
-        ((F.col("quality_score") >= 0.4) & (F.col("dup_2gram_ratio") < 0.3))
-        .cast("double"),
-    ).select("doc_id", "text", "label")
-    model = train_quality_model(weak)
+    model = load_model_fixture("quality_model")
     return with_quality_probability(docs, model).select(
         "doc_id", F.round("quality_prob", 3).alias("quality_prob")
     )
 
 
-@register("text_classifier_scores", None)
+@register("text_classifier_scores", _text_oracle_sql())
 def q_text_classifier_scores(spark, sf_dir):
-    """Hashed bag-of-words classifier (the fastText pattern): trained
-    distributed to recognize English documents from hashed token counts,
-    served MLlib-free (explode → broadcast coefficient dim → per-doc sum →
-    sigmoid). Rows-only; vocabulary separation and serve parity are pinned
-    in tests/test_classify.py."""
+    """Hashed bag-of-words classifier (the fastText pattern), serving the
+    FROZEN md5-family fixture model: explode → md5-bucket → broadcast
+    coefficient dim → per-doc sum → sigmoid, MLlib-free — and because the
+    md5 bucket map is bit-identical in DuckDB, the whole serving path is
+    oracle-verified (r03 item 2). Training stays covered by
+    tests/test_classify.py."""
     from ningaloo_turtle_etl_spark.operators.classify import (
         hashed_text_scores,
-        train_hashed_text_model,
+        load_model_fixture,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    labeled = docs.withColumn("label", (F.col("lang") == "en").cast("double"))
-    model = train_hashed_text_model(labeled, n_features=512)
+    model = load_model_fixture("text_model")
     return hashed_text_scores(docs, model, out_col="p_english").select(
         "doc_id", "lang", F.round("p_english", 3).alias("p_english")
     )

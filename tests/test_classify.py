@@ -161,3 +161,61 @@ def test_hashed_bow_tokenless_doc_scores_intercept(spark, vocab_planted):
     assert abs(
         row["quality_prob"] - 1.0 / (1.0 + math.exp(-model["intercept"]))
     ) < 1e-9
+
+
+def test_with_quality_probability_preserves_caller_columns(spark, planted):
+    # Regression (ADVICE r03): a caller frame carrying columns that collide
+    # with feature names (documents really has n_chars) must come back with
+    # its ORIGINAL values, not recomputed ones — and nothing extra.
+    model = train_quality_model(planted)
+    clash = planted.select(
+        "doc_id",
+        "text",
+        F.lit(-7).alias("n_chars"),
+        F.lit(0.123).alias("quality_score"),
+    )
+    out = with_quality_probability(clash, model)
+    assert set(out.columns) == {"doc_id", "text", "n_chars", "quality_score", "quality_prob"}
+    rows = out.collect()
+    assert all(r["n_chars"] == -7 for r in rows)
+    assert all(r["quality_score"] == 0.123 for r in rows)
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_featurize_refuses_colliding_columns(spark, planted):
+    with pytest.raises(ValueError, match="n_chars"):
+        featurize(planted.withColumn("n_chars", F.lit(1)))
+
+
+def test_hashed_bow_md5_family_serves_and_separates(spark):
+    # md5 bucket family (DuckDB-reproducible): same train/serve hash by
+    # construction; separability must hold just like the murmur3 family.
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        train_hashed_text_model,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "alpha beta gamma delta epsilon", 1.0))
+        rows.append((1000 + i, "zulu yankee xray whiskey victor", 0.0))
+    planted = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = train_hashed_text_model(planted, n_features=128, hash_family="md5")
+    assert model["hash_family"] == "md5"
+    scored = hashed_text_scores(planted, model).collect()
+    pos = [r["quality_prob"] for r in scored if r["doc_id"] < 1000]
+    neg = [r["quality_prob"] for r in scored if r["doc_id"] >= 1000]
+    assert min(pos) > 0.5 and max(neg) < 0.5
+
+
+def test_model_fixtures_load_and_are_finite(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
+
+    q = load_model_fixture("quality_model")
+    assert q["features"] == list(QUALITY_FEATURES)
+    assert all(math.isfinite(c) for c in q["coefficients"] + [q["intercept"]])
+    t = load_model_fixture("text_model")
+    assert t["hash_family"] == "md5" and t["n_features"] == 512
+    assert all(math.isfinite(c) for c in t["coefficients"] + [t["intercept"]])
