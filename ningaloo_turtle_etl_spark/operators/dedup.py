@@ -563,11 +563,14 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     deterministic: bool = False,
+    centroids=None,
 ) -> DataFrame:
     """Collapse semantic near-dup clusters to one representative each: pairs
     from ``semantic_near_dup_pairs``, components via pointer-jumping
     connected components, keep the min-id row per component (singletons keep
-    themselves)."""
+    themselves). Pass ``centroids`` (array-like, k×dim) to block against a
+    FIXED centroid set — e.g. the frozen fixture the registered query
+    serves, which is what makes its output DuckDB-oracle-reproducible."""
     from ningaloo_turtle_etl_spark.operators.graph import cluster_representatives
 
     pairs = semantic_near_dup_pairs(
@@ -577,6 +580,7 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         deterministic=deterministic,
+        centroids=centroids,
     )
     return cluster_representatives(df, pairs, id_col=id_col)
 

@@ -540,14 +540,69 @@ def ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=3, rerank=50)
 
 
-@register("multimodal_image_features", None)
-def multimodal_image_features(spark, sf_dir):
-    """Binary-column decode/feature plumbing via mapInPandas (deterministic
-    fake codec — real codecs aren't in this container).
+def _multimodal_oracle_sql(max_id: int = 200, bins: int = 8) -> str:
+    """DuckDB SQL replicating the 'fake' codec byte-for-byte: UTF-8 bytes
+    recovered from hex(encode(text)), dims from the first/last-8-byte sums,
+    np.resize's cyclic fill as j → bytes[(j % nb) + 1], integer-exact mean
+    and luma-histogram bins (np.histogram's [0,255]8-bin edges reduce to
+    least(floor(v·8/255), 7) for integer v)."""
+    f_cols = ",\n           ".join(
+        f"ROUND(CASE WHEN len(flat) > 0 THEN "
+        f"CAST(len(list_filter(flat, v -> least(CAST(floor(v * 8.0 / 255.0) "
+        f"AS BIGINT), {bins - 1}) = {k})) AS DOUBLE) / len(flat) "
+        f"ELSE 0.0 END, 6) AS f{k}"
+        for k in range(bins)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx
+        FROM documents WHERE doc_id < {max_id}
+    ),
+    b AS (
+        SELECT media_id, length(hx) // 2 AS nb,
+               list_transform(range(length(hx) // 2),
+                   i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS bytes
+        FROM d
+    ),
+    dims AS (
+        SELECT media_id, nb, bytes,
+               CAST(CASE WHEN nb = 0 THEN 0
+                    ELSE (list_sum(list_slice(bytes, 1, least(8, nb))) % 31) + 2
+                    END AS BIGINT) AS width,
+               CAST(CASE WHEN nb = 0 THEN 0
+                    ELSE (list_sum(list_slice(bytes, nb - least(8, nb) + 1, nb))
+                          % 23) + 2
+                    END AS BIGINT) AS height
+        FROM b
+    ),
+    px AS (
+        SELECT media_id, nb, width, height,
+               CASE WHEN nb = 0 THEN []
+                    ELSE list_transform(range(width * height),
+                                        j -> bytes[(j % nb) + 1]) END AS flat
+        FROM dims
+    )
+    SELECT media_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(nb AS BIGINT) AS n_bytes,
+           ROUND(CASE WHEN len(flat) > 0
+                      THEN CAST(list_sum(flat) AS DOUBLE) / len(flat)
+                      ELSE 0.0 END, 6) AS mean_luma,
+           {f_cols}
+    FROM px
+    """
 
-    The operator returns ``feature array<double>``; the REGISTERED query
-    serializes it to a comma-joined string so the harness canonicalizer can
-    hash rows (round-1 driver err: unhashable type 'list')."""
+
+@register("multimodal_image_features", _multimodal_oracle_sql())
+def multimodal_image_features(spark, sf_dir):
+    """Binary-column decode/feature plumbing via mapInPandas. The 'fake'
+    codec derives everything deterministically from the blob bytes, so the
+    whole path — Arrow batching, dims, cyclic pixel fill, luma histogram —
+    now has a full DuckDB oracle row (r03 item 4). The histogram vector is
+    exposed as 8 numeric columns (f0..f7) rather than a joined string:
+    Java's and DuckDB's double→string rules disagree on scientific
+    notation, and numeric columns compare exactly."""
     from ningaloo_turtle_etl_spark.operators.multimodal import (
         documents_as_media,
         extract_image_features,
@@ -561,9 +616,7 @@ def multimodal_image_features(spark, sf_dir):
         "height",
         "n_bytes",
         F.round("mean_luma", 6).alias("mean_luma"),
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.round(x, 6).cast("string"))
-        ).alias("feature_csv"),
+        *[F.round(F.col("feature")[k], 6).alias(f"f{k}") for k in range(8)],
     )
 
 
@@ -1398,18 +1451,85 @@ def lm_quality_scores(spark, sf_dir):
     return unigram_lm_scores(docs, vocab_size=20)
 
 
-@register("semantic_dedup", None)
+def _semantic_centroid_fixture():
+    import json
+    import os
+
+    from ningaloo_turtle_etl_spark.operators.classify import FIXTURE_DIR
+
+    with open(os.path.join(FIXTURE_DIR, "semantic_centroids.json")) as f:
+        return json.load(f)
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB SQL replicating semantic_dedup over the frozen centroid
+    fixture end-to-end: argmin-cell assignment against literal centroids
+    (list_position of list_min ties to the lowest index, matching Spark's
+    (dist, idx) struct sort), within-cell cosine pairs, then connected
+    components as a recursive min-reachable-id CTE, keeping vec_id ==
+    component. Float parity holds because both engines sum distance/dot
+    terms in element order over the same doubles."""
+    fix = _semantic_centroid_fixture()
+    dist_exprs = ", ".join(
+        "list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "]::DOUBLE[]), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for c in fix["centroids"]
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))"
+    )
+    normsq = "list_sum(list_transform({0}.v, x -> x*x))"
+    return f"""
+    WITH RECURSIVE emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, v, label,
+               list_position(dists, list_min(dists)) - 1 AS cell
+        FROM (SELECT vec_id, v, label, [{dist_exprs}] AS dists FROM emb)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {dot} / (sqrt({normsq.format('a')}) * sqrt({normsq.format('b')}))
+              >= {threshold}
+    ),
+    undirected AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT vec_id, vec_id FROM emb
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN undirected e ON e.s = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT emb.vec_id, emb.label
+    FROM emb JOIN comp ON emb.vec_id = comp.id
+    WHERE emb.vec_id = comp.component
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql())
 def semantic_dedup_query(spark, sf_dir):
-    """SemDeDup-style semantic dedup over the embeddings table: k-means-cell
-    blocking (deterministic md5-hash-sampled centroids, so output is stable
-    across runs/partitionings), within-cell exact cosine pairs at ≥0.4,
-    connected components, keep min-id per cluster. Rows-only: the k-means
-    fit is not SQL-expressible; the n_centroids=1 configuration is pinned
-    equal to exact all-pairs dedup in tests/test_llm_ops.py."""
+    """SemDeDup-style semantic dedup over the embeddings table, blocking
+    against the FROZEN centroid fixture (deterministic md5-hash-sampled
+    k-means, scripts/train_classifier_fixtures.py): argmin-cell assignment,
+    within-cell exact cosine pairs at ≥0.4, connected components, keep
+    min-id per cluster. Full oracle row since r04 — fixed literal centroids
+    make cell assignment plain SQL, and the component labeling replays as a
+    recursive min-reachable-id CTE. The n_centroids=1 ≡ exact all-pairs
+    property stays pinned in tests/test_llm_ops.py."""
+    import numpy as np
+
     from ningaloo_turtle_etl_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    kept = semantic_dedup(emb, threshold=0.4, n_centroids=16, deterministic=True)
+    cents = np.asarray(_semantic_centroid_fixture()["centroids"], dtype=float)
+    kept = semantic_dedup(emb, threshold=0.4, centroids=cents)
     return kept.select("vec_id", "label")
 
 

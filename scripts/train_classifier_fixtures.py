@@ -85,6 +85,26 @@ def main() -> None:
         "nnz:",
         sum(1 for c in text_model["coefficients"] if c != 0.0),
     )
+
+    # Semantic-dedup centroids: deterministic (md5-hash-ordered sample)
+    # k-means over the embeddings table, frozen so the registered
+    # semantic_dedup query's cell blocking replays bit-identically in the
+    # DuckDB oracle (argmin over FIXED literal centroids is plain SQL).
+    from ningaloo_turtle_etl_spark.operators.similarity import fit_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = fit_centroids(emb, 16, method="hash")
+    with open(os.path.join(FIXTURE_DIR, "semantic_centroids.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": len(cents),
+                "dim": int(cents.shape[1]),
+                "trained_on": sf_dir,
+                "centroids": [[float(x) for x in c] for c in cents],
+            },
+            f,
+        )
+    print(f"semantic_centroids: {cents.shape} from {sf_dir}")
     spark.stop()
 
 
