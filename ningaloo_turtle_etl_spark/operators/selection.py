@@ -108,9 +108,14 @@ def stratified_sample_exact(
     window, so the skewed stratum shuffle carries ~margin·quota rows, not
     the corpus. Because the gate keeps exactly the rows with the SMALLEST
     hashes (same hash, same ascending order the window ranks by), any
-    margin that passes ≥ quota rows yields the identical sample; margins
-    ≥2 make the shortfall probability negligible for quotas ≥ ~50 (binomial
-    lower tail), and a shortfall is detectable: output size < total_n.
+    margin that passes ≥ quota rows yields the identical sample. The gate
+    is SELF-REPAIRING (ADVICE r03 — it used to under-sample silently):
+    strata where the gate passed fewer than quota rows are detected from a
+    tiny survivor-count aggregate inside the plan and re-sampled through an
+    ungated branch, so the output is exact for ANY margin. The rescue
+    branch costs a second map-only scan whose window shuffles only the
+    short strata's rows — empty in the common case; margins ≥2 make a
+    rescue vanishingly rare for quotas ≥ ~50 (binomial lower tail).
 
     Output: the sampled rows plus ``sample_rank`` (1-based rank within the
     stratum by hash order)."""
@@ -127,9 +132,20 @@ def stratified_sample_exact(
             * F.col("quota").cast("double")
             / F.col("w").cast("double"),
         )
-        joined = joined.filter(
+        gated = joined.filter(
             (rate >= 1.0) | (_sample_hash(id_col) < _rate_threshold(rate))
         )
+        # Shortfall repair: strata-sized survivor counts vs quotas (strata
+        # are few — this aggregate and the join below are broadcast-tiny).
+        survivors = gated.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_surv"))
+        short = (
+            quotas.join(survivors, on=stratum_col, how="left")
+            .filter(F.coalesce(F.col("_surv"), F.lit(0)) < F.col("quota"))
+            .select(stratum_col)
+        )
+        ok = gated.join(F.broadcast(short), on=stratum_col, how="left_anti")
+        rescue = joined.join(F.broadcast(short), on=stratum_col, how="left_semi")
+        joined = ok.unionByName(rescue)
     w = Window.partitionBy(stratum_col).orderBy(_sample_hash(id_col), F.col(id_col))
     return (
         joined.withColumn("sample_rank", F.row_number().over(w))
@@ -146,19 +162,27 @@ def weighted_sample_topn(
     n: int,
     weight_col: str = "n_chars",
     id_col: str = "doc_id",
-    key_decimals: int = 9,
+    ln_decimals: int = 12,
 ) -> DataFrame:
     """Weight-proportional sample WITHOUT replacement, deterministically:
     Efraimidis & Spirakis (2006, "Weighted random sampling with a
     reservoir", A-Res): each row gets key u^(1/w) with u uniform in (0,1),
     and the n largest keys form an exact weighted sample. Here u is the
-    md5-of-id uniform ((h32+1)/(2^32+1), never 0 so pow is safe), so the
+    md5-of-id uniform ((h32+1)/(2^32+1), never 0 so log is safe), so the
     draw has no RNG state — stable under retries/re-runs and bit-reproducible
     in the DuckDB oracle.
 
-    Keys are rounded (``key_decimals``) BEFORE ranking so the order — and
-    therefore the selected set — can't flip on a last-ulp pow/exp difference
-    between engines; ties break by id. The top-n is a
+    Ranking uses the LOG key ln(u)/w — the monotone transform of u^(1/w),
+    so the selected set is identical — because the raw key compresses
+    toward 1.0 as w grows (key ≈ 1 − |ln u|/w): rounded at fixed decimals,
+    keys of heavy rows (w ≳ 1e8) mass-tie and selection degenerates to
+    id order (ADVICE r03). The log key keeps heavy rows spread across its
+    full dynamic range for ANY weight scale. Cross-engine determinism:
+    ln(u) is rounded to ``ln_decimals`` BEFORE the division (|ln u| ≤ 22.3
+    here, so 12 decimals is far coarser than a last-ulp libm difference,
+    yet finer than the 2.3e-10 minimum gap between distinct u's — no new
+    ties), and the division itself is IEEE-exact on identical operands in
+    both engines; remaining ties break by id. The top-n is a
     TakeOrderedAndProject: map-only scan + per-partition heaps, no global
     sort. Rows with weight <= 0 are excluded (their key is undefined)."""
     h32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
@@ -166,7 +190,7 @@ def weighted_sample_topn(
     )
     u = (h32 + F.lit(1.0)) / F.lit(4294967297.0)
     w = F.col(weight_col).cast("double")
-    key = F.round(F.pow(u, F.lit(1.0) / w), key_decimals)
+    key = F.round(F.log(u), ln_decimals) / w
     return (
         docs.filter(w > 0)
         .withColumn("sample_key", key)

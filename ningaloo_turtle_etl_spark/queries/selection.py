@@ -125,10 +125,10 @@ def q_corpus_drift_metrics(spark, sf_dir):
     SELECT doc_id, n_chars, sample_key
     FROM (
         SELECT doc_id, n_chars,
-               ROUND(POW(
+               ROUND(ln(
                    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         AS BIGINT) + 1.0) / 4294967297.0,
-                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+                         AS BIGINT) + 1.0) / 4294967297.0), 12)
+                 / CAST(n_chars AS DOUBLE) AS sample_key
         FROM documents WHERE n_chars > 0
     )
     ORDER BY sample_key DESC, doc_id
@@ -137,10 +137,11 @@ def q_corpus_drift_metrics(spark, sf_dir):
 )
 def q_weighted_sample_topn(spark, sf_dir):
     """Deterministic weight-proportional sampling without replacement
-    (Efraimidis–Spirakis A-Res keys over md5 uniforms): longer docs (by
-    n_chars) are proportionally likelier to be kept. The oracle reproduces
-    the exact selected set — keys are md5-derived and rounded before
-    ranking."""
+    (Efraimidis–Spirakis A-Res log-keys ln(u)/w over md5 uniforms): longer
+    docs (by n_chars) are proportionally likelier to be kept. The oracle
+    reproduces the exact selected set — ln(u) is md5-derived and rounded
+    before the weight division, so the ranking can't flip on a libm ulp,
+    and the log form stays tie-free at any weight scale (ADVICE r03)."""
     docs = load_table(spark, "documents", sf_dir)
     return weighted_sample_topn(docs, 150, weight_col="n_chars").select(
         "doc_id", "n_chars", "sample_key"

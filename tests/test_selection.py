@@ -86,6 +86,22 @@ def test_prefilter_scale_path_is_equivalent(spark, docs):
     )
 
 
+def test_prefilter_shortfall_self_repairs(spark, docs):
+    # Regression (ADVICE r03): a margin so tight the gate passes fewer than
+    # quota rows used to under-sample silently. The rescue branch must
+    # re-sample short strata ungated, so the output is exact — and
+    # IDENTICAL to the ungated sample — for any margin.
+    exact = sorted(
+        r["doc_id"] for r in stratified_sample_exact(docs, 60, "source").collect()
+    )
+    for margin in (0.01, 0.2, 1.0):
+        got = stratified_sample_exact(
+            docs, 60, "source", "doc_id", prefilter_margin=margin
+        ).collect()
+        assert len(got) == 60, margin
+        assert sorted(r["doc_id"] for r in got) == exact, margin
+
+
 def test_drift_zero_on_identical_snapshots(spark, docs):
     row = corpus_drift_metrics(docs, docs).collect()[0]
     assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
@@ -209,14 +225,50 @@ def test_weighted_sample_matches_python_reference(spark):
     def key(doc_id, w):
         h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
         u = (h + 1.0) / 4294967297.0
-        return round(u ** (1.0 / w), 9)
+        return round(math.log(u), 12) / w
 
     expected = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:40]
     assert [(r["doc_id"], r["n_chars"]) for r in out] == expected
-    # keys are valid A-Res keys and the frame is ranked by them
+    # The log key ln(u)/w is the monotone transform of the classic A-Res
+    # key u^(1/w): the selected SET must equal the raw-key reference too.
+    raw_expected = sorted(
+        rows,
+        key=lambda r: (
+            -(
+                ((int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16) + 1.0)
+                 / 4294967297.0)
+                ** (1.0 / r[1])
+            ),
+            r[0],
+        ),
+    )[:40]
+    assert {(r["doc_id"], r["n_chars"]) for r in out} == set(raw_expected)
+    # log keys are ≤ 0 and the frame is ranked by them
     keys = [r["sample_key"] for r in out]
-    assert all(0 < k <= 1 for k in keys)
+    assert all(k <= 0 for k in keys)
     assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_huge_weights_do_not_collapse_to_id_order(spark):
+    # Regression (ADVICE r03): with the raw key rounded at 9 decimals,
+    # weights ≳1e8 mass-tied at key≈1.0 and selection degenerated to
+    # ascending-id order. The log key must keep following the A-Res
+    # reference at any weight scale.
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+
+    rows = [(i, int(1e8) * ((i * 13) % 7 + 1)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = [r["doc_id"] for r in weighted_sample_topn(df, 60, "n_chars").collect()]
+
+    def logkey(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1.0) / 4294967297.0), 12) / w
+
+    expected = [
+        r[0] for r in sorted(rows, key=lambda r: (-logkey(r[0], r[1]), r[0]))[:60]
+    ]
+    assert out == expected
+    assert set(out) != set(range(60))  # not the degenerate lowest-ids set
 
 
 def test_weighted_sample_favors_heavy_rows(spark):
