@@ -264,6 +264,31 @@ def _dsir_50k(spark, sf_dir):
     return spark.createDataFrame([(float(row["chk"]), row["n"])], "chk double, n long")
 
 
+def _winsorize_6m(exact):
+    """Winsorize l_extendedprice over lineitem replicated to ~6M rows —
+    exact (column-buffering percentile) vs the approx_percentile sketch
+    path; the ratio is the measured cost of exactness at the size where
+    the auto heuristic is about to flip to the sketch."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.relational import winsorize
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_extendedprice"
+        )
+        big = li
+        for _ in range(9):
+            big = big.unionByName(li)
+        w = winsorize(big, "l_extendedprice", 0.01, 0.99, name="vw", exact=exact)
+        return w.agg(
+            F.round(F.sum("vw"), 2).alias("chk"), F.count(F.lit(1)).alias("n")
+        )
+
+    return run
+
+
 def _range_join_tally(spark, sf_dir):
     """The bucketed interval-containment join (hash equi-join on
     (key, bucket) + residual filter — never a nested loop) on the registered
@@ -283,6 +308,8 @@ EXTRAS = {
     "connected_components_100k": _connected_components_100k,
     "spatial_tag_regions_10x": _spatial_10x("udf"),
     "spatial_tag_regions_expr_10x": _spatial_10x("expr"),
+    "winsorize_6m_exact": _winsorize_6m(True),
+    "winsorize_6m_sketch": _winsorize_6m(False),
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

@@ -301,13 +301,18 @@ def with_rescaled(
     return joined.withColumn(name, scaled).drop("_mn", "_mx")
 
 
+#: Above this input size winsorize's auto mode switches from the exact
+#: (column-buffering) percentile to the mergeable approx_percentile sketch.
+WINSORIZE_EXACT_MAX_ROWS = 10_000_000
+
+
 def winsorize(
     df: DataFrame,
     col: str,
     lower: float = 0.01,
     upper: float = 0.99,
     name: str | None = None,
-    exact: bool = True,
+    exact: bool | None = None,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Winsorize/clip ``col`` to its [lower, upper] quantiles — the standard
@@ -316,11 +321,18 @@ def winsorize(
     window).
 
     ``exact=True`` uses Spark's exact interpolated ``percentile`` — its
-    aggregation buffers the column per group, which is fine up to ~10⁷ rows
-    per group and is bit-identical to DuckDB's ``quantile_cont`` (what makes
-    the oracle row possible). At 100 TB set ``exact=False``:
+    aggregation buffers the column in one agg group, which is fine up to
+    ~10⁷ rows and is bit-identical to DuckDB's ``quantile_cont`` (what
+    makes the oracle row possible). ``exact=False`` uses
     ``approx_percentile`` (relative-error sketch, mergeable, bounded
-    memory) — same plan, approximate cut points."""
+    memory) — same plan shape, approximate cut points, the only safe
+    choice at 100 TB. The default ``exact=None`` AUTO-SELECTS by input
+    size (≤ ``WINSORIZE_EXACT_MAX_ROWS`` rows → exact), so a caller who
+    forgets the flag can no longer buffer a 100 TB column by accident
+    (r03 watch item); the count is metadata-cheap on parquet scans — pass
+    ``exact`` explicitly to skip it."""
+    if exact is None:
+        exact = df.count() <= WINSORIZE_EXACT_MAX_ROWS
     name = name or f"{col}_w"
     pct = (
         F.percentile(col, F.lit(float(lower)))

@@ -194,7 +194,7 @@ def winsorized_value_stats(spark, sf_dir):
     from ningaloo_turtle_etl_spark.operators.relational import winsorize
 
     ev = load_table(spark, "events", sf_dir)
-    w = winsorize(ev, "value", 0.01, 0.99, name="vw")
+    w = winsorize(ev, "value", 0.01, 0.99, name="vw", exact=True)
     return w.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("vw"), 6).alias("avg_w"),

@@ -139,3 +139,27 @@ def test_winsorize_clips_to_quantiles_exact_and_approx(spark):
     a_lo, a_hi = a.agg(F.min("vw"), F.max("vw")).collect()[0]
     assert abs(a_lo - lo) <= 0.05 * max(abs(lo), 1)
     assert abs(a_hi - hi) <= 0.05 * max(abs(hi), 1)
+
+
+def test_winsorize_auto_mode_and_sketch_plan(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators import relational
+    from ningaloo_turtle_etl_spark.operators.relational import winsorize
+
+    ev = spark.range(1000).select(F.col("id").cast("double").alias("value"))
+    # Auto mode picks exact below the threshold, sketch above it.
+    auto_small = winsorize(ev, "value", 0.1, 0.9, name="vw")
+    plan_small = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" in plan_small.replace("approx_percentile", "")
+
+    orig = relational.WINSORIZE_EXACT_MAX_ROWS
+    relational.WINSORIZE_EXACT_MAX_ROWS = 100
+    try:
+        auto_big = winsorize(ev, "value", 0.1, 0.9, name="vw")
+    finally:
+        relational.WINSORIZE_EXACT_MAX_ROWS = orig
+    plan_big = auto_big._jdf.queryExecution().executedPlan().toString()
+    # The sketch path must carry NO exact (column-buffering) percentile agg.
+    assert "approx_percentile" in plan_big
+    assert "percentile(" not in plan_big.replace("approx_percentile", "")
