@@ -164,3 +164,103 @@ def pcnm_join_back(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.first("PCNM1"), 4).alias("pcnm1"),
     )
+
+
+_FWD_CANDS = ("x_hour", "x_day", "x_dow")
+_FWD_SQL_EXPR = {
+    "x_hour": "CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)",
+    "x_day": "CAST(day(CAST(ts AS TIMESTAMP)) AS DOUBLE)",
+    # Spark dayofweek is Sunday=1; DuckDB's is Sunday=0 — shift to match.
+    "x_dow": "CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS DOUBLE)",
+}
+
+
+def _forward_sel_oracle_sql() -> str:
+    """DuckDB SQL replaying forward_select_trace's two greedy steps: step-1
+    R² is corr(y, c)²; step-2 R² for chosen b and candidate c is the
+    partial-correlation closed form
+    (r_yb² + r_yc² − 2·r_yb·r_yc·r_bc)/(1 − r_bc²) — algebraically the
+    1 − SSE/SST of the 2-predictor OLS fit_rda solves. The data-dependent
+    step-1 pick (max R², ties to the larger name, as Python max over
+    (r2, name) tuples) is itself computed in SQL."""
+    cands = _FWD_CANDS
+    corr_cols = ", ".join(
+        f"corr(y, {c}) AS r_y_{c}" for c in cands
+    ) + ", " + ", ".join(
+        f"corr({a}, {b}) AS r_{a}_{b}"
+        for i, a in enumerate(cands)
+        for b in cands[i + 1 :]
+    )
+
+    def r_pair(a: str, b: str) -> str:
+        i, j = _FWD_CANDS.index(a), _FWD_CANDS.index(b)
+        if i > j:
+            a, b = b, a
+        return f"r_{a}_{b}"
+
+    step1_rows = " UNION ALL ".join(
+        f"SELECT 1 AS step, '{c}' AS candidate, pow(r_y_{c}, 2) AS mean_r2 FROM cm"
+        for c in cands
+    )
+    # Step 2: for each (possible chosen b, remaining c) resolve the three
+    # correlations via CASE over the computed best candidate.
+    case_r2 = " ".join(
+        f"WHEN best.b = '{b}' AND c2.candidate = '{c}' THEN "
+        f"(pow(r_y_{b}, 2) + pow(r_y_{c}, 2)"
+        f" - 2 * r_y_{b} * r_y_{c} * {r_pair(b, c)})"
+        f" / (1 - pow({r_pair(b, c)}, 2))"
+        for b in cands
+        for c in cands
+        if b != c
+    )
+    cand_values = ", ".join(f"('{c}')" for c in cands)
+    return f"""
+    WITH ev AS (
+        SELECT CAST(value AS DOUBLE) AS y,
+               {", ".join(f"{_FWD_SQL_EXPR[c]} AS {c}" for c in cands)}
+        FROM events
+    ),
+    cm AS (SELECT {corr_cols} FROM ev),
+    step1 AS ({step1_rows}),
+    best AS (
+        SELECT candidate AS b FROM step1
+        ORDER BY mean_r2 DESC, candidate DESC LIMIT 1
+    ),
+    step2 AS (
+        SELECT 2 AS step, c2.candidate,
+               CASE {case_r2} END AS mean_r2
+        FROM (VALUES {cand_values}) c2(candidate), best, cm
+        WHERE c2.candidate <> best.b
+    ),
+    best2 AS (
+        SELECT candidate AS b2 FROM step2
+        ORDER BY mean_r2 DESC, candidate DESC LIMIT 1
+    ),
+    trace AS (
+        SELECT step, candidate, mean_r2,
+               (step = 1 AND candidate = (SELECT b FROM best))
+               OR (step = 2 AND candidate = (SELECT b2 FROM best2)) AS chosen
+        FROM (SELECT * FROM step1 UNION ALL SELECT * FROM step2)
+    )
+    SELECT CAST(step AS INTEGER) AS step, candidate,
+           ROUND(mean_r2, 6) AS mean_r2, chosen
+    FROM trace
+    """
+
+
+@register("forward_sel_step", _forward_sel_oracle_sql())
+def forward_sel_step(spark, sf_dir):
+    """M4 forward selection's per-step bookkeeping as a driver row (the
+    first oracle evidence for M4, r03 item 9): two greedy steps over the
+    time-feature candidates, every candidate's mean R² from the closed-form
+    distributed OLS plus the greedy pick. The oracle replays both steps —
+    including the data-dependent step-1 choice — from corr() aggregates."""
+    from ningaloo_turtle_etl_spark.stats import forward_select_trace
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x_hour"),
+        F.dayofmonth("ts").cast("double").alias("x_day"),
+        F.dayofweek("ts").cast("double").alias("x_dow"),
+    )
+    return forward_select_trace(ev, ["y"], list(_FWD_CANDS), steps=2)

@@ -145,6 +145,7 @@ PRIORITY: list[str] = [
     "text_classifier_scores",
     "winsorized_value_stats",
     "tfidf_top_terms",
+    "forward_sel_step",
 ]
 
 

@@ -186,6 +186,43 @@ def forward_select(
     return chosen
 
 
+def forward_select_trace(
+    df: DataFrame,
+    y_cols: Sequence[str],
+    candidate_x: Sequence[str],
+    steps: int = 2,
+) -> DataFrame:
+    """The PER-STEP bookkeeping behind ``forward_select``, surfaced as a
+    DataFrame so M4 has a driver-checkable row (r03 item 9): for each step,
+    every remaining candidate's mean R² (same ``fit_rda`` closed-form OLS,
+    one distributed aggregation per candidate) plus which one the greedy
+    rule picked. Ties break toward the lexicographically larger candidate
+    (Python ``max`` over (r2, name) tuples). Output:
+    (step, candidate, mean_r2, chosen) — candidate-set-sized, driver-built
+    from aggregate scalars only."""
+    rows = []
+    chosen: list[str] = []
+    for step in range(1, steps + 1):
+        scored = []
+        for c in [x for x in candidate_x if x not in chosen]:
+            _, r2 = fit_rda(df, y_cols, [*chosen, c])
+            scored.append((float(np.mean(r2)), c))
+        if not scored:
+            break
+        _, pick = max(scored)
+        rows.extend(
+            (step, c, r2v, c == pick) for r2v, c in scored
+        )
+        chosen.append(pick)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows, "step int, candidate string, mean_r2 double, chosen boolean"
+    )
+    return out.select(
+        "step", "candidate", F.round("mean_r2", 6).alias("mean_r2"), "chosen"
+    )
+
+
 # --- M5 --------------------------------------------------------------------
 def variation_partition(
     df: DataFrame,

@@ -106,6 +106,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "text_classifier_scores",
         "winsorized_value_stats",
         "tfidf_top_terms",
+        "forward_sel_step",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

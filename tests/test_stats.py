@@ -139,3 +139,36 @@ def test_pcnm_scores_cardinality_guard(spark):
     )
     with pytest.raises(ValueError, match="distinct coordinate"):
         pcnm_scores(df, ["gx", "gy"], n_vectors=2, max_sites=100)
+
+
+def test_forward_select_trace_matches_numpy_reference(spark):
+    # The per-step bookkeeping (M4's driver row) must reproduce R² values
+    # an independent numpy OLS computes, and flag the same greedy picks.
+    from ningaloo_turtle_etl_spark.stats import forward_select_trace
+
+    rng = np.random.RandomState(11)
+    n = 250
+    xs, xn1, xn2 = rng.randn(n), rng.randn(n), rng.randn(n)
+    y = 2 * xs + 0.5 * xn1 + 0.1 * rng.randn(n)
+    df = spark.createDataFrame(
+        [tuple(map(float, t)) for t in zip(xs, xn1, xn2, y)],
+        "xs double, xn1 double, xn2 double, y double",
+    )
+    trace = {
+        (r["step"], r["candidate"]): (r["mean_r2"], r["chosen"])
+        for r in forward_select_trace(df, ["y"], ["xs", "xn1", "xn2"], steps=2).collect()
+    }
+    cols = {"xs": xs, "xn1": xn1, "xn2": xn2}
+
+    def np_r2(feature_names):
+        X = np.column_stack([np.ones(n)] + [cols[f] for f in feature_names])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        return 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+
+    for c in ("xs", "xn1", "xn2"):
+        assert abs(trace[(1, c)][0] - round(np_r2([c]), 6)) < 2e-6
+    assert trace[(1, "xs")][1] is True  # signal var picked first
+    for c in ("xn1", "xn2"):
+        assert abs(trace[(2, c)][0] - round(np_r2(["xs", c]), 6)) < 2e-6
+    assert trace[(2, "xn1")][1] is True  # true secondary predictor next
