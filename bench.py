@@ -264,6 +264,82 @@ def _dsir_50k(spark, sf_dir):
     return spark.createDataFrame([(float(row["chk"]), row["n"])], "chk double, n long")
 
 
+def _docs_scaled(spark, sf_dir, target):
+    """documents replicated to ~target rows with shifted ids — the shared
+    fixture for the scale-curve extras."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = max(docs.count(), 1)
+    big = docs
+    for i in range(max(target // n - 1, 0)):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
+        )
+    return big
+
+
+def _minhash_pairs_at(target):
+    """Full MinHash+LSH filter-verify at ~target docs. Paired sizes (20k /
+    100k) give SCALING.md a measured two-point curve instead of a single
+    anchor — wall-clock should grow far sublinearly while bucket-capped
+    candidate work grows with duplication density."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+            release_dedup_caches,
+        )
+
+        pairs = minhash_near_dup_pairs(_docs_scaled(spark, sf_dir, target))
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("id_a").alias("chk")
+        ).collect()[0]
+        release_dedup_caches()
+        return spark.createDataFrame([(row["n"], row["chk"])], "n long, chk long")
+
+    return run
+
+
+def _simhash_sig_at(target):
+    """Catalyst SimHash signature stage at ~target docs (scale twin of
+    simhash_sig_50k)."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.dedup import with_simhash
+
+        sig = with_simhash(_docs_scaled(spark, sf_dir, target))
+        return sig.agg(F.sum(F.bit_count("sig")).alias("chk"))
+
+    return run
+
+
+def _decontam_at(target):
+    """Broadcast-vocab decontamination at ~target docs (scale twin of
+    decontam_50k)."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.curation import contamination_flags
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        big = _docs_scaled(spark, sf_dir, target)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        flags = contamination_flags(big, bench, n=3, threshold=0.2)
+        return flags.agg(
+            F.sum("n_contaminated").alias("chk"), F.count(F.lit(1)).alias("n")
+        )
+
+    return run
+
+
 def _winsorize_6m(exact):
     """Winsorize l_extendedprice over lineitem replicated to ~6M rows —
     exact (column-buffering percentile) vs the approx_percentile sketch
@@ -310,12 +386,34 @@ EXTRAS = {
     "spatial_tag_regions_expr_10x": _spatial_10x("expr"),
     "winsorize_6m_exact": _winsorize_6m(True),
     "winsorize_6m_sketch": _winsorize_6m(False),
+    # Scale-curve pairs: same operator at two sizes so SCALING.md claims
+    # carry measured slopes, not single anchors.
+    "minhash_pairs_20k": _minhash_pairs_at(20_000),
+    "minhash_pairs_100k": _minhash_pairs_at(100_000),
+    "simhash_sig_250k": _simhash_sig_at(250_000),
+    "decontam_250k": _decontam_at(250_000),
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
 # algorithms driving their own jobs): time fn()+collect, not collect alone —
 # a collect-only clock would miss all the work.
-EAGER_EXTRAS = {"connected_components_100k", "bloom_decontam_50k", "dsir_50k"}
+EAGER_EXTRAS = {
+    "connected_components_100k",
+    "bloom_decontam_50k",
+    "dsir_50k",
+    "minhash_pairs_20k",
+    "minhash_pairs_100k",
+}
+
+# Large scale probes run ONCE (not min-of-2): they exist for the slope
+# between the paired sizes, and a second multi-10s run would double bench
+# wall-clock for no extra signal.
+SINGLE_RUN_EXTRAS = {
+    "minhash_pairs_20k",
+    "minhash_pairs_100k",
+    "simhash_sig_250k",
+    "decontam_250k",
+}
 
 
 def main() -> None:
@@ -352,7 +450,7 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name, fn in EXTRAS.items():
         runs = []
-        for _ in range(2):
+        for _ in range(1 if name in SINGLE_RUN_EXTRAS else 2):
             gc.collect()
             spark._jvm.System.gc()
             if name in EAGER_EXTRAS:
