@@ -21,17 +21,38 @@ from pyspark.sql.window import Window
 
 
 def fit_quantizer(
-    corpus: DataFrame, vec_col: str = "embedding", sample_rows: int = 2048, seed: int = 7
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    seed: int = 7,
+    method: str = "sample",
+    id_col: str = "vec_id",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension [min, max] from a seeded uniform sample over all
     partitions (same discipline as IVF's fit_centroids — limit() would read
-    the first partitions only)."""
+    the first partitions only). ``method="hash"`` switches to the
+    smallest-md5(id) rows — bit-identical across runs AND partition layouts
+    (takeSample is seeded but layout-dependent), which is what the frozen
+    quantizer fixture is built with."""
     from ningaloo_turtle_etl_spark.operators.similarity import _as_double
 
-    rows = (
-        corpus.select(_as_double(F.col(vec_col)).alias("v"))
-        .rdd.takeSample(False, sample_rows, seed)
-    )
+    if method == "hash":
+        rows = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("_mh"),
+            )
+            .orderBy("_mh")
+            .limit(sample_rows)
+            .collect()
+        )
+    elif method == "sample":
+        rows = (
+            corpus.select(_as_double(F.col(vec_col)).alias("v"))
+            .rdd.takeSample(False, sample_rows, seed)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'sample' or 'hash')")
     if not rows:
         raise ValueError("fit_quantizer: empty corpus")
     sample = np.asarray([r["v"] for r in rows])

@@ -1,0 +1,250 @@
+"""DuckDB oracle SQL generators for the ANN registered queries (r04).
+
+Every generator replays its Spark pipeline with the SAME constants — LSH
+hyperplanes are regenerated from the seeded numpy rule at SQL-build time,
+IVF centroids / scalar-quantizer ranges / PQ codebooks come from the frozen
+fixtures scripts/train_classifier_fixtures.py wrote — and the SAME float
+arithmetic order: dot products, norms and squared-distance chains are
+left-to-right folds over identical doubles in both engines (numpy's sums
+over the ≤8-element sub-axes are sequential too), so bucket signs, argmin
+cells, PQ codes and ADC shortlists are bit-identical, not merely close.
+Only the displayed cosine/distance is rounded (6 dp), matching the Spark
+side's display rounding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+#: Shared query-set cut: every ANN query probes vec_id < 5 against the full
+#: embeddings table.
+QUERY_CUT = 5
+
+
+def _fixture(name: str) -> dict:
+    from ningaloo_turtle_etl_spark.operators.classify import FIXTURE_DIR
+
+    with open(os.path.join(FIXTURE_DIR, f"{name}.json")) as f:
+        return json.load(f)
+
+
+def _vec_lit(values) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in values) + "]::DOUBLE[]"
+
+
+def _dot_lit(vcol: str, values) -> str:
+    """Dot product of a vector column against a literal array — list_zip +
+    list_sum matches Spark's zip_with + left-fold bit-for-bit."""
+    return (
+        f"list_sum(list_transform(list_zip({vcol}, {_vec_lit(values)}), "
+        "x -> x[1]*x[2]))"
+    )
+
+
+_NORM = "sqrt(list_sum(list_transform({0}, x -> x*x)))"
+_DOT_VV = "list_sum(list_transform(list_zip({0}, {1}), x -> x[1]*x[2]))"
+
+
+def lsh_oracle_sql(bits: int = 6, tables: int = 6, k: int = 3, seed: int = 7) -> str:
+    """ann_lsh_topk: multi-table sign-bucket collisions + exact re-rank.
+    Hyperplanes regenerated from the same seeded numpy rule the operator
+    uses (deterministic, data-independent — no fixture file needed)."""
+    from ningaloo_turtle_etl_spark.operators.similarity import _hyperplanes
+
+    dim = 64  # embeddings table width; asserted by the fixture metadata
+    table_rows = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN {_dot_lit('v', planes[i])} > 0 THEN {2 ** i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        table_rows.append(
+            f"SELECT vec_id, v, vn, {t} AS t, {bucket} AS bk FROM base"
+        )
+    tables_sql = " UNION ALL ".join(table_rows)
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    base AS (SELECT vec_id, v, {_NORM.format('v')} AS vn FROM emb),
+    banded AS ({tables_sql}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_DOT_VV.format('c.v', 'q.v')} / (c.vn * q.vn), 6) AS cosine
+        FROM banded c JOIN banded q
+          ON c.t = q.t AND c.bk = q.bk AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {QUERY_CUT}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INTEGER)
+                   AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+def ivf_oracle_sql(nprobe: int = 3, k: int = 3) -> str:
+    """ann_ivf_topk over the frozen ivf_centroids fixture: corpus rows join
+    their argmin cell, queries probe their nprobe nearest cells (ties by
+    cell index, like Spark's (dist, idx) struct sort), exact re-rank."""
+    fix = _fixture("ivf_centroids")
+    dists = ", ".join(
+        "list_sum(list_transform(list_zip(v, "
+        + _vec_lit(c)
+        + "), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for c in fix["centroids"]
+    )
+    n_cells = fix["n_centroids"]
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id, v, {_NORM.format('v')} AS vn, [{dists}] AS ds FROM emb
+    ),
+    assigned AS (
+        SELECT vec_id, v, vn, list_position(ds, list_min(ds)) - 1 AS cell
+        FROM base
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, v AS q, vn AS qn, cell FROM (
+            SELECT vec_id, v, vn, i AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ds[i + 1], i) AS pr
+            FROM base, unnest(range({n_cells})) u(i)
+            WHERE vec_id < {QUERY_CUT}
+        ) WHERE pr <= {nprobe}
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, a.vec_id,
+               ROUND({_DOT_VV.format('a.v', 'q')} / (a.vn * qn), 6) AS cosine
+        FROM assigned a JOIN probed p ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INTEGER)
+                   AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+def quantized_oracle_sql(k: int = 3) -> str:
+    """ann_quantized_topk over the frozen quantizer fixture: int8
+    round-trip per element (round, clamp, midpoint-restore — the integer
+    code makes the restore exact in both engines), then brute-force cosine
+    against full-precision queries."""
+    fix = _fixture("quantizer")
+    lo, hi = fix["lo"], fix["hi"]
+    restore = (
+        "list_transform("
+        f"list_zip(v, {_vec_lit(lo)}, {_vec_lit(hi)}), "
+        "x -> greatest(least(round((x[1]-x[2])/(x[3]-x[2])*255.0), 255.0), 0.0)"
+        " / 255.0 * (x[3]-x[2]) + x[2])"
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, r AS v, {_NORM.format('r')} AS vn
+        FROM (SELECT vec_id, {restore} AS r FROM emb)
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, {_NORM.format('v')} AS qn
+        FROM emb WHERE vec_id < {QUERY_CUT}
+    ),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               ROUND({_DOT_VV.format('c.v', 'qv')} / (c.vn * qn), 6) AS cosine
+        FROM corpus c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def pq_oracle_sql(k: int = 3, rerank: int = 50) -> str:
+    """ann_pq_topk over the frozen pq_codebooks fixture: per-subspace
+    argmin encode, ADC shortlist (the LUT value is recomputed per pair —
+    the same (q_sub − centroid)² chain numpy fills the LUT with, so the
+    floats are identical), exact squared-L2 re-rank of the shortlist."""
+    fix = _fixture("pq_codebooks")
+    m, kcodes, d_sub = fix["m"], fix["k"], fix["d_sub"]
+    books = fix["codebooks"]
+
+    def sqdist(i: int, code: int) -> str:
+        return " + ".join(
+            f"(v[{i * d_sub + j + 1}] - {repr(float(books[i][code][j]))})"
+            f"*(v[{i * d_sub + j + 1}] - {repr(float(books[i][code][j]))})"
+            for j in range(d_sub)
+        )
+
+    encode = ", ".join(
+        f"list_position([{', '.join(sqdist(i, c) for c in range(kcodes))}], "
+        f"list_min([{', '.join(sqdist(i, c) for c in range(kcodes))}])) - 1"
+        for i in range(m)
+    )
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(_vec_lit(code) for code in sub) + "]" for sub in books
+        )
+        + "]"
+    )
+    adc = " + ".join(
+        "list_sum(list_transform(list_zip("
+        f"q[{i * d_sub + 1}:{(i + 1) * d_sub}], cb[{i + 1}][code[{i + 1}] + 1]), "
+        "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for i in range(m)
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    enc AS (
+        SELECT vec_id, v, [{encode}] AS code FROM emb
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS q FROM emb WHERE vec_id < {QUERY_CUT}
+    ),
+    adc AS (
+        SELECT query_id, e.vec_id, {adc} AS distance
+        FROM enc e, q, (SELECT {cb_lit} AS cb) b
+        WHERE e.vec_id <> q.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY distance, vec_id) AS r
+            FROM adc
+        ) WHERE r <= {rerank}
+    ),
+    exact AS (
+        SELECT s.query_id, s.vec_id,
+               list_sum(list_transform(list_zip(e.v, q.q),
+                        x -> (x[1]-x[2])*(x[1]-x[2]))) AS distance
+        FROM shortlist s
+        JOIN emb e ON s.vec_id = e.vec_id
+        JOIN q ON s.query_id = q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(distance, 6) AS distance, rank FROM (
+        SELECT query_id, vec_id, distance,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY distance, vec_id) AS INTEGER)
+                   AS rank
+        FROM exact
+    ) WHERE rank <= {k}
+    """

@@ -379,18 +379,39 @@ def simhash_near_dups(spark, sf_dir):
     return simhash_near_dup_pairs(docs, max_hamming=3, signature="md5")
 
 
-@register("ann_lsh_topk", None)
+from ningaloo_turtle_etl_spark.queries.ann_oracles import (
+    ivf_oracle_sql,
+    lsh_oracle_sql,
+    pq_oracle_sql,
+    quantized_oracle_sql,
+)
+
+
+@register("ann_lsh_topk", lsh_oracle_sql())
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH ANN (bucket + multiprobe + exact re-rank)."""
+    """Random-hyperplane LSH ANN (bucket + multiprobe + exact re-rank).
+    Full oracle row since r04: the seeded hyperplanes are data-independent
+    constants, so the DuckDB oracle regenerates them and replays the
+    sign-bucket collisions and re-rank bit-for-bit."""
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=6, tables=6)
 
 
-@register("ann_ivf_topk", None)
+@register("ann_ivf_topk", ivf_oracle_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (centroid cells + nprobe + exact re-rank)."""
+    """IVF ANN (centroid cells + nprobe + exact re-rank), blocking against
+    the FROZEN ivf_centroids fixture (deterministic md5-hash-sampled
+    k-means) — argmin assignment, nprobe probing and the re-rank all
+    replay in the DuckDB oracle (r04)."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
     emb = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=3)
+    cents = np.asarray(_fixture("ivf_centroids")["centroids"], dtype=float)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, nprobe=3, centroids=cents
+    )
 
 
 @register(
@@ -507,36 +528,43 @@ def near_dup_clusters(spark, sf_dir):
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
-@register("ann_quantized_topk", None)
+@register("ann_quantized_topk", quantized_oracle_sql())
 def ann_quantized_topk(spark, sf_dir):
     """Cosine top-k over int8-quantized corpus vectors (4x storage cut;
-    dequantize is a map-only Catalyst expression in the scan projection).
-    Rows-only; round-trip error and recall >= 0.8 vs full precision are
-    pinned in tests/test_quantize.py."""
-    from ningaloo_turtle_etl_spark.operators.quantize import (
-        fit_quantizer,
-        quantized_cosine_topk,
-    )
+    dequantize is a map-only Catalyst expression in the scan projection),
+    with the [lo, hi] ranges from the FROZEN quantizer fixture — the int8
+    round-trip is exact integer arithmetic in both engines, so the full
+    pipeline carries a DuckDB oracle row (r04). Round-trip error and
+    recall >= 0.8 vs full precision stay pinned in tests/test_quantize.py."""
+    import numpy as np
 
+    from ningaloo_turtle_etl_spark.operators.quantize import quantized_cosine_topk
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
+    fix = _fixture("quantizer")
+    lo = np.asarray(fix["lo"], dtype=float)
+    hi = np.asarray(fix["hi"], dtype=float)
     emb = load_table(spark, "embeddings", sf_dir)
-    lo, hi = fit_quantizer(emb)
     return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), lo, hi, k=3)
 
 
-@register("ann_pq_topk", None)
+@register("ann_pq_topk", pq_oracle_sql())
 def ann_pq_topk(spark, sf_dir):
-    """Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks
-    (deterministic hash-rule sample), map-side encode to m tinyint codes,
-    ADC lookup-table scoring, exact re-rank of the shortlist. Rows-only
-    (codebooks come from driver-side k-means); encode parity, recall floors
-    and exact-rerank distances are pinned in tests/test_quantize.py."""
-    from ningaloo_turtle_etl_spark.operators.quantize import (
-        fit_pq_codebooks,
-        pq_topk,
-    )
+    """Product-quantization ANN (Jégou et al. 2011) over the FROZEN
+    pq_codebooks fixture: map-side encode to m tinyint codes, ADC
+    shortlist, exact re-rank — all replayed by the DuckDB oracle (the
+    oracle recomputes each LUT entry with the same (q_sub − centroid)²
+    chains numpy fills the LUT with, so the ADC shortlist is
+    bit-identical). Encode parity, recall floors and exact-rerank
+    distances stay pinned in tests/test_quantize.py."""
+    import numpy as np
 
+    from ningaloo_turtle_etl_spark.operators.quantize import pq_topk
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
+    fix = _fixture("pq_codebooks")
+    books = np.asarray(fix["codebooks"], dtype=float)
     emb = load_table(spark, "embeddings", sf_dir)
-    books = fit_pq_codebooks(emb, m_subvectors=16, k_codes=16)
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=3, rerank=50)
 
 

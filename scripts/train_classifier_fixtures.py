@@ -105,6 +105,55 @@ def main() -> None:
             f,
         )
     print(f"semantic_centroids: {cents.shape} from {sf_dir}")
+
+    # ANN fixtures: frozen IVF centroids, scalar-quantizer ranges, and PQ
+    # codebooks — all fitted with the deterministic md5-hash sample rule so
+    # the registered ANN queries' full pipelines replay in DuckDB.
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        fit_quantizer,
+    )
+
+    ivf = fit_centroids(emb, 8, method="hash")
+    with open(os.path.join(FIXTURE_DIR, "ivf_centroids.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": len(ivf),
+                "dim": int(ivf.shape[1]),
+                "trained_on": sf_dir,
+                "centroids": [[float(x) for x in c] for c in ivf],
+            },
+            f,
+        )
+    print(f"ivf_centroids: {ivf.shape}")
+
+    lo, hi = fit_quantizer(emb, method="hash")
+    with open(os.path.join(FIXTURE_DIR, "quantizer.json"), "w") as f:
+        json.dump(
+            {
+                "trained_on": sf_dir,
+                "lo": [float(x) for x in lo],
+                "hi": [float(x) for x in hi],
+            },
+            f,
+        )
+    print(f"quantizer: dim {len(lo)}")
+
+    books = fit_pq_codebooks(emb, m_subvectors=16, k_codes=16, method="hash")
+    with open(os.path.join(FIXTURE_DIR, "pq_codebooks.json"), "w") as f:
+        json.dump(
+            {
+                "m": int(books.shape[0]),
+                "k": int(books.shape[1]),
+                "d_sub": int(books.shape[2]),
+                "trained_on": sf_dir,
+                "codebooks": [
+                    [[float(x) for x in code] for code in sub] for sub in books
+                ],
+            },
+            f,
+        )
+    print(f"pq_codebooks: {books.shape}")
     spark.stop()
 
 
