@@ -65,6 +65,15 @@ def grid_cell(lat, lon, cell_deg: float, cell_deg_lon: float | None = None) -> C
     if cell_deg_lon is None:
         cell_deg_lon = cell_deg
     nx, cell_deg_lon = _snap_lon_grid(cell_deg_lon)
+    return _cell_id(lat, lon, cell_deg, cell_deg_lon, nx)
+
+
+def _cell_id(lat, lon, cell_deg: float, cell_deg_lon: float, nx: int) -> Column:
+    """Cell id from an ALREADY-snapped longitude grid — every caller that
+    joins two sides on cells must route both through the same (nx, width)
+    pair; re-snapping a snapped width can flip nx by one (floating-point
+    floor(360/(360/nx)) = nx-1 for thousands of nx values) and silently put
+    the sides on different grids."""
     gy = F.floor((lat + 90.0) / cell_deg).cast("long")
     gx = F.pmod(F.floor((lon + 180.0) / cell_deg_lon).cast("long"), F.lit(nx))
     return gy * F.lit(100_000) + gx
@@ -76,8 +85,10 @@ def _snap_lon_grid(min_width_deg: float) -> tuple[int, float]:
     matters: with nx = ceil(360/w) the last cell is narrower than w and the
     wrap seam is misaligned, so a point near the seam can need a ±2 cell —
     snapping the width up to 360/floor(360/w) keeps ±1 a complete cover
-    across the antimeridian."""
-    nx = max(int(math.floor(360.0 / min_width_deg)), 1)
+    across the antimeridian. The tiny epsilon makes the snap IDEMPOTENT:
+    360/(360/nx) floats a hair below nx for many nx, and without the bump a
+    re-snap of an already-snapped width would drop a cell."""
+    nx = max(int(math.floor(360.0 / min_width_deg + 1e-9)), 1)
     return nx, 360.0 / nx
 
 
@@ -132,7 +143,10 @@ def nearest_site_join(
         F.col(lat_col).alias("s_lat"),
         F.col(lon_col).alias("s_lon"),
     ).withColumn(
-        "_cell", grid_cell(F.col("s_lat"), F.col("s_lon"), cell_deg, cell_deg_lon)
+        # _cell_id, NOT grid_cell: both sides must use the one snapped
+        # (nx, width) pair computed above.
+        "_cell",
+        _cell_id(F.col("s_lat"), F.col("s_lon"), cell_deg, cell_deg_lon, nx),
     )
     gy = F.floor((F.col(lat_col) + 90.0) / cell_deg).cast("long")
     gx = F.floor((F.col(lon_col) + 180.0) / cell_deg_lon).cast("long")

@@ -329,10 +329,14 @@ def winsorize(
     choice at 100 TB. The default ``exact=None`` AUTO-SELECTS by input
     size (≤ ``WINSORIZE_EXACT_MAX_ROWS`` rows → exact), so a caller who
     forgets the flag can no longer buffer a 100 TB column by accident
-    (r03 watch item); the count is metadata-cheap on parquet scans — pass
-    ``exact`` explicitly to skip it."""
+    (r03 watch item). The auto probe runs ONE eager ``count()`` at
+    plan-construction time — metadata-cheap on a bare parquet scan but a
+    full execution of a derived (joined/filtered) plan — so pass ``exact``
+    explicitly on expensive inputs, and always on streaming frames (a
+    streaming input with ``exact=None`` falls back to the sketch, since
+    counting it is impossible)."""
     if exact is None:
-        exact = df.count() <= WINSORIZE_EXACT_MAX_ROWS
+        exact = (not df.isStreaming) and df.count() <= WINSORIZE_EXACT_MAX_ROWS
     name = name or f"{col}_w"
     pct = (
         F.percentile(col, F.lit(float(lower)))

@@ -112,10 +112,16 @@ def stratified_sample_exact(
     is SELF-REPAIRING (ADVICE r03 — it used to under-sample silently):
     strata where the gate passed fewer than quota rows are detected from a
     tiny survivor-count aggregate inside the plan and re-sampled through an
-    ungated branch, so the output is exact for ANY margin. The rescue
-    branch costs a second map-only scan whose window shuffles only the
-    short strata's rows — empty in the common case; margins ≥2 make a
-    rescue vanishingly rare for quotas ≥ ~50 (binomial lower tail).
+    ungated branch, so the output is exact for ANY margin. The gated frame
+    (~margin·total_n rows — sample-sized, not corpus-sized) is persisted
+    via the shared cache tracker so the survivor count and both output
+    branches reuse ONE corpus scan instead of re-scanning per branch;
+    release with ``operators.cache.release_tracked_caches()`` (or a
+    ``tracked_cache_scope()``) after consuming, as with the dedup
+    operators. The rescue branch adds a second map-only corpus scan whose
+    window shuffles only the short strata's rows — empty in the common
+    case; margins ≥2 make a rescue vanishingly rare for quotas ≥ ~50
+    (binomial lower tail).
 
     Output: the sampled rows plus ``sample_rank`` (1-based rank within the
     stratum by hash order)."""
@@ -132,8 +138,14 @@ def stratified_sample_exact(
             * F.col("quota").cast("double")
             / F.col("w").cast("double"),
         )
-        gated = joined.filter(
-            (rate >= 1.0) | (_sample_hash(id_col) < _rate_threshold(rate))
+        from pyspark import StorageLevel
+
+        from ningaloo_turtle_etl_spark.operators.cache import track_cache
+
+        gated = track_cache(
+            joined.filter(
+                (rate >= 1.0) | (_sample_hash(id_col) < _rate_threshold(rate))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Shortfall repair: strata-sized survivor counts vs quotas (strata
         # are few — this aggregate and the join below are broadcast-tiny).

@@ -14,19 +14,16 @@ side's display rounding.
 
 from __future__ import annotations
 
-import json
-import os
-
 #: Shared query-set cut: every ANN query probes vec_id < 5 against the full
 #: embeddings table.
 QUERY_CUT = 5
 
 
 def _fixture(name: str) -> dict:
-    from ningaloo_turtle_etl_spark.operators.classify import FIXTURE_DIR
+    # One loader for every fixture (model dicts and ANN params alike).
+    from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
 
-    with open(os.path.join(FIXTURE_DIR, f"{name}.json")) as f:
-        return json.load(f)
+    return load_model_fixture(name)
 
 
 def _vec_lit(values) -> str:
@@ -52,7 +49,11 @@ def lsh_oracle_sql(bits: int = 6, tables: int = 6, k: int = 3, seed: int = 7) ->
     uses (deterministic, data-independent — no fixture file needed)."""
     from ningaloo_turtle_etl_spark.operators.similarity import _hyperplanes
 
-    dim = 64  # embeddings table width; asserted by the fixture metadata
+    # Embedding width from the fixture metadata (recorded at fit time from
+    # the same table): hard-coding it would silently desync the oracle's
+    # hyperplanes from Spark's data-inferred ones if the testdata is ever
+    # regenerated at another dimension.
+    dim = int(_fixture("ivf_centroids")["dim"])
     table_rows = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed + 1000 * t)

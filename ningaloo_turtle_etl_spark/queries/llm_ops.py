@@ -30,6 +30,12 @@ from ningaloo_turtle_etl_spark.registry import register
 from ningaloo_turtle_etl_spark.sources.tables import load_table
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+# Raw-case tokenizer for oracles whose Spark side hashes the ORIGINAL text
+# (minhash/simhash shingle and token hashes): lowercasing here would merge
+# case-variant shingles the operator keeps distinct — latent divergence on
+# the first capitalized document (r04 review, reproduced on a mixed-case
+# corpus).
+_TOKENS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')" 
 _TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 
@@ -266,7 +272,7 @@ def _minhash_oracle_sql(
     )
     return f"""
     WITH t AS (
-        SELECT doc_id AS id, {_TOKENS} AS toks
+        SELECT doc_id AS id, {_TOKENS_RAW} AS toks
         FROM documents WHERE doc_id < {max_id}
     ),
     sstr AS (
@@ -337,7 +343,7 @@ def _simhash_oracle_sql(
     )
     return f"""
     WITH t AS (
-        SELECT doc_id AS id, {_TOKENS} AS toks
+        SELECT doc_id AS id, {_TOKENS_RAW} AS toks
         FROM documents WHERE doc_id < {max_id}
     ),
     th AS (
@@ -1480,13 +1486,9 @@ def lm_quality_scores(spark, sf_dir):
 
 
 def _semantic_centroid_fixture():
-    import json
-    import os
+    from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
 
-    from ningaloo_turtle_etl_spark.operators.classify import FIXTURE_DIR
-
-    with open(os.path.join(FIXTURE_DIR, "semantic_centroids.json")) as f:
-        return json.load(f)
+    return load_model_fixture("semantic_centroids")
 
 
 def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:

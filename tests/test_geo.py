@@ -114,6 +114,32 @@ def test_nearest_site_covers_antimeridian(spark):
     assert got[0]["dist_km"] < 100.0
 
 
+def test_nearest_site_sides_share_one_snapped_grid(spark):
+    # Regression (r04 review): grid_cell re-snapped the already-snapped
+    # longitude width for the sites side, and floor(360/(360/nx)) floats to
+    # nx-1 for thousands of nx values — sites and points then lived on
+    # grids of different cell counts and an in-range site vanished. This
+    # (radius, lon) pair reproduced the drop before the fix.
+    points = spark.createDataFrame(
+        [(1, 0.0, -141.36)], "point_id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(10, 0.0, -141.48221798191318)], "site_id long, lat double, lon double"
+    )
+    got = nearest_site_join(points, sites, max_km=15.1).collect()
+    assert len(got) == 1 and got[0]["site_id"] == 10
+    assert got[0]["dist_km"] < 15.1
+
+
+def test_snap_lon_grid_is_idempotent():
+    from ningaloo_turtle_etl_spark.operators.geo import _snap_lon_grid
+
+    for raw in (0.136, 0.77, 1.5, 2.13, 3.6715707413069865, 13.5, 90.0):
+        nx1, w1 = _snap_lon_grid(raw)
+        nx2, w2 = _snap_lon_grid(w1)
+        assert (nx1, w1) == (nx2, w2), raw
+
+
 def test_nearest_site_is_hash_join(spark):
     points = spark.range(100).select(
         F.col("id").alias("point_id"),

@@ -643,3 +643,48 @@ def test_tfidf_top_terms_matches_reference(spark):
     for r in out:
         per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
     assert per == {1: 2, 2: 2, 3: 2}
+
+
+def test_minhash_simhash_oracles_survive_mixed_case(spark, tmp_path):
+    # Regression (r04 review): the oracles once tokenized lower(text) while
+    # the Spark pipelines hash original-case text — the parity gate passed
+    # only because the synthetic corpus is all-lowercase. Re-run both full
+    # oracle comparisons on a deterministically case-mangled corpus.
+    import duckdb
+
+    from ningaloo_turtle_etl_spark import registry
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"""
+        COPY (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(string_split(text, ' '),
+                     x -> CASE WHEN length(x) = 0 THEN x
+                               WHEN hash(x) % 9 = 0 THEN upper(x)
+                               WHEN hash(x) % 3 = 0 THEN upper(x[1]) || x[2:]
+                               ELSE x END),
+                   ' ') AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+    """)
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{dst}')")
+    qs, osql = registry.queries(), registry.oracle_sql()
+    for name in ("minhash_near_dups", "simhash_near_dups"):
+        sdf = (
+            qs[name](spark, str(tmp_path))
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.sql(osql[name]).df().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert sdf.shape == odf.shape, name
+        for c in sdf.columns:
+            a, o = sdf[c], odf[c].astype(sdf[c].dtype)
+            same = a.round(6).equals(o.round(6)) if a.dtype.kind == "f" else a.equals(o)
+            assert same, (name, c)
