@@ -173,6 +173,79 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    lambda_: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram LM quality scoring — one step up the n-gram
+    ladder from ``unigram_lm_scores`` toward CCNet's KenLM filter (Wenzek
+    et al. 2020), still entirely in Catalyst: fit bigram and unigram
+    counts on the corpus itself, then score every token position 2..n
+    with the Jelinek-Mercer mixture
+
+        p(w | prev) = λ·c(prev,w)/c(prev·) + (1−λ)·(c(w)+1)/(N+V+1)
+
+    (c(prev·) = occurrences of prev as a non-final token; the add-one
+    unigram term carries the OOV mass so p > 0 always). Output: one row
+    per document that has ≥1 bigram — (id, n_bigrams, avg_nll); low
+    avg_nll ≈ fluent, predictable text, high ≈ shuffled/rare-token soup.
+
+    Scale shape: bigram extraction is a map-only pass fused with the scan
+    (no UDFs); the count tables collapse map-side (partial agg) to
+    bigram-type / vocab-sized frames; prefix counts re-aggregate the
+    bigram counts (narrow). The scoring joins carry no hint — bigram type
+    tables outgrow broadcast on real corpora, and AQE picks broadcast
+    exactly when they don't. The only doc-width shuffles are the pair agg
+    input (type-sized after combine) and the per-doc score agg."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("prev"),
+                    F.element_at("toks", i + 2).alias("w"),
+                ),
+            )
+        ).alias("pw"),
+    ).select(id_col, F.col("pw.prev").alias("prev"), F.col("pw.w").alias("w"))
+
+    bc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("bc"))
+    pc = bc.groupBy("prev").agg(F.sum("bc").alias("pc"))
+    exploded = toks.select(F.explode_outer("toks").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    uc = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    totals = uc.agg(
+        F.sum("uc").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+
+    lam = float(lambda_)
+    scored = (
+        pairs.join(bc, on=["prev", "w"], how="left")
+        .join(pc, on="prev", how="left")
+        .join(uc.withColumnRenamed("tok", "w"), on="w", how="left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_bi = F.coalesce(F.col("bc"), F.lit(0)).cast("double") / F.col("pc").cast(
+        "double"
+    )
+    p_uni = (F.coalesce(F.col("uc"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_total") + F.col("v_size") + 1
+    ).cast("double")
+    nll = -F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    return scored.withColumn("nll", nll).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     n_top: int = 3,

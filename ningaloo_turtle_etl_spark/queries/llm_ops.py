@@ -1485,6 +1485,62 @@ def lm_quality_scores(spark, sf_dir):
     return unigram_lm_scores(docs, vocab_size=20)
 
 
+@register(
+    "bigram_lm_scores",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS toks
+        FROM (SELECT doc_id, lower(text) AS text FROM documents)
+    ),
+    pairs AS (
+        SELECT doc_id, pw.p AS prev, pw.w AS w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(p := toks[i], w := toks[i+1]))) AS pw
+            FROM t
+        )
+    ),
+    bc AS (SELECT prev, w, COUNT(*) AS bc FROM pairs GROUP BY prev, w),
+    pc AS (SELECT prev, CAST(SUM(bc) AS BIGINT) AS pc FROM bc GROUP BY prev),
+    uc AS (
+        SELECT w, COUNT(*) AS uc
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(uc) AS BIGINT) AS n_total,
+                   COUNT(*) AS v_size FROM uc),
+    scored AS (
+        SELECT p.doc_id,
+               -ln(0.7 * (CAST(COALESCE(b.bc, 0) AS DOUBLE)
+                          / CAST(c.pc AS DOUBLE))
+                   + 0.3 * (CAST(COALESCE(u.uc, 0) + 1 AS DOUBLE)
+                            / CAST(tot.n_total + tot.v_size + 1 AS DOUBLE)))
+                   AS nll
+        FROM pairs p
+        LEFT JOIN bc b ON p.prev = b.prev AND p.w = b.w
+        LEFT JOIN pc c ON p.prev = c.prev
+        LEFT JOIN uc u ON p.w = u.w, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_scores(spark, sf_dir):
+    """CCNet-style perplexity filter, one rung up the n-gram ladder: every
+    doc scored by average NLL under a corpus-fit Jelinek-Mercer
+    bigram/unigram mixture (λ=0.7, add-one unigram floor carries the OOV
+    mass). Fully relational — bigram/prefix/unigram count tables with no
+    broadcast hint (AQE decides; bigram types outgrow broadcast on real
+    corpora) — and the whole fit+score pipeline replays in the DuckDB
+    oracle."""
+    from ningaloo_turtle_etl_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    return bigram_lm_scores(docs, lambda_=0.7)
+
+
 def _semantic_centroid_fixture():
     from ningaloo_turtle_etl_spark.operators.classify import load_model_fixture
 

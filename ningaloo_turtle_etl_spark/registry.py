@@ -146,6 +146,7 @@ PRIORITY: list[str] = [
     "winsorized_value_stats",
     "tfidf_top_terms",
     "forward_sel_step",
+    "bigram_lm_scores",
 ]
 
 

@@ -688,3 +688,40 @@ def test_minhash_simhash_oracles_survive_mixed_case(spark, tmp_path):
             a, o = sdf[c], odf[c].astype(sdf[c].dtype)
             same = a.round(6).equals(o.round(6)) if a.dtype.kind == "f" else a.equals(o)
             assert same, (name, c)
+
+
+def test_bigram_lm_scores_match_python_reference(spark):
+    # Interpolated bigram LM vs a direct Python reference on a tiny corpus;
+    # fluent (repeated-bigram) docs must score lower avg NLL than a
+    # shuffled-token doc over the same vocabulary.
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.text import bigram_lm_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "mat the on sat cat the",
+        4: "a completely different sentence here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df, lambda_=0.7).collect()}
+
+    toks = {k: v.split() for k, v in texts.items()}
+    from collections import Counter
+
+    uc = Counter(w for t in toks.values() for w in t)
+    bc = Counter((t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1))
+    pc = Counter()
+    for (p, _), c in bc.items():
+        pc[p] += c
+    n_total, v_size = sum(uc.values()), len(uc)
+    for doc_id, t in toks.items():
+        nlls = []
+        for i in range(len(t) - 1):
+            p_bi = bc[(t[i], t[i + 1])] / pc[t[i]]
+            p_uni = (uc[t[i + 1]] + 1) / (n_total + v_size + 1)
+            nlls.append(-math.log(0.7 * p_bi + 0.3 * p_uni))
+        assert got[doc_id]["n_bigrams"] == len(nlls)
+        assert abs(got[doc_id]["avg_nll"] - sum(nlls) / len(nlls)) < 1e-6
+    assert got[1]["avg_nll"] < got[3]["avg_nll"]  # fluent beats shuffled

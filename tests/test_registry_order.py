@@ -107,6 +107,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "winsorized_value_stats",
         "tfidf_top_terms",
         "forward_sel_step",
+        "bigram_lm_scores",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
