@@ -55,7 +55,11 @@ def _minhash_family(hash_family):
     registered query switched to the md5 family in r04 (DuckDB-reproducible
     → full oracle row); the HEADLINE keeps timing the xxhash64 scale
     default so the r01-r03 series stays apples-to-apples, and the md5
-    form's measured overhead lands in extras instead."""
+    form lands in extras instead. NB: extras report min-of-2 (warm) while
+    headline queries run once, so the md5 extra often prints FASTER than
+    the xxhash64 headline — the like-for-like warm/warm comparison
+    (measured separately, 3 alternating reps) is md5 ≈ 1.7× slower
+    (2.4 s vs 1.4 s at 500 sf0.1 docs)."""
 
     def run(spark, sf_dir):
         import pyspark.sql.functions as F
