@@ -1,7 +1,8 @@
 """Geodesic queries (extensions): haversine distance stats oracle-checked
 against DuckDB's trig (aggregates rounded to absorb libm ulps; raw per-row
-trig is never compared), and the grid-blocked nearest-site join rows-only
-with brute-force parity in tests/test_geo.py."""
+trig is never compared), and the grid-blocked nearest-site join as a full
+oracle row (brute-force SQL cross join since r03) with blocked≡brute
+parity in tests/test_geo.py."""
 
 from __future__ import annotations
 

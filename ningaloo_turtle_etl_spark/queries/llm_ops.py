@@ -1,8 +1,10 @@
 """Training-data pipeline queries over ``documents`` / ``embeddings`` —
-dedup, text analysis, similarity search. Oracle-checked where ANSI-SQL can
-express the semantics; MinHash/SimHash/LSH/IVF are rows-only here and
-verified against independent Python reference implementations in
-tests/test_llm_ops.py.
+dedup, text analysis, similarity search. Since r04 everything here is
+oracle-checked: MinHash/SimHash ride the cross-engine md5 hash family,
+the ANN tiers and semantic dedup serve seed-regenerated or frozen-fixture
+parameters, and the multimodal fake codec replays byte-for-byte in SQL;
+independent Python reference implementations in tests/test_llm_ops.py
+additionally pin recall/planted-pair behavior.
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
 """Data-selection queries: exact stratified sampling, weighted sampling,
 corpus drift, DSIR importance selection (full DuckDB oracles — every hash
 is md5-derived, so the oracle reproduces the sample bit-for-bit), plus the
-learned quality classifier (rows-only: LBFGS training is not
-SQL-expressible; semantics pinned in tests/test_classify.py).
+two learned classifiers serving FROZEN fixture models (full oracles since
+r04: LBFGS training is not SQL-expressible, so training freezes its
+coefficients offline and the oracle replays the serving path; training
+semantics stay pinned in tests/test_classify.py).
 """
 
 from __future__ import annotations

@@ -1,6 +1,8 @@
-"""Statistical-layer queries — M1/M6/M7 oracle-checked; M2-M5 rows-only
-(driver-solved linear algebra has no single-statement SQL equivalent; parity
-is pinned against numpy in tests/test_stats.py)."""
+"""Statistical-layer queries — M1/M2/M4/M6/M7 oracle-checked (the normal
+equations and forward-selection R² bookkeeping are stated closed-form in
+SQL); M3 PCNM stays rows-only (eigendecomposition has no SQL equivalent)
+and M5 is a driver loop over M2 fits — both pinned against numpy in
+tests/test_stats.py."""
 
 from __future__ import annotations
 

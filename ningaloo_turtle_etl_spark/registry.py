@@ -29,7 +29,9 @@ _REGISTRY: dict[str, Q] = {}
 # evidence policy: the first 50 names below jointly cover every SURVEY.md §2
 # component; entries after the marker are redundant with components already
 # proven above (TPC-H-flavored variants, the SQL-form flagship twin) or
-# rows-only ANN/dedup entries whose parity is pinned in pytest instead.
+# extension queries — all still oracle-swept by pytest and the supplement
+# artifact (since r04 every entry but pcnm_join_back and sketch_profile
+# carries a full DuckDB oracle).
 # tests/test_registry_order.py asserts this list stays in sync with the
 # registry.
 PRIORITY: list[str] = [
