@@ -258,3 +258,78 @@ def test_weighted_sample_is_partition_invariant_and_nested(spark, weights, n):
     ]
     assert a == b
     assert big[: len(a)] == a  # ranked by the same keys → nested prefixes
+
+
+_WORDS = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_DOC = st.lists(_WORDS, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=12))
+def test_minhash_md5_verify_stage_is_exact_on_random_docs(spark, texts):
+    # Property: every pair the md5-family pipeline REPORTS carries the
+    # exact 3-gram-shingle Jaccard (verification is exact, not estimated),
+    # and identical docs always pair at 1.0 (identical signatures can
+    # never be split across buckets).
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_dedup_caches,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t, n=3):
+        toks = t.split()
+        return set(" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1)))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            df, threshold=0.0, hash_family="md5"
+        ).collect()
+    }
+    release_dedup_caches()
+    for (a, b), j in got.items():
+        exact = len(sh(texts[a]) & sh(texts[b])) / len(sh(texts[a]) | sh(texts[b]))
+        assert abs(j - exact) < 1e-6, (a, b)
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if texts[a] == texts[b]:
+                assert got.get((a, b)) == 1.0, (a, b)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.floats(1e-3, 1e12)),
+        min_size=5,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_matches_numpy_reference_at_any_weight_scale(spark, rows):
+    # Property: the A-Res log-key selection equals the python reference for
+    # arbitrary positive weights spanning nine orders of magnitude — the
+    # regime where the old rounded raw key degenerated to id order.
+    import hashlib
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.selection import weighted_sample_topn
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    n = min(10, len(rows))
+    got = [
+        r["doc_id"] for r in weighted_sample_topn(df, n, weight_col="n_chars").collect()
+    ]
+
+    def logkey(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1.0) / 4294967297.0), 12) / w
+
+    expect = [
+        t[0] for t in sorted(rows, key=lambda t: (-logkey(t[0], t[1]), t[0]))[:n]
+    ]
+    assert got == expect
