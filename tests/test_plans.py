@@ -220,3 +220,37 @@ def test_tfidf_plan_has_group_limit_and_broadcast_docfreq(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_md5_family_plan_shape(spark):
+    # The oracle-family pipeline must keep the scale-critical shapes of the
+    # xxhash64 family: hash-joined band buckets (never a nested loop /
+    # cartesian), payload-free candidate generation (no shingle arrays in
+    # the banded join), and signature state read from the shared persisted
+    # frame (InMemoryTableScan) rather than recomputed per branch.
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_dedup_caches,
+    )
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "documents", SF_DIR).filter(F.col("doc_id") < 100)
+    try:
+        pairs = minhash_near_dup_pairs(docs, threshold=0.5, hash_family="md5")
+        pairs.collect()  # materialize so the cached signature frame exists
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "InMemoryTableScan" in plan  # shared signature state
+        # Banded self-join carries only (id, bucket): the join keys section
+        # must not reference the shingle array column.
+        import re
+
+        join_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln]
+        assert join_lines, "expected at least one hash join in the plan"
+        banded = [ln for ln in join_lines if "bucket" in ln]
+        assert banded and all(not re.search(r"\bsh#", ln) for ln in banded)
+    finally:
+        release_dedup_caches()
