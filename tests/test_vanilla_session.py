@@ -9,6 +9,13 @@ mis-configured session timezone:
    future testdata generation ships zone-aware timestamps.)
 2. registry._prepare_session repins UTC at query entry — the
    defense-in-depth layer for that future shape.
+
+A harsher one-off check ran in r04 (not in-suite — the JVM default zone
+can't change per-test): a vanilla session built with
+-Duser.timezone=Australia/Perth and OS TZ=Australia/Perth, no engine
+confs, swept ALL 100 oracle queries at sf0.01 through the driver
+canonicalizer — 100/100 matched, confirming the per-query pin carries
+every row, not just the tz-exposed three below.
 """
 
 from __future__ import annotations
