@@ -288,15 +288,19 @@ def with_pii_redaction(
     out_col: str = "redacted_text",
 ) -> DataFrame:
     """Count and strip PII spans: per-pattern match counts plus a redacted
-    text column with every match replaced by ``[<NAME>]``. Order matters
-    (emails contain dots that would otherwise feed the ipv4 pattern), so
-    counting happens on the original text, redaction sequentially."""
-    out = df
-    red = F.col(text_col)
+    text column with every match replaced by ``[<NAME>]``. Both counting
+    AND redaction run sequentially on the progressively-redacted text, so
+    ``n_<name>`` equals the number of ``[<NAME>]`` markers in the output —
+    counting on the original text double-counted spans an earlier pattern
+    already consumed (e.g. the host of ``a@1.2.3.4`` surfacing again as an
+    ipv4; r04 review). Pattern order matters and is the redaction order."""
+    out = df.withColumn("_red", F.col(text_col))
     for name, pat in patterns.items():
-        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
-        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
-    return out.withColumn(out_col, red)
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col("_red"), F.lit(pat)))
+        out = out.withColumn(
+            "_red", F.regexp_replace(F.col("_red"), pat, f"[{name.upper()}]")
+        )
+    return out.withColumnRenamed("_red", out_col)
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -586,11 +590,14 @@ def budget_select(
         r["_pid"]: r["w"]
         for r in part.groupBy("_pid").agg(F.sum(weight_col).alias("w")).collect()
     }
-    offsets, acc = [], 0
+    # Float accumulation: int() truncation here understated the offsets for
+    # fractional weight columns (quality-weighted token counts), letting the
+    # selected prefix overshoot the budget (r04 review).
+    offsets, acc = [], 0.0
     for pid in sorted(totals):
         offsets.append((pid, acc))
-        acc += int(totals[pid] or 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+        acc += float(totals[pid] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset double")
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order)
@@ -598,8 +605,10 @@ def budget_select(
     )
     return (
         part.join(F.broadcast(off_df), on="_pid")
-        .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_offset"))
-        .filter(F.col("_cum") <= F.lit(int(budget)))
+        .withColumn(
+            "_cum", F.sum(F.col(weight_col).cast("double")).over(w) + F.col("_offset")
+        )
+        .filter(F.col("_cum") <= F.lit(float(budget)))
         .drop("_pid", "_offset", "_cum")
     )
 

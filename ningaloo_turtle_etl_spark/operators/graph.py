@@ -97,13 +97,30 @@ def cluster_representatives(
     dst_col: str = "id_b",
 ) -> DataFrame:
     """Dedup by cluster: every doc maps to its component's min id (singletons
-    map to themselves); keep one representative row per component — the
-    'collapse near-dup clusters' step after any pair-producing stage."""
+    map to themselves); keep the min-id representative PRESENT IN ``docs``
+    per component — the 'collapse near-dup clusters' step after any
+    pair-producing stage.
+
+    The representative is elected among the rows actually in ``docs``, not
+    by ``id == component``: when pairs reference an id that was filtered out
+    of ``docs`` upstream (pair generation ran before a later filter), the
+    component min may be absent, and the old identity test silently dropped
+    the ENTIRE cluster (r04 review; best_cluster_representatives already
+    handled this). Election is a narrow (component, id) shuffle + id
+    semi-join — bodies stay map-side."""
+    from pyspark.sql.window import Window
+
     comp = connected_components(pairs, src_col, dst_col)
-    labeled = docs.join(
+    labeled = docs.select(id_col).join(
         comp.withColumnRenamed("id", id_col), on=id_col, how="left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
-    return labeled.filter(F.col(id_col) == F.col("component")).drop("component")
+    w = Window.partitionBy("component").orderBy(F.asc(id_col))
+    keepers = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    return docs.join(keepers, on=id_col, how="left_semi")
 
 
 def best_cluster_representatives(

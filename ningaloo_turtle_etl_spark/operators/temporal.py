@@ -29,17 +29,20 @@ from pyspark.sql.window import Window
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 
-def _epoch_seconds(df: DataFrame, col: str) -> F.Column:
-    """Epoch seconds for bucketing, for any time representation the catalog
+def _epoch_col(col: F.Column, dt) -> F.Column:
+    """Epoch seconds from a column of any time representation the catalog
     may hand us: TIMESTAMP / TIMESTAMP_NTZ → ``to_unix_timestamp`` (a direct
     CAST(ntz AS BIGINT) is an AnalysisException), integral epoch-seconds →
-    passthrough cast."""
-    dt = df.schema[col].dataType
+    passthrough cast. Shared by bucketing and the as-of tolerance check."""
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        return F.to_unix_timestamp(F.col(col))
+        return F.to_unix_timestamp(col)
     if isinstance(dt, LongType):
-        return F.col(col)
-    return F.col(col).cast("long")
+        return col
+    return col.cast("long")
+
+
+def _epoch_seconds(df: DataFrame, col: str) -> F.Column:
+    return _epoch_col(F.col(col), df.schema[col].dataType)
 
 
 def asof_join(
@@ -66,15 +69,21 @@ def asof_join(
     - ``tolerance_seconds``: matches farther than this from the left time
       are discarded (payload NULL), any direction.
 
-    Left rows with no admissible right row keep NULL payload. Right payload
-    columns that collide with left names get ``suffix``. If several right
-    rows share (key, right_time), the survivor is undefined — deduplicate
-    upstream.
+    Left rows with no admissible right row keep NULL payload; a left row
+    whose OWN timestamp is NULL never matches (pandas merge_asof / DuckDB
+    ASOF convention), and right rows with NULL timestamps are ignored.
+    Right payload columns that collide with left names get ``suffix``. If
+    several right rows share (key, right_time), the survivor is undefined —
+    deduplicate upstream.
 
     Scale shape (all directions): one union + per-key ordered window
     carry — ONE shuffle on the key, state bounded by the frame, no row
     explosion. ``nearest`` computes both carries over the SAME partitioning
-    (one exchange, two sorts).
+    (one exchange, two sorts). The carried state is ONE struct column (the
+    whole matched right row), not per-payload-column aggregates: carrying
+    columns independently with ignorenulls would skip a genuine NULL in one
+    payload column and stitch together values from DIFFERENT right rows
+    (r04 review — confirmed wrong-results bug).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
@@ -84,24 +93,38 @@ def asof_join(
     lcols = [c for c in left.columns if c not in {*on, left_time}]
     renamed = {c: (c + suffix if c in left.columns else c) for c in right_cols}
 
+    # The matched right row travels as ONE nullable struct — atomic, so the
+    # ignorenulls carry can never mix fields across rows. NULL-timestamped
+    # right rows are dropped up front (they can never match, and a non-null
+    # struct with a null _rt would shadow a valid earlier match).
+    pack = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(c).alias(renamed[c]) for c in right_cols],
+    )
     l2 = left.select(
         *on,
         *lcols,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(renamed[c])
-            for c in right_cols
-        ],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        F.lit(None)
+        .cast(
+            "struct<_rt:"
+            + right.schema[right_time].dataType.simpleString()
+            + ","
+            + ",".join(
+                f"{renamed[c]}:{right.schema[c].dataType.simpleString()}"
+                for c in right_cols
+            )
+            + ">"
+        )
+        .alias("_rpack"),
     )
-    r2 = right.select(
+    r2 = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(renamed[c]) for c in right_cols],
-        F.col(right_time).alias("_rt"),
+        pack.alias("_rpack"),
     )
     unioned = l2.unionByName(r2)
 
@@ -119,68 +142,49 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    def carry(w, agg):
-        return {
-            **{renamed[c]: agg(renamed[c]).over(w) for c in right_cols},
-            "_matched_time": agg("_rt").over(w),
-        }
-
-    def last_nn(c):
-        return F.last(c, ignorenulls=True)
-
-    def first_nn(c):
-        return F.first(c, ignorenulls=True)
-
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
     cols = {}
     if need_b:
-        cols.update({f"_b_{k}": v for k, v in carry(w_b, last_nn).items()})
+        cols["_b_pack"] = F.last("_rpack", ignorenulls=True).over(w_b)
     if need_f:
-        cols.update({f"_f_{k}": v for k, v in carry(w_f, first_nn).items()})
-    carried = unioned.select(*on, *lcols, "_t", "_is_left", *[
-        v.alias(k) for k, v in cols.items()
-    ]).filter(F.col("_is_left") == 1)
+        cols["_f_pack"] = F.first("_rpack", ignorenulls=True).over(w_f)
+    carried = unioned.select(
+        *on, *lcols, "_t", "_is_left", *[v.alias(k) for k, v in cols.items()]
+    ).filter(F.col("_is_left") == 1)
 
     lt_dt = left.schema[left_time].dataType
-
-    def epoch(c):
-        from pyspark.sql.types import TimestampNTZType, TimestampType
-
-        if isinstance(lt_dt, (TimestampType, TimestampNTZType)):
-            return F.to_unix_timestamp(c).cast("double")
-        return c.cast("double")
+    rt_dt = right.schema[right_time].dataType
 
     def delta(side):
-        return F.abs(epoch(F.col("_t")) - epoch(F.col(f"_{side}__matched_time")))
+        return F.abs(
+            _epoch_col(F.col("_t"), lt_dt).cast("double")
+            - _epoch_col(F.col(f"_{side}_pack._rt"), rt_dt).cast("double")
+        )
 
     def admissible(side):
-        ok = F.col(f"_{side}__matched_time").isNotNull()
+        # A NULL left timestamp never matches, any direction.
+        ok = F.col("_t").isNotNull() & F.col(f"_{side}_pack").isNotNull()
         if tolerance_seconds is not None:
             ok = ok & (delta(side) <= F.lit(float(tolerance_seconds)))
         return ok
 
-    out_names = [*[renamed[c] for c in right_cols], "_matched_time"]
     if direction in ("backward", "forward"):
         side = "b" if direction == "backward" else "f"
-        valid = admissible(side)
-        picked = {
-            name: F.when(valid, F.col(f"_{side}_{name}")) for name in out_names
-        }
+        chosen = F.when(admissible(side), F.col(f"_{side}_pack"))
     else:
         ok_b, ok_f = admissible("b"), admissible("f")
         use_b = ok_b & (~ok_f | (delta("b") <= delta("f")))
-        picked = {
-            name: F.when(use_b, F.col(f"_b_{name}")).otherwise(
-                F.when(ok_f, F.col(f"_f_{name}"))
-            )
-            for name in out_names
-        }
-    return carried.select(
+        chosen = F.when(use_b, F.col("_b_pack")).otherwise(
+            F.when(ok_f, F.col("_f_pack"))
+        )
+    picked = carried.withColumn("_pick", chosen)
+    return picked.select(
         *on,
         *lcols,
         F.col("_t").alias(left_time),
-        *[picked[name].alias(name) for name in out_names],
+        *[F.col(f"_pick.{renamed[c]}").alias(renamed[c]) for c in right_cols],
+        F.col("_pick._rt").alias("_matched_time"),
     )
 
 
@@ -217,7 +221,11 @@ def range_join(
         bucket_seconds = int(min(max(p75 or 86400, 60), 30 * 86400))
     step = F.lit(int(bucket_seconds))
     lb = left.withColumn("_b", F.floor(_epoch_seconds(left, left_time) / step))
-    rb = right.withColumn(
+    # Guard: an inverted interval (end < start — one corrupt row) can never
+    # contain a point, but without the filter F.sequence would default to
+    # step -1 and explode a huge DESCENDING bucket array (a multi-minute /
+    # OOM job-killer from a single bad row, r04 review).
+    rb = right.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "_b",
         F.explode(
             F.sequence(

@@ -792,23 +792,31 @@ def training_mix_sample(spark, sf_dir):
                     ELSE text END AS text
         FROM documents
     )
+    -- Sequential semantics (r04): each pattern counts on the text AFTER
+    -- earlier patterns were redacted, so counts equal output markers.
     SELECT doc_id,
            len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(r1,
                '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(r2,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
            substr(md5(
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                           '[EMAIL]', 'g'),
-                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+               regexp_replace(r2,
                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
            ), 1, 16) AS redacted_fp
-    FROM planted
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS r1,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS r2
+        FROM planted
+    )
     """,
 )
 def pii_redaction(spark, sf_dir):

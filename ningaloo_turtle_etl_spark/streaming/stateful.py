@@ -22,7 +22,16 @@ STATE_SCHEMA = "first_event_id long, n_events long"
 def _dedup_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    rows = pd.concat(list(pdfs))
+    # Timeout ticks (state.hasTimedOut with ProcessingTimeTimeout — the
+    # production eviction mode the docstring below recommends) invoke this
+    # with an EMPTY batch iterator: pd.concat([]) raises, so guard first
+    # and evict the idle key's state instead (r04 review).
+    batches = [b for b in pdfs if len(b)]
+    if not batches:
+        if state.hasTimedOut:
+            state.remove()
+        return iter(())
+    rows = pd.concat(batches)
     n_new = len(rows)
     if state.exists:
         first_id, n = state.get

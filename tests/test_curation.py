@@ -367,3 +367,56 @@ def test_temperature_mix_flattens_toward_low_resource(spark):
         for r in temperature_mix_sample(df, temperature=4.0, budget_fraction=0.5).collect()
     )
     assert a == b
+
+
+def test_budget_select_exact_with_fractional_weights(spark):
+    # Regression (r04 review): int() truncation of per-partition totals
+    # understated prefix offsets for double weight columns, overshooting
+    # the budget. With weight 0.6 each and budget 6.0 exactly 10 rows fit.
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import budget_select
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.6).alias("w"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    out = budget_select(
+        df, budget=6.0, weight_col="w", order_col="score", id_col="doc_id",
+        num_partitions=8,
+    ).collect()
+    assert len(out) == 10
+    assert abs(sum(r["w"] for r in out) - 6.0) < 1e-9
+
+
+def test_cluster_representatives_survives_absent_min_id(spark):
+    # Regression (r04 review): when the component's min id is not in docs
+    # (filtered upstream after pair generation), the whole cluster used to
+    # vanish; now the smallest PRESENT id represents it.
+    from ningaloo_turtle_etl_spark.operators.graph import cluster_representatives
+
+    docs = spark.createDataFrame([(2, "b"), (3, "c"), (9, "z")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in cluster_representatives(docs, pairs).collect())
+    assert kept == [2, 9]  # 2 represents {1,2,3}'s present members; 9 singleton
+
+
+def test_pii_counts_match_redaction_markers(spark):
+    # Regression (r04 review): counting on the original text double-counted
+    # spans an earlier pattern consumed (a phone-shaped email localpart
+    # recounted as a phone). Counts must equal the markers in the output.
+    from ningaloo_turtle_etl_spark.operators.curation import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail 555-123-4567@example.com or 9.9.9.9"), (2, "call 555-123-4567 now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_ipv4"] == 1 and r1["n_phone"] == 0
+    assert r1["redacted_text"] == "mail [EMAIL] or [IPV4]"
+    assert r1["redacted_text"].count("[EMAIL]") == r1["n_email"]
+    assert r1["redacted_text"].count("[IPV4]") == r1["n_ipv4"]
+    r2 = rows[2]
+    assert r2["n_phone"] == 1 and r2["redacted_text"] == "call [PHONE] now"

@@ -144,3 +144,60 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                     assert g is None, (direction, tol, rowid)
                 else:
                     assert g == v, (direction, tol, rowid, g, v)
+
+
+def test_asof_join_null_payload_does_not_mix_rows(spark):
+    # Regression (r04 review, confirmed): carrying payload columns
+    # independently with ignorenulls skipped a genuine NULL in one column
+    # and stitched values from DIFFERENT right rows. The match must be the
+    # ts=20 row verbatim: a=NULL, b=8 — never a=100 from ts=10.
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100, 7), (1, 20, None, 8)], "k long, ts long, a int, b int"
+    )
+    row = asof_join(left, right, on="k", direction="backward").collect()[0]
+    assert row["_matched_time"] == 20
+    assert row["a"] is None and row["b"] == 8
+
+
+def test_asof_join_null_left_time_never_matches(spark):
+    # Regression (r04 review, confirmed): a NULL left timestamp picked up
+    # the earliest right row in 'forward' (NULLs sort first). All
+    # directions must return NULL payload, matching merge_asof/DuckDB.
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, None)], "k long, ts long")
+    right = spark.createDataFrame([(1, 50, 9)], "k long, ts long, v int")
+    for direction in ("backward", "forward", "nearest"):
+        row = asof_join(left, right, on="k", direction=direction).collect()[0]
+        assert row["v"] is None and row["_matched_time"] is None, direction
+
+
+def test_asof_join_ignores_null_right_times(spark):
+    # A right row with a NULL timestamp can never match and must not shadow
+    # an earlier valid match.
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5), (1, None, 6)], "k long, ts long, v int"
+    )
+    row = asof_join(left, right, on="k", direction="backward").collect()[0]
+    assert row["v"] == 5 and row["_matched_time"] == 10
+
+
+def test_range_join_survives_inverted_interval(spark):
+    # Regression (r04 review): one corrupt interval with end < start used
+    # to feed F.sequence a descending range (default step -1) and explode
+    # a gigantic bucket array. It must simply be dropped.
+    from ningaloo_turtle_etl_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 50, 150, "good"), (1, 1_700_000_000, 0, "corrupt")],
+        "k long, start long, end long, tag string",
+    )
+    rows = range_join(left, right, on="k", bucket_seconds=60).collect()
+    assert [r["tag"] for r in rows] == ["good"]
