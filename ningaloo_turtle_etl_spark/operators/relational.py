@@ -116,7 +116,7 @@ def count_pivot(
     distinct-scan job Spark otherwise runs — one less pass at 100 TB.
     """
     pivoted = (
-        df.groupBy(*keys).pivot(pivot_col, list(values) if values else None).count()
+        df.groupBy(*keys).pivot(pivot_col, list(values) if values is not None else None).count()
     )
     value_cols = [c for c in pivoted.columns if c not in keys]
     return pivoted.na.fill(fill, subset=value_cols)
@@ -135,7 +135,7 @@ def spread(
     the cell function because (keys, pivot_col) is unique post-aggregation."""
     pivoted = (
         df.groupBy(*keys)
-        .pivot(pivot_col, list(values) if values else None)
+        .pivot(pivot_col, list(values) if values is not None else None)
         .agg(F.first(value_col))
     )
     if fill is not None:
@@ -204,7 +204,17 @@ def grouped_html_table(
     """``group_by(subsection) %>% htmlTable()`` / make_popup
     (tagging_etl.R:25-32, ningaloo-etl.Rmd:336-344): one HTML table string
     per group. Pure aggregation — rows become <tr> strings, sorted for
-    determinism, concatenated per group. No Python in the loop."""
+    determinism, concatenated per group. No Python in the loop. Cell values
+    are HTML-escaped (&, <, > — in that order) so free-text columns can't
+    emit malformed or injectable markup (r04 review); the oracle's numeric
+    fixture needs no escaping, but string cells do."""
+
+    def esc(c: Column) -> Column:
+        out = c
+        for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+            out = F.replace(out, F.lit(raw), F.lit(ent))
+        return out
+
     # NULL cells render as empty <td> — F.concat is null-propagating, and a
     # NULL row string would then be silently dropped by collect_list.
     row_html = F.concat(
@@ -212,7 +222,7 @@ def grouped_html_table(
         *[
             F.concat(
                 F.lit("<td>"),
-                F.coalesce(F.col(c).cast("string"), F.lit("")),
+                esc(F.coalesce(F.col(c).cast("string"), F.lit(""))),
                 F.lit("</td>"),
             )
             for c in value_cols
@@ -332,11 +342,18 @@ def winsorize(
     (r03 watch item). The auto probe runs ONE eager ``count()`` at
     plan-construction time — metadata-cheap on a bare parquet scan but a
     full execution of a derived (joined/filtered) plan — so pass ``exact``
-    explicitly on expensive inputs, and always on streaming frames (a
-    streaming input with ``exact=None`` falls back to the sketch, since
-    counting it is impossible)."""
+    explicitly on expensive inputs. Streaming frames are rejected outright:
+    the global-bounds agg + cross join this operator is built on is
+    unsupported in Structured Streaming regardless of the percentile mode —
+    winsorize per window with a windowed aggregation instead."""
+    if df.isStreaming:
+        raise ValueError(
+            "winsorize needs a global two-pass bounds computation, which "
+            "Structured Streaming cannot run (streaming agg + cross join); "
+            "winsorize per window with a windowed aggregation instead"
+        )
     if exact is None:
-        exact = (not df.isStreaming) and df.count() <= WINSORIZE_EXACT_MAX_ROWS
+        exact = df.count() <= WINSORIZE_EXACT_MAX_ROWS
     name = name or f"{col}_w"
     pct = (
         F.percentile(col, F.lit(float(lower)))

@@ -7,8 +7,9 @@ Three tiers, same result contract (query_id, vec_id, cosine, rank):
   every approximate tier is measured against.
 - ``lsh_topk`` — random-hyperplane LSH: b sign-bits as the bucket key,
   computed as PURE column expressions (one dot product per bit against a
-  literal hyperplane), candidates = bucket collisions (multi-probe over
-  single-bit flips), exact re-rank inside buckets.
+  literal hyperplane), candidates = exact-bucket collisions in ANY of L
+  independent tables (recall is bought with more tables, not bit-flip
+  multiprobe), exact re-rank inside buckets.
 - ``ivf_topk`` — inverted-file: k-means-lite centroids fit on a driver
   sample, corpus assigned to nearest centroid (one Arrow pass), queries
   probe ``nprobe`` nearest centroids, exact re-rank inside probed cells.
@@ -112,8 +113,9 @@ def lsh_topk(
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).first()
         if first is None:
+            id_t = corpus.schema[id_col].dataType.simpleString()
             return corpus.sparkSession.createDataFrame(
-                [], "query_id long, vec_id long, cosine double, rank int"
+                [], f"query_id {id_t}, vec_id {id_t}, cosine double, rank int"
             )
         dim = int(first["d"])
     c = corpus.select(
@@ -290,7 +292,11 @@ def build_ivf_index(
 ) -> IvfIndex:
     """Fit centroids (seeded takeSample) and assign every corpus vector to
     its nearest cell in one map-only pass."""
-    cents = centroids if centroids is not None else fit_centroids(corpus, n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_centroids(corpus, n_centroids, vec_col=vec_col, id_col=id_col)
+    )
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -47,14 +47,19 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda t: t != "",
     )
+    # greatest(size, 0) / coalesce: F.size(NULL) is -1 under Spark's default
+    # legacy.sizeOfNull, so a NULL text row would otherwise contribute
+    # NEGATIVE token counts to downstream budget sums (r04 review).
     return df.withColumns(
         {
-            "n_words": F.size(toks),
-            "n_chars": F.length(text_col),
+            "n_words": F.greatest(F.size(toks), F.lit(0)),
+            "n_chars": F.coalesce(F.length(text_col), F.lit(0)),
             # ~4 chars/token floor keeps the estimate sane for CJK strings
             # where whitespace tokenization collapses.
             "n_tokens_est": F.greatest(
-                F.size(bpe_pieces), F.ceil(F.length(text_col) / 4).cast("int")
+                F.size(bpe_pieces),
+                F.ceil(F.coalesce(F.length(text_col), F.lit(0)) / 4).cast("int"),
+                F.lit(0),
             ),
         }
     )
@@ -73,7 +78,16 @@ def with_quality_score(
     n_chars = F.length(text_col)
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    # [^\p{L}\p{N}_\s], not [^\w\s]: Java's \w is ASCII-only without
+    # UNICODE_CHARACTER_CLASS, so every CJK/accented letter counted as
+    # punctuation and fluent Chinese text scored punct_ratio ≈ 1.0 →
+    # quality ≤ 0.15 (r04 review). \p{L}/\p{N} are Unicode-aware in BOTH
+    # Java regex and DuckDB's RE2, keeping oracle parity. (The BPE-estimate
+    # regex above intentionally KEEPS ASCII \w: treating each CJK char as
+    # its own piece is the right token estimate there.)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}_\s]", "")
+    )
     mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
 
     length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.2)
@@ -105,7 +119,24 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(x) for x in markers])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scores = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    def char_marker_score(markers: tuple[str, ...]) -> Column:
+        # Unsegmented CJK is ONE whitespace token, so token-equality scoring
+        # never fires on real Chinese text (r04 review). Count marker
+        # CHARACTER occurrences instead: sum of length deltas after
+        # deleting each marker — replace() is identical in DuckDB, so the
+        # oracle replays it exactly.
+        total = F.lit(0)
+        for m in markers:
+            total = total + (
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit(m), F.lit("")))
+            )
+        return F.coalesce(total, F.lit(0))
+
+    scores = {
+        lang: (char_marker_score(m) if lang == "zh" else marker_score(m))
+        for lang, m in LANG_MARKERS.items()
+    }
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in sorted(LANG_MARKERS, reverse=True):

@@ -94,7 +94,7 @@ def text_token_stats(spark, sf_dir):
                len(list_filter(toks, x -> x IN
                    ('the','and','of','to','a','in','is','it','that','was','for','on')))
                    AS n_stop,
-               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+               n_chars - length(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct
         FROM t
     )
     SELECT doc_id,
@@ -130,15 +130,30 @@ _MARKER_SQL = {
     "es": "('el','la','los','y','es','una','en')",
     "zh": "('的','是','在','了','和','有','我')",
 }
+def _zh_char_score_sql() -> str:
+    # Character-occurrence counts via length deltas (replace() is identical
+    # cross-engine) — token-equality scoring never fires on unsegmented CJK.
+    terms = " + ".join(
+        f"(length(text) - length(replace(text, '{m}', '')))"
+        for m in ("的", "是", "在", "了", "和", "有", "我")
+    )
+    return f"COALESCE({terms}, 0) AS score_zh"
+
+
 _SCORES_SQL = ",\n".join(
-    f"len(list_filter(toks, t -> t IN {v})) AS score_{k}" for k, v in _MARKER_SQL.items()
+    (
+        _zh_char_score_sql()
+        if k == "zh"
+        else f"len(list_filter(toks, t -> t IN {v})) AS score_{k}"
+    )
+    for k, v in _MARKER_SQL.items()
 )
 
 
 @register(
     "lang_id_confusion",
     f"""
-    WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents),
     s AS (SELECT doc_id, lang, {_SCORES_SQL} FROM t),
     p AS (
         SELECT lang,
@@ -443,7 +458,7 @@ def ann_ivf_topk(spark, sf_dir):
                len(list_filter(toks, x -> x IN
                    ('the','and','of','to','a','in','is','it','that','was','for','on')))
                    AS n_stop,
-               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+               n_chars - length(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct
         FROM t
     )
     SELECT doc_id, lang, n_words, n_chars
@@ -904,7 +919,7 @@ def near_dup_dedup(spark, sf_dir):
                len(list_filter(toks, x -> x IN
                    ('the','and','of','to','a','in','is','it','that','was','for','on')))
                    AS n_stop,
-               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+               n_chars - length(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct,
                greatest(
                    len(list_filter(string_split_regex(
                        regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+'),
@@ -1067,7 +1082,7 @@ def corpus_curation_pipeline(spark, sf_dir):
                len(list_filter(toks, x -> x IN
                    ('the','and','of','to','a','in','is','it','that','was','for','on')))
                    AS n_stop,
-               n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+               n_chars - length(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS n_punct
         FROM t
     )
     SELECT doc_id, n_words, n_chars,

@@ -242,7 +242,7 @@ def _quality_oracle_sql() -> str:
                     ELSE 0.0 END AS stopword_ratio,
                CASE WHEN length(text) > 0
                     THEN (length(text)
-                          - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                          - length(regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')))
                          / length(text)
                     ELSE 0.0 END AS punct_ratio,
                ln(1 + len(toks)) AS log_n_words,

@@ -58,11 +58,11 @@ def rollup_with_tail(
     aggregated from ``raw`` beyond the rollup horizon. Equals the full batch
     tally (pinned in tests/test_rollup.py) while reading pre-aggregated
     history."""
-    import os
+    from ningaloo_turtle_etl_spark.streaming.sinks import _exists
 
-    if os.path.exists(target_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(target_dir)
-    ):
+    # Shared with the write path — one definition of 'rollup table exists'
+    # (the hand-copied local check drifted from sinks._exists; r04 review).
+    if _exists(spark, target_dir):
         rolled = spark.read.parquet(target_dir)
         horizon = rolled.agg(F.max("window_start")).collect()[0][0]
     else:

@@ -163,3 +163,25 @@ def test_winsorize_auto_mode_and_sketch_plan(spark):
     # The sketch path must carry NO exact (column-buffering) percentile agg.
     assert "approx_percentile" in plan_big
     assert "percentile(" not in plan_big.replace("approx_percentile", "")
+
+
+def test_winsorize_rejects_streaming_input(spark):
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.relational import winsorize
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="Structured Streaming"):
+        winsorize(stream, "value")
+
+
+def test_count_pivot_empty_values_yields_no_value_columns(spark):
+    # Regression (r04 review): an explicitly-empty closed value list fell
+    # through the falsy check into the data-dependent distinct scan.
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.relational import count_pivot
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = count_pivot(df, ["k"], "v", values=[])
+    assert out.columns == ["k"]

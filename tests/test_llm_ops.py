@@ -725,3 +725,27 @@ def test_bigram_lm_scores_match_python_reference(spark):
         assert got[doc_id]["n_bigrams"] == len(nlls)
         assert abs(got[doc_id]["avg_nll"] - sum(nlls) / len(nlls)) < 1e-6
     assert got[1]["avg_nll"] < got[3]["avg_nll"]  # fluent beats shuffled
+
+
+def test_ivf_topk_works_with_renamed_columns(spark):
+    # Regression (r04 review): build_ivf_index didn't forward id/vec column
+    # names to fit_centroids, crashing any non-default schema.
+    import numpy as np
+
+    rows = [(f"d{i}", [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, vec array<float>")
+    out = ivf_topk(
+        df, df.limit(2), k=2, n_centroids=4, nprobe=4,
+        id_col="doc_id", vec_col="vec",
+    ).collect()
+    assert len(out) > 0
+
+
+def test_lsh_topk_empty_corpus_schema_matches_id_type(spark):
+    # Regression (r04 review): the empty-corpus early return hardcoded long
+    # ids, diverging from the non-empty path for string id columns.
+    empty = spark.createDataFrame([], "doc_id string, vec array<float>")
+    out = lsh_topk(empty, empty, k=3, id_col="doc_id", vec_col="vec")
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert out.count() == 0

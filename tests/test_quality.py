@@ -62,3 +62,56 @@ def test_validate_fk_exists(spark):
     errs = only_errors(out).collect()
     assert len(errs) == 1 and errs[0]["obs"] == 2
     assert errs[0]["error_message"] == "unknown flipper tag"
+
+
+def test_lang_id_detects_unsegmented_chinese(spark):
+    # Regression (r04 review): whitespace tokenization leaves real Chinese
+    # as ONE token, so token-equality scoring never fired and every CJK doc
+    # was 'und'. Marker-character counting must detect it.
+    from ningaloo_turtle_etl_spark.operators.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [(1, "我是学生的朋友我们在这里"), (2, "the cat and the dog in a house")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_lang_id(df).collect()}
+    assert rows[1]["predicted_lang"] == "zh" and rows[1]["score_zh"] >= 4
+    assert rows[2]["predicted_lang"] == "en"
+
+
+def test_quality_score_does_not_punish_cjk_letters(spark):
+    # Regression (r04 review): ASCII-only \w counted every CJK/accented
+    # letter as punctuation, scoring fluent Chinese punct_ratio ≈ 1.0.
+    from ningaloo_turtle_etl_spark.operators.text import with_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "我们 在 这里 学习 中文 課程 今天 天氣 很好 朋友"),
+         (2, "café résumé naïve Übung schön señor année déjà vu être")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_quality_score(df).collect()}
+    assert rows[1]["punct_ratio"] == 0.0
+    assert rows[2]["punct_ratio"] == 0.0
+
+
+def test_token_counts_zero_for_null_text(spark):
+    # Regression (r04 review): size(NULL) = -1 made NULL-text rows
+    # contribute negative token counts to budget sums.
+    from ningaloo_turtle_etl_spark.operators.text import with_token_counts
+
+    df = spark.createDataFrame([(1, None), (2, "two words")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_token_counts(df).collect()}
+    assert rows[1]["n_words"] == 0 and rows[1]["n_chars"] == 0
+    assert rows[1]["n_tokens_est"] == 0
+    assert rows[2]["n_words"] == 2
+
+
+def test_grouped_html_table_escapes_cells(spark):
+    from ningaloo_turtle_etl_spark.operators.relational import grouped_html_table
+
+    df = spark.createDataFrame(
+        [("g", "<script>alert(1)</script>", "a&b")], "g string, x string, y string"
+    )
+    html = grouped_html_table(df, "g", ["x", "y"]).collect()[0]["html"]
+    assert "<script>" not in html
+    assert "&lt;script&gt;" in html and "a&amp;b" in html
