@@ -693,3 +693,71 @@ def pack_chunks(
             "bin_pos": (cum - F.col(weight_col)).cast("long"),
         }
     )
+
+
+# --- deterministic global shuffle + training shards -------------------------
+
+
+def assign_training_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training output: every row gets a
+    ``shard_id`` (md5-hash mod n_shards — balanced in expectation,
+    engine-portable, stable under retries/re-runs, unlike
+    ``repartition(n)``'s round-robin which depends on input split order)
+    and a ``shard_pos`` (rank of the row's 60-bit hash within its shard —
+    hash order IS the reproducible pseudo-random training order; ties are
+    impossible while ids are unique because equal hashes fall back to id
+    order). Adds ``shard_id``, ``shard_pos``.
+
+    100 TB shape: the one shuffle is the shard_pos window, partitioned by
+    shard (n_shards partitions — size n_shards ≥ executor count
+    accordingly). A writer that doesn't need explicit positions should
+    instead ``repartition(n_shards, shard_id).sortWithinPartitions(hash)``
+    — same layout, no rank materialized, window-free."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    with_shard = df.withColumns(
+        {"_shard_h": h, "shard_id": (h % F.lit(int(n_shards))).cast("int")}
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_shard_h"), F.col(id_col))
+    return with_shard.withColumn(
+        "shard_pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_shard_h")
+
+
+def training_shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Per-shard manifest — the sidecar a training job reads before the
+    shards: row count, total/max weight (chars or tokens), and the id range.
+    Window-free: shard assignment is a map-side expression and the manifest
+    is ONE n_shards-group aggregation, so this runs as a cheap audit pass
+    even when the positional form is skipped."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    shard = (h % F.lit(int(n_shards))).cast("int")
+    return (
+        df.select(
+            shard.alias("shard_id"),
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).alias("_w"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("total_weight"),
+            F.max("_w").alias("max_weight"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+        )
+    )

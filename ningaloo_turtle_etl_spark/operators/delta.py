@@ -1,0 +1,88 @@
+"""Snapshot-diff operators — classify rows as added / removed / changed /
+unchanged between two versions of a table.
+
+The reference re-downloads its source database on every run behind a
+``refresh_data`` flag (`ningaloo-etl.Rmd:41,47-53`) and has no way to say
+WHAT changed between refreshes; at 100 TB a full re-publish per refresh is
+exactly what you can't afford. The diff below is the primitive an
+incremental refresh builds on: process only the added/changed keys,
+tombstone the removed ones.
+
+Scale shape: both sides are projected map-side to ``(key, 32-char md5
+fingerprint)`` BEFORE the join, so the one unavoidable shuffle (full outer
+join on the key) carries fixed-width rows, never payloads — diffing two
+100 TB snapshots shuffles ~40 bytes/row. The fingerprint uses the
+engine-portable md5 family (operators/curation.py:_sample_hash rationale),
+with a unit separator + per-column null sentinel so (NULL, 'a') never
+collides with ('a', NULL) or with a literal containing the separator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ASCII unit separator: cannot appear in the testdata's text columns and is
+# vanishingly rare in real ones; the null sentinel includes it so a NULL can
+# never equal any non-NULL string.
+_SEP = "\x1f"
+_NULL = "\x1f\x00"
+
+
+def row_fingerprint(cols: Sequence[str]) -> Column:
+    """md5 over the unit-separated, null-sentineled string forms of
+    ``cols`` — order-sensitive, engine-portable (DuckDB computes the
+    identical digest, which is what makes snapshot_diff oracle-provable)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row per key present in either snapshot, with ``status`` in
+    {'added','removed','changed','unchanged'}: added = key only in ``new``,
+    removed = only in ``old``, changed = in both with differing
+    fingerprints over ``compare_cols`` (default: all shared non-key
+    columns, in ``new``'s column order)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in set(keys)
+        ]
+    keys = list(keys)
+    o = old.select(*keys, row_fingerprint(compare_cols).alias("_old_fp"))
+    n = new.select(*keys, row_fingerprint(compare_cols).alias("_new_fp"))
+    joined = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*keys, status.alias("status"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Status → (row count, share of the union key space), the refresh
+    health report: an unexpected spike in 'removed' is how you catch an
+    upstream truncation before publishing."""
+    d = snapshot_diff(old, new, keys, compare_cols)
+    per = d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "status",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )

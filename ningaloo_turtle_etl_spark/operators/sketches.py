@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def approx_distinct(
@@ -55,6 +55,143 @@ def heavy_hitters(
     may over-report — false positives possible, false negatives not, the
     usual heavy-hitter contract)."""
     return df.freqItems(list(cols), support)
+
+
+# --- cross-engine portable sketches -----------------------------------------
+#
+# Spark's built-in sketches (HLL++, GK, KPS above) are engine-specific: the
+# same data gives different estimates in DuckDB, Trino, or a different Spark
+# version, so they can only ever be rows-only evidence and their state can't
+# be exchanged with other systems. The portable variants below fix that by
+# building the sketch from md5-derived 32-bit hashes with pure integer/dyadic
+# arithmetic — every intermediate is either an integer or an exactly
+# representable power of two, so ANY engine with md5() reproduces the sketch
+# bit-for-bit (pinned against the DuckDB oracle in portable_sketch_profile).
+# That portability is operationally useful at 100 TB: registers computed by
+# Spark can be merged with registers computed by a different engine, and the
+# estimate is stable under task retries and partition count (max/min are
+# order-independent).
+#
+# HLL (Flajolet et al. 2007): p=8 → m=256 registers, 24-bit remainder,
+# stderr ≈ 1.04/√m ≈ 6.5%. KMV (Bar-Yossef et al. 2002): k=256, kth-minimum
+# distinct hash, stderr ≈ 1/√(k−2) ≈ 6.3%.
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_W = 1 << (32 - _HLL_P)  # 2^24: register-selector remainder modulus
+_HLL_RHO_MAX = 32 - _HLL_P + 1  # 25: rho when the remainder is all zeros
+# 0.7213/(1 + 1.079/m) * m² precomputed as ONE double literal so both engines
+# perform exactly one division — IEEE-deterministic for identical inputs.
+_HLL_ALPHA_M2 = 47072.71267120224
+_KMV_K = 256
+_KMV_NUM = 1095216660480.0  # (k-1) * 2^32, precomputed literal
+
+
+def _h32(col: Column | str) -> Column:
+    """First 32 bits of md5(value-as-string) as a long — the engine-portable
+    hash family established in operators/curation.py:_sample_hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def portable_hll_registers(
+    df: DataFrame, col: str, by: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group HLL register table ``(*by, bucket, mr)`` — the mergeable
+    sketch state (merge = groupBy(bucket).max(mr), proven in
+    tests/test_sketches.py). Distinct (group, hash) pairs are 8-byte rows
+    partially aggregated map-side; the register table is ≤ m rows per group
+    regardless of cardinality."""
+    h = _h32(col)
+    d = df.select(*by, h.alias("h32")).distinct()
+    w = F.col("h32") % F.lit(_HLL_W)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    b = d.select(
+        *by,
+        F.floor(F.col("h32") / F.lit(_HLL_W)).cast("long").alias("bucket"),
+        rho.alias("rho"),
+    )
+    return b.groupBy(*by, "bucket").agg(F.max("rho").alias("mr"))
+
+
+def portable_hll_estimate(registers: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """HLL estimate per group from a register table: raw = α·m²/Σ2^−Mj with
+    the standard linear-counting correction below 2.5m (Flajolet et al.
+    §4). Σ2^−Mj is a sum of exact dyadic rationals (granularity 2^−25, well
+    inside double's 53-bit mantissa) so it is bit-identical across engines
+    and partition orders; the estimate is then ONE division of identical
+    doubles. 32-bit large-range correction (E > 2^32/30 ≈ 143M) is out of
+    range for a 256-register profile sketch and deliberately omitted."""
+    agg = registers.groupBy(*by).agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("mr"))) + (F.lit(_HLL_M) - F.count(F.lit(1))))
+        .alias("sum_inv"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA_M2) / F.col("sum_inv")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(*by, est.alias("hll_raw"), "zeros")
+
+
+def portable_kmv_estimate(
+    df: DataFrame, col: str, by: Sequence[str] = (), k: int = _KMV_K
+) -> DataFrame:
+    """KMV distinct estimate per group: (k−1)·2^32 / (kth smallest distinct
+    32-bit hash); exact count when the group holds < k distinct hashes (the
+    sketch then contains everything). Hash collisions are removed by the
+    distinct, so the row_number order is tie-free and deterministic."""
+    from pyspark.sql.window import Window
+
+    d = df.select(*by, _h32(col).alias("h32")).distinct()
+    part = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(
+        F.lit(1)
+    )
+    win = part.orderBy("h32")
+    ranked = d.select(
+        *by,
+        "h32",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("cnt"),
+    )
+    kth = ranked.filter(
+        F.col("rn")
+        == F.when(F.col("cnt") < F.lit(k), F.col("cnt")).otherwise(F.lit(k))
+    )
+    est = F.when(
+        F.col("cnt") < F.lit(k), F.col("cnt").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("h32"))
+    return kth.select(*by, est.alias("kmv_raw"))
+
+
+def portable_sketch_report(
+    df: DataFrame, col: str, by: Sequence[str] = ()
+) -> DataFrame:
+    """Exact distinct + portable HLL + portable KMV side-by-side per group,
+    with relative errors — the engine-portable counterpart of
+    distinct_vs_approx_report (and, unlike it, DuckDB-oracle-provable)."""
+    exact = df.groupBy(*by).agg(F.countDistinct(col).alias("exact_distinct"))
+    hll = portable_hll_estimate(portable_hll_registers(df, col, by=by), by=by)
+    kmv = portable_kmv_estimate(df, col, by=by)
+    keys = list(by)
+    out = exact.join(hll, on=keys).join(kmv, on=keys)
+    hll_e = F.round(F.col("hll_raw"), 4)
+    kmv_e = F.round(F.col("kmv_raw"), 4)
+    return out.select(
+        *by,
+        "exact_distinct",
+        hll_e.alias("hll_estimate"),
+        kmv_e.alias("kmv_estimate"),
+        F.round(
+            F.abs(hll_e - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("hll_rel_err"),
+        F.round(
+            F.abs(kmv_e - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("kmv_rel_err"),
+    )
 
 
 def distinct_vs_approx_report(

@@ -138,3 +138,57 @@ def sql_entry_point(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@register(
+    "snapshot_delta_report",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                 coalesce(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END,
+                          chr(31) || chr(0)),
+                 coalesce(lang, chr(31) || chr(0)),
+                 coalesce(source, chr(31) || chr(0)),
+                 coalesce(CAST(n_chars AS VARCHAR), chr(31) || chr(0)))) AS old_fp
+      FROM documents WHERE doc_id % 13 != 5
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                 coalesce(text, chr(31) || chr(0)),
+                 coalesce(lang, chr(31) || chr(0)),
+                 coalesce(source, chr(31) || chr(0)),
+                 coalesce(CAST(n_chars AS VARCHAR), chr(31) || chr(0)))) AS new_fp
+      FROM documents WHERE doc_id % 11 != 3
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def snapshot_delta_report(spark, sf_dir):
+    """Incremental-refresh diff: classify every doc_id as added / removed /
+    changed / unchanged between two snapshot versions (derived
+    deterministically from the documents table: the 'old' snapshot is
+    missing doc_id%13==5, carries upper-cased text for doc_id%7==0, and the
+    'new' one dropped doc_id%11==3). The reference refreshes by full
+    re-download (`ningaloo-etl.Rmd:41,47-53`); this is the primitive that
+    replaces that at scale — the join shuffles only (key, md5 fingerprint)
+    pairs, never document payloads."""
+    from ningaloo_turtle_etl_spark.operators.delta import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 3)
+    return snapshot_diff(
+        old, new, keys=["doc_id"], compare_cols=["text", "lang", "source", "n_chars"]
+    )

@@ -513,6 +513,75 @@ def sketch_profile(spark, sf_dir):
 
 
 @register(
+    "portable_sketch_profile",
+    """
+    WITH d AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+      FROM lineitem
+    ),
+    b AS (
+      SELECT flag, h32 // 16777216 AS bucket,
+             CASE WHEN h32 % 16777216 = 0 THEN 25
+                  ELSE 25 - length(bin(h32 % 16777216)) END AS rho
+      FROM d
+    ),
+    r AS (SELECT flag, bucket, MAX(rho) AS mr FROM b GROUP BY flag, bucket),
+    h AS (
+      SELECT flag,
+             SUM(power(2.0, -mr)) + (256 - COUNT(*)) AS sum_inv,
+             256 - COUNT(*) AS zeros
+      FROM r GROUP BY flag
+    ),
+    est AS (
+      SELECT flag,
+             CASE WHEN 47072.71267120224 / sum_inv <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE 47072.71267120224 / sum_inv END AS hll_raw
+      FROM h
+    ),
+    k AS (
+      SELECT flag, h32,
+             row_number() OVER (PARTITION BY flag ORDER BY h32) AS rn,
+             COUNT(*) OVER (PARTITION BY flag) AS cnt
+      FROM d
+    ),
+    km AS (
+      SELECT flag,
+             CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+                  ELSE 1095216660480.0 / h32 END AS kmv_raw
+      FROM k WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END
+    ),
+    ex AS (
+      SELECT l_returnflag AS flag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ex.flag AS l_returnflag, exact_distinct,
+           round(est.hll_raw, 4) AS hll_estimate,
+           round(km.kmv_raw, 4) AS kmv_estimate,
+           round(abs(round(est.hll_raw, 4) - exact_distinct)
+                 / exact_distinct, 4) AS hll_rel_err,
+           round(abs(round(km.kmv_raw, 4) - exact_distinct)
+                 / exact_distinct, 4) AS kmv_rel_err
+    FROM ex JOIN est ON ex.flag = est.flag JOIN km ON ex.flag = km.flag
+    """,
+)
+def portable_sketch_profile(spark, sf_dir):
+    """Engine-portable sketch calibration: exact distinct orders per return
+    flag vs md5-based HLL (m=256) and KMV (k=256) estimates with relative
+    errors. Unlike sketch_profile's built-in HLL++/GK (engine-specific →
+    rows-only), every intermediate here is an integer or exact dyadic
+    rational, so DuckDB reproduces the estimates bit-for-bit — this is the
+    sketch family's full-oracle row. Sketch state is mergeable
+    (registers/min-hashes merge by max/min; tests/test_sketches.py) and
+    retry-stable, which is what a 100 TB profiling pass needs."""
+    from ningaloo_turtle_etl_spark.operators.sketches import portable_sketch_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return portable_sketch_report(li, "l_orderkey", by=["l_returnflag"])
+
+
+@register(
     "near_dup_clusters",
     rf"""
     WITH RECURSIVE t AS (

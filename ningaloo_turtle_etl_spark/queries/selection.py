@@ -342,3 +342,35 @@ def q_text_classifier_scores(spark, sf_dir):
     return hashed_text_scores(docs, model, out_col="p_english").select(
         "doc_id", "lang", F.round("p_english", 3).alias("p_english")
     )
+
+
+@register(
+    "training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h60
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h60 % 16 AS INTEGER) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY h60 % 16 ORDER BY h60, doc_id) - 1
+                AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def q_training_shards(spark, sf_dir):
+    """Deterministic global shuffle for training output: shard_id =
+    md5-hash mod 16 (balanced, retry-stable — unlike repartition()'s
+    split-order-dependent round-robin) and shard_pos = hash-rank within the
+    shard, the reproducible pseudo-random read order. The reference's
+    serving layer writes one CSV per run (`ningaloo-etl.Rmd` outputs);
+    sharded deterministic output is the 100 TB counterpart. Manifest/audit
+    form: operators/curation.py:training_shard_manifest (window-free,
+    pytest-pinned)."""
+    from ningaloo_turtle_etl_spark.operators.curation import assign_training_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    return assign_training_shards(docs, n_shards=16).select(
+        "doc_id", "shard_id", "shard_pos"
+    )

@@ -149,6 +149,9 @@ PRIORITY: list[str] = [
     "tfidf_top_terms",
     "forward_sel_step",
     "bigram_lm_scores",
+    "portable_sketch_profile",
+    "snapshot_delta_report",
+    "training_shards",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Snapshot-diff tests: status classification, null-sentinel collision
+safety, summary shares, and the payload-free shuffle shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.delta import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _snapshots(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    old = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 3)
+    return old, new
+
+
+def test_snapshot_diff_statuses(spark):
+    old, new = _snapshots(spark)
+    d = snapshot_diff(old, new, keys=["doc_id"]).cache()
+    try:
+        by = {r["status"]: r["n"] for r in
+              d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # Derived from the modular construction on 500 docs (0..499):
+        # added = %13==5 and %11!=3; removed = %11==3 and %13!=5;
+        # changed = in both and %7==0; 3 ids (135,278,421) are in neither.
+        assert by == {"added": 36, "removed": 43, "changed": 60, "unchanged": 358}
+        assert d.count() == 497
+        spot = {r["doc_id"]: r["status"] for r in d.collect()}
+        assert spot[5] == "added"  # 5%13==5, 5%11!=3
+        assert spot[3] == "removed"  # 3%11==3
+        assert spot[7] == "changed"  # 7%7==0, in both
+        assert spot[1] == "unchanged"
+        assert 135 not in spot  # in neither snapshot
+    finally:
+        d.unpersist()
+
+
+def test_snapshot_diff_default_compare_cols_and_nulls(spark):
+    """Defaults pick all shared non-key columns; a NULL never equals any
+    non-NULL value and shifted nulls ((NULL,'a') vs ('a',NULL)) differ."""
+    rows = [(1, None, "a"), (2, "a", None), (3, "x", "y")]
+    old = spark.createDataFrame(rows, "k int, c1 string, c2 string")
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "x", "z")], "k int, c1 string, c2 string"
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_snapshot_diff_summary_shares(spark):
+    old, new = _snapshots(spark)
+    rows = snapshot_diff_summary(old, new, keys=["doc_id"]).collect()
+    assert {r["status"] for r in rows} == {"added", "removed", "changed", "unchanged"}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n"] for r in rows) == 497
+
+
+def test_snapshot_diff_plan_shuffles_fingerprints_not_payloads(spark):
+    """Pin the scale-critical plan shape: the full-outer join is keyed on
+    doc_id and each side is reduced to a 2-column (key, fingerprint)
+    projection BEFORE its exchange — document payloads are consumed
+    map-side inside the md5 expression and never cross the shuffle."""
+    import re
+
+    old, new = _snapshots(spark)
+    df = snapshot_diff(old, new, keys=["doc_id"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan and plan.count("hashpartitioning(doc_id") >= 2
+    # Each side collapses to exactly two columns (key + fp) at some Project
+    # below its exchange.
+    for fp in ("_old_fp", "_new_fp"):
+        assert re.search(rf"Output \[2\]:.*{fp}", plan), f"{fp} side not pruned:\n{plan}"

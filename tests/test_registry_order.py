@@ -108,6 +108,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "tfidf_top_terms",
         "forward_sel_step",
         "bigram_lm_scores",
+        "portable_sketch_profile",
+        "snapshot_delta_report",
+        "training_shards",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
