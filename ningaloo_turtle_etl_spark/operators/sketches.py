@@ -143,26 +143,45 @@ def portable_kmv_estimate(
     """KMV distinct estimate per group: (k−1)·2^32 / (kth smallest distinct
     32-bit hash); exact count when the group holds < k distinct hashes (the
     sketch then contains everything). Hash collisions are removed by the
-    distinct, so the row_number order is tie-free and deterministic."""
+    distinct, so the row_number order is tie-free and deterministic.
+
+    Scale shape: the kth-min window never sees the full hash set. A small
+    per-group dim (n_distinct) broadcasts back and gates the window input to
+    hashes below ceil(2^32·8k/n) — only candidates for the k minimum
+    survive, ~8k rows/group in expectation. The gate cannot drop the true
+    kth min in any practical universe: that needs Binomial(n, 8k/n) < k,
+    P ≤ exp(−8k·(7/8)²/2) ≈ e^−784 for k=256 — and the DuckDB oracle
+    (which takes no gate) would catch it as a hash mismatch. Groups with
+    n < 8k keep every hash, so the exact-count fallback path is unaffected."""
     from pyspark.sql.window import Window
 
     d = df.select(*by, _h32(col).alias("h32")).distinct()
+    keys = list(by)
+    counts = d.groupBy(*by).agg(F.count(F.lit(1)).alias("_kmv_n"))
+    thresh = F.when(
+        F.col("_kmv_n") < F.lit(8 * k), F.lit(4294967296)
+    ).otherwise(
+        F.ceil(F.lit(4294967296.0) * F.lit(8.0 * k) / F.col("_kmv_n")).cast("long")
+    )
+    dim = F.broadcast(counts.select(*by, F.col("_kmv_n"), thresh.alias("_kmv_t")))
+    gated = (
+        d.join(dim, on=keys) if keys else d.crossJoin(dim)
+    ).filter(F.col("h32") < F.col("_kmv_t"))
     part = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(
         F.lit(1)
     )
-    win = part.orderBy("h32")
-    ranked = d.select(
+    ranked = gated.select(
         *by,
         "h32",
-        F.row_number().over(win).alias("rn"),
-        F.count(F.lit(1)).over(part).alias("cnt"),
+        "_kmv_n",
+        F.row_number().over(part.orderBy("h32")).alias("rn"),
     )
     kth = ranked.filter(
         F.col("rn")
-        == F.when(F.col("cnt") < F.lit(k), F.col("cnt")).otherwise(F.lit(k))
+        == F.when(F.col("_kmv_n") < F.lit(k), F.col("_kmv_n")).otherwise(F.lit(k))
     )
     est = F.when(
-        F.col("cnt") < F.lit(k), F.col("cnt").cast("double")
+        F.col("_kmv_n") < F.lit(k), F.col("_kmv_n").cast("double")
     ).otherwise(F.lit(_KMV_NUM) / F.col("h32"))
     return kth.select(*by, est.alias("kmv_raw"))
 
@@ -172,7 +191,10 @@ def portable_sketch_report(
 ) -> DataFrame:
     """Exact distinct + portable HLL + portable KMV side-by-side per group,
     with relative errors — the engine-portable counterpart of
-    distinct_vs_approx_report (and, unlike it, DuckDB-oracle-provable)."""
+    distinct_vs_approx_report (and, unlike it, DuckDB-oracle-provable).
+    The exact column is the point of a CALIBRATION query (it shuffles the
+    raw key universe); a pure profiling pass at scale drops it and keeps
+    only the sketch branches."""
     exact = df.groupBy(*by).agg(F.countDistinct(col).alias("exact_distinct"))
     hll = portable_hll_estimate(portable_hll_registers(df, col, by=by), by=by)
     kmv = portable_kmv_estimate(df, col, by=by)

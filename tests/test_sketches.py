@@ -149,3 +149,17 @@ def test_portable_low_cardinality_branches(spark):
     expected = round(256.0 * math.log(256.0 / zeros), 4)
     assert row["hll_estimate"] == expected
     assert row["hll_rel_err"] < 0.2
+
+
+def test_portable_kmv_window_input_is_gated_and_dim_broadcast(spark):
+    """Pin the scale shape: the kth-min window reads only hashes under the
+    broadcast per-group threshold, never the full distinct hash set."""
+    from ningaloo_turtle_etl_spark.operators.sketches import portable_kmv_estimate
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    df = portable_kmv_estimate(li, "l_orderkey", by=["l_returnflag"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "_kmv_t" in plan  # threshold gate present below the window
+    w = plan.find("Window")
+    assert w != -1 and "_kmv_t" in plan[w:], "gate must be under the window"
