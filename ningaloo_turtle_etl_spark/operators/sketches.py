@@ -137,22 +137,13 @@ def portable_hll_estimate(registers: DataFrame, by: Sequence[str] = ()) -> DataF
     return agg.select(*by, est.alias("hll_raw"), "zeros")
 
 
-def portable_kmv_estimate(
-    df: DataFrame, col: str, by: Sequence[str] = (), k: int = _KMV_K
+def _kmv_ranked(
+    df: DataFrame, col: str, by: Sequence[str], k: int
 ) -> DataFrame:
-    """KMV distinct estimate per group: (k−1)·2^32 / (kth smallest distinct
-    32-bit hash); exact count when the group holds < k distinct hashes (the
-    sketch then contains everything). Hash collisions are removed by the
-    distinct, so the row_number order is tie-free and deterministic.
-
-    Scale shape: the kth-min window never sees the full hash set. A small
-    per-group dim (n_distinct) broadcasts back and gates the window input to
-    hashes below ceil(2^32·8k/n) — only candidates for the k minimum
-    survive, ~8k rows/group in expectation. The gate cannot drop the true
-    kth min in any practical universe: that needs Binomial(n, 8k/n) < k,
-    P ≤ exp(−8k·(7/8)²/2) ≈ e^−784 for k=256 — and the DuckDB oracle
-    (which takes no gate) would catch it as a hash mismatch. Groups with
-    n < 8k keep every hash, so the exact-count fallback path is unaffected."""
+    """Shared KMV core: distinct (group, 32-bit hash) pairs, gated by the
+    broadcast ceil(2^32·8k/n) threshold so only k-minimum candidates reach
+    the rank window, with ``rn`` (ascending hash rank) and ``_kmv_n`` (the
+    group's full distinct-hash count) attached."""
     from pyspark.sql.window import Window
 
     d = df.select(*by, _h32(col).alias("h32")).distinct()
@@ -170,12 +161,98 @@ def portable_kmv_estimate(
     part = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(
         F.lit(1)
     )
-    ranked = gated.select(
+    return gated.select(
         *by,
         "h32",
         "_kmv_n",
         F.row_number().over(part.orderBy("h32")).alias("rn"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), k: int = _KMV_K
+) -> DataFrame:
+    """The KMV sketch itself as a first-class table: the ≤k smallest
+    distinct hashes per group (all of them when the group holds fewer).
+    ≤ k rows per group regardless of cardinality — small enough to store,
+    ship, or hand to another engine; supports set algebra downstream
+    (kmv_jaccard_pairs) because k-min(S_A ∪ S_B) = k-min(k-min(A) ∪
+    k-min(B))."""
+    r = _kmv_ranked(df, col, by, k)
+    return r.filter(
+        F.col("rn") <= F.least(F.lit(k), F.col("_kmv_n"))
+    ).select(*by, "h32")
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame, col: str, group_col: str, k: int = _KMV_K
+) -> DataFrame:
+    """Pairwise Jaccard similarity between every two groups' value sets,
+    estimated from their KMV sketches alone (Beyer et al., SIGMOD 2007:
+    J ≈ |S ∩ S_A ∩ S_B| / |S| where S = k smallest of the merged
+    sketches) — exact when the merged universe fits in k. This is how you
+    compare two 100 TB corpora without shuffling either: everything after
+    the per-group sketch touches ≤ groups²·k fixed-width rows.
+
+    Output per unordered pair: ``group_a < group_b``, ``sample_size``
+    (=|S|), ``n_common``, ``jaccard_est`` (all integers plus one rounded
+    division — engine-portable, DuckDB-oracle-provable)."""
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketch(df, col, by=[group_col], k=k)
+    groups = sk.select(F.col(group_col).alias("ga")).distinct()
+    pairs = F.broadcast(
+        groups.join(
+            groups.select(F.col("ga").alias("gb")), F.col("ga") < F.col("gb")
+        )
+    )
+    side_a = pairs.join(
+        sk.select(F.col(group_col).alias("ga"), "h32"), on="ga"
+    ).select("ga", "gb", "h32", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sk.select(F.col(group_col).alias("gb"), "h32"), on="gb"
+    ).select("ga", "gb", "h32", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h32")
+        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h32")
+    topk = merged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= F.lit(k)
+    )
+    res = topk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
+    )
+    return res.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "sample_size",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("sample_size"), 6
+        ).alias("jaccard_est"),
+    )
+
+
+def portable_kmv_estimate(
+    df: DataFrame, col: str, by: Sequence[str] = (), k: int = _KMV_K
+) -> DataFrame:
+    """KMV distinct estimate per group: (k−1)·2^32 / (kth smallest distinct
+    32-bit hash); exact count when the group holds < k distinct hashes (the
+    sketch then contains everything). Hash collisions are removed by the
+    distinct, so the row_number order is tie-free and deterministic.
+
+    Scale shape: the kth-min window never sees the full hash set. A small
+    per-group dim (n_distinct) broadcasts back and gates the window input to
+    hashes below ceil(2^32·8k/n) — only candidates for the k minimum
+    survive, ~8k rows/group in expectation. The gate cannot drop the true
+    kth min in any practical universe: that needs Binomial(n, 8k/n) < k,
+    P ≤ exp(−8k·(7/8)²/2) ≈ e^−784 for k=256 — and the DuckDB oracle
+    (which takes no gate) would catch it as a hash mismatch. Groups with
+    n < 8k keep every hash, so the exact-count fallback path is unaffected."""
+    ranked = _kmv_ranked(df, col, by, k)
     kth = ranked.filter(
         F.col("rn")
         == F.when(F.col("_kmv_n") < F.lit(k), F.col("_kmv_n")).otherwise(F.lit(k))

@@ -1836,3 +1836,71 @@ def q_tfidf_top_terms(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return tfidf_top_terms(docs, n_top=3)
+
+
+@register(
+    "corpus_overlap_sketch",
+    r"""
+    WITH t AS (
+      SELECT lang, list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM t
+    ),
+    h AS (
+      SELECT DISTINCT lang, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s
+    ),
+    r AS (
+      SELECT lang, h32,
+             row_number() OVER (PARTITION BY lang ORDER BY h32) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    ),
+    sk AS (SELECT lang, h32 FROM r WHERE rn <= CASE WHEN n < 256 THEN n ELSE 256 END),
+    g AS (SELECT DISTINCT lang FROM sk),
+    p AS (SELECT a.lang AS ga, b.lang AS gb FROM g a JOIN g b ON a.lang < b.lang),
+    e AS (
+      SELECT p.ga, p.gb, sk.h32, 1 AS in_a, 0 AS in_b FROM p JOIN sk ON sk.lang = p.ga
+      UNION ALL
+      SELECT p.ga, p.gb, sk.h32, 0 AS in_a, 1 AS in_b FROM p JOIN sk ON sk.lang = p.gb
+    ),
+    m AS (SELECT ga, gb, h32, MAX(in_a) AS ia, MAX(in_b) AS ib FROM e GROUP BY 1, 2, 3),
+    w AS (SELECT ga, gb, ia, ib,
+                 row_number() OVER (PARTITION BY ga, gb ORDER BY h32) AS rn
+          FROM m)
+    SELECT ga AS lang_a, gb AS lang_b,
+           CAST(COUNT(*) AS BIGINT) AS sample_size,
+           CAST(SUM(ia * ib) AS BIGINT) AS n_common,
+           round(CAST(SUM(ia * ib) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+    FROM w WHERE rn <= 256 GROUP BY 1, 2
+    """,
+)
+def corpus_overlap_sketch(spark, sf_dir):
+    """Cross-corpus overlap from sketches alone: pairwise 3-gram-shingle
+    Jaccard between every two languages' sub-corpora, estimated from their
+    KMV sketches (Beyer et al., SIGMOD 2007) — after the per-group sketch
+    pass, everything touches ≤ groups²·k fixed-width rows, which is how two
+    100 TB corpora get compared without shuffling either. md5 hash family →
+    the DuckDB oracle reproduces every estimate bit-for-bit; convergence to
+    exact Jaccard as k grows is pinned in tests/test_sketches.py."""
+    from ningaloo_turtle_etl_spark.operators.curation import word_ngrams_from_tokens
+    from ningaloo_turtle_etl_spark.operators.sketches import kmv_jaccard_pairs
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("lang", tokens(F.lower(F.col("text"))).alias("toks"))
+    sh = toks.select(
+        "lang", F.explode(word_ngrams_from_tokens(F.col("toks"), 3)).alias("sh")
+    )
+    out = kmv_jaccard_pairs(sh, "sh", "lang", k=256)
+    return out.select(
+        F.col("group_a").alias("lang_a"),
+        F.col("group_b").alias("lang_b"),
+        "sample_size",
+        "n_common",
+        "jaccard_est",
+    )

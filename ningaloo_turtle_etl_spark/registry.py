@@ -152,6 +152,7 @@ PRIORITY: list[str] = [
     "portable_sketch_profile",
     "snapshot_delta_report",
     "training_shards",
+    "corpus_overlap_sketch",
 ]
 
 

@@ -163,3 +163,65 @@ def test_portable_kmv_window_input_is_gated_and_dim_broadcast(spark):
     assert "_kmv_t" in plan  # threshold gate present below the window
     w = plan.find("Window")
     assert w != -1 and "_kmv_t" in plan[w:], "gate must be under the window"
+
+
+def test_kmv_jaccard_converges_to_exact(spark):
+    """KMV Jaccard estimates approach the exact pairwise Jaccard as k
+    grows (consistency), and at k=256 every pair is within the sampling
+    tolerance of its exact value."""
+    from ningaloo_turtle_etl_spark.operators.curation import word_ngrams_from_tokens
+    from ningaloo_turtle_etl_spark.operators.sketches import kmv_jaccard_pairs
+    from ningaloo_turtle_etl_spark.operators.text import tokens as tok
+
+    docs = load_table(spark, "documents", SF_DIR)
+    sh = docs.select("lang", tok(F.lower(F.col("text"))).alias("toks")).select(
+        "lang", F.explode(word_ngrams_from_tokens(F.col("toks"), 3)).alias("sh")
+    )
+    # exact pairwise jaccard via distinct-shingle self-join
+    d = sh.distinct().cache()
+    try:
+        sizes = {r["lang"]: r["n"] for r in
+                 d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        inter = {
+            (r["la"], r["lb"]): r["n"]
+            for r in d.alias("a")
+            .join(d.alias("b"),
+                  (F.col("a.sh") == F.col("b.sh")) & (F.col("a.lang") < F.col("b.lang")))
+            .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+            .groupBy("la", "lb").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for k, tol in ((256, 0.1), (2048, 0.02)):
+            rows = kmv_jaccard_pairs(sh, "sh", "lang", k=k).collect()
+            assert len(rows) == 10  # C(5 langs, 2)
+            for r in rows:
+                key = (r["group_a"], r["group_b"])
+                ex = inter.get(key, 0) / (
+                    sizes[key[0]] + sizes[key[1]] - inter.get(key, 0)
+                )
+                assert abs(r["jaccard_est"] - ex) < tol, (k, key, r["jaccard_est"], ex)
+    finally:
+        d.unpersist()
+
+
+def test_kmv_sketch_bounded_and_mergeable(spark):
+    """The sketch table is <= k rows per group, and the k-min of two merged
+    sketches equals the k-min of the union's full hash set."""
+    from ningaloo_turtle_etl_spark.operators.sketches import _h32, kmv_sketch
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    k = 64
+    sk = kmv_sketch(li, "l_orderkey", by=["l_returnflag"], k=k)
+    per = {r["l_returnflag"]: r["n"] for r in
+           sk.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == k for n in per.values())  # every flag has >> k distinct orders
+    # merge two groups' sketches == sketch of the union
+    merged = (
+        sk.filter(F.col("l_returnflag").isin("A", "N"))
+        .select("h32").distinct().orderBy("h32").limit(k).collect()
+    )
+    direct = (
+        li.filter(F.col("l_returnflag").isin("A", "N"))
+        .select(_h32("l_orderkey").alias("h32")).distinct()
+        .orderBy("h32").limit(k).collect()
+    )
+    assert [r["h32"] for r in merged] == [r["h32"] for r in direct]
