@@ -253,6 +253,41 @@ def main() -> int:
     )
     report["streaming_drift_monitor"]["closed_windows"] = len(closed)
 
+    # Portable HLL sketch maintained incrementally: the register table IS
+    # the streaming aggregation state (groupBy(bucket).max(rho) — update by
+    # max is the sketch merge), so complete-mode streaming over the feed
+    # must equal the batch registers bucket-for-bucket, and therefore give
+    # the identical distinct estimate.
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    stream_regs = run_stream(
+        portable_hll_registers(stream, "user_id", by=["event_type"], dedup=False),
+        "se_hll",
+    )
+    check(
+        "streaming_hll_registers",
+        portable_hll_registers(batch, "user_id", by=["event_type"]),
+        stream_regs,
+        ["event_type", "bucket", "mr"],
+    )
+    b_est = _rows(
+        portable_hll_estimate(
+            portable_hll_registers(batch, "user_id", by=["event_type"]),
+            by=["event_type"],
+        ),
+        ["event_type", "hll_raw"],
+    )
+    s_est = _rows(
+        portable_hll_estimate(stream_regs, by=["event_type"]),
+        ["event_type", "hll_raw"],
+    )
+    report["streaming_hll_registers"]["estimates_match"] = b_est == s_est
+    if b_est != s_est and "streaming_hll_registers" not in failed:
+        failed.append("streaming_hll_registers")
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
