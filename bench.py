@@ -377,8 +377,37 @@ def _range_join_tally(spark, sf_dir):
     return registry.queries()["range_join_tally"](spark, sf_dir)
 
 
+def _snapshot_diff_600k(spark, sf_dir):
+    """snapshot_diff over the full sf0.1 lineitem (~600k rows, composite
+    key): both sides reduce map-side to (key, md5 fingerprint) before the
+    full-outer join, so the measured time is the fingerprint scan + one
+    fixed-width shuffle — the shape that diffs a 100 TB snapshot."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.delta import snapshot_diff
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = li.filter(F.col("l_orderkey") % 89 != 0).withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 97 == 0, F.col("l_quantity") + 1
+        ).otherwise(F.col("l_quantity")),
+    )
+    new = li.filter(F.col("l_orderkey") % 83 != 0)
+    d = snapshot_diff(
+        old,
+        new,
+        # (orderkey, partkey, suppkey, linenumber) is the unique grain of
+        # this generator's lineitem ((orderkey, linenumber) alone is NOT).
+        keys=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        compare_cols=["l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
+    "snapshot_diff_600k": _snapshot_diff_600k,
     "minhash_near_dups_md5": _minhash_family("md5"),
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),

@@ -46,12 +46,36 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    verify_keys: bool = False,
 ) -> DataFrame:
     """One row per key present in either snapshot, with ``status`` in
     {'added','removed','changed','unchanged'}: added = key only in ``new``,
     removed = only in ``old``, changed = in both with differing
     fingerprints over ``compare_cols`` (default: all shared non-key
-    columns, in ``new``'s column order)."""
+    columns, in ``new``'s column order).
+
+    ``keys`` must be a unique grain on BOTH sides — a duplicated key makes
+    the full-outer join emit one row per pairing and silently misclassify
+    (row counts inflate; same-key rows with different payloads cross-match
+    as 'changed'). ``verify_keys=True`` spends one counting aggregation per
+    side to raise on the first duplicated key instead; leave it off in
+    production jobs where the grain is contract-guaranteed."""
+    if verify_keys:
+        for side, frame in (("old", old), ("new", new)):
+            dup = (
+                frame.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key_vals = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"snapshot_diff: keys {list(keys)} are not unique in the "
+                    f"{side} snapshot (first duplicate: {key_vals}, "
+                    f"n={dup[0]['n']})"
+                )
     if compare_cols is None:
         compare_cols = [
             c for c in new.columns if c in set(old.columns) and c not in set(keys)

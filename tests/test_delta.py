@@ -83,3 +83,22 @@ def test_snapshot_diff_plan_shuffles_fingerprints_not_payloads(spark):
     # below its exchange.
     for fp in ("_old_fp", "_new_fp"):
         assert re.search(rf"Output \[2\]:.*{fp}", plan), f"{fp} side not pruned:\n{plan}"
+
+
+def test_snapshot_diff_verify_keys_raises_on_duplicate_grain(spark):
+    """The guard catches the silent-explosion footgun: lineitem's
+    (orderkey, linenumber) is NOT unique in this generator's data."""
+    import pytest
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    with pytest.raises(ValueError, match="not unique"):
+        snapshot_diff(
+            li, li, keys=["l_orderkey", "l_linenumber"],
+            compare_cols=["l_quantity"], verify_keys=True,
+        )
+    # and passes on a true unique grain
+    docs = load_table(spark, "documents", SF_DIR)
+    out = snapshot_diff(
+        docs, docs, keys=["doc_id"], compare_cols=["text"], verify_keys=True
+    )
+    assert out.filter(F.col("status") != "unchanged").count() == 0
