@@ -698,6 +698,16 @@ def pack_chunks(
 # --- deterministic global shuffle + training shards -------------------------
 
 
+def _shard_hash60(id_col: str) -> Column:
+    """First 60 bits of md5(id-as-string) as a non-negative int64 — ONE
+    definition shared by assignment and manifest, so the two can never
+    disagree on which shard a row belongs to (the consistency
+    tests/test_curation.py pins)."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def assign_training_shards(
     df: DataFrame,
     n_shards: int,
@@ -719,9 +729,7 @@ def assign_training_shards(
     — same layout, no rank materialized, window-free."""
     from pyspark.sql.window import Window
 
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = _shard_hash60(id_col)
     with_shard = df.withColumns(
         {"_shard_h": h, "shard_id": (h % F.lit(int(n_shards))).cast("int")}
     )
@@ -742,10 +750,7 @@ def training_shard_manifest(
     Window-free: shard assignment is a map-side expression and the manifest
     is ONE n_shards-group aggregation, so this runs as a cheap audit pass
     even when the positional form is skipped."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    shard = (h % F.lit(int(n_shards))).cast("int")
+    shard = (_shard_hash60(id_col) % F.lit(int(n_shards))).cast("int")
     return (
         df.select(
             shard.alias("shard_id"),

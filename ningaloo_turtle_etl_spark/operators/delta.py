@@ -81,16 +81,30 @@ def snapshot_diff(
             c for c in new.columns if c in set(old.columns) and c not in set(keys)
         ]
     keys = list(keys)
-    o = old.select(*keys, row_fingerprint(compare_cols).alias("_old_fp"))
-    n = new.select(*keys, row_fingerprint(compare_cols).alias("_new_fp"))
-    joined = o.join(n, on=keys, how="full_outer")
+    o = old.select(*keys, row_fingerprint(compare_cols).alias("_old_fp")).alias("o")
+    n = new.select(*keys, row_fingerprint(compare_cols).alias("_new_fp")).alias("n")
+    # Null-SAFE key equality: a NULL key present on both sides is one key
+    # ('unchanged'/'changed'), not a spurious removed+added pair — the
+    # null-unsafe `on=keys` form never matches NULLs. eqNullSafe keeps the
+    # same hash-partitioned SMJ plan shape (pinned in tests/test_delta.py).
+    cond = None
+    for kcol in keys:
+        c = F.col(f"o.{kcol}").eqNullSafe(F.col(f"n.{kcol}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("_old_fp").isNull(), F.lit("added"))
         .when(F.col("_new_fp").isNull(), F.lit("removed"))
         .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    return joined.select(*keys, status.alias("status"))
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"o.{kcol}"), F.col(f"n.{kcol}")).alias(kcol)
+            for kcol in keys
+        ],
+        status.alias("status"),
+    )
 
 
 def snapshot_diff_summary(

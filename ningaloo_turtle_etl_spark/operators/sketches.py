@@ -84,12 +84,13 @@ _HLL_RHO_MAX = 32 - _HLL_P + 1  # 25: rho when the remainder is all zeros
 # perform exactly one division — IEEE-deterministic for identical inputs.
 _HLL_ALPHA_M2 = 47072.71267120224
 _KMV_K = 256
-_KMV_NUM = 1095216660480.0  # (k-1) * 2^32, precomputed literal
 
 
 def _h32(col: Column | str) -> Column:
     """First 32 bits of md5(value-as-string) as a long — the engine-portable
-    hash family established in operators/curation.py:_sample_hash."""
+    hash family established in operators/curation.py:_sample_hash. NULL in
+    → NULL out; the sketch builders below filter NULLs first so sketches
+    agree with countDistinct (which ignores NULLs)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
@@ -110,7 +111,7 @@ def portable_hll_registers(
     groupBy(bucket).max(rho) is ONE streaming aggregation whose state IS
     the sketch (scripts/stream_equiv.py proves batch ≡ stream)."""
     h = _h32(col)
-    d = df.select(*by, h.alias("h32"))
+    d = df.filter(F.col(col).isNotNull()).select(*by, h.alias("h32"))
     if dedup:
         d = d.distinct()
     w = F.col("h32") % F.lit(_HLL_W)
@@ -155,7 +156,11 @@ def _kmv_ranked(
     group's full distinct-hash count) attached."""
     from pyspark.sql.window import Window
 
-    d = df.select(*by, _h32(col).alias("h32")).distinct()
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(*by, _h32(col).alias("h32"))
+        .distinct()
+    )
     keys = list(by)
     counts = d.groupBy(*by).agg(F.count(F.lit(1)).alias("_kmv_n"))
     thresh = F.when(
@@ -188,9 +193,9 @@ def kmv_sketch(
     (kmv_jaccard_pairs) because k-min(S_A ∪ S_B) = k-min(k-min(A) ∪
     k-min(B))."""
     r = _kmv_ranked(df, col, by, k)
-    return r.filter(
-        F.col("rn") <= F.least(F.lit(k), F.col("_kmv_n"))
-    ).select(*by, "h32")
+    # rn never exceeds the group's gated row count, so rn <= k alone keeps
+    # "everything" for groups with fewer than k distinct hashes.
+    return r.filter(F.col("rn") <= F.lit(k)).select(*by, "h32")
 
 
 def kmv_jaccard_pairs(
@@ -208,7 +213,14 @@ def kmv_jaccard_pairs(
     division — engine-portable, DuckDB-oracle-provable)."""
     from pyspark.sql.window import Window
 
-    sk = kmv_sketch(df, col, by=[group_col], k=k)
+    from ningaloo_turtle_etl_spark.operators.cache import track_cache
+
+    # The sketch lineage (corpus distinct + rank window) is referenced three
+    # times below (group list + both join sides); persist the ≤ groups·k-row
+    # result so the expensive pass runs once. Released via the shared cache
+    # tracker (operators.cache.release_tracked_caches / tracked_cache_scope)
+    # after the caller consumes the lazy result.
+    sk = track_cache(kmv_sketch(df, col, by=[group_col], k=k).persist())
     groups = sk.select(F.col(group_col).alias("ga")).distinct()
     pairs = F.broadcast(
         groups.join(
@@ -266,9 +278,11 @@ def portable_kmv_estimate(
         F.col("rn")
         == F.when(F.col("_kmv_n") < F.lit(k), F.col("_kmv_n")).otherwise(F.lit(k))
     )
+    # (k−1)·2^32 derived from the ACTUAL k — exact in double for any sane k.
+    numerator = float((k - 1) * 4294967296)
     est = F.when(
         F.col("_kmv_n") < F.lit(k), F.col("_kmv_n").cast("double")
-    ).otherwise(F.lit(_KMV_NUM) / F.col("h32"))
+    ).otherwise(F.lit(numerator) / F.col("h32"))
     return kth.select(*by, est.alias("kmv_raw"))
 
 

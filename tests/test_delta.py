@@ -78,7 +78,9 @@ def test_snapshot_diff_plan_shuffles_fingerprints_not_payloads(spark):
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "SortMergeJoin" in plan and plan.count("hashpartitioning(doc_id") >= 2
+    # eqNullSafe keys partition on (coalesce(key, lit), isnull(key))
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"hashpartitioning\((coalesce\()?doc_id", plan)) >= 2
     # Each side collapses to exactly two columns (key + fp) at some Project
     # below its exchange.
     for fp in ("_old_fp", "_new_fp"):
@@ -102,3 +104,12 @@ def test_snapshot_diff_verify_keys_raises_on_duplicate_grain(spark):
         docs, docs, keys=["doc_id"], compare_cols=["text"], verify_keys=True
     )
     assert out.filter(F.col("status") != "unchanged").count() == 0
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """A NULL key present on both sides is ONE key, not a spurious
+    removed+added pair."""
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "k int, v string")
+    new = spark.createDataFrame([(None, "a"), (1, "c")], "k int, v string")
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {None: "unchanged", 1: "changed"}

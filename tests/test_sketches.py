@@ -225,3 +225,25 @@ def test_kmv_sketch_bounded_and_mergeable(spark):
         .orderBy("h32").limit(k).collect()
     )
     assert [r["h32"] for r in merged] == [r["h32"] for r in direct]
+
+
+def test_portable_sketches_ignore_nulls(spark):
+    """NULL values are excluded from every sketch path, matching
+    countDistinct semantics — and a small non-default k uses the right
+    (k-1)*2^32 numerator."""
+    rows = [(i % 7 if i % 11 else None,) for i in range(400)]
+    df = spark.createDataFrame(rows, "v int")
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_kmv_estimate,
+        portable_sketch_report,
+    )
+
+    r = portable_sketch_report(df.withColumn("g", F.lit(1)), "v", by=["g"]).collect()[0]
+    assert r["exact_distinct"] == 7
+    assert r["kmv_estimate"] == 7.0  # n < k exact fallback, nulls excluded
+    assert r["hll_rel_err"] < 0.2
+    # non-default k on a high-cardinality column: estimate within KMV bounds
+    li = load_table(spark, "lineitem", SF_DIR)
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    est = portable_kmv_estimate(li, "l_orderkey", k=64).collect()[0]["kmv_raw"]
+    assert abs(est - exact) / exact < 3 / (62 ** 0.5)  # 3 sigma of 1/sqrt(k-2)
