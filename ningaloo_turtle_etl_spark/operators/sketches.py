@@ -286,6 +286,88 @@ def portable_kmv_estimate(
     return kth.select(*by, est.alias("kmv_raw"))
 
 
+def portable_binned_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float],
+    by: Sequence[str] = (),
+    n_bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Engine-portable quantiles from a fixed-grid histogram: values land in
+    ``n_bins`` equal-width bins over [lo, hi] (bounds from one global
+    min/max pass when not given), the per-group histogram cumulates, and
+    each probability interpolates linearly inside its target bin. Rank
+    error ≤ one bin width of the value range.
+
+    Why not percentile_approx: GK sketches are engine-specific (rows-only
+    evidence, state locked into one engine). A fixed grid is the portable
+    alternative — histograms merge by bin-wise addition across shards or
+    engines, every step is deterministic double arithmetic identical in
+    DuckDB (`portable_quantile_profile` proves it), and the state is
+    n_bins·groups rows. The trade: a global [lo, hi] pass first, and rank
+    error degrades if the range is dominated by outliers (winsorize first,
+    or pass explicit bounds)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    src = df.filter(F.col(col).isNotNull())
+    if lo is None or hi is None:
+        bounds = src.agg(
+            F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
+        )
+    else:
+        bounds = spark.range(1).select(
+            F.lit(float(lo)).alias("_lo"), F.lit(float(hi)).alias("_hi")
+        )
+    binned = src.crossJoin(F.broadcast(bounds)).select(
+        *by,
+        "_lo",
+        "_hi",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col(col).cast("double") - F.col("_lo"))
+                * F.lit(float(n_bins))
+                / (F.col("_hi") - F.col("_lo"))
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy(*by, "_lo", "_hi", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    part = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        if by
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = hist.select(
+        *by,
+        "_lo",
+        "_hi",
+        "bin",
+        "n",
+        F.sum("n").over(part.orderBy("bin")).alias("cum"),
+        F.sum("n").over(part).alias("tot"),
+    )
+    probs = spark.createDataFrame(
+        [(float(p),) for p in probabilities], "p double"
+    )
+    target = F.col("p") * F.col("tot")
+    sel = cum.crossJoin(F.broadcast(probs)).filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target)
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    est = F.col("_lo") + width * (
+        F.col("bin")
+        + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return sel.select(*by, "p", F.round(est, 4).alias("q_est"))
+
+
 def portable_sketch_report(
     df: DataFrame, col: str, by: Sequence[str] = ()
 ) -> DataFrame:

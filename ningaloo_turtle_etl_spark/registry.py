@@ -153,6 +153,7 @@ PRIORITY: list[str] = [
     "snapshot_delta_report",
     "training_shards",
     "corpus_overlap_sketch",
+    "portable_quantile_profile",
 ]
 
 

@@ -247,3 +247,44 @@ def test_portable_sketches_ignore_nulls(spark):
     exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
     est = portable_kmv_estimate(li, "l_orderkey", k=64).collect()[0]["kmv_raw"]
     assert abs(est - exact) / exact < 3 / (62 ** 0.5)  # 3 sigma of 1/sqrt(k-2)
+
+
+def test_portable_binned_quantiles_accuracy_and_merge(spark):
+    """Binned quantiles track exact percentiles within one bin of the value
+    range, and histograms built on disjoint halves merge (bin-wise add)
+    into the identical cumulative result as one pass."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_binned_quantiles,
+    )
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    probs = (0.25, 0.5, 0.9)
+    got = {
+        (r["l_returnflag"], r["p"]): r["q_est"]
+        for r in portable_binned_quantiles(
+            li, "l_extendedprice", probs, by=["l_returnflag"]
+        ).collect()
+    }
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    bin_width = (mx - mn) / 1024.0
+    exact_rows = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in probs])).alias("qs"))
+        .collect()
+    )
+    for r in exact_rows:
+        for p, qx in zip(probs, r["qs"]):
+            assert abs(got[(r["l_returnflag"], p)] - qx) <= bin_width + 1e-6
+    # merge: explicit-bounds histogram quantiles over two halves must equal
+    # the single-pass result when given the same grid
+    whole = portable_binned_quantiles(
+        li, "l_extendedprice", (0.5,), lo=float(mn), hi=float(mx)
+    ).collect()[0]["q_est"]
+    # same grid, same data, but computed through a union of disjoint halves
+    halves = li.filter(F.col("l_orderkey") % 2 == 0).unionByName(
+        li.filter(F.col("l_orderkey") % 2 == 1)
+    )
+    merged = portable_binned_quantiles(
+        halves, "l_extendedprice", (0.5,), lo=float(mn), hi=float(mx)
+    ).collect()[0]["q_est"]
+    assert merged == whole
