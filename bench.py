@@ -405,9 +405,31 @@ def _snapshot_diff_600k(spark, sf_dir):
     return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _portable_sketch_600k(spark, sf_dir):
+    """The full portable profile (exact + HLL + KMV + binned p50/p95) over
+    sf0.1 lineitem (~600k rows, ~150k distinct orders — deep in the sketch
+    regime). Times the calibration query's whole plan: two distinct-pass
+    sketches, the gated KMV window, the grid histogram, and the exact
+    columns they calibrate against."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_binned_quantiles,
+        portable_sketch_report,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = portable_sketch_report(li, "l_orderkey", by=["l_returnflag"])
+    q = portable_binned_quantiles(
+        li, "l_extendedprice", (0.5, 0.95), by=["l_returnflag"]
+    ).groupBy("l_returnflag").agg(F.sum("q_est").alias("q_sum"))
+    return rep.join(q, on="l_returnflag")
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
+    "portable_sketch_600k": _portable_sketch_600k,
     "minhash_near_dups_md5": _minhash_family("md5"),
     "simhash_sig_50k": _simhash_signatures("catalyst"),
     "simhash_sig_50k_fnv_udf": _simhash_signatures("fnv_udf"),

@@ -288,6 +288,38 @@ def main() -> int:
     if b_est != s_est and "streaming_hll_registers" not in failed:
         failed.append("streaming_hll_registers")
 
+    # Portable quantile histogram maintained incrementally: with a fixed
+    # [lo, hi] grid the per-(group, bin) counts are ONE streaming
+    # aggregation (update-by-add is the histogram merge); quantiles read
+    # off the streamed state must equal the batch operator's.
+    def _value_bins(df, lo, hi, n_bins=1024):
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("value").cast("double") - F.lit(lo))
+                * F.lit(float(n_bins))
+                / F.lit(hi - lo)
+            ),
+        ).cast("long")
+        return (
+            df.filter(F.col("value").isNotNull())
+            .select("event_type", b.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    vlo, vhi = (
+        batch.agg(
+            F.min("value").cast("double"), F.max("value").cast("double")
+        ).collect()[0]
+    )
+    check(
+        "streaming_quantile_histogram",
+        _value_bins(batch, vlo, vhi),
+        run_stream(_value_bins(stream, vlo, vhi), "se_qhist"),
+        ["event_type", "bin", "n"],
+    )
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
