@@ -333,3 +333,71 @@ def test_weighted_sample_matches_numpy_reference_at_any_weight_scale(spark, rows
         t[0] for t in sorted(rows, key=lambda t: (-logkey(t[0], t[1]), t[0]))[:n]
     ]
     assert got == expect
+
+
+# --- snapshot diff vs a dict reference --------------------------------------
+
+_VAL = st.one_of(st.none(), st.text(max_size=5), st.integers(-5, 5).map(str))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.tuples(_VAL, _VAL), max_size=25),
+    st.dictionaries(st.integers(0, 30), st.tuples(_VAL, _VAL), max_size=25),
+)
+def test_snapshot_diff_matches_dict_reference(spark, old_d, new_d):
+    from ningaloo_turtle_etl_spark.operators.delta import snapshot_diff
+
+    schema = "k int, a string, b string"
+    old = spark.createDataFrame([(k, v[0], v[1]) for k, v in old_d.items()], schema)
+    new = spark.createDataFrame([(k, v[0], v[1]) for k, v in new_d.items()], schema)
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    expected = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            expected[k] = "added"
+        elif k not in new_d:
+            expected[k] = "removed"
+        elif old_d[k] != new_d[k]:
+            expected[k] = "changed"
+        else:
+            expected[k] = "unchanged"
+    assert got == expected
+
+
+# --- portable sketches vs a hashlib reference --------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300))
+def test_portable_sketch_report_matches_python_reference(spark, vals):
+    import hashlib
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.sketches import portable_sketch_report
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", F.lit(1)
+    )
+    row = portable_sketch_report(df, "v", by=["g"]).collect()[0]
+    hashes = {
+        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in set(vals)
+    }
+    # HLL reference (m=256, linear counting below 2.5m with zero registers)
+    regs = [0] * 256
+    for h in hashes:
+        b, w = h >> 24, h & 0xFFFFFF
+        regs[b] = max(regs[b], 25 if w == 0 else 25 - w.bit_length())
+    sum_inv = sum(2.0 ** -m for m in regs)
+    zeros = regs.count(0)
+    raw = 47072.71267120224 / sum_inv
+    hll = 256.0 * math.log(256.0 / zeros) if (raw <= 640.0 and zeros > 0) else raw
+    assert row["hll_estimate"] == round(hll, 4)
+    # KMV reference (k=256; exact below k)
+    srt = sorted(hashes)
+    kmv = float(len(srt)) if len(srt) < 256 else 255 * 4294967296.0 / srt[255]
+    assert row["kmv_estimate"] == round(kmv, 4)
+    assert row["exact_distinct"] == len(set(vals))
