@@ -286,6 +286,45 @@ def portable_kmv_estimate(
     return kth.select(*by, est.alias("kmv_raw"))
 
 
+def sampled_item_frequencies(
+    df: DataFrame,
+    item_col: str,
+    id_col: str,
+    rate: float,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Frequency estimation from a deterministic row sample — the portable
+    heavy-hitter profile (Misra-Gries/SpaceSaving state is merge-order-
+    dependent, so it can never be engine-portable; a hash-rate sample is).
+    Rows whose md5-of-id falls under ``rate``·2^32 are counted exactly and
+    scaled by 1/rate. NOTE the sampling unit is the ID (a document, when
+    items are exploded tokens sharing their doc's id), so this is CLUSTER
+    sampling: Var(est) = ((1−rate)/rate)·Σ_d c_d² over per-id item counts
+    c_d — wider than the per-occurrence binomial when occurrences clump
+    into few ids (bound pinned in tests/test_sketches.py). Heavy items are
+    tight, the long tail is noisy — the heavy-hitter contract. Map-side gate (the sample
+    predicate reaches the scan), one item-keyed aggregation over ~rate of
+    the data, retry-stable and bit-identical in any engine with md5().
+
+    Output: (*by, item, n_sample, est_n) — est_n = n_sample/rate rounded
+    to 4dp."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        _rate_threshold,
+        _sample_hash,
+    )
+
+    kept = df.filter(_sample_hash(id_col) < _rate_threshold(F.lit(float(rate))))
+    agg = kept.groupBy(*by, F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n_sample")
+    )
+    return agg.select(
+        *by,
+        "item",
+        "n_sample",
+        F.round(F.col("n_sample") / F.lit(float(rate)), 4).alias("est_n"),
+    )
+
+
 def portable_binned_quantiles(
     df: DataFrame,
     col: str,

@@ -1989,3 +1989,73 @@ def portable_quantile_profile(spark, sf_dir):
         q_exact.alias("q_exact"),
         F.round(F.abs(F.col("q_est") - q_exact) / q_exact, 6).alias("rel_err"),
     )
+
+
+@register(
+    "sampled_token_frequencies",
+    r"""
+    WITH s AS (
+      SELECT text FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < lower(lpad(to_hex(CAST(floor(0.25 * 4294967296.0) AS BIGINT)), 8, '0'))
+    ),
+    st AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM s
+    ),
+    samp AS (SELECT tok, COUNT(*) AS n_sample FROM st GROUP BY 1),
+    ft AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    ex AS (SELECT tok, COUNT(*) AS n_exact FROM ft GROUP BY 1)
+    SELECT samp.tok AS token,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           round(n_sample / 0.25, 4) AS est_n,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round(abs(round(n_sample / 0.25, 4) - n_exact) / n_exact, 6) AS rel_err
+    FROM samp JOIN ex ON samp.tok = ex.tok
+    ORDER BY est_n DESC, token ASC LIMIT 20
+    """,
+)
+def sampled_token_frequencies(spark, sf_dir):
+    """Portable heavy-hitter calibration: top-20 corpus tokens by frequency
+    estimated from a deterministic 25% document sample (md5-of-id rate
+    gate), with exact counts and relative errors alongside. Misra-Gries
+    state merges order-dependently and can never be reproduced by another
+    engine; the hash-rate sample is bit-identical everywhere, retry-stable,
+    and reads ~rate of the corpus (sample predicate is map-side). The
+    sampling unit is the document (cluster sampling), so estimator variance
+    is ((1-rate)/rate)*sum(per-doc count squared) — heavy items stay tight,
+    the tail is noisy by contract (bound pinned in tests/test_sketches.py)."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        sampled_item_frequencies,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    samp = sampled_item_frequencies(ex, "tok", "doc_id", rate=0.25)
+    exact = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    out = samp.join(exact, samp["item"] == exact["tok"])
+    return (
+        out.select(
+            F.col("item").alias("token"),
+            "n_sample",
+            "est_n",
+            "n_exact",
+            F.round(
+                F.abs(F.col("est_n") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("token"))
+        .limit(20)
+    )

@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "training_shards",
     "corpus_overlap_sketch",
     "portable_quantile_profile",
+    "sampled_token_frequencies",
 ]
 
 

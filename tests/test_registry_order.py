@@ -113,6 +113,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "training_shards",
         "corpus_overlap_sketch",
         "portable_quantile_profile",
+        "sampled_token_frequencies",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

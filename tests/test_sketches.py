@@ -288,3 +288,43 @@ def test_portable_binned_quantiles_accuracy_and_merge(spark):
         halves, "l_extendedprice", (0.5,), lo=float(mn), hi=float(mx)
     ).collect()[0]["q_est"]
     assert merged == whole
+
+
+def test_sampled_frequencies_accuracy_and_sample_pushdown(spark):
+    """Heavy items from the 25% hash sample estimate within sampling error
+    of exact counts, and the sample predicate evaluates before the token
+    explode (the scan-side gate that makes this a ~rate-of-corpus pass)."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        sampled_item_frequencies,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens as tok
+
+    docs = load_table(spark, "documents", SF_DIR)
+    ex = docs.select("doc_id", F.explode(tok(F.lower(F.col("text")))).alias("t"))
+    est = {
+        r["item"]: r["est_n"]
+        for r in sampled_item_frequencies(ex, "t", "doc_id", rate=0.25).collect()
+    }
+    exact = {
+        r["t"]: r["n"]
+        for r in ex.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    heavy = {t: n for t, n in exact.items() if n >= 200}
+    assert heavy, "test data should have heavy tokens"
+    # Cluster-sampling variance: docs (not occurrences) are sampled, so
+    # Var(est) = ((1-r)/r)·Σ_d c_d² over per-doc counts c_d.
+    per_doc = (
+        ex.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("t").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    ).collect()
+    ss = {r["t"]: r["ss"] for r in per_doc}
+    for t, n in heavy.items():
+        sd = ((1 - 0.25) / 0.25 * ss[t]) ** 0.5
+        assert abs(est[t] - n) < 4 * sd, (t, est[t], n, sd)
+    # plan: the md5 filter sits below the Generate (explode)
+    plan = (
+        sampled_item_frequencies(ex, "t", "doc_id", rate=0.25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    gen = plan.find("Generate explode")
+    assert gen != -1 and "md5" in plan[gen:], "sample gate must be under the explode"
