@@ -266,3 +266,69 @@ def forward_sel_step(spark, sf_dir):
         F.dayofweek("ts").cast("double").alias("x_dow"),
     )
     return forward_select_trace(ev, ["y"], list(_FWD_CANDS), steps=2)
+
+
+def _varpart_oracle_sql() -> str:
+    """DuckDB SQL replaying variation_partition's three R² fits from corr()
+    aggregates: the 2-predictor partial-correlation closed form for R²(X),
+    corr² for R²(W), and the explicit 3×3 correlation-matrix inverse
+    (cofactors over the determinant) for R²(X∪W) — algebraically identical
+    to the 1 − SSE/SST the distributed OLS computes (numpy parity to 8dp
+    verified; fractions rounded to 6dp on both sides, `+ 0.0` to normalize
+    IEEE negative zero)."""
+    return """
+    WITH ev AS (
+        SELECT CAST(value AS DOUBLE) AS y,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x1,
+               CAST(day(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x2,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS DOUBLE) AS w1
+        FROM events
+    ),
+    cm AS (
+        SELECT corr(y, x1) AS ry1, corr(y, x2) AS ry2, corr(y, w1) AS ryw,
+               corr(x1, x2) AS r12, corr(x1, w1) AS r1w, corr(x2, w1) AS r2w
+        FROM ev
+    ),
+    r2s AS (
+        SELECT
+          (pow(ry1, 2) + pow(ry2, 2) - 2 * ry1 * ry2 * r12)
+            / (1 - pow(r12, 2)) AS r2x,
+          pow(ryw, 2) AS r2w,
+          (  ry1 * ((1 - pow(r2w, 2)) * ry1 + (r1w * r2w - r12) * ry2
+                    + (r12 * r2w - r1w) * ryw)
+           + ry2 * ((r1w * r2w - r12) * ry1 + (1 - pow(r1w, 2)) * ry2
+                    + (r12 * r1w - r2w) * ryw)
+           + ryw * ((r12 * r2w - r1w) * ry1 + (r12 * r1w - r2w) * ry2
+                    + (1 - pow(r12, 2)) * ryw))
+          / (1 + 2 * r12 * r1w * r2w - pow(r12, 2) - pow(r1w, 2) - pow(r2w, 2))
+            AS r2xw
+        FROM cm
+    )
+    SELECT fraction, round(value, 6) + 0.0 AS value FROM (
+        SELECT 'a_pure_x' AS fraction, r2xw - r2w AS value FROM r2s
+        UNION ALL SELECT 'b_shared', r2x + r2w - r2xw FROM r2s
+        UNION ALL SELECT 'c_pure_w', r2xw - r2x FROM r2s
+        UNION ALL SELECT 'd_unexplained', 1.0 - r2xw FROM r2s
+    )
+    """
+
+
+@register("varpart_fractions", _varpart_oracle_sql())
+def varpart_fractions(spark, sf_dir):
+    """M5 variation partitioning's fraction bookkeeping as a driver row (its
+    first oracle evidence, extending the r03 forward_sel_step pattern):
+    fractions [a] pure-X, [b] shared, [c] pure-W, [d] unexplained from the
+    three distributed OLS R² fits over the time-feature predictor sets
+    (`spatial_modelling.Rmd:251-254`). The oracle replays all three fits
+    from corr() closed forms, including the 3×3 inverse for R²(X∪W)."""
+    from ningaloo_turtle_etl_spark.stats import variation_partition
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x_hour"),
+        F.dayofmonth("ts").cast("double").alias("x_day"),
+        F.dayofweek("ts").cast("double").alias("x_dow"),
+    )
+    vp = variation_partition(ev, ["y"], ["x_hour", "x_day"], ["x_dow"])
+    rows = [(k, round(v, 6) + 0.0) for k, v in vp.items()]
+    return spark.createDataFrame(rows, "fraction string, value double")

@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "corpus_overlap_sketch",
     "portable_quantile_profile",
     "sampled_token_frequencies",
+    "varpart_fractions",
 ]
 
 

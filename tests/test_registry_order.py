@@ -114,6 +114,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "corpus_overlap_sketch",
         "portable_quantile_profile",
         "sampled_token_frequencies",
+        "varpart_fractions",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
