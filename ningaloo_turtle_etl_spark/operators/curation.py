@@ -766,3 +766,40 @@ def training_shard_manifest(
             F.max("_id").alias("max_id"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> None:
+    """Materialize the deterministic global shuffle as a sharded training
+    layout: one parquet directory per ``shard_id`` with rows in ascending
+    ``shard_key`` (the 60-bit md5 hash — the reproducible pseudo-random
+    read order), plus a ``_manifest`` sidecar (underscore prefix → ignored
+    by parquet directory readers).
+
+    This is the window-free writer form assign_training_shards' docstring
+    promises: repartition(n_shards, shard_id) maps every shard wholly into
+    one task, sortWithinPartitions orders it, and the partitionBy writer
+    splits any task that received multiple shards into their directories
+    with order preserved — no shard_pos rank is ever materialized. Readers
+    get partition pruning on shard_id for free (one-shard reads touch one
+    directory) and can verify/resume from ``shard_key``."""
+    out = df.withColumns(
+        {
+            "shard_key": _shard_hash60(id_col),
+            "shard_id": (_shard_hash60(id_col) % F.lit(int(n_shards))).cast("int"),
+        }
+    )
+    (
+        out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_key", id_col)
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    training_shard_manifest(df, n_shards, id_col=id_col, weight_col=weight_col) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")

@@ -486,3 +486,43 @@ def test_training_shard_manifest_is_window_free(spark):
     plan = training_shard_manifest(docs, 16)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_write_training_shards_layout_order_and_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        assign_training_shards,
+        write_training_shards,
+    )
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert {r["shard_id"] for r in back.select("shard_id").distinct().collect()} \
+        == set(range(8))
+    # within a shard, file row order IS ascending shard_key (the promised
+    # reproducible read order, no shard_pos column needed)
+    one = spark.read.parquet(f"{path}/shard_id=3")
+    keys = [r["shard_key"] for r in one.collect()]
+    assert keys == sorted(keys) and len(keys) > 0
+    # membership matches the positional operator
+    expect = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_training_shards(docs, 8).select("doc_id", "shard_id").collect()
+    }
+    got = {r["doc_id"]: r["shard_id"] for r in back.select("doc_id", "shard_id").collect()}
+    assert got == expect
+    # manifest sidecar consistent and invisible to the directory reader
+    man = spark.read.parquet(f"{path}/_manifest")
+    assert man.count() == 8
+    assert "shard_key" not in man.columns
+    total = man.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    # single-shard read prunes partitions at the scan
+    plan = back.filter(F.col("shard_id") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard_id" in plan
