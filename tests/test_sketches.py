@@ -328,3 +328,22 @@ def test_sampled_frequencies_accuracy_and_sample_pushdown(spark):
     )
     gen = plan.find("Generate explode")
     assert gen != -1 and "md5" in plan[gen:], "sample gate must be under the explode"
+
+
+def test_kmv_jaccard_plan_reuses_cached_sketch(spark):
+    """The persisted sketch table backs all three references (group dim +
+    both join sides) — the corpus-sized sketch pass must not appear three
+    times in the physical plan."""
+    from ningaloo_turtle_etl_spark.operators.cache import release_tracked_caches
+    from ningaloo_turtle_etl_spark.operators.sketches import kmv_jaccard_pairs
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    try:
+        df = kmv_jaccard_pairs(li, "l_orderkey", "l_returnflag", k=64)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+        df.collect()
+    finally:
+        assert release_tracked_caches() >= 1
