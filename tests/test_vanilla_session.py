@@ -13,9 +13,13 @@ mis-configured session timezone:
 A harsher one-off check ran in r04 (not in-suite — the JVM default zone
 can't change per-test): a vanilla session built with
 -Duser.timezone=Australia/Perth and OS TZ=Australia/Perth, no engine
-confs, swept ALL 100 oracle queries at sf0.01 through the driver
+confs, swept ALL oracle queries at sf0.01 through the driver
 canonicalizer — 100/100 matched, confirming the per-query pin carries
-every row, not just the tz-exposed three below.
+every row, not just the tz-exposed three below. Re-run late-r04 after
+the registry grew to 109 (portable sketches, snapshot diff, shards,
+overlap, quantiles, sampled frequencies, varpart): 109/109 matched
+(`TZ=Australia/Perth JAVA_TOOL_OPTIONS=-Duser.timezone=Australia/Perth
+python scripts/driver_sim.py`).
 """
 
 from __future__ import annotations
