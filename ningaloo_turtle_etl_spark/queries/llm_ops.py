@@ -2059,3 +2059,68 @@ def sampled_token_frequencies(spark, sf_dir):
         .orderBy(F.desc("est_n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+    sym AS (
+      SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM wf
+    ),
+    pairs AS (
+      SELECT freq,
+             unnest(list_transform(range(1, len(s)),
+                    i -> s[i] || chr(1) || s[i+1])) AS pr
+      FROM sym
+    )
+    SELECT split_part(pr, chr(1), 1) AS "left",
+           split_part(pr, chr(1), 2) AS "right",
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE induction's inner aggregation as a hash row: the top-20 weighted
+    adjacent symbol pairs over the initial character+end-marker vocabulary
+    (Sennrich et al. 2016 step 0). This is the aggregation every merge
+    iteration re-runs, so proving it bit-for-bit covers the distributed
+    heart of learn_bpe; the greedy loop itself is rows-only
+    (`bpe_merges`) with exact Python-reference parity in
+    tests/test_bpe.py."""
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        pair_counts,
+        with_symbols,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pc = pair_counts(with_symbols(word_frequencies(docs)))
+    return pc.orderBy(
+        F.desc("pair_count"), F.asc("left"), F.asc("right")
+    ).limit(20)
+
+
+@register("bpe_merges", None)
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer induction: the first 8 learned merges over
+    the corpus word-frequency table — (step, left, right, merged,
+    pair_count). Iterative greedy argmax is not SQL-expressible (each step
+    depends on the previous merge's rewrite), so this is rows-only; exact
+    merge-for-merge equality with a from-scratch Python BPE is pinned in
+    tests/test_bpe.py, and the per-iteration aggregation carries the full
+    oracle via `bpe_pair_counts`."""
+    from ningaloo_turtle_etl_spark.operators.bpe import learn_bpe, merge_table
+    from ningaloo_turtle_etl_spark.operators.cache import release_tracked_caches
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _sym = learn_bpe(docs, num_merges=8)
+    out = merge_table(spark, merges)
+    release_tracked_caches()
+    return out

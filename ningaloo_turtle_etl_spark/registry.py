@@ -156,6 +156,8 @@ PRIORITY: list[str] = [
     "portable_quantile_profile",
     "sampled_token_frequencies",
     "varpart_fractions",
+    "bpe_pair_counts",
+    "bpe_merges",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Distributed BPE induction vs a from-scratch Python reference: the
+learned merges must match merge-for-merge, and the fold that applies a
+merge must handle overlapping runs exactly like the sequential algorithm."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.bpe import (
+    END_MARK,
+    apply_merge,
+    learn_bpe,
+    pair_counts,
+    with_symbols,
+    word_frequencies,
+)
+from ningaloo_turtle_etl_spark.operators.cache import release_tracked_caches
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _python_bpe(word_freqs: dict[str, int], num_merges: int):
+    """Sennrich et al. reference: greedy pair merges over the word-frequency
+    table, ties broken (count desc, left asc, right asc)."""
+    vocab = {tuple(list(w) + [END_MARK]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _corpus_word_freqs(spark) -> dict[str, int]:
+    docs = load_table(spark, "documents", SF_DIR)
+    freqs: Counter = Counter()
+    for r in docs.select(F.lower("text").alias("t")).collect():
+        for w in re.split(r"\s+", r["t"]):
+            if w:
+                freqs[w] += 1
+    return dict(freqs)
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    try:
+        got_merges, sym = learn_bpe(docs, num_merges=8)
+        expected_merges, expected_vocab = _python_bpe(_corpus_word_freqs(spark), 8)
+        assert got_merges == expected_merges
+        # final symbol tables agree word-for-word
+        got_vocab = {
+            tuple(r["symbols"]): r["freq"]
+            for r in sym.select("symbols", "freq").collect()
+        }
+        assert got_vocab == expected_vocab
+    finally:
+        release_tracked_caches()
+
+
+def test_apply_merge_nonoverlapping_fold(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "symbols array<string>",
+    )
+    got = [
+        r["m"] for r in df.select(apply_merge(F.col("symbols"), "a", "a").alias("m"))
+        .collect()
+    ]
+    assert got == [["aa", "a"], ["aa", "aa"], ["b", "aa", "b"]]
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    pc = pair_counts(with_symbols(word_frequencies(docs)))
+    rows = {(r["left"], r["right"]): r["pair_count"] for r in pc.collect()}
+    expected: Counter = Counter()
+    for w, f in _corpus_word_freqs(spark).items():
+        syms = list(w) + [END_MARK]
+        for a, b in zip(syms, syms[1:]):
+            expected[(a, b)] += f
+    assert rows == dict(expected)
