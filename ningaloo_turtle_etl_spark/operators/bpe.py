@@ -118,7 +118,11 @@ def learn_bpe(
             nxt = sym.withColumn(
                 "symbols", apply_merge(F.col("symbols"), left, right)
             ).cache()
-            nxt.count()  # materialize before dropping the parent cache
+            try:
+                nxt.count()  # materialize before dropping the parent cache
+            except Exception:
+                nxt.unpersist()  # don't leak the half-built iteration cache
+                raise
             sym.unpersist()
             sym = nxt
         from ningaloo_turtle_etl_spark.operators.cache import track_cache

@@ -801,5 +801,16 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
-    training_shard_manifest(df, n_shards, id_col=id_col, weight_col=weight_col) \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    # Manifest from the WRITTEN data, not the source lineage — re-running
+    # training_shard_manifest(df) would rescan and re-hash the whole corpus
+    # a second time; the written shards already carry shard_id (free as the
+    # partition column) and every payload column.
+    back = df.sparkSession.read.parquet(path)
+    manifest = back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("total_weight"),
+        F.max(weight_col).alias("max_weight"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")

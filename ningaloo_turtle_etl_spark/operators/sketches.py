@@ -313,7 +313,14 @@ def sampled_item_frequencies(
         _sample_hash,
     )
 
-    kept = df.filter(_sample_hash(id_col) < _rate_threshold(F.lit(float(rate))))
+    # rate >= 1.0 must short-circuit (same guard as curation.
+    # deterministic_stratified_sample): the 9-hex-char threshold for 1.0
+    # would lpad-truncate and silently keep ~1/16 of rows.
+    kept = (
+        df
+        if rate >= 1.0
+        else df.filter(_sample_hash(id_col) < _rate_threshold(F.lit(float(rate))))
+    )
     agg = kept.groupBy(*by, F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).alias("n_sample")
     )
@@ -350,6 +357,12 @@ def portable_binned_quantiles(
     or pass explicit bounds)."""
     from pyspark.sql.window import Window
 
+    bad = [p for p in probabilities if not (0.0 < p <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"probabilities must be in (0, 1]: {bad} (p=0 has no containing "
+            "bin; ask for the min separately)"
+        )
     spark = df.sparkSession
     src = df.filter(F.col(col).isNotNull())
     if lo is None or hi is None:
@@ -360,20 +373,24 @@ def portable_binned_quantiles(
         bounds = spark.range(1).select(
             F.lit(float(lo)).alias("_lo"), F.lit(float(hi)).alias("_hi")
         )
+    # Clamp BOTH sides (below-lo values land in bin 0, above-hi in the top
+    # bin — with explicit bounds outliers otherwise produce negative bins
+    # and estimates outside [lo, hi]), and guard the degenerate constant
+    # column (hi == lo → everything is bin 0; ANSI mode would raise
+    # DIVIDE_BY_ZERO on the grid division).
+    raw_bin = F.floor(
+        (F.col(col).cast("double") - F.col("_lo"))
+        * F.lit(float(n_bins))
+        / (F.col("_hi") - F.col("_lo"))
+    )
+    bin_expr = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw_bin))
+    )
     binned = src.crossJoin(F.broadcast(bounds)).select(
         *by,
         "_lo",
         "_hi",
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor(
-                (F.col(col).cast("double") - F.col("_lo"))
-                * F.lit(float(n_bins))
-                / (F.col("_hi") - F.col("_lo"))
-            ),
-        )
-        .cast("long")
-        .alias("bin"),
+        bin_expr.cast("long").alias("bin"),
     )
     hist = binned.groupBy(*by, "_lo", "_hi", "bin").agg(
         F.count(F.lit(1)).alias("n")

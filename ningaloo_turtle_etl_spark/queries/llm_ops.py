@@ -1916,8 +1916,10 @@ def corpus_overlap_sketch(spark, sf_dir):
     ),
     h AS (
       SELECT l_returnflag AS flag, lo, hi,
-             CAST(least(1023, floor((CAST(l_extendedprice AS DOUBLE) - lo) * 1024.0
-                                    / (hi - lo))) AS BIGINT) AS bin,
+             CAST(CASE WHEN hi = lo THEN 0
+                       ELSE greatest(0, least(1023,
+                            floor((CAST(l_extendedprice AS DOUBLE) - lo) * 1024.0
+                                  / (hi - lo)))) END AS BIGINT) AS bin,
              COUNT(*) AS n
       FROM lineitem, b WHERE l_extendedprice IS NOT NULL
       GROUP BY 1, 2, 3, 4

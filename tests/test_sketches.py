@@ -347,3 +347,33 @@ def test_kmv_jaccard_plan_reuses_cached_sketch(spark):
         df.collect()
     finally:
         assert release_tracked_caches() >= 1
+
+
+def test_review_fixes_sampling_and_quantile_edges(spark):
+    """Regression pins for the r04 review findings: rate>=1.0 keeps every
+    row; a constant column yields the constant (no ANSI divide-by-zero);
+    explicit-bounds outliers clamp into [lo, hi] on BOTH sides; p=0 is
+    rejected up front."""
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_binned_quantiles,
+        sampled_item_frequencies,
+    )
+
+    df = spark.createDataFrame([(i, f"t{i % 3}") for i in range(40)], "id long, t string")
+    full = sampled_item_frequencies(df, "t", "id", rate=1.0)
+    assert sum(r["n_sample"] for r in full.collect()) == 40
+    assert all(r["est_n"] == float(r["n_sample"]) for r in full.collect())
+
+    const = spark.createDataFrame([(7.5,)] * 20, "v double")
+    rows = portable_binned_quantiles(const, "v", (0.5, 1.0)).collect()
+    assert [r["q_est"] for r in rows] == [7.5, 7.5]
+
+    outl = spark.createDataFrame([(-100.0,)] + [(float(i),) for i in range(1, 10)], "v double")
+    qs = {r["p"]: r["q_est"] for r in
+          portable_binned_quantiles(outl, "v", (0.05, 0.95), lo=0.0, hi=10.0).collect()}
+    assert 0.0 <= qs[0.05] <= 10.0 and 0.0 <= qs[0.95] <= 10.0
+
+    with pytest.raises(ValueError, match=r"probabilities must be in \(0, 1\]"):
+        portable_binned_quantiles(outl, "v", (0.0, 0.5))
