@@ -46,3 +46,47 @@ def snapshot(df: DataFrame, path: str, partition_by: list[str] | None = None) ->
 
 def load_snapshot(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str | None = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """JSON-Lines reader — the de-facto LLM corpus interchange format (the
+    reference has no JSON file source; this extends S3/S14's JSON handling
+    to files). Schema is explicit, never inferred: inference reads the
+    whole dataset twice and silently widens types between snapshots.
+
+    PERMISSIVE by default with a quarantine column: malformed lines land in
+    ``corrupt_col`` (whole raw line, other fields null) instead of killing
+    a 100 TB ingest; pass ``corrupt_col=None`` for FAILFAST when a corrupt
+    line should abort. Filter ``corrupt_col IS NOT NULL`` into a dead-letter
+    sink and drop the column for the clean path — but cache() (or project
+    other columns alongside) before querying the quarantine column ALONE:
+    Spark disallows corrupt-column-only queries straight off the raw scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if corrupt_col is None:
+        opts = {"mode": "FAILFAST"} | options
+        return spark.read.options(**opts).schema(schema).json(path)
+    from pyspark.sql.types import StringType, StructField
+
+    with_quarantine = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col} | options
+    return spark.read.options(**opts).schema(with_quarantine).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False, **options) -> None:
+    """JSON-Lines sink: one JSON object per line, one file per partition
+    (``single_file=True`` coalesces — dimension-sized output only, same
+    caveat as write_csv)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.options(**options).mode("overwrite").json(path)

@@ -101,3 +101,13 @@ def test_pair_counts_weighted_by_freq(spark):
         for a, b in zip(syms, syms[1:]):
             expected[(a, b)] += f
     assert rows == dict(expected)
+
+
+def test_learn_bpe_empty_corpus_stops_early(spark):
+    docs = spark.createDataFrame([("",), ("   ",)], "text string")
+    try:
+        merges, sym = learn_bpe(docs, num_merges=4)
+        assert merges == []
+        assert sym.count() == 0
+    finally:
+        release_tracked_caches()

@@ -377,3 +377,12 @@ def test_review_fixes_sampling_and_quantile_edges(spark):
 
     with pytest.raises(ValueError, match=r"probabilities must be in \(0, 1\]"):
         portable_binned_quantiles(outl, "v", (0.0, 0.5))
+
+
+def test_quantiles_all_null_column_returns_empty(spark):
+    """All-NULL (or empty) input yields an empty result, not a crash — the
+    defined degenerate behavior."""
+    from ningaloo_turtle_etl_spark.operators.sketches import portable_binned_quantiles
+
+    df = spark.createDataFrame([(None,)] * 5, "v double")
+    assert portable_binned_quantiles(df, "v", (0.5,)).count() == 0

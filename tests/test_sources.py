@@ -139,3 +139,53 @@ def test_parquet_snapshot_partitioned(spark, tmp_path):
     # scan both partitions.
     plan = back.filter("d = '2024-01-01'")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(d" in plan or "d#" in plan
+
+
+# --- JSONL (LLM corpus interchange) -----------------------------------------
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.sources.files import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "docs.jsonl")
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world", "meta": {"lang": "en"}}),
+        _json.dumps({"doc_id": 2, "text": "bonjour", "meta": {"lang": "fr"}}),
+        "{this is not json",
+        _json.dumps({"doc_id": 3, "text": None, "meta": None}),
+    ]
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "part-000.jsonl").write_text("\n".join(lines))
+    schema = "doc_id long, text string, meta struct<lang: string>"
+    # cache() before touching the quarantine column alone — Spark disallows
+    # corrupt-column-only queries straight off the raw scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), as the reader docstring notes.
+    df = read_jsonl(spark, str(tmp_path / "in"), schema).cache()
+    rows = df.collect()
+    assert len(rows) == 4
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1 and bad.collect()[0]["_corrupt_record"] == "{this is not json"
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 3}
+    assert clean.filter("meta.lang = 'en'").count() == 1
+    # round-trip
+    write_jsonl(clean, path, single_file=True)
+    back = read_jsonl(spark, path, schema, corrupt_col=None)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 3]
+    df.unpersist()
+
+
+def test_jsonl_failfast_raises_on_corrupt(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ningaloo_turtle_etl_spark.sources.files import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1}\n{nope\n')
+    df = read_jsonl(spark, str(p), "doc_id long", corrupt_col=None)
+    with pytest.raises(Exception):
+        df.collect()
