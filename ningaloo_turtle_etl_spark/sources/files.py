@@ -77,9 +77,12 @@ def read_jsonl(
         return spark.read.options(**opts).schema(schema).json(path)
     from pyspark.sql.types import StringType, StructField
 
-    with_quarantine = StructType(
-        [*schema.fields, StructField(corrupt_col, StringType(), True)]
-    )
+    if corrupt_col in schema.fieldNames():
+        with_quarantine = schema  # caller already declared the quarantine slot
+    else:
+        with_quarantine = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType(), True)]
+        )
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col} | options
     return spark.read.options(**opts).schema(with_quarantine).json(path)
 
