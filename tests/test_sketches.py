@@ -386,3 +386,24 @@ def test_quantiles_all_null_column_returns_empty(spark):
 
     df = spark.createDataFrame([(None,)] * 5, "v double")
     assert portable_binned_quantiles(df, "v", (0.5,)).count() == 0
+
+
+def test_portable_hll_rollup_from_finer_grouping(spark):
+    """Registers at a coarse grain are the max-merge of registers at any
+    finer grain — a profiling job sketches once at the finest grouping and
+    derives every rollup without rescanning the corpus."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    fine = portable_hll_registers(docs, "text", by=["lang", "source"])
+    rolled = fine.groupBy("lang", "bucket").agg(F.max("mr").alias("mr"))
+    direct = portable_hll_registers(docs, "text", by=["lang"])
+    a = sorted(map(tuple, rolled.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+    est_r = sorted(map(tuple, portable_hll_estimate(rolled, by=["lang"]).collect()))
+    est_d = sorted(map(tuple, portable_hll_estimate(direct, by=["lang"]).collect()))
+    assert est_r == est_d
