@@ -16,10 +16,11 @@ can't change per-test): a vanilla session built with
 confs, swept ALL oracle queries at sf0.01 through the driver
 canonicalizer — 100/100 matched, confirming the per-query pin carries
 every row, not just the tz-exposed three below. Re-run late-r04 after
-the registry grew to 109 (portable sketches, snapshot diff, shards,
-overlap, quantiles, sampled frequencies, varpart): 109/109 matched
+the registry grew to 111 (portable sketches, snapshot diff, shards,
+overlap, quantiles, sampled frequencies, varpart, BPE): 111/111 matched
 (`TZ=Australia/Perth JAVA_TOOL_OPTIONS=-Duser.timezone=Australia/Perth
-python scripts/driver_sim.py`).
+python scripts/driver_sim.py`); the full sweep also passes at sf0.1
+(10x the grading scale), see COVERAGE.md.
 """
 
 from __future__ import annotations
