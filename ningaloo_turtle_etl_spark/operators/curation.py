@@ -136,6 +136,128 @@ def with_repetition_metrics(
     return out.drop("_toks", *[f"_g{n}" for n in ns])
 
 
+def gopher_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup3_max: float = 0.60,
+) -> DataFrame:
+    """Character-weighted Gopher repetition rules (Rae et al. 2021,
+    appendix A1) — the other half of the repetition family next to
+    ``with_repetition_metrics``'s type-level duplicate ratios:
+
+    - ``top_{2,3}gram_char_frac``: chars covered by every occurrence of the
+      single most frequent word n-gram, over the doc's token chars
+      (``count × len(gram) / len(join(tokens))``; ties broken by
+      lexicographically smallest gram).
+    - ``dup_{2,3}gram_char_frac``: same numerator summed over every n-gram
+      that occurs more than once.
+    - ``repeated_word_frac``: 1 − distinct/total words (Gopher's unigram
+      degenerate case, computable map-side).
+    - ``repetition_ok``: 1 iff top-2 ≤ ``top2_max``, top-3 ≤ ``top3_max``
+      and dup-3 ≤ ``dup3_max`` (paper thresholds for the top rules; the
+      dup-3 default is looser than the paper's 5..10-gram ladder because
+      3-grams repeat far more often than 5-grams).
+
+    Occurrences of a gram may overlap in the text, so char fractions can
+    exceed 1.0 for pathological docs — the flag semantics don't care, and
+    keeping the formula occurrence-additive is what makes it one
+    aggregation instead of an interval-union pass (the common choice in
+    public implementations). Like the paper, the rules assume a document
+    length gate upstream: a pristine 10-word doc still has
+    top-2gram ≈ len(gram)/len(doc) > 20% just from being short, so compose
+    with ``with_quality_score``'s length rule (Gopher gates at 50 words)
+    rather than running this on micro-docs alone.
+
+    Scale shape: one explode to (doc, n, gram) rows, a (doc, n, gram)-keyed
+    count with map-side combine (intra-doc repeats collapse before the
+    shuffle), one doc-keyed re-aggregation, and a doc-keyed join back to
+    the map-side word stats. No driver state, no windows, no UDFs."""
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        F.length(F.concat_ws(" ", F.col("_toks"))).alias("_chars"),
+        F.size(F.col("_toks")).alias("_n_words"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("_n_distinct"),
+    )
+    def _tag(n: int):
+        # Single-argument lambda on purpose: a two-arg lambda would be
+        # interpreted by F.transform as (element, index) and the tag would
+        # silently become the gram's POSITION.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = [
+        F.transform(word_ngrams_from_tokens(F.col("_toks"), n), _tag(n))
+        for n in (2, 3)
+    ]
+    grams = base.select(
+        id_col, F.explode(F.concat(*tagged)).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    cnt = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    aggs = []
+    for n in (2, 3):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("gram").alias("g")
+                    ),
+                )
+            ).alias(f"_best{n}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("n") == n) & (F.col("c") > 1),
+                    F.col("c") * F.length("gram"),
+                ).otherwise(F.lit(0))
+            ).alias(f"_dup{n}")
+        )
+    per = cnt.groupBy(id_col).agg(*aggs)
+    out = base.drop("_toks").join(per, on=id_col, how="left")
+
+    def _frac(chars: Column) -> Column:
+        return F.round(
+            F.when(
+                F.col("_chars") > 0,
+                F.coalesce(chars, F.lit(0)).cast("double") / F.col("_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    top2 = _frac((-F.col("_best2.nc")) * F.length(F.col("_best2.g")))
+    top3 = _frac((-F.col("_best3.nc")) * F.length(F.col("_best3.g")))
+    dup2 = _frac(F.col("_dup2"))
+    dup3 = _frac(F.col("_dup3"))
+    repword = F.round(
+        F.when(
+            F.col("_n_words") > 0,
+            1.0 - F.col("_n_distinct") / F.col("_n_words").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        id_col,
+        top2.alias("top_2gram_char_frac"),
+        top3.alias("top_3gram_char_frac"),
+        dup2.alias("dup_2gram_char_frac"),
+        dup3.alias("dup_3gram_char_frac"),
+        repword.alias("repeated_word_frac"),
+        (
+            (top2 <= F.lit(top2_max))
+            & (top3 <= F.lit(top3_max))
+            & (dup3 <= F.lit(dup3_max))
+        )
+        .cast("int")
+        .alias("repetition_ok"),
+    )
+
+
 def _sample_hash(id_col: str) -> Column:
     # First 32 bits of md5(id-as-string), as 8 lowercase hex chars. md5 is
     # bit-identical across engines (unlike xxhash64 seeds), which is what

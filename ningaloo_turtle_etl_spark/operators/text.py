@@ -277,6 +277,66 @@ def bigram_lm_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    lambda_: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020): score
+    every document with the corpus-fit Jelinek-Mercer bigram LM
+    (``bigram_lm_scores``), then split each language into perplexity
+    terciles — ``head`` = most fluent third (lowest avg NLL), ``tail`` =
+    least. Returns one row per document: (id, lang, n_bigrams, avg_nll,
+    bucket).
+
+    Bucketing is by per-language tercile CUT POINTS (a languages-sized
+    aggregate broadcast back), not an ``ntile`` window — CCNet's actual
+    recipe, and the scale-correct one: a per-lang ``ntile`` serializes each
+    language through one task, while the cut-point join keeps the corpus
+    side map-only. Docs exactly on a cut land in the lower bucket on both
+    engines because cuts and scores are both rounded to 6 decimals before
+    comparing. Bucket sizes are near-terciles, not exact thirds, when
+    scores tie across a cut.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` —
+    bit-compatible with DuckDB ``quantile_cont`` (the oracle row), but it
+    buffers each language's scores in its agg group; pass ``exact=False``
+    at real scale for the mergeable ``approx_percentile`` sketch (same
+    plan shape, approximate cuts). Docs with <2 tokens have no bigram
+    score and are excluded, as in ``bigram_lm_scores``."""
+    scores = bigram_lm_scores(df, lambda_, text_col, id_col)
+    labeled = df.select(F.col(id_col), F.col(lang_col)).join(
+        scores, on=id_col, how="inner"
+    )
+    pct = (
+        (lambda q: F.percentile("avg_nll", F.lit(q)))
+        if exact
+        else (
+            lambda q: F.approx_percentile(
+                "avg_nll", F.lit(q), F.lit(accuracy)
+            )
+        )
+    )
+    cuts = labeled.groupBy(lang_col).agg(
+        F.round(pct(1.0 / 3.0), 6).alias("_c1"),
+        F.round(pct(2.0 / 3.0), 6).alias("_c2"),
+    )
+    return (
+        labeled.join(F.broadcast(cuts), on=lang_col, how="inner")
+        .withColumn(
+            "bucket",
+            F.when(F.col("avg_nll") <= F.col("_c1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("_c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select(id_col, lang_col, "n_bigrams", "avg_nll", "bucket")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     n_top: int = 3,

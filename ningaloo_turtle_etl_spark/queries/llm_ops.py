@@ -2126,3 +2126,180 @@ def bpe_merges(spark, sf_dir):
     out = merge_table(spark, merges)
     release_tracked_caches()
     return out
+
+
+@register(
+    "gopher_repetition_stats",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               length(array_to_string(toks, ' ')) AS n_chars,
+               len(toks) AS n_words,
+               len(list_distinct(toks)) AS n_distinct,
+               toks
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, nn,
+               unnest(CASE WHEN len(toks) >= nn THEN
+                   list_transform(range(1, len(toks) - nn + 2),
+                                  i -> array_to_string(toks[i:i+nn-1], ' '))
+               ELSE [] END) AS gram
+        FROM t, (SELECT unnest([2, 3]) AS nn)
+    ),
+    c AS (SELECT doc_id, nn, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    r AS (
+        SELECT doc_id, nn, gram, c,
+               row_number() OVER (PARTITION BY doc_id, nn
+                                  ORDER BY c DESC, gram ASC) AS rk
+        FROM c
+    ),
+    p AS (
+        SELECT doc_id,
+               MAX(CASE WHEN nn = 2 AND rk = 1 THEN c * length(gram) END) AS t2,
+               MAX(CASE WHEN nn = 3 AND rk = 1 THEN c * length(gram) END) AS t3,
+               SUM(CASE WHEN nn = 2 AND c > 1 THEN c * length(gram) ELSE 0 END) AS d2,
+               SUM(CASE WHEN nn = 3 AND c > 1 THEN c * length(gram) ELSE 0 END) AS d3
+        FROM r GROUP BY 1
+    ),
+    f AS (
+        SELECT b.doc_id,
+               ROUND(CASE WHEN n_chars > 0
+                     THEN CAST(COALESCE(t2, 0) AS DOUBLE) / n_chars
+                     ELSE 0.0 END, 6) AS top_2gram_char_frac,
+               ROUND(CASE WHEN n_chars > 0
+                     THEN CAST(COALESCE(t3, 0) AS DOUBLE) / n_chars
+                     ELSE 0.0 END, 6) AS top_3gram_char_frac,
+               ROUND(CASE WHEN n_chars > 0
+                     THEN CAST(COALESCE(d2, 0) AS DOUBLE) / n_chars
+                     ELSE 0.0 END, 6) AS dup_2gram_char_frac,
+               ROUND(CASE WHEN n_chars > 0
+                     THEN CAST(COALESCE(d3, 0) AS DOUBLE) / n_chars
+                     ELSE 0.0 END, 6) AS dup_3gram_char_frac,
+               ROUND(CASE WHEN n_words > 0
+                     THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_words
+                     ELSE 0.0 END, 6) AS repeated_word_frac
+        FROM b LEFT JOIN p ON b.doc_id = p.doc_id
+    )
+    SELECT *,
+           CASE WHEN top_2gram_char_frac <= 0.20
+                 AND top_3gram_char_frac <= 0.18
+                 AND dup_3gram_char_frac <= 0.60
+                THEN 1 ELSE 0 END AS repetition_ok
+    FROM f
+    """,
+)
+def q_gopher_repetition_stats(spark, sf_dir):
+    """Character-weighted Gopher repetition rules (Rae et al. 2021 A1):
+    top-2/3-gram char fractions, duplicated-2/3-gram char fractions,
+    repeated-word fraction, and the composite keep flag. Complements
+    `repetition_metrics` (type-level duplicate ratios) with the
+    occurrence×length-weighted form the paper actually thresholds."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        gopher_repetition_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_repetition_stats(docs)
+
+
+_BIGRAM_SCORES_CTE = rf"""
+    t AS (
+        SELECT doc_id, {_TOKENS} AS toks
+        FROM (SELECT doc_id, lower(text) AS text FROM documents)
+    ),
+    pairs AS (
+        SELECT doc_id, pw.p AS prev, pw.w AS w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(p := toks[i], w := toks[i+1]))) AS pw
+            FROM t
+        )
+    ),
+    bc AS (SELECT prev, w, COUNT(*) AS bc FROM pairs GROUP BY prev, w),
+    pc AS (SELECT prev, CAST(SUM(bc) AS BIGINT) AS pc FROM bc GROUP BY prev),
+    uc AS (
+        SELECT w, COUNT(*) AS uc
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(uc) AS BIGINT) AS n_total,
+                   COUNT(*) AS v_size FROM uc),
+    nlls AS (
+        SELECT p.doc_id,
+               -ln(0.7 * (CAST(COALESCE(b.bc, 0) AS DOUBLE)
+                          / CAST(c.pc AS DOUBLE))
+                   + 0.3 * (CAST(COALESCE(u.uc, 0) + 1 AS DOUBLE)
+                            / CAST(tot.n_total + tot.v_size + 1 AS DOUBLE)))
+                   AS nll
+        FROM pairs p
+        LEFT JOIN bc b ON p.prev = b.prev AND p.w = b.w
+        LEFT JOIN pc c ON p.prev = c.prev
+        LEFT JOIN uc u ON p.w = u.w, tot
+    ),
+    scores AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(nll), 6) AS avg_nll
+        FROM nlls GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    rf"""
+    WITH {_BIGRAM_SCORES_CTE},
+    labeled AS (
+        SELECT d.doc_id, d.lang, s.n_bigrams, s.avg_nll
+        FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+    ),
+    cuts AS (
+        SELECT lang,
+               ROUND(quantile_cont(avg_nll, 1.0/3.0), 6) AS c1,
+               ROUND(quantile_cont(avg_nll, 2.0/3.0), 6) AS c2
+        FROM labeled GROUP BY lang
+    ),
+    bucketed AS (
+        SELECT l.lang,
+               CASE WHEN l.avg_nll <= c.c1 THEN 'head'
+                    WHEN l.avg_nll <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               l.avg_nll
+        FROM labeled l JOIN cuts c ON l.lang = c.lang
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           -- integer micro-NLL sum: per-doc scores are already rounded to
+           -- 1e-6, so summing them as exact integers kills the
+           -- summation-order ulp that a double AVG can land on a .5
+           -- rounding boundary
+           ROUND(SUM(CAST(ROUND(avg_nll * 1e6, 0) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS mean_nll,
+           ROUND(MIN(avg_nll), 6) AS min_nll,
+           ROUND(MAX(avg_nll), 6) AS max_nll
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020): per-lang
+    perplexity terciles under the corpus-fit bigram LM, by broadcast
+    tercile cut points (not an ntile window — the corpus side stays
+    map-only). Output: per (lang, bucket) doc counts and NLL stats."""
+    from ningaloo_turtle_etl_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    b = perplexity_buckets(docs, lambda_=0.7)
+    # mean via exact integer micro-NLL sum — see the oracle comment
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("avg_nll") * 1e6, 0).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("mean_nll"),
+        F.round(F.min("avg_nll"), 6).alias("min_nll"),
+        F.round(F.max("avg_nll"), 6).alias("max_nll"),
+    )

@@ -158,6 +158,8 @@ PRIORITY: list[str] = [
     "varpart_fractions",
     "bpe_pair_counts",
     "bpe_merges",
+    "gopher_repetition_stats",
+    "ccnet_perplexity_buckets",
 ]
 
 

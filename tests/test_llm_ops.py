@@ -749,3 +749,92 @@ def test_lsh_topk_empty_corpus_schema_matches_id_type(spark):
     assert dict(out.dtypes)["query_id"] == "string"
     assert dict(out.dtypes)["vec_id"] == "string"
     assert out.count() == 0
+
+
+def test_gopher_repetition_stats_matches_reference(spark):
+    """Char-weighted Gopher fractions equal a from-scratch Python reference
+    on planted docs: a heavy repeater (fails the thresholds), a clean doc,
+    and sub-n-gram edge cases."""
+    from collections import Counter
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        gopher_repetition_stats,
+    )
+
+    texts = {
+        1: "spam spam spam spam spam ham",          # top-2gram dominates
+        2: (  # no repeats, long enough that one gram is a small fraction
+            "the quick brown fox jumps over lazy dogs while seventeen "
+            "purple elephants quietly discuss ancient philosophy under "
+            "winter moonlight near frozen rivers carrying wooden boats"
+        ),
+        3: "one",                                   # too short for any gram
+        4: "tic tac tic tac toe tic tac",           # overlapping repeats
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition_stats(df).collect()}
+
+    def ref(text):
+        toks = text.lower().split()
+        chars = len(" ".join(toks))
+        out = {}
+        for n in (2, 3):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            cnt = Counter(grams)
+            if cnt:
+                top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                tf = top[1] * len(top[0]) / chars
+            else:
+                tf = 0.0
+            dupf = sum(c * len(g) for g, c in cnt.items() if c > 1) / chars if chars else 0.0
+            out[f"top_{n}gram_char_frac"] = round(tf, 6)
+            out[f"dup_{n}gram_char_frac"] = round(dupf, 6)
+        out["repeated_word_frac"] = (
+            round(1 - len(set(toks)) / len(toks), 6) if toks else 0.0
+        )
+        out["repetition_ok"] = int(
+            out["top_2gram_char_frac"] <= 0.20
+            and out["top_3gram_char_frac"] <= 0.18
+            and out["dup_3gram_char_frac"] <= 0.60
+        )
+        return out
+
+    for doc_id, text in texts.items():
+        expected = ref(text)
+        for k, v in expected.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+    assert got[1]["repetition_ok"] == 0  # spam-run fails the top-2gram rule
+    assert got[2]["repetition_ok"] == 1
+    assert got[3]["repetition_ok"] == 1  # no grams → all fracs 0.0
+
+
+def test_perplexity_buckets_orders_langs_into_terciles(spark):
+    """Head bucket scores strictly below tail within each lang; bucket sizes
+    are near-terciles; every scored doc lands in exactly one bucket."""
+    import random
+
+    from ningaloo_turtle_etl_spark.operators.text import perplexity_buckets
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        # fluent docs repeat one bigram; noisy docs shuffle uniformly
+        if i % 3 == 0:
+            text = "aa bb " * 6
+        else:
+            text = " ".join(rng.choice(words) for _ in range(12))
+        rows.append((i, text.strip(), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df).collect()
+    assert len(out) == 60  # every doc has >=1 bigram → all scored
+    by = {}
+    for r in out:
+        by.setdefault((r["lang"], r["bucket"]), []).append(r["avg_nll"])
+    for lang in ("en", "de"):
+        assert set(b for (l, b) in by if l == lang) == {"head", "middle", "tail"}
+        assert max(by[(lang, "head")]) <= min(by[(lang, "tail")])
+        n = sum(len(v) for (l, b), v in by.items() if l == lang)
+        for b in ("head", "middle", "tail"):
+            assert len(by[(lang, b)]) >= n // 6  # near-tercile, ties allowed
