@@ -889,3 +889,272 @@ def duplicate_passage_removal(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def _char_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    sample_mod: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, pos, h) for every length-``k`` character window starting at
+    1-based ``pos`` of ``text_col``. The window CONTENT never leaves the map
+    side — only its hash shuffles (16-char md5 prefix for the cross-engine
+    family, 8-byte xxhash64 otherwise).
+
+    ``sample_mod`` m > 1 keeps only windows whose hash ≡ 0 (mod m) —
+    CONTENT-DEFINED sampling (the MODP scheme from the winnowing family,
+    Schleimer et al. 2003). Identical content keeps identical windows no
+    matter where it sits in a doc, so sampling never desynchronizes the two
+    occurrences of a duplicate; a duplicated span of length L ≥ k is missed
+    only when none of its L−k+1 windows samples, P ≈ (1−1/m)^(L−k+1).
+    (A positional stride CANNOT give this guarantee: occurrences whose
+    offsets differ by a non-multiple of the stride share no window starts
+    at any length.) The filter runs map-side, before any shuffle."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pos = df.select(
+        F.col(id_col), t.alias("_t"), F.length(t).alias("_len")
+    ).where(F.col("_len") >= k).select(
+        id_col,
+        "_t",
+        F.explode(
+            F.sequence(F.lit(1), F.col("_len") - k + 1)
+        ).alias("pos"),
+    )
+    win = F.substring(F.col("_t"), F.col("pos"), k)
+    if hash_family == "md5":
+        hx = F.md5(win)
+        h = F.substring(hx, 1, 16)
+        smp = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(win)
+        smp = h
+    out = pos.select(id_col, "pos", h.alias("_h"), smp.alias("_smp"))
+    if sample_mod > 1:
+        out = out.where(F.pmod(F.col("_smp"), F.lit(sample_mod)) == 0)
+    return out.drop("_smp")
+
+
+def _ranked_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    sample_mod: int,
+    hash_family: str,
+) -> DataFrame:
+    """Char windows with their global occurrence rank (``_rn``, ordered by
+    (id, pos) — rank 1 is the corpus-wide FIRST occurrence and is the one
+    exact-substring dedup keeps) and total occurrence count (``_cnt``).
+
+    One shuffle, keyed by the window hash. Both window specs share the
+    partitioning so Spark plans a single exchange. Skew caveat: a
+    pathologically hot window (a run of spaces, a boilerplate banner)
+    serializes its hash's rank election through one task — raise ``k`` or
+    pre-filter low-entropy text upstream if a corpus has such runs."""
+    from pyspark.sql.window import Window
+
+    win = _char_windows(df, text_col, id_col, k, sample_mod, hash_family)
+    wo = Window.partitionBy("_h").orderBy(id_col, "pos")
+    wa = Window.partitionBy("_h")
+    return win.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wa)
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    sample_mod: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplication profile at character granularity — the
+    measurement half of the Lee et al. 2022 suffix-array pass, re-expressed
+    for Spark: any duplicated substring of length ≥ k contains at least one
+    duplicated k-char window, so hashing every overlapping window gives a
+    complete detector for ≥k-char duplication without ever building a
+    suffix array. Complements ``duplicate_passage_removal`` (non-overlapping
+    TOKEN passages): windows catch duplication that straddles passage
+    boundaries or shifts by a word.
+
+    Per input doc: ``n_windows``; ``n_dup_windows`` (window content occurs
+    ≥2 times corpus-wide, anywhere — other docs or elsewhere in this one);
+    ``n_removable_windows`` (occurrence rank ≥ 2, i.e. what span removal
+    would target); ``dup_char_frac`` / ``removable_char_frac`` — the
+    fraction of the doc's characters covered by the INTERVAL UNION of those
+    windows (a classic sort-by-position sweep per doc, so overlapping
+    windows aren't double-counted). Docs shorter than ``k`` report zeros.
+
+    Scale shape: windows are (id, pos, hash) triples — the text itself
+    stays map-side; shuffle 1 ranks by hash (map-side combine can't help,
+    but rows are 24 B); shuffle 2 is the per-doc sweep, bounded by doc
+    length. ``sample_mod`` m > 1 keeps the 1/m of windows whose hash ≡ 0
+    (mod m) — content-defined, so both copies of a duplicate keep the SAME
+    windows and stats stay comparable across docs; at 100 TB run m ≈ k
+    first (windows ≈ corpus size instead of k× it) and rescan only flagged
+    docs at m = 1. ``hash_family='md5'`` is the DuckDB-reproducible family
+    (oracle rows); xxhash64 is the fast path."""
+    from pyspark.sql.window import Window
+
+    ranked = _ranked_windows(df, text_col, id_col, k, sample_mod, hash_family)
+    sweep = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def covered(flag: Column) -> Column:
+        prev_end = F.max(F.when(flag, F.col("pos") + k)).over(sweep)
+        return F.when(
+            flag,
+            F.greatest(
+                F.lit(0),
+                F.col("pos")
+                + k
+                - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+            ),
+        ).otherwise(F.lit(0))
+
+    dup = F.col("_cnt") >= 2
+    rem = F.col("_rn") >= 2
+    per = ranked.select(
+        id_col,
+        F.lit(1).alias("_one"),
+        dup.cast("int").alias("_dup"),
+        rem.cast("int").alias("_rem"),
+        covered(dup).alias("_dupc"),
+        covered(rem).alias("_remc"),
+    ).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("_dup").alias("n_dup_windows"),
+        F.sum("_rem").alias("n_removable_windows"),
+        F.sum("_dupc").alias("_dup_chars"),
+        F.sum("_remc").alias("_rem_chars"),
+    )
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(F.col(id_col), n_chars.alias("_nc"))
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_removable_windows", F.lit(0)).alias(
+                "n_removable_windows"
+            ),
+            F.round(
+                F.when(
+                    F.col("_nc") > 0,
+                    F.coalesce("_dup_chars", F.lit(0)) / F.col("_nc"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_char_frac"),
+            F.round(
+                F.when(
+                    F.col("_nc") > 0,
+                    F.coalesce("_rem_chars", F.lit(0)) / F.col("_nc"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("removable_char_frac"),
+        )
+    )
+
+
+def substring_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    sample_mod: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2022 semantics on k-char
+    windows): the corpus-wide first occurrence of every window survives;
+    every later occurrence's span is cut, and each doc is rebuilt from the
+    characters outside the union of its cut spans. Cuts merge when windows
+    overlap, so "aaaa…" degenerates to its first k chars + nothing doubled.
+
+    Per input doc: ``(id, n_chars, n_removed_chars, cleaned_text)``; docs
+    shorter than ``k`` (or with no removable window) pass through intact.
+
+    Scale shape: rank election shuffles (id, pos, hash) by hash; the gap
+    sweep and reconstruction shuffle (id, pos) pairs and then (id,
+    gap-bounds) — the TEXT rejoins only at the final per-doc assembly,
+    via the doc-keyed join, so no shuffle ever carries window content. At
+    100 TB, emit the (id, span) cut list instead of materializing
+    ``cleaned_text`` and apply it at read time (same note as
+    ``duplicate_passage_removal``)."""
+    from pyspark.sql.window import Window
+
+    rm = _ranked_windows(df, text_col, id_col, k, sample_mod, hash_family).where(
+        F.col("_rn") >= 2
+    )
+    sweep = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(sweep)
+    gaps = rm.select(
+        F.col(id_col),
+        F.coalesce(prev_end, F.lit(1)).alias("gs"),
+        F.col("pos").alias("ge"),
+    ).where(F.col("ge") > F.col("gs"))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len"),
+    )
+    tails = (
+        rm.groupBy(id_col)
+        .agg(F.max(F.col("pos") + k).alias("gs"))
+        .join(base.select(id_col, "_len"), on=id_col)
+        .select(id_col, "gs", (F.col("_len") + 1).alias("ge"))
+        .where(F.col("ge") > F.col("gs"))
+    )
+    # Every doc with ≥1 removable window must land in `rebuilt` even when
+    # the cuts cover it entirely (no gap rows at all) — hence the left join
+    # from the removable-doc list, not a bare groupBy over gap rows.
+    segs = gaps.unionByName(tails)
+    rebuilt = (
+        rm.select(id_col)
+        .distinct()
+        .join(
+            segs.groupBy(id_col).agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("gs"), F.col("ge")))
+                ).alias("_segs")
+            ),
+            on=id_col,
+            how="left",
+        )
+        .join(base, on=id_col)
+        .select(
+            F.col(id_col),
+            F.when(F.col("_segs").isNull(), F.lit("")).otherwise(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("_segs"),
+                        lambda s: F.substring(
+                            F.col("_t"), s.gs, s.ge - s.gs
+                        ),
+                    ),
+                )
+            ).alias("_cleaned"),
+        )
+    )
+    return base.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("_len").alias("n_chars"),
+        (
+            F.col("_len") - F.length(F.coalesce("_cleaned", F.col("_t")))
+        ).alias("n_removed_chars"),
+        F.coalesce("_cleaned", F.col("_t")).alias("cleaned_text"),
+    )

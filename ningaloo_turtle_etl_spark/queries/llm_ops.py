@@ -2303,3 +2303,142 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         F.round(F.min("avg_nll"), 6).alias("min_nll"),
         F.round(F.max("avg_nll"), 6).alias("max_nll"),
     )
+
+
+_SUBSTR_RANKED_CTE = """
+    t AS (SELECT doc_id, coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS len
+          FROM documents),
+    w AS (
+        SELECT doc_id, pos, substr(md5(substr(t, pos, 40)), 1, 16) AS h
+        FROM (SELECT doc_id, t, len,
+                     unnest(range(1, len - 40 + 2)) AS pos
+              FROM t WHERE len >= 40)
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM w
+    )
+"""
+
+
+@register(
+    "substring_dup_stats",
+    f"""
+    WITH {_SUBSTR_RANKED_CTE},
+    s AS (
+        SELECT doc_id, pos, rn, cnt,
+               MAX(CASE WHEN cnt >= 2 THEN pos + 40 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dpe,
+               MAX(CASE WHEN rn >= 2 THEN pos + 40 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rpe
+        FROM r
+    ),
+    p AS (
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup,
+               SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS n_rem,
+               SUM(CASE WHEN cnt >= 2 THEN GREATEST(0, pos + 40
+                   - GREATEST(pos, COALESCE(dpe, pos))) ELSE 0 END) AS dupc,
+               SUM(CASE WHEN rn >= 2 THEN GREATEST(0, pos + 40
+                   - GREATEST(pos, COALESCE(rpe, pos))) ELSE 0 END) AS remc
+        FROM s GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(n_rem, 0) AS BIGINT) AS n_removable_windows,
+           ROUND(CASE WHEN len > 0
+                 THEN CAST(COALESCE(dupc, 0) AS DOUBLE) / len
+                 ELSE 0.0 END, 6) AS dup_char_frac,
+           ROUND(CASE WHEN len > 0
+                 THEN CAST(COALESCE(remc, 0) AS DOUBLE) / len
+                 ELSE 0.0 END, 6) AS removable_char_frac
+    FROM t LEFT JOIN p USING (doc_id)
+    """,
+)
+def q_substring_dup_stats(spark, sf_dir):
+    """Character-granularity exact-substring duplication profile (Lee et
+    al. 2022 measured via overlapping hashed 40-char windows): per-doc
+    duplicated / removable window counts and interval-union char
+    fractions. Detects any duplicated substring >= 40 chars, including
+    ones that straddle token-passage boundaries."""
+    from ningaloo_turtle_etl_spark.operators.dedup import substring_dup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = substring_dup_stats(docs, k=40, hash_family="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.col("n_removable_windows").cast("long").alias(
+            "n_removable_windows"
+        ),
+        "dup_char_frac",
+        "removable_char_frac",
+    )
+
+
+@register(
+    "substring_span_removal",
+    f"""
+    WITH {_SUBSTR_RANKED_CTE},
+    rm AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+    g AS (
+        SELECT doc_id,
+               COALESCE(MAX(pos + 40) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   1) AS gs,
+               pos AS ge
+        FROM rm
+    ),
+    segs AS (
+        SELECT doc_id, gs, ge FROM g WHERE ge > gs
+        UNION ALL
+        SELECT m.doc_id, m.mx AS gs, t.len + 1 AS ge
+        FROM (SELECT doc_id, MAX(pos + 40) AS mx FROM rm GROUP BY doc_id) m
+        JOIN t USING (doc_id)
+        WHERE t.len + 1 > m.mx
+    ),
+    reb AS (
+        SELECT rd.doc_id, COALESCE(sg.txt, '') AS cleaned
+        FROM (SELECT DISTINCT doc_id FROM rm) rd
+        LEFT JOIN (
+            SELECT s.doc_id,
+                   string_agg(substr(t.t, s.gs, s.ge - s.gs), ''
+                              ORDER BY s.gs) AS txt
+            FROM segs s JOIN t USING (doc_id)
+            GROUP BY s.doc_id
+        ) sg USING (doc_id)
+    )
+    SELECT t.doc_id,
+           CAST(t.len AS BIGINT) AS n_chars,
+           CAST(t.len - length(COALESCE(reb.cleaned, t.t)) AS BIGINT)
+               AS n_removed_chars,
+           COALESCE(reb.cleaned, t.t) AS cleaned_text
+    FROM t LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q_substring_span_removal(spark, sf_dir):
+    """Exact-substring span removal: corpus-wide first occurrence of every
+    40-char window survives, later occurrences' spans are cut (merged when
+    overlapping) and each doc is rebuilt from the surviving characters.
+    The char-granularity sibling of duplicate_passage_removal."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = substring_span_removal(docs, k=40, hash_family="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_removed_chars").cast("long").alias("n_removed_chars"),
+        "cleaned_text",
+    )

@@ -160,6 +160,8 @@ PRIORITY: list[str] = [
     "bpe_merges",
     "gopher_repetition_stats",
     "ccnet_perplexity_buckets",
+    "substring_dup_stats",
+    "substring_span_removal",
 ]
 
 

@@ -838,3 +838,141 @@ def test_perplexity_buckets_orders_langs_into_terciles(spark):
         n = sum(len(v) for (l, b), v in by.items() if l == lang)
         for b in ("head", "middle", "tail"):
             assert len(by[(lang, b)]) >= n // 6  # near-tercile, ties allowed
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """From-scratch reference: enumerate k-char windows, rank occurrences
+    globally by (doc, pos), interval-union both the duplicated and the
+    removable sets, rebuild text from the gaps. Includes a straddling
+    duplicate (shared span offset by a prefix, invisible to non-overlapping
+    passage dedup), a self-overlap degenerate, a sub-k doc, and a null."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        substring_dup_stats,
+        substring_span_removal,
+    )
+
+    k = 12
+    rows = [
+        (1, "the shared span of text lives here and then diverges one way"),
+        (2, "ZZ the shared span of text lives here and then goes another"),
+        (3, "b" * 30),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # --- reference ---
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did, txt in rows:
+        t = txt or ""
+        for pos in range(1, len(t) - k + 2):
+            occ.setdefault(t[pos - 1 : pos - 1 + k], []).append((did, pos))
+
+    def union_len(ivs):
+        total, end = 0, 0
+        for s, e in sorted(ivs):
+            total += max(0, e - max(s, end))
+            end = max(end, e)
+        return total
+
+    exp_stats, exp_clean = {}, {}
+    for did, txt in rows:
+        t = txt or ""
+        wins = [
+            (pos, t[pos - 1 : pos - 1 + k])
+            for pos in range(1, len(t) - k + 2)
+        ]
+        dup = [
+            (p, p + k) for p, w in wins if len(occ[w]) >= 2
+        ]
+        rem = [
+            (p, p + k)
+            for p, w in wins
+            if sorted(occ[w]).index((did, p)) >= 1
+        ]
+        exp_stats[did] = (
+            len(wins),
+            len(dup),
+            len(rem),
+            round(union_len(dup) / len(t), 6) if t else 0.0,
+            round(union_len(rem) / len(t), 6) if t else 0.0,
+        )
+        keep = [True] * len(t)
+        for s, e in rem:
+            for i in range(s - 1, min(e - 1, len(t))):
+                keep[i] = False
+        exp_clean[did] = "".join(c for c, kp in zip(t, keep) if kp)
+
+    got = {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["n_removable_windows"],
+            r["dup_char_frac"],
+            r["removable_char_frac"],
+        )
+        for r in substring_dup_stats(df, k=k, hash_family="md5").collect()
+    }
+    assert got == exp_stats
+    # doc 2's straddling duplicate must actually fire
+    assert got[2][2] > 0
+
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in substring_span_removal(df, k=k, hash_family="md5").collect()
+    }
+    assert cleaned == exp_clean
+    # both hash families agree on STATS (hash only keys the grouping)
+    got_xx = {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["n_removable_windows"],
+            r["dup_char_frac"],
+            r["removable_char_frac"],
+        )
+        for r in substring_dup_stats(
+            df, k=k, hash_family="xxhash64"
+        ).collect()
+    }
+    assert got_xx == exp_stats
+
+
+def test_substring_content_defined_sampling_is_phase_free(spark):
+    """sample_mod keeps windows by CONTENT hash, so the two copies of a
+    shared span keep exactly the same windows even though their offsets
+    differ by amounts with every residue mod m — the property a positional
+    stride cannot provide. Verified against a hashlib replica of the
+    sampling rule."""
+    import hashlib
+
+    from ningaloo_turtle_etl_spark.operators.dedup import substring_dup_stats
+
+    k, m = 16, 3
+
+    def sampled(win: str) -> bool:
+        return int(hashlib.md5(win.encode()).hexdigest()[:15], 16) % m == 0
+
+    shared = "0123456789abcdefghijklmnop"
+    in_span = [
+        shared[i : i + k] for i in range(len(shared) - k + 1)
+    ]
+    n_sampled = sum(sampled(w) for w in in_span)
+    assert n_sampled > 0, "test corpus must contain a sampled window"
+
+    # offsets 0..m span every residue class mod m
+    rows = [
+        (i, "x" * i + shared + "y" * (8 - i)) for i in range(m + 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_removable_windows"])
+        for r in substring_dup_stats(
+            df, k=k, sample_mod=m, hash_family="md5"
+        ).collect()
+    }
+    for i in range(m + 1):
+        assert out[i][0] >= n_sampled, out
+    # first doc holds the kept copies; every later doc has removables
+    for i in range(1, m + 1):
+        assert out[i][1] >= n_sampled, out

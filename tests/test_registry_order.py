@@ -119,6 +119,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "bpe_merges",
         "gopher_repetition_stats",
         "ccnet_perplexity_buckets",
+        "substring_dup_stats",
+        "substring_span_removal",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
