@@ -144,3 +144,65 @@ def merge_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+def encode_corpus(
+    docs: DataFrame,
+    symtable: DataFrame,
+    merges: list[tuple[str, str, int]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE: per doc, the token count and
+    the space-joined token stream under the merges baked into ``symtable``
+    (the (word, symbols) frame ``learn_bpe`` returns).
+
+    Scale shape: the corpus explodes once to (id, word-position, word); the
+    vocabulary joins on word — vocabulary-sized, so AQE broadcasts it and
+    the corpus side stays map-only (the classic big-fact × small-dim
+    tokenizer shape); reassembly is ONE groupBy(id) carrying the per-word
+    symbol arrays. Out-of-vocabulary words are encoded by applying the
+    ``merges`` list (pass ``learn_bpe``'s first return) to their character
+    symbols — what a real subword tokenizer does with unseen words, not a
+    bail-to-characters; with ``merges=None`` the fallback is bare chars +
+    end mark. Either way encoding is total for any input."""
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    fallback = F.concat(chars, F.array(F.lit(END_MARK)))
+    for left, right, _n in merges or []:
+        fallback = apply_merge(fallback, left, right)
+    joined = words.join(
+        symtable.select("word", "symbols"), on="word", how="left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("symbols"), fallback).alias("symbols"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.size("symbols")).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "symbols"))
+                    ),
+                    lambda s: s.symbols,
+                )
+            ),
+        ).alias("token_stream"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("token_stream", F.lit("")).alias("token_stream"),
+        )
+    )

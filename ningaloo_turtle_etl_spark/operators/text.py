@@ -384,3 +384,80 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(n_top))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice: OLS of ln(freq) on ln(rank) over
+    the slice's word-frequency table (rank 1 = most frequent; ties broken
+    by word so the ranking is total and engine-independent). A healthy
+    natural-language slice sits near slope ≈ −1; machine-generated or
+    template text bends the curve — the slope and its r² are cheap
+    corpus-health gauges to trend per source/snapshot.
+
+    Returns one row per slice: (group, n_types, n_tokens, zipf_slope,
+    zipf_intercept, fit_r2).
+
+    Numerics: each ln is rounded to integer MICRO-units before summing, so
+    every OLS moment is an exact integer and summation order cannot move
+    the result (the micro-unit factors cancel in slope/r²; the intercept
+    divides back out). Scale shape: corpus explodes once to (group, word)
+    with map-side combine; the rank window sorts the VOCABULARY of each
+    slice (millions of rows at 100 TB, not trillions); moments are one
+    vocabulary-sized aggregation."""
+    from pyspark.sql.window import Window
+
+    wf = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("word"))
+    ranked = wf.withColumn("rank", F.row_number().over(w)).select(
+        "grp",
+        "freq",
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("yi"),
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = F.when(varx > 0, cov / varx)
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.when(varx > 0, (sy - slope * sx) / (n * F.lit(1e6))), 6
+        ).alias("zipf_intercept"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
+        ).alias("fit_r2"),
+    )

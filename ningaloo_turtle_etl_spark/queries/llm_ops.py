@@ -2109,15 +2109,123 @@ def bpe_pair_counts(spark, sf_dir):
     ).limit(20)
 
 
-@register("bpe_merges", None)
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Full-oracle SQL for the iterative BPE induction, by UNROLLING the
+    merge loop into a chained CTE per step: pair counts → deterministic
+    argmax → apply-merge. Symbols live in a chr(31)-joined string so the
+    apply step is a ``list_reduce`` string fold with the same left-to-right
+    non-overlapping greedy semantics as ``operators.bpe.apply_merge`` (the
+    accumulator's LAST symbol is compared whole — ``acc = l`` or
+    ``ends_with(acc, sep || l)`` — so "aaa" under merge (a,a) yields
+    ["aa","a"] in both engines). chr(31) never occurs in whitespace-split
+    tokens, so the encoding is lossless here."""
+    us = "chr(31)"
+    parts = [
+        f"""
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, freq,
+               array_to_string(
+                   list_append(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, i, 1)),
+                       '</w>'),
+                   {us}) AS sym
+        FROM wf
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f""",
+    pc{i} AS (
+        SELECT pr.l AS bl, pr.r AS br, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(tk)),
+                       j -> struct_pack(l := tk[j], r := tk[j + 1]))) AS pr
+            FROM (SELECT freq, string_split(sym, {us}) AS tk FROM {prev})
+        ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT bl, br, c FROM pc{i}
+             ORDER BY c DESC, bl ASC, br ASC LIMIT 1),
+    s{i} AS (
+        SELECT word, freq,
+               list_reduce(string_split(sym, {us}),
+                   (acc, x) -> CASE WHEN x = br AND
+                                     (acc = bl OR ends_with(acc, {us} || bl))
+                               THEN acc || x
+                               ELSE acc || {us} || x END) AS sym
+        FROM {prev} CROSS JOIN b{i}
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f'SELECT {i} AS step, bl AS "left", br AS "right", '
+        f"bl || br AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + "".join(parts) + "\n    " + selects
+
+
+def _bpe_encode_oracle_sql(num_merges: int) -> str:
+    """Encoding oracle: reuse the unrolled chain's FINAL symbol table
+    (s<N> maps word -> chr(31)-joined symbols) as the tokenizer dim, join
+    it onto position-tagged corpus words, and reassemble per doc."""
+    us = "chr(31)"
+    chain = _bpe_oracle_sql(num_merges)
+    body = chain[len("WITH ") : chain.rindex("\n    SELECT 1 AS step")]
+    return f"""
+    WITH {body},
+    wp AS (
+        SELECT doc_id, pw.pos AS pos, pw.w AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                       j -> struct_pack(pos := j, w := toks[j]))) AS pw
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        )
+    ),
+    enc AS (
+        SELECT wp.doc_id, wp.pos,
+               COALESCE(sv.sym,
+                   array_to_string(
+                       list_append(
+                           list_transform(range(1, length(wp.word) + 1),
+                                          i -> substr(wp.word, i, 1)),
+                           '</w>'),
+                       {us})) AS sym
+        FROM wp LEFT JOIN s{num_merges} sv ON wp.word = sv.word
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(SUM(len(string_split(sym, {us}))) AS BIGINT) AS n_tokens,
+               string_agg(replace(sym, {us}, ' '), ' ' ORDER BY pos)
+                   AS token_stream
+        FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.token_stream, '') AS token_stream
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@register("bpe_merges", _bpe_oracle_sql(8))
 def bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer induction: the first 8 learned merges over
     the corpus word-frequency table — (step, left, right, merged,
-    pair_count). Iterative greedy argmax is not SQL-expressible (each step
-    depends on the previous merge's rewrite), so this is rows-only; exact
-    merge-for-merge equality with a from-scratch Python BPE is pinned in
-    tests/test_bpe.py, and the per-iteration aggregation carries the full
-    oracle via `bpe_pair_counts`."""
+    pair_count). The greedy argmax loop is driver-ITERATIVE on the Spark
+    side (each step depends on the previous rewrite), but for a FIXED
+    merge budget it is still SQL-expressible by unrolling — the oracle
+    chains one (pair-count → argmax → list_reduce fold) CTE block per
+    merge, so this row is a full hash comparison since r04 (previously
+    rows-only). Exact merge-for-merge equality with a from-scratch Python
+    BPE is additionally pinned in tests/test_bpe.py, and the
+    per-iteration aggregation alone carries `bpe_pair_counts`."""
     from ningaloo_turtle_etl_spark.operators.bpe import learn_bpe, merge_table
     from ningaloo_turtle_etl_spark.operators.cache import release_tracked_caches
 
@@ -2442,3 +2550,82 @@ def q_substring_span_removal(spark, sf_dir):
         F.col("n_removed_chars").cast("long").alias("n_removed_chars"),
         "cleaned_text",
     )
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle_sql(8))
+def bpe_encode_corpus(spark, sf_dir):
+    """Tokenizer APPLICATION: encode every document with the 8-merge BPE
+    induced from this corpus — per doc, token count and the space-joined
+    token stream. Corpus explodes once; the vocabulary-sized symbol table
+    broadcasts; reassembly is one doc-keyed groupBy. The oracle reuses the
+    unrolled induction chain's final symbol table as its tokenizer dim."""
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        encode_corpus,
+        learn_bpe,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, sym = learn_bpe(docs, num_merges=8)
+    # merges drive the OOV fallback; unused on the training corpus itself,
+    # where every word hits the symbol table (the oracle's fallback is
+    # bare chars for the same reason — neither path can fire here).
+    return encode_corpus(docs, sym, merges)
+
+
+@register(
+    "zipf_corpus_fit",
+    rf"""
+    WITH wf AS (
+        SELECT source AS grp, word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT source, unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT grp, freq,
+               CAST(ROUND(ln(CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY freq DESC, word ASC
+               ) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi,
+               CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS yi
+        FROM wf
+    ),
+    m AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(SUM(xi) AS BIGINT) AS sx,
+               CAST(SUM(yi) AS BIGINT) AS sy,
+               CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+               CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+               CAST(SUM(yi * yi) AS BIGINT) AS syy
+        FROM ranked GROUP BY grp
+    )
+    SELECT grp AS source, n_types, n_tokens,
+           ROUND(CASE WHEN CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+               (CAST(n_types AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           END, 6) AS zipf_slope,
+           ROUND(CASE WHEN CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+               (CAST(sy AS DOUBLE) - ((CAST(n_types AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+               / (CAST(n_types AS DOUBLE) * 1e6)
+           END, 6) AS zipf_intercept,
+           ROUND(CASE WHEN (CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0)
+                       AND (CAST(n_types AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0) THEN
+               (CAST(n_types AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               * (CAST(n_types AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / ((CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_types AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END, 6) AS fit_r2
+    FROM m
+    """,
+)
+def zipf_corpus_fit(spark, sf_dir):
+    """Zipf's-law rank-frequency fit per source: OLS slope/intercept/r2 of
+    ln(freq) on ln(rank) over each source's word-frequency table. Exact
+    integer micro-unit moments make the fit summation-order-proof; the
+    rank window sorts only the vocabulary."""
+    from ningaloo_turtle_etl_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, "documents", sf_dir)
+    return zipf_fit(docs, group_col="source")

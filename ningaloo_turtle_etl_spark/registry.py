@@ -162,6 +162,8 @@ PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "substring_dup_stats",
     "substring_span_removal",
+    "bpe_encode_corpus",
+    "zipf_corpus_fit",
 ]
 
 

@@ -111,3 +111,53 @@ def test_learn_bpe_empty_corpus_stops_early(spark):
         assert sym.count() == 0
     finally:
         release_tracked_caches()
+
+
+def test_encode_corpus_matches_python_reference(spark):
+    """Encoding must apply the learned merges exactly (greedy left-to-right
+    per merge, in merge order) and fall back to character symbols for
+    out-of-vocabulary words."""
+    from ningaloo_turtle_etl_spark.operators.bpe import encode_corpus
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"),
+         (2, "the them theme the the banana")],
+        "doc_id long, text string",
+    )
+    merges, sym = learn_bpe(train, num_merges=4)
+    try:
+        # encode a DIFFERENT frame: includes an OOV word ('zap')
+        apply_df = spark.createDataFrame(
+            [(10, "low newer zap"), (11, "the lowest theme"), (12, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["token_stream"])
+            for r in encode_corpus(apply_df, sym, merges).collect()
+        }
+    finally:
+        release_tracked_caches()
+
+    def py_encode(word: str) -> list[str]:
+        syms = list(word) + [END_MARK]
+        for left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    exp = {}
+    for did, text in [(10, "low newer zap"), (11, "the lowest theme"), (12, None)]:
+        toks = []
+        for w in (text or "").lower().split():
+            toks.extend(py_encode(w))  # OOV words get the merges too
+        exp[did] = (len(toks), " ".join(toks))
+    assert got == exp
+    # the OOV word really went through the merge-applying fallback
+    assert "z a p </w>" in got[10][1]

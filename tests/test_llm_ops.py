@@ -976,3 +976,43 @@ def test_substring_content_defined_sampling_is_phase_free(spark):
     # first doc holds the kept copies; every later doc has removables
     for i in range(1, m + 1):
         assert out[i][1] >= n_sampled, out
+
+
+def test_zipf_fit_matches_numpy_least_squares(spark):
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.text import zipf_fit
+
+    rows = [
+        (1, "s0", "the the the the cat cat sat on on a mat"),
+        (2, "s0", "the quick cat ran and the dog sat"),
+        (3, "s1", "alpha beta beta gamma gamma gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r for r in zipf_fit(df, group_col="source").collect()
+    }
+    from collections import Counter
+
+    for src in ("s0", "s1"):
+        freqs = Counter(
+            w
+            for _i, s, t in rows
+            if s == src
+            for w in t.lower().split()
+        )
+        ordered = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+        # same micro-unit rounding as the operator
+        x = np.array(
+            [round(np.log(i + 1) * 1e6) / 1e6 for i in range(len(ordered))]
+        )
+        y = np.array([round(np.log(f) * 1e6) / 1e6 for _w, f in ordered])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        g = got[src]
+        assert g["n_types"] == len(ordered)
+        assert g["n_tokens"] == sum(freqs.values())
+        assert abs(g["zipf_slope"] - slope) < 1e-5
+        assert abs(g["zipf_intercept"] - intercept) < 1e-5
+        assert abs(g["fit_r2"] - r * r) < 1e-5
+        assert g["zipf_slope"] < 0  # frequency falls with rank
