@@ -426,6 +426,70 @@ def _portable_sketch_600k(spark, sf_dir):
     return rep.join(q, on="l_returnflag")
 
 
+def _substring_removal_at(mult):
+    """Char-window exact-substring span removal over the sf documents
+    table replicated ``mult``× (ids shifted so copies are distinct docs —
+    every replica is a 100% duplicate, the worst case for the rank
+    election). xxhash64 family = the scale path; the md5 twin is what the
+    oracle row checks."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.dedup import (
+            substring_span_removal,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if mult > 1:
+            n = docs.count()
+            reps = spark.range(mult).select(F.col("id").alias("rep"))
+            docs = docs.crossJoin(reps).select(
+                (F.col("doc_id") + F.col("rep") * (n + 1)).alias("doc_id"),
+                "text",
+            )
+        out = substring_span_removal(docs, k=40, hash_family="xxhash64")
+        return out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_removed_chars").alias("removed"),
+        )
+
+    return run
+
+
+def _bpe_encode_sf(spark, sf_dir):
+    """Induce 8 merges and encode the corpus with them — times the full
+    induce+apply tokenizer path (iterative driver loop + broadcast-join
+    encode)."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        encode_corpus,
+        learn_bpe,
+    )
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        release_tracked_caches,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, sym = learn_bpe(docs, num_merges=8)
+    out = encode_corpus(docs, sym, merges).agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    out.collect()  # consume while the symbol-table cache is alive
+    release_tracked_caches()
+    return out  # the harness's trailing collect recomputes cheaply
+
+
+def _zipf_fit_sf(spark, sf_dir):
+    from ningaloo_turtle_etl_spark.operators.text import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, group_col="source")
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -447,12 +511,17 @@ EXTRAS = {
     "minhash_pairs_100k": _minhash_pairs_at(100_000),
     "simhash_sig_250k": _simhash_sig_at(250_000),
     "decontam_250k": _decontam_at(250_000),
+    "substring_removal_sf": _substring_removal_at(1),
+    "substring_removal_10x": _substring_removal_at(10),
+    "bpe_induce_encode_sf": _bpe_encode_sf,
+    "zipf_fit_sf": _zipf_fit_sf,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
 # algorithms driving their own jobs): time fn()+collect, not collect alone —
 # a collect-only clock would miss all the work.
 EAGER_EXTRAS = {
+    "bpe_induce_encode_sf",
     "connected_components_100k",
     "bloom_decontam_50k",
     "dsir_50k",
@@ -464,6 +533,7 @@ EAGER_EXTRAS = {
 # between the paired sizes, and a second multi-10s run would double bench
 # wall-clock for no extra signal.
 SINGLE_RUN_EXTRAS = {
+    "substring_removal_10x",
     "minhash_pairs_20k",
     "minhash_pairs_100k",
     "simhash_sig_250k",

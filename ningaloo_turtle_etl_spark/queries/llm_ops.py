@@ -2629,3 +2629,117 @@ def zipf_corpus_fit(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return zipf_fit(docs, group_col="source")
+
+
+@register(
+    "phrase_search_top_bigram",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                   i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS pr
+        FROM t
+    ),
+    p2 AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
+    c AS (SELECT a, b, COUNT(*) AS n FROM p2 GROUP BY 1, 2),
+    top AS (SELECT a, b FROM c ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    m AS (
+        SELECT p2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM p2 JOIN top ON p2.a = top.a AND p2.b = top.b
+        GROUP BY 1
+    )
+    SELECT m.doc_id, top.a AS term_a, top.b AS term_b, m.n_occurrences
+    FROM m, top
+    """,
+)
+def phrase_search_top_bigram(spark, sf_dir):
+    """Positional-index phrase search: build the inverted index, elect the
+    corpus's most frequent bigram, and count its exact adjacent
+    occurrences per doc FROM THE INDEX (positional merge over postings —
+    the corpus is never rescanned). The oracle recomputes the same counts
+    directly from token adjacency, so the index path is cross-checked
+    against a structurally different formulation."""
+    from ningaloo_turtle_etl_spark.operators.search import (
+        build_inverted_index,
+        phrase_occurrences,
+        top_bigram,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    a, b = top_bigram(docs)
+    idx = build_inverted_index(docs)
+    return phrase_occurrences(idx, [a, b]).select(
+        "doc_id",
+        F.lit(a).alias("term_a"),
+        F.lit(b).alias("term_b"),
+        "n_occurrences",
+    )
+
+
+@register(
+    "bm25_top10",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    p2 AS (
+        SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(a := toks[i], b := toks[i + 1])))
+                       AS pr
+            FROM t
+        )
+    ),
+    top AS (SELECT a, b FROM (
+        SELECT a, b, COUNT(*) AS n FROM p2 GROUP BY 1, 2)
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    q AS (SELECT DISTINCT term FROM (
+        SELECT a AS term FROM top UNION ALL SELECT b FROM top)),
+    idx AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM idx GROUP BY term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM idx GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     AVG(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT i.doc_id,
+               CAST(ROUND(
+                   ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                      / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(i.tf AS DOUBLE) * 2.2
+                      / (CAST(i.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+                   * 1e6, 0) AS BIGINT) AS s
+        FROM idx i
+        JOIN q ON i.term = q.term
+        JOIN dfs f ON i.term = f.term
+        JOIN dl d ON i.doc_id = d.doc_id, stats s
+    )
+    SELECT doc_id,
+           ROUND(SUM(s) / 1e6, 6) AS bm25_score,
+           CAST(COUNT(*) AS BIGINT) AS n_query_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def bm25_top10(spark, sf_dir):
+    """BM25 top-10 for the corpus's most frequent bigram as a two-term
+    query, answered entirely from the inverted index (corpus stats from a
+    broadcast 1-row aggregate; per-term scores in integer micro-units so
+    the per-doc sum is order-proof). k1=1.2, b=0.75 — hence the literal
+    2.2 numerator and 0.25 + 0.75·dl/avgdl damping in the oracle."""
+    from ningaloo_turtle_etl_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+        top_bigram,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    a, b = top_bigram(docs)
+    idx = build_inverted_index(docs)
+    return bm25_topk(idx, [a, b], k=10)

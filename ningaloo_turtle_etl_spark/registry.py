@@ -164,6 +164,8 @@ PRIORITY: list[str] = [
     "substring_span_removal",
     "bpe_encode_corpus",
     "zipf_corpus_fit",
+    "phrase_search_top_bigram",
+    "bm25_top10",
 ]
 
 

@@ -1016,3 +1016,105 @@ def test_zipf_fit_matches_numpy_least_squares(spark):
         assert abs(g["zipf_intercept"] - intercept) < 1e-5
         assert abs(g["fit_r2"] - r * r) < 1e-5
         assert g["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_phrase_search_matches_string_scan(spark):
+    """Index-path phrase occurrences must equal a naive token-scan count,
+    including multi-token phrases, overlapping matches, and absent terms."""
+    from ningaloo_turtle_etl_spark.operators.search import (
+        build_inverted_index,
+        phrase_occurrences,
+        top_bigram,
+    )
+
+    rows = [
+        (1, "big data big data big data systems"),
+        (2, "the big data platform handles big data"),
+        (3, "data big is reversed here"),
+        (4, "big big big"),  # overlapping unigram runs
+        (5, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_inverted_index(df)
+
+    def scan(phrase):
+        out = {}
+        for did, t in rows:
+            toks = t.lower().split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(phrase) + 1)
+                if toks[i : i + len(phrase)] == phrase
+            )
+            if n:
+                out[did] = n
+        return out
+
+    for phrase in (
+        ["big", "data"],
+        ["big", "data", "big"],
+        ["big", "big"],
+        ["missing", "term"],
+        ["data"],
+    ):
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_occurrences(idx, phrase).collect()
+        }
+        assert got == scan(phrase), phrase
+
+    assert top_bigram(df) == ("big", "data")
+    # index invariants: df counts docs, tf counts occurrences
+    row = {
+        (r["term"], r["doc_id"]): (r["tf"], r["df"], r["positions"])
+        for r in idx.collect()
+    }
+    assert row[("big", 4)] == (3, 4, [0, 1, 2])
+    assert row[("data", 3)][1] == 3  # 'data' appears in docs 1,2,3
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    rows = [
+        (1, "big data big data systems"),
+        (2, "the big platform"),
+        (3, "data data data data"),
+        (4, "nothing relevant"),
+        (5, "big"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_inverted_index(df)
+    got = bm25_topk(idx, ["big", "data"], k=3).collect()
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.lower().split() for d, t in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {
+        q: sum(1 for t in toks.values() if q in t) for q in ("big", "data")
+    }
+    exp = {}
+    for d, t in toks.items():
+        micro = []
+        for qt in ("big", "data"):
+            tf = t.count(qt)
+            if not tf:
+                continue
+            idf = math.log((n - dfs[qt] + 0.5) / (dfs[qt] + 0.5) + 1.0)
+            sc = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            micro.append(round(sc * 1e6))
+        if micro:
+            exp[d] = (round(sum(micro) / 1e6, 6), len(micro))
+    order = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+    assert [
+        (r["doc_id"], r["bm25_score"], r["n_query_terms_matched"])
+        for r in got
+    ] == [(d, s, m) for d, (s, m) in order]
+    # doc 4 matches nothing and must never appear
+    assert 4 not in {r["doc_id"] for r in got}

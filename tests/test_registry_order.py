@@ -123,6 +123,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "substring_span_removal",
         "bpe_encode_corpus",
         "zipf_corpus_fit",
+        "phrase_search_top_bigram",
+        "bm25_top10",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
