@@ -153,3 +153,95 @@ def best_cluster_representatives(
         .select(id_col)
     )
     return docs.join(keepers, on=id_col, how="left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank by synchronous power iteration over an edge list —
+    (node, rank) after ``iterations`` rounds of
+
+        rank(v) ← (1 − d) + d · Σ_{u→v} rank(u) / outdeg(u)
+
+    (the classic un-normalized form, so ranks average to 1.0 and an
+    isolated-change comparison doesn't need the node count). Edges are
+    treated as DIRECTED; symmetrize upstream for an undirected graph.
+    Nodes with no out-edges (dangling) keep contributing nothing — their
+    mass simply decays toward (1 − d), the standard simplification when
+    ranks are used for ordering rather than as true probabilities.
+
+    Determinism across engines: ranks live as integer MICRO-units; each
+    edge contribution rounds d·rank/outdeg to a whole micro before the
+    sum, so the per-node reduce is exact-integer and summation order can
+    never move a result — the same convention as zipf_fit/bm25. Scale
+    shape: each round is one (src-keyed) join of the rank vector onto the
+    out-degree-annotated edges plus one dst-keyed aggregation — the rank
+    vector is node-sized, edges never re-shuffle if pre-partitioned by
+    src; rounds are driver-counted only (same shape as
+    connected_components), with a localCheckpoint per round so the plan
+    stays O(1)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(outdeg, on="src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base_micro = int(round((1.0 - damping) * 1e6))
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks, on=ed.src == ranks.node, how="inner"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.lit(damping) * F.col("rank_micro") / F.col("outdeg"), 0
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(base_micro) + F.coalesce("s", F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
+    )
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Symmetric co-occurrence edges: items sharing an order, one edge per
+    DISTINCT ordered pair (both directions, no self-loops, multi-order
+    pairs collapsed). The self-join is order-keyed — at scale, orders are
+    small groups, so the quadratic blowup is per-order, never global."""
+    a = lineitem.select(
+        F.col(order_col).alias("ok"), F.col(item_col).alias("src")
+    ).distinct()
+    b = a.select(F.col("ok"), F.col("src").alias("dst"))
+    return (
+        a.join(b, on="ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

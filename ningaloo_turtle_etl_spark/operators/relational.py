@@ -371,3 +371,84 @@ def winsorize(
         .withColumn(name, F.greatest(F.least(F.col(col), F.col("_hi")), F.col("_lo")))
         .drop("_lo", "_hi")
     )
+
+
+def edit_similarity_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edit: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """String-similarity self-join (Ed-Join family, Xiao et al. 2008):
+    all id pairs whose ``text_col`` values are within Levenshtein distance
+    ``max_edit``, found WITHOUT the all-pairs product.
+
+    Prefix filtering: one edit operation disturbs at most ``q`` of a
+    string's q-grams, so two strings within ``max_edit`` edits share at
+    least one gram among each one's ``q·max_edit + 1`` RAREST grams
+    (rarity = global gram frequency, ties by gram — any fixed total order
+    works; rarest-first makes candidate buckets smallest). Strings are
+    padded with q−1 sentinel chars (chr(2)) at BOTH ends first — without
+    padding, a string near length q has too few grams for the pigeonhole
+    to bite (an edit on "abc" at q=3 disturbs its only gram; caught by
+    the brute-force completeness test). Candidates are the prefix-gram
+    join, then a length-difference gate, then exact ``levenshtein``
+    verification — filter-verify, the same shape as the MinHash pipeline.
+
+    Scale shape: gram frequencies are one vocabulary-sized aggregation;
+    prefix election is a per-string window over ≤ len(s) gram rows; the
+    candidate join is keyed on rare grams (bounded buckets by
+    construction); only id pairs shuffle — strings rejoin once for the
+    verify. Returns (id_a, id_b, edit_distance), id_a < id_b."""
+    from pyspark.sql.window import Window
+
+    p = q * max_edit + 1
+    pad = F.lit(chr(2) * (q - 1))
+    s = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
+    padded = F.concat(pad, F.col("_s"), pad)
+    grams = s.select(
+        "_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(padded) - q + 1),
+                    lambda i: F.substring(padded, i, q),
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_gf"), F.asc("gram"))
+    prefix = (
+        grams.join(freq, on="gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= p)
+        .select("_id", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="gram")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb")
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
+    sb = s.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, on="_ida")
+        .join(sb, on="_idb")
+        .where(
+            (
+                F.abs(F.length("_sa") - F.length("_sb")) <= max_edit
+            )
+            & (F.levenshtein("_sa", "_sb") <= max_edit)
+        )
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.levenshtein("_sa", "_sb").cast("long").alias("edit_distance"),
+        )
+    )

@@ -238,3 +238,103 @@ def range_join(
         (F.col(left_time) >= F.col(start_col)) & (F.col(left_time) < F.col(end_col))
     )
     return joined.drop("_b")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, step i counts as reached
+    only by an event of ``steps[i]`` STRICTLY AFTER the user's earliest
+    completion of step i−1 (the classic earliest-completion greedy, which
+    maximizes conversion counts for ordered funnels). Returns one row per
+    step: (step_index, step, users_reached, conversion_rate) with the rate
+    relative to step 1.
+
+    Scale shape: one conditional-min aggregation per step over only that
+    step's events (type filter pushes to the scan), joined user-keyed to
+    the previous frontier — the frontier is users-sized, events are
+    touched once per step with their own pushed filter, and the loop is
+    driver-counted with length = funnel length."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [frontier.count()]
+    for step in steps[1:]:
+        nxt = events.where(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        frontier = (
+            nxt.join(frontier, on=user_col)
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(frontier.count())
+    spark = events.sparkSession
+    base = max(counts[0], 1)
+    rows = [
+        (i + 1, s, counts[i], round(counts[i] / base, 6))
+        for i, s in enumerate(steps)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step_index int, step string, users_reached long, "
+        "conversion_rate double",
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week (Monday-truncated) of a
+    user's first event; a cohort member is retained at offset k if they
+    have any event in cohort_week + k weeks. Returns (cohort_week,
+    week_offset, n_active, cohort_size, retention_rate) for every
+    (cohort, offset) with activity — offset 0 is the cohort itself, so
+    its retention_rate is 1.0 by construction.
+
+    Scale shape: first-event election is one user-keyed min; the activity
+    matrix is distinct (user, week) — both shuffles carry user-sized rows,
+    never raw events; the final rollup is cohort×offset-sized (tiny)."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(
+        F.min(wk).alias("cohort_week")
+    )
+    active = events.select(user_col, wk.alias("_wk")).distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.join(first, on=user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("_wk"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention_rate"),
+        )
+    )

@@ -2743,3 +2743,120 @@ def bm25_top10(spark, sf_dir):
     a, b = top_bigram(docs)
     idx = build_inverted_index(docs)
     return bm25_topk(idx, [a, b], k=10)
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (same chaining trick as the BPE
+    merge loop): one CTE per round. All arithmetic mirrors the operator:
+    0.85 is forced to DOUBLE (DuckDB would otherwise do DECIMAL math and
+    round differently), contributions round to whole micro-units before
+    the exact-integer sum."""
+    base = int(round((1.0 - damping) * 1e6))
+    parts = [
+        """
+    eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS src
+           FROM lineitem),
+    ed0 AS (
+        SELECT DISTINCT a.src AS src, b.src AS dst
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.src <> b.src
+    ),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM ed0 GROUP BY src),
+    ed AS (SELECT ed0.src, ed0.dst, od.outdeg
+           FROM ed0 JOIN od USING (src)),
+    nodes AS (SELECT src AS node FROM ed0
+              UNION SELECT dst FROM ed0),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT n.node, CAST({base} + COALESCE(s.s, 0) AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node,
+                   CAST(SUM(CAST(ROUND(CAST({damping} AS DOUBLE) * r.rm
+                       / ed.outdeg, 0) AS BIGINT)) AS BIGINT) AS s
+            FROM ed JOIN r{i - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+        ) s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT node, ROUND(rm / 1e6, 6) AS rank FROM r{iterations}"""
+    )
+
+
+@register("pagerank_copurchase", _pagerank_oracle_sql(5))
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank (5 synchronous power iterations, d=0.85) over the part
+    co-purchase graph — parts are linked when they share an order. The
+    Spark side is a driver-counted distributed loop (rank vector joins
+    degree-annotated edges, dst-keyed integer-exact reduce per round);
+    the oracle unrolls the same five rounds into chained CTEs."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li)
+    return pagerank(edges, iterations=5, damping=0.85).select(
+        "node", "rank"
+    )
+
+
+@register(
+    "edit_similarity_pairs",
+    """
+    WITH s AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+    -- q-1 sentinel chars pad both ends (prefix-filter completeness for
+    -- strings near length q; see edit_similarity_self_join)
+    sp AS (SELECT id, repeat(chr(2), 2) || s || repeat(chr(2), 2) AS ps
+           FROM s),
+    grams AS (
+        SELECT id, unnest(list_distinct(list_transform(
+            range(1, length(ps) - 3 + 2),
+            i -> substr(ps, i, 3)))) AS gram
+        FROM sp
+    ),
+    freq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gf
+             FROM grams GROUP BY gram),
+    prefix AS (
+        SELECT id, gram FROM (
+            SELECT g.id, g.gram,
+                   row_number() OVER (PARTITION BY g.id
+                                      ORDER BY f.gf ASC, g.gram ASC) AS rn
+            FROM grams g JOIN freq f USING (gram))
+        WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS ida, b.id AS idb
+        FROM prefix a JOIN prefix b USING (gram)
+        WHERE a.id < b.id
+    )
+    SELECT c.ida AS id_a, c.idb AS id_b,
+           CAST(levenshtein(x.s, y.s) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN s x ON c.ida = x.id
+    JOIN s y ON c.idb = y.id
+    WHERE abs(length(x.s) - length(y.s)) <= 1
+      AND levenshtein(x.s, y.s) <= 1
+    """,
+)
+def edit_similarity_pairs(spark, sf_dir):
+    """Similarity self-join over customer names: every pair within
+    Levenshtein distance 1, via Ed-Join prefix filtering (rarest
+    q·k+1 grams elect candidates; exact levenshtein verifies) — the
+    record-linkage primitive, never materializing all-pairs."""
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        edit_similarity_self_join,
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    return edit_similarity_self_join(
+        cust, text_col="c_name", id_col="c_custkey", max_edit=1, q=3
+    )

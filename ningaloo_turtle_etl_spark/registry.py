@@ -166,6 +166,10 @@ PRIORITY: list[str] = [
     "zipf_corpus_fit",
     "phrase_search_top_bigram",
     "bm25_top10",
+    "pagerank_copurchase",
+    "edit_similarity_pairs",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
 ]
 
 

@@ -93,3 +93,27 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False, **options) 
     caveat as write_csv)."""
     out = df.coalesce(1) if single_file else df
     out.write.options(**options).mode("overwrite").json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """ORC sink (extends the snapshot matrix beyond Parquet — ORC is the
+    other columnar format Spark ships natively, common in Hive-lineage
+    warehouses). Same partition-pruning contract as ``snapshot``; Spark's
+    ORC writer emits file/stripe statistics, so the reader side gets
+    predicate pushdown for free."""
+    w = df.write.mode("overwrite").options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan. No schema argument on purpose: unlike CSV/JSONL (text,
+    schema must be imposed), ORC embeds its schema — passing one would
+    only invite silent cast drift between writer and reader."""
+    return spark.read.options(**options).orc(path)

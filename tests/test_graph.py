@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from ningaloo_turtle_etl_spark.operators.graph import (
@@ -47,3 +49,39 @@ def test_cluster_representatives_keep_min_and_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in cluster_representatives(docs, pairs).collect())
     assert kept == [1, 7, 9]  # cluster {1,2,3} → 1; singletons survive
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Micro-unit power iteration replicated in plain Python; a hub with
+    many in-links must out-rank leaves, and dangling-node mass must decay
+    toward (1-d) rather than crash the iteration."""
+    from ningaloo_turtle_etl_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 5), (2, 5), (3, 5), (4, 5),  # 5 is the hub
+        (5, 1),                            # hub recycles to 1
+        (6, 1),                            # 6 is dangling-in only
+        (5, 7),                            # 7: fed by hub; 7 dangling-out
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5, damping=0.85).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rm = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            # HALF_UP like Spark/DuckDB ROUND — python round() is
+            # banker's and diverges on exact .5 contributions
+            s[b] += int(math.floor(0.85 * rm[a] / outdeg[a] + 0.5))
+        rm = {n: 150_000 + s[n] for n in nodes}
+    exp = {n: round(rm[n] / 1e6, 6) for n in nodes}
+    assert got == exp
+    assert got[5] == max(got.values())      # the hub wins
+    assert got[6] == 0.15                   # nothing links to 6

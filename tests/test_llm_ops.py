@@ -1118,3 +1118,52 @@ def test_bm25_matches_python_reference(spark):
     ] == [(d, s, m) for d, (s, m) in order]
     # doc 4 matches nothing and must never appear
     assert 4 not in {r["doc_id"] for r in got}
+
+
+def test_edit_similarity_join_complete_vs_bruteforce(spark):
+    """Prefix filtering must lose NOTHING versus brute-force levenshtein —
+    the theorem says one edit disturbs at most q grams, so strings within
+    k edits share a gram among each one's q*k+1 rarest. Verified for
+    k=1 and k=2 on strings with edits at every position class."""
+    import itertools
+
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        edit_similarity_self_join,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = [
+        (1, "gradient descent"),
+        (2, "gradient descent"),   # exact dup
+        (3, "gradient descend"),   # 1 sub at tail
+        (4, "Xradient descent"),   # 1 sub at head
+        (5, "gradient desent"),    # 1 deletion mid
+        (6, "gradientt descent"),  # 1 insertion mid
+        (7, "stochastic descent"), # far
+        (8, "gradiant descend"),   # 2 edits from 1
+        (9, "abc"),                # shorter than q+1
+        (10, "abd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["edit_distance"]
+            for r in edit_similarity_self_join(
+                df, "text", "doc_id", max_edit=k
+            ).collect()
+        }
+        exp = {
+            (a, b): lev(ta, tb)
+            for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+            if lev(ta, tb) <= k
+        }
+        assert got == exp, (k, got.keys() ^ exp.keys())

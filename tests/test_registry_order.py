@@ -125,6 +125,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "zipf_corpus_fit",
         "phrase_search_top_bigram",
         "bm25_top10",
+        "pagerank_copurchase",
+        "edit_similarity_pairs",
+        "funnel_view_click_purchase",
+        "cohort_weekly_retention",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

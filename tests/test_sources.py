@@ -189,3 +189,24 @@ def test_jsonl_failfast_raises_on_corrupt(spark, tmp_path):
     df = read_jsonl(spark, str(p), "doc_id long", corrupt_col=None)
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.sources.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", -3.0)],
+        "id long, k string, v double",
+    )
+    path = str(tmp_path / "orc_snap")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc(spark, path)
+    assert sorted(
+        (r["id"], r["k"], r["v"]) for r in back.collect()
+    ) == [(1, "a", 1.5), (2, "b", 2.5), (3, "a", -3.0)]
+    # partition pruning: the k='a' filter must reach the scan as a
+    # partition filter, not a post-scan predicate
+    plan = back.where(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan, plan

@@ -201,3 +201,66 @@ def test_range_join_survives_inverted_interval(spark):
     )
     rows = range_join(left, right, on="k", bucket_seconds=60).collect()
     assert [r["tag"] for r in rows] == ["good"]
+
+
+def test_funnel_steps_requires_strict_order(spark):
+    from datetime import datetime
+
+    from ningaloo_turtle_etl_spark.operators.temporal import funnel_steps
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # u1 completes in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE viewing — click must not count
+        (2, t(2), "click"), (2, t(3), "view"),
+        # u3 views then clicks twice, never purchases
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(4), "click"),
+        # u4 purchase before click: view->click ok, purchase mistimed
+        (4, t(1), "view"), (4, t(3), "click"), (4, t(2), "purchase"),
+        # u5 only purchases
+        (5, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["users_reached"], r["conversion_rate"])
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        "view": (4, 1.0),
+        "click": (3, 0.75),      # u1, u3, and u4 (its view precedes its click)
+        "purchase": (1, 0.25),   # u1 only (u4's purchase predates its click)
+    }
+
+
+def test_cohort_retention_weekly_matrix(spark):
+    from datetime import datetime
+
+    from ningaloo_turtle_etl_spark.operators.temporal import cohort_retention
+
+    rows = [
+        # cohort A: first events Mon 2024-01-01 week
+        (1, datetime(2024, 1, 2, 10)), (2, datetime(2024, 1, 3, 9)),
+        # u1 returns in week+1 and week+3; u2 never returns
+        (1, datetime(2024, 1, 9, 8)), (1, datetime(2024, 1, 24, 8)),
+        # cohort B: first event the following week, returns week+1
+        (3, datetime(2024, 1, 10, 7)), (3, datetime(2024, 1, 16, 7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").withColumn(
+        "event_type", F.lit("x")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"],
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 3): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+        ("2024-01-08", 1): (1, 1, 1.0),
+    }
