@@ -420,11 +420,17 @@ def edit_similarity_self_join(
     )
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
     w = Window.partitionBy("_id").orderBy(F.asc("_gf"), F.asc("gram"))
-    prefix = (
+    from ningaloo_turtle_etl_spark.operators.cache import track_cache
+
+    # Persisted: both self-join branches read it — without the cache the
+    # whole gram+freq+window pipeline runs twice (same convention as the
+    # minhash signature cache; released via release_tracked_caches/scope).
+    prefix = track_cache(
         grams.join(freq, on="gram")
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= p)
         .select("_id", "gram")
+        .persist()
     )
     cand = (
         prefix.alias("a")

@@ -254,3 +254,36 @@ def test_minhash_md5_family_plan_shape(spark):
         assert banded and all(not re.search(r"\bsh#", ln) for ln in banded)
     finally:
         release_dedup_caches()
+
+
+def test_substring_dup_stats_shares_one_hash_exchange(spark):
+    plan = plan_of(spark, "substring_dup_stats")
+    # rank election: the row_number and count windows over the window-hash
+    # must share ONE exchange; the sweep adds one doc-keyed exchange.
+    assert len(re.findall(r"hashpartitioning\(_h#\d+", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    # window content never reaches a shuffle: no exchange carries text
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_edit_similarity_prefix_election_is_group_limited(spark):
+    plan = plan_of(spark, "edit_similarity_pairs")
+    # the rn <= q*k+1 prefix must push down as a map-side group limit
+    # (Partial before the exchange), not a full sort per id
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "CartesianProduct" not in plan
+    # verification joins on ids only — strings rejoin via hashed relation,
+    # never a shuffled sort-merge of the candidate pairs at this scale
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        release_tracked_caches,
+    )
+
+    release_tracked_caches()
+
+
+def test_pagerank_contribution_join_never_cartesian(spark):
+    plan = plan_of(spark, "pagerank_copurchase")
+    assert "CartesianProduct" not in plan
