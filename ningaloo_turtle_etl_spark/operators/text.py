@@ -461,3 +461,102 @@ def zipf_fit(
             F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
         ).alias("fit_r2"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit per corpus slice: V(n) = K·n^β estimated by OLS of
+    ln(cumulative distinct types) on ln(cumulative tokens) along the
+    slice's doc-id order. β far from the 0.4-0.6 natural-language band is
+    another corpus-health tripwire (template text saturates early, id-like
+    junk never saturates) — the growth-curve complement to ``zipf_fit``.
+
+    Returns (group, n_docs, total_tokens, total_types, heaps_beta,
+    heaps_log_k, fit_r2).
+
+    The cumulative curve needs no per-token scan state: each word
+    contributes a type exactly at its FIRST doc (one (group, word)-keyed
+    min), so per-doc new-type counts aggregate map-side and the cumsum
+    window walks doc-sized rows per group. At 100 TB the per-group window
+    is the sequential part — sample log-spaced checkpoint docs first if a
+    single slice holds billions of docs. Same integer micro-unit moments
+    as zipf_fit: summation order cannot move the fit."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    per_doc_tokens = toks.groupBy("grp", "doc").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    new_types = (
+        toks.groupBy("grp", "word")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("grp", "doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        per_doc_tokens.join(new_types, on=["grp", "doc"], how="left")
+        .select(
+            "grp",
+            "doc",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_types"),
+        )
+        .select(
+            "grp",
+            "cum_tokens",
+            "cum_types",
+            F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("xi"),
+            F.round(F.log(F.col("cum_types").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("yi"),
+        )
+    )
+    m = curve.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_types").alias("total_types"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = F.when(varx > 0, cov / varx)
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "total_tokens",
+        "total_types",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.when(varx > 0, (sy - slope * sx) / (n * F.lit(1e6))), 6
+        ).alias("heaps_log_k"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
+        ).alias("fit_r2"),
+    )

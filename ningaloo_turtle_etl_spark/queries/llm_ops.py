@@ -2860,3 +2860,134 @@ def edit_similarity_pairs(spark, sf_dir):
     return edit_similarity_self_join(
         cust, text_col="c_name", id_col="c_custkey", max_edit=1, q=3
     )
+
+
+@register(
+    "triangle_clustering",
+    """
+    WITH eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem),
+    e AS (
+        SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.p <> b.p
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT w.x, w.y, w.z
+        FROM (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b) w
+        JOIN e ON e.a = w.y AND e.b = w.z
+    ),
+    corners AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(c.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                 THEN COALESCE(c.triangles, 0)
+                      / (d.degree * (d.degree - 1) / 2.0)
+                 ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN corners c ON d.node = c.node
+    """,
+)
+def triangle_clustering(spark, sf_dir):
+    """Per-node triangle counts and local clustering coefficients over the
+    part co-purchase graph, via the oriented wedge-close (wedges built
+    only at each triangle's smallest corner, bounding hub fan-out)."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        triangle_stats,
+    )
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        release_tracked_caches,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = triangle_stats(copurchase_edges(li))
+    return out
+
+
+@register(
+    "heaps_vocab_growth",
+    rf"""
+    WITH toks AS (
+        SELECT source AS grp, doc_id AS doc, unnest({_TOKENS}) AS word
+        FROM documents
+    ),
+    pdt AS (SELECT grp, doc, CAST(COUNT(*) AS BIGINT) AS n_toks
+            FROM toks GROUP BY 1, 2),
+    nt AS (
+        SELECT grp, doc, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+            SELECT grp, word, MIN(doc) AS doc FROM toks GROUP BY 1, 2)
+        GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT grp,
+               SUM(p.n_toks) OVER (PARTITION BY grp ORDER BY p.doc
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               SUM(COALESCE(n.n_new, 0)) OVER (PARTITION BY grp
+                   ORDER BY p.doc ROWS UNBOUNDED PRECEDING) AS cum_types
+        FROM pdt p LEFT JOIN nt n USING (grp, doc)
+    ),
+    mi AS (
+        SELECT grp, cum_tokens, cum_types,
+               CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS xi,
+               CAST(ROUND(ln(CAST(cum_types AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS yi
+        FROM curve
+    ),
+    m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(cum_types) AS BIGINT) AS total_types,
+               CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+               CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+               CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+               CAST(SUM(yi * yi) AS BIGINT) AS syy
+        FROM mi GROUP BY grp
+    )
+    SELECT grp AS source, n_docs, total_tokens, total_types,
+           ROUND(CASE WHEN CAST(n_docs AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx > 0 THEN
+               (CAST(n_docs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n_docs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           END, 6) AS heaps_beta,
+           ROUND(CASE WHEN CAST(n_docs AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx > 0 THEN
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n_docs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n_docs AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)) * sx)
+               / (CAST(n_docs AS DOUBLE) * 1e6)
+           END, 6) AS heaps_log_k,
+           ROUND(CASE WHEN (CAST(n_docs AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx > 0)
+                       AND (CAST(n_docs AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy > 0) THEN
+               (CAST(n_docs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               * (CAST(n_docs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / ((CAST(n_docs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_docs AS DOUBLE) * syy
+                     - CAST(sy AS DOUBLE) * sy))
+           END, 6) AS fit_r2
+    FROM m
+    """,
+)
+def heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per source: OLS of ln(cumulative
+    types) on ln(cumulative tokens) along doc order — types appear at
+    their first-occurrence doc, so the curve needs one (group,word)-keyed
+    min plus a doc-sized cumsum window, never per-token scan state."""
+    from ningaloo_turtle_etl_spark.operators.text import heaps_fit
+
+    docs = load_table(spark, "documents", sf_dir)
+    return heaps_fit(docs, group_col="source")

@@ -170,6 +170,8 @@ PRIORITY: list[str] = [
     "edit_similarity_pairs",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "triangle_clustering",
+    "heaps_vocab_growth",
 ]
 
 

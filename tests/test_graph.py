@@ -85,3 +85,31 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert got == exp
     assert got[5] == max(got.values())      # the hub wins
     assert got[6] == 0.15                   # nothing links to 6
+
+
+def test_triangle_stats_on_known_graph(spark):
+    from ningaloo_turtle_etl_spark.operators.cache import (
+        release_tracked_caches,
+    )
+    from ningaloo_turtle_etl_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles, coeff 1.0 everywhere) plus a pendant
+    # 5 and a path 5-6; edges deliberately duplicated/reversed.
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    try:
+        got = {
+            r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+            for r in triangle_stats(df).collect()
+        }
+    finally:
+        release_tracked_caches()
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)      # K4 corner + pendant edge
+    assert got[5] == (2, 0, 0.0)      # path node: wedge but no closure
+    assert got[6] == (1, 0, 0.0)      # degree<2 → coeff 0 by convention

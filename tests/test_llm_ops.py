@@ -1167,3 +1167,39 @@ def test_edit_similarity_join_complete_vs_bruteforce(spark):
             if lev(ta, tb) <= k
         }
         assert got == exp, (k, got.keys() ^ exp.keys())
+
+
+def test_heaps_fit_matches_numpy_and_saturates_on_templates(spark):
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.text import heaps_fit
+
+    rng_words = [f"w{i}" for i in range(200)]
+    rows = []
+    # 'fresh': every doc introduces mostly new words → beta near 1
+    for d in range(10):
+        rows.append((d, "fresh", " ".join(rng_words[d * 20:(d + 1) * 20])))
+    # 'template': same 5 words forever → beta near 0
+    for d in range(10):
+        rows.append((100 + d, "template", "a b c d e"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in heaps_fit(df, group_col="source").collect()}
+
+    # independent curve + polyfit reference for 'fresh'
+    cum_toks, cum_types, seen, t = [], [], set(), 0
+    for d in range(10):
+        ws = rng_words[d * 20:(d + 1) * 20]
+        t += len(ws)
+        seen.update(ws)
+        cum_toks.append(t)
+        cum_types.append(len(seen))
+    x = np.array([round(np.log(v) * 1e6) / 1e6 for v in cum_toks])
+    y = np.array([round(np.log(v) * 1e6) / 1e6 for v in cum_types])
+    beta, logk = np.polyfit(x, y, 1)
+    g = got["fresh"]
+    assert abs(g["heaps_beta"] - beta) < 1e-5
+    assert abs(g["heaps_log_k"] - logk) < 1e-5
+    assert g["total_types"] == 200 and g["total_tokens"] == 200
+    # templates saturate immediately: growth slope ~0
+    assert got["template"]["heaps_beta"] < 0.05
+    assert got["template"]["total_types"] == 5

@@ -129,6 +129,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "edit_similarity_pairs",
         "funnel_view_click_purchase",
         "cohort_weekly_retention",
+        "triangle_clustering",
+        "heaps_vocab_growth",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
