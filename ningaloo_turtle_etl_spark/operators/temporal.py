@@ -240,6 +240,119 @@ def range_join(
     return joined.drop("_b")
 
 
+def resample_gap_fill(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 86400,
+) -> DataFrame:
+    """Regular-grid resample with gap filling — the time-series primitive
+    behind dashboards and feature pipelines (pandas ``resample().mean()
+    .interpolate()``, kdb ``fills``): bucket events into ``step_seconds``
+    bins, then emit EVERY bin in each key's [min, max] bucket span with
+
+    - ``n_obs`` / ``v_avg``: observation count and mean (null in gaps),
+    - ``v_locf``: last observation carried forward,
+    - ``v_linear``: linear interpolation between the nearest observed
+      neighbors (exact on observed bins; the span edges are always observed
+      bins, so neighbors exist for every gap).
+
+    Scale shape: one (keys, bucket) partial-agg shuffle over the raw events;
+    the dense grid is keys x span/step rows — sequence+explode from a
+    keys-sized bounds frame, NEVER a driver loop — and the fill windows run
+    on the already-aggregated grid (rows = grid size, not event count). At
+    100 TB the grid is bounded by time-span/step per key, so the window
+    stage is orders of magnitude smaller than the scan; pick ``step_seconds``
+    so each key's span stays partition-sized (a year of minutes = 525 600
+    rows per key — fine; of seconds — use a coarser grid or split keys)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bucket = F.floor(_epoch_seconds(df, ts_col) / F.lit(int(step_seconds)))
+    obs = (
+        df.select(*keys, bucket.alias("bucket"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.avg("_v").alias("v_avg"))
+    )
+    grid = (
+        obs.groupBy(*keys)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(*keys, F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    filled = grid.join(obs, on=[*keys, "bucket"], how="left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0))
+    )
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v_avg", ignorenulls=True).over(back)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
+    next_v = F.first("v_avg", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    linear = F.when(F.col("v_avg").isNotNull(), F.col("v_avg")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("bucket") - prev_t)
+        / (next_t - prev_t)
+    )
+    return filled.select(
+        *keys,
+        "bucket",
+        "n_obs",
+        "v_avg",
+        F.last("v_avg", ignorenulls=True).over(back).alias("v_locf"),
+        linear.alias("v_linear"),
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each user's events in (ts, tiebreak) order, count consecutive
+    (from_state -> to_state) pairs and normalize per from_state. Returns
+    (from_state, to_state, n_transitions, prob) — the next-event model
+    used for behavioral analytics and sequence-sanity checks on training
+    corpora.
+
+    Scale shape: one user-keyed window (lead) over the events — the same
+    shuffle a sessionization pass already pays — then a states x states
+    aggregate (tiny). Probabilities come from a from_state-partitioned
+    window over the AGGREGATED matrix, so the normalization never touches
+    raw events."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = events.select(
+        F.col(type_col).alias("from_state"),
+        F.lead(type_col).over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(total).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],

@@ -1,0 +1,229 @@
+"""OLAP cube surface + time-series resampling + skew mechanics — the
+warehouse-analytics queries a user of the reference's summary products
+(mwi-summary tables, season tallies) reaches for next: subtotal hierarchies
+(ROLLUP), multi-grain reports in one pass (GROUPING SETS), regular-grid
+gap-filled series (resample + LOCF/linear fill), next-event transition
+matrices, and the salted-join skew mitigation measured end-to-end.
+
+All fully DuckDB-oracled: GROUPING()/ROLLUP/GROUPING SETS, generate_series
+grids, and IGNORE NULLS windows exist in both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+
+@register(
+    "rollup_pricing_totals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def rollup_pricing_totals(spark, sf_dir):
+    """ROLLUP subtotal hierarchy over the pricing summary dimensions:
+    (flag, status) detail -> per-flag subtotal -> grand total in ONE
+    aggregation pass. Spark plans rollup as a single Expand + hash
+    aggregate — each input row fans into its grouping sets map-side, so the
+    shuffle carries (sets x groups) partial rows, never a second scan; the
+    100 TB shape is identical to the plain groupBy plus a small constant
+    factor. GROUPING() disambiguates a NULL dimension value from a subtotal
+    row (the classic cube-correctness trap)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_tally",
+    """
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(CAST(hour(ts) AS INT)) AS INT) AS g_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (event_type, CAST(hour(ts) AS INT)), ())
+    ORDER BY g_type, g_hour, event_type, hour_of_day
+    """,
+)
+def grouping_sets_tally(spark, sf_dir):
+    """Three report grains in one pass via GROUPING SETS — per type, per
+    (type, hour-of-day), and the grand total — the multi-grain dashboard
+    query that would otherwise be three scans UNION ALLed. Same Expand
+    plan shape as rollup: one scan, one shuffle, map-side partials per
+    set."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(CAST(hour(ts) AS INT)) AS INT) AS g_hour,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type),
+                                (event_type, CAST(hour(ts) AS INT)), ())
+        """
+    )
+
+
+@register(
+    "gap_fill_daily_values",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             AVG(value) AS v_avg
+      FROM events WHERE event_id % 37 = 0
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+      FROM (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM obs GROUP BY 1)
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket,
+             CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs, o.v_avg
+      FROM grid g LEFT JOIN obs o USING (event_type, bucket)
+    ),
+    w AS (
+      SELECT *,
+        last_value(v_avg IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        last_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+        first_value(v_avg IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+        first_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+      FROM j
+    )
+    SELECT event_type, bucket, n_obs,
+           ROUND(v_avg, 6) AS v_avg,
+           ROUND(locf, 6) AS v_locf,
+           ROUND(CASE WHEN v_avg IS NOT NULL THEN v_avg
+                      ELSE locf + (v_next - locf) * (bucket - t_prev)
+                                  / (t_next - t_prev) END, 6) AS v_linear
+    FROM w
+    ORDER BY event_type, bucket
+    """,
+)
+def gap_fill_daily_values(spark, sf_dir):
+    """Daily resample of a sparse event stream (a deterministic 1/37
+    event subset, so real gaps exist at small SF) with LOCF and linear
+    interpolation — `operators/temporal.py resample_gap_fill`. The grid is
+    generated distributed (sequence+explode from a keys-sized bounds
+    frame); fills are IGNORE NULLS windows over the aggregated grid, so
+    window cost scales with grid size, not event count."""
+    from ningaloo_turtle_etl_spark.operators.temporal import resample_gap_fill
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 37 == 0)
+    out = resample_gap_fill(
+        ev, "event_type", ts_col="ts", value_col="value", step_seconds=86400
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "n_obs",
+        F.round("v_avg", 6).alias("v_avg"),
+        F.round("v_locf", 6).alias("v_locf"),
+        F.round("v_linear", 6).alias("v_linear"),
+    )
+
+
+@register(
+    "event_transition_probs",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+    ),
+    m AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_transitions,
+           ROUND(n_transitions / SUM(n_transitions)
+                 OVER (PARTITION BY from_state), 6) AS prob
+    FROM m
+    ORDER BY from_state, to_state
+    """,
+)
+def event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (`operators/temporal.py markov_transitions`) — the next-event model.
+    One user-keyed lead window over the events, then a states^2 aggregate;
+    normalization windows over the tiny aggregated matrix."""
+    from ningaloo_turtle_etl_spark.operators.temporal import markov_transitions
+
+    ev = load_table(spark, "events", sf_dir)
+    return markov_transitions(ev)
+
+
+@register(
+    "salted_join_tally",
+    """
+    SELECT s.s_nationkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    ORDER BY s_nationkey
+    """,
+)
+def salted_join_tally(spark, sf_dir):
+    """The skew-mitigation join measured end-to-end: lineitem (the side
+    with hot supplier keys at scale) salted into 8 sub-keys per key,
+    supplier replicated 8x, joined on (key, salt) — identical results to
+    the plain join (this oracle), but a hot key's probe stream now lands on
+    8 reducers instead of 1 (`operators/scale.py salted_join`; distribution
+    pinned in tests/test_scale.py). Use when AQE skew-split can't help:
+    skewed AGGREGATION inputs or broadcast-ineligible dims."""
+    from ningaloo_turtle_etl_spark.operators.scale import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    j = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), s, on="s_suppkey",
+        salt_buckets=8,
+    )
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

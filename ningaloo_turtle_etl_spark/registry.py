@@ -172,6 +172,11 @@ PRIORITY: list[str] = [
     "cohort_weekly_retention",
     "triangle_clustering",
     "heaps_vocab_growth",
+    "rollup_pricing_totals",
+    "grouping_sets_tally",
+    "gap_fill_daily_values",
+    "event_transition_probs",
+    "salted_join_tally",
 ]
 
 

@@ -131,6 +131,11 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "cohort_weekly_retention",
         "triangle_clustering",
         "heaps_vocab_growth",
+        "rollup_pricing_totals",
+        "grouping_sets_tally",
+        "gap_fill_daily_values",
+        "event_transition_probs",
+        "salted_join_tally",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
