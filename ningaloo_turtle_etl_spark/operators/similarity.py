@@ -369,3 +369,80 @@ def ivf_topk(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col, centroids=centroids
     )
     return ivf_index_topk(index, queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs document similarity by TF-IDF cosine over an inverted
+    index (the Bayardo et al. 2007 "Scaling Up All Pairs" shape): tokenize,
+    weight with the sklearn-smoothed idf, L2-normalize per document, then
+    self-join POSTING LISTS on the term and sum weight products per pair —
+    never a doc x doc cross join. Pairs are emitted once (id_a < id_b) with
+    cosine >= ``threshold``.
+
+    Scale levers, in order of importance:
+
+    - ``max_df_frac`` drops terms appearing in more than that fraction of
+      documents BEFORE the self-join. Posting-list self-join cost is
+      sum(df^2) over terms; stopword-grade terms dominate that sum while
+      contributing almost nothing to any pair's cosine (their idf ~ 1 vs
+      norm over the whole doc). This is the df-cut half of the canonical
+      prefix-filter; the full per-doc prefix filter would prune further at
+      the cost of a per-doc weight sort.
+    - The posting join carries only (term, id, w_norm) — 3 fixed-width
+      columns, payload-free; document text never enters the shuffle.
+    - The pair aggregate is a plain hash agg on (id_a, id_b); candidate
+      count is bounded by sum(df^2) of SURVIVING terms.
+
+    Cross-engine determinism: weights are rounded to 9 dp before the
+    product-sum and the cosine to 6 dp after, absorbing last-ulp ln/sqrt
+    differences (same policy as tfidf_top_terms)."""
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    weighted = (
+        pairs.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * idf).alias("w"),
+            (F.col("df") / F.col("n_docs")).alias("df_frac"),
+        )
+    )
+    # L2 norm over ALL the doc's terms (cosine stays exact); the df cut
+    # applies only to which terms may generate candidates.
+    norm = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l2"))
+    posting = (
+        weighted.filter(F.col("df_frac") <= float(max_df_frac))
+        .join(norm, on="id")
+        .select("term", "id", F.round(F.col("w") / F.col("l2"), 9).alias("wn"))
+    )
+    a = posting.select(
+        "term", F.col("id").alias("id_a"), F.col("wn").alias("w_a")
+    )
+    b = posting.select(
+        "term", F.col("id").alias("id_b"), F.col("wn").alias("w_b")
+    )
+    return (
+        a.join(b, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("w_a") * F.col("w_b")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= float(threshold))
+    )

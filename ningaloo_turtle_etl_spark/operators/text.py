@@ -560,3 +560,43 @@ def heaps_fit(
             F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
         ).alias("fit_r2"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution statistics: Shannon entropy (nats)
+    of the lowercased token distribution, type-token ratio, and counts —
+    the information-density quality signal (low entropy = repetitive /
+    boilerplate text; used alongside the Gopher repetition rules).
+
+    Documents with zero tokens are dropped (entropy is undefined on an
+    empty distribution); filter upstream if empty docs need rows.
+
+    Scale shape: explode -> (doc, token) partial-agg -> per-doc agg. Both
+    shuffles key on the doc id, so Catalyst reuses one Exchange for the
+    two aggregations; nothing is ever corpus-global."""
+    counts = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+    )
+    # H = ln(n) - (1/n) * sum(c * ln c) — one pass, no per-token p column.
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log("n_tokens") - F.col("_clogc") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )

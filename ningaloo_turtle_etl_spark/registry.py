@@ -177,6 +177,9 @@ PRIORITY: list[str] = [
     "gap_fill_daily_values",
     "event_transition_probs",
     "salted_join_tally",
+    "url_domain_cap",
+    "tfidf_cosine_sim_pairs",
+    "token_entropy_quality",
 ]
 
 

@@ -136,6 +136,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "gap_fill_daily_values",
         "event_transition_probs",
         "salted_join_tally",
+        "url_domain_cap",
+        "tfidf_cosine_sim_pairs",
+        "token_entropy_quality",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
