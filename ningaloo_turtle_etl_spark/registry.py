@@ -180,6 +180,10 @@ PRIORITY: list[str] = [
     "url_domain_cap",
     "tfidf_cosine_sim_pairs",
     "token_entropy_quality",
+    "daily_trend_by_type",
+    "value_change_points",
+    "source_quantile_norm",
+    "pmi_collocations",
 ]
 
 

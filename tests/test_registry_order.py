@@ -139,6 +139,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "url_domain_cap",
         "tfidf_cosine_sim_pairs",
         "token_entropy_quality",
+        "daily_trend_by_type",
+        "value_change_points",
+        "source_quantile_norm",
+        "pmi_collocations",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
