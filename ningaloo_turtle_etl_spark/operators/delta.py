@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 # ASCII unit separator: cannot appear in the testdata's text columns and is
 # vanishingly rare in real ones; the null sentinel includes it so a NULL can
@@ -123,4 +124,64 @@ def snapshot_diff_summary(
         "status",
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: collapse
+    consecutive observations with identical state into versions and emit
+    validity intervals — (*keys, version, *state, valid_from, valid_to,
+    n_events, is_current), with ``valid_to`` null on the open (current)
+    version. The warehouse-standard way to answer "what was this entity's
+    state at time T" with a BETWEEN lookup.
+
+    Change detection uses a null-sentinel fingerprint of ``state_cols`` (a
+    real NULL and the string 'null' don't collide), so any column mix
+    works. ``tiebreak_col`` makes same-timestamp observations
+    deterministic — pass the log's unique id.
+
+    Scale shape: one shuffle by key; the run-length collapse is one lag +
+    one running sum + one groupBy at the version grain, and the
+    valid_to/lead pass runs on the collapsed (versions-sized) frame, not
+    the raw log. No driver state, no iteration."""
+    keys = list(key_cols)
+    states = list(state_cols)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    fp = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in states],
+    )
+    lagged = df.withColumn("_fp", fp).withColumn("_prev", F.lag("_fp").over(w))
+    flagged = lagged.withColumn(
+        "_chg",
+        F.when(F.col("_prev").isNull() | (F.col("_prev") != F.col("_fp")), 1)
+        .otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = versioned.groupBy(*keys, "version").agg(
+        *[F.min(c).alias(c) for c in states],
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(*keys).orderBy("version")
+    return runs.select(
+        *keys,
+        "version",
+        *states,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )

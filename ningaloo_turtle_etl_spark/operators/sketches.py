@@ -469,3 +469,93 @@ def distinct_vs_approx_report(
         "rel_error",
         F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6),
     )
+
+
+def _cm_col(item: Column, row: int, width: int) -> Column:
+    """Count-min column index for hash row ``row``: the portable-md5 hash
+    of ``item || '|' || row`` mod width. One independent-by-seed hash per
+    row, same family as _h32 so any engine with md5() reproduces the
+    table bit-for-bit."""
+    seeded = F.concat(item.cast("string"), F.lit(f"|{row}"))
+    return (
+        F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long")
+        % F.lit(int(width))
+    ).alias(f"_c{row}")
+
+
+def countmin_table(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan 2005) as a first-class
+    ``(*by, row, col, n)`` cell table: each item occurrence increments one
+    cell per hash row; a point estimate is the MIN over its depth cells —
+    always an overestimate, off by at most ~2N/width with probability
+    1 - 2^-depth.
+
+    Scale shape: the explode is map-side (depth small struct rows per
+    item), the aggregate is partial — the shuffle carries at most
+    depth × width cells per group regardless of input size, and two
+    sketches merge by cell-wise addition (proven in tests). This is the
+    frequency counterpart of the HLL register table above: fixed-size,
+    mergeable, engine-portable state."""
+    item = F.col(item_col)
+    cells = (
+        df.filter(item.isNotNull())
+        .select(
+            *by,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cm_col(item, r, width).alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("_cell"),
+        )
+        .select(*by, F.col("_cell.row").alias("row"), F.col("_cell.col").alias("col"))
+    )
+    return cells.groupBy(*by, "row", "col").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def countmin_estimate(
+    cm: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a countmin_table
+    built with the SAME (depth, width): re-derive each item's depth
+    (row, col) addresses, broadcast-join the cell table (≤ depth × width
+    rows per group — always broadcastable), min over rows. Items absent
+    from the sketch get estimate 0 via the outer join."""
+    item = F.col(item_col)
+    addr = items.select(
+        *by,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_col(item, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select(*by, item_col, F.col("_cell.row").alias("row"), F.col("_cell.col").alias("col"))
+    joined = addr.join(F.broadcast(cm), on=[*by, "row", "col"], how="left")
+    return joined.groupBy(*by, item_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate")
+    )

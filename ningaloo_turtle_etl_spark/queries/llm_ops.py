@@ -2809,10 +2809,10 @@ def pagerank_copurchase(spark, sf_dir):
     )
 
 
-@register(
-    "edit_similarity_pairs",
-    """
-    WITH s AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+# Ed-Join prefix-filtered edit-distance pairs over customer names — shared
+# between the pair query and the entity-resolution clustering on top of it.
+_EDIT_CTES = """
+    s AS (SELECT c_custkey AS id, c_name AS s FROM customer),
     -- q-1 sentinel chars pad both ends (prefix-filter completeness for
     -- strings near length q; see edit_similarity_self_join)
     sp AS (SELECT id, repeat(chr(2), 2) || s || repeat(chr(2), 2) AS ps
@@ -2837,14 +2837,24 @@ def pagerank_copurchase(spark, sf_dir):
         SELECT DISTINCT a.id AS ida, b.id AS idb
         FROM prefix a JOIN prefix b USING (gram)
         WHERE a.id < b.id
+    ),
+    vpairs AS (
+        SELECT c.ida AS id_a, c.idb AS id_b,
+               CAST(levenshtein(x.s, y.s) AS BIGINT) AS edit_distance
+        FROM cand c
+        JOIN s x ON c.ida = x.id
+        JOIN s y ON c.idb = y.id
+        WHERE abs(length(x.s) - length(y.s)) <= 1
+          AND levenshtein(x.s, y.s) <= 1
     )
-    SELECT c.ida AS id_a, c.idb AS id_b,
-           CAST(levenshtein(x.s, y.s) AS BIGINT) AS edit_distance
-    FROM cand c
-    JOIN s x ON c.ida = x.id
-    JOIN s y ON c.idb = y.id
-    WHERE abs(length(x.s) - length(y.s)) <= 1
-      AND levenshtein(x.s, y.s) <= 1
+"""
+
+
+@register(
+    "edit_similarity_pairs",
+    f"""
+    WITH {_EDIT_CTES}
+    SELECT id_a, id_b, edit_distance FROM vpairs
     """,
 )
 def edit_similarity_pairs(spark, sf_dir):
@@ -2991,3 +3001,132 @@ def heaps_vocab_growth(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return heaps_fit(docs, group_col="source")
+
+
+@register(
+    "countmin_token_counts",
+    rf"""
+    WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+    exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1
+    ),
+    hrows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT row,
+             ('0x' || substr(md5(tok || '|' || row), 1, 8))::BIGINT % 16 AS col,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks CROSS JOIN hrows GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.tok, MIN(c.n) AS cm_estimate
+      FROM exact e CROSS JOIN hrows r
+      JOIN cells c ON c.row = r.row
+       AND c.col = ('0x' || substr(md5(e.tok || '|' || r.row), 1, 8))::BIGINT % 16
+      GROUP BY 1
+    )
+    SELECT e.tok, e.n_exact, s.cm_estimate,
+           s.cm_estimate - e.n_exact AS overestimate
+    FROM exact e JOIN est s USING (tok)
+    ORDER BY n_exact DESC, tok LIMIT 20
+    """,
+)
+def countmin_token_counts(spark, sf_dir):
+    """Count-min sketch calibration over document tokens
+    (`operators/sketches.py countmin_table/countmin_estimate`): top-20
+    exact token counts vs the depth-4 × width-16 sketch estimate, with the
+    guaranteed-nonnegative overestimate. Width 16 is deliberately far
+    below the vocabulary so collisions are exercised; the production
+    default (512) makes the error ≤ ~2N/512 w.h.p. The sketch state is
+    depth × width cells regardless of corpus size, merges by cell-wise
+    addition, and reproduces bit-for-bit in any engine with md5()."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.persist()
+    cm = countmin_table(toks, "tok", depth=4, width=16)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = countmin_estimate(cm, exact.select("tok"), "tok", depth=4, width=16)
+    return (
+        exact.join(est, on="tok")
+        .select(
+            "tok",
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "entity_resolution_clusters",
+    f"""
+    WITH RECURSIVE {_EDIT_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM vpairs
+        UNION
+        SELECT id_b, id_a FROM vpairs
+    ),
+    reach AS (
+        SELECT src AS id, dst AS anc FROM edges
+        UNION
+        SELECT src AS id, src AS anc FROM edges
+        UNION
+        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(anc) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY 1
+    )
+    SELECT c.cluster_id, c.id AS member_id, n.c_name AS member_name,
+           r.c_name AS rep_name, sz.n_members
+    FROM comp c
+    JOIN customer n ON n.c_custkey = c.id
+    JOIN customer r ON r.c_custkey = c.cluster_id
+    JOIN sizes sz ON sz.cluster_id = c.cluster_id
+    ORDER BY c.cluster_id, member_id
+    """,
+)
+def entity_resolution_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: Ed-Join edit-distance blocking over
+    customer names (`operators/relational.py edit_similarity_self_join`) →
+    pointer-jumping connected components (`operators/graph.py`) →
+    canonical-record election (the cluster's min id is its CC label, so
+    the representative lookup is one broadcast-sized join, no extra
+    election pass). The record-linkage pipeline a warehouse dedupe runs:
+    block, verify, cluster, canonicalize — all-pairs never materializes,
+    and only matched entities (clusters of >= 2) appear."""
+    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        edit_similarity_self_join,
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = edit_similarity_self_join(
+        cust, text_col="c_name", id_col="c_custkey", max_edit=1, q=3
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("member_id"), F.col("component").alias("cluster_id")
+    )
+    names = cust.select(
+        F.col("c_custkey").alias("member_id"), F.col("c_name").alias("member_name")
+    )
+    reps = cust.select(
+        F.col("c_custkey").alias("cluster_id"), F.col("c_name").alias("rep_name")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(names, on="member_id")
+        .join(F.broadcast(reps), on="cluster_id")
+        .join(F.broadcast(sizes), on="cluster_id")
+        .select("cluster_id", "member_id", "member_name", "rep_name", "n_members")
+        .orderBy("cluster_id", "member_id")
+    )

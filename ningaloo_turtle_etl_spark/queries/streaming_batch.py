@@ -95,3 +95,29 @@ def session_window_tally(spark, sf_dir):
     half-open windows); session_end = last event + gap in both."""
     ev = load_table(spark, "events", sf_dir)
     return session_tally(ev, event_time="ts", keys=("user_id",), gap="6 hours")
+
+
+@register(
+    "hopping_window_tally",
+    """
+    WITH off AS (SELECT unnest([0, 1]) AS j)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL '30 minutes'
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events CROSS JOIN off
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_tally(spark, sf_dir):
+    """Hopping 1-hour/30-minute sliding window tally per event type
+    (`streaming/tallies.py hopping_tally`): each event lands in exactly
+    window/slide = 2 overlapping windows — the moving-rate smoothing view.
+    Spark's native window(duration, slide) expresses the overlap as an
+    Expand (explicit ×2 blow-up) instead of a self-join; the same plan
+    runs batch or streaming with watermark-bounded state."""
+    from ningaloo_turtle_etl_spark.streaming.tallies import hopping_tally
+
+    ev = load_table(spark, "events", sf_dir)
+    return hopping_tally(ev, event_time="ts", keys=("event_type",))

@@ -118,3 +118,54 @@ def range_join_tally(spark, sf_dir):
         start_col="ivs", end_col="ive", bucket_seconds=86400,
     )
     return joined.groupBy("event_type", "ivs").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS _prev
+      FROM events
+    ),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN _prev IS NULL OR _prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM lagged
+    ),
+    runs AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM versioned GROUP BY 1, 2
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM runs
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """SCD Type-2 validity-interval history of each user's event_type,
+    treating the event feed as a change log (`operators/delta.py
+    scd2_history`): consecutive identical states collapse into one
+    version with [valid_from, valid_to) bounds and an open current
+    version — the dimension-table build behind as-of entity lookups.
+    One shuffle by user; the lead() pass runs at the collapsed version
+    grain."""
+    from ningaloo_turtle_etl_spark.operators.delta import scd2_history
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    )

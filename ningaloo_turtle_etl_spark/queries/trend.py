@@ -160,3 +160,120 @@ def pmi_collocations(spark, sf_dir):
     return out.orderBy(
         F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
     ).limit(50)
+
+
+@register(
+    "mad_outlier_stats",
+    """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS _med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, m._med, abs(e.value - m._med) AS _adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(_adev, 0.5), 6) AS _mad,
+             MIN(_med) AS _med2
+      FROM dev GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, m._mad, m._med2,
+             ROUND(0.6745 * d._adev / m._mad, 6) AS _mz
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m._mad > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(_med2) AS median,
+           MIN(_mad) AS mad,
+           CAST(SUM(CASE WHEN _mz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(SUM(CASE WHEN _mz > 3.5 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS outlier_rate,
+           MAX(_mz) AS max_mz
+    FROM z GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mad_outlier_stats(spark, sf_dir):
+    """Median/MAD modified-z outlier profile of event values per type
+    (`operators/trend.py robust_outlier_stats`): the anomaly screen whose
+    thresholds the anomalies themselves cannot drag. Two percentile
+    aggregates + broadcast join-backs; the exact percentile is the oracle
+    form, `exact=False` flips both passes to approx_percentile at
+    corpus scale."""
+    from ningaloo_turtle_etl_spark.operators.trend import robust_outlier_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return robust_outlier_stats(ev, "event_type", "value", k=3.5)
+
+
+@register(
+    "welch_value_ttest",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(value), 6) AS m,
+             ROUND(var_samp(value), 6) AS v
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n AS n_a, b.n AS n_b, a.m AS mean_a, b.m AS mean_b,
+           ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           ROUND(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df_welch
+    FROM s a JOIN s b ON a.event_type < b.event_type
+    ORDER BY group_a, group_b
+    """,
+)
+def welch_value_ttest(spark, sf_dir):
+    """Welch's t-test between every pair of event types on `value`
+    (`operators/trend.py welch_ttest_pairs`): the segment-vs-segment
+    A/B primitive. One aggregate shuffle; the pair grid is groups²."""
+    from ningaloo_turtle_etl_spark.operators.trend import welch_ttest_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    return welch_ttest_pairs(ev, "event_type", "value")
+
+
+@register(
+    "daily_value_acf",
+    f"""
+    WITH d AS ({_DAILY_SQL}),
+    l AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+             lag(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+             lag(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+      FROM d
+    )
+    SELECT event_type, lag, n_pairs, acf FROM (
+      SELECT event_type, 1 AS lag, CAST(COUNT(v1) AS BIGINT) AS n_pairs,
+             ROUND(corr(v, v1), 6) AS acf
+      FROM l WHERE v1 IS NOT NULL GROUP BY 1
+      UNION ALL
+      SELECT event_type, 2, CAST(COUNT(v2) AS BIGINT),
+             ROUND(corr(v, v2), 6)
+      FROM l WHERE v2 IS NOT NULL GROUP BY 1
+      UNION ALL
+      SELECT event_type, 3, CAST(COUNT(v3) AS BIGINT),
+             ROUND(corr(v, v3), 6)
+      FROM l WHERE v3 IS NOT NULL GROUP BY 1
+    )
+    ORDER BY event_type, lag
+    """,
+)
+def daily_value_acf(spark, sf_dir):
+    """Autocorrelation (lags 1-3) of each event type's daily mean value
+    (`operators/trend.py acf_by_group`): does yesterday predict today —
+    the seasonality/memory probe behind alert tuning. The lag windows run
+    over the day-grain aggregate, never raw events."""
+    from ningaloo_turtle_etl_spark.operators.trend import acf_by_group
+
+    series = _daily_series(spark, sf_dir).persist()
+    out = acf_by_group(series, "event_type", "day", "v", max_lag=3)
+    return out.orderBy("event_type", "lag")

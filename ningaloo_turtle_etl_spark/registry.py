@@ -184,6 +184,13 @@ PRIORITY: list[str] = [
     "value_change_points",
     "source_quantile_norm",
     "pmi_collocations",
+    "mad_outlier_stats",
+    "welch_value_ttest",
+    "daily_value_acf",
+    "hopping_window_tally",
+    "countmin_token_counts",
+    "scd2_user_state",
+    "entity_resolution_clusters",
 ]
 
 

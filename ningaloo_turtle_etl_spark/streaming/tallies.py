@@ -72,6 +72,38 @@ def daily_tally(
     )
 
 
+def hopping_tally(
+    df: DataFrame,
+    event_time: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Hopping (sliding) event-time window tally: overlapping windows of
+    ``window`` length starting every ``slide`` — the smoothing view behind
+    moving-rate dashboards (each event lands in window/slide windows).
+    Same plan batch or streaming, like daily_tally; Spark's window()
+    generates the overlap natively, so the blow-up factor is explicit in
+    the plan (an Expand node), not a self-join. State per key is bounded
+    by watermark/slide windows."""
+    src = df.withWatermark(event_time, watermark) if df.isStreaming else df
+    win = F.window(F.col(event_time), window, slide)
+    return (
+        src.groupBy(win, *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_tally(
     df: DataFrame,
     event_time: str = "ts",

@@ -98,6 +98,17 @@ def main() -> int:
         cols,
     )
 
+    # Hopping 1h/30min windows: the Expand-generated overlap is the same
+    # plan batch or stream; complete mode ≡ batch.
+    from ningaloo_turtle_etl_spark.streaming.tallies import hopping_tally
+
+    check(
+        "hopping_window_tally",
+        hopping_tally(batch),
+        run_stream(hopping_tally(stream, watermark="40 days"), "se_hopping"),
+        cols,
+    )
+
     # Session windows: state-merging gap sessions ≡ batch plan.
     scols = ["session_start", "session_end", "user_id", "n"]
     check(
@@ -318,6 +329,21 @@ def main() -> int:
         _value_bins(batch, vlo, vhi),
         run_stream(_value_bins(stream, vlo, vhi), "se_qhist"),
         ["event_type", "bin", "n"],
+    )
+
+    # Count-min sketch maintained incrementally: the (row, col) cell table
+    # is ONE streaming aggregation (update-by-add is the sketch merge), so
+    # complete-mode streaming over the feed equals the batch sketch
+    # cell-for-cell — and therefore every point estimate.
+    from ningaloo_turtle_etl_spark.operators.sketches import countmin_table
+
+    check(
+        "streaming_countmin_cells",
+        countmin_table(batch, "user_id", depth=4, width=64),
+        run_stream(
+            countmin_table(stream, "user_id", depth=4, width=64), "se_cmin"
+        ),
+        ["row", "col", "n"],
     )
 
     if args.json:

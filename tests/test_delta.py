@@ -113,3 +113,54 @@ def test_snapshot_diff_null_keys_match_null_safely(spark):
     new = spark.createDataFrame([(None, "a"), (1, "c")], "k int, v string")
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
     assert got == {None: "unchanged", 1: "changed"}
+
+
+def test_scd2_collapses_runs_into_validity_intervals(spark):
+    from datetime import datetime
+
+    from ningaloo_turtle_etl_spark.operators.delta import scd2_history
+
+    t = lambda h: datetime(2025, 1, 1, h)
+    rows = [
+        # key u1: A,A,B,A → versions A[1,3), B[3,4), A[4,∞)
+        ("u1", t(1), 1, "A"),
+        ("u1", t(2), 2, "A"),
+        ("u1", t(3), 3, "B"),
+        ("u1", t(4), 4, "A"),
+        # key u2: null state then 'null' string — must be distinct versions
+        ("u2", t(1), 5, None),
+        ("u2", t(2), 6, "null"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, state string")
+    out = scd2_history(df, ["k"], "ts", ["state"], tiebreak_col="eid")
+    got = {
+        (r["k"], r["version"]): r
+        for r in out.collect()
+    }
+    assert len(got) == 5
+    v1, v2, v3 = got[("u1", 1)], got[("u1", 2)], got[("u1", 3)]
+    assert (v1["state"], v1["n_events"], v1["valid_from"], v1["valid_to"]) == (
+        "A", 2, t(1), t(3)
+    )
+    assert (v2["state"], v2["valid_from"], v2["valid_to"]) == ("B", t(3), t(4))
+    assert v3["state"] == "A" and v3["valid_to"] is None and v3["is_current"]
+    assert not v1["is_current"] and not v2["is_current"]
+    # null state and the literal string 'null' do not collide
+    assert got[("u2", 1)]["state"] is None
+    assert got[("u2", 2)]["state"] == "null"
+
+
+def test_scd2_same_timestamp_ties_break_deterministically(spark):
+    from datetime import datetime
+
+    from ningaloo_turtle_etl_spark.operators.delta import scd2_history
+
+    ts = datetime(2025, 6, 1, 12)
+    rows = [("k", ts, 2, "B"), ("k", ts, 1, "A"), ("k", ts, 3, "B")]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, state string")
+    out = sorted(
+        scd2_history(df, ["k"], "ts", ["state"], tiebreak_col="eid").collect(),
+        key=lambda r: r["version"],
+    )
+    # eid order: A, B, B → two versions, second collapses the B pair
+    assert [(r["state"], r["n_events"]) for r in out] == [("A", 1), ("B", 2)]

@@ -113,3 +113,31 @@ def test_triangle_stats_on_known_graph(spark):
     assert got[4] == (4, 3, 0.5)      # K4 corner + pendant edge
     assert got[5] == (2, 0, 0.0)      # path node: wedge but no closure
     assert got[6] == (1, 0, 0.0)      # degree<2 → coeff 0 by convention
+
+
+def test_entity_resolution_composition_blocks_and_elects(spark):
+    """edit-distance blocking → CC → canonical election on a toy roster:
+    near-identical names cluster, the min-id member is the representative,
+    and unmatched singletons stay out."""
+    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        edit_similarity_self_join,
+    )
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),  # dist 1 from #1 and #3
+        (3, "Customer#000000003"),
+        (10, "Zebra Industries"),   # singleton
+        (20, "Acme Corp"),
+        (21, "Acme Corq"),          # dist 1 from 20
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    pairs = edit_similarity_self_join(
+        df, text_col="name", id_col="id", max_edit=1, q=3
+    )
+    comp = connected_components(pairs)
+    clusters: dict = {}
+    for r in comp.collect():
+        clusters.setdefault(r["component"], set()).add(r["id"])
+    assert clusters == {1: {1, 2, 3}, 20: {20, 21}}

@@ -143,6 +143,13 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "value_change_points",
         "source_quantile_norm",
         "pmi_collocations",
+        "mad_outlier_stats",
+        "welch_value_ttest",
+        "daily_value_acf",
+        "hopping_window_tally",
+        "countmin_token_counts",
+        "scd2_user_state",
+        "entity_resolution_clusters",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -407,3 +407,65 @@ def test_portable_hll_rollup_from_finer_grouping(spark):
     est_r = sorted(map(tuple, portable_hll_estimate(rolled, by=["lang"]).collect()))
     est_d = sorted(map(tuple, portable_hll_estimate(direct, by=["lang"]).collect()))
     assert est_r == est_d
+
+
+def test_countmin_never_underestimates_and_is_exact_when_wide(spark):
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    items = (
+        ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 7 + ["delta"] * 3
+        + [f"tail{i}" for i in range(40)]
+    )
+    df = spark.createDataFrame([(t,) for t in items], "tok string")
+    exact = {r["tok"]: r["n"] for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = df.select("tok").distinct()
+    # narrow sketch: collisions expected, but never an underestimate
+    cm = countmin_table(df, "tok", depth=4, width=8)
+    est = {
+        r["tok"]: r["cm_estimate"]
+        for r in countmin_estimate(cm, keys, "tok", depth=4, width=8).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert sum(est.values()) > sum(exact.values())  # width 8 << 44 distinct
+    # wide sketch: every estimate exact
+    cm_w = countmin_table(df, "tok", depth=4, width=4096)
+    est_w = {
+        r["tok"]: r["cm_estimate"]
+        for r in countmin_estimate(cm_w, keys, "tok", depth=4, width=4096).collect()
+    }
+    assert est_w == exact
+
+
+def test_countmin_merges_by_cellwise_addition(spark):
+    from ningaloo_turtle_etl_spark.operators.sketches import countmin_table
+
+    rows = [(f"t{i % 13}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "tok string")
+    a = df.filter(F.col("tok") < "t5")
+    b = df.filter(~(F.col("tok") < "t5"))
+    whole = {
+        (r["row"], r["col"]): r["n"]
+        for r in countmin_table(df, "tok", depth=3, width=32).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in countmin_table(part, "tok", depth=3, width=32).collect():
+            merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["n"]
+    assert merged == whole
+
+
+def test_countmin_absent_item_estimates_small(spark):
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame([(f"t{i}",) for i in range(20)], "tok string")
+    cm = countmin_table(df, "tok", depth=4, width=1024)
+    probe = spark.createDataFrame([("never-seen",)], "tok string")
+    est = countmin_estimate(cm, probe, "tok", depth=4, width=1024).collect()[0]
+    assert est["cm_estimate"] == 0

@@ -254,3 +254,33 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
         for r in spark.sql("SELECT * FROM ssjoin_test").collect()
     )
     assert got == expected
+
+
+def test_streaming_hopping_tally_matches_batch(spark, events_stream_dir):
+    """Hopping 1h/30min windows: every event lands in exactly 2 windows,
+    and the streaming run over the feed equals the batch plan."""
+    from ningaloo_turtle_etl_spark.streaming.tallies import hopping_tally
+
+    batch = load_table(spark, "events", SF_DIR)
+    rows = hopping_tally(batch).collect()
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rows
+    }
+    assert sum(n for n, _ in expected.values()) == 2 * batch.count()
+
+    stream = stream_table_dir(spark, events_stream_dir, "events")
+    q = (
+        hopping_tally(stream, watermark="40 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hopping_tally_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM hopping_tally_test").collect()
+    }
+    assert got == expected

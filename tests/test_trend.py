@@ -76,3 +76,94 @@ def test_pmi_presence_not_frequency(spark):
     )
     out = pmi_cooccurrence(df, min_pair_count=1, max_df_frac=1.0).collect()
     assert [(r["tok_a"], r["tok_b"], r["n_pair"]) for r in out] == [("x", "y", 2)]
+
+
+def test_robust_outliers_vs_numpy(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import robust_outlier_stats
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = robust_outlier_stats(df, "g", "v", k=3.5).collect()[0]
+    med = round(float(np.median(vals)), 6)
+    mad = round(float(np.median(np.abs(np.array(vals) - med))), 6)
+    mz = np.round(0.6745 * np.abs(np.array(vals) - med) / mad, 6)
+    assert row["median"] == pytest.approx(med)
+    assert row["mad"] == pytest.approx(mad)
+    assert row["n_outliers"] == int((mz > 3.5).sum()) == 1
+    assert row["max_mz"] == pytest.approx(float(mz.max()), abs=1e-6)
+
+
+def test_robust_outliers_mad_zero_group_drops(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import robust_outlier_stats
+
+    df = spark.createDataFrame(
+        [("const", 5.0)] * 10 + [("ok", float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    got = {r["g"] for r in robust_outlier_stats(df, "g", "v").collect()}
+    assert got == {"ok"}
+
+
+def test_robust_outliers_approx_close_to_exact(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import robust_outlier_stats
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50.0, 5.0, 5000).tolist() + [500.0] * 5
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    ex = robust_outlier_stats(df, "g", "v", exact=True).collect()[0]
+    ap = robust_outlier_stats(df, "g", "v", exact=False).collect()[0]
+    assert ap["median"] == pytest.approx(ex["median"], rel=0.02)
+    assert ap["mad"] == pytest.approx(ex["mad"], rel=0.05)
+    assert ap["n_outliers"] == ex["n_outliers"]
+
+
+def test_welch_ttest_vs_scipy_formula(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import welch_ttest_pairs
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(10.0, 2.0, 400)
+    b = rng.normal(10.6, 3.0, 300)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = welch_ttest_pairs(df, "g", "v").collect()[0]
+    # reference Welch from the same rounded moments the operator uses
+    ma, va = round(a.mean(), 6), round(a.var(ddof=1), 6)
+    mb, vb = round(b.mean(), 6), round(b.var(ddof=1), 6)
+    sa, sb = va / len(a), vb / len(b)
+    t_ref = (ma - mb) / math.sqrt(sa + sb)
+    df_ref = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+    assert row["t_stat"] == pytest.approx(t_ref, abs=1e-6)
+    assert row["df_welch"] == pytest.approx(df_ref, abs=1e-4)
+    # a clearly-different pair should reject at the usual threshold
+    assert abs(row["t_stat"]) > 2.0
+    # and df bounded by the pooled/min-group brackets
+    assert min(len(a), len(b)) - 1 <= row["df_welch"] <= len(a) + len(b) - 2
+
+
+def test_welch_pairs_grid_shape(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import welch_ttest_pairs
+
+    rows = [(g, float(i)) for g in "abc" for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_ttest_pairs(df, "g", "v").collect()
+    pairs = {(r["group_a"], r["group_b"]) for r in out}
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_acf_matches_numpy_pairs(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import acf_by_group
+
+    rng = np.random.default_rng(3)
+    # AR(1)-ish series: strong lag-1 memory decaying with lag
+    xs = [0.0]
+    for _ in range(199):
+        xs.append(0.8 * xs[-1] + rng.normal())
+    rows = [("g", i, float(v)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {r["lag"]: r for r in acf_by_group(df, "g", "t", "v", max_lag=2).collect()}
+    for k in (1, 2):
+        x = np.array(xs)
+        ref = np.corrcoef(x[k:], x[:-k])[0, 1]
+        assert got[k]["n_pairs"] == 200 - k
+        assert got[k]["acf"] == pytest.approx(ref, abs=1e-6)
+    assert got[1]["acf"] > got[2]["acf"] > 0.3
