@@ -1158,3 +1158,45 @@ def substring_span_removal(
         ).alias("n_removed_chars"),
         F.coalesce("_cleaned", F.col("_t")).alias("cleaned_text"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    |A ∩ B| / |A|: catches a document embedded inside a larger one —
+    the quote/boilerplate/subset case whose Jaccard is tiny (the union
+    is dominated by the big doc) and which symmetric near-dup passes
+    therefore miss. Broder's containment coefficient; the usual policy
+    drops the CONTAINED (smaller) side.
+
+    Emits both directions that clear the threshold: (id_a, id_b,
+    containment) means "id_a is covered by id_b to `containment`".
+    Blocking bounds the quadratic term exactly as in
+    ngram_jaccard_pairs; at scale, block by LSH buckets or language."""
+    cols = [F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    sh = df.select(*cols)
+    a, b = sh.alias("a"), sh.alias("b")
+    on = [F.col("a.id") != F.col("b.id")]
+    if block_col:
+        on.insert(0, F.col("a.blk") == F.col("b.blk"))
+    pairs = a.join(b, on=on)
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    denom = F.size("a.sh")
+    cont = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cont.alias("_c"),
+        )
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("containment"))
+    )

@@ -230,20 +230,27 @@ def copurchase_edges(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",
     item_col: str = "l_partkey",
+    min_shared: int = 1,
 ) -> DataFrame:
     """Symmetric co-occurrence edges: items sharing an order, one edge per
     DISTINCT ordered pair (both directions, no self-loops, multi-order
-    pairs collapsed). The self-join is order-keyed — at scale, orders are
-    small groups, so the quadratic blowup is per-order, never global."""
+    pairs collapsed). ``min_shared`` > 1 keeps only pairs co-occurring in
+    at least that many orders — the support threshold that turns the
+    near-clique per-order blowup into a sparse affinity graph. The
+    self-join is order-keyed — at scale, orders are small groups, so the
+    quadratic blowup is per-order, never global."""
     a = lineitem.select(
         F.col(order_col).alias("ok"), F.col(item_col).alias("src")
     ).distinct()
     b = a.select(F.col("ok"), F.col("src").alias("dst"))
+    pairs = a.join(b, on="ok").where(F.col("src") != F.col("dst"))
+    if min_shared <= 1:
+        return pairs.select("src", "dst").distinct()
     return (
-        a.join(b, on="ok")
-        .where(F.col("src") != F.col("dst"))
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
         .select("src", "dst")
-        .distinct()
     )
 
 
@@ -321,3 +328,63 @@ def triangle_stats(
 
     track_cache(e)
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where every
+    node keeps degree >= k — by synchronous peeling: drop all nodes with
+    degree < k, recompute degrees on the surviving subgraph, repeat to
+    fixpoint. The standard dense-substructure filter (spam rings, tight
+    co-purchase clusters) that a plain degree cut can't express, because
+    removing one weak node can strip its neighbors too.
+
+    Returns (node, core_degree) — each surviving node's degree WITHIN the
+    core. Deterministic: synchronous rounds have no tie-break freedom.
+
+    Scale shape: each round is one degree aggregate plus two semi-joins
+    against the shrinking survivor set (node-sized, not edge-sized); the
+    edge table only ever shrinks. A localCheckpoint per round truncates
+    the plan like the other iterative graph ops. Rounds needed = peeling
+    depth (<= max degree, tiny in practice); raises if not converged so a
+    silent partial core can't masquerade as the real one."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        pruned = (
+            e.join(keep.withColumnRenamed("node", "a"), on="a", how="left_semi")
+            .join(keep.withColumnRenamed("node", "b"), on="b", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == e.count():
+            return (
+                pruned.select(F.col("a").alias("node"))
+                .unionByName(pruned.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+            )
+        e = pruned
+    raise RuntimeError(
+        f"k_core: no convergence in {max_iterations} peeling rounds"
+    )

@@ -63,3 +63,53 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew profile of a join/aggregation key: total_rows, n_keys,
+    max_key_rows, skew_factor (hottest key vs the mean — the salt-bucket
+    count salted_join would need to even it out), top10_share (mass in
+    the 10 hottest keys) and the Shannon entropy of the key distribution
+    (nats; ln(n_keys) = perfectly uniform). The measurement you run
+    BEFORE choosing between a plain shuffle, AQE skew splitting, and
+    salted_join — guessing skew at 100 TB is how jobs die.
+
+    Scale shape: one map-side-combining count per key, then scalar
+    aggregates over the (n_keys)-sized count table; the top-10 is
+    TakeOrdered, not a global sort. Entropy via ln(N) - Σ n·ln(n)/N —
+    one pass, no per-row log of probabilities."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    counts = counts.persist()
+    s = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.sum(F.col("n") * F.log("n")).alias("_snln"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("n"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("n").alias("_top10_rows"))
+    )
+    return (
+        s.crossJoin(top10)
+        .select(
+            F.lit(key_col).alias("key_col"),
+            "total_rows",
+            "n_keys",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_factor"),
+            F.round(F.col("_top10_rows") / F.col("total_rows"), 6).alias(
+                "top10_share"
+            ),
+            F.round(
+                F.log(F.col("total_rows").cast("double"))
+                - F.col("_snln") / F.col("total_rows"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -655,3 +655,42 @@ def pmi_cooccurrence(
             6,
         ).alias("pmi"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document, from pure-Catalyst counts: words
+    (whitespace tokens), sentences (runs of [.!?], floored at 1), and a
+    syllable proxy (vowel-group runs [aeiouy]+ — the standard cheap
+    estimator, within ~10% of dictionary syllables on English prose).
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words); higher is
+    easier, 60-70 is plain English. The long-sentence/dense-word signal
+    that complements with_quality_score's ratio heuristics in a curation
+    stack. Map-only, three regex passes, no UDF; empty docs get a null
+    score rather than a division blow-up."""
+    low = F.lower(F.col(text_col))
+    words = F.size(
+        F.filter(F.split(low, r"\s+"), lambda x: x != F.lit(""))
+    )
+    sentences = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+    )
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * words / sentences
+        - F.lit(84.6) * syllables / words
+    )
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("n_sentences", sentences)
+        .withColumn("n_syllables", syllables)
+        .withColumn(
+            "flesch",
+            F.when(words > 0, F.round(flesch, 4)),
+        )
+    )

@@ -3130,3 +3130,133 @@ def entity_resolution_clusters(spark, sf_dir):
         .select("cluster_id", "member_id", "member_name", "rep_name", "n_members")
         .orderBy("cluster_id", "member_id")
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous-peeling oracle (the pagerank/BPE chaining
+    trick): one degree-filter-prune CTE triple per round. Peeling is
+    idempotent at fixpoint, so ``rounds`` only needs to be >= the true
+    peeling depth at every graded SF (measured: 0 / 10 / 2 rounds at
+    sf0.001 / 0.01 / 0.1 — 16 leaves margin); the Spark operator
+    independently raises if IT hasn't converged, so a too-shallow unroll
+    can't silently pass."""
+    parts = [
+        """
+    eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+    -- MATERIALIZED stops DuckDB inlining each round's CTE into its (several)
+    -- consumers — inlined, the chain re-expands the base scan ~5^rounds times.
+    e0 AS MATERIALIZED (
+        SELECT a.s AS a, b.s AS b
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e{i - 1}
+            UNION ALL SELECT b FROM e{i - 1}
+        ) GROUP BY 1
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT a, b FROM e{i - 1}
+        WHERE a IN (SELECT node FROM k{i})
+          AND b IN (SELECT node FROM k{i})
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+        SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY 1 ORDER BY node"""
+    )
+
+
+@register("kcore_copurchase", _kcore_oracle_sql(3, 16))
+def kcore_copurchase(spark, sf_dir):
+    """3-core of the support-2 co-purchase graph (`operators/graph.py
+    k_core`): parts that survive iterative peeling to a mutually-dense
+    cluster — the dense-substructure filter a one-shot degree cut can't
+    express (removing a weak node strips its neighbors). Spark peels to
+    fixpoint with a driver-counted loop (degree agg + two semi-joins per
+    round on the shrinking subgraph); the oracle unrolls the same
+    synchronous rounds as chained CTEs."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        k_core,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, min_shared=2)
+    return k_core(edges, k=3).orderBy("node")
+
+
+@register(
+    "containment_near_dups",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, lang, list_distinct({_TOKENS}) AS sh
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 6) AS containment
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+    """,
+)
+def containment_near_dups(spark, sf_dir):
+    """Asymmetric shingle-containment pairs (|A∩B|/|A| >= 0.9, block =
+    lang): the subset-duplicate detector — a doc quoted inside a larger
+    one has high containment but LOW Jaccard, so the symmetric passes
+    (`ngram_jaccard_near_dups`, MinHash) structurally miss it
+    (`operators/dedup.py ngram_containment_pairs`). Directed: a row says
+    id_a is covered by id_b; dedup policy drops the contained side."""
+    from ningaloo_turtle_etl_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return ngram_containment_pairs(
+        docs, block_col="lang", shingle_n=1, threshold=0.9
+    )
+
+
+@register(
+    "readability_scores",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_syllables AS INT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                   - 84.6 * (n_syllables * 1.0 / n_words), 4)
+           END AS flesch
+    FROM f ORDER BY doc_id
+    """,
+)
+def readability_scores(spark, sf_dir):
+    """Flesch reading-ease over the corpus (`operators/text.py
+    readability_scores`): sentence-length and syllable-density signals
+    from three map-only regex passes — the readability axis the ratio
+    heuristics in text_quality_scores don't cover."""
+    from ningaloo_turtle_etl_spark.operators.text import readability_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability_scores(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    ).orderBy("doc_id")

@@ -227,3 +227,65 @@ def salted_join_tally(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c1 AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    s1 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows,
+             SUM(n * ln(n)) AS snln
+      FROM c1
+    ),
+    t1 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS top10_rows
+      FROM (SELECT n FROM c1 ORDER BY n DESC, k ASC LIMIT 10)
+    ),
+    c2 AS (
+      SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    s2 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows,
+             SUM(n * ln(n)) AS snln
+      FROM c2
+    ),
+    t2 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS top10_rows
+      FROM (SELECT n FROM c2 ORDER BY n DESC, k ASC LIMIT 10)
+    )
+    SELECT 'user_id' AS key_col, total_rows, n_keys, max_key_rows,
+           ROUND(max_key_rows * 1.0 * n_keys / total_rows, 4) AS skew_factor,
+           ROUND(top10_rows * 1.0 / total_rows, 6) AS top10_share,
+           ROUND(ln(total_rows) - snln / total_rows, 6) AS entropy
+    FROM s1, t1
+    UNION ALL
+    SELECT 'event_type', total_rows, n_keys, max_key_rows,
+           ROUND(max_key_rows * 1.0 * n_keys / total_rows, 4),
+           ROUND(top10_rows * 1.0 / total_rows, 6),
+           ROUND(ln(total_rows) - snln / total_rows, 6)
+    FROM s2, t2
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Skew profile of two candidate shuffle keys on the event fact
+    (`operators/scale.py key_skew_profile`): hottest-key factor,
+    top-10 mass, and key-distribution entropy — the pre-flight
+    measurement that decides between a plain shuffle, AQE skew
+    splitting, and salted_join. Count-per-key aggregates with map-side
+    combine; everything downstream runs on the key-cardinality-sized
+    count table."""
+    from ningaloo_turtle_etl_spark.operators.scale import key_skew_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_profile(ev, "user_id").unionByName(
+        key_skew_profile(ev, "event_type")
+    )

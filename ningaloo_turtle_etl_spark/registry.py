@@ -191,6 +191,10 @@ PRIORITY: list[str] = [
     "countmin_token_counts",
     "scd2_user_state",
     "entity_resolution_clusters",
+    "kcore_copurchase",
+    "containment_near_dups",
+    "readability_scores",
+    "key_skew_report",
 ]
 
 

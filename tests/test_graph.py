@@ -141,3 +141,51 @@ def test_entity_resolution_composition_blocks_and_elects(spark):
     for r in comp.collect():
         clusters.setdefault(r["component"], set()).add(r["id"])
     assert clusters == {1: {1, 2, 3}, 20: {20, 21}}
+
+
+def test_k_core_peels_to_known_core(spark):
+    """K4 with a pendant path: the 3-core is exactly the K4 (the path,
+    and the bridge node's path-degree, peel away over several rounds);
+    the 5-core of the same graph is empty."""
+    from ningaloo_turtle_etl_spark.operators.graph import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + path, "src bigint, dst bigint")
+    core3 = {r["node"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(df, 5).count() == 0
+
+
+def test_k_core_cascading_removal(spark):
+    """A triangle hung off a star: the star center has high degree but its
+    spokes are degree-1, so a 2-core keeps only the triangle — the case a
+    one-shot degree cut gets wrong (it would keep the center)."""
+    from ningaloo_turtle_etl_spark.operators.graph import k_core
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    star = [(10, i) for i in range(20, 26)] + [(10, 1)]
+    df = spark.createDataFrame(tri + star, "src bigint, dst bigint")
+    got = {r["node"] for r in k_core(df, 2).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_copurchase_min_shared_thresholds_support(spark):
+    from ningaloo_turtle_etl_spark.operators.graph import copurchase_edges
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "ok bigint, item string")
+    all_pairs = {
+        (r["src"], r["dst"])
+        for r in copurchase_edges(df, "ok", "item").collect()
+    }
+    assert all_pairs == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+    strong = {
+        (r["src"], r["dst"])
+        for r in copurchase_edges(df, "ok", "item", min_shared=2).collect()
+    }
+    assert strong == {("a", "b"), ("b", "a")}

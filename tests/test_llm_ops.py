@@ -1203,3 +1203,48 @@ def test_heaps_fit_matches_numpy_and_saturates_on_templates(spark):
     # templates saturate immediately: growth slope ~0
     assert got["template"]["heaps_beta"] < 0.05
     assert got["template"]["total_types"] == 5
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment of
+    the short side is 1.0 while Jaccard stays under a symmetric 0.5
+    threshold — the case the containment operator exists for. Direction
+    matters: the long side is NOT contained in the short one."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long, "en")], "doc_id long, text string, lang string"
+    )
+    cont = ngram_containment_pairs(
+        df, block_col="lang", shingle_n=2, threshold=0.8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(
+        df, block_col="lang", shingle_n=2, threshold=0.5
+    ).collect()
+    assert jac == []
+
+
+def test_readability_flesch_hand_check(spark):
+    from ningaloo_turtle_etl_spark.operators.text import readability_scores
+
+    text = "The cat sat. The dog ran!"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = readability_scores(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 2
+    # vowel groups: e,a,a,e,o,a  (the/cat/sat/the/dog/ran)
+    assert r["n_syllables"] == 6
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r["flesch"] - round(expected, 4)) < 1e-9
+    # empty doc: null score, no division error
+    empty = readability_scores(
+        spark.createDataFrame([(2, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert empty["flesch"] is None

@@ -150,6 +150,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "countmin_token_counts",
         "scd2_user_state",
         "entity_resolution_clusters",
+        "kcore_copurchase",
+        "containment_near_dups",
+        "readability_scores",
+        "key_skew_report",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

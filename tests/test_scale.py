@@ -148,3 +148,26 @@ def test_etl_graph_end_to_end(spark, tmp_path):
     cat = Catalogue({}, staging_dir=str(tmp_path / "stage"))
     publish_products(result, cat)
     assert "sites_geojson" in cat.published and "surveys" in cat.published
+
+
+def test_key_skew_profile_hand_distribution(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.scale import key_skew_profile
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert (r["total_rows"], r["n_keys"], r["max_key_rows"]) == (100, 21, 80)
+    assert r["skew_factor"] == round(80 * 21 / 100, 4)
+    # top10 = hot(80) + 9 singletons
+    assert r["top10_share"] == round(89 / 100, 6)
+    ref = -(0.8 * math.log(0.8) + 20 * 0.01 * math.log(0.01))
+    assert abs(r["entropy"] - ref) < 1e-6
+    # uniform key: entropy = ln(n_keys), skew factor 1
+    u = key_skew_profile(
+        spark.createDataFrame([(f"k{i % 8}",) for i in range(64)], "k string"),
+        "k",
+    ).collect()[0]
+    assert u["skew_factor"] == 1.0
+    assert abs(u["entropy"] - math.log(8)) < 1e-6
