@@ -289,3 +289,123 @@ def key_skew_report(spark, sf_dir):
     return key_skew_profile(ev, "user_id").unionByName(
         key_skew_profile(ev, "event_type")
     )
+
+
+@register(
+    "cube_order_tally",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+def cube_order_tally(spark, sf_dir):
+    """Full CUBE over (status, priority): all four grains — detail, each
+    one-dimension margin, grand total — in one Expand + aggregate pass
+    (completing the OLAP trio with rollup_pricing_totals and
+    grouping_sets_tally). GROUPING() flags distinguish margin rows from
+    genuine NULL dimension values; the shuffle carries 4x map-side
+    partials, never a second scan."""
+    od = load_table(spark, "orders", sf_dir)
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "rolling_weekly_value",
+    f"""
+    WITH d AS ({{daily}})
+    SELECT event_type, day, v,
+           ROUND(AVG(v) OVER (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS avg_7d,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_7d
+    FROM d
+    ORDER BY event_type, day
+    """.format(daily="""
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             round(AVG(value), 6) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    """),
+)
+def rolling_weekly_value(spark, sf_dir):
+    """Trailing 7-day rolling mean and event count per event type: a
+    RANGE-framed window over the day grain, so GAPS in the series are
+    handled by value distance, not row offsets (a rows-frame would
+    silently stretch the window across missing days). The window runs on
+    the aggregated daily table — series-length rows per group, never raw
+    events; the moving-rate view behind the drift monitors."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.to_unix_timestamp("ts") / 86400).alias("day"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(F.avg("v").over(w), 6).alias("avg_7d"),
+        F.sum("n").over(w).alias("n_7d"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "value_share_of_total",
+    """
+    WITH g AS (
+      SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, total_value, n,
+           ROUND(total_value / SUM(total_value) OVER (), 6) AS value_share,
+           ROUND(n * 1.0 / SUM(n) OVER (), 6) AS row_share
+    FROM g ORDER BY event_type
+    """,
+)
+def value_share_of_total(spark, sf_dir):
+    """Share-of-total (ratio-to-report) per event type: each segment's
+    fraction of global value and rows. The unpartitioned window runs over
+    the ALREADY aggregated per-type table (groups-sized, one partition is
+    correct there), never the fact — the standard two-level shape that
+    avoids a global-window-over-raw-rows scale trap."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "event_type",
+        "total_value",
+        "n",
+        F.round(F.col("total_value") / F.sum("total_value").over(w), 6).alias(
+            "value_share"
+        ),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_share"),
+    ).orderBy("event_type")

@@ -169,3 +169,71 @@ def scd2_user_state(spark, sf_dir):
     return scd2_history(
         ev, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+      SELECT p.user_id, p.event_id, p.value,
+             CASE WHEN t.tts >= p.ts - INTERVAL 7 DAY
+                  THEN t.touch_type END AS touch_type
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.tts
+    )
+    SELECT COALESCE(touch_type, 'unattributed') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM attributed GROUP BY 1 ORDER BY 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase credits the most
+    recent click/view by the same user within a 7-day lookback — a direct
+    composition of the as-of join operator (`operators/temporal.py
+    asof_join`, backward direction + tolerance), aggregated to credit per
+    touch channel. Purchases with no in-window touch report as
+    'unattributed'. The oracle replays it with DuckDB's native ASOF JOIN,
+    applying the tolerance as a post-filter (identical semantics: the
+    nearest-preceding touch either is in window or the purchase is
+    unattributed)."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_time="ts",
+        right_time="tts",
+        right_cols=["touch_type"],
+        direction="backward",
+        tolerance_seconds=7 * 86400,
+    )
+    return (
+        joined.select(
+            F.coalesce("touch_type", F.lit("unattributed")).alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

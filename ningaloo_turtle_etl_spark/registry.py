@@ -195,6 +195,10 @@ PRIORITY: list[str] = [
     "containment_near_dups",
     "readability_scores",
     "key_skew_report",
+    "cube_order_tally",
+    "rolling_weekly_value",
+    "value_share_of_total",
+    "attribution_last_touch",
 ]
 
 

@@ -112,3 +112,37 @@ def test_transition_probs_single_event_shuffle(spark):
     # normalization window runs over the states^2 aggregate.
     plan = _plan(spark, "event_transition_probs")
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+
+
+def test_rolling_range_window_respects_gaps(spark):
+    """RANGE 6-preceding over a gappy day series: the frame is bounded by
+    DAY VALUE, so a row after a long gap only sees itself — a ROWS frame
+    would wrongly stretch across the gap."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 30, 40.0)]
+    df = spark.createDataFrame(rows, "g string, day long, v double")
+    w = Window.partitionBy("g").orderBy("day").rangeBetween(-6, Window.currentRow)
+    got = {
+        r["day"]: r["avg7"]
+        for r in df.select("day", F.avg("v").over(w).alias("avg7")).collect()
+    }
+    assert got[2] == 15.0
+    assert got[30] == 40.0  # gap: day 2 is outside RANGE, inside ROWS
+
+
+def test_cube_emits_all_four_grains(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0)],
+        "s string, p string, v double",
+    )
+    out = df.cube("s", "p").agg(
+        F.grouping("s").cast("int").alias("gs"),
+        F.grouping("p").cast("int").alias("gp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grains = {(r["gs"], r["gp"]) for r in out.collect()}
+    assert grains == {(0, 0), (0, 1), (1, 0), (1, 1)}

@@ -154,6 +154,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "containment_near_dups",
         "readability_scores",
         "key_skew_report",
+        "cube_order_tally",
+        "rolling_weekly_value",
+        "value_share_of_total",
+        "attribution_last_touch",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -264,3 +264,36 @@ def test_cohort_retention_weekly_matrix(spark):
         ("2024-01-08", 0): (1, 1, 1.0),
         ("2024-01-08", 1): (1, 1, 1.0),
     }
+
+
+def test_last_touch_attribution_tolerance_and_direction(spark):
+    """Purchase credits the latest preceding touch; a touch outside the
+    lookback leaves the purchase unattributed; later touches never get
+    credit."""
+    from datetime import datetime
+
+    from ningaloo_turtle_etl_spark.operators.temporal import asof_join
+
+    t = lambda d, h=0: datetime(2025, 1, d, h)
+    purchases = spark.createDataFrame(
+        [(1, t(10)), (2, t(20)), (3, t(5))],
+        "user_id long, ts timestamp",
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, t(9), "click"),    # 1 day before → attributed
+            (1, t(9, 12), "view"), # later same-day touch wins (latest)
+            (2, t(1), "click"),    # 19 days before → outside 7d window
+            (3, t(6), "view"),     # AFTER the purchase → never credited
+        ],
+        "user_id long, tts timestamp, touch_type string",
+    )
+    out = {
+        r["user_id"]: r["touch_type"]
+        for r in asof_join(
+            purchases, touches, on="user_id",
+            left_time="ts", right_time="tts",
+            right_cols=["touch_type"], tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert out == {1: "view", 2: None, 3: None}
