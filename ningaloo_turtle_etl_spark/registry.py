@@ -199,6 +199,10 @@ PRIORITY: list[str] = [
     "rolling_weekly_value",
     "value_share_of_total",
     "attribution_last_touch",
+    "data_quality_profile",
+    "benford_first_digit",
+    "interarrival_stats",
+    "join_size_forecast",
 ]
 
 

@@ -146,3 +146,41 @@ def test_cube_emits_all_four_grains(spark):
     )
     grains = {(r["gs"], r["gp"]) for r in out.collect()}
     assert grains == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_join_size_forecast_exact_on_hand_graph(spark):
+    """Forecast Σ cntA·cntB equals the realized join size, including a
+    key multiplicity blow-up and non-matching keys contributing zero."""
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "k long"
+    )
+    ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    forecast = (
+        ca.join(cb, on="k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("f"))
+        .collect()[0]["f"]
+    )
+    actual = a.join(b, on="k").count()
+    assert forecast == actual == 2 * 3 + 1 * 1
+
+
+def test_benford_digit_extraction_truncates_not_rounds(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(999.6,), (899.7,), (1.2,)], "v double")
+    got = sorted(
+        r["d"]
+        for r in df.select(
+            F.substring(
+                F.floor("v").cast("bigint").cast("string"), 1, 1
+            ).cast("int").alias("d")
+        ).collect()
+    )
+    # 999.6 → 9 (not 1 via 1000), 899.7 → 8 (not 9 via 900)
+    assert got == [1, 8, 9]

@@ -158,6 +158,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "rolling_weekly_value",
         "value_share_of_total",
         "attribution_last_touch",
+        "data_quality_profile",
+        "benford_first_digit",
+        "interarrival_stats",
+        "join_size_forecast",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
