@@ -936,3 +936,138 @@ def write_training_shards(
         F.max(id_col).alias("max_id"),
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
+_LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_bucket(n_tokens: Column) -> Column:
+    """Smallest power-of-two bucket cap >= n_tokens, from a fixed literal
+    ladder (16..1024; longer docs land in the top bucket). A CASE ladder --
+    not float log2 -- so the boundary at exact powers of two is bit-exact
+    and portable across engines."""
+    expr = F.lit(_LENGTH_BUCKETS[-1])
+    for cap in reversed(_LENGTH_BUCKETS):
+        expr = F.when(n_tokens <= cap, F.lit(cap)).otherwise(expr)
+    return expr.cast("int")
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference/training batch building: group documents
+    into power-of-two token-length buckets, fill fixed-size batches within
+    each bucket in id order, and account the padding waste of padding each
+    batch to ITS OWN max length (not the bucket cap). The bucketing is what
+    bounds the waste: mixing a 900-token doc into a batch of 20-token docs
+    pads ~45x; within a pow2 bucket the worst case is 2x.
+
+    Output: one row per batch -- ``(bucket, batch_id, n_docs, max_len,
+    sum_len, pad_frac)`` where pad_frac = 1 - sum_len/(n_docs*max_len).
+
+    Scale shape: token counting is map-only Catalyst; the only shuffle is
+    the per-bucket window that assigns batch slots. With only ~7 buckets
+    that window is skew-prone at corpus scale -- shard it by prepending a
+    salt derived from md5(id) to the partition key and renumbering
+    batches per (bucket, salt) shard, which preserves every guarantee
+    except global batch numbering (batch ids become (salt, seq) pairs).
+    The per-batch aggregate then reuses the same partitioning (no second
+    shuffle)."""
+    from pyspark.sql.window import Window
+
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    n_tok = F.greatest(F.size(tokens(text_col)), F.lit(0))
+    sized = df.select(
+        F.col(id_col),
+        n_tok.alias("_len"),
+        length_bucket(n_tok).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    slotted = sized.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / F.lit(int(batch_size))).cast("int"),
+    )
+    return (
+        slotted.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("_len").cast("int").alias("max_len"),
+            F.sum("_len").cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_len")
+                / (F.col("n_docs") * F.greatest(F.col("max_len"), F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 5,
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Curriculum staging: split the corpus into ``n_stages`` equal-count
+    difficulty stages by a quality/difficulty score (stage 1 = highest
+    score = easiest first), and give every document a deterministic
+    within-stage shuffle key so a trainer can stream stage by stage without
+    correlated ordering artifacts.
+
+    Output: input id + ``(stage, shuffle_key)``; feed to
+    ``write_training_shards`` partitioned by stage for stage-pruned reads.
+
+    exact=True (default, oracle-parity path) assigns stages with NTILE over
+    the total order (score desc, id) -- a single global sort, fine to ~1e8
+    rows. At 100 TB use exact=False: stage boundaries come from
+    approx_percentile on the score (one map-side-combined agg, broadcast
+    of n_stages-1 thresholds, map-only binning -- no global sort), trading
+    exact equal counts for approximately-equal stage sizes."""
+    from pyspark.sql.window import Window
+
+    shuffle_key = F.substring(
+        F.md5(F.concat_ws(" ", F.lit("curriculum"), F.col(id_col).cast("string"))),
+        1,
+        12,
+    )
+    if exact:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        staged = df.withColumn("stage", F.ntile(int(n_stages)).over(w))
+    else:
+        probs = [i / n_stages for i in range(1, n_stages)]
+        cuts = df.select(
+            F.percentile_approx(
+                F.col(score_col).cast("double"), probs, 100_000
+            ).alias("cuts")
+        )
+        staged = (
+            df.crossJoin(F.broadcast(cuts))
+            .withColumn(
+                "stage",
+                # cuts are ascending score quantiles; stage 1 = top scores.
+                (
+                    F.lit(int(n_stages))
+                    - F.aggregate(
+                        "cuts",
+                        F.lit(0),
+                        lambda acc, c: acc
+                        + F.when(F.col(score_col) > c, 1).otherwise(0),
+                    )
+                ).cast("int"),
+            )
+            .drop("cuts")
+        )
+    return staged.withColumn("stage", F.col("stage").cast("int")).withColumn(
+        "shuffle_key", shuffle_key
+    )

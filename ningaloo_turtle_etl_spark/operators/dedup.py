@@ -1200,3 +1200,47 @@ def ngram_containment_pairs(
         .filter(F.col("_c") >= threshold)
         .select("id_a", "id_b", F.round("_c", 6).alias("containment"))
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Down-weighting dedup: instead of DROPPING exact duplicates, keep
+    every copy but assign a training weight ``1 / c^alpha`` where ``c`` is
+    the size of the document's exact-duplicate cluster (alpha=1 makes each
+    cluster contribute exactly one document's worth of gradient mass; the
+    soft counterpart of exact_dedup, cf. data-juicer / RHO-style loss
+    reweighting). Useful when downstream loss re-weighting is cheaper than
+    re-sharding a filtered corpus.
+
+    Output: one row per input doc — ``(id, cluster_size, weight)``.
+
+    Scale shape: only (fingerprint, id) shuffles to count clusters — the
+    count side aggregates map-side first — then the counts (one row per
+    DISTINCT fingerprint, far smaller than the corpus under duplication)
+    join back on the fingerprint; document bodies never shuffle. AQE
+    broadcasts the count side when it fits, else it's a narrow-key SMJ.
+    """
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(df, text_col)
+    sizes = (
+        fp.select("fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        fp.select(id_col, "fingerprint")
+        .join(sizes, on="fingerprint")
+        .select(
+            id_col,
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.pow(F.col("cluster_size").cast("double"), F.lit(alpha)),
+                6,
+            ).alias("weight"),
+        )
+    )

@@ -3260,3 +3260,93 @@ def readability_scores(spark, sf_dir):
     return readability_scores(docs).select(
         "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
     ).orderBy("doc_id")
+
+
+@register(
+    "soft_dedup_weights",
+    f"""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY substr(md5({_NORM}), 1, 16)) AS BIGINT)
+               AS cluster_size,
+           ROUND(1.0 / COUNT(*) OVER (
+               PARTITION BY substr(md5({_NORM}), 1, 16)), 6) AS weight
+    FROM documents
+    """,
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    """Down-weighting dedup (soft counterpart of dedup_exact): every copy
+    survives with training weight 1/cluster_size, so each exact-duplicate
+    cluster contributes one document's worth of gradient mass. Only
+    (fingerprint, id) shuffles; bodies stay map-side."""
+    from ningaloo_turtle_etl_spark.operators.dedup import soft_dedup_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return soft_dedup_weights(docs)
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, len({_TOKENS_RAW}) AS l,
+               CASE WHEN len({_TOKENS_RAW}) <= 16 THEN 16
+                    WHEN len({_TOKENS_RAW}) <= 32 THEN 32
+                    WHEN len({_TOKENS_RAW}) <= 64 THEN 64
+                    WHEN len({_TOKENS_RAW}) <= 128 THEN 128
+                    WHEN len({_TOKENS_RAW}) <= 256 THEN 256
+                    WHEN len({_TOKENS_RAW}) <= 512 THEN 512
+                    ELSE 1024 END AS bucket
+        FROM documents
+    ),
+    slotted AS (
+        SELECT bucket, l,
+               CAST(floor((ROW_NUMBER() OVER (PARTITION BY bucket
+                                              ORDER BY doc_id) - 1)
+                          / 8.0) AS INT) AS batch_id
+        FROM sized
+    )
+    SELECT CAST(bucket AS INT) AS bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(l) AS INT) AS max_len,
+           CAST(SUM(l) AS BIGINT) AS sum_len,
+           ROUND(1.0 - SUM(l) / CAST(COUNT(*) * GREATEST(MAX(l), 1) AS DOUBLE),
+                 6) AS pad_frac
+    FROM slotted GROUP BY bucket, batch_id
+    """,
+)
+def q_length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch building: pow2 token-length buckets, 8-doc
+    batches filled in id order within each bucket, padding waste accounted
+    against each batch's own max length. The bucketing bounds pad_frac at
+    ~0.5 worst-case; the oracle restates the policy with the identical
+    CASE ladder."""
+    from ningaloo_turtle_etl_spark.operators.curation import length_bucket_batches
+
+    docs = load_table(spark, "documents", sf_dir)
+    return length_bucket_batches(docs, batch_size=8)
+
+
+@register(
+    "curriculum_order",
+    """
+    SELECT doc_id,
+           CAST(NTILE(5) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS stage,
+           substr(md5('curriculum ' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS shuffle_key
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum staging by document length (n_chars as the difficulty
+    proxy): 5 equal-count stages, easiest (longest) first, plus a
+    deterministic md5 within-stage shuffle key. exact=True NTILE path for
+    oracle parity; the exact=False approx-percentile binning path (no
+    global sort, the 100 TB shape) is pinned against this one in
+    tests/test_llm_ops.py."""
+    from ningaloo_turtle_etl_spark.operators.curation import curriculum_order
+
+    docs = load_table(spark, "documents", sf_dir)
+    return curriculum_order(docs, score_col="n_chars", n_stages=5).select(
+        "doc_id", "stage", "shuffle_key"
+    )

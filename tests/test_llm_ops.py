@@ -1248,3 +1248,80 @@ def test_readability_flesch_hand_check(spark):
         spark.createDataFrame([(2, "")], "doc_id long, text string")
     ).collect()[0]
     assert empty["flesch"] is None
+
+
+def test_soft_dedup_weights_unit_mass_per_cluster(spark, docs):
+    from ningaloo_turtle_etl_spark.operators.dedup import soft_dedup_weights
+
+    rows = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+    assert len(rows) == 5  # every copy survives
+    assert rows[1]["cluster_size"] == 2 and rows[2]["cluster_size"] == 2
+    assert rows[1]["weight"] == 0.5 and rows[2]["weight"] == 0.5
+    assert rows[3]["cluster_size"] == 1 and rows[3]["weight"] == 1.0
+    # alpha=2: heavier suppression, singletons untouched
+    sq = {r["doc_id"]: r for r in soft_dedup_weights(docs, alpha=2.0).collect()}
+    assert sq[1]["weight"] == 0.25 and sq[4]["weight"] == 1.0
+    # total gradient mass = number of distinct documents (alpha=1)
+    assert sum(r["weight"] for r in rows.values()) == 4.0
+
+
+def test_length_bucket_batches_policy(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        length_bucket,
+        length_bucket_batches,
+    )
+
+    # 20 docs of 10 tokens (bucket 16) + 3 docs of 40 tokens (bucket 64)
+    rows = [(i, "w " * 10) for i in range(20)] + [
+        (100 + i, "w " * 40) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["bucket"], r["batch_id"]): r
+        for r in length_bucket_batches(df, batch_size=8).collect()
+    }
+    # bucket 16: 20 docs -> batches of 8, 8, 4; bucket 64: one batch of 3
+    assert out[(16, 0)]["n_docs"] == 8 and out[(16, 2)]["n_docs"] == 4
+    assert out[(64, 0)]["n_docs"] == 3
+    # uniform lengths within a batch -> zero padding waste
+    assert out[(16, 0)]["pad_frac"] == 0.0
+    assert out[(16, 0)]["max_len"] == 10 and out[(16, 0)]["sum_len"] == 80
+    # ladder edges: exact powers stay in their own bucket, overflow tops out
+    edge = spark.range(1).select(
+        length_bucket(F.lit(16)).alias("a"),
+        length_bucket(F.lit(17)).alias("b"),
+        length_bucket(F.lit(5000)).alias("c"),
+        length_bucket(F.lit(0)).alias("d"),
+    ).collect()[0]
+    assert (edge["a"], edge["b"], edge["c"], edge["d"]) == (16, 32, 1024, 16)
+
+
+def test_curriculum_order_exact_and_approx_agree(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import curriculum_order
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 101).cast("double").alias("score"),
+    )
+    exact = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_order(df, "score", n_stages=4).collect()
+    }
+    # equal-count stages, easiest (highest score) first
+    from collections import Counter
+
+    assert Counter(exact.values()) == {1: 50, 2: 50, 3: 50, 4: 50}
+    top = max(exact, key=lambda d: (d * 7 % 101, -d))
+    assert exact[top] == 1
+    # approx path (the 100 TB shape): same stages up to boundary ties
+    approx = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_order(df, "score", n_stages=4, exact=False).collect()
+    }
+    diff = sum(1 for d in exact if exact[d] != approx[d])
+    assert diff <= 10  # only boundary docs may move one stage
+    assert all(abs(exact[d] - approx[d]) <= 1 for d in exact)
+    # shuffle_key deterministic
+    k1 = curriculum_order(df, "score").select("doc_id", "shuffle_key").collect()
+    k2 = curriculum_order(df, "score").select("doc_id", "shuffle_key").collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
