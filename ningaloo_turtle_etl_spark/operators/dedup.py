@@ -1244,3 +1244,54 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose globally FIRST occurrence (by ascending id — the
+    corpus ingestion order) is this document. The diversity/redundancy
+    signal dual to dedup: a crawl whose late documents score near zero is
+    re-crawling what the corpus already has; curation pipelines use it to
+    prioritize genuinely new material under a token budget.
+
+    Output: one row per doc — ``(id, n_grams, n_novel, novelty)``;
+    sub-n-token docs contribute their whole text as one gram.
+
+    Scale shape: shingling is map-only Catalyst; first-occurrence election
+    is one (gram)-keyed min with map-side combine, and the scoring join
+    back carries (gram, first_id) only — payloads never shuffle. The gram
+    key space is corpus-sized but uniform (no skew); at 100 TB hash the
+    gram to a 64-bit key before the shuffle to shrink rows."""
+    grams = shingles(text_col, n)
+    ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    first = ex.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        ex.join(first, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(
+                    F.col("n_novel") / F.col("n_grams").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )

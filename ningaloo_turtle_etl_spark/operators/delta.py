@@ -185,3 +185,75 @@ def scd2_history(
         "n_events",
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+def cdc_apply(
+    snapshot,
+    changes,
+    keys,
+    ts_col: str,
+    op_col: str = "op",
+    payload_cols=None,
+    tiebreak_col: str | None = None,
+    delete_op: str = "delete",
+):
+    """Apply a CDC change feed to a snapshot (the MERGE INTO pattern):
+    for every key, the LATEST change (by ``ts_col`` then ``tiebreak_col``)
+    wins — an upsert replaces the payload columns, a ``delete_op`` removes
+    the key; keys with no change carry over untouched; upserts of unseen
+    keys insert.
+
+    ``payload_cols`` defaults to the non-key columns the two frames share.
+    Output: the new snapshot with the snapshot's schema (keys + payloads).
+
+    Scale shape: per-key latest-change election is a window over the
+    CHANGES feed only (a day's feed, not the snapshot); the merge is one
+    full-outer join on the key. Write the snapshot bucketed by key and the
+    join side is co-located — the feed side shuffles, the 100 TB snapshot
+    does not move. No driver state.
+    """
+    keys = list(keys)
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in snapshot.columns
+            if c not in keys and c in changes.columns
+        ]
+    payload_cols = list(payload_cols)
+
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_chg_{c}") for c in payload_cols],
+        )
+    )
+    snap = snapshot.withColumn("_in_snap", F.lit(True)).alias("s")
+    merged = snap.join(latest.alias("c"), on=keys, how="full_outer")
+    # delete wins over presence; an upsert prefers the change payload;
+    # absence of a change keeps the snapshot row. The explicit _in_snap
+    # marker (not a payload-NULL probe) keeps legitimately-NULL payloads
+    # alive.
+    kept = merged.filter(
+        F.when(F.col("_op") == F.lit(delete_op), F.lit(False))
+        .when(F.col("_op").isNotNull(), F.lit(True))
+        .otherwise(F.col("_in_snap").isNotNull())
+    )
+    return kept.select(
+        *keys,
+        *[
+            F.when(
+                F.col("_op").isNotNull() & (F.col("_op") != F.lit(delete_op)),
+                F.col(f"_chg_{c}"),
+            )
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
+    )

@@ -446,3 +446,62 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("w_a") * F.col("w_b")), 6).alias("cosine"))
         .filter(F.col("cosine") >= float(threshold))
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid as a LONG (label, pos, c) table — elementwise
+    mean via one posexplode + (label, pos)-keyed avg with map-side
+    combine. The long form stays distributed and feeds joins; collect to
+    an array only at a driver boundary."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    return ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+
+
+def label_centroid_cosine(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the embedding
+    diagnostic for class separation (near-1 off-diagonal = labels the
+    embedding can't tell apart; the go/no-go check before trusting
+    semantic dedup or an ANN-backed classifier on the space).
+
+    Output: one row per unordered label pair — ``(label_a, label_b,
+    cosine)``.
+
+    Scale shape: the corpus is touched once by the centroid pass; every
+    join after that is on the labels x dims centroid table (hundreds of
+    rows), broadcast by AQE. No label-pair computation ever sees raw
+    vectors."""
+    cent = label_centroids(df, vec_col, label_col)
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=[
+                F.col("a.pos") == F.col("b.pos"),
+                F.col("a.label") < F.col("b.label"),
+            ],
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, F.col("label_a") == F.col("na.label"))
+        .join(nb, F.col("label_b") == F.col("nb.label"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 6
+            ).alias("cosine"),
+        )
+    )

@@ -451,3 +451,67 @@ def cohort_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: assign every event a per-key session
+    number that increments whenever the gap since the PREVIOUS event of the
+    same key exceeds ``gap_seconds`` — the classic lag + running-sum
+    formulation, and the batch twin of the native ``session_window``
+    streaming aggregate (which can only emit per-session AGGREGATES; this
+    labels the raw events so arbitrary downstream logic can group on the
+    session id).
+
+    Gap comparison is on whole epoch seconds (cross-engine deterministic);
+    event ORDER within a key uses the full-precision timestamp plus the
+    tiebreak column, so sub-second bursts still order stably.
+
+    Output: input columns + ``session_seq`` (1-based per key).
+
+    Scale shape: one shuffle by key for the window pair (lag and the
+    running sum share the same sort); everything else is map-only. Hot
+    keys (bot traffic) are the skew risk — pre-split them by a coarse
+    time bucket appended to the partition key if one key exceeds a
+    partition."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    secs = _epoch_seconds(df, ts_col)
+    prev = F.lag(secs).over(w)
+    new_session = F.when(
+        prev.isNull() | ((secs - prev) > F.lit(int(gap_seconds))), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollup over ``sessionize``: event count, bounds, and
+    whole-second duration per (key, session_seq). The rollup reuses the
+    sessionize shuffle partitioning (same key), so AQE plans it without a
+    second exchange."""
+    labeled = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_col)
+    secs = _epoch_seconds(labeled, ts_col)
+    return labeled.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(secs) - F.min(secs)).cast("long").alias("duration_s"),
+    )

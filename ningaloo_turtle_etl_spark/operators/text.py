@@ -694,3 +694,65 @@ def readability_scores(
             F.when(words > 0, F.round(flesch, 4)),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` token
+    vocabulary by corpus frequency (ties broken lexicographically — a
+    total order, so the vocabulary is deterministic cross-engine) and
+    score every document's out-of-vocabulary token fraction. High OOV is
+    the standard screen for encoding damage, boilerplate languages the
+    tokenizer never saw, and docs that will explode into bytes at
+    tokenize time.
+
+    Output: one row per doc — ``(id, n_tokens, n_oov, oov_frac)``;
+    tokenless docs report 0/0/0.0.
+
+    Scale shape: the token count table is vocabulary-sized (map-side
+    combined); its top-k is a TakeOrdered, never a global sort; the doc
+    scoring pass is one explode + broadcast vocab semi-probe +
+    doc-keyed partial agg. The corpus is touched twice (count pass,
+    score pass) -- cache the tokenized projection if it fits, or fold the
+    count pass into a prior profiling job at 100 TB."""
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    wv = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= int(vocab_size))
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(
+                    F.col("n_oov") / F.col("n_tokens").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("oov_frac"),
+        )
+    )

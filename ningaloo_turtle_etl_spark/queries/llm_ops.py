@@ -3350,3 +3350,118 @@ def q_curriculum_order(spark, sf_dir):
     return curriculum_order(docs, score_col="n_chars", n_stages=5).select(
         "doc_id", "stage", "shuffle_key"
     )
+
+
+@register(
+    "oov_rate",
+    f"""
+    WITH pairs AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM pairs GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r
+            FROM counts) WHERE r <= 500
+    ),
+    scored AS (
+        SELECT p.doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM pairs p LEFT JOIN vocab v USING (tok) GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+           ROUND(COALESCE(s.n_oov / CAST(s.n_tokens AS DOUBLE), 0.0), 6)
+               AS oov_frac
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage screen: top-500 corpus vocabulary
+    (frequency then lexicographic — a deterministic total order) and each
+    document's out-of-vocabulary token fraction
+    (`operators/text.py oov_rate`). Vocabulary-sized count table, explode +
+    broadcast probe scoring pass."""
+    from ningaloo_turtle_etl_spark.operators.text import oov_rate
+
+    docs = load_table(spark, "documents", sf_dir)
+    return oov_rate(docs, vocab_size=500)
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_RAW} AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN array_to_string(list_slice(t, i + 1, i + 3), ' ')
+                    ELSE array_to_string(t, ' ') END AS gram
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(CASE WHEN len(t) >= 3 THEN len(t) - 2
+                                     ELSE 1 END)) AS i
+            FROM toks
+        )
+    ),
+    first_occ AS (SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY 1),
+    per_doc AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams g JOIN first_occ f USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           ROUND(COALESCE(p.n_novel / CAST(p.n_grams AS DOUBLE), 0.0), 6)
+               AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty vs everything earlier in the corpus
+    (`operators/dedup.py ngram_novelty`): fraction of the doc's distinct
+    shingles first seen in this doc. One gram-keyed min election + a
+    payload-free join back; the redundancy signal dual to dedup."""
+    from ningaloo_turtle_etl_spark.operators.dedup import ngram_novelty
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_novelty(docs, n=3)
+
+
+@register(
+    "label_centroid_cosine",
+    """
+    WITH ex AS (
+        SELECT label, CAST(i AS INT) AS pos, embedding[i + 1] AS v
+        FROM (SELECT label, embedding,
+                     unnest(range(len(embedding))) AS i
+              FROM embeddings)
+    ),
+    cent AS (SELECT label, pos, AVG(v) AS c FROM ex GROUP BY 1, 2),
+    norms AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY 1),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+    """,
+)
+def q_label_centroid_cosine(spark, sf_dir):
+    """Class-separation diagnostic over the embedding space
+    (`operators/similarity.py label_centroid_cosine`): pairwise cosine
+    between per-label centroids. Raw vectors are touched once by the
+    centroid pass; all pair math runs on the labels x dims table."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        label_centroid_cosine,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_centroid_cosine(emb)

@@ -237,3 +237,94 @@ def attribution_last_touch(spark, sf_dir):
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, secs,
+             SUM(CASE WHEN prev IS NULL OR secs - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM lagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(MAX(secs) - MIN(secs) AS BIGINT) AS duration_s
+    FROM flagged GROUP BY 1, 2
+    """,
+)
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity cut) rolled up to
+    per-session stats — `operators/temporal.py sessionize/session_stats`,
+    the batch twin of the native session_window streaming aggregate but
+    with raw events labeled so arbitrary logic can group on the session.
+    One user-keyed shuffle; the rollup reuses its partitioning."""
+    from ningaloo_turtle_etl_spark.operators.temporal import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+
+
+@register(
+    "cdc_apply_snapshot",
+    """
+    WITH changes AS (
+      SELECT user_id AS key, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             value AS state_value
+      FROM events
+    ),
+    latest AS (
+      SELECT key, op, state_value FROM (
+        SELECT key, op, state_value,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changes) WHERE rn = 1
+    ),
+    snap AS (SELECT c_custkey AS key, c_acctbal AS state_value FROM customer)
+    SELECT COALESCE(s.key, l.key) AS key,
+           CASE WHEN l.op = 'upsert' THEN l.state_value
+                ELSE s.state_value END AS state_value
+    FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+    WHERE l.op IS NULL OR l.op <> 'delete'
+    """,
+)
+def q_cdc_apply_snapshot(spark, sf_dir):
+    """CDC MERGE: apply the event feed as a change log (errors = deletes,
+    anything else upserts its value) onto the customer balance snapshot —
+    latest change per key wins, unseen keys insert, untouched keys carry
+    over (`operators/delta.py cdc_apply`). The latest-change election
+    windows only the FEED; the snapshot moves once through the key join."""
+    from ningaloo_turtle_etl_spark.operators.delta import cdc_apply
+
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    snapshot = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("state_value")
+    )
+    changes = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("value").alias("state_value"),
+    )
+    return cdc_apply(
+        snapshot, changes, ["key"], "ts", tiebreak_col="event_id"
+    )

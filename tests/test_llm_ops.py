@@ -1325,3 +1325,63 @@ def test_curriculum_order_exact_and_approx_agree(spark):
     k1 = curriculum_order(df, "score").select("doc_id", "shuffle_key").collect()
     k2 = curriculum_order(df, "score").select("doc_id", "shuffle_key").collect()
     assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+
+
+def test_oov_rate_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.text import oov_rate
+
+    rows = [
+        (1, "a a a b"),    # a:4 total below, b:2
+        (2, "a b c"),      # c:1 -> out of top-2 vocab
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    # counts: a=4, b=2, c=1 -> vocab {a, b}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 0
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 1
+    assert out[2]["oov_frac"] == round(1 / 3, 6)
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_frac"] == 0.0
+    # vocabulary ties break lexicographically: with k=1 only 'a' survives
+    k1 = {r["doc_id"]: r["n_oov"] for r in oov_rate(df, vocab_size=1).collect()}
+    assert k1[1] == 1 and k1[2] == 2
+
+
+def test_ngram_novelty_hand_check(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),   # grams: "a b c", "b c d" -> both novel
+        (2, "a b c d"),   # exact repeat -> nothing novel
+        (3, "a b c x"),   # "a b c" seen, "b c x" new -> 0.5
+        (4, "z"),         # sub-n doc: whole text is one novel gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["novelty"] == 1.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 0
+    assert out[3]["novelty"] == 0.5
+    assert out[4]["n_grams"] == 1 and out[4]["novelty"] == 1.0
+
+
+def test_label_centroid_cosine_known_geometry(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        label_centroid_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # centroid(0) = [1, 0]
+        (3, [0.0, 2.0], 1),   # centroid(1) = [0, 2]
+        (4, [3.0, 3.0], 2),
+        (5, [1.0, 1.0], 2),   # centroid(2) = [2, 2]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_cosine(df).collect()
+    }
+    assert out[(0, 1)] == 0.0
+    assert abs(out[(0, 2)] - round(1 / 2**0.5, 6)) < 1e-9
+    assert abs(out[(1, 2)] - round(1 / 2**0.5, 6)) < 1e-9
+    assert len(out) == 3  # unordered pairs only

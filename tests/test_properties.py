@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -401,3 +402,102 @@ def test_portable_sketch_report_matches_python_reference(spark, vals):
     kmv = float(len(srt)) if len(srt) < 256 else 255 * 4294967296.0 / srt[255]
     assert row["kmv_estimate"] == round(kmv, 4)
     assert row["exact_distinct"] == len(set(vals))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),            # key
+            st.integers(min_value=0, max_value=50_000),       # offset seconds
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=3600),                 # gap
+)
+def test_sessionize_matches_python_reference(spark, rows, gap):
+    from ningaloo_turtle_etl_spark.operators.temporal import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, k, base + datetime.timedelta(seconds=off))
+        for i, (k, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap, "event_id").collect()
+    }
+    # reference: sort per key by (ts, event_id), split when gap exceeded
+    by_key: dict[int, list] = {}
+    for i, k, ts in data:
+        by_key.setdefault(k, []).append((ts, i))
+    expect = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        seq, prev = 0, None
+        for ts, i in evs:
+            secs = int(ts.timestamp())
+            if prev is None or secs - prev > gap:
+                seq += 1
+            expect[i] = seq
+            prev = secs
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),           # key
+            st.integers(min_value=0, max_value=100),          # ts offset
+            st.booleans(),                                    # delete?
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        max_size=30,
+    ),
+)
+def test_cdc_apply_matches_dict_reference(spark, snap_d, feed):
+    from ningaloo_turtle_etl_spark.operators.delta import cdc_apply
+
+    base = datetime.datetime(2024, 1, 1)
+    snap_rows = [(k, v) for k, v in snap_d.items()]
+    feed_rows = [
+        (k, base + datetime.timedelta(seconds=off), i,
+         "delete" if is_del else "upsert", v)
+        for i, (k, off, is_del, v) in enumerate(feed)
+    ]
+    snap = spark.createDataFrame(
+        snap_rows, "key long, state_value double"
+    ) if snap_rows else spark.createDataFrame([], "key long, state_value double")
+    chg = spark.createDataFrame(
+        feed_rows, "key long, ts timestamp, event_id long, op string, state_value double"
+    ) if feed_rows else spark.createDataFrame(
+        [], "key long, ts timestamp, event_id long, op string, state_value double"
+    )
+    got = {
+        r["key"]: r["state_value"]
+        for r in cdc_apply(snap, chg, ["key"], "ts", tiebreak_col="event_id").collect()
+    }
+    # reference: latest change per key by (ts, event_id)
+    state = dict(snap_d)
+    latest: dict[int, tuple] = {}
+    for k, ts, eid, op, v in feed_rows:
+        if k not in latest or (ts, eid) > latest[k][:2]:
+            latest[k] = (ts, eid, op, v)
+    for k, (_, _, op, v) in latest.items():
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    expect = {
+        k: (None if v is None else pytest.approx(v)) for k, v in state.items()
+    }
+    assert got == expect

@@ -297,3 +297,82 @@ def test_last_touch_attribution_tolerance_and_direction(spark):
         ).collect()
     }
     assert out == {1: "view", 2: None, 3: None}
+
+
+def test_sessionize_gap_policy(spark):
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        session_stats,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, uid, offset_s):
+        return (i, uid, t0 + dt.timedelta(seconds=offset_s))
+
+    rows = [
+        ev(1, 1, 0),
+        ev(2, 1, 1800),   # gap == threshold: same session (> splits)
+        ev(3, 1, 3601),   # 1801s after prev -> new session
+        ev(4, 1, 3602),
+        ev(5, 2, 0),      # other key starts at 1 independently
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 1800, "event_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(df, "user_id", "ts", 1800, "event_id").collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_s"] == 1800
+    assert stats[(1, 2)]["duration_s"] == 1
+    assert stats[(2, 1)]["n_events"] == 1 and stats[(2, 1)]["duration_s"] == 0
+
+
+def test_cdc_apply_merge_semantics(spark):
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.delta import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "key long, state_value double",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chg(key, off, op, val, eid):
+        return (key, t0 + dt.timedelta(seconds=off), eid, op, val)
+
+    changes = spark.createDataFrame(
+        [
+            chg(1, 0, "upsert", 11.0, 1),   # overwritten by later change
+            chg(1, 5, "upsert", 12.0, 2),   # latest wins
+            chg(2, 0, "delete", None, 3),   # delete existing
+            chg(5, 0, "upsert", 50.0, 4),   # insert unseen key
+            chg(6, 0, "delete", None, 5),   # delete nonexistent: no-op
+            chg(4, 0, "upsert", None, 6),   # upsert to NULL payload
+        ],
+        "key long, ts timestamp, event_id long, op string, state_value double",
+    )
+    out = {
+        r["key"]: r["state_value"]
+        for r in cdc_apply(snap, changes, ["key"], "ts", tiebreak_col="event_id").collect()
+    }
+    # key 3 (NULL payload, untouched) must survive the merge
+    assert out == {1: 12.0, 3: None, 4: None, 5: 50.0}
+    # same-timestamp changes: tiebreak column elects the higher event_id
+    tie = spark.createDataFrame(
+        [chg(1, 0, "upsert", 1.0, 1), chg(1, 0, "upsert", 2.0, 9)],
+        "key long, ts timestamp, event_id long, op string, state_value double",
+    )
+    out2 = {
+        r["key"]: r["state_value"]
+        for r in cdc_apply(snap, tie, ["key"], "ts", tiebreak_col="event_id").collect()
+    }
+    assert out2[1] == 2.0
