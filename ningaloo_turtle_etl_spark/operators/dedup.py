@@ -1295,3 +1295,231 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def minhash_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Incremental MinHash+LSH: near-dup pairs INVOLVING the new batch —
+    new x old and new x new, never old x old. The daily-increment shape:
+    with O old docs and N new ones (N << O), the banded join probes only
+    the buckets the new batch touches, so candidate work scales with N's
+    bucket collisions instead of re-deduping the whole corpus.
+
+    Exactly equal to ``minhash_near_dup_pairs`` over the union, restricted
+    to pairs with at least one new id (bucket caps count over the union,
+    matching the full run bit-for-bit — pinned in tests). Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale shape: signatures for the OLD side are recomputed here for
+    self-containment; a production pipeline persists (id, sh, sig)
+    next to the corpus (1-2% of its size) and feeds it in, making the
+    old side a bucket-keyed probe with zero text rescans. Only the new
+    side's buckets cross the join; verification touches old shingle sets
+    solely for colliding candidates."""
+    from pyspark import StorageLevel
+
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    rows = num_hashes // bands
+    shingle_hash = md5_hash60 if hash_family == "md5" else F.xxhash64
+
+    union = old_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new")
+    ).unionByName(
+        new_docs.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")
+        )
+    )
+    sh = union.select(
+        F.col(id_col).alias("id"),
+        "_is_new",
+        shingles(text_col, shingle_n).alias("sh_str"),
+    ).select(
+        "id",
+        "_is_new",
+        F.array_distinct(
+            F.transform("sh_str", lambda s: shingle_hash(s))
+        ).alias("sh"),
+        F.col("sh_str"),
+    )
+    if hash_family == "md5":
+        sig_expr = minhash_signature_md5(F.col("sh"), num_hashes)
+    else:
+        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
+    sig = _track_cache(
+        sh.select("id", "_is_new", "sh", sig_expr.alias("sig")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    if hash_family == "md5":
+        band_bucket = [
+            fold_bucket(
+                [F.col("sig")[b * rows + r] for r in range(rows)], F.lit(b)
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_bucket = [
+            F.xxhash64(
+                F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    banded = sig.select(
+        "id", "_is_new", F.explode(F.array(*band_bucket)).alias("bucket")
+    )
+    if max_bucket_size is not None:
+        # Cap on the UNION's bucket sizes — identical to the full run, so
+        # incremental output == full output restricted to new-id pairs.
+        counts = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = (
+            banded.join(counts, on="bucket")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    new_side = banded.filter(F.col("_is_new")).select("id", "bucket")
+    cand = (
+        new_side.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") != F.col("b.id"),
+            ],
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sig.select("id", "sh", F.size("sh").alias("n_sh"))
+    cand = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        ),
+        on="id_a",
+    ).join(
+        sets.select(
+            F.col("id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        ),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - inter
+    jac = F.when(union_sz > 0, inter / union_sz).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every unordered source
+    pair, how many exact-duplicate clusters span BOTH sources and how many
+    documents they hold — the diagnostic that tells you whether two crawl
+    feeds are re-scraping each other before you pay for cross-source
+    near-dedup. Diagonal rows (source vs itself) count within-source
+    duplicate clusters.
+
+    Output: (source_a, source_b, n_clusters, n_docs) with
+    source_a <= source_b; n_docs = total docs of the pair's two sources in
+    those shared clusters.
+
+    Scale shape: one (fingerprint, source) distinct + count agg (map-side
+    combined, fingerprint-keyed shuffle of narrow rows); the pair explosion
+    runs on the per-fingerprint source LISTS (sources-squared per
+    fingerprint, sources are few). Document bodies never move.
+
+    ``prefix_tokens``: fingerprint only the first k whitespace tokens
+    instead of the whole text — the shared-opening (boilerplate header /
+    template) leakage variant, which fires long before full-document
+    equality does."""
+    from ningaloo_turtle_etl_spark.operators.text import (
+        tokens,
+        with_fingerprint,
+    )
+
+    if prefix_tokens is not None:
+        norm = F.lower(
+            F.concat_ws(" ", F.slice(tokens(text_col), 1, int(prefix_tokens)))
+        )
+        fp = df.withColumn(
+            "fingerprint", F.substring(F.md5(norm), 1, 16)
+        )
+    else:
+        fp = with_fingerprint(df, text_col)
+    fp = fp.select(
+        "fingerprint", F.col(source_col).alias("src"), F.col(id_col)
+    )
+    per = fp.groupBy("fingerprint", "src").agg(
+        F.count(F.lit(1)).alias("n_docs_src")
+    )
+    dup = per.groupBy("fingerprint").agg(
+        F.collect_list(F.struct("src", "n_docs_src")).alias("srcs"),
+        F.sum("n_docs_src").alias("n_total"),
+    ).filter(F.col("n_total") > 1)
+    pairs = dup.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "srcs",
+                        lambda a: F.transform(
+                            "srcs",
+                            lambda b: F.when(
+                                (a.src < b.src)
+                                | (
+                                    (a.src == b.src)
+                                    & (a.n_docs_src > 1)
+                                ),
+                                F.struct(
+                                    a.src.alias("source_a"),
+                                    b.src.alias("source_b"),
+                                    (
+                                        F.when(
+                                            a.src == b.src, a.n_docs_src
+                                        ).otherwise(
+                                            a.n_docs_src + b.n_docs_src
+                                        )
+                                    ).alias("nd"),
+                                ),
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("p.nd").cast("long").alias("n_docs"),
+        )
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -112,4 +113,44 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
                 6,
             ).alias("entropy"),
         )
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Gini coefficient of mass across ``key_col`` values — the
+    corpus-concentration gauge (0 = every source contributes equally,
+    -> 1 = one source dominates) that complements key_skew_profile's
+    max-based skew factor with a whole-distribution number. Mass is the
+    row count, or the integer sum of ``weight_col`` (e.g. characters or
+    tokens) when given — token mass is where concentration actually
+    bites a training mix.
+
+    G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n over masses x_i
+    sorted ascending (rank ties broken by key — total order). All moments
+    are exact integer sums; the only float is the final division.
+
+    Output: one row — (n_keys, total_rows, gini).
+
+    Scale shape: one agg per key (map-side combined); the rank window and
+    moments run on the key-cardinality table, never the fact."""
+    mass = (
+        F.count(F.lit(1)).alias("x")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("x")
+    )
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(mass)
+    w = Window.orderBy(F.col("x"), F.col("k"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").cast("long").alias("total_rows"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x")).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
     )

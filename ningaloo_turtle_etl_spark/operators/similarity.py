@@ -505,3 +505,53 @@ def label_centroid_cosine(
             ).alias("cosine"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the top-k
+    most cosine-similar vectors carrying a DIFFERENT label — the pairs a
+    contrastive/metric-learning objective learns the most from, and the
+    standard probe for label noise (a 0.99-cosine cross-label pair is
+    usually a mislabel).
+
+    ``anchors`` defaults to the corpus itself (all-pairs mining); pass a
+    small frame to mine against a probe set.
+
+    Output: ``(query_id, vec_id, label_a, label_b, cosine, rank)``.
+
+    Scale shape: same as brute-force cosine top-k — anchors broadcast,
+    corpus streams map-side, per-anchor top-k via the rank-limit window
+    (WindowGroupLimit pre-trims before the shuffle). The label filter
+    rides the broadcast join, so cross-label pruning happens before any
+    scoring. At corpus x corpus scale swap the broadcast for the
+    LSH/IVF-blocked candidate pass and keep this verify stage."""
+    c = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label_b"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("v_norm", _norm(F.col("v")))
+    src = anchors if anchors is not None else df
+    q = src.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label_a"),
+        _as_double(F.col(vec_col)).alias("q"),
+    ).withColumn("q_norm", _norm(F.col("q")))
+
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("label_b") != F.col("label_a")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", "vec_id", "label_a", "label_b", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )

@@ -515,3 +515,76 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         (F.max(secs) - F.min(secs)).cast("long").alias("duration_s"),
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Within-session ordered funnel: like ``funnel_steps`` but the
+    conversion unit is a SESSION (gap-based, see ``sessionize``), so a
+    view today and a purchase next week no longer count as a conversion —
+    the attribution-correct funnel for browse-to-buy flows.
+
+    Returns one row per step: (step_index, step, sessions_reached,
+    conversion_rate relative to step 1).
+
+    Scale shape: sessionize's one key shuffle, then funnel_steps'
+    per-step conditional-min chain keyed on the (key, session) composite
+    — frontier is sessions-sized, each step touches only its own
+    type-filtered events."""
+    labeled = sessionize(events, key_col, ts_col, gap_seconds, tiebreak_col)
+    keyed = labeled.withColumn(
+        "_sess",
+        F.concat_ws(
+            "#",
+            F.col(key_col).cast("string"),
+            F.col("session_seq").cast("string"),
+        ),
+    )
+    out = funnel_steps(keyed, steps, user_col="_sess", ts_col=ts_col,
+                       type_col=type_col)
+    return out.withColumnRenamed("users_reached", "sessions_reached")
+
+
+def eventually_follows(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Process-mining eventually-follows matrix: for every ordered pair of
+    event types (a, b), the number of keys whose FIRST a strictly precedes
+    their FIRST b — the long-range ordering structure that a direct
+    transition matrix (Markov chain on adjacent events) can't see.
+
+    Output: (type_a, type_b, n_keys, frac) where frac divides by the keys
+    having BOTH types; first-timestamp ties count for neither direction.
+
+    Scale shape: one (key, type) min-aggregate over the fact (map-side
+    combined), then all pair math runs on the keys x types first-seen
+    table; the pair join is per-key with a types^2 fan-out (types are
+    few). Raw events are touched once."""
+    firsts = events.groupBy(
+        F.col(key_col).alias("k"), F.col(type_col).alias("t")
+    ).agg(F.min(ts_col).alias("ft"))
+    a, b = firsts.alias("a"), firsts.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.k") == F.col("b.k"), F.col("a.t") != F.col("b.t")],
+    ).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        (F.col("a.ft") < F.col("b.ft")).cast("long").alias("before"),
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.sum("before").alias("n_keys"),
+        F.round(
+            F.sum("before") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("frac"),
+    )

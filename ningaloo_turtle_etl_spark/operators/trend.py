@@ -276,3 +276,362 @@ def quantile_normalize(
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     w = Window.partitionBy(*groups).orderBy(value_col)
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+# Cumulative Poisson(1) CDF values P(K <= k): the inverse-CDF ladder the
+# deterministic Poisson bootstrap draws integer weights from. Literal
+# doubles -- bit-identical constants on every engine.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def _md5_uniform(*cols) -> F.Column:
+    """Deterministic uniform in [0, 1): first 8 md5 hex digits of the
+    '#'-joined inputs, as a 32-bit fraction. Pure integer+divide -- the
+    same double on any engine."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", *[c.cast("string") for c in cols])), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(2**32))
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    replicates: int = 200,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group mean with a percentile bootstrap CI via the POISSON
+    bootstrap -- the one-pass, n-free resampling scheme built for
+    distributed data: replicate b gives row i an integer weight
+    w ~ Poisson(1), drawn deterministically by inverse-CDF on an md5
+    uniform of (id, b). Integer weights x cent-scaled values make every
+    replicate numerator/denominator an EXACT integer sum (order-proof,
+    engine-portable -- no log/exp anywhere), so the whole procedure
+    replays bit-for-bit in SQL.
+
+    Output: (group, n, mean_value, ci_lo, ci_hi) -- mean exact, CI bounds
+    the percentile-by-rank (ceil(q*B)) replicate means, rounded 6dp.
+
+    Scale shape: the replicate explosion is map-only (each row emits B
+    weighted copies that partial-aggregate in place), the only shuffle
+    carries (group, b) partial sums -- B x groups rows. Driver state: none.
+    At 100 TB drop to B=50 replicates before touching anything else; the
+    CI error from B dominates long before the data does."""
+    b_dim = (
+        df.sparkSession.range(int(replicates))
+        .select(F.col("id").cast("int").alias("_b"))
+    )
+    u = _md5_uniform(F.col(id_col), F.col("_b"))
+    w = sum(
+        F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CDF
+    ).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rep = (
+        df.select(id_col, group_col, F.col(value_col))
+        .crossJoin(F.broadcast(b_dim))
+        .select(
+            F.col(group_col).alias("grp"),
+            "_b",
+            w.alias("_w"),
+            (w * cents).alias("_wx"),
+        )
+        .groupBy("grp", "_b")
+        .agg(F.sum("_w").alias("den"), F.sum("_wx").alias("num"))
+        .withColumn(
+            "mean_b",
+            F.when(
+                F.col("den") > 0, F.col("num") / (F.col("den") * F.lit(100.0))
+            ),
+        )
+        .filter(F.col("mean_b").isNotNull())
+    )
+    import math
+
+    lo_rank = max(1, math.ceil(alpha / 2 * replicates))
+    hi_rank = math.ceil((1 - alpha / 2) * replicates)
+    wnd = Window.partitionBy("grp").orderBy("mean_b", "_b")
+    ranked = rep.withColumn("_rn", F.row_number().over(wnd))
+    ci = (
+        ranked.filter(F.col("_rn").isin(lo_rank, hi_rank))
+        .groupBy("grp")
+        .agg(
+            F.round(F.min("mean_b"), 6).alias("ci_lo"),
+            F.round(F.max("mean_b"), 6).alias("ci_hi"),
+        )
+    )
+    base = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_col), 6).alias("mean_value"),
+    )
+    return base.join(ci, on="grp").select(
+        F.col("grp").alias(group_col), "n", "mean_value", "ci_lo", "ci_hi"
+    )
+
+
+def ks_test_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for every unordered group pair:
+    D = sup_x |F_a(x) - F_b(x)| over the pooled sample points, ECDFs
+    right-evaluated (the sup of two step functions is attained at a pooled
+    jump point, so maxing the right-evaluations at every pooled value is
+    exact). The nonparametric any-difference test completing the
+    parametric Welch t family.
+
+    Output: (group_a, group_b, n_a, n_b, ks_d).
+
+    Scale shape: ECDFs are computed once per group at the DISTINCT-value
+    grain (group-keyed window over the aggregated value counts, never raw
+    rows); the pair sweep unions the two ECDFs per pair and forward-fills
+    both sides with one (pair)-keyed window -- work is
+    pairs x distinct-values, independent of row count."""
+    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    sizes = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .join(sizes, on="g")
+        .select("g", "v", (F.col("cum") / F.col("n")).alias("f"), "n")
+    )
+    pairs = (
+        sizes.alias("pa")
+        .join(sizes.alias("pb"), F.col("pa.g") < F.col("pb.g"))
+        .select(
+            F.col("pa.g").alias("ga"),
+            F.col("pb.g").alias("gb"),
+            F.col("pa.n").alias("n_a"),
+            F.col("pb.n").alias("n_b"),
+        )
+    )
+    side_a = pairs.join(ecdf.alias("e"), F.col("e.g") == F.col("ga")).select(
+        "ga", "gb", F.col("e.v").alias("v"), F.col("e.f").alias("fa"),
+        F.lit(None).cast("double").alias("fb"),
+    )
+    side_b = pairs.join(ecdf.alias("e"), F.col("e.g") == F.col("gb")).select(
+        "ga", "gb", F.col("e.v").alias("v"),
+        F.lit(None).cast("double").alias("fa"), F.col("e.f").alias("fb"),
+    )
+    both = side_a.unionByName(side_b)
+    wff = (
+        Window.partitionBy("ga", "gb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "ga",
+        "gb",
+        "v",
+        F.coalesce(F.last("fa", ignorenulls=True).over(wff), F.lit(0.0)).alias(
+            "fa"
+        ),
+        F.coalesce(F.last("fb", ignorenulls=True).over(wff), F.lit(0.0)).alias(
+            "fb"
+        ),
+    )
+    # collapse duplicate pooled points (a value present in BOTH groups emits
+    # two rows; only the fully-updated one is a legal evaluation point)
+    at_v = filled.groupBy("ga", "gb", "v").agg(
+        F.max("fa").alias("fa"), F.max("fb").alias("fb")
+    )
+    d = at_v.groupBy("ga", "gb").agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d")
+    )
+    return (
+        d.join(pairs, on=["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            "ks_d",
+        )
+    )
+
+
+def cuped_lift(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    treatment: str,
+    control: str,
+    metric_decimals: int = 2,
+) -> DataFrame:
+    """CUPED-adjusted lift between two experiment arms (Deng et al. 2013):
+    theta = cov(x, y)/var(x) on the pooled arms, each arm's mean metric is
+    adjusted by -theta * (mean_x_arm - mean_x_pooled), and the lift is the
+    difference of adjusted means — the industry-standard variance-reduction
+    estimator for A/B tests with a pre-period covariate.
+
+    All moments are computed as EXACT integer sums (metric scaled to
+    10^metric_decimals units, covariate cast to long), so theta, the
+    adjusted means, and the achieved variance reduction (= corr^2) are
+    bit-identical on any engine regardless of partitioning.
+
+    Output: one row — (n_treatment, n_control, lift_raw, lift_adjusted,
+    theta, var_reduction), rounded 6dp.
+
+    Scale shape: ONE conditional-aggregate pass over the fact (map-side
+    combined, no shuffle beyond the single-row final combine). Nothing
+    else."""
+    scale = 10**metric_decimals
+    arms = df.filter(F.col(arm_col).isin(treatment, control))
+    y = F.round(F.col(metric_col) * scale).cast("long")
+    x = F.col(covariate_col).cast("long")
+    is_t = (F.col(arm_col) == treatment).cast("long")
+    is_c = (F.col(arm_col) == control).cast("long")
+    agg = arms.agg(
+        F.sum(is_t).alias("nt"),
+        F.sum(is_c).alias("nc"),
+        F.sum(y).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(is_t * y).alias("syt"),
+        F.sum(is_c * y).alias("syc"),
+        F.sum(is_t * x).alias("sxt"),
+        F.sum(is_c * x).alias("sxc"),
+    )
+    n = F.col("nt") + F.col("nc")
+    cov_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_num = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_num = n * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = cov_num / varx_num.cast("double")
+    xbar = F.col("sx") / n.cast("double")
+    yt = F.col("syt") / (F.col("nt") * F.lit(float(scale)))
+    yc = F.col("syc") / (F.col("nc") * F.lit(float(scale)))
+    xt = F.col("sxt") / F.col("nt").cast("double")
+    xc = F.col("sxc") / F.col("nc").cast("double")
+    adj_t = yt - theta / scale * (xt - xbar)
+    adj_c = yc - theta / scale * (xc - xbar)
+    return agg.select(
+        F.col("nt").alias("n_treatment"),
+        F.col("nc").alias("n_control"),
+        F.round(yt - yc, 6).alias("lift_raw"),
+        F.round(adj_t - adj_c, 6).alias("lift_adjusted"),
+        F.round(theta / scale, 6).alias("theta"),
+        # squared in DOUBLE: the exact integer square of an n-scaled
+        # covariance overflows 64 bits long before the data is big
+        F.round(
+            (cov_num.cast("double") * cov_num.cast("double"))
+            / (varx_num.cast("double") * vary_num.cast("double")),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+def kaplan_meier_conversion(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "view",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-convert: cohort entry is a
+    key's FIRST ``start_type`` event, the terminal event its first
+    ``event_type`` strictly after entry, durations in whole days; keys
+    that never convert are right-censored at the corpus horizon (the
+    global max event day) — the survival-analysis answer to "how long
+    until users buy", which naive conversion rates get wrong exactly
+    because of that censoring.
+
+    S(t) = prod_{s <= t} (1 - d_s / n_s) over days s with d_s > 0
+    conversions among n_s at-risk keys. The product is computed as
+    exp of an exact-integer cumulative sum of NANO-unit-rounded log
+    factors, so summation order cannot move it (the zipf_fit micro-unit
+    pattern) and DuckDB replays it bit-for-bit.
+
+    Output: one row per day with activity — (t_days, n_risk, n_events,
+    n_censored, survival), survival rounded 6dp.
+
+    Scale shape: two key-keyed conditional-min aggs (entry, terminal) and
+    one day-grain table; every window after that runs on the ~horizon-days
+    rows. Raw events are touched twice with pushed type filters."""
+    starts = (
+        events.filter(F.col(type_col) == start_type)
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.min(F.to_date(ts_col)).alias("d0"))
+    )
+    ends = (
+        events.filter(F.col(type_col) == event_type)
+        .select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("de"))
+        .join(starts, on="k")
+        .filter(F.col("de") > F.col("d0"))
+        .groupBy("k")
+        .agg(F.min("de").alias("de"))
+    )
+    horizon = events.agg(F.max(F.to_date(ts_col)).alias("h"))
+    dur = (
+        starts.join(ends, on="k", how="left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "k",
+            F.when(
+                F.col("de").isNotNull(), F.datediff("de", "d0")
+            )
+            .otherwise(F.datediff("h", "d0"))
+            .cast("int")
+            .alias("t"),
+            F.col("de").isNotNull().alias("is_event"),
+        )
+    )
+    days = dur.groupBy("t").agg(
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+        F.sum((~F.col("is_event")).cast("long")).alias("c"),
+    )
+    total = starts.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = days.withColumn(
+        "n_risk",
+        (F.lit(total) - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w),
+                                   F.lit(0))).cast("long"),
+    )
+    # nano-unit exact-integer cumulative log-survival
+    # floor the factor at 1e-12: the day everyone at risk converts has a
+    # true survival of 0, and ln(0) would poison the cumulative sum
+    ln_term = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"),
+                    F.lit(1e-12),
+                )
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = at_risk.withColumn("_ln", ln_term).withColumn(
+        "survival",
+        F.round(F.exp(F.sum("_ln").over(wc) / F.lit(1e9)), 6),
+    )
+    return out.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "survival",
+    )

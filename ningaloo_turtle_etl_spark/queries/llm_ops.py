@@ -3465,3 +3465,171 @@ def q_label_centroid_cosine(spark, sf_dir):
 
     emb = load_table(spark, "embeddings", sf_dir)
     return label_centroid_cosine(emb)
+
+
+@register(
+    "session_funnel_view_click_purchase",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN prev IS NULL OR secs - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM lagged
+    ),
+    s1 AS (
+        SELECT user_id, session_seq, MIN(ts) AS t FROM flagged
+        WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT f.user_id, f.session_seq, MIN(f.ts) AS t
+        FROM flagged f JOIN s1 ON f.user_id = s1.user_id
+                              AND f.session_seq = s1.session_seq
+        WHERE f.event_type = 'click' AND f.ts > s1.t
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT f.user_id, f.session_seq, MIN(f.ts) AS t
+        FROM flagged f JOIN s2 ON f.user_id = s2.user_id
+                              AND f.session_seq = s2.session_seq
+        WHERE f.event_type = 'purchase' AND f.ts > s2.t
+        GROUP BY 1, 2
+    ),
+    c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS c1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS c2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS c3)
+    SELECT 1 AS step_index, 'view' AS step, c1 AS sessions_reached,
+           ROUND(c1 / CAST(GREATEST(c1, 1) AS DOUBLE), 6) AS conversion_rate
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', c2,
+           ROUND(c2 / CAST(GREATEST(c1, 1) AS DOUBLE), 6) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', c3,
+           ROUND(c3 / CAST(GREATEST(c1, 1) AS DOUBLE), 6) FROM c
+    """,
+)
+def q_session_funnel(spark, sf_dir):
+    """Within-session view→click→purchase funnel (30-min gap sessions):
+    `operators/temporal.py session_funnel` — the conversion unit is the
+    session, so cross-session step pairs never count. Sessionize's one
+    key shuffle plus funnel_steps' conditional-min chain on the
+    (user, session) composite."""
+    from ningaloo_turtle_etl_spark.operators.temporal import session_funnel
+
+    events = load_table(spark, "events", sf_dir)
+    return session_funnel(
+        events, ["view", "click", "purchase"], gap_seconds=1800,
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               q.label AS label_a, c.label AS label_b,
+               ROUND({_DOT} / (sqrt({_NORMSQ.format('c')})
+                               * sqrt({_NORMSQ.format('q')})), 6) AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 120 AND c.label <> q.label
+    )
+    SELECT query_id, vec_id, label_a, label_b, cosine, rank FROM (
+        SELECT query_id, vec_id, label_a, label_b, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive hard negatives for a probe set (anchors = vec_id < 120):
+    per anchor, the top-5 most cosine-similar vectors with a DIFFERENT
+    label (`operators/similarity.py hard_negatives`) — the metric-learning
+    pair miner and the standard label-noise probe. Anchors broadcast, the
+    corpus streams map-side, WindowGroupLimit trims per-anchor top-k."""
+    from ningaloo_turtle_etl_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 120)
+    return hard_negatives(emb, k=5, anchors=anchors)
+
+
+@register(
+    "minhash_incremental_near_dups",
+    "SELECT id_a, id_b, jaccard FROM (" + _minhash_oracle_sql() + ") WHERE id_b >= 400",
+)
+def q_minhash_incremental_near_dups(spark, sf_dir):
+    """Incremental MinHash dedup of a new batch (doc_id >= 400) against the
+    existing corpus (`operators/dedup.py minhash_incremental_pairs`):
+    new x old and new x new pairs only, never old x old, with bucket caps
+    counted over the union so the output equals the full run restricted to
+    new-id pairs — which is exactly how the oracle states it (the full
+    corpus pipeline filtered to id_b >= 400)."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return minhash_incremental_pairs(
+        old, new, shingle_n=3, threshold=0.5, hash_family="md5"
+    )
+
+
+@register(
+    "cross_source_duplication",
+    f"""
+    WITH fp AS (
+        SELECT substr(md5(lower(array_to_string(
+                   list_slice({_TOKENS_RAW}, 1, 8), ' '))), 1, 16)
+                   AS fingerprint,
+               source, doc_id
+        FROM documents
+    ),
+    per AS (
+        SELECT fingerprint, source AS src, COUNT(*) AS n
+        FROM fp GROUP BY 1, 2
+    ),
+    tot AS (SELECT fingerprint, SUM(n) AS n_total FROM per GROUP BY 1),
+    dup AS (
+        SELECT p.* FROM per p JOIN tot USING (fingerprint)
+        WHERE n_total > 1
+    ),
+    pairs AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               CASE WHEN a.src = b.src THEN a.n ELSE a.n + b.n END AS nd
+        FROM dup a JOIN dup b ON a.fingerprint = b.fingerprint
+         AND (a.src < b.src OR (a.src = b.src AND a.n > 1))
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(nd) AS BIGINT) AS n_docs
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_cross_source_duplication(spark, sf_dir):
+    """Cross-source duplicate-leakage matrix
+    (`operators/dedup.py cross_source_duplication`): per source pair, the
+    duplicate clusters spanning both sources and the documents they hold —
+    the are-these-feeds-rescraping-each-other diagnostic, here in its
+    8-token shared-opening (boilerplate/template) variant so the synthetic
+    corpus exercises real collisions. Fingerprint-keyed narrow shuffles;
+    pair math on per-fingerprint source lists."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cross_source_duplication(docs, prefix_tokens=8)

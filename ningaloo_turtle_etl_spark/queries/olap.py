@@ -409,3 +409,33 @@ def value_share_of_total(spark, sf_dir):
         ),
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_share"),
     ).orderBy("event_type")
+
+
+@register(
+    "source_gini",
+    """
+    WITH counts AS (
+        SELECT source AS k, SUM(n_chars) AS x FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT k, x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(x) AS BIGINT) AS total_rows,
+           ROUND(2.0 * SUM(i * x) / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+                 - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_source_gini(spark, sf_dir):
+    """Gini coefficient of CHARACTER mass across sources
+    (`operators/scale.py gini_concentration`): the whole-distribution
+    corpus-concentration gauge next to key_skew_report's max-based factor
+    — char/token mass is where concentration bites a training mix, and
+    unlike the by-construction-uniform doc counts it is non-trivially
+    distributed here. Exact integer moments over the key-cardinality
+    table."""
+    from ningaloo_turtle_etl_spark.operators.scale import gini_concentration
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gini_concentration(docs, "source", weight_col="n_chars")

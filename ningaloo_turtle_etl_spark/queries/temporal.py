@@ -328,3 +328,34 @@ def q_cdc_apply_snapshot(spark, sf_dir):
     return cdc_apply(
         snapshot, changes, ["key"], "ts", tiebreak_col="event_id"
     )
+
+
+@register(
+    "eventually_follows_matrix",
+    """
+    WITH firsts AS (
+        SELECT user_id AS k, event_type AS t, MIN(ts) AS ft
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b,
+               CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END AS before
+        FROM firsts a JOIN firsts b ON a.k = b.k AND a.t <> b.t
+    )
+    SELECT type_a, type_b, CAST(SUM(before) AS BIGINT) AS n_keys,
+           ROUND(SUM(before) / CAST(COUNT(*) AS DOUBLE), 6) AS frac
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_eventually_follows(spark, sf_dir):
+    """Process-mining eventually-follows matrix over the event stream
+    (`operators/temporal.py eventually_follows`): per ordered type pair,
+    the users whose first a strictly precedes their first b — long-range
+    ordering the adjacent-transition Markov matrix can't see. One
+    (user, type) min-agg; pair math on the first-seen table."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        eventually_follows,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return eventually_follows(ev)

@@ -277,3 +277,261 @@ def daily_value_acf(spark, sf_dir):
     series = _daily_series(spark, sf_dir).persist()
     out = acf_by_group(series, "event_type", "day", "v", max_lag=3)
     return out.orderBy("event_type", "lag")
+
+
+@register(
+    "value_ks_by_type",
+    """
+    WITH vals AS (SELECT event_type AS g, value AS v FROM events),
+    counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+    sizes AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    ecdf AS (
+        SELECT g, v,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(n AS DOUBLE) AS f
+        FROM counts JOIN sizes USING (g)
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.g < b.g
+    ),
+    merged AS (
+        SELECT ga, gb, e.v, e.f AS fa, CAST(NULL AS DOUBLE) AS fb
+        FROM pairs JOIN ecdf e ON e.g = ga
+        UNION ALL
+        SELECT ga, gb, e.v, CAST(NULL AS DOUBLE), e.f
+        FROM pairs JOIN ecdf e ON e.g = gb
+    ),
+    filled AS (
+        SELECT ga, gb, v,
+               COALESCE(LAST_VALUE(fa IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS fa,
+               COALESCE(LAST_VALUE(fb IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS fb
+        FROM merged
+    ),
+    at_v AS (
+        SELECT ga, gb, v, MAX(fa) AS fa, MAX(fb) AS fb
+        FROM filled GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT ga, gb, ROUND(MAX(ABS(fa - fb)), 6) AS ks_d
+        FROM at_v GROUP BY 1, 2
+    )
+    SELECT ga AS group_a, gb AS group_b, n_a, n_b, ks_d
+    FROM d JOIN pairs USING (ga, gb)
+    """,
+)
+def q_value_ks_by_type(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between every pair of event types'
+    value distributions (`operators/trend.py ks_test_pairs`) — the
+    nonparametric any-difference companion to welch_value_ttest. ECDFs at
+    the distinct-value grain; the pair sweep forward-fills both step
+    functions over the pooled points, so work is pairs x distinct values,
+    never rows x rows."""
+    from ningaloo_turtle_etl_spark.operators.trend import ks_test_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    return ks_test_pairs(ev, "event_type", "value")
+
+
+@register(
+    "value_bootstrap_ci",
+    """
+    WITH bdim AS (SELECT unnest(range(200)) AS b),
+    rep AS (
+        SELECT e.event_type AS grp, bdim.b AS b,
+               ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                                   || CAST(bdim.b AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 AS u,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e, bdim
+    ),
+    weighted AS (
+        SELECT grp, b,
+               (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9810118431238462 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9999167588507119 THEN 1 ELSE 0 END
+                + CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END)
+                 AS w,
+               cents
+        FROM rep
+    ),
+    reps AS (
+        SELECT grp, b, CAST(SUM(w) AS BIGINT) AS den,
+               CAST(SUM(w * cents) AS BIGINT) AS num
+        FROM weighted GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT grp, b, num / (den * 100.0) AS mean_b
+        FROM reps WHERE den > 0
+    ),
+    ranked AS (
+        SELECT grp, mean_b,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b, b) AS rn
+        FROM means
+    ),
+    ci AS (
+        SELECT grp, ROUND(MIN(mean_b), 6) AS ci_lo,
+               ROUND(MAX(mean_b), 6) AS ci_hi
+        FROM ranked WHERE rn IN (5, 195) GROUP BY grp
+    ),
+    base AS (
+        SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(value), 6) AS mean_value
+        FROM events GROUP BY 1
+    )
+    SELECT base.grp AS event_type, n, mean_value, ci_lo, ci_hi
+    FROM base JOIN ci USING (grp)
+    """,
+)
+def q_value_bootstrap_ci(spark, sf_dir):
+    """Per-event-type mean value with a 95% Poisson-bootstrap CI
+    (`operators/trend.py poisson_bootstrap_mean_ci`): 200 deterministic
+    replicates whose integer weights come from inverse-CDF on md5
+    uniforms — every replicate sum is an exact integer, so the whole
+    resampling procedure replays bit-for-bit in SQL. The one-pass, n-free
+    bootstrap built for distributed data."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return poisson_bootstrap_mean_ci(
+        ev, "value", "event_type", "event_id", replicates=200
+    )
+
+
+@register(
+    "cuped_lift_click_vs_view",
+    """
+    WITH arms AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS it,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ic
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    s AS (
+        SELECT CAST(SUM(it) AS BIGINT) AS nt, CAST(SUM(ic) AS BIGINT) AS nc,
+               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(it * y) AS BIGINT) AS syt,
+               CAST(SUM(ic * y) AS BIGINT) AS syc,
+               CAST(SUM(it * x) AS BIGINT) AS sxt,
+               CAST(SUM(ic * x) AS BIGINT) AS sxc
+        FROM arms
+    ),
+    t AS (
+        SELECT s.*,
+               ((nt + nc) * sxy - sx * sy)
+                 / CAST((nt + nc) * sxx - sx * sx AS DOUBLE) AS theta_c,
+               sx / CAST(nt + nc AS DOUBLE) AS xbar
+        FROM s
+    )
+    SELECT nt AS n_treatment, nc AS n_control,
+           ROUND(syt / (nt * 100.0) - syc / (nc * 100.0), 6) AS lift_raw,
+           ROUND((syt / (nt * 100.0)
+                  - theta_c / 100 * (sxt / CAST(nt AS DOUBLE) - xbar))
+                 - (syc / (nc * 100.0)
+                    - theta_c / 100 * (sxc / CAST(nc AS DOUBLE) - xbar)),
+                 6) AS lift_adjusted,
+           ROUND(theta_c / 100, 6) AS theta,
+           ROUND((CAST((nt + nc) * sxy - sx * sy AS DOUBLE)
+                  * CAST((nt + nc) * sxy - sx * sy AS DOUBLE))
+                 / (CAST((nt + nc) * sxx - sx * sx AS DOUBLE)
+                    * CAST((nt + nc) * syy - sy * sy AS DOUBLE)),
+                 6) AS var_reduction
+    FROM t
+    """,
+)
+def q_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced lift of click vs view mean value with the
+    JSON props.k field as the covariate (`operators/trend.py cuped_lift`,
+    Deng et al. 2013): theta and both adjusted means from ONE exact
+    integer-moment pass over the fact — the experimentation-analytics
+    estimator, engine-portable to the last bit."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ningaloo_turtle_etl_spark.operators.trend import cuped_lift
+
+    ev = load_table(spark, "events", sf_dir)
+    payload = StructType([StructField("k", IntegerType())])
+    ev = ev.withColumn("k", F.from_json("props", payload)["k"])
+    return cuped_lift(ev, "value", "k", "event_type", "click", "view")
+
+
+@register(
+    "km_conversion_curve",
+    """
+    WITH starts AS (
+        SELECT user_id AS k, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    ends AS (
+        SELECT e.user_id AS k, MIN(CAST(e.ts AS DATE)) AS de
+        FROM events e JOIN starts s ON e.user_id = s.k
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) > s.d0
+        GROUP BY 1
+    ),
+    h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events),
+    dur AS (
+        SELECT s.k,
+               CASE WHEN de IS NOT NULL THEN date_diff('day', d0, de)
+                    ELSE date_diff('day', d0, hd) END AS t,
+               de IS NOT NULL AS is_event
+        FROM starts s LEFT JOIN ends USING (k), h
+    ),
+    days AS (
+        SELECT CAST(t AS INT) AS t,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM dur GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM starts),
+    risk AS (
+        SELECT t, d, c,
+               CAST(n - COALESCE(SUM(d + c) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM days, tot
+    ),
+    lns AS (
+        SELECT t, d, c, n_risk,
+               CASE WHEN d > 0
+                    THEN CAST(round(ln(GREATEST(
+                             1.0 - d / CAST(n_risk AS DOUBLE), 1e-12))
+                             * 1e9) AS BIGINT)
+                    ELSE 0 END AS lnv
+        FROM risk
+    )
+    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+           ROUND(exp(SUM(lnv) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1e9), 6) AS survival
+    FROM lns
+    """,
+)
+def q_km_conversion_curve(spark, sf_dir):
+    """Kaplan-Meier time-to-convert curve (first view -> first purchase,
+    right-censored at the corpus horizon): `operators/trend.py
+    kaplan_meier_conversion`. The KM product replays bit-for-bit via
+    exact-integer nano-unit log factors — the zipf_fit micro-unit pattern
+    applied to survival analysis."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        kaplan_meier_conversion,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return kaplan_meier_conversion(ev)

@@ -203,6 +203,24 @@ PRIORITY: list[str] = [
     "benford_first_digit",
     "interarrival_stats",
     "join_size_forecast",
+    "soft_dedup_weights",
+    "length_bucket_batches",
+    "curriculum_order",
+    "event_sessions",
+    "cdc_apply_snapshot",
+    "oov_rate",
+    "ngram_novelty",
+    "label_centroid_cosine",
+    "session_funnel_view_click_purchase",
+    "hard_negative_mining",
+    "minhash_incremental_near_dups",
+    "cross_source_duplication",
+    "value_ks_by_type",
+    "value_bootstrap_ci",
+    "cuped_lift_click_vs_view",
+    "eventually_follows_matrix",
+    "km_conversion_curve",
+    "source_gini",
 ]
 
 

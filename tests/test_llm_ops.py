@@ -1385,3 +1385,124 @@ def test_label_centroid_cosine_known_geometry(spark):
     assert abs(out[(0, 2)] - round(1 / 2**0.5, 6)) < 1e-9
     assert abs(out[(1, 2)] - round(1 / 2**0.5, 6)) < 1e-9
     assert len(out) == 3  # unordered pairs only
+
+
+def test_session_funnel_respects_session_boundaries(spark):
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.temporal import session_funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, uid, off, typ):
+        return (i, uid, t0 + dt.timedelta(seconds=off), typ)
+
+    rows = [
+        # user 1: view+click+purchase inside one session -> full conversion
+        ev(1, 1, 0, "view"), ev(2, 1, 60, "click"), ev(3, 1, 120, "purchase"),
+        # user 2: view, then a 2h gap, then click -> different sessions,
+        # the click must NOT count (a user-level funnel would count it)
+        ev(4, 2, 0, "view"), ev(5, 2, 7200, "click"),
+        # user 3: click before view in the same session -> step 2 not reached
+        ev(6, 3, 0, "click"), ev(7, 3, 60, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["step"]: r
+        for r in session_funnel(
+            df, ["view", "click", "purchase"], gap_seconds=1800,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out["view"]["sessions_reached"] == 3
+    assert out["click"]["sessions_reached"] == 1   # only user 1's session
+    assert out["purchase"]["sessions_reached"] == 1
+    assert out["click"]["conversion_rate"] == round(1 / 3, 6)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),    # same label: never a negative for 1
+        (3, [0.9, 0.2], 1),     # closest cross-label to 1
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = [
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in hard_negatives(df, k=2).collect()
+        if r["query_id"] == 1
+    ]
+    assert (1, 2, 1) not in [(q, v, k) for q, v, k in out]
+    assert sorted(out) == [(1, 3, 1), (1, 4, 2)]
+    # anchors subset: only requested queries appear
+    anch = df.filter(F.col("vec_id") == 5)
+    got = {r["query_id"] for r in hard_negatives(df, k=2, anchors=anch).collect()}
+    assert got == {5}
+
+
+def test_minhash_incremental_equals_full_run_restricted(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        dedup_cache_scope,
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    # corpus with dups planted across the old/new split and inside each side
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        base = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i, base))
+    rows.append((30, rows[5][1]))                     # new dup of old 5
+    rows.append((31, rows[12][1] + " extra tail"))    # new near-dup of old 12
+    rows.append((32, rows[30][1]))                    # new dup of new 30
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old, new = df.filter(F.col("doc_id") < 28), df.filter(F.col("doc_id") >= 28)
+    with dedup_cache_scope():
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_near_dup_pairs(
+                df, threshold=0.3, hash_family="md5"
+            ).collect()
+        }
+        inc = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_incremental_pairs(
+                old, new, threshold=0.3, hash_family="md5"
+            ).collect()
+        }
+    expect = {k: v for k, v in full.items() if k[1] >= 28}
+    assert inc == expect and len(inc) >= 2
+    assert (5, 30) in inc and inc[(5, 30)] == 1.0
+    assert (30, 32) in inc  # new x new pair also surfaces
+    assert all(k[1] >= 28 for k in inc)  # never an old x old pair
+
+
+def test_cross_source_duplication_hand_matrix(spark):
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    rows = [
+        (1, "same text one", "A"),
+        (2, "same text one", "B"),      # A-B cluster, 2 docs
+        (3, "same text one", "B"),      # ...3 docs total, B has 2
+        (4, "other text", "A"),
+        (5, "other text", "A"),         # A-A within-source cluster
+        (6, "unique snowflake", "C"),   # singleton: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_clusters"], r["n_docs"])
+        for r in cross_source_duplication(df).collect()
+    }
+    assert out[("A", "B")] == (1, 3)
+    assert out[("A", "A")] == (1, 2)
+    assert out[("B", "B")] == (1, 2)  # B holds 2 copies in the shared cluster
+    assert ("C", "C") not in out and len(out) == 3

@@ -172,3 +172,186 @@ def test_forward_select_trace_matches_numpy_reference(spark):
     for c in ("xn1", "xn2"):
         assert abs(trace[(2, c)][0] - round(np_r2(["xs", c]), 6)) < 2e-6
     assert trace[(2, "xn1")][1] is True  # true secondary predictor next
+
+
+def test_ks_test_pairs_matches_bruteforce(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import ks_test_pairs
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 2, 3, 5, 8]]
+        + [("b", float(v)) for v in [2, 3, 3, 4, 9]]
+        + [("c", float(v)) for v in [100, 101]]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in ks_test_pairs(df, "g", "v").collect()
+    }
+
+    def brute(xs, ys):
+        pts = sorted(set(xs) | set(ys))
+        return max(
+            abs(
+                sum(1 for x in xs if x <= p) / len(xs)
+                - sum(1 for y in ys if y <= p) / len(ys)
+            )
+            for p in pts
+        )
+
+    samples = {"a": [1, 2, 2, 3, 5, 8], "b": [2, 3, 3, 4, 9], "c": [100, 101]}
+    for (ga, gb), r in out.items():
+        assert abs(r["ks_d"] - round(brute(samples[ga], samples[gb]), 6)) < 1e-9
+        assert r["n_a"] == len(samples[ga]) and r["n_b"] == len(samples[gb])
+    assert out[("a", "c")]["ks_d"] == 1.0  # disjoint supports
+    assert len(out) == 3
+
+
+def test_poisson_bootstrap_matches_python_replica(spark):
+    import hashlib
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        _POISSON1_CDF,
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [(i, "g", float(10 + (i * 7) % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    B = 24
+    got = poisson_bootstrap_mean_ci(
+        df, "value", "grp", "id", replicates=B
+    ).collect()[0]
+
+    def u(i, b):
+        h = hashlib.md5(f"{i}#{b}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    means = []
+    for b in range(B):
+        num = den = 0
+        for i, _, v in rows:
+            w = sum(1 for t in _POISSON1_CDF if u(i, b) >= t)
+            den += w
+            num += w * round(v * 100)
+        if den > 0:
+            means.append(num / (den * 100.0))
+    means.sort()
+    lo = means[max(1, math.ceil(0.025 * B)) - 1]
+    hi = means[math.ceil(0.975 * B) - 1]
+    assert got["ci_lo"] == round(lo, 6) and got["ci_hi"] == round(hi, 6)
+    assert got["n"] == 40
+    assert got["ci_lo"] <= got["mean_value"] <= got["ci_hi"]
+
+
+def test_cuped_lift_matches_numpy_reference(spark):
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.trend import cuped_lift
+
+    rng = np.random.RandomState(11)
+    n = 300
+    x = rng.randint(0, 100, size=n)
+    arm = np.where(np.arange(n) % 2 == 0, "t", "c")
+    # metric correlated with covariate + a true treatment effect of 2
+    y = np.round(0.5 * x + rng.normal(0, 5, n) + np.where(arm == "t", 2, 0), 2)
+    rows = [(int(xi), float(yi), str(a)) for xi, yi, a in zip(x, y, arm)]
+    df = spark.createDataFrame(rows, "k int, value double, arm string")
+    got = cuped_lift(df, "value", "k", "arm", "t", "c").collect()[0]
+
+    yc_ = np.round(y * 100).astype(np.int64)  # replicate the cent scaling
+    theta = (
+        (n * (x * yc_).sum() - x.sum() * yc_.sum())
+        / float(n * (x * x).sum() - x.sum() ** 2)
+        / 100
+    )
+    xbar = x.mean()
+    t_m, c_m = arm == "t", arm == "c"
+    adj = lambda m: yc_[m].mean() / 100 - theta * (x[m].mean() - xbar)
+    assert got["lift_adjusted"] == round(adj(t_m) - adj(c_m), 6)
+    assert got["theta"] == round(theta, 6)
+    assert got["n_treatment"] == t_m.sum() and got["n_control"] == c_m.sum()
+    # CUPED must tighten, not move, the estimate: both near the true effect,
+    # and the achieved variance reduction equals corr^2 (strong here)
+    assert abs(got["lift_adjusted"] - 2) < 1.5
+    assert 0.5 < got["var_reduction"] < 1.0
+
+
+def test_eventually_follows_hand_matrix(spark):
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        eventually_follows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, off, typ):
+        return (uid, t0 + dt.timedelta(seconds=off), typ)
+
+    rows = [
+        ev(1, 0, "a"), ev(1, 10, "b"),    # a before b
+        ev(2, 0, "a"), ev(2, 5, "b"), ev(2, 8, "a"),  # firsts: a<b
+        ev(3, 0, "b"), ev(3, 10, "a"),    # b before a
+        ev(4, 0, "a"), ev(4, 0, "b"),     # tie: neither direction
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in eventually_follows(df).collect()
+    }
+    assert out[("a", "b")]["n_keys"] == 2
+    assert out[("b", "a")]["n_keys"] == 1
+    assert out[("a", "b")]["frac"] == 0.5  # 2 of 4 users with both
+
+
+def test_kaplan_meier_hand_curve(spark):
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        kaplan_meier_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, day, typ):
+        return (uid, t0 + dt.timedelta(days=day), typ)
+
+    rows = [
+        # u1 converts at t=1, u2 at t=2, u3 never (censored at horizon t=4)
+        ev(1, 0, "view"), ev(1, 1, "purchase"),
+        ev(2, 0, "view"), ev(2, 2, "purchase"),
+        ev(3, 1, "view"),
+        ev(9, 5, "click"),  # horizon-setting noise, never at risk
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["t_days"]: r for r in kaplan_meier_conversion(df).collect()}
+    # at t=1: 3 at risk, 1 converts -> S = 2/3
+    assert out[1]["n_risk"] == 3 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == round(2 / 3, 6)
+    # at t=2: 2 at risk, 1 converts -> S = 2/3 * 1/2 = 1/3
+    assert out[2]["survival"] == round(1 / 3, 6)
+    # u3 censored at horizon (day5 - day1 = 4): S unchanged by censoring
+    assert out[4]["n_censored"] == 1 and out[4]["n_events"] == 0
+    assert out[4]["survival"] == round(1 / 3, 6)
+    # purchase before first view never counts as conversion
+    early = spark.createDataFrame(
+        [ev(7, 0, "purchase"), ev(7, 1, "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = kaplan_meier_conversion(early).collect()
+    assert all(r["n_events"] == 0 for r in got)
+
+
+def test_gini_concentration_known_values(spark):
+    from ningaloo_turtle_etl_spark.operators.scale import gini_concentration
+
+    # uniform counts -> 0
+    rows = [(i, chr(65 + i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    assert gini_concentration(df, "src").collect()[0]["gini"] == 0.0
+    # masses [1, 3] -> sum|xi-xj| / (2 n^2 mu) = 4/16 = 0.25
+    w = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 3)], "id long, src string, wgt int"
+    )
+    r = gini_concentration(w, "src", weight_col="wgt").collect()[0]
+    assert r["gini"] == 0.25 and r["total_rows"] == 4 and r["n_keys"] == 2
