@@ -490,6 +490,49 @@ def _zipf_fit_sf(spark, sf_dir):
     return zipf_fit(docs, group_col="source")
 
 
+def _sessionize_600k(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup over 600k synthetic
+    events across 5k users: the one user-keyed exchange shared by lag,
+    running sum, and the rollup is the whole cost — the number to watch is
+    that it stays a single-shuffle plan as rows grow."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.temporal import session_stats
+
+    ev = spark.range(600_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 37) % 2000000
+        ).alias("ts"),
+    )
+    return session_stats(ev, "user_id", "ts", 1800, "event_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def _bootstrap_100k(spark, sf_dir):
+    """Poisson-bootstrap mean CI at 100k events x 200 replicates = a 20M-row
+    map-only explode feeding (group, b) partial sums — the scale probe for
+    the deterministic resampling path (no RNG, no libm). xxhash64 weight
+    family (the scale default; md5 is the oracle-parity twin, ~5x slower
+    here because the string digest dominates the explode)."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return poisson_bootstrap_mean_ci(
+        ev, "value", "event_type", "event_id", replicates=200,
+        hash_family="xxhash64",
+    )
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -515,6 +558,8 @@ EXTRAS = {
     "substring_removal_10x": _substring_removal_at(10),
     "bpe_induce_encode_sf": _bpe_encode_sf,
     "zipf_fit_sf": _zipf_fit_sf,
+    "sessionize_600k": _sessionize_600k,
+    "bootstrap_100k": _bootstrap_100k,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

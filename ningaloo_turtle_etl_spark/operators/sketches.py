@@ -559,3 +559,65 @@ def countmin_estimate(
     return joined.groupBy(*by, item_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate")
     )
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling-window distinct count (DAU/WAU/stickiness) the sketch way:
+    daily portable-HLL registers merged register-wise (max) over a
+    ``window_days`` trailing window, plus the exact counts for
+    calibration. Exact rolling distinct needs the raw (window, key)
+    universe — every day re-shuffles up to window x daily keys; the HLL
+    form carries 256 8-byte registers per day and merges them with a
+    days x window x 256 join, independent of cardinality. At 100 TB the
+    exact columns are the first thing to drop (they exist here so the
+    oracle can grade the sketch against truth).
+
+    Output: one row per active day — (day, dau_exact, wau_exact, wau_hll,
+    stickiness = dau/wau_exact), hll rounded 4dp, stickiness 6dp."""
+    day = F.to_date(ts_col)
+    daily = df.select(day.alias("d"), F.col(col))
+    regs = portable_hll_registers(daily, col, by=["d"])
+    days = regs.select("d").distinct()
+    a, b = days.alias("a"), days.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("b.d") <= F.col("a.d"),
+            F.datediff(F.col("a.d"), F.col("b.d")) < F.lit(int(window_days)),
+        ],
+    ).select(F.col("a.d").alias("d"), F.col("b.d").alias("src"))
+    merged = (
+        pairs.join(regs.withColumnRenamed("d", "src"), on="src")
+        .groupBy("d", "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )
+    est = portable_hll_estimate(merged, by=["d"]).select(
+        "d", F.round(F.col("hll_raw"), 4).alias("wau_hll")
+    )
+    dau = daily.groupBy("d").agg(F.countDistinct(col).alias("dau_exact"))
+    wau = (
+        pairs.join(
+            daily.select(F.col("d").alias("src"), F.col(col)).distinct(),
+            on="src",
+        )
+        .groupBy("d")
+        .agg(F.countDistinct(col).alias("wau_exact"))
+    )
+    return (
+        dau.join(wau, on="d")
+        .join(est, on="d")
+        .select(
+            F.col("d").alias("day"),
+            "dau_exact",
+            "wau_exact",
+            "wau_hll",
+            F.round(
+                F.col("dau_exact") / F.col("wau_exact").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

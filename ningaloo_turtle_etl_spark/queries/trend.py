@@ -535,3 +535,88 @@ def q_km_conversion_curve(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return kaplan_meier_conversion(ev)
+
+
+@register(
+    "chi2_lang_source",
+    """
+    WITH cells AS (
+        SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(o) AS na FROM cells GROUP BY 1),
+    rb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+        SELECT o, na * nb / CAST(n AS DOUBLE) AS e, a, b
+        FROM cells JOIN ra USING (a) JOIN rb USING (b), tot
+    )
+    SELECT (SELECT CAST(MIN(n) AS BIGINT) FROM tot) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+               AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+    FROM terms
+    """,
+)
+def q_chi2_lang_source(spark, sf_dir):
+    """Pearson chi-square independence of language x source over the
+    corpus (`operators/trend.py chi2_independence`) — the is-the-mix-
+    uniform-across-feeds screen. One cell-count aggregate; margins and
+    the statistic run on the cells grid."""
+    from ningaloo_turtle_etl_spark.operators.trend import chi2_independence
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chi2_independence(docs, "lang", "source")
+
+
+@register(
+    "did_click_vs_view",
+    """
+    WITH marked AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS it,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN it = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_t,
+            CAST(SUM(CASE WHEN it = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_t,
+            CAST(SUM(CASE WHEN it = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_c,
+            CAST(SUM(CASE WHEN it = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_c,
+            CAST(SUM(CASE WHEN it = 1 AND post = 0 THEN y ELSE 0 END) AS BIGINT) AS s_pre_t,
+            CAST(SUM(CASE WHEN it = 1 AND post = 1 THEN y ELSE 0 END) AS BIGINT) AS s_post_t,
+            CAST(SUM(CASE WHEN it = 0 AND post = 0 THEN y ELSE 0 END) AS BIGINT) AS s_pre_c,
+            CAST(SUM(CASE WHEN it = 0 AND post = 1 THEN y ELSE 0 END) AS BIGINT) AS s_post_c
+        FROM marked
+    )
+    SELECT n_pre_t, n_post_t, n_pre_c, n_post_c,
+           ROUND(s_pre_t / (n_pre_t * 100.0), 6) AS pre_t,
+           ROUND(s_post_t / (n_post_t * 100.0), 6) AS post_t,
+           ROUND(s_pre_c / (n_pre_c * 100.0), 6) AS pre_c,
+           ROUND(s_post_c / (n_post_c * 100.0), 6) AS post_c,
+           ROUND((s_post_t / (n_post_t * 100.0) - s_pre_t / (n_pre_t * 100.0))
+                 - (s_post_c / (n_post_c * 100.0)
+                    - s_pre_c / (n_pre_c * 100.0)), 6) AS did
+    FROM s
+    """,
+)
+def q_did_click_vs_view(spark, sf_dir):
+    """Difference-in-differences of click vs view mean value around a
+    Jan-16 cut (`operators/trend.py did_lift`): four conditional means from
+    one exact integer-moment pass — the baseline-adjusted causal estimate
+    next to cuped_lift's covariate adjustment."""
+    from ningaloo_turtle_etl_spark.operators.trend import did_lift
+
+    ev = load_table(spark, "events", sf_dir)
+    return did_lift(
+        ev,
+        "value",
+        "event_type",
+        F.to_date("ts") >= F.lit("2024-01-16").cast("date"),
+        "click",
+        "view",
+    )

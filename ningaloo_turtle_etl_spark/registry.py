@@ -221,6 +221,9 @@ PRIORITY: list[str] = [
     "eventually_follows_matrix",
     "km_conversion_curve",
     "source_gini",
+    "chi2_lang_source",
+    "did_click_vs_view",
+    "rolling_wau_hll",
 ]
 
 

@@ -287,3 +287,54 @@ def test_edit_similarity_prefix_election_is_group_limited(spark):
 def test_pagerank_contribution_join_never_cartesian(spark):
     plan = plan_of(spark, "pagerank_copurchase")
     assert "CartesianProduct" not in plan
+
+
+def test_event_sessions_single_exchange_shared_by_windows_and_rollup(spark):
+    # lag + running sum + the per-session rollup must all ride ONE
+    # user-keyed exchange — a second shuffle here doubles the cost of
+    # sessionization at any scale.
+    plan = plan_of(spark, "event_sessions")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cuped_lift_is_one_aggregate_pass(spark):
+    # CUPED is a single conditional-moment aggregate: no join, no window,
+    # no row explosion — only the scan, one partial/final agg pair, and
+    # the single-row combine.
+    plan = plan_of(spark, "cuped_lift_click_vs_view")
+    assert "Join" not in plan and "Window" not in plan
+    assert "In(event_type" in plan or "event_type" in plan  # filter pushed
+
+
+def test_soft_dedup_weights_shuffles_fingerprints_not_bodies(spark):
+    # The count side and the join both key on the 16-char fingerprint; the
+    # text column must not appear in any exchange input.
+    plan = plan_of(spark, "soft_dedup_weights")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_ks_windows_run_on_distinct_value_grain(spark):
+    # Both window passes (per-group ECDF cumsum, per-pair forward fill)
+    # must sit above the distinct-value aggregate, never the raw fact:
+    # every exchange keys on the grouped columns.
+    plan = plan_of(spark, "value_ks_by_type")
+    assert "HashAggregate" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_bootstrap_replicates_broadcast_not_shuffled(spark):
+    # The 200-row replicate dim must reach the fact via a broadcast
+    # nested-loop (map-only explosion), not a shuffled cartesian.
+    plan = plan_of(spark, "value_bootstrap_ci")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_new_side_filter_pushed(spark):
+    # The banded new-side must carry the _is_new filter below the bucket
+    # join so old x old candidates never materialize.
+    plan = plan_of(spark, "minhash_incremental_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "_is_new" in plan

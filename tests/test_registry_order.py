@@ -180,6 +180,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "eventually_follows_matrix",
         "km_conversion_curve",
         "source_gini",
+        "chi2_lang_source",
+        "did_click_vs_view",
+        "rolling_wau_hll",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -469,3 +469,33 @@ def test_countmin_absent_item_estimates_small(spark):
     probe = spark.createDataFrame([("never-seen",)], "tok string")
     est = countmin_estimate(cm, probe, "tok", depth=4, width=1024).collect()[0]
     assert est["cm_estimate"] == 0
+
+
+def test_rolling_distinct_hll_window_and_accuracy(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        rolling_distinct_hll,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # 10 days; day d has users [d*10, d*10+50) -> DAU 50; 7-day windows
+    # overlap partially so WAU is a known union size
+    for d in range(10):
+        for u in range(d * 10, d * 10 + 50):
+            rows.append((u, t0 + dt.timedelta(days=d, hours=1)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day"].isoformat(): r for r in rolling_distinct_hll(df, "user_id", "ts").collect()}
+    assert len(out) == 10
+    first = out["2024-03-01"]
+    assert first["dau_exact"] == 50 and first["wau_exact"] == 50
+    # day 9 window covers days 3..9: users 30..140 -> 110 distinct
+    last = out["2024-03-10"]
+    assert last["dau_exact"] == 50 and last["wau_exact"] == 110
+    assert last["stickiness"] == round(50 / 110, 6)
+    # sketch accuracy: 256 registers -> stderr ~6.5%; allow 4 sigma
+    for r in out.values():
+        assert abs(r["wau_hll"] - r["wau_exact"]) / r["wau_exact"] < 0.26

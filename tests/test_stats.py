@@ -355,3 +355,45 @@ def test_gini_concentration_known_values(spark):
     )
     r = gini_concentration(w, "src", weight_col="wgt").collect()[0]
     assert r["gini"] == 0.25 and r["total_rows"] == 4 and r["n_keys"] == 2
+
+
+def test_chi2_independence_known_table(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import chi2_independence
+
+    # classic 2x2: O = [[10, 20], [20, 10]]; margins 30/30, cols 30/30,
+    # E = 15 everywhere -> chi2 = 4 * 25/15 = 6.666667
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == round(4 * 25 / 15, 6)
+    assert r["dof"] == 1 and r["n_rows"] == 60 and r["n_cells"] == 4
+    # independent table -> chi2 == 0
+    ind = spark.createDataFrame(
+        [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 3 + [("y", "q")],
+        "a string, b string",
+    )
+    assert chi2_independence(ind, "a", "b").collect()[0]["chi2"] == 0.0
+
+
+def test_did_lift_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import did_lift
+
+    # treatment: 10 -> 14 (+4); control: 20 -> 21 (+1); DiD = +3
+    rows = (
+        [("t", 0, 10.0)] * 3 + [("t", 1, 14.0)] * 2
+        + [("c", 0, 20.0)] * 4 + [("c", 1, 21.0)] * 5
+    )
+    df = spark.createDataFrame(rows, "arm string, post int, value double")
+    r = did_lift(
+        df, "value", "arm", F.col("post") == 1, "t", "c"
+    ).collect()[0]
+    assert r["did"] == 3.0
+    assert (r["pre_t"], r["post_t"], r["pre_c"], r["post_c"]) == (
+        10.0, 14.0, 20.0, 21.0,
+    )
+    assert (r["n_pre_t"], r["n_post_t"], r["n_pre_c"], r["n_post_c"]) == (
+        3, 2, 4, 5,
+    )
