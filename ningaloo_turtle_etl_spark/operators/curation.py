@@ -1071,3 +1071,93 @@ def curriculum_order(
     return staged.withColumn("stage", F.col("stage").cast("int")).withColumn(
         "shuffle_key", shuffle_key
     )
+
+
+def boilerplate_segment_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seg_words: int | None = None,
+    delimiter: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document line/segment-level dedup — the CCNet / RefinedWeb
+    boilerplate pass: split every document into segments (lines by
+    ``delimiter``, or fixed-width ``seg_words``-word windows when the
+    corpus has no line structure), count how many DISTINCT documents
+    within each ``group_col`` contain each segment, and strip segments
+    that appear in >= ``min_docs`` docs — headers, nav bars, cookie
+    banners, license footers repeat across a crawl domain; body text does
+    not. Exact-dup and near-dup passes (`dedup_exact`, MinHash) keep one
+    copy of a page; this removes the template even from the copy kept.
+
+    Output: one row per document — (id, group, n_segments, n_removed,
+    removed_ratio 6dp, cleaned_len, cleaned_md5) where cleaned_md5
+    fingerprints the reassembled in-order text of the kept segments (the
+    compact equality proof; callers wanting the text itself take the
+    same pipeline through the final select).
+
+    Scale shape: segments explode map-only; the (group, segment) doc
+    count is one map-side-combined aggregate; the flag joins back on the
+    same (group, segment) key (both sides shuffle-partitioned alike, AQE
+    handles the hot-segment skew — exactly the hot keys being removed);
+    reassembly is one (id)-keyed aggregate using collect_list of
+    (pos, seg) structs sorted in place — per-DOC state, bounded by
+    document length, never a window over raw segments."""
+    if seg_words is not None and seg_words < 1:
+        raise ValueError("seg_words must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    joiner = " " if seg_words is not None else delimiter
+    if seg_words is not None:
+        words = F.split(F.col(text_col), " ")
+        n_seg = F.ceil(F.size(words) / F.lit(int(seg_words))).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * seg_words + 1, seg_words)
+            ),
+        )
+    else:
+        import re as _re
+
+        segs = F.split(F.col(text_col), _re.escape(delimiter))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    counts = ex.groupBy("grp", "seg").agg(
+        F.countDistinct("id").alias("_nd")
+    )
+    marked = ex.join(counts, on=["grp", "seg"]).withColumn(
+        "_rm", (F.col("_nd") >= min_docs).cast("int")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rm") == 0, F.struct("pos", "seg")
+                )
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    out = marked.groupBy("id").agg(
+        F.first("grp").alias("grp"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_rm").alias("n_removed"),
+        F.concat_ws(joiner, kept_sorted).alias("_clean"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        "n_segments",
+        "n_removed",
+        F.round(F.col("n_removed") / F.col("n_segments"), 6).alias(
+            "removed_ratio"
+        ),
+        F.length("_clean").cast("long").alias("cleaned_len"),
+        F.md5("_clean").alias("cleaned_md5"),
+    )

@@ -670,8 +670,10 @@ def chi2_independence(
     are-these-dimensions-related screen (is language independent of
     source? did event mix shift by segment?).
 
-    Output: one row — (n_rows, n_cells, dof, chi2). Cells with E = 0
-    cannot occur (margins come from the same table).
+    Output: one row — (n_rows, n_cells, dof, chi2, cramers_v); V is the
+    ``sqrt(chi2 / (n * min(k_a, k_b) - 1))`` effect size that makes the
+    statistic comparable across tables of different shape. Cells with
+    E = 0 cannot occur (margins come from the same table).
 
     Scale shape: one (a, b) count aggregate (map-side combined), margins
     re-aggregated from the cell table, everything after runs on the
@@ -694,13 +696,21 @@ def chi2_independence(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.countDistinct("a").alias("_ka"),
         F.countDistinct("b").alias("_kb"),
-        F.round(F.sum(term), 6).alias("chi2"),
+        F.sum(term).alias("_chi2_raw"),
+    )
+    v = F.sqrt(
+        F.col("_chi2_raw")
+        / (
+            F.col("n_rows")
+            * (F.least(F.col("_ka"), F.col("_kb")) - 1).cast("double")
+        )
     )
     return counts.select(
         "n_rows",
         "n_cells",
         ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long").alias("dof"),
-        "chi2",
+        F.round(F.col("_chi2_raw"), 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
     )
 
 
@@ -763,3 +773,176 @@ def did_lift(
             6,
         ).alias("did"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    treatment: str,
+    control: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two arms: midranks over the
+    pooled sample, U = R_t - n_t(n_t+1)/2, and the tie-corrected normal
+    approximation z = (U - n_t*n_c/2) / sigma with
+    sigma^2 = n_t*n_c/12 * ((N+1) - sum(t^3 - t)/(N(N-1))) — the
+    nonparametric location test beside welch_value_ttest (means) and
+    ks_test_pairs (any-difference), robust to the heavy tails that break
+    the t-test on metric data.
+
+    Output: one row — (n_treat, n_control, u_stat, z). No continuity
+    correction (documented; both engines replay the same formula).
+
+    Scale shape: one (value) count aggregate collapses the pooled sample
+    to the DISTINCT-value grain; midranks are one cumulative window over
+    that table (bounded by metric resolution, not row count — round the
+    metric first if it is continuous); the statistic is a single-row agg.
+    Raw rows are touched once."""
+    arms = df.filter(F.col(arm_col).isin(treatment, control)).select(
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(arm_col) == treatment).cast("long").alias("is_t"),
+    )
+    vals = arms.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("is_t").alias("ct")
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doubled midrank 2*cum - c + 1 is an INTEGER, so the rank sum is an
+    # exact long in both engines — no float-summation-order risk before
+    # the final closed-form statistic.
+    ranked = vals.withColumn(
+        "mid2",
+        2 * F.sum("c").over(wcum) - F.col("c") + 1,
+    )
+    s = ranked.agg(
+        F.sum("ct").cast("long").alias("n_treat"),
+        (F.sum("c") - F.sum("ct")).cast("long").alias("n_control"),
+        F.sum(F.col("ct") * F.col("mid2")).cast("long").alias("_rt2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("_ties"),
+    )
+    n1, n2 = F.col("n_treat"), F.col("n_control")
+    nn = (n1 + n2).cast("double")
+    u = F.col("_rt2") / 2.0 - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1) - F.col("_ties") / (nn * (nn - 1)))
+    )
+    return s.select(
+        "n_treat",
+        "n_control",
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    group_cols: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend over an AGGREGATED series (one
+    row per (group, x) — reduce raw data to that grain first): slope =
+    median of all pairwise slopes (y_j - y_i)/(x_j - x_i), intercept =
+    median(y - slope*x). Breakdown point ~29% — one corrupted day cannot
+    drag the line the way it drags group_trend's OLS fit.
+
+    Output: (group, n_points, n_pairs, slope, intercept), 6dp.
+
+    Scale shape: the pair self-join is SERIES x SERIES within each group
+    (days^2, not rows^2 — e.g. a year of daily points is ~66k pairs); the
+    medians run at that same grain with exact interpolating percentiles.
+    Raw facts never enter the join. For multi-year series at minute grain
+    pre-bucket x or fall back to group_trend."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    pts = series.select(
+        *groups,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups] + [
+        F.col("a.x") < F.col("b.x")
+    ]
+    slopes = a.join(b, on=cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in groups],
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    m = slopes.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("_m"),
+    )
+    resid = pts.join(F.broadcast(m), on=groups).groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.percentile(
+            F.col("y") - F.col("_m") * F.col("x"), F.lit(0.5)
+        ).alias("_b"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("_m").alias("_slope"),
+    )
+    return resid.select(
+        *groups,
+        "n_points",
+        "n_pairs",
+        F.round(F.col("_slope"), 6).alias("slope"),
+        F.round(F.col("_b"), 6).alias("intercept"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week x hour-of-day seasonal profile: per cell the event
+    count, its share of all events, the count index (cell count / mean
+    cell count — >1 is a hot hour), and when ``value_col`` is given the
+    cell mean and its index vs the overall mean. The load-shape table a
+    monitoring layer divides out before alerting on raw counts (Monday
+    9am is always a spike; the anomaly is a spike that ISN'T one).
+
+    Output: one row per observed (dow 1=Sunday..7, hour) cell, indices
+    and means 6dp.
+
+    Scale shape: one map-side-combined aggregate to a <=168-cell grid;
+    the totals join is a broadcast of one row. The fact is touched
+    once."""
+    cell = df.select(
+        F.dayofweek(ts_col).alias("dow"),
+        F.hour(ts_col).alias("hour"),
+        (
+            F.col(value_col).cast("double") if value_col else F.lit(0.0)
+        ).alias("val"),
+    )
+    per = cell.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("val").alias("_sv"),
+    )
+    tot = per.agg(
+        F.sum("n_events").alias("_n"),
+        F.count(F.lit(1)).alias("_cells"),
+        F.sum("_sv").alias("_sva"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("_n"), 6).alias("share"),
+        F.round(
+            F.col("n_events") * F.col("_cells") / F.col("_n").cast("double"),
+            6,
+        ).alias("count_index"),
+        F.round(F.col("_sv") / F.col("n_events"), 6).alias("value_mean"),
+        F.round(
+            (F.col("_sv") / F.col("n_events"))
+            / (F.col("_sva") / F.col("_n")),
+            6,
+        ).alias("value_index"),
+    )
+    if value_col is None:
+        out = out.drop("value_mean", "value_index")
+    return out

@@ -3633,3 +3633,50 @@ def q_cross_source_duplication(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return cross_source_duplication(docs, prefix_tokens=8)
+
+
+@register(
+    "boilerplate_removal",
+    """
+    WITH ex AS (
+        SELECT doc_id AS id, source AS grp, i AS pos,
+               array_to_string(list_slice(words, i * 2 + 1, i * 2 + 2), ' ')
+                   AS seg
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+              FROM documents),
+             unnest(range(CAST(ceil(len(words) / 2.0) AS BIGINT))) AS u(i)
+    ),
+    c AS (
+        SELECT grp, seg, COUNT(DISTINCT id) AS nd FROM ex GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT ex.*, CASE WHEN c.nd >= 3 THEN 1 ELSE 0 END AS rm
+        FROM ex JOIN c USING (grp, seg)
+    )
+    SELECT id AS doc_id, MIN(grp) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(rm) AS BIGINT) AS n_removed,
+           ROUND(SUM(rm) / CAST(COUNT(*) AS DOUBLE), 6) AS removed_ratio,
+           CAST(length(COALESCE(string_agg(CASE WHEN rm = 0 THEN seg END,
+                                           ' ' ORDER BY pos), ''))
+                AS BIGINT) AS cleaned_len,
+           md5(COALESCE(string_agg(CASE WHEN rm = 0 THEN seg END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_md5
+    FROM m GROUP BY id
+    """,
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-document segment dedup
+    (`operators/curation.py boilerplate_segment_removal`): strip segments
+    shared by >= 3 docs within a source — the template/banner scrubber
+    that exact and near dedup leave behind. This corpus has no newlines,
+    so the query runs the fixed-width 2-word-segment mode; the
+    delimiter='\\n' line mode is pinned in tests/test_curation.py."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        boilerplate_segment_removal,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return boilerplate_segment_removal(
+        docs, "text", "doc_id", "source", seg_words=2, min_docs=3
+    )

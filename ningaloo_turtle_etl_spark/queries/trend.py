@@ -555,7 +555,11 @@ def q_km_conversion_curve(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
                AS dof,
-           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           ROUND(sqrt(SUM((o - e) * (o - e) / e)
+                      / ((SELECT MIN(n) FROM tot)
+                         * (least(COUNT(DISTINCT a), COUNT(DISTINCT b))
+                            - 1))), 6) AS cramers_v
     FROM terms
     """,
 )
@@ -620,3 +624,138 @@ def q_did_click_vs_view(spark, sf_dir):
         "click",
         "view",
     )
+
+
+@register(
+    "mwu_click_vs_view",
+    """
+    WITH arms AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_t
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    vals AS (SELECT v, COUNT(*) AS c, SUM(is_t) AS ct FROM arms GROUP BY 1),
+    ranked AS (
+        SELECT *,
+               2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + 1 AS mid2
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS n_treat,
+               CAST(SUM(c) - SUM(ct) AS BIGINT) AS n_control,
+               CAST(SUM(ct * mid2) AS BIGINT) AS rt2,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        FROM ranked
+    )
+    SELECT n_treat, n_control,
+           ROUND(rt2 / 2.0 - n_treat * (n_treat + 1) / 2.0, 4) AS u_stat,
+           ROUND((rt2 / 2.0 - n_treat * (n_treat + 1) / 2.0
+                  - n_treat * n_control / 2.0)
+                 / sqrt(n_treat * n_control / 12.0
+                        * ((n_treat + n_control + 1)
+                           - ties / (CAST(n_treat + n_control AS DOUBLE)
+                                     * (n_treat + n_control - 1)))),
+                 6) AS z
+    FROM s
+    """,
+)
+def q_mwu_click_vs_view(spark, sf_dir):
+    """Mann-Whitney U rank-sum of click vs view value
+    (`operators/trend.py mann_whitney_u`): midranks at the distinct-value
+    grain as exact doubled-rank integers, tie-corrected z — the
+    heavy-tail-robust location test beside welch_value_ttest."""
+    from ningaloo_turtle_etl_spark.operators.trend import mann_whitney_u
+
+    ev = load_table(spark, "events", sf_dir)
+    return mann_whitney_u(ev, "value", "event_type", "click", "view")
+
+
+@register(
+    "theil_sen_daily_counts",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', d) AS DOUBLE) AS x, y
+        FROM daily
+    ),
+    sl AS (
+        SELECT a.event_type AS event_type,
+               (b.y - a.y) / (b.x - a.x) AS slope
+        FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS mid
+        FROM sl GROUP BY 1
+    )
+    SELECT p.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(n_pairs) AS n_pairs,
+           ROUND(MIN(mid), 6) AS slope,
+           ROUND(quantile_cont(p.y - m.mid * p.x, 0.5), 6) AS intercept
+    FROM pts p JOIN m USING (event_type) GROUP BY 1
+    """,
+)
+def q_theil_sen_daily_counts(spark, sf_dir):
+    """Theil-Sen robust slope of daily event volume per type
+    (`operators/trend.py theil_sen_trend`): median of the days^2 pairwise
+    slopes + median-residual intercept — the one-bad-day-proof twin of
+    daily_trend_by_type's OLS fit."""
+    from ningaloo_turtle_etl_spark.operators.trend import theil_sen_trend
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    pts = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        "y",
+    )
+    return theil_sen_trend(pts, "event_type", "x", "y")
+
+
+@register(
+    "seasonal_profile_events",
+    """
+    WITH cell AS (
+        SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+               hour(CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(value AS DOUBLE) AS val
+        FROM events
+    ),
+    per AS (
+        SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(val) AS sv
+        FROM cell GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(n_events) AS n, COUNT(*) AS cells, SUM(sv) AS sva
+        FROM per
+    )
+    SELECT dow, hour, n_events,
+           ROUND(n_events / CAST(n AS DOUBLE), 6) AS share,
+           ROUND(n_events * cells / CAST(n AS DOUBLE), 6) AS count_index,
+           ROUND(sv / n_events, 6) AS value_mean,
+           ROUND((sv / n_events) / (sva / n), 6) AS value_index
+    FROM per, tot
+    """,
+)
+def q_seasonal_profile_events(spark, sf_dir):
+    """Day-of-week x hour-of-day load shape of the event stream
+    (`operators/trend.py seasonal_profile`): count share/index and mean
+    value index per cell — the baseline a monitor divides out before
+    calling a spike an anomaly."""
+    from ningaloo_turtle_etl_spark.operators.trend import seasonal_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return seasonal_profile(ev, "ts", "value")

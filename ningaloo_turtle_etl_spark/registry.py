@@ -224,6 +224,10 @@ PRIORITY: list[str] = [
     "chi2_lang_source",
     "did_click_vs_view",
     "rolling_wau_hll",
+    "mwu_click_vs_view",
+    "theil_sen_daily_counts",
+    "seasonal_profile_events",
+    "boilerplate_removal",
 ]
 
 

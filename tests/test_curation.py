@@ -526,3 +526,62 @@ def test_write_training_shards_layout_order_and_pruning(spark, tmp_path):
     # single-shard read prunes partitions at the scan
     plan = back.filter(F.col("shard_id") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard_id" in plan
+
+
+def test_boilerplate_line_mode(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        boilerplate_segment_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "BANNER\nunique one\nfoot"),
+            (2, "s1", "BANNER\nunique two\nfoot"),
+            (3, "s1", "BANNER\nunique three"),
+            # group-scoped: the same banner once in s2 is body text there
+            (4, "s2", "BANNER\nonly here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_removal(
+            docs, "text", "doc_id", "source", min_docs=3
+        ).collect()
+    }
+    # BANNER appears in 3 s1 docs -> stripped; foot only in 2 -> kept
+    assert got[1]["n_segments"] == 3 and got[1]["n_removed"] == 1
+    expect = "unique one\nfoot"
+    assert got[1]["cleaned_len"] == len(expect)
+    assert got[1]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    assert got[3]["n_removed"] == 1 and got[3]["removed_ratio"] == 0.5
+    assert got[4]["n_removed"] == 0  # different source: banner count = 1
+
+
+def test_boilerplate_word_mode_and_empty_doc(spark):
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        boilerplate_segment_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "x y q r"),
+            (2, "s", "x y q r"),
+            (3, "s", "x y q r"),
+            (4, "s", "p d x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_removal(
+            docs, "text", "doc_id", "source", seg_words=2, min_docs=3
+        ).collect()
+    }
+    # "x y" hits 4 docs, "q r" hits 3 -> docs 1-3 fully stripped
+    assert got[1]["n_removed"] == 2
+    assert got[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert got[1]["cleaned_len"] == 0
+    # doc 4 keeps its unique "p d" opener
+    assert got[4]["n_removed"] == 1
+    assert got[4]["cleaned_md5"] == hashlib.md5(b"p d").hexdigest()

@@ -183,6 +183,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "chi2_lang_source",
         "did_click_vs_view",
         "rolling_wau_hll",
+        "mwu_click_vs_view",
+        "theil_sen_daily_counts",
+        "seasonal_profile_events",
+        "boilerplate_removal",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

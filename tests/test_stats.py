@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -370,12 +372,15 @@ def test_chi2_independence_known_table(spark):
     r = chi2_independence(df, "a", "b").collect()[0]
     assert r["chi2"] == round(4 * 25 / 15, 6)
     assert r["dof"] == 1 and r["n_rows"] == 60 and r["n_cells"] == 4
+    # Cramer's V = sqrt(chi2 / (n * (min(k)-1))) = sqrt(6.6667/60)
+    assert r["cramers_v"] == round(math.sqrt((4 * 25 / 15) / 60), 6)
     # independent table -> chi2 == 0
     ind = spark.createDataFrame(
         [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 3 + [("y", "q")],
         "a string, b string",
     )
-    assert chi2_independence(ind, "a", "b").collect()[0]["chi2"] == 0.0
+    r0 = chi2_independence(ind, "a", "b").collect()[0]
+    assert r0["chi2"] == 0.0 and r0["cramers_v"] == 0.0
 
 
 def test_did_lift_hand_computed(spark):
@@ -397,3 +402,65 @@ def test_did_lift_hand_computed(spark):
     assert (r["n_pre_t"], r["n_post_t"], r["n_pre_c"], r["n_post_c"]) == (
         3, 2, 4, 5,
     )
+
+
+def test_mann_whitney_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import mann_whitney_u
+
+    # t = [1,2,3], c = [2,3,4]: midranks 1, 2.5, 2.5, 4.5, 4.5, 6;
+    # R_t = 8, U = 8 - 6 = 2; ties sum = 12;
+    # sigma^2 = (9/12) * (7 - 12/30) = 4.95
+    rows = [("t", 1.0), ("t", 2.0), ("t", 3.0),
+            ("c", 2.0), ("c", 3.0), ("c", 4.0)]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r = mann_whitney_u(df, "v", "arm", "t", "c").collect()[0]
+    assert r["n_treat"] == 3 and r["n_control"] == 3
+    assert r["u_stat"] == 2.0
+    assert r["z"] == round((2 - 4.5) / math.sqrt(4.95), 6)
+    # identical samples -> U = n1*n2/2, z = 0
+    same = spark.createDataFrame(
+        [("t", float(i)) for i in range(4)]
+        + [("c", float(i)) for i in range(4)],
+        "arm string, v double",
+    )
+    r2 = mann_whitney_u(same, "v", "arm", "t", "c").collect()[0]
+    assert r2["u_stat"] == 8.0 and r2["z"] == 0.0
+
+
+def test_theil_sen_outlier_robust(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import theil_sen_trend
+
+    # g1: y = 2x with one wild outlier at x=4 -> slope stays 2, b = 0.
+    # g2: clean y = 3x + 1.
+    rows = [("g1", 0.0, 0.0), ("g1", 1.0, 2.0), ("g1", 2.0, 4.0),
+            ("g1", 3.0, 6.0), ("g1", 4.0, 100.0)] + [
+        ("g2", float(x), 3.0 * x + 1) for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in theil_sen_trend(df, "g", "x", "y").collect()}
+    assert got["g1"]["slope"] == 2.0 and got["g1"]["intercept"] == 0.0
+    assert got["g1"]["n_points"] == 5 and got["g1"]["n_pairs"] == 10
+    assert got["g2"]["slope"] == 3.0 and got["g2"]["intercept"] == 1.0
+
+
+def test_seasonal_profile_two_cells(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import seasonal_profile
+
+    # 2024-01-01 is a Monday (Spark dow = 2).
+    rows = [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:30:00", 2.0),
+            ("2024-01-08 10:15:00", 3.0), ("2024-01-02 11:00:00", 8.0)]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    got = {(r["dow"], r["hour"]): r
+           for r in seasonal_profile(df, "ts", "value").collect()}
+    mon = got[(2, 10)]
+    assert mon["n_events"] == 3 and mon["share"] == 0.75
+    assert mon["count_index"] == 1.5 and mon["value_mean"] == 2.0
+    assert mon["value_index"] == round(2.0 / 3.5, 6)
+    tue = got[(3, 11)]
+    assert tue["n_events"] == 1 and tue["count_index"] == 0.5
+    assert tue["value_index"] == round(8.0 / 3.5, 6)
+    # count-only mode drops the value columns
+    out = seasonal_profile(df, "ts")
+    assert "value_mean" not in out.columns and "value_index" not in out.columns
