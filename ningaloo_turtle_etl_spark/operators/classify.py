@@ -309,3 +309,56 @@ def hashed_text_scores(
         )
         .drop("_z")
     )
+
+
+def classifier_calibration(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a scored
+    frame: bin predictions by ``floor(p * n_bins)`` (top edge folded into
+    the last bin), per bin the count, mean predicted probability, and
+    observed positive rate; ``ece`` (the support-weighted mean of
+    |observed - predicted|, the standard calibration summary) is repeated
+    on every row so the single result frame carries both the curve and
+    the scalar. A classifier can rank well (AUC) and still be mis-scaled
+    — calibration is what makes a 'keep if p > 0.9' curation threshold
+    mean what it says.
+
+    Output: one row per non-empty bin — (bin, n, mean_pred, frac_pos,
+    ece), 6dp; ece computed FROM the rounded per-bin values so both
+    engines fold identical numbers.
+
+    Scale shape: one map-side-combined aggregate to <= n_bins rows; the
+    ECE fold is a 1-row broadcast back over the bin table. The scored
+    frame is touched once (scoring itself is the serving pipeline's
+    pure-Catalyst sigmoid)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    bins = scored.select(b.alias("bin"), p.alias("p"), y.alias("y")).groupBy(
+        "bin"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("_tn"),
+        F.sum(
+            F.col("n") * F.abs(F.col("frac_pos") - F.col("mean_pred"))
+        ).alias("_werr"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "mean_pred",
+        "frac_pos",
+        F.round(F.col("_werr") / F.col("_tn"), 6).alias("ece"),
+    )

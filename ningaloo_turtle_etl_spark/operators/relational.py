@@ -458,3 +458,71 @@ def edit_similarity_self_join(
             F.levenshtein("_sa", "_sb").cast("long").alias("edit_distance"),
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    segment_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Exact pairwise audience overlap between segments (event types,
+    campaigns, sources): for every unordered segment pair the distinct
+    member counts, the intersection, Jaccard, and the overlap coefficient
+    ``n_both / min(n_a, n_b)`` — the is-this-segment-just-a-subset screen
+    behind mix planning (the KMV sketch variant answers the same question
+    approximately when segments stop fitting; this is the exact
+    calibration form).
+
+    Output: (segment_a, segment_b, n_a, n_b, n_both, jaccard,
+    overlap_coef), 6dp.
+
+    Scale shape: one distinct (segment, member) projection; the pair
+    explosion self-joins ON MEMBER — each member contributes only its own
+    segment pairs (members belong to few segments, so the fan-out is
+    per-member-degree², not segments²); the pair tally map-side combines
+    to the segments² grid and the size dim broadcasts. A member in s
+    segments with s large would fan s² — cap segment membership upstream
+    if segments overlap near-totally."""
+    m = df.select(
+        F.col(segment_col).alias("seg"), F.col(member_col).alias("mem")
+    ).distinct()
+    sizes = m.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.mem") == F.col("b.mem"),
+                F.col("a.seg") < F.col("b.seg"),
+            ],
+        )
+        .groupBy(
+            F.col("a.seg").alias("segment_a"),
+            F.col("b.seg").alias("segment_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("seg").alias("segment_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("seg").alias("segment_b"), F.col("n").alias("n_b")
+    )
+    out = inter.join(F.broadcast(sa), on="segment_a").join(
+        F.broadcast(sb), on="segment_b"
+    )
+    return out.select(
+        "segment_a",
+        "segment_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_both") / F.least("n_a", "n_b").cast("double"), 6
+        ).alias("overlap_coef"),
+    )

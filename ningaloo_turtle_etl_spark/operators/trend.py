@@ -946,3 +946,73 @@ def seasonal_profile(
     if value_col is None:
         out = out.drop("value_mean", "value_index")
     return out
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categorical columns in nats, with
+    the marginal entropies and the normalized MI
+    ``nmi = mi / sqrt(h_a * h_b)`` — chi2_independence's effect-size
+    companion on an information scale (0 = independent, 1 = one column
+    determines the other). MI = sum over observed cells of
+    (o/n) * ln(o*n / (na*nb)); empty cells contribute 0 by convention and
+    never appear (the cell table only holds observed pairs).
+
+    Output: one row — (n_rows, mi, h_a, h_b, nmi), 6dp.
+
+    Scale shape: identical to chi2_independence — one map-side-combined
+    (a, b) count aggregate, margins re-aggregated from the cell table,
+    closed-form arithmetic on the cells grid. The fact is touched once."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("na"))
+    rb = cells.groupBy("b").agg(F.sum("o").alias("nb"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(ra), on="a")
+        .join(F.broadcast(rb), on="b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    mi_term = (F.col("o") / n) * F.log(
+        F.col("o") * n / (F.col("na") * F.col("nb"))
+    )
+    # ln(na/n) summed once per a-value: divide each cell's contribution
+    # by the number of cells sharing its margin row — exact, join-free.
+    ca = Window.partitionBy("a")
+    cb = Window.partitionBy("b")
+    ha_term = (
+        -(F.col("na") / n)
+        * F.log(F.col("na") / n)
+        / F.count(F.lit(1)).over(ca)
+    )
+    hb_term = (
+        -(F.col("nb") / n)
+        * F.log(F.col("nb") / n)
+        / F.count(F.lit(1)).over(cb)
+    )
+    s = joined.select(
+        F.col("n").cast("long").alias("n_rows"),
+        mi_term.alias("_mi"),
+        ha_term.alias("_ha"),
+        hb_term.alias("_hb"),
+    ).groupBy("n_rows").agg(
+        F.sum("_mi").alias("_mi"),
+        F.sum("_ha").alias("_ha"),
+        F.sum("_hb").alias("_hb"),
+    )
+    return s.select(
+        "n_rows",
+        F.round(F.col("_mi"), 6).alias("mi"),
+        F.round(F.col("_ha"), 6).alias("h_a"),
+        F.round(F.col("_hb"), 6).alias("h_b"),
+        F.round(
+            F.when(
+                (F.col("_ha") > 0) & (F.col("_hb") > 0),
+                F.col("_mi") / F.sqrt(F.col("_ha") * F.col("_hb")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("nmi"),
+    )

@@ -374,3 +374,53 @@ def q_training_shards(spark, sf_dir):
     return assign_training_shards(docs, n_shards=16).select(
         "doc_id", "shard_id", "shard_pos"
     )
+
+
+def _calibration_oracle_sql() -> str:
+    """Reliability-diagram oracle over the frozen text model: the full
+    serving SQL nested as a CTE, labels from the real lang column, bins
+    and ECE folded from the same rounded per-bin values Spark emits."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT p_english AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    bins AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(p), 6) AS mean_pred,
+               ROUND(AVG(y), 6) AS frac_pos
+        FROM lab GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n) AS tn,
+               SUM(n * abs(frac_pos - mean_pred)) AS werr
+        FROM bins
+    )
+    SELECT bin, n, mean_pred, frac_pos, ROUND(werr / tn, 6) AS ece
+    FROM bins, tot
+    """
+
+
+@register("classifier_calibration_curve", _calibration_oracle_sql())
+def q_classifier_calibration_curve(spark, sf_dir):
+    """Reliability diagram + ECE for the frozen hashed-BoW English
+    classifier against the REAL lang labels
+    (`operators/classify.py classifier_calibration`): is p_english = 0.9
+    actually right 90% of the time? The curve is what makes a
+    'keep if p > t' curation threshold trustworthy; AUC alone cannot."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_calibration,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_calibration(scored, "p", "y", n_bins=10)

@@ -759,3 +759,48 @@ def q_seasonal_profile_events(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return seasonal_profile(ev, "ts", "value")
+
+
+@register(
+    "mi_lang_source",
+    """
+    WITH cells AS (
+        SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(o) AS na FROM cells GROUP BY 1),
+    rb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+        SELECT SUM((o / CAST(n AS DOUBLE))
+                   * ln(o * CAST(n AS DOUBLE) / (na * nb))) AS v
+        FROM cells JOIN ra USING (a) JOIN rb USING (b), tot
+    ),
+    ha AS (
+        SELECT SUM(-(na / CAST(n AS DOUBLE)) * ln(na / CAST(n AS DOUBLE)))
+            AS v
+        FROM ra, tot
+    ),
+    hb AS (
+        SELECT SUM(-(nb / CAST(n AS DOUBLE)) * ln(nb / CAST(n AS DOUBLE)))
+            AS v
+        FROM rb, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_rows,
+           ROUND(mi.v, 6) AS mi,
+           ROUND(ha.v, 6) AS h_a,
+           ROUND(hb.v, 6) AS h_b,
+           ROUND(CASE WHEN ha.v > 0 AND hb.v > 0
+                      THEN mi.v / sqrt(ha.v * hb.v) ELSE 0.0 END, 6) AS nmi
+    FROM mi, ha, hb
+    """,
+)
+def q_mi_lang_source(spark, sf_dir):
+    """Mutual information of language x source in nats with normalized MI
+    (`operators/trend.py mutual_information`) — chi2_lang_source's
+    information-scale companion: how much does knowing the feed tell you
+    about the language? Same single cell-count aggregate shape."""
+    from ningaloo_turtle_etl_spark.operators.trend import mutual_information
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mutual_information(docs, "lang", "source")

@@ -228,6 +228,9 @@ PRIORITY: list[str] = [
     "theil_sen_daily_counts",
     "seasonal_profile_events",
     "boilerplate_removal",
+    "mi_lang_source",
+    "classifier_calibration_curve",
+    "audience_overlap_types",
 ]
 
 

@@ -187,6 +187,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "theil_sen_daily_counts",
         "seasonal_profile_events",
         "boilerplate_removal",
+        "mi_lang_source",
+        "classifier_calibration_curve",
+        "audience_overlap_types",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -464,3 +464,61 @@ def test_seasonal_profile_two_cells(spark):
     # count-only mode drops the value columns
     out = seasonal_profile(df, "ts")
     assert "value_mean" not in out.columns and "value_index" not in out.columns
+
+
+def test_mutual_information_known_tables(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import mutual_information
+
+    # perfect association: a determines b -> MI = H = ln 2, NMI = 1
+    det = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string"
+    )
+    r = mutual_information(det, "a", "b").collect()[0]
+    ln2 = round(math.log(2), 6)
+    assert r["mi"] == ln2 and r["h_a"] == ln2 and r["h_b"] == ln2
+    assert r["nmi"] == 1.0 and r["n_rows"] == 20
+    # independence -> MI = 0
+    ind = spark.createDataFrame(
+        [("x", "p")] * 6 + [("x", "q")] * 6 + [("y", "p")] * 3
+        + [("y", "q")] * 3,
+        "a string, b string",
+    )
+    r0 = mutual_information(ind, "a", "b").collect()[0]
+    assert r0["mi"] == 0.0 and r0["nmi"] == 0.0
+
+
+def test_classifier_calibration_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_calibration,
+    )
+
+    rows = [(0.1, 0), (0.1, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in
+           classifier_calibration(df, "p", "y", n_bins=10).collect()}
+    assert set(got) == {1, 9}  # p = 1.0 folds into the top bin
+    assert got[1]["n"] == 2 and got[1]["mean_pred"] == 0.1
+    assert got[1]["frac_pos"] == 0.5
+    assert got[9]["mean_pred"] == 0.975 and got[9]["frac_pos"] == 1.0
+    # ECE = (2*|0.5-0.1| + 2*|1.0-0.975|) / 4
+    assert got[1]["ece"] == got[9]["ece"] == round((2 * 0.4 + 2 * 0.025) / 4, 6)
+
+
+def test_audience_overlap_pairs(spark):
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        audience_overlap,
+    )
+
+    rows = (
+        [("A", u) for u in (1, 2, 3)]
+        + [("B", u) for u in (2, 3, 4)]
+        + [("C", 9), ("C", 9)]  # duplicate membership rows collapse
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = audience_overlap(df, "seg", "uid").collect()
+    # zero-overlap pairs (A,C), (B,C) drop out of the inner tally
+    assert len(out) == 1
+    r = out[0]
+    assert (r["segment_a"], r["segment_b"]) == ("A", "B")
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["n_both"] == 2
+    assert r["jaccard"] == 0.5 and r["overlap_coef"] == round(2 / 3, 6)
