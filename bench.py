@@ -533,6 +533,40 @@ def _bootstrap_100k(spark, sf_dir):
     )
 
 
+def _boilerplate_100k(spark, sf_dir):
+    """Line-mode boilerplate removal over 100k synthetic 3-line docs in 20
+    sources (per-source banner+footer repeat 5k times, body unique): the
+    explode is map-only, the (source, segment) count combines map-side, and
+    the join-back broadcasts — the number to watch is that the hot removed
+    segments (the very rows being stripped) don't skew the reassembly
+    shuffle."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        boilerplate_segment_removal,
+    )
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("BANNER-"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("body text chunk "), F.col("id").cast("string")),
+            F.concat(F.lit("FOOTER-"), (F.col("id") % 20).cast("string")),
+        ).alias("text"),
+    )
+    out = boilerplate_segment_removal(
+        docs, "text", "doc_id", "source", min_docs=3
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").alias("n_removed"),
+    )
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -560,6 +594,7 @@ EXTRAS = {
     "zipf_fit_sf": _zipf_fit_sf,
     "sessionize_600k": _sessionize_600k,
     "bootstrap_100k": _bootstrap_100k,
+    "boilerplate_100k": _boilerplate_100k,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

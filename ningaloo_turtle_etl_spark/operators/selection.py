@@ -490,3 +490,77 @@ def dsir_top_select(
         F.round(F.col("log_weight"), 6).alias("log_weight"),
     )
     return ranked.orderBy(F.desc("log_weight"), F.col(id_col)).limit(int(n_select))
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 4,
+    pool_n: int = 64,
+) -> DataFrame:
+    """Deterministic cross-group negative sampling for contrastive
+    training: every document gets ``k`` negatives drawn from a shared
+    md5-ranked candidate pool of ``pool_n`` docs, restricted to OTHER
+    groups (sources) so in-domain near-positives never serve as
+    negatives. Pair order is md5(anchor#cand) — stable under retries,
+    reruns, and bit-identical in the oracle (no RNG state, the repo-wide
+    sampling convention).
+
+    Output: (anchor_id, neg_id, rank 1..k); anchors whose eligible pool
+    is shorter than k emit fewer rows (visible, not silent).
+
+    Scale shape: the pool is a bounded driver collect (pool_n rows, the
+    codebook-LUT pattern) embedded as an array literal, so assignment is
+    MAP-ONLY — per row: filter pool, hash-key each candidate, array_sort,
+    slice k, explode. No join, no window, no shuffle at any corpus size;
+    cost is rows x pool_n hashes. Raise pool_n for harder negatives, not
+    k."""
+    if k < 1 or pool_n < 1:
+        raise ValueError("k and pool_n must be >= 1")
+    pool = (
+        df.select(
+            F.col(id_col).cast("string").alias("cand"),
+            F.col(group_col).cast("string").alias("cgrp"),
+        )
+        .orderBy(F.md5(F.col("cand")), F.col("cand"))
+        .limit(int(pool_n))
+        .collect()
+    )
+    pool_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cand"]).alias("cand"),
+                F.lit(r["cgrp"]).alias("cgrp"),
+            )
+            for r in pool
+        ]
+    )
+    anchor = F.col(id_col).cast("string")
+    eligible = F.filter(
+        pool_arr, lambda c: c["cgrp"] != F.col(group_col).cast("string")
+    )
+    keyed = F.transform(
+        eligible,
+        lambda c: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", anchor, c["cand"])), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("key"),
+            c["cand"].alias("cand"),
+        ),
+    )
+    top = F.slice(F.array_sort(keyed), 1, int(k))
+    out = df.select(
+        F.col(id_col).alias("anchor_id"), F.posexplode(top).alias("pos", "s")
+    )
+    return out.select(
+        "anchor_id",
+        F.col("s.cand").cast(dict(df.dtypes)[id_col]).alias("neg_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )

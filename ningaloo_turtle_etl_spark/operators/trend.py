@@ -1016,3 +1016,112 @@ def mutual_information(
             6,
         ).alias("nmi"),
     )
+
+
+def seasonal_anomaly_scan(
+    df: DataFrame,
+    ts_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Seasonally-adjusted volume anomaly scan: hourly event counts
+    compared against the day-of-week x hour-of-day baseline (cell total /
+    number of dates sharing that weekday in the data), flagging the
+    ``top_n`` largest |ln(observed / expected)| deviations. The composed
+    monitoring workflow seasonal_profile enables: a Monday-9am spike is
+    baseline; the anomaly is a spike the weekly shape does not predict.
+
+    Output: top_n rows — (d, hour, n_events, expected 6dp,
+    log_ratio 6dp), ordered by |log_ratio| desc then (d, hour). Only
+    observed (date, hour) cells are scanned (an hour with zero events is
+    a gap-fill concern, not a spike).
+
+    Scale shape: one aggregate to the (date, hour) grain, the baseline
+    re-aggregated from it (dow x 24 grid, broadcast back), the weekday
+    calendar from the distinct-dates dim; the election is
+    TakeOrderedAndProject, never a global sort. The fact is touched
+    once."""
+    hourly = df.select(
+        F.to_date(ts_col).alias("d"), F.hour(ts_col).alias("hour")
+    ).groupBy("d", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    dates = hourly.select("d").distinct().select(
+        "d", F.dayofweek("d").alias("dow")
+    )
+    dow_days = dates.groupBy("dow").agg(F.count(F.lit(1)).alias("n_days"))
+    base = (
+        hourly.join(F.broadcast(dates), on="d")
+        .groupBy("dow", "hour")
+        .agg(F.sum("n_events").alias("cell_total"))
+        .join(F.broadcast(dow_days), on="dow")
+        .select(
+            "dow",
+            "hour",
+            (F.col("cell_total") / F.col("n_days").cast("double")).alias(
+                "_exp"
+            ),
+        )
+    )
+    scored = (
+        hourly.join(F.broadcast(dates), on="d")
+        .join(F.broadcast(base), on=["dow", "hour"])
+        .select(
+            "d",
+            "hour",
+            "n_events",
+            F.round(F.col("_exp"), 6).alias("expected"),
+            F.round(F.log(F.col("n_events") / F.col("_exp")), 6).alias(
+                "log_ratio"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.abs(F.col("log_ratio"))), F.asc("d"), F.asc("hour")
+    ).limit(int(top_n))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    frac: float = 0.05,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group trimmed mean: drop values OUTSIDE the [frac, 1-frac]
+    percentile band, average the rest — winsorize's discarding sibling
+    (winsorize clamps the tails; trimming excludes them). The robust
+    central-tendency everyone reaches for when means are outlier-dragged
+    but medians throw away too much.
+
+    Output: (group, n_rows, n_kept, lo_cut, hi_cut, trimmed_mean), cuts
+    rounded 6dp BEFORE the band test so both engines keep identical rows.
+
+    Scale shape: one percentile aggregate for the cuts (exact
+    interpolating form for oracle parity; ``exact=False`` flips to
+    approx_percentile for corpus-scale groups, same knob as
+    robust_outlier_stats), broadcast join-back, one filtered re-agg. Two
+    passes over the fact, no window."""
+    if not 0 < frac < 0.5:
+        raise ValueError("frac must be in (0, 0.5)")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+
+    def _p(c, q):
+        if exact:
+            return F.expr(f"percentile({c}, {q!r})")
+        return F.expr(f"approx_percentile({c}, {q!r}, {int(accuracy)})")
+
+    cuts = df.groupBy(*groups).agg(
+        F.round(_p(value_col, frac), 6).alias("lo_cut"),
+        F.round(_p(value_col, 1.0 - frac), 6).alias("hi_cut"),
+    )
+    joined = df.join(F.broadcast(cuts), on=groups)
+    kept = (v >= F.col("lo_cut")) & (v <= F.col("hi_cut"))
+    return joined.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        F.round(
+            F.sum(F.when(kept, v)) / F.sum(kept.cast("long")), 6
+        ).alias("trimmed_mean"),
+    )

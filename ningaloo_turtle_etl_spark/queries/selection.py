@@ -424,3 +424,43 @@ def q_classifier_calibration_curve(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return classifier_calibration(scored, "p", "y", n_bins=10)
+
+
+@register(
+    "contrastive_negative_pairs",
+    """
+    WITH pool AS (
+        SELECT CAST(doc_id AS VARCHAR) AS cand, source AS cgrp
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+        LIMIT 64
+    ),
+    pairs AS (
+        SELECT d.doc_id AS anchor_id, p.cand,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+                                   || p.cand), 1, 15))::BIGINT AS key
+        FROM documents d JOIN pool p ON p.cgrp <> d.source
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY key, cand) AS rnk
+        FROM pairs
+    )
+    SELECT anchor_id, CAST(cand AS BIGINT) AS neg_id,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 4
+    """,
+)
+def q_contrastive_negative_pairs(spark, sf_dir):
+    """Deterministic cross-source contrastive negatives, 4 per anchor
+    from a 64-doc md5-ranked shared pool
+    (`operators/selection.py contrastive_negatives`): map-only array
+    assignment (pool embedded as a literal — the codebook-LUT pattern),
+    no join/window/shuffle at any corpus size, and the md5 pair order
+    replays row-for-row in SQL."""
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        contrastive_negatives,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contrastive_negatives(docs, "doc_id", "source", k=4, pool_n=64)

@@ -804,3 +804,78 @@ def q_mi_lang_source(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return mutual_information(docs, "lang", "source")
+
+
+@register(
+    "seasonal_anomalies",
+    """
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d, hour(CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    dates AS (SELECT DISTINCT d, dayofweek(d) AS dow FROM hourly),
+    dd AS (SELECT dow, COUNT(*) AS n_days FROM dates GROUP BY 1),
+    base AS (
+        SELECT t.dow, h.hour,
+               SUM(h.n_events) / CAST(MIN(dd.n_days) AS DOUBLE) AS exp_raw
+        FROM hourly h
+        JOIN dates t USING (d)
+        JOIN dd ON dd.dow = t.dow
+        GROUP BY 1, 2
+    )
+    SELECT h.d AS d, h.hour AS hour, h.n_events,
+           ROUND(b.exp_raw, 6) AS expected,
+           ROUND(ln(h.n_events / b.exp_raw), 6) AS log_ratio
+    FROM hourly h
+    JOIN dates t USING (d)
+    JOIN base b ON b.dow = t.dow AND b.hour = h.hour
+    ORDER BY abs(ROUND(ln(h.n_events / b.exp_raw), 6)) DESC, h.d, h.hour
+    LIMIT 20
+    """,
+)
+def q_seasonal_anomalies(spark, sf_dir):
+    """Top-20 seasonally-adjusted hourly volume anomalies
+    (`operators/trend.py seasonal_anomaly_scan`): hourly counts vs the
+    dow x hour weekly baseline, ranked by |ln(obs/exp)| — the spike
+    detector that doesn't page on every Monday morning."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        seasonal_anomaly_scan,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return seasonal_anomaly_scan(ev, "ts", top_n=20)
+
+
+@register(
+    "trimmed_mean_by_type",
+    """
+    WITH cuts AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS lo_cut,
+               ROUND(quantile_cont(value, 0.95), 6) AS hi_cut
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(lo_cut) AS lo_cut,
+           MIN(hi_cut) AS hi_cut,
+           ROUND(SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+                          THEN value END)
+                 / SUM(CASE WHEN value >= lo_cut AND value <= hi_cut
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean
+    FROM events JOIN cuts USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def q_trimmed_mean_by_type(spark, sf_dir):
+    """5% two-sided trimmed mean of value per event type
+    (`operators/trend.py trimmed_mean`): percentile cuts rounded before
+    the band test so both engines keep identical rows — winsorize's
+    discarding sibling in the robust-stats family."""
+    from ningaloo_turtle_etl_spark.operators.trend import trimmed_mean
+
+    ev = load_table(spark, "events", sf_dir)
+    return trimmed_mean(ev, "event_type", "value", frac=0.05)

@@ -231,6 +231,9 @@ PRIORITY: list[str] = [
     "mi_lang_source",
     "classifier_calibration_curve",
     "audience_overlap_types",
+    "seasonal_anomalies",
+    "trimmed_mean_by_type",
+    "contrastive_negative_pairs",
 ]
 
 

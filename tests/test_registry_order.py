@@ -190,6 +190,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "mi_lang_source",
         "classifier_calibration_curve",
         "audience_overlap_types",
+        "seasonal_anomalies",
+        "trimmed_mean_by_type",
+        "contrastive_negative_pairs",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -522,3 +522,71 @@ def test_audience_overlap_pairs(spark):
     assert (r["segment_a"], r["segment_b"]) == ("A", "B")
     assert r["n_a"] == 3 and r["n_b"] == 3 and r["n_both"] == 2
     assert r["jaccard"] == 0.5 and r["overlap_coef"] == round(2 / 3, 6)
+
+
+def test_seasonal_anomaly_scan_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        seasonal_anomaly_scan,
+    )
+
+    # two Mondays, hour 9: 10 then 30 events -> baseline 20; one
+    # Wednesday hour 0 with 5 events (its own baseline) -> ratio 1.
+    rows = (
+        [("2024-01-01 09:%02d:00" % (i % 60),) for i in range(10)]
+        + [("2024-01-08 09:%02d:00" % (i % 60),) for i in range(30)]
+        + [("2024-01-03 00:%02d:00" % i,) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    out = seasonal_anomaly_scan(df, "ts", top_n=10).collect()
+    got = {(str(r["d"]), r["hour"]): r for r in out}
+    lo = got[("2024-01-01", 9)]
+    assert lo["expected"] == 20.0 and lo["log_ratio"] == round(
+        math.log(0.5), 6
+    )
+    hi = got[("2024-01-08", 9)]
+    assert hi["log_ratio"] == round(math.log(1.5), 6)
+    assert got[("2024-01-03", 0)]["log_ratio"] == 0.0
+    # ranked by |log_ratio|: the dip outranks the spike
+    assert (str(out[0]["d"]), out[0]["hour"]) == ("2024-01-01", 9)
+
+
+def test_trimmed_mean_exact_band(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(101)], "g string, v double"
+    )
+    r = trimmed_mean(df, "g", "v", frac=0.05).collect()[0]
+    assert r["lo_cut"] == 5.0 and r["hi_cut"] == 95.0
+    assert r["n_rows"] == 101 and r["n_kept"] == 91
+    assert r["trimmed_mean"] == 50.0
+
+
+def test_contrastive_negatives_deterministic(spark):
+    import hashlib as _h
+
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        contrastive_negatives,
+    )
+
+    rows = [(i, "abc"[i % 3]) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = contrastive_negatives(df, "doc_id", "source", k=2, pool_n=100)
+    a = sorted(map(tuple, out.collect()))
+    assert a == sorted(map(tuple, out.collect()))  # retry-stable
+    per = {}
+    grp = dict(rows)
+    for anchor, neg, rank in a:
+        assert grp[anchor] != grp[neg]  # never an in-group negative
+        per.setdefault(anchor, []).append((rank, neg))
+    assert all(len(v) == 2 for v in per.values())
+    # anchor 0's picks replay the md5 pair order exactly
+    cands = [i for i in range(9) if grp[i] != grp[0]]
+    keyed = sorted(
+        (int(_h.md5(f"0#{c}".encode()).hexdigest()[:15], 16), str(c))
+        for c in cands
+    )
+    expect = [int(c) for _, c in keyed[:2]]
+    assert [n for _, n in sorted(per[0])] == expect
