@@ -338,3 +338,43 @@ def test_minhash_incremental_new_side_filter_pushed(spark):
     plan = plan_of(spark, "minhash_incremental_near_dups")
     assert "CartesianProduct" not in plan
     assert "_is_new" in plan
+
+
+def test_contrastive_negatives_plan_is_map_only(spark):
+    """The pool rides in as an array literal: no join, no window, no
+    exchange anywhere — pure map-side candidate selection."""
+    plan = plan_of(spark, "contrastive_negative_pairs")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_plan_shape(spark):
+    """Segment explode is map-only off the scan; the (group, segment)
+    count combines before its exchange; the flag join broadcasts; the only
+    row-keyed shuffle is the per-doc reassembly."""
+    plan = plan_of(spark, "boilerplate_removal")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mwu_windows_run_on_distinct_value_grain(spark):
+    """The pooled-rank window sits above the (value) aggregate, never the
+    raw scan: exactly one pre-window exchange keyed on the value grain,
+    and the statistic folds to one row without another shuffle."""
+    plan = plan_of(spark, "mwu_click_vs_view")
+    assert "Window" in plan
+    # aggregate-then-window: partial_count of the value grain appears
+    # below the window in the plan text
+    assert plan.index("partial_count") > plan.index("Window")
+
+
+def test_audience_overlap_joins_on_member(spark):
+    """The pair self-join keys on the member column (per-member-degree²
+    fan-out), never a cartesian, and the size dims broadcast."""
+    plan = plan_of(spark, "audience_overlap_types")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
