@@ -183,3 +183,96 @@ def nearest_site_join(
         .filter(F.col("_rn") == 1)
         .select("point_id", "site_id", F.round("dist_km", 3).alias("dist_km"))
     )
+
+
+def spatial_hotspots(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 1.0,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Grid-density hotspot clustering (DBSCAN-lite): snap points to a
+    ``cell_deg`` grid, keep cells holding >= ``min_pts`` points, connect
+    dense cells through their 8-neighborhood, and label each connected
+    blob via the pointer-jumping components the dedup layer uses
+    (`graph.connected_components`). The where-do-nesting-events-
+    concentrate query a survey ETL asks of raw sightings — density-based,
+    so hotspots take arbitrary shapes instead of fixed admin polygons
+    (those are `spatial.tag_regions`' job).
+
+    Output: one row per hotspot — (cluster_id = min encoded cell id,
+    n_cells, n_points, centroid_lat/lon 6dp point-weighted, min/max
+    lat/lon of member points, 6dp).
+
+    Scale shape: one map-side-combined cell aggregate over raw points
+    (the only pass over the fact); everything after runs on the DENSE-cell
+    table — the 8-neighbor edge build is an explode(8) + equi-join on
+    cell id (never a spatial cross join), and the component loop is
+    O(log diameter) rounds on cells, not points. NOTE the fixed-degree
+    grid is a density grid, not a distance cover — near the poles a
+    degree cell is thin, so hotspots split sooner; use the
+    cos-compensated `grid_cell` before ray-cast joins where distance
+    semantics matter."""
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    ix = F.floor(lon / F.lit(float(cell_deg))).cast("long")
+    iy = F.floor(lat / F.lit(float(cell_deg))).cast("long")
+    # one-dimensional encoding safe for ANY cell_deg: shift both indices by
+    # span (>= the largest magnitude either index can take), stride 2*span.
+    span = int(math.ceil(360.0 / cell_deg)) + 2
+    nx = 2 * span
+    cells = (
+        df.select(
+            ix.alias("ix"), iy.alias("iy"), lat.alias("la"), lon.alias("lo")
+        )
+        .groupBy("ix", "iy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("la").alias("sla"),
+            F.sum("lo").alias("slo"),
+            F.min("la").alias("mnla"),
+            F.max("la").alias("mxla"),
+            F.min("lo").alias("mnlo"),
+            F.max("lo").alias("mxlo"),
+        )
+        .filter(F.col("n_pts") >= int(min_pts))
+    )
+    cid = (F.col("ix") + span + (F.col("iy") + span) * nx).alias("cell")
+    # localCheckpoint: the dense-cell table feeds three branches (neighbor
+    # fan-out, edge probe, final stats) and the component loop — materialize
+    # it once, eagerly, with no unpersist bookkeeping (the CC labels use the
+    # same pattern).
+    dense = cells.select(cid, *cells.columns).localCheckpoint(eager=True)
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (dx, dy) != (0, 0)]
+    # neighbor ids arithmetically: cell + dx + dy*nx
+    nbr = dense.select(
+        F.col("cell").alias("id_a"),
+        F.explode(
+            F.array(*[F.col("cell") + (dx + dy * nx) for dx, dy in offsets])
+        ).alias("id_b"),
+    )
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = nbr.join(
+        dense.select(F.col("cell").alias("id_b")), on="id_b"
+    )
+    labels = connected_components(edges, "id_a", "id_b")
+    labeled = dense.join(
+        labels.withColumnRenamed("id", "cell"), on="cell", how="left"
+    ).withColumn("component", F.coalesce("component", F.col("cell")))
+    out = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_pts").alias("n_points"),
+        F.round(F.sum("sla") / F.sum("n_pts"), 6).alias("centroid_lat"),
+        F.round(F.sum("slo") / F.sum("n_pts"), 6).alias("centroid_lon"),
+        F.round(F.min("mnla"), 6).alias("min_lat"),
+        F.round(F.max("mxla"), 6).alias("max_lat"),
+        F.round(F.min("mnlo"), 6).alias("min_lon"),
+        F.round(F.max("mxlo"), 6).alias("max_lon"),
+    )
+    return out.withColumnRenamed("component", "cluster_id")

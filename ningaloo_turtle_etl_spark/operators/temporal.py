@@ -588,3 +588,50 @@ def eventually_follows(
             F.sum("before") / F.count(F.lit(1)).cast("double"), 6
         ).alias("frac"),
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent length-3 behavior sequences: each user's
+    event-type timeline yields its consecutive trigrams (two leads over
+    the per-user order), tallied corpus-wide — the sequence-mining step
+    past markov_transitions' bigram view (A->B->C patterns a first-order
+    chain cannot see, e.g. view->click->purchase vs click->view->purchase).
+
+    ``order_tiebreak``: a column that breaks timestamp ties
+    deterministically (an event id); REQUIRED for stable results when two
+    events share (key, ts).
+
+    Output: top_k rows — (step_1, step_2, step_3, n_occurrences), ordered
+    by count desc then steps asc.
+
+    Scale shape: one key-partitioned window shuffle builds the leads (the
+    sessionization exchange); the trigram tally map-side combines to the
+    types³ grid; the election is TakeOrderedAndProject. Raw events are
+    touched once."""
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    tri = (
+        df.select(
+            F.col(type_col).alias("step_1"),
+            F.lead(type_col, 1).over(w).alias("step_2"),
+            F.lead(type_col, 2).over(w).alias("step_3"),
+        )
+        .filter(F.col("step_3").isNotNull())
+        .groupBy("step_1", "step_2", "step_3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return tri.orderBy(
+        F.desc("n_occurrences"),
+        F.asc("step_1"),
+        F.asc("step_2"),
+        F.asc("step_3"),
+    ).limit(int(top_k))

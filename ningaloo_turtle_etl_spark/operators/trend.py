@@ -1125,3 +1125,48 @@ def trimmed_mean(
             F.sum(F.when(kept, v)) / F.sum(kept.cast("long")), 6
         ).alias("trimmed_mean"),
     )
+
+
+def cross_correlation(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two AGGREGATED series (one row
+    per time step each — reduce raw data first): for every lag in
+    [-max_lag, max_lag], the Pearson correlation of a(t) with b(t + lag)
+    over the overlapping steps. ACF's two-series sibling: does one
+    metric lead the other, and by how many steps? (Positive lag peak =
+    a leads b.)
+
+    Output: (lag, n_steps, ccf 6dp), one row per lag with >= 2
+    overlapping steps.
+
+    Scale shape: the lag dim (2*max_lag+1 rows) broadcasts; the shifted
+    equi-join and corr aggregate run at the series grain — work is
+    lags x steps, independent of raw row count."""
+    spark = series_a.sparkSession
+    lags = spark.range(-int(max_lag), int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series_a.select(
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("va"),
+    )
+    b = series_b.select(
+        F.col(time_col).cast("long").alias("tb"),
+        F.col(value_col).cast("double").alias("vb"),
+    )
+    shifted = a.crossJoin(F.broadcast(lags)).join(
+        b, on=[F.col("tb") == F.col("t") + F.col("lag")]
+    )
+    return (
+        shifted.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.corr("va", "vb"), 6).alias("ccf"),
+        )
+        .filter(F.col("n_steps") >= 2)
+    )

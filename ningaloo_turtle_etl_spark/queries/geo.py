@@ -125,3 +125,56 @@ def geo_nearest_site(spark, sf_dir):
         site_id="site_id",
         rank_decimals=6,
     )
+
+
+@register(
+    "spatial_hotspot_clusters",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT -180 + ((c_custkey * 7) % 360) + 0.5 AS lon,
+               -90 + ((c_custkey * 13) % 180) + 0.5 AS lat
+        FROM customer
+    ),
+    cells AS (
+        SELECT CAST(floor(lon / 10.0) AS BIGINT) AS ix,
+               CAST(floor(lat / 10.0) AS BIGINT) AS iy,
+               COUNT(*) AS n_pts, SUM(lat) AS sla, SUM(lon) AS slo,
+               MIN(lat) AS mnla, MAX(lat) AS mxla,
+               MIN(lon) AS mnlo, MAX(lon) AS mxlo
+        FROM pts GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    ),
+    dense AS (SELECT (ix + 38) + (iy + 38) * 76 AS cell, * FROM cells),
+    edges AS (
+        SELECT d.cell AS a, n.cell AS b
+        FROM dense d JOIN dense n
+          ON n.cell IN (d.cell - 1, d.cell + 1, d.cell - 76, d.cell + 76,
+                        d.cell - 77, d.cell - 75, d.cell + 75, d.cell + 77)
+    ),
+    reach AS (
+        SELECT cell, cell AS lab FROM dense
+        UNION
+        SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.cell
+    ),
+    comp AS (SELECT cell, MIN(lab) AS component FROM reach GROUP BY 1)
+    SELECT comp.component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_pts) AS BIGINT) AS n_points,
+           ROUND(SUM(sla) / SUM(n_pts), 6) AS centroid_lat,
+           ROUND(SUM(slo) / SUM(n_pts), 6) AS centroid_lon,
+           ROUND(MIN(mnla), 6) AS min_lat, ROUND(MAX(mxla), 6) AS max_lat,
+           ROUND(MIN(mnlo), 6) AS min_lon, ROUND(MAX(mxlo), 6) AS max_lon
+    FROM dense JOIN comp USING (cell) GROUP BY 1
+    """,
+)
+def q_spatial_hotspot_clusters(spark, sf_dir):
+    """Density-based sighting hotspots over the synthetic customer points
+    (`operators/geo.py spatial_hotspots`): 10-degree grid cells holding
+    >= 5 points, 8-connected blobs labeled by the pointer-jumping
+    components — arbitrary-shape concentration areas, where tag_regions
+    answers for FIXED polygons. The oracle replays the component labels
+    through a recursive transitive-closure CTE."""
+    from ningaloo_turtle_etl_spark.operators.geo import spatial_hotspots
+
+    pts = _pts(load_table(spark, "customer", sf_dir))
+    return spatial_hotspots(pts, "lat", "lon", cell_deg=10.0, min_pts=5)

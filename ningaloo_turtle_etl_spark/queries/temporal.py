@@ -359,3 +359,39 @@ def q_eventually_follows(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return eventually_follows(ev)
+
+
+@register(
+    "event_trigram_sequences",
+    """
+    WITH tri AS (
+        SELECT event_type AS step_1,
+               lead(event_type, 1) OVER w AS step_2,
+               lead(event_type, 2) OVER w AS step_3
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tri WHERE step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_occurrences DESC, step_1, step_2, step_3
+    LIMIT 20
+    """,
+)
+def q_event_trigram_sequences(spark, sf_dir):
+    """Top-20 length-3 behavior sequences across user timelines
+    (`operators/temporal.py frequent_sequences`): the sequence-mining
+    step past markov_transitions' bigram chain, tallied from two leads
+    over the per-user order (event_id breaks timestamp ties)."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        frequent_sequences,
+    )
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return frequent_sequences(
+        ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
+    )

@@ -879,3 +879,49 @@ def q_trimmed_mean_by_type(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return trimmed_mean(ev, "event_type", "value", frac=0.05)
+
+
+@register(
+    "ccf_click_vs_view",
+    """
+    WITH a AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    lags AS (SELECT i AS lag FROM unnest(range(-3, 4)) AS u(i))
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           ROUND(corr(a.v, b.v), 6) AS ccf
+    FROM lags JOIN a ON true JOIN b ON b.t = a.t + lag
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def q_ccf_click_vs_view(spark, sf_dir):
+    """Lagged cross-correlation of daily click vs view volume
+    (`operators/trend.py cross_correlation`): does one metric lead the
+    other? ACF's two-series sibling; work is lags x days, never raw
+    rows."""
+    from ningaloo_turtle_etl_spark.operators.trend import cross_correlation
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def daily(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        )
+
+    return cross_correlation(daily("click"), daily("view"), "t", "v", 3)

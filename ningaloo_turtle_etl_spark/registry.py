@@ -234,6 +234,9 @@ PRIORITY: list[str] = [
     "seasonal_anomalies",
     "trimmed_mean_by_type",
     "contrastive_negative_pairs",
+    "spatial_hotspot_clusters",
+    "event_trigram_sequences",
+    "ccf_click_vs_view",
 ]
 
 

@@ -156,3 +156,29 @@ def test_nearest_site_is_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+def test_spatial_hotspots_merge_and_isolate(spark):
+    from ningaloo_turtle_etl_spark.operators.geo import spatial_hotspots
+
+    rows = (
+        # three points in cell (0,0), three in the DIAGONAL cell (1,1)
+        [(0.2, 0.2), (0.3, 0.3), (0.4, 0.4)]
+        + [(1.2, 1.2), (1.3, 1.3), (1.4, 1.4)]
+        # isolated dense cell far away
+        + [(5.5, 5.5), (5.6, 5.6), (5.7, 5.7)]
+        # sparse cell: below min_pts, dropped entirely
+        + [(-3.5, -3.5), (-3.6, -3.6)]
+    )
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = spatial_hotspots(df, "lat", "lon", cell_deg=1.0, min_pts=3)
+    got = sorted(out.collect(), key=lambda r: -r["n_points"])
+    assert len(got) == 2
+    merged, iso = got
+    # 8-neighborhood merges the diagonal pair into one 2-cell hotspot
+    assert merged["n_cells"] == 2 and merged["n_points"] == 6
+    assert merged["centroid_lat"] == round(sum(
+        la for la, lo in rows[:6]) / 6, 6)
+    assert merged["min_lat"] == 0.2 and merged["max_lat"] == 1.4
+    # the far cell has no dense neighbor: keeps its own label
+    assert iso["n_cells"] == 1 and iso["n_points"] == 3
+    assert iso["min_lon"] == 5.5 and iso["max_lon"] == 5.7

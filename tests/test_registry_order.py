@@ -193,6 +193,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "seasonal_anomalies",
         "trimmed_mean_by_type",
         "contrastive_negative_pairs",
+        "spatial_hotspot_clusters",
+        "event_trigram_sequences",
+        "ccf_click_vs_view",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

@@ -590,3 +590,20 @@ def test_contrastive_negatives_deterministic(spark):
     )
     expect = [int(c) for _, c in keyed[:2]]
     assert [n for _, n in sorted(per[0])] == expect
+
+
+def test_cross_correlation_perfect_lead(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import cross_correlation
+
+    a_vals = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0]
+    a = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(a_vals)], "t long, v double"
+    )
+    # b lags a by one step: b(t+1) = a(t) -> ccf peaks at lag +1
+    b = spark.createDataFrame(
+        [(t + 1, v) for t, v in enumerate(a_vals)], "t long, v double"
+    )
+    got = {r["lag"]: r for r in
+           cross_correlation(a, b, "t", "v", max_lag=2).collect()}
+    assert got[1]["ccf"] == 1.0 and got[1]["n_steps"] == 6
+    assert all(r["ccf"] < 1.0 for lag, r in got.items() if lag != 1)

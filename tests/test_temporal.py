@@ -376,3 +376,25 @@ def test_cdc_apply_merge_semantics(spark):
         for r in cdc_apply(snap, tie, ["key"], "ts", tiebreak_col="event_id").collect()
     }
     assert out2[1] == 2.0
+
+
+def test_frequent_sequences_trigram_tally(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        frequent_sequences,
+    )
+
+    rows = [("u1", i, t) for i, t in enumerate("abcabc")] + [
+        ("u2", i, t) for i, t in enumerate("abc")
+    ]
+    df = spark.createDataFrame(rows, "uid string, seq long, typ string")
+    df = df.select("uid", F.col("seq").alias("ts"), "typ", F.col("seq").alias("eid"))
+    out = frequent_sequences(df, "uid", "ts", "typ", order_tiebreak="eid",
+                             top_k=10).collect()
+    tally = {(r["step_1"], r["step_2"], r["step_3"]): r["n_occurrences"]
+             for r in out}
+    # u1 yields abc,bca,cab,abc; u2 adds abc -> 3 total; no cross-user bleed
+    assert tally[("a", "b", "c")] == 3
+    assert tally[("b", "c", "a")] == 1 and tally[("c", "a", "b")] == 1
+    assert out[0]["n_occurrences"] == 3  # ranked first
