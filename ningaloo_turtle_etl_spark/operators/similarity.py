@@ -555,3 +555,75 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= int(k)
     )
+
+
+def cell_silhouette(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell simplified (centroid-based) silhouette for a k-means
+    blocking: for every vector, a = distance to its own centroid, b =
+    distance to the nearest OTHER centroid, s = (b - a) / max(a, b) in
+    [-1, 1]. Cells with low mean s leak near-dups across the cell
+    boundary (SemDeDup's documented miss) and under-probe in IVF — this
+    is the diagnostic that says whether n_centroids / nprobe need
+    raising BEFORE recall quietly drops.
+
+    Output: one row per cell — (cell, n_vectors, mean_silhouette,
+    mean_intra_dist), 6dp.
+
+    Scale shape: one map-only pass (distances to the broadcast centroid
+    literals in element order — bit-reproducible cross-engine), then a
+    map-side-combined aggregate to the n_centroids grid. The corpus is
+    touched once; the classic full silhouette needs all-pairs and is the
+    reason this centroid form is the one that scales."""
+    cents = np.asarray(centroids, dtype=float)
+    k = len(cents)
+    if k < 2:
+        raise ValueError("cell_silhouette needs >= 2 centroids")
+    v = _as_double(F.col(vec_col))
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    a2 = F.array_min(F.col("_dists"))
+    # array_position ties to the LOWEST index — same as the assignment's
+    # list_position(list_min) convention in the oracle.
+    cell = (F.array_position(F.col("_dists"), a2) - 1).cast("int")
+    rest = F.concat(
+        F.slice(F.col("_dists"), 1, F.col("_cell")),
+        F.slice(
+            F.col("_dists"),
+            F.col("_cell") + 2,
+            F.lit(k) - F.col("_cell") - 1,
+        ),
+    )
+    b2 = F.array_min(rest)
+    sa, sb = F.sqrt(F.col("_a2")), F.sqrt(F.col("_b2"))
+    s = F.when(
+        F.greatest(sa, sb) > 0, (sb - sa) / F.greatest(sa, sb)
+    ).otherwise(F.lit(0.0))
+    scored = (
+        df.select(F.col(id_col), dists.alias("_dists"))
+        .withColumn("_a2", a2)
+        .withColumn("_cell", cell)
+        .withColumn("_b2", b2)
+        .withColumn("_s", s)
+    )
+    return scored.groupBy(F.col("_cell").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+        F.round(F.avg(F.sqrt(F.col("_a2"))), 6).alias("mean_intra_dist"),
+    )

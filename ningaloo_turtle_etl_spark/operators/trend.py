@@ -1170,3 +1170,107 @@ def cross_correlation(
         )
         .filter(F.col("n_steps") >= 2)
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: str,
+    success_col,
+    treatment: str,
+    control: str,
+) -> DataFrame:
+    """Two-proportion z-test on a binary outcome (conversion, click,
+    pass-rate): z = (p_t - p_c) / sqrt(p(1-p)(1/n_t + 1/n_c)) with the
+    pooled p — the binary-metric member of the test family (Welch/MWU
+    handle continuous metrics). ``success_col`` is a boolean Column.
+
+    Output: one row — (n_treat, n_control, x_treat, x_control, p_treat,
+    p_control, z), proportions and z 6dp. All inputs to the closed form
+    are exact integer counts, so both engines replay it bit-for-bit.
+
+    Scale shape: ONE conditional-count aggregate pass; no join, no
+    window, single-row output (the cuped_lift shape)."""
+    arms = df.filter(F.col(arm_col).isin(treatment, control))
+    is_t = (F.col(arm_col) == treatment).cast("long")
+    y = success_col.cast("long")
+    s = arms.agg(
+        F.sum(is_t).alias("n_treat"),
+        (F.count(F.lit(1)) - F.sum(is_t)).alias("n_control"),
+        F.sum(is_t * y).alias("x_treat"),
+        F.sum((1 - is_t) * y).alias("x_control"),
+    )
+    n1, n2 = F.col("n_treat"), F.col("n_control")
+    x1, x2 = F.col("x_treat"), F.col("x_control")
+    p1, p2 = x1 / n1.cast("double"), x2 / n2.cast("double")
+    pool = (x1 + x2) / (n1 + n2).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pool * (1 - pool) * (1.0 / n1 + 1.0 / n2)
+    )
+    return s.select(
+        "n_treat",
+        "n_control",
+        "x_treat",
+        "x_control",
+        F.round(p1, 6).alias("p_treat"),
+        F.round(p2, 6).alias("p_control"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experimentation-platform health
+    gate run BEFORE reading any metric: chi-square goodness-of-fit of
+    observed arm counts against the declared split. A failing SRM means
+    assignment is broken (bot filtering, redirect loss, logging bias) and
+    every downstream lift number is untrustworthy.
+
+    ``expected``: arm -> ratio; must cover every arm present and sum to
+    ~1 (validated). Arms with zero observed rows still contribute their
+    expected mass (the oracle keeps them via the ratio dim).
+
+    Output: one row — (n_rows, n_arms, dof, chi2, max_abs_dev) where
+    max_abs_dev is the largest |observed_share - expected_share|, 6dp.
+
+    Scale shape: one map-side-combined count aggregate to the arms grid;
+    the ratio dim is a broadcast literal frame. Single pass, single
+    row."""
+    if abs(sum(expected.values()) - 1.0) > 1e-9:
+        raise ValueError("expected ratios must sum to 1")
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expected.items())],
+        "arm string, ratio double",
+    )
+    obs = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    joined = dim.join(F.broadcast(obs), on="arm", how="left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+    tot = joined.agg(F.sum("o").alias("n"))
+    e = joined.crossJoin(F.broadcast(tot)).withColumn(
+        "_e", F.col("ratio") * F.col("n")
+    )
+    return e.agg(
+        F.min("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("_e"))
+                * (F.col("o") - F.col("_e"))
+                / F.col("_e")
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.max(
+                F.abs(F.col("o") / F.col("n").cast("double") - F.col("ratio"))
+            ),
+            6,
+        ).alias("max_abs_dev"),
+    )

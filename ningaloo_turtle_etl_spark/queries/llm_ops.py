@@ -3680,3 +3680,67 @@ def q_boilerplate_removal(spark, sf_dir):
     return boilerplate_segment_removal(
         docs, "text", "doc_id", "source", seg_words=2, min_docs=3
     )
+
+
+def _silhouette_oracle_sql() -> str:
+    """DuckDB SQL replicating cell_silhouette over the frozen centroid
+    fixture: squared distances in element order (same doubles as Spark's
+    zip_with fold), argmin cell via list_position(list_min) (ties to the
+    lowest index), nearest-other via min over the argmin-excised slices,
+    then the per-cell mean fold."""
+    fix = _semantic_centroid_fixture()
+    dist_exprs = ", ".join(
+        "list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "]::DOUBLE[]), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for c in fix["centroids"]
+    )
+    k = len(fix["centroids"])
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (SELECT vec_id, [{dist_exprs}] AS dists FROM emb),
+    a AS (
+        SELECT vec_id, dists, list_min(dists) AS a2,
+               list_position(dists, list_min(dists)) - 1 AS cell
+        FROM d
+    ),
+    b AS (
+        SELECT vec_id, cell, a2,
+               list_min(list_concat(dists[1:cell],
+                                    dists[cell + 2:{k}])) AS b2
+        FROM a
+    ),
+    s AS (
+        SELECT cell, a2,
+               CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                    THEN (sqrt(b2) - sqrt(a2))
+                         / greatest(sqrt(a2), sqrt(b2))
+                    ELSE 0.0 END AS sil
+        FROM b
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(sil), 6) AS mean_silhouette,
+           ROUND(AVG(sqrt(a2)), 6) AS mean_intra_dist
+    FROM s GROUP BY 1
+    """
+
+
+@register("semantic_cell_silhouette", _silhouette_oracle_sql())
+def q_semantic_cell_silhouette(spark, sf_dir):
+    """Per-cell centroid silhouette for the frozen SemDeDup/IVF blocking
+    (`operators/similarity.py cell_silhouette`): which cells leak
+    near-dups across their boundary / under-probe in IVF — the raise-
+    n_centroids-or-nprobe diagnostic, computed in one map-only pass +
+    one 16-cell aggregate."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        cell_silhouette,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = np.asarray(_semantic_centroid_fixture()["centroids"], dtype=float)
+    return cell_silhouette(emb, cents)

@@ -925,3 +925,86 @@ def q_ccf_click_vs_view(spark, sf_dir):
         )
 
     return cross_correlation(daily("click"), daily("view"), "t", "v", 3)
+
+
+@register(
+    "two_prop_click_vs_view",
+    """
+    WITH arms AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS it,
+               CASE WHEN value > 35.0 THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    s AS (
+        SELECT CAST(SUM(it) AS BIGINT) AS n_treat,
+               CAST(COUNT(*) - SUM(it) AS BIGINT) AS n_control,
+               CAST(SUM(it * y) AS BIGINT) AS x_treat,
+               CAST(SUM((1 - it) * y) AS BIGINT) AS x_control
+        FROM arms
+    )
+    SELECT n_treat, n_control, x_treat, x_control,
+           ROUND(x_treat / CAST(n_treat AS DOUBLE), 6) AS p_treat,
+           ROUND(x_control / CAST(n_control AS DOUBLE), 6) AS p_control,
+           ROUND((x_treat / CAST(n_treat AS DOUBLE)
+                  - x_control / CAST(n_control AS DOUBLE))
+                 / sqrt(((x_treat + x_control)
+                         / CAST(n_treat + n_control AS DOUBLE))
+                        * (1 - (x_treat + x_control)
+                               / CAST(n_treat + n_control AS DOUBLE))
+                        * (1.0 / n_treat + 1.0 / n_control)), 6) AS z
+    FROM s
+    """,
+)
+def q_two_prop_click_vs_view(spark, sf_dir):
+    """Two-proportion z-test of P(value > 35) for click vs view
+    (`operators/trend.py two_proportion_ztest`): the binary-outcome
+    member of the test family — one conditional-count pass, exact
+    integer inputs to the closed form."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        two_proportion_ztest,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return two_proportion_ztest(
+        ev, "event_type", F.col("value") > 35.0, "click", "view"
+    )
+
+
+@register(
+    "srm_event_types",
+    """
+    WITH dim(arm, ratio) AS (
+        VALUES ('click', 0.2), ('error', 0.2), ('purchase', 0.2),
+               ('signup', 0.2), ('view', 0.2)
+    ),
+    obs AS (
+        SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1
+    ),
+    j AS (
+        SELECT dim.arm, dim.ratio, COALESCE(obs.o, 0) AS o
+        FROM dim LEFT JOIN obs USING (arm)
+    ),
+    tot AS (SELECT SUM(o) AS n FROM j)
+    SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_arms,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           ROUND(SUM((o - ratio * n) * (o - ratio * n) / (ratio * n)), 6)
+               AS chi2,
+           ROUND(MAX(abs(o / CAST(n AS DOUBLE) - ratio)), 6) AS max_abs_dev
+    FROM j, tot
+    """,
+)
+def q_srm_event_types(spark, sf_dir):
+    """Sample-ratio-mismatch health gate over the five event types against
+    a declared uniform split (`operators/trend.py srm_check`): the
+    chi-square goodness-of-fit run BEFORE trusting any downstream lift —
+    a failing SRM means assignment/logging is broken."""
+    from ningaloo_turtle_etl_spark.operators.trend import srm_check
+
+    ev = load_table(spark, "events", sf_dir)
+    return srm_check(
+        ev,
+        "event_type",
+        {t: 0.2 for t in ("click", "error", "purchase", "signup", "view")},
+    )

@@ -237,6 +237,9 @@ PRIORITY: list[str] = [
     "spatial_hotspot_clusters",
     "event_trigram_sequences",
     "ccf_click_vs_view",
+    "two_prop_click_vs_view",
+    "srm_event_types",
+    "semantic_cell_silhouette",
 ]
 
 

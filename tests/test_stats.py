@@ -607,3 +607,58 @@ def test_cross_correlation_perfect_lead(spark):
            cross_correlation(a, b, "t", "v", max_lag=2).collect()}
     assert got[1]["ccf"] == 1.0 and got[1]["n_steps"] == 6
     assert all(r["ccf"] < 1.0 for lag, r in got.items() if lag != 1)
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        two_proportion_ztest,
+    )
+
+    rows = [("t", 1)] * 7 + [("t", 0)] * 3 + [("c", 1)] * 3 + [("c", 0)] * 7
+    df = spark.createDataFrame(rows, "arm string, y int")
+    r = two_proportion_ztest(
+        df, "arm", F.col("y") == 1, "t", "c"
+    ).collect()[0]
+    assert r["n_treat"] == 10 and r["x_treat"] == 7
+    assert r["p_treat"] == 0.7 and r["p_control"] == 0.3
+    # pooled p = 0.5 -> z = 0.4 / sqrt(0.25 * 0.2)
+    assert r["z"] == round(0.4 / math.sqrt(0.05), 6)
+
+
+def test_srm_check_known_and_zero_arm(spark):
+    import pytest as _pt
+
+    from ningaloo_turtle_etl_spark.operators.trend import srm_check
+
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 40, "arm string"
+    )
+    r = srm_check(df, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r["chi2"] == 4.0 and r["dof"] == 1 and r["max_abs_dev"] == 0.1
+    # an expected arm with zero observed rows still contributes its mass
+    z = spark.createDataFrame([("a",)] * 2 + [("b",)] * 2, "arm string")
+    r2 = srm_check(z, "arm", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()[0]
+    assert r2["n_arms"] == 3 and r2["chi2"] == 2.0
+    assert r2["max_abs_dev"] == 0.25
+    with _pt.raises(ValueError):
+        srm_check(df, "arm", {"a": 0.5, "b": 0.4})
+
+
+def test_cell_silhouette_two_centroids(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        cell_silhouette,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [0.0, 1.0]),   # cell 0: a=1, b=sqrt(101)
+        (2, [10.0, 1.0]),  # cell 1: same by symmetry
+        (3, [5.0, 0.0]),   # equidistant: ties to cell 0, s = 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["cell"]: r for r in cell_silhouette(df, cents).collect()}
+    s1 = (math.sqrt(101) - 1) / math.sqrt(101)
+    assert got[0]["n_vectors"] == 2 and got[1]["n_vectors"] == 1
+    assert got[1]["mean_silhouette"] == round(s1, 6)
+    assert got[0]["mean_silhouette"] == round((s1 + 0.0) / 2, 6)
+    assert got[0]["mean_intra_dist"] == round((1 + 5) / 2, 6)
