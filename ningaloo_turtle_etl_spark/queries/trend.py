@@ -1008,3 +1008,58 @@ def q_srm_event_types(spark, sf_dir):
         "event_type",
         {t: 0.2 for t in ("click", "error", "purchase", "signup", "view")},
     )
+
+
+@register(
+    "welch_pairs_bh_adjusted",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(value), 6) AS m,
+             ROUND(var_samp(value), 6) AS v
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    grid AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat
+      FROM s a JOIN s b ON a.event_type < b.event_type
+    ),
+    xs AS (
+      SELECT *, abs(t_stat) / sqrt(2.0) AS x,
+             1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS tt
+      FROM grid
+    ),
+    praw AS (
+      SELECT group_a, group_b, t_stat,
+             (tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+              + tt * (-1.453152027 + tt * 1.061405429))))) * exp(-x * x)
+                 AS p_raw
+      FROM xs
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_raw, group_a, group_b) AS p_rank,
+             COUNT(*) OVER () AS m
+      FROM praw
+    )
+    SELECT group_a, group_b, t_stat,
+           ROUND(p_raw, 6) AS p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           ROUND(least(1.0,
+                 MIN(p_raw * m / p_rank)
+                     OVER (ORDER BY p_rank DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS p_adj
+    FROM r
+    """,
+)
+def q_welch_pairs_bh_adjusted(spark, sf_dir):
+    """Welch pair grid -> two-sided normal-approx p (exact-arithmetic A&S
+    erf polynomial) -> Benjamini-Hochberg FDR adjustment
+    (`operators/trend.py welch_pairs_bh`): the complete multiple-testing
+    workflow a metrics platform ships, not just the raw statistics."""
+    from ningaloo_turtle_etl_spark.operators.trend import welch_pairs_bh
+
+    ev = load_table(spark, "events", sf_dir)
+    return welch_pairs_bh(ev, "event_type", "value")

@@ -240,6 +240,7 @@ PRIORITY: list[str] = [
     "two_prop_click_vs_view",
     "srm_event_types",
     "semantic_cell_silhouette",
+    "welch_pairs_bh_adjusted",
 ]
 
 

@@ -662,3 +662,37 @@ def test_cell_silhouette_two_centroids(spark):
     assert got[1]["mean_silhouette"] == round(s1, 6)
     assert got[0]["mean_silhouette"] == round((s1 + 0.0) / 2, 6)
     assert got[0]["mean_intra_dist"] == round((1 + 5) / 2, 6)
+
+
+def test_normal_p_matches_erfc_reference(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import normal_two_sided_p
+
+    zs = [0.0, 0.5, 1.0, 1.96, 2.58, 4.0, -1.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["p"]
+        for r in df.select(
+            "z", normal_two_sided_p(F.col("z")).alias("p")
+        ).collect()
+    }
+    for z in zs:
+        ref = math.erfc(abs(z) / math.sqrt(2))  # exact two-sided p
+        assert abs(got[z] - ref) < 1.5e-6  # A&S 7.1.26 error bound
+
+
+def test_bh_adjust_known_tables(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.005), ("b", 0.04), ("c", 0.06)], "k string, p double"
+    )
+    got = {r["k"]: r for r in bh_adjust(df, "p", ["k"]).collect()}
+    assert got["a"]["p_adj"] == 0.015
+    assert got["b"]["p_adj"] == 0.06 and got["c"]["p_adj"] == 0.06
+    # all-equal stepped values collapse to the same adjusted p
+    eq = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)],
+        "k string, p double",
+    )
+    got2 = {r["k"]: r["p_adj"] for r in bh_adjust(eq, "p", ["k"]).collect()}
+    assert set(got2.values()) == {0.04}
