@@ -567,6 +567,52 @@ def _boilerplate_100k(spark, sf_dir):
     )
 
 
+def _hotspots_1m(spark, sf_dir):
+    """Grid-density hotspot clustering over 1M synthetic points in ~200
+    gaussian-ish blobs: the fact pass is one cell aggregate; everything
+    after (adjacency explode, component rounds) runs on dense CELLS — the
+    number to watch is that wall-clock tracks the cell count, not the
+    point count."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.geo import spatial_hotspots
+
+    pts = spark.range(1_000_000).select(
+        (
+            ((F.col("id") % 200) % 20) * 15.0
+            - 150.0
+            + (F.xxhash64("id") % 1000) / 500.0
+        ).alias("lon"),
+        (
+            ((F.col("id") % 200) / 20).cast("int") * 15.0
+            - 70.0
+            + (F.xxhash64("id", F.lit(1)) % 1000) / 500.0
+        ).alias("lat"),
+    )
+    out = spatial_hotspots(pts, "lat", "lon", cell_deg=1.0, min_pts=100)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_points").alias("n_points"),
+    )
+
+
+def _audience_overlap_600k(spark, sf_dir):
+    """Exact pairwise audience overlap across the 5 event types at sf0.1
+    (600k events, ~thousands of distinct users): the member-keyed pair
+    join fans out per-user-degree², combining straight down to the 10-row
+    grid."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        audience_overlap,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    return audience_overlap(ev, "event_type", "user_id")
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -595,6 +641,8 @@ EXTRAS = {
     "sessionize_600k": _sessionize_600k,
     "bootstrap_100k": _bootstrap_100k,
     "boilerplate_100k": _boilerplate_100k,
+    "hotspots_1m": _hotspots_1m,
+    "audience_overlap_600k": _audience_overlap_600k,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

@@ -1361,3 +1361,84 @@ def welch_pairs_bh(
         "p_rank",
         "p_adj",
     )
+
+
+def ewma_control_chart(
+    series: DataFrame,
+    group_cols: str | Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 14,
+    k: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart per group over an AGGREGATED, integer-indexed
+    series (one row per (group, step) at consecutive steps): the
+    exponentially-weighted moving average over the trailing ``span``
+    steps (weights (1-α)^j, renormalized over the steps actually present
+    so the series head is unbiased), charted against the group center
+    line ± k·σ·sqrt(α/(2-α)) (the steady-state EWMA sigma). The SPC
+    memory-smoothed drift detector between point-wise MAD flags (noisy)
+    and CUSUM (offline, whole-series): an EWMA excursion fires on small
+    sustained shifts a 3σ point rule misses.
+
+    Output: one row per (group, step) — (group, step, value, ewma,
+    center, lcl, ucl, out_of_control), 6dp; the flag compares the
+    ROUNDED ewma against the ROUNDED limits so both engines decide
+    identically.
+
+    Scale shape: the lag fan-out joins the series to itself through a
+    broadcast span-row offsets dim — work is steps x span at the SERIES
+    grain; group stats are one aggregate; nothing touches raw facts."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    spark = series.sparkSession
+    pts = series.select(
+        *groups,
+        F.col(order_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    offs = spark.range(int(span)).select(
+        F.col("id").cast("int").alias("j"),
+        F.pow(F.lit(1.0 - alpha), F.col("id")).alias("w"),
+    )
+    lagged = pts.crossJoin(F.broadcast(offs)).join(
+        pts.select(
+            *[F.col(g).alias(f"_g_{g}") for g in groups],
+            F.col("t").alias("_tj"),
+            F.col("x").alias("_xj"),
+        ),
+        on=[F.col(f"_g_{g}") == F.col(g) for g in groups]
+        + [F.col("_tj") == F.col("t") - F.col("j")],
+    )
+    ew = lagged.groupBy(*groups, "t").agg(
+        F.first("x").alias("value"),
+        F.round(
+            F.sum(F.col("_xj") * F.col("w")) / F.sum("w"), 6
+        ).alias("ewma"),
+    )
+    stats = pts.groupBy(*groups).agg(
+        F.round(F.avg("x"), 6).alias("center"),
+        F.round(F.stddev_pop("x"), 6).alias("_sd"),
+    )
+    sig = math.sqrt(alpha / (2.0 - alpha))
+    out = ew.join(F.broadcast(stats), on=groups).select(
+        *groups,
+        F.col("t").alias("step"),
+        "value",
+        "ewma",
+        "center",
+        F.round(
+            F.col("center") - k * F.col("_sd") * F.lit(sig), 6
+        ).alias("lcl"),
+        F.round(
+            F.col("center") + k * F.col("_sd") * F.lit(sig), 6
+        ).alias("ucl"),
+    )
+    return out.withColumn(
+        "out_of_control",
+        ((F.col("ewma") < F.col("lcl")) | (F.col("ewma") > F.col("ucl"))).cast(
+            "int"
+        ),
+    )

@@ -1063,3 +1063,66 @@ def q_welch_pairs_bh_adjusted(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return welch_pairs_bh(ev, "event_type", "value")
+
+
+def _ewma_oracle_sql() -> str:
+    import math as _m
+
+    sig = repr(_m.sqrt(0.3 / 1.7))  # steady-state EWMA sigma factor
+    return f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    offs AS (SELECT i AS j, pow(0.7, i) AS w FROM unnest(range(14)) AS u(i)),
+    lag AS (
+        SELECT a.event_type, a.t, a.x, b.x AS xj, o.w
+        FROM d a CROSS JOIN offs o
+        JOIN d b ON b.event_type = a.event_type AND b.t = a.t - o.j
+    ),
+    ew AS (
+        SELECT event_type, t, MIN(x) AS value,
+               ROUND(SUM(xj * w) / SUM(w), 6) AS ewma
+        FROM lag GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type, ROUND(AVG(x), 6) AS center,
+               ROUND(stddev_pop(x), 6) AS sd
+        FROM d GROUP BY 1
+    ),
+    lim AS (
+        SELECT ew.event_type, t, value, ewma, center,
+               ROUND(center - 3.0 * sd * {sig}, 6) AS lcl,
+               ROUND(center + 3.0 * sd * {sig}, 6) AS ucl
+        FROM ew JOIN st USING (event_type)
+    )
+    SELECT event_type, t AS step, value, ewma, center, lcl, ucl,
+           CAST(CASE WHEN ewma < lcl OR ewma > ucl THEN 1 ELSE 0 END
+                AS INT) AS out_of_control
+    FROM lim
+    """
+
+
+@register("ewma_daily_volume_chart", _ewma_oracle_sql())
+def q_ewma_daily_volume_chart(spark, sf_dir):
+    """EWMA control chart over daily event volume per type
+    (`operators/trend.py ewma_control_chart`): the SPC drift detector
+    that fires on small sustained shifts a 3-sigma point rule misses —
+    span-14 trailing weights at the series grain, steady-state limits."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        ewma_control_chart,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return ewma_control_chart(
+        daily, "event_type", "t", "x", alpha=0.3, span=14, k=3.0
+    )

@@ -241,6 +241,7 @@ PRIORITY: list[str] = [
     "srm_event_types",
     "semantic_cell_silhouette",
     "welch_pairs_bh_adjusted",
+    "ewma_daily_volume_chart",
 ]
 
 

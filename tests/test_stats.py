@@ -696,3 +696,34 @@ def test_bh_adjust_known_tables(spark):
     )
     got2 = {r["k"]: r["p_adj"] for r in bh_adjust(eq, "p", ["k"]).collect()}
     assert set(got2.values()) == {0.04}
+
+
+def test_ewma_control_chart_reference(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import ewma_control_chart
+
+    # 20 stable alternating steps, then a sustained +9 shift
+    xs = [10.0, 11.0] * 10 + [20.0] * 3
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs)], "g string, t long, x double"
+    )
+    got = {r["step"]: r for r in
+           ewma_control_chart(df, "g", "t", "x", alpha=0.3, span=14,
+                              k=3.0).collect()}
+    assert len(got) == len(xs)
+    # python reference: renormalized trailing weights
+    for t in (0, 4, 15, 22):
+        num = den = 0.0
+        for j in range(min(t + 1, 14)):
+            w = 0.7 ** j
+            num += xs[t - j] * w
+            den += w
+        assert got[t]["ewma"] == round(num / den, 6)
+    assert got[0]["ewma"] == 10.0
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = (sum((x - mu) ** 2 for x in xs) / n) ** 0.5
+    sig = (0.3 / 1.7) ** 0.5
+    assert got[9]["center"] == round(mu, 6)
+    assert got[9]["ucl"] == round(round(mu, 6) + 3 * round(sd, 6) * sig, 6)
+    # the sustained shift drives the EWMA over the upper limit by the end
+    assert got[22]["out_of_control"] == 1 and got[0]["out_of_control"] == 0
