@@ -564,3 +564,52 @@ def contrastive_negatives(
         F.col("s.cand").cast(dict(df.dtypes)[id_col]).alias("neg_id"),
         (F.col("pos") + 1).cast("long").alias("rank"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/validation split: documents are split by
+    DUPLICATE GROUP (normalized-content fingerprint), never individually,
+    so a duplicated document can never sit in train while its copy sits
+    in validation — the eval-contamination failure mode a plain
+    per-row split ships silently. Assignment hashes the group ANCHOR
+    (min id per fingerprint) through the repo's md5 uniform, so the
+    split is deterministic, retry-stable, and replays in SQL.
+
+    Output: (id, anchor_id, group_size, split 'train'|'val').
+
+    Scale shape: the fingerprint pass is map-only (same normalization as
+    exact dedup); the (fingerprint → anchor, size) aggregate and the
+    join-back both key on the fingerprint — the dedup_exact shuffle
+    shape, bodies never move. Extend the fingerprint to a near-dup
+    cluster id (operators/graph.connected_components over MinHash pairs)
+    when paraphrase-level leakage matters; the split logic is
+    unchanged."""
+    if not 0 < val_frac < 1:
+        raise ValueError("val_frac must be in (0, 1)")
+    from ningaloo_turtle_etl_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("id"), "fingerprint"
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("id").alias("anchor_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    u = (
+        F.conv(_sample_hash("anchor_id"), 16, 10).cast("long")
+        / F.lit(float(2**32))
+    )
+    assigned = groups.withColumn(
+        "split",
+        F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+    return fp.join(assigned, on="fingerprint").select(
+        F.col("id").alias(id_col), "anchor_id", "group_size", "split"
+    )

@@ -756,3 +756,73 @@ def oov_rate(
             ).alias("oov_frac"),
         )
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus health scorecard — the one-table rollup a data
+    vendor review actually reads: volume, mean length (chars/tokens),
+    exact-dup rate (1 - distinct fingerprints / docs), and the dominant
+    language with its share (low purity = mislabeled feed or mixed
+    crawl). Each column is the headline of a deeper operator (dedup_exact,
+    lang_id_confusion, text_token_stats); this is the triage view that
+    says WHICH source deserves the deep pass.
+
+    Output: one row per source — (source, n_docs, mean_chars, mean_tokens,
+    dup_rate, top_lang, top_lang_share), 6dp.
+
+    Scale shape: one map-only featurize pass, two map-side-combined
+    aggregates (per-source moments+distinct, per-(source,lang) counts)
+    and a WindowGroupLimit rank over the sources x langs grid. The corpus
+    is touched once."""
+    from pyspark.sql.window import Window
+
+    base = with_fingerprint(
+        df.select(
+            F.col(group_col).alias("src"),
+            F.col(text_col).alias("text"),
+            F.col(lang_col).alias("lg"),
+        ),
+        "text",
+    ).select(
+        "src",
+        "lg",
+        "fingerprint",
+        F.length("text").alias("_nc"),
+        F.size(tokens("text")).alias("_nt"),
+    )
+    stats = base.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_nc"), 6).alias("mean_chars"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+        F.round(
+            1 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+    lang_counts = base.groupBy("src", "lg").agg(
+        F.count(F.lit(1)).alias("_lc")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_lc"), F.asc("lg"))
+    top = (
+        lang_counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("src", F.col("lg").alias("top_lang"), "_lc")
+    )
+    return (
+        stats.join(top, on="src")
+        .select(
+            F.col("src").alias(group_col),
+            "n_docs",
+            "mean_chars",
+            "mean_tokens",
+            "dup_rate",
+            "top_lang",
+            F.round(F.col("_lc") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )

@@ -3744,3 +3744,45 @@ def q_semantic_cell_silhouette(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     cents = np.asarray(_semantic_centroid_fixture()["centroids"], dtype=float)
     return cell_silhouette(emb, cents)
+
+
+@register(
+    "source_quality_scorecard",
+    rf"""
+    WITH base AS (
+        SELECT source AS src, lang AS lg,
+               substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+                      1, 16) AS fingerprint,
+               length(text) AS nc,
+               len({_TOKENS_RAW}) AS nt
+        FROM documents
+    ),
+    stats AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(nc), 6) AS mean_chars,
+               ROUND(AVG(nt), 6) AS mean_tokens,
+               ROUND(1 - COUNT(DISTINCT fingerprint) * 1.0 / COUNT(*), 6)
+                   AS dup_rate
+        FROM base GROUP BY 1
+    ),
+    lc AS (
+        SELECT src, lg, CAST(COUNT(*) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY COUNT(*) DESC, lg) AS rk
+        FROM base GROUP BY src, lg
+    )
+    SELECT stats.src AS source, n_docs, mean_chars, mean_tokens, dup_rate,
+           lc.lg AS top_lang,
+           ROUND(lc.c * 1.0 / n_docs, 6) AS top_lang_share
+    FROM stats JOIN lc ON lc.src = stats.src AND lc.rk = 1
+    """,
+)
+def q_source_quality_scorecard(spark, sf_dir):
+    """Per-source corpus health triage table
+    (`operators/text.py source_scorecard`): volume, mean length, exact-dup
+    rate, dominant language + purity — the rollup that says which feed
+    deserves the deep diagnostic pass."""
+    from ningaloo_turtle_etl_spark.operators.text import source_scorecard
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_scorecard(docs)

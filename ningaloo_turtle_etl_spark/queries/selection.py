@@ -464,3 +464,42 @@ def q_contrastive_negative_pairs(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return contrastive_negatives(docs, "doc_id", "source", k=4, pool_n=64)
+
+
+@register(
+    "leakage_safe_split",
+    r"""
+    WITH fp AS (
+        SELECT doc_id AS id,
+               substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+                      1, 16) AS fingerprint
+        FROM documents
+    ),
+    g AS (
+        SELECT fingerprint, MIN(id) AS anchor_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY 1
+    ),
+    a AS (
+        SELECT *,
+               CASE WHEN ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)),
+                                         1, 8))::BIGINT / 4294967296.0 < 0.1
+                    THEN 'val' ELSE 'train' END AS split
+        FROM g
+    )
+    SELECT fp.id AS doc_id, anchor_id, group_size, split
+    FROM fp JOIN a USING (fingerprint)
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe 90/10 train/val split
+    (`operators/selection.py leakage_safe_split`): duplicate GROUPS (by
+    normalized-content fingerprint) are assigned whole via the md5
+    uniform on the group anchor — a copy can never sit in train while
+    its twin sits in validation."""
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return leakage_safe_split(docs, "doc_id", "text", val_frac=0.1)

@@ -242,6 +242,8 @@ PRIORITY: list[str] = [
     "semantic_cell_silhouette",
     "welch_pairs_bh_adjusted",
     "ewma_daily_volume_chart",
+    "leakage_safe_split",
+    "source_quality_scorecard",
 ]
 
 

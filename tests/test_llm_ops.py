@@ -1506,3 +1506,24 @@ def test_cross_source_duplication_hand_matrix(spark):
     assert out[("A", "A")] == (1, 2)
     assert out[("B", "B")] == (1, 2)  # B holds 2 copies in the shared cluster
     assert ("C", "C") not in out and len(out) == 3
+
+
+def test_source_scorecard_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.text import source_scorecard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en", "a b"),
+            (2, "s1", "en", "a  B"),   # exact dup after normalization
+            (3, "s1", "de", "c d e"),
+            (4, "s2", "fr", "x"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    got = {r["source"]: r for r in source_scorecard(docs).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3
+    assert s1["dup_rate"] == round(1 - 2 / 3, 6)
+    assert s1["top_lang"] == "en" and s1["top_lang_share"] == round(2 / 3, 6)
+    assert s1["mean_tokens"] == round((2 + 2 + 3) / 3, 6)
+    assert got["s2"]["dup_rate"] == 0.0 and got["s2"]["top_lang"] == "fr"

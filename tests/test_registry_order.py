@@ -201,6 +201,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "semantic_cell_silhouette",
         "welch_pairs_bh_adjusted",
         "ewma_daily_volume_chart",
+        "leakage_safe_split",
+        "source_quality_scorecard",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

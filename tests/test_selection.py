@@ -325,3 +325,32 @@ def test_dsir_share_scan_paths_agree_and_release(spark, docs):
     ]
     # scope released the shared persist; unshared never created one
     assert release_tracked_caches() == 0
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from ningaloo_turtle_etl_spark.operators.selection import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same   text here"),
+            (2, "Same text  HERE"),  # normalizes to the same fingerprint
+            (3, "something else"),
+            (4, "third doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, val_frac=0.5).collect()}
+    assert got[1]["anchor_id"] == got[2]["anchor_id"] == 1
+    assert got[1]["group_size"] == 2 and got[3]["group_size"] == 1
+    # the whole dup group lands on ONE side
+    assert got[1]["split"] == got[2]["split"]
+    # deterministic across invocations
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, val_frac=0.5).collect()}
+    assert again == {k: v["split"] for k, v in got.items()}
+    # extreme fractions pin every group to one side
+    all_train = leakage_safe_split(docs, val_frac=1e-9).collect()
+    assert {r["split"] for r in all_train} == {"train"}
