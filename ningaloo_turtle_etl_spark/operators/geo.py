@@ -211,9 +211,11 @@ def spatial_hotspots(
     cell id (never a spatial cross join), and the component loop is
     O(log diameter) rounds on cells, not points. NOTE the fixed-degree
     grid is a density grid, not a distance cover — near the poles a
-    degree cell is thin, so hotspots split sooner; use the
-    cos-compensated `grid_cell` before ray-cast joins where distance
-    semantics matter."""
+    degree cell is thin, so hotspots split sooner, and the ±180°
+    antimeridian is a hard seam (a blob straddling it reports as two
+    clusters; shift longitudes first if your survey area crosses it);
+    use the cos-compensated `grid_cell` before ray-cast joins where
+    distance semantics matter."""
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
     lat, lon = F.col(lat_col), F.col(lon_col)

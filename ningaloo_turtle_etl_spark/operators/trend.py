@@ -1309,23 +1309,26 @@ def bh_adjust(
     """Benjamini-Hochberg FDR adjustment over a (small) table of raw
     p-values: rank ascending (``tiebreak`` columns make the order total),
     p_adj(i) = min(1, min_{j >= i} p(j)·m/j) via one reverse running-min
-    window. The step every pairwise-test grid needs before anyone reads
-    its smallest p — at m tests, ~m·α of them are false alarms
-    uncorrected.
+    window (m comes from a whole-frame window count — no driver count()
+    job, the input plan executes once). The step every pairwise-test grid
+    needs before anyone reads its smallest p — at m tests, ~m·α of them
+    are false alarms uncorrected.
 
     Adds (p_rank, p_adj 6dp). Runs at the tests grain (the pair grid),
     never raw data."""
     order = [F.asc(p_col)] + [F.asc(c) for c in tiebreak]
     w_rank = Window.orderBy(*order)
-    ranked = df.withColumn("p_rank", F.row_number().over(w_rank))
-    m = ranked.count()
+    w_all = Window.partitionBy()  # whole (tiny) test grid
+    ranked = df.withColumn("p_rank", F.row_number().over(w_rank)).withColumn(
+        "_m", F.count(F.lit(1)).over(w_all)
+    )
     w_rev = Window.orderBy(F.desc("p_rank")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    stepped = F.col(p_col) * F.lit(float(m)) / F.col("p_rank")
+    stepped = F.col(p_col) * F.col("_m").cast("double") / F.col("p_rank")
     return ranked.withColumn(
         "p_adj", F.round(F.least(F.lit(1.0), F.min(stepped).over(w_rev)), 6)
-    )
+    ).drop("_m")
 
 
 def welch_pairs_bh(
