@@ -1161,3 +1161,51 @@ def boilerplate_segment_removal(
         F.length("_clean").cast("long").alias("cleaned_len"),
         F.md5("_clean").alias("cleaned_md5"),
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    group_col: str,
+    loss_col,
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429 — the multiplicative-weights step, with a static
+    excess-loss proxy standing in for the reference-model round trips):
+    domains whose mean loss exceeds the cross-domain baseline get
+    up-weighted ``exp(eta * excess)`` from a uniform prior, normalized to
+    a distribution. The produce-the-next-epoch-mixture step that closes
+    the loop temperature_mix_sample opens — feed these weights back as
+    its rates.
+
+    Output: one row per domain — (group, n_docs, mean_loss, excess_loss,
+    weight), 6dp; weights sum to 1. Mean losses are rounded to 6dp
+    BEFORE the exponential so both engines exponentiate identical
+    doubles.
+
+    Scale shape: one aggregate to the domains grid; the baseline is a
+    1-row broadcast; normalization is a whole-grid window over ~tens of
+    rows. The corpus is touched once."""
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(loss_col), 6).alias("mean_loss"),
+    )
+    base = g.agg(
+        F.round(F.avg("mean_loss"), 6).alias("_bl"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    r = g.crossJoin(F.broadcast(base)).withColumn(
+        "_wr",
+        F.exp(F.lit(float(eta)) * (F.col("mean_loss") - F.col("_bl")))
+        / F.col("_k"),
+    )
+    w_all = Window.partitionBy()
+    return r.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "mean_loss",
+        F.round(F.col("mean_loss") - F.col("_bl"), 6).alias("excess_loss"),
+        F.round(F.col("_wr") / F.sum("_wr").over(w_all), 6).alias("weight"),
+    )

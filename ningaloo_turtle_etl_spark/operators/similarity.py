@@ -627,3 +627,93 @@ def cell_silhouette(
         F.round(F.avg("_s"), 6).alias("mean_silhouette"),
         F.round(F.avg(F.sqrt(F.col("_a2"))), 6).alias("mean_intra_dist"),
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift per group between two deterministic halves
+    of the corpus (md5 parity of the id — retry-stable, oracle-replayable
+    stand-in for 'previous vs current snapshot'; pass pre-split frames
+    through ``group_col`` when real snapshots exist): the cosine between
+    the two halves' MEAN vectors, plus the mean-vector L2 shift. Text
+    drift monitors (`corpus_drift_metrics`) see vocabulary change; this
+    sees semantic change the vocabulary hides — an embedding model
+    upgrade, a topic shift, a scraper feeding different content under
+    the same words.
+
+    Output: one row per group — (group, n_a, n_b, centroid_cosine,
+    centroid_shift), 6dp. Cosine near 1 = stable; the alert threshold is
+    a product decision.
+
+    Scale shape: the vector explodes to (group, half, dim-index, value)
+    rows map-only; the per-dimension sum combines map-side, so the
+    shuffle carries 2·groups·dim partial-sum rows regardless of corpus
+    size; reassembly collects the DIM-sized (bounded, ~64-1536) sum list
+    per (group, half); the cosine math runs on the groups grid. The
+    corpus is touched once."""
+    v = _as_double(F.col(vec_col))
+    half = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    ).alias("half")
+    ex = df.select(
+        F.col(group_col).alias("grp"), half, F.posexplode(v).alias("idx", "x")
+    )
+    dim_sums = ex.groupBy("grp", "half", "idx").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    sums = dim_sums.groupBy("grp", "half").agg(
+        F.max("c").alias("n"),
+        F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("_sl"),
+    )
+    mean = sums.select(
+        "grp",
+        "half",
+        "n",
+        F.transform("_sl", lambda t: t["s"] / F.col("n")).alias("m"),
+    )
+    a = mean.filter(F.col("half") == 0).select(
+        "grp", F.col("n").alias("n_a"), F.col("m").alias("ma")
+    )
+    b = mean.filter(F.col("half") == 1).select(
+        "grp", F.col("n").alias("n_b"), F.col("m").alias("mb")
+    )
+    j = a.join(b, on="grp")
+    dot = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("ma", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("mb", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with("ma", "mb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(dot / (na * nb), 6).alias("centroid_cosine"),
+        F.round(shift, 6).alias("centroid_shift"),
+    )

@@ -3786,3 +3786,82 @@ def q_source_quality_scorecard(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return source_scorecard(docs)
+
+
+@register(
+    "embedding_drift_by_label",
+    """
+    WITH ex AS (
+        SELECT label AS grp,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 AS half,
+               r.i AS idx, CAST(embedding AS DOUBLE[])[r.i + 1] AS x
+        FROM embeddings, unnest(range(len(embedding))) AS r(i)
+    ),
+    ds AS (
+        SELECT grp, half, idx, SUM(x) AS s, COUNT(*) AS c
+        FROM ex GROUP BY 1, 2, 3
+    ),
+    j AS (
+        SELECT a.grp, a.c AS n_a, b.c AS n_b,
+               a.s / a.c AS xa, b.s / b.c AS xb
+        FROM ds a JOIN ds b ON a.grp = b.grp AND a.idx = b.idx
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT grp AS label,
+           CAST(MIN(n_a) AS BIGINT) AS n_a,
+           CAST(MIN(n_b) AS BIGINT) AS n_b,
+           ROUND(SUM(xa * xb) / (sqrt(SUM(xa * xa)) * sqrt(SUM(xb * xb))),
+                 6) AS centroid_cosine,
+           ROUND(sqrt(SUM((xa - xb) * (xa - xb))), 6) AS centroid_shift
+    FROM j GROUP BY 1
+    """,
+)
+def q_embedding_drift_by_label(spark, sf_dir):
+    """Embedding-space drift per label between md5-parity halves of the
+    corpus (`operators/similarity.py embedding_drift`): cosine + L2 shift
+    between half-centroids — the semantic drift the vocabulary-level
+    monitors can't see. Shuffle carries 2·groups·dim partial sums."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_drift(emb, "label")
+
+
+@register(
+    "domain_reweight_mix",
+    """
+    WITH l AS (
+        SELECT source, 1.0 / ln(2.0 + length(text)) AS loss FROM documents
+    ),
+    g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(loss), 6) AS mean_loss
+        FROM l GROUP BY 1
+    ),
+    base AS (
+        SELECT ROUND(AVG(mean_loss), 6) AS bl, COUNT(*) AS k FROM g
+    ),
+    r AS (
+        SELECT g.*, bl, exp(1.0 * (mean_loss - bl)) / k AS wr
+        FROM g, base
+    )
+    SELECT source, n_docs, mean_loss,
+           ROUND(mean_loss - bl, 6) AS excess_loss,
+           ROUND(wr / SUM(wr) OVER (), 6) AS weight
+    FROM r
+    """,
+)
+def q_domain_reweight_mix(spark, sf_dir):
+    """DoReMi-flavored next-epoch domain weights
+    (`operators/curation.py domain_reweight`): sources with above-baseline
+    loss (here the deterministic short-doc proxy 1/ln(2+chars)) get
+    exp(eta·excess) up-weighting from a uniform prior — the loop-closer
+    feeding temperature_mix_sample's rates."""
+    from ningaloo_turtle_etl_spark.operators.curation import domain_reweight
+
+    docs = load_table(spark, "documents", sf_dir)
+    loss = 1.0 / F.log(F.lit(2.0) + F.length("text"))
+    return domain_reweight(docs, "source", loss, eta=1.0)

@@ -244,6 +244,8 @@ PRIORITY: list[str] = [
     "ewma_daily_volume_chart",
     "leakage_safe_split",
     "source_quality_scorecard",
+    "embedding_drift_by_label",
+    "domain_reweight_mix",
 ]
 
 

@@ -1527,3 +1527,53 @@ def test_source_scorecard_hand_computed(spark):
     assert s1["top_lang"] == "en" and s1["top_lang_share"] == round(2 / 3, 6)
     assert s1["mean_tokens"] == round((2 + 2 + 3) / 3, 6)
     assert got["s2"]["dup_rate"] == 0.0 and got["s2"]["top_lang"] == "fr"
+
+
+def test_embedding_drift_identical_halves(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    # ids hashing to both halves, all vectors identical -> cosine 1, shift 0
+    rows = [(i, "g", [1.0, 2.0, 2.0]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    r = embedding_drift(df, "label").collect()[0]
+    assert r["n_a"] + r["n_b"] == 20 and r["n_a"] > 0 and r["n_b"] > 0
+    assert r["centroid_cosine"] == 1.0 and r["centroid_shift"] == 0.0
+    # orthogonal halves: force via distinct vectors per parity
+    import hashlib as _h
+
+    def half(i):
+        return int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+
+    rows2 = [
+        (i, "g", [1.0, 0.0] if half(i) == 0 else [0.0, 1.0])
+        for i in range(40)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, label string, embedding array<double>"
+    )
+    r2 = embedding_drift(df2, "label").collect()[0]
+    assert r2["centroid_cosine"] == 0.0
+    assert r2["centroid_shift"] == round(2 ** 0.5, 6)
+
+
+def test_domain_reweight_directions(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.curation import domain_reweight
+
+    rows = [("hard", 2.0)] * 5 + [("easy", 1.0)] * 5 + [("mid", 1.5)] * 5
+    df = spark.createDataFrame(rows, "src string, loss double")
+    got = {r["src"]: r for r in
+           domain_reweight(df, "src", F.col("loss"), eta=1.0).collect()}
+    # weights form a distribution and order by excess loss
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 2e-6
+    assert got["hard"]["weight"] > got["mid"]["weight"] > got["easy"]["weight"]
+    assert got["mid"]["excess_loss"] == 0.0
+    # eta = 0 collapses to the uniform prior
+    flat = {r["src"]: r["weight"] for r in
+            domain_reweight(df, "src", F.col("loss"), eta=0.0).collect()}
+    assert set(flat.values()) == {round(1 / 3, 6)}

@@ -203,6 +203,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ewma_daily_volume_chart",
         "leakage_safe_split",
         "source_quality_scorecard",
+        "embedding_drift_by_label",
+        "domain_reweight_mix",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
