@@ -621,3 +621,94 @@ def rolling_distinct_hll(
             ).alias("stickiness"),
         )
     )
+
+
+def rolling_binned_quantile(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    probabilities: Sequence[float],
+    window_days: int = 7,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Rolling-window quantiles the mergeable-sketch way: per-day
+    fixed-grid histograms (EXPLICIT [lo, hi] so every day shares the
+    grid), merged bin-wise over the trailing ``window_days`` window, then
+    the same cumulate-and-interpolate read `portable_binned_quantiles`
+    uses. The rolling-p95 latency/size monitor: exact rolling quantiles
+    re-sort the raw (window x day-volume) union every day; this merges
+    days x n_bins counters instead — the same
+    state-moves-not-data argument as `rolling_distinct_hll`, applied to
+    quantiles. Rank error <= one bin width of [lo, hi].
+
+    Output: one row per (day, p) — (day, n_rows, p, q_est 4dp) with
+    n_rows the merged window row count.
+
+    Scale shape: one map-side-combined (day, bin) aggregate over raw
+    rows (the only fact pass); the window merge is a days x window x
+    bins join-aggregate; interpolation runs on the days x bins grid."""
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    bad = [p for p in probabilities if not (0.0 < p <= 1.0)]
+    if bad:
+        raise ValueError(f"probabilities must be in (0, 1]: {bad}")
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    day = F.to_date(ts_col)
+    raw_bin = F.floor(
+        (F.col(col).cast("double") - F.lit(float(lo)))
+        * F.lit(float(n_bins))
+        / F.lit(float(hi - lo))
+    )
+    bin_expr = F.greatest(
+        F.lit(0), F.least(F.lit(int(n_bins) - 1), raw_bin)
+    ).cast("long")
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .select(day.alias("src"), bin_expr.alias("bin"))
+        .groupBy("src", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = hist.select("src").distinct()
+    a, b = days.alias("a"), days.select(F.col("src").alias("d")).alias("b")
+    pairs = b.join(
+        a,
+        on=[
+            F.col("a.src") <= F.col("b.d"),
+            F.datediff(F.col("b.d"), F.col("a.src"))
+            < F.lit(int(window_days)),
+        ],
+    ).select("d", "src")
+    merged = (
+        pairs.join(hist, on="src")
+        .groupBy("d", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    part = Window.partitionBy("d")
+    cum = merged.select(
+        "d",
+        "bin",
+        "n",
+        F.sum("n").over(part.orderBy("bin")).alias("cum"),
+        F.sum("n").over(part).alias("tot"),
+    )
+    probs = spark.createDataFrame(
+        [(float(p),) for p in probabilities], "p double"
+    )
+    target = F.col("p") * F.col("tot")
+    sel = cum.crossJoin(F.broadcast(probs)).filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target)
+    )
+    width = F.lit(float(hi - lo)) / F.lit(float(n_bins))
+    est = F.lit(float(lo)) + width * (
+        F.col("bin") + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return sel.select(
+        F.col("d").alias("day"),
+        F.col("tot").alias("n_rows"),
+        "p",
+        F.round(est, 4).alias("q_est"),
+    )

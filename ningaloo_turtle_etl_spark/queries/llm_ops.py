@@ -3865,3 +3865,63 @@ def q_domain_reweight_mix(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     loss = 1.0 / F.log(F.lit(2.0) + F.length("text"))
     return domain_reweight(docs, "source", loss, eta=1.0)
+
+
+@register(
+    "rolling_value_p95",
+    """
+    WITH hist AS (
+        SELECT CAST(ts AS DATE) AS src,
+               CAST(greatest(0, least(999,
+                    floor((value - 0.0) * 1000.0 / 500.0))) AS BIGINT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT src FROM hist),
+    pairs AS (
+        SELECT b.src AS d, a.src
+        FROM days a JOIN days b
+          ON a.src <= b.src AND date_diff('day', a.src, b.src) < 7
+    ),
+    merged AS (
+        SELECT p.d, h.bin, SUM(h.n) AS n
+        FROM pairs p JOIN hist h USING (src)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT d, bin, n,
+               SUM(n) OVER (PARTITION BY d ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(n) OVER (PARTITION BY d) AS tot
+        FROM merged
+    ),
+    probs(p) AS (VALUES (0.5), (0.95)),
+    sel AS (
+        SELECT d, bin, n, cum, tot, p
+        FROM cum CROSS JOIN probs
+        WHERE cum >= p * tot AND (cum - n) < p * tot
+    )
+    SELECT d AS day, CAST(tot AS BIGINT) AS n_rows, p,
+           ROUND(0.0 + (500.0 / 1000.0)
+                 * (bin + (p * tot - (cum - n)) / n), 4) AS q_est
+    FROM sel
+    """,
+)
+def q_rolling_value_p95(spark, sf_dir):
+    """Rolling 7-day p50/p95 of event value via mergeable fixed-grid
+    histograms (`operators/sketches.py rolling_binned_quantile`):
+    days x 1000 counters merge instead of re-sorting the raw window —
+    `rolling_distinct_hll`'s state-moves-not-data argument applied to
+    quantiles."""
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        rolling_binned_quantile,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return rolling_binned_quantile(
+        ev, "value", "ts", (0.5, 0.95), window_days=7,
+        n_bins=1000, lo=0.0, hi=500.0,
+    )

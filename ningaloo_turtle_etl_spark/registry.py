@@ -246,6 +246,7 @@ PRIORITY: list[str] = [
     "source_quality_scorecard",
     "embedding_drift_by_label",
     "domain_reweight_mix",
+    "rolling_value_p95",
 ]
 
 

@@ -499,3 +499,39 @@ def test_rolling_distinct_hll_window_and_accuracy(spark):
     # sketch accuracy: 256 registers -> stderr ~6.5%; allow 4 sigma
     for r in out.values():
         assert abs(r["wau_hll"] - r["wau_exact"]) / r["wau_exact"] < 0.26
+
+
+def test_rolling_binned_quantile_vs_exact(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.sketches import (
+        rolling_binned_quantile,
+    )
+
+    # 3 days x 300 values from a shifting uniform; window 2 days
+    rng = np.random.default_rng(7)
+    rows = []
+    vals = {}
+    for d, base in enumerate((10.0, 30.0, 50.0)):
+        vs = (rng.random(300) * 40 + base).tolist()
+        vals[d] = vs
+        rows += [(f"2024-02-0{d+1} 12:00:00", float(v)) for v in vs]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = rolling_binned_quantile(
+        df, "value", "ts", (0.5, 0.95), window_days=2,
+        n_bins=1000, lo=0.0, hi=100.0,
+    ).collect()
+    got = {(str(r["day"]), r["p"]): r for r in out}
+    assert len(got) == 6
+    # day 3 window = days 2+3 pooled; bin width 0.1 bounds the rank error
+    pooled = sorted(vals[1] + vals[2])
+    for p in (0.5, 0.95):
+        est = got[("2024-02-03", p)]["q_est"]
+        exact = float(np.quantile(pooled, p))
+        assert abs(est - exact) < 0.2, (p, est, exact)
+    assert got[("2024-02-03", 0.5)]["n_rows"] == 600
+    # day 1 window is itself only
+    assert got[("2024-02-01", 0.5)]["n_rows"] == 300
