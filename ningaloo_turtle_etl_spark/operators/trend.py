@@ -1445,3 +1445,44 @@ def ewma_control_chart(
             "int"
         ),
     )
+
+
+def wilson_rate_ci(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    success_col,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group binary rate with the Wilson score interval — the CI that
+    stays inside [0, 1] and behaves at small n and extreme rates, where
+    the naive normal interval collapses (rate 0/5 → naive CI [0, 0];
+    Wilson correctly says [0, 0.43]). The per-segment companion to
+    two_proportion_ztest's pairwise comparison: every dashboard rate
+    should ship with these bounds.
+
+    Output: (group, n, x, rate, ci_lo, ci_hi), 6dp. ``z`` defaults to
+    the 95% literal embedded identically in the oracle.
+
+    Scale shape: one conditional-count aggregate to the groups grid;
+    the interval is closed-form arithmetic on exact integer counts."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    s = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success_col.cast("long")).alias("x"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x") / n
+    z2 = float(z) * float(z)
+    center = p + F.lit(z2) / (2 * n)
+    margin = F.lit(float(z)) * F.sqrt(
+        p * (1 - p) / n + F.lit(z2) / (4 * n * n)
+    )
+    denom = 1 + F.lit(z2) / n
+    return s.select(
+        *groups,
+        "n",
+        "x",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )

@@ -1126,3 +1126,39 @@ def q_ewma_daily_volume_chart(spark, sf_dir):
     return ewma_control_chart(
         daily, "event_type", "t", "x", alpha=0.3, span=14, k=3.0
     )
+
+
+@register(
+    "wilson_rate_by_type",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 35.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n, x,
+           ROUND(x / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND(((x / CAST(n AS DOUBLE) + 3.841458881296 / (2 * n))
+                  - 1.959964 * sqrt((x / CAST(n AS DOUBLE))
+                                    * (1 - x / CAST(n AS DOUBLE)) / n
+                                    + 3.841458881296 / (4 * n * n)))
+                 / (1 + 3.841458881296 / n), 6) AS ci_lo,
+           ROUND(((x / CAST(n AS DOUBLE) + 3.841458881296 / (2 * n))
+                  + 1.959964 * sqrt((x / CAST(n AS DOUBLE))
+                                    * (1 - x / CAST(n AS DOUBLE)) / n
+                                    + 3.841458881296 / (4 * n * n)))
+                 / (1 + 3.841458881296 / n), 6) AS ci_hi
+    FROM s
+    """,
+)
+def q_wilson_rate_by_type(spark, sf_dir):
+    """P(value > 35) per event type with Wilson score bounds
+    (`operators/trend.py wilson_rate_ci`): the small-n-safe CI every
+    dashboard rate should carry — closed-form arithmetic on one
+    conditional-count aggregate."""
+    from ningaloo_turtle_etl_spark.operators.trend import wilson_rate_ci
+
+    ev = load_table(spark, "events", sf_dir)
+    return wilson_rate_ci(ev, "event_type", F.col("value") > 35.0)

@@ -247,6 +247,7 @@ PRIORITY: list[str] = [
     "embedding_drift_by_label",
     "domain_reweight_mix",
     "rolling_value_p95",
+    "wilson_rate_by_type",
 ]
 
 

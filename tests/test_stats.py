@@ -727,3 +727,24 @@ def test_ewma_control_chart_reference(spark):
     assert got[9]["ucl"] == round(round(mu, 6) + 3 * round(sd, 6) * sig, 6)
     # the sustained shift drives the EWMA over the upper limit by the end
     assert got[22]["out_of_control"] == 1 and got[0]["out_of_control"] == 0
+
+
+def test_wilson_rate_ci_reference(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import wilson_rate_ci
+
+    rows = [("g", 1)] * 3 + [("g", 0)] * 7 + [("z", 0)] * 5
+    df = spark.createDataFrame(rows, "grp string, y int")
+    got = {r["grp"]: r for r in
+           wilson_rate_ci(df, "grp", F.col("y") == 1).collect()}
+    z = 1.959964
+    n, p = 10, 0.3
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert got["g"]["rate"] == 0.3
+    assert got["g"]["ci_lo"] == round((center - margin) / denom, 6)
+    assert got["g"]["ci_hi"] == round((center + margin) / denom, 6)
+    # rate 0/5: naive CI collapses to [0,0]; Wilson stays informative
+    zr = got["z"]
+    assert zr["rate"] == 0.0 and zr["ci_lo"] == 0.0
+    assert 0.4 < zr["ci_hi"] < 0.5
