@@ -1162,3 +1162,45 @@ def q_wilson_rate_by_type(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return wilson_rate_ci(ev, "event_type", F.col("value") > 35.0)
+
+
+@register(
+    "qte_click_vs_view",
+    """
+    WITH probs AS (
+        SELECT i, p FROM (VALUES (0, 0.1), (1, 0.25), (2, 0.5),
+                                 (3, 0.75), (4, 0.9)) v(i, p)
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_treat,
+               quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_control,
+               quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM events WHERE event_type = 'view'
+    ),
+    x AS (
+        SELECT probs.p, t.n_treat, c.n_control,
+               ROUND(t.qs[probs.i + 1], 6) AS q_treat,
+               ROUND(c.qs[probs.i + 1], 6) AS q_control
+        FROM probs, t, c
+    )
+    SELECT p, n_treat, n_control, q_treat, q_control,
+           ROUND(q_treat - q_control, 6) AS qte
+    FROM x
+    """,
+)
+def q_qte_click_vs_view(spark, sf_dir):
+    """Quantile treatment effects of click vs view value
+    (`operators/trend.py quantile_treatment_effect`): where in the
+    distribution the difference lives — the tail story a mean lift
+    hides."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        quantile_treatment_effect,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return quantile_treatment_effect(ev, "value", "event_type",
+                                     "click", "view")

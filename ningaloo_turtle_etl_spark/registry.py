@@ -248,6 +248,7 @@ PRIORITY: list[str] = [
     "domain_reweight_mix",
     "rolling_value_p95",
     "wilson_rate_by_type",
+    "qte_click_vs_view",
 ]
 
 

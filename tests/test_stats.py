@@ -748,3 +748,21 @@ def test_wilson_rate_ci_reference(spark):
     zr = got["z"]
     assert zr["rate"] == 0.0 and zr["ci_lo"] == 0.0
     assert 0.4 < zr["ci_hi"] < 0.5
+
+
+def test_qte_known_distributions(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        quantile_treatment_effect,
+    )
+
+    # treat = control + 10 shift -> every QTE is exactly 10
+    rows = [("t", float(i) + 10) for i in range(101)] + [
+        ("c", float(i)) for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    out = quantile_treatment_effect(df, "v", "arm", "t", "c").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["qte"] == 10.0 and r["n_treat"] == 101
+    med = {r["p"]: r for r in out}[0.5]
+    assert med["q_control"] == 50.0 and med["q_treat"] == 60.0
