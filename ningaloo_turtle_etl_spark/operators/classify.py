@@ -362,3 +362,110 @@ def classifier_calibration(
         "frac_pos",
         F.round(F.col("_werr") / F.col("_tn"), 6).alias("ece"),
     )
+
+
+def classifier_auc(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the Mann-Whitney rank-sum identity,
+    computed over the score-GROUPED table instead of a global sort of the
+    scored frame: with per-distinct-score positive/negative counts
+    (pos_s, neg_s) in ascending score order,
+
+        AUC = Σ_s pos_s · (neg_below_s + neg_s / 2) / (P · N)
+
+    — i.e. P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the standard
+    tie-corrected AUC. Output: one row (auc 6dp, n_pos, n_neg).
+
+    Scale shape: one map-side-combined ``groupBy(score)`` collapses the
+    input to ≤ |distinct scores| rows (≤ 10^d + 1 for d-decimal-rounded
+    probabilities — round the score upstream), the cumulative window and
+    the P/N fold then run over that bin-sized table, and the totals come
+    back as a 1-row broadcast. The scored frame itself is never globally
+    sorted — this is the AUC that survives a 100 TB eval set, unlike the
+    textbook rank(p) window."""
+    from pyspark.sql.window import Window
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    g = (
+        scored.select(p.alias("p"), y.alias("y"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    # Single-partition window, but over the ≤ bin-count grouped table.
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    num = (
+        g.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .agg(
+            F.sum(
+                F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+            ).alias("_num")
+        )
+    )
+    tot = g.agg(F.sum("pos").alias("_p"), F.sum("neg").alias("_n"))
+    return num.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("_num") / (F.col("_p") * F.col("_n")), 6).alias("auc"),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+    )
+
+
+def score_decile_lift(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-mass decile lift table, score descending (ties broken by
+    ``id_col`` for a deterministic total order): per decile the count,
+    mean score, positive rate, cumulative capture (share of ALL positives
+    found in deciles 1..k) and cumulative lift vs the base rate — the
+    'how much better than random is skimming the top k/10' table that
+    justifies a quality-classifier keep-threshold.
+
+    Scale note: ``ntile`` needs a global total order (single-partition
+    window) — fine for the bounded eval frames this targets. At
+    full-corpus scale compute approximate decile BOUNDARIES with
+    ``approx_percentile`` and assign by comparison instead (the
+    winsorize exact/sketch precedent, operators/relational.py); the
+    equal-mass property then holds to sketch accuracy."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    t = scored.select(
+        F.col(prob_col).cast("double").alias("p"),
+        F.col(label_col).cast("int").alias("y"),
+        F.col(id_col).alias("_id"),
+    ).withColumn(
+        "decile",
+        F.ntile(n_buckets).over(Window.orderBy(F.desc("p"), F.col("_id"))),
+    )
+    per = t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_score"),
+        F.sum("y").alias("_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("n").alias("_tn"), F.sum("_pos").alias("_tp"))
+    return (
+        per.withColumn("_cpos", F.sum("_pos").over(w))
+        .withColumn("_cn", F.sum("n").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "mean_score",
+            F.round(F.col("_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(F.col("_cpos") / F.col("_tp"), 6).alias("cum_capture"),
+            F.round(
+                (F.col("_cpos") / F.col("_cn")) / (F.col("_tp") / F.col("_tn")),
+                6,
+            ).alias("cum_lift"),
+        )
+    )

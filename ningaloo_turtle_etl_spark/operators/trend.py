@@ -1548,3 +1548,90 @@ def quantile_treatment_effect(
             F.round(F.col("q_treat") - F.col("q_control"), 6).alias("qte"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    ref_filter: Column,
+    n_bins: int = 10,
+    min_frac: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference slice (rows matching
+    ``ref_filter``) and the rest — the scorecard-monitoring drift metric:
+    bin the value into ``n_bins`` equal-width bins over the REFERENCE
+    min/max (frozen-bin convention; out-of-range current values clamp into
+    the edge bins), then
+
+        PSI = Σ_b (cur_frac_b − ref_frac_b) · ln(cur_frac_b / ref_frac_b)
+
+    with both fractions rounded to 6dp and floored at ``min_frac`` BEFORE
+    the log so both engines fold identical numbers (the calibration-curve
+    precedent) and empty bins contribute finitely. Rule of thumb:
+    < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action. Complements the
+    distribution tests (ks_test_pairs: sensitivity; psi: a bounded,
+    binned, monitoring-friendly magnitude).
+
+    Output: one row per bin — (bin, ref_frac, cur_frac, psi) with the
+    scalar repeated, ordered by bin.
+
+    Scale shape: one agg for the reference bounds (1-row broadcast join
+    back — no second scan barrier beyond it), one map-side-combined
+    groupBy to ≤ n_bins rows, then windows/folds only over the bin table.
+    The frozen-reference form for production: persist (lo, hi, ref_frac)
+    once and the monitor becomes a pure map + tiny agg per batch
+    (streaming/drift.py is the streaming twin)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    v = F.col(value_col).cast("double")
+    t = df.select(
+        v.alias("v"),
+        F.when(ref_filter, F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
+    )
+    bounds = t.filter(F.col("is_ref") == 1).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = t.crossJoin(F.broadcast(bounds)).select(
+        "is_ref",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        * n_bins
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(int(n_bins) - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("_rn"),
+        F.sum(1 - F.col("is_ref")).alias("_cn"),
+    )
+    tot = per.agg(F.sum("_rn").alias("_rt"), F.sum("_cn").alias("_ct"))
+    fr = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.greatest(
+            F.round(F.col("_rn") / F.col("_rt"), 6), F.lit(float(min_frac))
+        ).alias("ref_frac"),
+        F.greatest(
+            F.round(F.col("_cn") / F.col("_ct"), 6), F.lit(float(min_frac))
+        ).alias("cur_frac"),
+    )
+    psi = fr.agg(
+        F.round(
+            F.sum(
+                (F.col("cur_frac") - F.col("ref_frac"))
+                * F.log(F.col("cur_frac") / F.col("ref_frac"))
+            ),
+            6,
+        ).alias("psi")
+    )
+    return fr.crossJoin(F.broadcast(psi)).select(
+        "bin", "ref_frac", "cur_frac", "psi"
+    )

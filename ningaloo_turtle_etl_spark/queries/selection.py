@@ -503,3 +503,116 @@ def q_leakage_safe_split(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return leakage_safe_split(docs, "doc_id", "text", val_frac=0.1)
+
+
+def _auc_oracle_sql() -> str:
+    """AUC oracle over the frozen text model: the serving SQL nested as a
+    CTE, then the same grouped Mann-Whitney fold the Spark operator runs —
+    group by distinct (3dp-rounded) score, cumulative negatives below,
+    Σ pos·(neg_below + neg/2) / (P·N)."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT p_english AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    g AS (SELECT p, COUNT(*) AS n, SUM(y) AS pos FROM lab GROUP BY p),
+    c AS (
+        SELECT p, pos, n - pos AS neg,
+               COALESCE(SUM(n - pos) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below
+        FROM g
+    ),
+    tot AS (SELECT SUM(pos) AS tp, SUM(n - pos) AS tn FROM g),
+    num AS (SELECT SUM(pos * (neg_below + neg / 2.0)) AS nm FROM c)
+    SELECT ROUND(nm / (tp * tn), 6) AS auc,
+           CAST(tp AS BIGINT) AS n_pos,
+           CAST(tn AS BIGINT) AS n_neg
+    FROM num, tot
+    """
+
+
+@register("classifier_auc", _auc_oracle_sql())
+def q_classifier_auc(spark, sf_dir):
+    """Tie-corrected ROC AUC of the frozen hashed-BoW English classifier
+    against the real lang labels (`operators/classify.py classifier_auc`):
+    the ranking-power summary that pairs with the calibration curve's
+    threshold-trust summary. Computed via the grouped Mann-Whitney fold —
+    no global sort of the scored frame — so the same query shape runs on a
+    100 TB eval set."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_auc,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_auc(scored, "p", "y")
+
+
+def _decile_lift_oracle_sql() -> str:
+    """Decile-lift oracle: serving SQL as a CTE, ntile(10) over
+    (score DESC, doc_id) — the identical deterministic total order both
+    engines define for NTILE — then per-decile rates and cumulative lift
+    from the same rounded folds."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT doc_id, p_english AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    t AS (
+        SELECT p, y, ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile
+        FROM lab
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n, ROUND(AVG(p), 6) AS mean_score,
+               SUM(y) AS pos
+        FROM t GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, mean_score, pos,
+               SUM(pos) OVER (ORDER BY decile) AS cpos,
+               SUM(n) OVER (ORDER BY decile) AS cn
+        FROM per
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM per)
+    SELECT decile, CAST(n AS BIGINT) AS n, mean_score,
+           ROUND(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+           ROUND(CAST(cpos AS DOUBLE) / tp, 6) AS cum_capture,
+           ROUND((CAST(cpos AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / tn), 6)
+               AS cum_lift
+    FROM c, tot
+    """
+
+
+@register("score_decile_lift", _decile_lift_oracle_sql())
+def q_score_decile_lift(spark, sf_dir):
+    """Equal-mass decile lift table for the frozen English classifier
+    (`operators/classify.py score_decile_lift`): cumulative capture and
+    lift of the real lang='en' label down the score-sorted deciles — the
+    'is the top decile worth keeping' evidence behind a curation
+    threshold. Scale path documented on the operator (approx boundaries
+    instead of ntile's global order)."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        load_model_fixture,
+        score_decile_lift,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        "doc_id",
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return score_decile_lift(scored, "p", "y", "doc_id", n_buckets=10)

@@ -1204,3 +1204,59 @@ def q_qte_click_vs_view(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     return quantile_treatment_effect(ev, "value", "event_type",
                                      "click", "view")
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH t AS (
+        SELECT value AS v,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM t WHERE is_ref = 1),
+    binned AS (
+        SELECT is_ref,
+               CASE WHEN hi = lo THEN 0
+                    ELSE least(greatest(
+                        CAST(floor((v - lo) * 10 / (hi - lo)) AS INT), 0), 9)
+               END AS bin
+        FROM t, bounds
+    ),
+    per AS (
+        SELECT bin, SUM(is_ref) AS rn, SUM(1 - is_ref) AS cn
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(rn) AS rt, SUM(cn) AS ct FROM per),
+    fr AS (
+        SELECT bin,
+               greatest(ROUND(CAST(rn AS DOUBLE) / rt, 6), 1e-6) AS ref_frac,
+               greatest(ROUND(CAST(cn AS DOUBLE) / ct, 6), 1e-6) AS cur_frac
+        FROM per, tot
+    ),
+    s AS (
+        SELECT ROUND(SUM((cur_frac - ref_frac) * ln(cur_frac / ref_frac)), 6)
+            AS psi
+        FROM fr
+    )
+    SELECT bin, ref_frac, cur_frac, psi FROM fr, s
+    """,
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index of the event value distribution,
+    first-half vs second-half of the month (`operators/trend.py
+    psi_drift`): the bounded, binned, scorecard-monitoring drift magnitude
+    that complements value_ks_by_type's sensitivity test. Bins are frozen
+    to the reference slice's min/max — the production pattern where the
+    reference bin table persists and each new batch is a pure map + tiny
+    agg."""
+    from ningaloo_turtle_etl_spark.operators.trend import psi_drift
+
+    ev = load_table(spark, "events", sf_dir)
+    return psi_drift(
+        ev,
+        "value",
+        F.to_date("ts") < F.lit("2024-01-16").cast("date"),
+        n_bins=10,
+    )

@@ -249,6 +249,9 @@ PRIORITY: list[str] = [
     "rolling_value_p95",
     "wilson_rate_by_type",
     "qte_click_vs_view",
+    "classifier_auc",
+    "score_decile_lift",
+    "psi_value_drift",
 ]
 
 

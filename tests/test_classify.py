@@ -219,3 +219,72 @@ def test_model_fixtures_load_and_are_finite(spark):
     t = load_model_fixture("text_model")
     assert t["hash_family"] == "md5" and t["n_features"] == 512
     assert all(math.isfinite(c) for c in t["coefficients"] + [t["intercept"]])
+
+
+def test_classifier_auc_matches_sklearn_free_reference(spark):
+    # AUC pinned against the O(n²) pairwise definition computed in plain
+    # Python: P(score_pos > score_neg) + 0.5·P(equal), with ties planted
+    # on purpose (scores rounded to 1dp collide across classes).
+    import itertools
+
+    from ningaloo_turtle_etl_spark.operators.classify import classifier_auc
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.6, 0),
+        (0.6, 1), (0.4, 0), (0.4, 0), (0.2, 1), (0.1, 0),
+    ]
+    pos = [p for p, y in rows if y == 1]
+    neg = [p for p, y in rows if y == 0]
+    expect = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a, b in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = classifier_auc(df, "p", "y").collect()[0]
+    assert got["auc"] == round(expect, 6)
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+
+
+def test_classifier_auc_extremes(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import classifier_auc
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "p double, y int"
+    )
+    assert classifier_auc(perfect, "p", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "p double, y int"
+    )
+    assert classifier_auc(inverted, "p", "y").collect()[0]["auc"] == 0.0
+    all_tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "p double, y int"
+    )
+    assert all_tied and classifier_auc(all_tied, "p", "y").collect()[0]["auc"] == 0.5
+
+
+def test_score_decile_lift_shape_and_monotone_capture(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import score_decile_lift
+
+    # 100 rows, score = id/100, label = score > 0.7 (perfect ranking):
+    # top 3 deciles capture everything, cum_capture is monotone, decile 1
+    # lift = 1/base_rate.
+    rows = [(i, i / 100.0, 1 if i > 70 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, p double, y int")
+    out = score_decile_lift(df, "p", "y", "doc_id").collect()
+    out.sort(key=lambda r: r["decile"])
+    assert [r["n"] for r in out] == [10] * 10
+    caps = [r["cum_capture"] for r in out]
+    assert caps == sorted(caps) and caps[2] == 1.0 == caps[-1]
+    # 29 positives, base rate 0.29; decile 1 is all-positive.
+    assert out[0]["pos_rate"] == 1.0
+    assert abs(out[0]["cum_lift"] - 1 / 0.29) < 1e-4
+
+
+def test_score_decile_lift_rejects_bad_buckets(spark):
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.classify import score_decile_lift
+
+    df = spark.createDataFrame([(1, 0.5, 1)], "doc_id long, p double, y int")
+    with pytest.raises(ValueError):
+        score_decile_lift(df, "p", "y", "doc_id", n_buckets=1)

@@ -378,3 +378,25 @@ def test_audience_overlap_joins_on_member(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_auc_groups_scores_before_any_sort(spark):
+    """The Mann-Whitney fold aggregates the scored frame to the distinct-
+    score grain FIRST (map-side partial aggregate); the only Sort in the
+    plan orders the tiny grouped table for the cumulative window — the
+    input is never globally sorted."""
+    plan = plan_of(spark, "classifier_auc")
+    assert "Window" in plan
+    # partial aggregation on the score grain happens below the window
+    assert plan.index("partial_count") > plan.index("Window")
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_value_drift_bounds_broadcast_and_bins_combine(spark):
+    """Reference bounds come back as a 1-row broadcast (no shuffle of the
+    event rows to meet them) and the bin tally partial-aggregates
+    map-side before the ≤ n_bins-row exchange."""
+    plan = plan_of(spark, "psi_value_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan

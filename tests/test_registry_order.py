@@ -208,6 +208,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "rolling_value_p95",
         "wilson_rate_by_type",
         "qte_click_vs_view",
+        "classifier_auc",
+        "score_decile_lift",
+        "psi_value_drift",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components

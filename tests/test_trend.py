@@ -167,3 +167,49 @@ def test_acf_matches_numpy_pairs(spark):
         assert got[k]["n_pairs"] == 200 - k
         assert got[k]["acf"] == pytest.approx(ref, abs=1e-6)
     assert got[1]["acf"] > got[2]["acf"] > 0.3
+
+
+def test_psi_drift_zero_on_identical_halves(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.trend import psi_drift
+
+    # The same values on both sides → every bin's fractions agree → PSI 0.
+    rows = [(float(v), s) for v in range(100) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "v double, side int")
+    out = psi_drift(df, "v", F.col("side") == 1, n_bins=10).collect()
+    assert len(out) == 10 and all(r["psi"] == 0.0 for r in out)
+    assert all(r["ref_frac"] == r["cur_frac"] == 0.1 for r in out)
+
+
+def test_psi_drift_detects_shift_and_clamps_outliers(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.trend import psi_drift
+
+    # Reference uniform on [0, 100); current shifted to [50, 150) — mass
+    # beyond the reference max clamps into the top bin, PSI far above the
+    # 0.25 action threshold, and no row is lost to an out-of-range bin.
+    rows = [(float(v), 1) for v in range(100)]
+    rows += [(float(v) + 50.0, 0) for v in range(100)]
+    df = spark.createDataFrame(rows, "v double, side int")
+    out = psi_drift(df, "v", F.col("side") == 1, n_bins=10).collect()
+    assert sorted(r["bin"] for r in out) == list(range(10))
+    assert out[0]["psi"] > 0.25
+    top = next(r for r in out if r["bin"] == 9)
+    # Top bin holds the clamped [90, 150) current mass: 60 of 100 rows.
+    assert abs(top["cur_frac"] - 0.6) < 1e-9
+
+
+def test_psi_drift_degenerate_reference_single_value(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.trend import psi_drift
+
+    # hi == lo in the reference → everything folds into bin 0 instead of
+    # dividing by zero.
+    df = spark.createDataFrame(
+        [(5.0, 1), (5.0, 1), (7.0, 0), (9.0, 0)], "v double, side int"
+    )
+    out = psi_drift(df, "v", F.col("side") == 1, n_bins=10).collect()
+    assert [r["bin"] for r in out] == [0]
