@@ -408,7 +408,11 @@ def classifier_auc(
     )
     tot = g.agg(F.sum("pos").alias("_p"), F.sum("neg").alias("_n"))
     return num.crossJoin(F.broadcast(tot)).select(
-        F.round(F.col("_num") / (F.col("_p") * F.col("_n")), 6).alias("auc"),
+        # try_divide: a single-class eval set yields NULL, not an ANSI
+        # divide-by-zero crash.
+        F.round(
+            F.try_divide(F.col("_num"), F.col("_p") * F.col("_n")), 6
+        ).alias("auc"),
         F.col("_p").cast("long").alias("n_pos"),
         F.col("_n").cast("long").alias("n_neg"),
     )
@@ -462,10 +466,116 @@ def score_decile_lift(
             "n",
             "mean_score",
             F.round(F.col("_pos") / F.col("n"), 6).alias("pos_rate"),
-            F.round(F.col("_cpos") / F.col("_tp"), 6).alias("cum_capture"),
+            F.round(F.try_divide(F.col("_cpos"), F.col("_tp")), 6).alias(
+                "cum_capture"
+            ),
             F.round(
-                (F.col("_cpos") / F.col("_cn")) / (F.col("_tp") / F.col("_tn")),
+                F.try_divide(
+                    F.col("_cpos") / F.col("_cn"),
+                    F.col("_tp") / F.col("_tn"),
+                ),
                 6,
             ).alias("cum_lift"),
+        )
+    )
+
+
+def classifier_pr_curve(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY distinct score threshold (predict
+    positive when score >= t): the threshold-picking companion to
+    ``classifier_auc`` — AUC says the ranking is good, this says WHERE to
+    cut it (the FineWeb-Edu-style keep-threshold sweep). F1 is computed
+    from the 6dp-rounded precision/recall so both engines fold identical
+    numbers, and is 0 where both are 0.
+
+    Output: one row per distinct score — (threshold, n_kept, precision,
+    recall, f1), descending-threshold cumulative.
+
+    Scale shape: identical to classifier_auc — one map-side-combined
+    ``groupBy(score)`` to the bin-sized table, cumulative window and the
+    positive-total broadcast over that table only; the scored frame is
+    never globally sorted."""
+    from pyspark.sql.window import Window
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    g = (
+        scored.select(p.alias("threshold"), y.alias("y"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(F.sum("pos").alias("_tp"))
+    cum = (
+        g.withColumn("n_kept", F.sum("n").over(w))
+        .withColumn("_cpos", F.sum("pos").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_kept",
+            F.round(F.col("_cpos") / F.col("n_kept"), 6).alias("precision"),
+            # try_divide: zero positives → recall NULL, not an ANSI crash.
+            F.round(F.try_divide(F.col("_cpos"), F.col("_tp")), 6).alias(
+                "recall"
+            ),
+        )
+    )
+    pr_sum = F.col("precision") + F.col("recall")
+    return cum.withColumn(
+        "f1",
+        F.when(pr_sum == 0, F.lit(0.0)).otherwise(
+            F.round(2 * F.col("precision") * F.col("recall") / pr_sum, 6)
+        ),
+    )
+
+
+def keep_threshold_yield(
+    scored: DataFrame,
+    prob_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Data-yield curve for a keep-if-score>=t curation filter: at every
+    distinct score threshold, how many documents and estimated tokens
+    survive, and what share of the corpus that is — the capacity-planning
+    table a threshold decision actually needs next to the PR curve (a cut
+    that keeps 90% precision but 2% of tokens doesn't feed a training
+    run).
+
+    Output: one row per distinct score — (threshold, docs_kept,
+    tokens_kept, doc_share, token_share), shares 6dp.
+
+    Scale shape: groupBy(score) combines (count, token-sum) map-side to
+    the bin-sized table; the cumulative window and the 1-row totals
+    broadcast run over that table only."""
+    from pyspark.sql.window import Window
+
+    p = F.col(prob_col).cast("double")
+    g = (
+        scored.select(p.alias("threshold"), F.col(token_col).alias("_tok"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_tok").alias("tok"))
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(F.sum("n").alias("_tn"), F.sum("tok").alias("_tt"))
+    return (
+        g.withColumn("docs_kept", F.sum("n").over(w))
+        .withColumn("tokens_kept", F.sum("tok").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "docs_kept",
+            F.col("tokens_kept").cast("long").alias("tokens_kept"),
+            F.round(F.col("docs_kept") / F.col("_tn"), 6).alias("doc_share"),
+            F.round(F.col("tokens_kept") / F.col("_tt"), 6).alias(
+                "token_share"
+            ),
         )
     )

@@ -1617,10 +1617,14 @@ def psi_drift(
     fr = per.crossJoin(F.broadcast(tot)).select(
         "bin",
         F.greatest(
-            F.round(F.col("_rn") / F.col("_rt"), 6), F.lit(float(min_frac))
+            # try_divide: an empty side yields NULL→min_frac, not an ANSI
+            # divide-by-zero crash.
+            F.round(F.try_divide(F.col("_rn"), F.col("_rt")), 6),
+            F.lit(float(min_frac)),
         ).alias("ref_frac"),
         F.greatest(
-            F.round(F.col("_cn") / F.col("_ct"), 6), F.lit(float(min_frac))
+            F.round(F.try_divide(F.col("_cn"), F.col("_ct")), 6),
+            F.lit(float(min_frac)),
         ).alias("cur_frac"),
     )
     psi = fr.agg(

@@ -616,3 +616,116 @@ def q_score_decile_lift(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return score_decile_lift(scored, "p", "y", "doc_id", n_buckets=10)
+
+
+def _pr_curve_oracle_sql() -> str:
+    """PR-curve oracle: serving SQL as a CTE, the same distinct-score
+    cumulative fold, f1 from the 6dp-rounded precision/recall."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT p_english AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    g AS (SELECT p AS threshold, COUNT(*) AS n, SUM(y) AS pos
+          FROM lab GROUP BY p),
+    tot AS (SELECT SUM(pos) AS tp FROM g),
+    c AS (
+        SELECT threshold,
+               SUM(n) OVER (ORDER BY threshold DESC) AS n_kept,
+               SUM(pos) OVER (ORDER BY threshold DESC) AS cpos
+        FROM g
+    ),
+    pr AS (
+        SELECT threshold, CAST(n_kept AS BIGINT) AS n_kept,
+               ROUND(CAST(cpos AS DOUBLE) / n_kept, 6) AS precision,
+               ROUND(CAST(cpos AS DOUBLE) / tp, 6) AS recall
+        FROM c, tot
+    )
+    SELECT threshold, n_kept, precision, recall,
+           CASE WHEN precision + recall = 0 THEN 0.0
+                ELSE ROUND(2 * precision * recall / (precision + recall), 6)
+           END AS f1
+    FROM pr
+    """
+
+
+@register("classifier_pr_curve", _pr_curve_oracle_sql())
+def q_classifier_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep for the frozen English
+    classifier against the real lang labels (`operators/classify.py
+    classifier_pr_curve`): AUC ranks, calibration trusts, this CUTS —
+    the table a keep-if-p>=t decision is actually read off."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_pr_curve,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_pr_curve(scored, "p", "y")
+
+
+_TOKEN_EST_SQL = r"""greatest(
+    len(list_filter(string_split_regex(
+        regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+'),
+        x -> x <> '')),
+    CAST(ceil(length(text) / 4.0) AS INT)
+)"""
+
+
+def _yield_oracle_sql() -> str:
+    """Yield-curve oracle: serving SQL joined back to the BPE-ish token
+    estimate (the text_token_stats expression), then the same
+    descending-threshold cumulative fold."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    tokd AS (
+        SELECT s.p_english AS p, {_TOKEN_EST_SQL} AS tok
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    g AS (SELECT p AS threshold, COUNT(*) AS n, SUM(tok) AS tok
+          FROM tokd GROUP BY p),
+    tot AS (SELECT SUM(n) AS tn, SUM(tok) AS tt FROM g),
+    c AS (
+        SELECT threshold,
+               SUM(n) OVER (ORDER BY threshold DESC) AS docs_kept,
+               SUM(tok) OVER (ORDER BY threshold DESC) AS tokens_kept
+        FROM g
+    )
+    SELECT threshold, CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           ROUND(CAST(docs_kept AS DOUBLE) / tn, 6) AS doc_share,
+           ROUND(CAST(tokens_kept AS DOUBLE) / tt, 6) AS token_share
+    FROM c, tot
+    """
+
+
+@register("keep_threshold_yield", _yield_oracle_sql())
+def q_keep_threshold_yield(spark, sf_dir):
+    """Token-yield curve under a keep-if-p>=t filter (`operators/
+    classify.py keep_threshold_yield`): docs and estimated tokens
+    surviving each candidate threshold — the capacity side of the
+    threshold decision the PR curve grades on quality."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        keep_threshold_yield,
+        load_model_fixture,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import with_token_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = with_token_counts(
+        hashed_text_scores(docs, model, out_col="p_english")
+    ).select(
+        F.round("p_english", 3).alias("p"),
+        F.col("n_tokens_est").alias("tok"),
+    )
+    return keep_threshold_yield(scored, "p", "tok")

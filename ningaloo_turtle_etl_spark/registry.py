@@ -252,6 +252,8 @@ PRIORITY: list[str] = [
     "classifier_auc",
     "score_decile_lift",
     "psi_value_drift",
+    "classifier_pr_curve",
+    "keep_threshold_yield",
 ]
 
 

@@ -288,3 +288,48 @@ def test_score_decile_lift_rejects_bad_buckets(spark):
     df = spark.createDataFrame([(1, 0.5, 1)], "doc_id long, p double, y int")
     with pytest.raises(ValueError):
         score_decile_lift(df, "p", "y", "doc_id", n_buckets=1)
+
+
+def test_pr_curve_hand_computed(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import classifier_pr_curve
+
+    # scores: 0.9(+), 0.7(-), 0.7(+), 0.3(-) → thresholds 0.9/0.7/0.3.
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.7, 0), (0.7, 1), (0.3, 0)], "p double, y int"
+    )
+    out = {r["threshold"]: r for r in classifier_pr_curve(df, "p", "y").collect()}
+    assert out[0.9]["n_kept"] == 1 and out[0.9]["precision"] == 1.0
+    assert out[0.9]["recall"] == 0.5
+    assert out[0.7]["n_kept"] == 3 and abs(out[0.7]["precision"] - 2 / 3) < 1e-6
+    assert out[0.7]["recall"] == 1.0
+    assert out[0.3]["precision"] == 0.5 and out[0.3]["recall"] == 1.0
+    # f1 at 0.7: 2·(2/3)·1/(2/3+1) = 0.8 (from rounded parts)
+    assert abs(out[0.7]["f1"] - 0.8) < 1e-5
+
+
+def test_pr_curve_zero_denominator_guard(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import classifier_pr_curve
+
+    # No positives at all: recall is NULL (0/0 positives) is avoided by
+    # the fold — precision 0, recall null-free via _tp=0 → division yields
+    # null; assert the f1 guard never divides by zero and rows survive.
+    df = spark.createDataFrame([(0.9, 0), (0.1, 0)], "p double, y int")
+    rows = classifier_pr_curve(df, "p", "y").collect()
+    assert len(rows) == 2 and all(r["precision"] == 0.0 for r in rows)
+
+
+def test_keep_threshold_yield_monotone_and_totals(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import keep_threshold_yield
+
+    rows = [(i / 10.0, 100 * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "p double, tok long")
+    out = sorted(
+        keep_threshold_yield(df, "p", "tok").collect(),
+        key=lambda r: -r["threshold"],
+    )
+    kept = [r["docs_kept"] for r in out]
+    assert kept == sorted(kept) and kept[-1] == 10
+    assert out[-1]["doc_share"] == 1.0 and out[-1]["token_share"] == 1.0
+    # top threshold keeps exactly the heaviest doc: 1000 of 5500 tokens
+    assert out[0]["tokens_kept"] == 1000
+    assert abs(out[0]["token_share"] - 1000 / 5500) < 1e-6

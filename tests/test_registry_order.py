@@ -211,6 +211,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "classifier_auc",
         "score_decile_lift",
         "psi_value_drift",
+        "classifier_pr_curve",
+        "keep_threshold_yield",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
