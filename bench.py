@@ -613,6 +613,29 @@ def _audience_overlap_600k(spark, sf_dir):
     return audience_overlap(ev, "event_type", "user_id")
 
 
+def _classifier_eval_sf(spark, sf_dir):
+    """Full classifier-eval pass at the sf's documents: frozen-model
+    serving sigmoid + the distinct-score PR/F1 fold (same grain as the
+    AUC fold). The point being measured: a complete threshold sweep
+    costs one aggregate pass over the scored frame — the fold itself is
+    bin-sized, so this should track the scoring scan, not a sort."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_pr_curve,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_pr_curve(scored, "p", "y")
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -643,6 +666,7 @@ EXTRAS = {
     "boilerplate_100k": _boilerplate_100k,
     "hotspots_1m": _hotspots_1m,
     "audience_overlap_600k": _audience_overlap_600k,
+    "classifier_eval_sf": _classifier_eval_sf,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
