@@ -579,3 +579,59 @@ def keep_threshold_yield(
             ),
         )
     )
+
+
+def classifier_auc_by_group(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group tie-corrected ROC AUC — the bias-audit companion to
+    ``classifier_auc``: a quality filter that ranks well globally can
+    still rank one corpus source (or language, or time slice) near
+    chance, silently skewing what survives curation there. Same
+    Mann-Whitney fold on the distinct-(group, score) grain; groups
+    missing a class yield NULL auc (try_divide), not a crash.
+
+    Output: one row per group — (group, auc, n_pos, n_neg).
+
+    Scale shape: strictly better than the global fold — every window is
+    PARTITIONED by group, so nothing is single-partition anywhere; the
+    grouped table is ≤ |groups|·|distinct scores| rows and the per-group
+    totals join back on the group key (broadcast-sized)."""
+    from pyspark.sql.window import Window
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    g = (
+        scored.select(
+            F.col(group_col).alias("grp"), p.alias("p"), y.alias("y")
+        )
+        .groupBy("grp", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .withColumn("neg", F.col("n") - F.col("pos"))
+    )
+    w = Window.partitionBy("grp").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    num = (
+        g.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+            ).alias("_num")
+        )
+    )
+    tot = g.groupBy("grp").agg(
+        F.sum("pos").alias("_p"), F.sum("neg").alias("_n")
+    )
+    return num.join(tot, on="grp").select(
+        F.col("grp").alias("group"),
+        F.round(
+            F.try_divide(F.col("_num"), F.col("_p") * F.col("_n")), 6
+        ).alias("auc"),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+    )

@@ -729,3 +729,63 @@ def q_keep_threshold_yield(spark, sf_dir):
         F.col("n_tokens_est").alias("tok"),
     )
     return keep_threshold_yield(scored, "p", "tok")
+
+
+def _auc_by_group_oracle_sql() -> str:
+    """Per-source AUC oracle: serving SQL as a CTE, the grouped
+    Mann-Whitney fold partitioned by source."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT d.source AS grp, s.p_english AS p,
+               CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    g AS (
+        SELECT grp, p, COUNT(*) AS n, SUM(y) AS pos
+        FROM lab GROUP BY grp, p
+    ),
+    c AS (
+        SELECT grp, p, pos, n - pos AS neg,
+               COALESCE(SUM(n - pos) OVER (PARTITION BY grp ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below
+        FROM g
+    ),
+    num AS (
+        SELECT grp, SUM(pos * (neg_below + neg / 2.0)) AS nm
+        FROM c GROUP BY grp
+    ),
+    tot AS (
+        SELECT grp, SUM(pos) AS tp, SUM(n - pos) AS tn
+        FROM g GROUP BY grp
+    )
+    SELECT num.grp AS "group",
+           ROUND(nm / (tp * tn), 6) AS auc,
+           CAST(tp AS BIGINT) AS n_pos,
+           CAST(tn AS BIGINT) AS n_neg
+    FROM num JOIN tot ON num.grp = tot.grp
+    """
+
+
+@register("classifier_auc_by_source", _auc_by_group_oracle_sql())
+def q_classifier_auc_by_source(spark, sf_dir):
+    """Per-SOURCE ranking power of the frozen English classifier
+    (`operators/classify.py classifier_auc_by_group`): the bias audit —
+    a global AUC can hide a source where the filter ranks near chance
+    and curation there degrades to a coin flip. Windows are partitioned
+    by source, so this fold is shuffle-parallel everywhere."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_auc_by_group,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        "source",
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return classifier_auc_by_group(scored, "p", "y", "source")

@@ -254,6 +254,7 @@ PRIORITY: list[str] = [
     "psi_value_drift",
     "classifier_pr_curve",
     "keep_threshold_yield",
+    "classifier_auc_by_source",
 ]
 
 

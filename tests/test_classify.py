@@ -333,3 +333,52 @@ def test_keep_threshold_yield_monotone_and_totals(spark):
     # top threshold keeps exactly the heaviest doc: 1000 of 5500 tokens
     assert out[0]["tokens_kept"] == 1000
     assert abs(out[0]["token_share"] - 1000 / 5500) < 1e-6
+
+
+def test_classifier_auc_by_group_matches_per_group_pairwise(spark):
+    import itertools
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_auc,
+        classifier_auc_by_group,
+    )
+
+    rows = [
+        ("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.6, 1), ("a", 0.6, 0),
+        ("a", 0.2, 0),
+        ("b", 0.9, 0), ("b", 0.5, 1), ("b", 0.4, 1), ("b", 0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, p double, y int")
+    got = {r["group"]: r for r in
+           classifier_auc_by_group(df, "p", "y", "grp").collect()}
+    for grp in ("a", "b"):
+        pos = [p for g, p, y in rows if g == grp and y == 1]
+        neg = [p for g, p, y in rows if g == grp and y == 0]
+        expect = sum(
+            1.0 if a > b else (0.5 if a == b else 0.0)
+            for a, b in itertools.product(pos, neg)
+        ) / (len(pos) * len(neg))
+        assert got[grp]["auc"] == round(expect, 6)
+        assert (got[grp]["n_pos"], got[grp]["n_neg"]) == (len(pos), len(neg))
+    # each group's AUC also matches the global fold run on that group alone
+    for grp in ("a", "b"):
+        solo = classifier_auc(
+            df.filter(df.grp == grp), "p", "y"
+        ).collect()[0]
+        assert solo["auc"] == got[grp]["auc"]
+
+
+def test_classifier_auc_by_group_single_class_group_is_null(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_auc_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("all_pos", 0.9, 1), ("all_pos", 0.1, 1),
+         ("mixed", 0.9, 1), ("mixed", 0.1, 0)],
+        "grp string, p double, y int",
+    )
+    got = {r["group"]: r for r in
+           classifier_auc_by_group(df, "p", "y", "grp").collect()}
+    assert got["all_pos"]["auc"] is None and got["all_pos"]["n_neg"] == 0
+    assert got["mixed"]["auc"] == 1.0

@@ -213,6 +213,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "psi_value_drift",
         "classifier_pr_curve",
         "keep_threshold_yield",
+        "classifier_auc_by_source",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
