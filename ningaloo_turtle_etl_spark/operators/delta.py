@@ -204,7 +204,9 @@ def cdc_apply(
     keys insert.
 
     ``payload_cols`` defaults to the non-key columns the two frames share.
-    Output: the new snapshot with the snapshot's schema (keys + payloads).
+    Output: the new snapshot with the snapshot's FULL schema — snapshot
+    columns absent from the feed are carried through unchanged (NULL for
+    keys the feed inserts, since the snapshot has no row to carry from).
 
     Scale shape: per-key latest-change election is a window over the
     CHANGES feed only (a day's feed, not the snapshot); the merge is one
@@ -220,6 +222,13 @@ def cdc_apply(
             if c not in keys and c in changes.columns
         ]
     payload_cols = list(payload_cols)
+    # Snapshot columns the feed doesn't carry: pass through unchanged so
+    # the merged output keeps the snapshot's full schema.
+    carry_cols = [
+        c
+        for c in snapshot.columns
+        if c not in keys and c not in payload_cols
+    ]
 
     order = [F.col(ts_col).desc()] + (
         [F.col(tiebreak_col).desc()] if tiebreak_col is not None else []
@@ -256,4 +265,5 @@ def cdc_apply(
             .alias(c)
             for c in payload_cols
         ],
+        *[F.col(f"s.{c}").alias(c) for c in carry_cols],
     )

@@ -15,7 +15,7 @@ import math
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 
@@ -383,14 +383,24 @@ def poisson_bootstrap_mean_ci(
         )
         .filter(F.col("mean_b").isNotNull())
     )
-    import math
-
-    lo_rank = max(1, math.ceil(alpha / 2 * replicates))
-    hi_rank = math.ceil((1 - alpha / 2) * replicates)
+    # Rank against the ACTUAL per-group replicate count, not the nominal
+    # `replicates`: zero-weight replicates (possible for very small
+    # groups) are filtered above, and ranking against the nominal count
+    # could place hi_rank past the last row, collapsing the CI to
+    # [lo, lo].
     wnd = Window.partitionBy("grp").orderBy("mean_b", "_b")
-    ranked = rep.withColumn("_rn", F.row_number().over(wnd))
+    wgrp = Window.partitionBy("grp")
+    ranked = rep.withColumn("_rn", F.row_number().over(wnd)).withColumn(
+        "_m", F.count(F.lit(1)).over(wgrp)
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(alpha / 2) * F.col("_m"))
+    )
+    hi_rank = F.ceil(F.lit(1 - alpha / 2) * F.col("_m"))
     ci = (
-        ranked.filter(F.col("_rn").isin(lo_rank, hi_rank))
+        ranked.filter(
+            (F.col("_rn") == lo_rank) | (F.col("_rn") == hi_rank)
+        )
         .groupBy("grp")
         .agg(
             F.round(F.min("mean_b"), 6).alias("ci_lo"),
@@ -1229,12 +1239,17 @@ def srm_check(
     assignment is broken (bot filtering, redirect loss, logging bias) and
     every downstream lift number is untrustworthy.
 
-    ``expected``: arm -> ratio; must cover every arm present and sum to
-    ~1 (validated). Arms with zero observed rows still contribute their
-    expected mass (the oracle keeps them via the ratio dim).
+    ``expected``: arm -> ratio; must sum to ~1 (validated). Arms with
+    zero observed rows still contribute their expected mass (the oracle
+    keeps them via the ratio dim). Arms OBSERVED in the data but missing
+    from ``expected`` — the rogue-arm breakage an SRM gate exists to
+    catch — are kept via a full outer join with expected ratio 0: they
+    drive ``chi2`` to Infinity and are counted in ``n_undeclared``.
 
-    Output: one row — (n_rows, n_arms, dof, chi2, max_abs_dev) where
-    max_abs_dev is the largest |observed_share - expected_share|, 6dp.
+    Output: one row — (n_rows, n_arms, dof, n_undeclared, chi2,
+    max_abs_dev) where max_abs_dev is the largest
+    |observed_share - expected_share| (6dp), n_arms counts every arm seen
+    on either side, and dof is declared-arms − 1.
 
     Scale shape: one map-side-combined count aggregate to the arms grid;
     the ratio dim is a broadcast literal frame. Single pass, single
@@ -1249,25 +1264,37 @@ def srm_check(
     obs = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).alias("o")
     )
-    joined = dim.join(F.broadcast(obs), on="arm", how="left").withColumn(
-        "o", F.coalesce("o", F.lit(0))
+    joined = (
+        dim.join(obs, on="arm", how="full_outer")
+        .withColumn("_declared", F.col("ratio").isNotNull())
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn("ratio", F.coalesce("ratio", F.lit(0.0)))
     )
     tot = joined.agg(F.sum("o").alias("n"))
     e = joined.crossJoin(F.broadcast(tot)).withColumn(
         "_e", F.col("ratio") * F.col("n")
     )
+    term = F.when(
+        F.col("_e") > 0,
+        (F.col("o") - F.col("_e"))
+        * (F.col("o") - F.col("_e"))
+        / F.col("_e"),
+    ).otherwise(
+        # Undeclared arm with observed mass: expected count 0 → the
+        # goodness-of-fit statistic diverges. Surfacing Infinity (not
+        # silently dropping the arm) is the whole point of the gate.
+        F.when(F.col("o") > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+    )
     return e.agg(
         F.min("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_arms"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
-        F.round(
-            F.sum(
-                (F.col("o") - F.col("_e"))
-                * (F.col("o") - F.col("_e"))
-                / F.col("_e")
-            ),
-            6,
-        ).alias("chi2"),
+        (F.sum(F.col("_declared").cast("long")) - 1).cast("long").alias(
+            "dof"
+        ),
+        F.sum((~F.col("_declared")).cast("long")).cast("long").alias(
+            "n_undeclared"
+        ),
+        F.round(F.sum(term), 6).alias("chi2"),
         F.round(
             F.max(
                 F.abs(F.col("o") / F.col("n").cast("double") - F.col("ratio"))

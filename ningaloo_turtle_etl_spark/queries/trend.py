@@ -377,13 +377,17 @@ def q_value_ks_by_type(spark, sf_dir):
     ),
     ranked AS (
         SELECT grp, mean_b,
-               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b, b) AS rn
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b, b) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS m
         FROM means
     ),
     ci AS (
         SELECT grp, ROUND(MIN(mean_b), 6) AS ci_lo,
                ROUND(MAX(mean_b), 6) AS ci_hi
-        FROM ranked WHERE rn IN (5, 195) GROUP BY grp
+        FROM ranked
+        WHERE rn = GREATEST(1, CAST(CEIL(0.025 * m) AS BIGINT))
+           OR rn = CAST(CEIL(0.975 * m) AS BIGINT)
+        GROUP BY grp
     ),
     base AS (
         SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
@@ -982,15 +986,24 @@ def q_two_prop_click_vs_view(spark, sf_dir):
         FROM events GROUP BY 1
     ),
     j AS (
-        SELECT dim.arm, dim.ratio, COALESCE(obs.o, 0) AS o
-        FROM dim LEFT JOIN obs USING (arm)
+        SELECT COALESCE(dim.arm, obs.arm) AS arm,
+               dim.ratio IS NOT NULL AS declared,
+               COALESCE(dim.ratio, 0.0) AS ratio,
+               COALESCE(obs.o, 0) AS o
+        FROM dim FULL OUTER JOIN obs USING (arm)
     ),
     tot AS (SELECT SUM(o) AS n FROM j)
     SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_arms,
-           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
-           ROUND(SUM((o - ratio * n) * (o - ratio * n) / (ratio * n)), 6)
-               AS chi2,
+           CAST(SUM(CASE WHEN declared THEN 1 ELSE 0 END) - 1 AS BIGINT)
+               AS dof,
+           CAST(SUM(CASE WHEN declared THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_undeclared,
+           ROUND(SUM(CASE
+               WHEN ratio * n > 0
+                   THEN (o - ratio * n) * (o - ratio * n) / (ratio * n)
+               WHEN o > 0 THEN CAST('infinity' AS DOUBLE)
+               ELSE 0.0 END), 6) AS chi2,
            ROUND(MAX(abs(o / CAST(n AS DOUBLE) - ratio)), 6) AS max_abs_dev
     FROM j, tot
     """,

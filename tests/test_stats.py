@@ -245,6 +245,49 @@ def test_poisson_bootstrap_matches_python_replica(spark):
     assert got["ci_lo"] <= got["mean_value"] <= got["ci_hi"]
 
 
+def test_poisson_bootstrap_small_group_ranks_actual_replicates(spark):
+    """A 1-row group drops ~37% of replicates to zero total weight; ranks
+    must be taken against the SURVIVING replicate count, not the nominal
+    `replicates`, or the upper-rank row doesn't exist and the CI silently
+    collapses to [lo, lo]."""
+    import hashlib
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        _POISSON1_CDF,
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [(0, "tiny", 5.0), (1, "tiny", 9.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    B = 50
+    got = poisson_bootstrap_mean_ci(
+        df, "value", "grp", "id", replicates=B
+    ).collect()[0]
+
+    def u(i, b):
+        h = hashlib.md5(f"{i}#{b}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    means = []
+    for b in range(B):
+        num = den = 0
+        for i, _, v in rows:
+            w = sum(1 for t in _POISSON1_CDF if u(i, b) >= t)
+            den += w
+            num += w * round(v * 100)
+        if den > 0:
+            means.append(num / (den * 100.0))
+    means.sort()
+    m = len(means)
+    assert 0 < m < B  # the scenario actually exercises dropped replicates
+    assert math.ceil(0.975 * B) > m  # nominal hi rank row would not exist
+    lo = means[max(1, math.ceil(0.025 * m)) - 1]
+    hi = means[math.ceil(0.975 * m) - 1]
+    assert got["ci_lo"] == round(lo, 6) and got["ci_hi"] == round(hi, 6)
+    assert got["ci_hi"] > got["ci_lo"]  # the bug collapsed these equal
+
+
 def test_cuped_lift_matches_numpy_reference(spark):
     import numpy as np
 
@@ -640,8 +683,19 @@ def test_srm_check_known_and_zero_arm(spark):
     r2 = srm_check(z, "arm", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()[0]
     assert r2["n_arms"] == 3 and r2["chi2"] == 2.0
     assert r2["max_abs_dev"] == 0.25
+    assert r2["n_undeclared"] == 0
     with _pt.raises(ValueError):
         srm_check(df, "arm", {"a": 0.5, "b": 0.4})
+    # a rogue arm present in the data but absent from the declared split
+    # must SURFACE (chi2 -> inf, counted), not silently vanish
+    rogue = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 40 + [("bot",)] * 10, "arm string"
+    )
+    r3 = srm_check(rogue, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r3["n_rows"] == 100  # rogue rows still counted in the total
+    assert r3["n_arms"] == 3 and r3["dof"] == 1
+    assert r3["n_undeclared"] == 1
+    assert math.isinf(r3["chi2"])
 
 
 def test_cell_silhouette_two_centroids(spark):

@@ -378,6 +378,32 @@ def test_cdc_apply_merge_semantics(spark):
     assert out2[1] == 2.0
 
 
+def test_cdc_apply_carries_non_feed_columns(spark):
+    """Snapshot columns the change feed doesn't carry must pass through
+    unchanged (NULL only for feed-inserted keys the snapshot never had)."""
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.delta import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 10.0, "au"), (2, 20.0, "nz"), (3, 30.0, "au")],
+        "key long, state_value double, region string",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [
+            (1, t0, 1, "upsert", 11.0),   # update: region must survive
+            (2, t0, 2, "delete", None),   # delete
+            (9, t0, 3, "upsert", 90.0),   # insert: region unknowable -> NULL
+        ],
+        "key long, ts timestamp, event_id long, op string, state_value double",
+    )
+    out = cdc_apply(snap, changes, ["key"], "ts", tiebreak_col="event_id")
+    assert set(out.columns) == {"key", "state_value", "region"}
+    rows = {r["key"]: (r["state_value"], r["region"]) for r in out.collect()}
+    assert rows == {1: (11.0, "au"), 3: (30.0, "au"), 9: (90.0, None)}
+
+
 def test_frequent_sequences_trigram_tally(spark):
     import pyspark.sql.functions as F
 
