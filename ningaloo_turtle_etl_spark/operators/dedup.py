@@ -642,26 +642,68 @@ def simhash_from_hashes(hs: Column, num_bits: int = 64) -> Column:
     return F.coalesce(sig, F.lit(0).cast("long"))
 
 
+_SWAR_LANE = 0x0001000100010001  # one 1-bit per 16-bit lane
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig) via two projections so the token-hash array materializes
-    once before the 65 references in simhash_from_hashes. Map-only, zero
-    shuffle, no Python in the path (the round-1 pandas-UDF form looped per
-    token in interpreted Python and was the plan's dominant cost).
+    """(id, sig) via explode + a whole-stage-codegen hash aggregate of 16
+    SWAR lane sums: lane accumulator j packs the per-bit counts of bits
+    {j, j+16, j+32, j+48} as four 16-bit counters in one long
+    (``sum((h >>> j) & 0x0001000100010001)``), so 16 codegen'd SUMs
+    replace a 64-pass higher-order fold. Spark HOF lambdas are
+    CodegenFallback (interpreted per array element) — switching to the
+    exploded aggregate measured 3.0 s vs 10-13 s warm / 7.4 s vs 27 s
+    cold for the 250k-doc signature stage, identical signatures.
+
+    Scale shape: the explode is map-side; partial aggregation collapses
+    each partition to its live (id × 17-long) groups before the shuffle,
+    so shuffled bytes are doc-count-sized, never token-count-sized. The
+    16-bit lanes overflow only past 65535 tokens of one doc — beyond any
+    sane document; chunk longer docs upstream if that ever changes.
+
+    ``explode_outer`` keeps empty/whitespace-only docs: their lane sums
+    aggregate over zero non-null hashes → NULL → the per-bit WHEN falls
+    through to 0, reproducing the fold form's sig=0 for empty text.
 
     ``hash_family='md5'`` builds a 60-bit signature from md5-derived token
     hashes — bit-identical in DuckDB, which is what makes the registered
     query's full oracle row possible."""
     bits = 60 if hash_family == "md5" else 64
-    hs = df.select(
+    ex = df.select(
         F.col(id_col).alias("id"),
-        token_hashes(F.col(text_col), hash_family).alias("_hs"),
+        F.explode_outer(token_hashes(F.col(text_col), hash_family)).alias(
+            "_h"
+        ),
     )
-    return hs.select("id", simhash_from_hashes(F.col("_hs"), bits).alias("sig"))
+    lanes = ex.groupBy("id").agg(
+        F.count("_h").alias("_nt"),
+        *[
+            F.sum(
+                F.shiftrightunsigned("_h", j).bitwiseAND(
+                    F.lit(_SWAR_LANE).cast("long")
+                )
+            ).alias(f"_a{j}")
+            for j in range(16)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        cnt = F.shiftrightunsigned(
+            F.col(f"_a{b % 16}"), 16 * (b // 16)
+        ).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        sig = sig.bitwiseOR(
+            F.when(
+                2 * cnt > F.col("_nt"), F.lit(_SIGN_MASKS[b]).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return lanes.select(
+        "id", F.coalesce(sig, F.lit(0).cast("long")).alias("sig")
+    )
 
 
 def simhash_expr(text_col: Column | str) -> Column:
