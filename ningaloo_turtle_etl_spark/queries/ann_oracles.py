@@ -249,3 +249,76 @@ def pq_oracle_sql(k: int = 3, rerank: int = 50) -> str:
         FROM exact
     ) WHERE rank <= {k}
     """
+
+
+def brute_oracle_sql(k: int = 3) -> str:
+    """Exact brute-force cosine top-k (the embedding_cosine_topk shape,
+    parameterized k) — also the ground-truth half of the recall oracle."""
+    dot = (
+        "list_sum(list_transform(list_zip(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), x -> x[1]*x[2]))"
+    )
+    normsq = "list_sum(list_transform(CAST({0}.embedding AS DOUBLE[]), x -> x*x))"
+    return f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({dot} / (sqrt({normsq.format('c')}) * sqrt({normsq.format('q')})), 6)
+                   AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < {QUERY_CUT} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+def lsh_recall_oracle_sql(k: int = 10, bits: int = 6, tables: int = 6) -> str:
+    """ann_lsh_recall: recall@k of the LSH index against the brute-force
+    ground truth — both halves are the existing oracles, composed."""
+    return f"""
+    WITH approx AS ({lsh_oracle_sql(bits=bits, tables=tables, k=k)}),
+    exact AS ({brute_oracle_sql(k=k)}),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id
+    ),
+    hit AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT t.query_id, n_exact,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_exact, 6) AS recall_at_k
+    FROM tot t LEFT JOIN hit ON t.query_id = hit.query_id
+    ORDER BY t.query_id
+    """
+
+
+def ivf_recall_oracle_sql(k: int = 10, nprobe: int = 3) -> str:
+    """ann_ivf_recall: recall@k of the IVF index against the brute-force
+    ground truth — same composition as the LSH recall oracle."""
+    return f"""
+    WITH approx AS ({ivf_oracle_sql(nprobe=nprobe, k=k)}),
+    exact AS ({brute_oracle_sql(k=k)}),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id
+    ),
+    hit AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT t.query_id, n_exact,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_exact, 6) AS recall_at_k
+    FROM tot t LEFT JOIN hit ON t.query_id = hit.query_id
+    ORDER BY t.query_id
+    """

@@ -18,6 +18,7 @@ from ningaloo_turtle_etl_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ningaloo_turtle_etl_spark.operators.similarity import (
+    ann_recall_report,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -404,6 +405,8 @@ def simhash_near_dups(spark, sf_dir):
 
 from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     ivf_oracle_sql,
+    ivf_recall_oracle_sql,
+    lsh_recall_oracle_sql,
     lsh_oracle_sql,
     pq_oracle_sql,
     quantized_oracle_sql,
@@ -418,6 +421,37 @@ def ann_lsh_topk(spark, sf_dir):
     sign-bucket collisions and re-rank bit-for-bit."""
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=6, tables=6)
+
+
+@register("ann_ivf_recall", ivf_recall_oracle_sql(k=10))
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF index (frozen centroids, nprobe=3) against the
+    brute-force ground truth — the companion acceptance row to
+    ann_lsh_recall, so the two index families publish comparable numbers."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    cents = np.asarray(_fixture("ivf_centroids")["centroids"], dtype=float)
+    approx = ivf_topk(emb, qs, k=10, nprobe=3, centroids=cents)
+    exact = cosine_topk(emb, qs, k=10)
+    return ann_recall_report(approx, exact).orderBy("query_id")
+
+
+@register("ann_lsh_recall", lsh_recall_oracle_sql(k=10))
+def ann_lsh_recall(spark, sf_dir):
+    """Recall@10 of the LSH ANN index against the brute-force ground truth
+    (`operators/similarity.py ann_recall_report`): the acceptance metric an
+    approximate index must publish before replacing the exact scan. Both
+    halves replay in the DuckDB oracle (seeded hyperplanes + brute-force
+    rank), so the recall numbers themselves are hash-proven."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_topk(emb, qs, k=10, bits=6, tables=6)
+    exact = cosine_topk(emb, qs, k=10)
+    return ann_recall_report(approx, exact).orderBy("query_id")
 
 
 @register("ann_ivf_topk", ivf_oracle_sql())

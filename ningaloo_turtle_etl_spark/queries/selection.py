@@ -789,3 +789,129 @@ def q_classifier_auc_by_source(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return classifier_auc_by_group(scored, "p", "y", "source")
+
+
+_TOKENS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+@register(
+    "annotator_agreement",
+    f"""
+    WITH lab AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 250 THEN 'long' ELSE 'short' END AS a,
+               CASE WHEN len({_TOKENS_SQL}) >= 45
+                    THEN 'long' ELSE 'short' END AS b
+        FROM documents
+    ),
+    tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+        FROM lab GROUP BY lang
+    ),
+    ma AS (SELECT lang, a AS lbl, COUNT(*) AS na FROM lab GROUP BY 1, 2),
+    mb AS (SELECT lang, b AS lbl, COUNT(*) AS nb FROM lab GROUP BY 1, 2),
+    pe AS (
+        SELECT COALESCE(ma.lang, mb.lang) AS lang,
+               SUM(COALESCE(na, 0) * 1.0 * COALESCE(nb, 0)) AS pe_num
+        FROM ma FULL OUTER JOIN mb
+          ON ma.lang = mb.lang AND ma.lbl = mb.lbl
+        GROUP BY 1
+    )
+    SELECT t.lang, n_items,
+           ROUND(agree * 1.0 / n_items, 6) AS p_observed,
+           ROUND(pe_num / (n_items * 1.0 * n_items), 6) AS p_expected,
+           ROUND(CASE
+               WHEN pe_num / (n_items * 1.0 * n_items) >= 1.0
+               THEN CASE WHEN agree = n_items THEN 1.0 ELSE 0.0 END
+               ELSE (agree * 1.0 / n_items
+                     - pe_num / (n_items * 1.0 * n_items))
+                    / (1.0 - pe_num / (n_items * 1.0 * n_items))
+           END, 6) AS kappa
+    FROM tot t JOIN pe USING (lang)
+    ORDER BY lang
+    """,
+)
+def annotator_agreement(spark, sf_dir):
+    """Per-language Cohen's kappa between two deterministic labelers
+    (`operators/agreement.py cohens_kappa`): a char-length rater and a
+    token-count rater both binning docs long/short — the chance-corrected
+    agreement a labeling pipeline reports before trusting either signal.
+    Pure hash aggregates at (lang, label) grain; no windows, no UDFs."""
+    from ningaloo_turtle_etl_spark.operators.agreement import cohens_kappa
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = docs.select(
+        "lang",
+        F.when(F.col("n_chars") >= 250, "long").otherwise("short").alias(
+            "rater_len"
+        ),
+        F.when(F.size(tokens("text")) >= 45, "long")
+        .otherwise("short")
+        .alias("rater_tok"),
+    )
+    return cohens_kappa(
+        labeled, "rater_len", "rater_tok", by=["lang"]
+    ).orderBy("lang")
+
+
+@register(
+    "rank_fusion_select",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, source,
+               CASE WHEN len({_TOKENS_SQL}) > 0
+                    THEN len(list_distinct({_TOKENS_SQL})) * 1.0
+                         / len({_TOKENS_SQL})
+                    ELSE 0.0 END AS diversity,
+               n_chars * 1.0 AS length_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY diversity DESC, doc_id ASC) AS INTEGER)
+                 AS rank_diversity,
+               CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY length_score DESC, doc_id ASC) AS INTEGER)
+                 AS rank_length_score
+        FROM sig
+    )
+    SELECT doc_id, source, rank_diversity, rank_length_score,
+           ROUND(1.0 / (60 + rank_diversity)
+                 + 1.0 / (60 + rank_length_score), 6) AS rrf_score
+    FROM ranked
+    ORDER BY source, rrf_score DESC, doc_id
+    """,
+)
+def rank_fusion_select(spark, sf_dir):
+    """Reciprocal-rank fusion of two selection signals per source
+    (`operators/selection.py rrf_fuse`): lexical diversity (distinct-token
+    ratio) fused with raw length by 1/(60+rank) sums — the scale-free way
+    to combine heterogeneous quality signals into one selection order.
+    Both rank windows share the per-source partitioning, so one
+    sort-exchange serves them; the fusion arithmetic is rank-only and
+    reproduces bit-identically in the oracle."""
+    from ningaloo_turtle_etl_spark.operators.selection import rrf_fuse
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("diversity"),
+        (F.col("n_chars") * F.lit(1.0)).alias("length_score"),
+    )
+    fused = rrf_fuse(
+        sig, ["diversity", "length_score"], id_col="doc_id", by=["source"]
+    )
+    return fused.select(
+        "doc_id", "source", "rank_diversity", "rank_length_score", "rrf_score"
+    ).orderBy("source", F.col("rrf_score").desc(), "doc_id")

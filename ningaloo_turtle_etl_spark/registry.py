@@ -255,6 +255,10 @@ PRIORITY: list[str] = [
     "classifier_pr_curve",
     "keep_threshold_yield",
     "classifier_auc_by_source",
+    "annotator_agreement",
+    "rank_fusion_select",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
 ]
 
 

@@ -57,3 +57,131 @@ def first_seen_dedup_stream(events: DataFrame, key_col: str = "event_type") -> D
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming heavy hitters (space-saving) ---------------------------------
+HH_OUTPUT_SCHEMA = "shard int, item string, est_count long, max_err long"
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, errs array<long>"
+
+
+def _space_saving_update(summary: dict, item_counts, capacity: int) -> None:
+    """Apply batched (item, add) updates to a space-saving summary
+    {item: [count, err]} in place (Metwally et al. 2005, SpaceSaving).
+    Updates are applied in (-add, item) order: batch-granularity
+    determinism — the same batch always produces the same summary
+    regardless of row order inside the batch."""
+    for item, add in sorted(item_counts.items(), key=lambda kv: (-kv[1], kv[0])):
+        add = int(add)
+        if item in summary:
+            summary[item][0] += add
+        elif len(summary) < capacity:
+            summary[item] = [add, 0]
+        else:
+            # evict the min-count entry (ties: lexicographically first,
+            # again for determinism); the newcomer inherits its count as
+            # both floor and error bound.
+            victim = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+            vmin = victim[1][0]
+            del summary[victim[0]]
+            summary[item] = [vmin + add, vmin]
+
+
+def _heavy_hitters_fn(capacity: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        batches = [b for b in pdfs if len(b)]
+        if not batches:
+            if state.hasTimedOut:
+                state.remove()
+            return iter(())
+        rows = pd.concat(batches)
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                i: [int(c), int(e)] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        _space_saving_update(summary, rows["item"].value_counts(), capacity)
+        ordered = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [i for i, _ in ordered],
+            [v[0] for _, v in ordered],
+            [v[1] for _, v in ordered],
+        ))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "shard": [int(key[0])] * len(ordered),
+                        "item": [i for i, _ in ordered],
+                        "est_count": [v[0] for _, v in ordered],
+                        "max_err": [v[1] for _, v in ordered],
+                    }
+                )
+            ]
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    item_col: str = "user_id",
+    capacity: int = 1024,
+    shards: int = 4,
+) -> DataFrame:
+    """Streaming top-item tracking with BOUNDED state: per shard (item-hash
+    partition) a space-saving summary of at most ``capacity`` counters,
+    emitting (shard, item, est_count, max_err) after each batch. Sharding
+    by item hash means every item lives in exactly one shard's summary, so
+    shard summaries union into the global one; est_count ∈ [true, true +
+    max_err], exact (max_err = 0) whenever a shard never evicts — which is
+    the configuration the batch≡stream harness pins (capacity above the
+    per-shard cardinality), while eviction arithmetic is unit-tested
+    directly.
+
+    Scale shape: state is O(shards × capacity) regardless of stream
+    length — the knob the built-in streaming aggregation lacks (its state
+    grows with distinct keys). Raise ``shards`` for hot-item write
+    concurrency; per-batch work is one value_counts per shard plus O(m log
+    m) bookkeeping, Arrow-batched."""
+    import pyspark.sql.functions as F
+
+    keyed = events.select(
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _heavy_hitters_fn(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame, item_col: str = "user_id", shards: int = 4
+) -> DataFrame:
+    """Batch ground truth for :func:`heavy_hitters_stream` in the
+    no-eviction regime: exact per-item counts with the same shard hash and
+    max_err = 0."""
+    import pyspark.sql.functions as F
+
+    return (
+        events.filter(F.col(item_col).isNotNull())
+        .groupBy(
+            F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(shards))
+            .cast("int")
+            .alias("shard"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("est_count"),
+            F.lit(0).cast("long").alias("max_err"),
+        )
+    )

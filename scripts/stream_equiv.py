@@ -346,6 +346,27 @@ def main() -> int:
         ["row", "col", "n"],
     )
 
+    # Space-saving heavy hitters: bounded-state top-item tracking via
+    # applyInPandasWithState. In the no-eviction regime (capacity above the
+    # per-shard cardinality) the summary is exact, so one availableNow pass
+    # over the feed must equal the batch ground-truth counts cell-for-cell;
+    # eviction arithmetic is pinned by tests/test_stateful_streaming.py.
+    from ningaloo_turtle_etl_spark.streaming.stateful import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    check(
+        "streaming_heavy_hitters",
+        heavy_hitters_batch(batch, "user_id", shards=4),
+        run_stream(
+            heavy_hitters_stream(stream, "user_id", capacity=4096, shards=4),
+            "se_hh",
+            mode="append",
+        ),
+        ["shard", "item", "est_count", "max_err"],
+    )
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)

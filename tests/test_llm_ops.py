@@ -90,6 +90,50 @@ def test_minhash_signature_slots_are_distinct_hash_functions(spark, docs):
     assert len(set(sig)) >= 24  # independent seeds → (almost) all distinct
 
 
+def test_minhash_collapse_exact_matches_direct_path(spark, docs):
+    # collapse_exact=True must be bit-identical to the direct path on a
+    # duplicate-free corpus, and reproduce the SAME pair list (ids and
+    # jaccard values) on a corpus with exact replicas when no bucket cap
+    # interferes — members inherit their representative's shingle set, so
+    # the expansion is exact, not approximated.
+    import pyspark.sql.functions as F
+
+    direct = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, max_bucket_size=None).collect())
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            minhash_near_dup_pairs(
+                docs, max_bucket_size=None, collapse_exact=True
+            ).collect(),
+        )
+    )
+    assert collapsed == direct
+
+    replicated = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(100))
+    )
+    direct_r = sorted(
+        map(
+            tuple,
+            minhash_near_dup_pairs(replicated, max_bucket_size=None).collect(),
+        )
+    )
+    collapsed_r = sorted(
+        map(
+            tuple,
+            minhash_near_dup_pairs(
+                replicated, max_bucket_size=None, collapse_exact=True
+            ).collect(),
+        )
+    )
+    assert collapsed_r == direct_r
+    # replica pairs surface at jaccard exactly 1.0
+    as_map = dict(((a, b), j) for a, b, j in collapsed_r)
+    assert as_map[(1, 101)] == 1.0 and as_map[(2, 102)] == 1.0
+
+
 def test_minhash_md5_family_matches_xxhash64_semantics(spark, docs):
     # The md5 family (default, DuckDB-reproducible) must satisfy the same
     # planted-pair contract as the xxhash64 family, and its verify stage is
@@ -1577,3 +1621,51 @@ def test_domain_reweight_directions(spark):
     flat = {r["src"]: r["weight"] for r in
             domain_reweight(df, "src", F.col("loss"), eta=0.0).collect()}
     assert set(flat.values()) == {round(1 / 3, 6)}
+
+
+def test_ann_recall_report_counts_hits_and_misses(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1 recovers 2 of 3 (plus a non-truth item that must not count);
+        # q2 recovers none — must still surface with recall 0.
+        [(1, 10), (1, 12), (1, 99)],
+        "query_id long, vec_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall_report(approx, exact).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["recall_at_k"] == round(2 / 3, 6)
+    assert out[2]["n_exact"] == 2 and out[2]["n_hit"] == 0
+    assert out[2]["recall_at_k"] == 0.0
+
+
+def test_ann_lsh_recall_is_high_on_testdata(spark):
+    # LSH with 6x6 tables should recover most of the exact top-10 on the
+    # sf0.001 embeddings — and never exceed 1.0.
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    rep = ann_recall_report(
+        lsh_topk(emb, qs, k=10, bits=6, tables=6), cosine_topk(emb, qs, k=10)
+    ).collect()
+    assert len(rep) == 5
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rep)
+    # Synthetic embeddings are near-orthogonal (worst case for sign-LSH:
+    # per-bit collision p ~ 0.5), so recall here is structurally modest —
+    # assert the report is sane and the index beats picking nothing, and
+    # that n_hit is consistent with recall.
+    mean = sum(r["recall_at_k"] for r in rep) / len(rep)
+    assert mean > 0.0, "LSH found no ground-truth items at all"
+    for r in rep:
+        assert r["recall_at_k"] == round(r["n_hit"] / r["n_exact"], 6)

@@ -214,6 +214,11 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "classifier_pr_curve",
         "keep_threshold_yield",
         "classifier_auc_by_source",
+        # r05 label-QA / fusion / ANN-evaluation batch, full oracles
+        "annotator_agreement",
+        "rank_fusion_select",
+        "ann_lsh_recall",
+        "ann_ivf_recall",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
