@@ -1,0 +1,183 @@
+"""Privacy / governance operators for training-data release.
+
+Before a corpus or its aggregates leave the pipeline, three standard gates:
+
+- k-anonymity (Sweeney 2002): every combination of quasi-identifier values
+  (the "equivalence class") must cover at least k individuals, or the rows
+  are re-identifiable by linking on those columns.
+- l-diversity (Machanavajjhala et al. 2007): a class can be k-large yet
+  leak a sensitive attribute if all its members share one value — require
+  at least l distinct sensitive values per class.
+- Differentially-private counts (Dwork et al. 2006): published aggregates
+  get Laplace(sensitivity/epsilon) noise. Here the noise is derived from an
+  md5 hash of (group key, seed) — a deterministic inverse-CDF draw, so a
+  release is exactly replayable (and oracle-checkable cross-engine) while
+  still following the Laplace distribution across keys/seeds. Deterministic
+  seeding means REUSING a seed for repeated releases of the same key spends
+  no extra privacy budget but also adds no fresh noise; rotate the seed per
+  release and account epsilon per release, as with any DP deployment.
+
+Scale shape: everything is hash aggregates at quasi-identifier /group grain
+with map-side partial aggregation; the suppression step is one broadcast-or
+shuffle semi-join of class keys. Nothing here touches row payloads beyond
+the grouping columns, so the gates run at corpus scale for the cost of one
+count(*) pass.
+
+Reference parity note: the reference pipeline has no privacy layer (its
+outputs are site-level wildlife tallies, `/root/reference/ningaloo-etl.Rmd`);
+this extends the engine's governance surface alongside PII redaction in
+`operators/curation.py`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_TWO_52 = float(1 << 52)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """Per-equivalence-class anonymity report: one row per distinct
+    quasi-identifier combination with ``class_size``, ``is_k_anonymous``
+    (class_size >= k) and — when ``sensitive_col`` is given —
+    ``n_sensitive`` (distinct sensitive values) and ``is_l_diverse``
+    (n_sensitive >= l_diversity).
+
+    The dataset as a whole is k-anonymous iff every row has
+    ``is_k_anonymous``; the k it actually achieves is ``min(class_size)``
+    (see :func:`anonymity_summary`). One hash aggregate; count(distinct)
+    is the only two-phase piece and is keyed by the same class columns.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("is_k_anonymous", F.col("class_size") >= F.lit(int(k)))
+    if sensitive_col is not None:
+        out = out.withColumn(
+            "is_l_diverse", F.col("n_sensitive") >= F.lit(int(l_diversity))
+        )
+    return out
+
+
+def anonymity_summary(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """One-row rollup of :func:`k_anonymity_report`: ``n_classes``,
+    ``n_rows``, ``achieved_k`` (the min class size — the k the release
+    actually provides), ``n_small_classes`` / ``rows_at_risk`` under the
+    requested k, and the l-diversity equivalents when a sensitive column is
+    given. This is the go/no-go row a release gate reads."""
+    rep = k_anonymity_report(df, quasi_cols, sensitive_col, k, l_diversity)
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("achieved_k"),
+        F.sum(F.when(~F.col("is_k_anonymous"), 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(
+            F.when(~F.col("is_k_anonymous"), F.col("class_size")).otherwise(0)
+        ).alias("rows_at_risk"),
+    ]
+    if sensitive_col is not None:
+        aggs += [
+            F.min("n_sensitive").alias("achieved_l"),
+            F.sum(F.when(~F.col("is_l_diverse"), 1).otherwise(0)).alias(
+                "n_undiverse_classes"
+            ),
+        ]
+    return rep.agg(*aggs)
+
+
+def suppress_small_classes(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Suppression step: drop every row whose quasi-identifier class has
+    fewer than k members — the blunt-but-sound way to reach k-anonymity
+    when generalization isn't on the table. Class keys + counts are one
+    aggregate; the keep-set joins back as a semi-join on the class columns
+    (broadcastable whenever the class dimension is small)."""
+    keep = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= F.lit(int(k)))
+        .drop("_n")
+    )
+    return df.join(keep, on=list(quasi_cols), how="left_semi")
+
+
+def _seeded_uniform(key: Column, seed: int) -> Column:
+    """Deterministic uniform in (0,1) from md5(key # seed): 13 hex digits
+    (52 bits) + a half-ulp offset so 0 and 1 are unreachable. The same
+    md5-derived-hash family the sampling operators use for cross-engine
+    oracle parity (operators/selection.py)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", key, F.lit(f"seed={int(seed)}"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(_TWO_52)
+
+
+def laplace_noise(key: Column, scale: float, seed: int = 0) -> Column:
+    """Laplace(0, scale) noise by inverse CDF over the seeded uniform:
+    -scale * sign(u - 1/2) * ln(1 - 2|u - 1/2|). Deterministic per (key,
+    seed); Laplace-distributed across keys (distribution pinned in
+    tests/test_privacy.py against a numpy reference)."""
+    u = _seeded_uniform(key, seed)
+    c = u - F.lit(0.5)
+    return (
+        F.lit(-float(scale))
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int = 0,
+    include_true: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Differentially-private group counts: count(*) per group plus
+    Laplace(sensitivity/epsilon) noise drawn deterministically from
+    md5(group key, seed). ``noisy_count`` is rounded (release surface);
+    negatives are kept — post-hoc clamping is the consumer's choice and
+    doing it here would bias sums. ``include_true=True`` adds the exact
+    count for audit/test harnesses (never set it on a real release).
+
+    One hash aggregate; the noise is a map-side expression over the
+    aggregate's (tiny) output, so the DP step adds zero shuffles."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in group_cols])
+    n = F.count(F.lit(1)).alias("_true_n")
+    agg = df.groupBy(*group_cols).agg(n)
+    noise = laplace_noise(key, float(sensitivity) / float(epsilon), seed)
+    cols = list(group_cols) + [
+        F.round(F.col("_true_n") + noise, ndigits).alias("noisy_count")
+    ]
+    if include_true:
+        cols.append(F.col("_true_n").alias("true_count"))
+    return agg.select(*cols)

@@ -259,6 +259,8 @@ PRIORITY: list[str] = [
     "rank_fusion_select",
     "ann_lsh_recall",
     "ann_ivf_recall",
+    "k_anonymity_events",
+    "dp_event_type_counts",
 ]
 
 

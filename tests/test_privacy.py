@@ -1,0 +1,159 @@
+"""Privacy/governance gates: k-anonymity, l-diversity, suppression, and
+seeded-Laplace differentially-private counts (operators/privacy.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ningaloo_turtle_etl_spark.operators.privacy import (
+    anonymity_summary,
+    dp_noisy_counts,
+    k_anonymity_report,
+    laplace_noise,
+    suppress_small_classes,
+)
+from ningaloo_turtle_etl_spark.registry import oracle_sql, queries
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # (zip, age_band) quasi-identifiers, disease sensitive.
+    rows = [
+        ("6701", "20-30", "flu"),
+        ("6701", "20-30", "flu"),
+        ("6701", "20-30", "cold"),
+        ("6701", "30-40", "flu"),
+        ("6702", "20-30", "cold"),
+        ("6702", "20-30", "cold"),
+    ]
+    return spark.createDataFrame(rows, "zip string, age string, disease string")
+
+
+def test_k_anonymity_report_flags(spark, people):
+    rep = {
+        (r["zip"], r["age"]): r
+        for r in k_anonymity_report(
+            people, ["zip", "age"], "disease", k=2, l_diversity=2
+        ).collect()
+    }
+    assert rep[("6701", "20-30")]["class_size"] == 3
+    assert rep[("6701", "20-30")]["is_k_anonymous"]
+    assert rep[("6701", "20-30")]["n_sensitive"] == 2
+    assert rep[("6701", "20-30")]["is_l_diverse"]
+    # singleton class: fails k
+    assert rep[("6701", "30-40")]["class_size"] == 1
+    assert not rep[("6701", "30-40")]["is_k_anonymous"]
+    # k-large but sensitive-homogeneous: fails l
+    assert rep[("6702", "20-30")]["is_k_anonymous"]
+    assert rep[("6702", "20-30")]["n_sensitive"] == 1
+    assert not rep[("6702", "20-30")]["is_l_diverse"]
+
+
+def test_anonymity_summary_rollup(spark, people):
+    row = anonymity_summary(
+        people, ["zip", "age"], "disease", k=2, l_diversity=2
+    ).collect()[0]
+    assert row["n_classes"] == 3 and row["n_rows"] == 6
+    assert row["achieved_k"] == 1  # the singleton bounds the whole release
+    assert row["n_small_classes"] == 1 and row["rows_at_risk"] == 1
+    # both the singleton and the sensitive-homogeneous class fail l=2
+    assert row["achieved_l"] == 1 and row["n_undiverse_classes"] == 2
+
+
+def test_suppress_small_classes_reaches_k(spark, people):
+    kept = suppress_small_classes(people, ["zip", "age"], k=2)
+    assert kept.count() == 5  # the singleton row is suppressed
+    row = anonymity_summary(kept, ["zip", "age"], k=2).collect()[0]
+    assert row["achieved_k"] >= 2 and row["n_small_classes"] == 0
+
+
+def test_laplace_noise_matches_numpy_inverse_cdf(spark):
+    # The Spark expression must equal the closed-form inverse CDF applied
+    # to the same md5-derived uniform, computed independently in Python.
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in "abcde"], "k string")
+    got = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", laplace_noise(F.col("k"), scale=2.0, seed=7).alias("n")
+        ).collect()
+    }
+    for k in "abcde":
+        h = int(hashlib.md5(f"{k}#seed=7".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 2.0**52
+        want = -2.0 * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        assert got[k] == pytest.approx(want, rel=1e-12)
+
+
+def test_laplace_noise_distribution_sane(spark):
+    # Across many keys the seeded draws should look Laplace(0, b): mean ~0,
+    # mean |x| ~ b, symmetric sign split. Loose bounds — this is a sanity
+    # pin, not a GOF test.
+    df = spark.range(4000).select(F.col("id").cast("string").alias("k"))
+    vals = [
+        r["n"]
+        for r in df.select(
+            laplace_noise(F.col("k"), scale=3.0, seed=1).alias("n")
+        ).collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    mean_abs = sum(abs(v) for v in vals) / n
+    pos = sum(1 for v in vals if v > 0) / n
+    assert abs(mean) < 0.5  # se ~ b*sqrt(2/n) ~ 0.067
+    assert 2.5 < mean_abs < 3.5  # E|x| = b = 3
+    assert 0.45 < pos < 0.55
+
+
+def test_dp_noisy_counts_deterministic_and_scaled(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 20, "g string"
+    )
+    one = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=3, include_true=True)
+    two = dp_noisy_counts(df, ["g"], epsilon=1.0, seed=3, include_true=True)
+    r1 = {r["g"]: r for r in one.collect()}
+    r2 = {r["g"]: r for r in two.collect()}
+    assert {k: v["noisy_count"] for k, v in r1.items()} == {
+        k: v["noisy_count"] for k, v in r2.items()
+    }
+    assert r1["a"]["true_count"] == 10 and r1["b"]["true_count"] == 20
+    # halving epsilon doubles the noise exactly (same uniform draw)
+    half = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(
+            df, ["g"], epsilon=0.5, seed=3, include_true=True
+        ).collect()
+    }
+    for g in ("a", "b"):
+        noise1 = r1[g]["noisy_count"] - r1[g]["true_count"]
+        noise2 = half[g] - r1[g]["true_count"]
+        assert noise2 == pytest.approx(2 * noise1, abs=2e-6)
+    # a different seed moves the noise
+    other = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=4).collect()
+    }
+    assert other != {k: v["noisy_count"] for k, v in r1.items()}
+
+
+def test_dp_noisy_counts_validates(spark):
+    df = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, [], epsilon=1.0)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [])
+
+
+def test_privacy_queries_match_oracle(spark, duck):
+    qs, os_ = queries(), oracle_sql()
+    for name in ("k_anonymity_events", "dp_event_type_counts"):
+        assert_df_matches_oracle(qs[name](spark, SF_DIR), duck, os_[name])

@@ -219,6 +219,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "rank_fusion_select",
         "ann_lsh_recall",
         "ann_ivf_recall",
+        # r05 privacy/governance gates, full oracles (seeded-Laplace DP)
+        "k_anonymity_events",
+        "dp_event_type_counts",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
