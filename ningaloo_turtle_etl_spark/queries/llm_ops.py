@@ -3959,3 +3959,144 @@ def q_rolling_value_p95(spark, sf_dir):
         ev, "value", "ts", (0.5, 0.95), window_days=7,
         n_bins=1000, lo=0.0, hi=500.0,
     )
+
+
+@register(
+    "assoc_rules_copurchase",
+    """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    supp AS (
+        SELECT it, CAST(COUNT(*) AS BIGINT) AS s FROM bi GROUP BY 1
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM bi),
+    fi AS (SELECT it FROM supp WHERE s >= 2),
+    kept AS (SELECT bi.bk, bi.it FROM bi JOIN fi USING (it)),
+    capped AS (
+        SELECT bk, it FROM (
+            SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bn FROM kept
+        ) WHERE bn <= 1000
+    ),
+    pairs AS (
+        SELECT a.it AS item_a, b.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS ps
+        FROM capped a JOIN capped b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, ps FROM pairs
+        UNION ALL
+        SELECT item_b AS antecedent, item_a AS consequent, ps FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.ps AS pair_support,
+           sa.s AS antecedent_support, sb.s AS consequent_support,
+           ROUND(d.ps * 1.0 / n, 6) AS support,
+           ROUND(d.ps * 1.0 / sa.s, 6) AS confidence,
+           ROUND((d.ps * 1.0 / sa.s) / (sb.s * 1.0 / n), 6) AS lift
+    FROM directed d
+    JOIN supp sa ON d.antecedent = sa.it
+    JOIN supp sb ON d.consequent = sb.it
+    CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+)
+def q_assoc_rules_copurchase(spark, sf_dir):
+    """Apriori association rules over co-purchase baskets
+    (`operators/basket.py association_rules`): directed a -> b rules at
+    pair min_support=2 with support / confidence / lift. The item dim is
+    support-pruned BEFORE the per-basket pair blowup (downward closure),
+    the pair join is basket-keyed so the quadratic term stays per-basket,
+    and the rule metrics are two broadcast dim joins — the affinity
+    companion to pagerank/kcore over the same facts."""
+    from ningaloo_turtle_etl_spark.operators.basket import association_rules
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).orderBy("antecedent", "consequent")
+
+
+def _bpe_fertility_oracle_sql(num_merges: int) -> str:
+    """Fertility oracle: wrap the encode oracle's chain as a CTE and roll
+    per-doc token counts up to language grain alongside word/char totals."""
+    enc = _bpe_encode_oracle_sql(num_merges)
+    idx = enc.rindex("SELECT d.doc_id")
+    body = enc[:idx].rstrip().rstrip(",")
+    final = enc[idx:]
+    return f"""{body},
+    enc_out AS ({final}),
+    j AS (
+        SELECT e.doc_id, e.n_tokens, d.lang, d.n_chars,
+               len({_TOKENS}) AS n_words
+        FROM enc_out e JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CASE WHEN SUM(n_words) > 0
+                 THEN SUM(n_tokens) * 1.0 / SUM(n_words) ELSE 0.0 END, 6)
+               AS fertility,
+           ROUND(CASE WHEN SUM(n_tokens) > 0
+                 THEN SUM(n_chars) * 1.0 / SUM(n_tokens) ELSE 0.0 END, 6)
+               AS chars_per_token
+    FROM j GROUP BY lang ORDER BY lang
+    """
+
+
+@register("tokenizer_fertility", _bpe_fertility_oracle_sql(8))
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer EVALUATION: per-language fertility (subword tokens per
+    word) and compression (chars per token) of the corpus-induced 8-merge
+    BPE — the acceptance metrics a tokenizer change must publish before a
+    retrain (high fertility on a language = that language pays more
+    sequence length per word). Rolls the encode plan's per-doc counts up
+    to language grain: the symbol dim still broadcasts, and the rollup
+    adds one lang-keyed hash aggregate over doc-grain rows."""
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        encode_corpus,
+        learn_bpe,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, sym = learn_bpe(docs, num_merges=8)
+    enc = encode_corpus(docs, sym, merges)
+    j = enc.join(
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(tokens(F.lower(F.col("text")))).alias("n_words"),
+        ),
+        on="doc_id",
+    )
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_tokens") / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_chars") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

@@ -261,6 +261,8 @@ PRIORITY: list[str] = [
     "ann_ivf_recall",
     "k_anonymity_events",
     "dp_event_type_counts",
+    "assoc_rules_copurchase",
+    "tokenizer_fertility",
 ]
 
 

@@ -222,6 +222,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # r05 privacy/governance gates, full oracles (seeded-Laplace DP)
         "k_anonymity_events",
         "dp_event_type_counts",
+        # r05 Apriori market-basket rules + tokenizer eval, full oracles
+        "assoc_rules_copurchase",
+        "tokenizer_fertility",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
