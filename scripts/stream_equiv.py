@@ -367,6 +367,24 @@ def main() -> int:
         ["shard", "item", "est_count", "max_err"],
     )
 
+    # Streaming DP release: tumbling-window counts + deterministic
+    # md5-seeded Laplace noise (streaming/privacy.py). Determinism is the
+    # point — the stream path must publish EXACTLY the noise the batch
+    # replay publishes, or restarts would re-release the same window with
+    # fresh noise (idempotency + privacy-budget bug). Noise math itself is
+    # pinned against numpy in tests/test_privacy.py.
+    from ningaloo_turtle_etl_spark.streaming.privacy import dp_daily_release
+
+    check(
+        "streaming_dp_release",
+        dp_daily_release(batch, epsilon=0.5, seed=11),
+        run_stream(
+            dp_daily_release(stream, epsilon=0.5, seed=11, watermark="40 days"),
+            "se_dp",
+        ),
+        ["window_start", "event_type", "noisy_n"],
+    )
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
