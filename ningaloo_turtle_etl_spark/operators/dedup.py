@@ -208,17 +208,33 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature (xxhash64 family), hash-once scheme: each shingle
-    string is hashed ONE time with xxhash64, and the ``num_hashes`` slots
-    are 2-universal integer hashes of that value — the same
-    (aᵢ·(h & 2³¹-1) + bᵢ) mod (2⁶¹-1) family the md5 path uses. The
-    r01-r04 form re-hashed the string per slot (xxhash64(seed, s) × 32),
-    paying 32 string digests per shingle; slot derivation from one digest
-    is the standard universal-hashing MinHash construction (Broder 2000)
-    and measured ~2× faster end-to-end at 100k docs with identical
-    planted-pair recall (tests pin both families)."""
-    hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
-    return minhash_slots_from_hashes(hashed, num_hashes)
+    """MinHash signature (xxhash64 family): for seed i, min over shingles of
+    xxhash64(i, s). One array column of length ``num_hashes``; entirely
+    JVM-side.
+
+    Measured decision (r06 A/B, scripts/ab_minhash.py, idle host, 3 reps):
+    this per-slot form beats the r05 "hash-once + 2-universal integer
+    slots" scheme ~1.5× end-to-end (3.37 s vs 5.22 s at 20k docs;
+    1.57 s vs 1.77 s at 500 docs) — xxhash64 over short strings is a fused
+    JVM intrinsic while the 64-bit ``% (2⁶¹-1)`` in the integer slots is
+    the bottleneck, and masking ``h`` to 31 bits also cost ~6% recall
+    (34,063 vs 32,184 verified pairs at identical threshold). r05's
+    committed claim of "~2× faster" came from a broken A/B that
+    monkeypatched a function the pipeline never calls. The md5 family keeps
+    the hash-once slot scheme (``minhash_slots_from_hashes``) because
+    DuckDB-reproducibility, not speed, is its job.
+
+    NB: the per-seed lambda must be UNARY — F.transform passes the element
+    index to a second parameter, so a `lambda s, i=i:` closure would receive
+    the index as ``i`` and collapse every signature slot into the same hash
+    function (destroying LSH recall). Seeds are bound via a helper scope.
+    """
+
+    def slot(i: int) -> Column:
+        seed = F.lit(i)
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(seed, s)))
+
+    return F.array(*[slot(i) for i in range(num_hashes)])
 
 
 def minhash_slots_from_hashes(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -252,6 +268,19 @@ def _fp_window():
     from pyspark.sql.window import Window
 
     return Window.partitionBy("_fp")
+
+
+def exact_text_fp(text_col: str | Column) -> Column:
+    """128-bit exact-text fingerprint: xxhash64 under two independent seeds,
+    packed as a 32-hex-char string. A single 64-bit fingerprint silently
+    merges two DISTINCT documents at birthday scale (~2³² docs — reachable
+    at 100 TB), and inside ``collapse_exact`` such a merge would emit a
+    false jaccard=1.0 pair and substitute the representative's shingle set
+    for the collided doc. 128 bits pushes that to ~2⁶⁴ docs."""
+    return F.concat(
+        F.lpad(F.hex(F.xxhash64(text_col)), 16, "0"),
+        F.lpad(F.hex(F.xxhash64(F.lit(0x9E3779B9), text_col)), 16, "0"),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -311,7 +340,7 @@ def minhash_near_dup_pairs(
         fp = df.select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("_txt"),
-            F.xxhash64(text_col).alias("_fp"),
+            exact_text_fp(text_col).alias("_fp"),
         )
         mem = _track_cache(
             fp.select(
@@ -375,6 +404,7 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh_str")
     ).select(
         "id",
+        "sh_str",
         F.array_distinct(F.transform("sh_str", lambda s: shingle_hash(s))).alias("sh"),
     )
     # Persist the per-doc state: the plan references it from four self-join
@@ -385,9 +415,17 @@ def minhash_near_dup_pairs(
     # be unpersisted here (the returned frame is lazy) — it is tracked;
     # release with release_dedup_caches() / dedup_cache_scope() after
     # consuming the result.
-    # Slots derive from the already-hashed shingle set for BOTH families:
-    # one string digest per shingle (md5 or xxhash64), then integer ops only.
-    sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
+    # Signature per family: md5 derives slots from the already-hashed
+    # shingle set (one digest per shingle, then integer min-folds —
+    # DuckDB-reproducible, buys the oracle row); xxhash64 re-hashes the
+    # string per slot, which the r06 A/B (scripts/ab_minhash.py) measured
+    # ~1.5× faster end-to-end than the integer-slot scheme AND slightly
+    # higher recall. Both are computed in the SAME select as ``sh`` so the
+    # string shingles never ride the cache — only (id, sh, sig) persists.
+    if hash_family == "md5":
+        sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
+    else:
+        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
     sig = _track_cache(
         sh.select("id", "sh", sig_expr.alias("sig")).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -748,6 +786,15 @@ def with_simhash(
     so shuffled bytes are doc-count-sized, never token-count-sized. The
     16-bit lanes overflow only past 65535 tokens of one doc — beyond any
     sane document; chunk longer docs upstream if that ever changes.
+
+    ANSI-mode caveat: lane-exactness relies on Java long wraparound in the
+    packed SUM, and the SIGNED 64-bit sum's top lane goes negative once a
+    single lane count exceeds 32767 — correct under default Spark (the
+    lanes are re-extracted with unsigned shifts), but with
+    ``spark.sql.ansi.enabled=true`` the SUM raises an overflow error for
+    docs past ~32k tokens, i.e. below the 65535-token lane bound above.
+    Under ANSI mode chunk docs at ≤32767 tokens (or use ``simhash_expr``,
+    whose per-bit counters never pack).
 
     ``explode_outer`` keeps empty/whitespace-only docs: their lane sums
     aggregate over zero non-null hashes → NULL → the per-bit WHEN falls
@@ -1480,11 +1527,18 @@ def minhash_incremental_pairs(
     ).select(
         "id",
         "_is_new",
+        "sh_str",
         F.array_distinct(
             F.transform("sh_str", lambda s: shingle_hash(s))
         ).alias("sh"),
     )
-    sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
+    # Same per-family signature as minhash_near_dup_pairs — the incremental
+    # output is pinned bit-for-bit against the full run, so the two must
+    # derive identical signatures.
+    if hash_family == "md5":
+        sig_expr = minhash_slots_from_hashes(F.col("sh"), num_hashes)
+    else:
+        sig_expr = minhash_signature(F.col("sh_str"), num_hashes)
     sig = _track_cache(
         sh.select("id", "_is_new", "sh", sig_expr.alias("sig")).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -122,6 +122,25 @@ def suppress_small_classes(
     return df.join(keep, on=list(quasi_cols), how="left_semi")
 
 
+def _group_key(group_cols: Sequence[str]) -> Column:
+    """INJECTIVE noise key over the group columns: each column is md5-hashed
+    separately (NULL → the literal 'NULL', which no 32-hex digest can equal)
+    and the digests join with '#'. A plain concat_ws over raw values is NOT
+    injective — concat_ws drops NULLs and does not escape the separator, so
+    groups like ('a#b','c') vs ('a','b#c') or ('x',NULL) vs (NULL,'x') would
+    share one key and receive IDENTICAL Laplace draws, correlating the noise
+    across distinct groups and weakening both the DP guarantee and the
+    per-group determinism contract. Mirrored verbatim in the DuckDB oracle
+    (queries/privacy.py)."""
+    return F.concat_ws(
+        "#",
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+            for c in group_cols
+        ],
+    )
+
+
 def _seeded_uniform(key: Column, seed: int) -> Column:
     """Deterministic uniform in (0,1) from md5(key # seed): 13 hex digits
     (52 bits) + a half-ulp offset so 0 and 1 are unreachable. The same
@@ -171,7 +190,7 @@ def dp_noisy_counts(
         raise ValueError("epsilon must be positive")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    key = F.concat_ws("#", *[F.col(c).cast("string") for c in group_cols])
+    key = _group_key(group_cols)
     n = F.count(F.lit(1)).alias("_true_n")
     agg = df.groupBy(*group_cols).agg(n)
     noise = laplace_noise(key, float(sensitivity) / float(epsilon), seed)

@@ -627,15 +627,20 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) over several score
     columns: each item's fused score is Σ_s 1/(k + rank_s), where rank_s
-    is the item's dense 1-based rank under score column s (higher score =
-    rank 1). RRF is the standard way to combine heterogeneous selection
-    signals (a quality classifier, a DSIR importance weight, a recency
-    score) WITHOUT calibrating their scales against each other — only
-    ranks matter, so a signal with a wild scale cannot dominate.
+    is the item's 1-based row_number under score column s descending with
+    ties broken by ``id_col`` ascending (higher score = rank 1). RRF is
+    the standard way to combine heterogeneous selection signals (a quality
+    classifier, a DSIR importance weight, a recency score) WITHOUT
+    calibrating their scales against each other — only ranks matter, so a
+    signal with a wild scale cannot dominate.
 
-    Rank ties break by ``id_col`` ascending (deterministic, replayable in
-    SQL); ``by`` ranks within groups (e.g. per source). Output: the input
-    keys plus one ``rank_<col>`` per signal and ``rrf_score``.
+    Ranks are row_number, NOT dense_rank: two items tied on a score column
+    get DISTINCT consecutive ranks (deterministically ordered by id), which
+    matches the oracle SQL's row_number and keeps the fused score replayable
+    cross-engine; a dense-rank reading would give tied items equal
+    contributions instead. ``by`` ranks within groups (e.g. per source).
+    Output: the input keys plus one ``rank_<col>`` per signal and
+    ``rrf_score``.
 
     Scale shape: one window per score column, all partitioned the same way
     (by ``by``), so Spark plans a single sort-exchange reused across the

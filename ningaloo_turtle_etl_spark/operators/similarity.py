@@ -67,6 +67,41 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k — the ground truth an L2-metric
+    index (PQ/ADC, IVF-L2) must be measured against. Cosine ground truth
+    would misstate PQ recall on unnormalized embeddings, where the two
+    orderings disagree. Same shape as :func:`cosine_topk`: corpus scan ×
+    broadcast query set, ties by vec_id. Returns
+    (query_id, vec_id, distance, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "query_id", "vec_id", F.round(dist, 6).alias("distance")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- random-hyperplane LSH --------------------------------------------------
 def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)

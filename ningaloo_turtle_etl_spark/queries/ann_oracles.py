@@ -300,6 +300,59 @@ def lsh_recall_oracle_sql(k: int = 10, bits: int = 6, tables: int = 6) -> str:
     """
 
 
+def l2_brute_oracle_sql(k: int = 10) -> str:
+    """Exact brute-force squared-L2 top-k (operators/similarity.py
+    ``l2_topk``) — the ground-truth half of the PQ recall oracle. Same
+    sequential (x-y)² fold as Spark's zip_with + aggregate."""
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {QUERY_CUT}
+    ),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               ROUND(list_sum(list_transform(list_zip(c.v, qv),
+                     x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS distance
+        FROM emb c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, distance, rank FROM (
+        SELECT query_id, vec_id, distance,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY distance, vec_id) AS INTEGER)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def pq_recall_oracle_sql(k: int = 10, rerank: int = 50) -> str:
+    """ann_pq_recall: recall@k of the PQ/ADC index (frozen codebooks, exact
+    shortlist re-rank) against the exact squared-L2 ground truth — PQ ranks
+    by L2, so L2 (not cosine) is the honest ground truth; same recall-report
+    composition as the LSH/IVF recall oracles."""
+    return f"""
+    WITH approx AS ({pq_oracle_sql(k=k, rerank=rerank)}),
+    exact AS ({l2_brute_oracle_sql(k=k)}),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id
+    ),
+    hit AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT t.query_id, n_exact,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_exact, 6) AS recall_at_k
+    FROM tot t LEFT JOIN hit ON t.query_id = hit.query_id
+    ORDER BY t.query_id
+    """
+
+
 def ivf_recall_oracle_sql(k: int = 10, nprobe: int = 3) -> str:
     """ann_ivf_recall: recall@k of the IVF index against the brute-force
     ground truth — same composition as the LSH recall oracle."""

@@ -409,6 +409,7 @@ from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     lsh_recall_oracle_sql,
     lsh_oracle_sql,
     pq_oracle_sql,
+    pq_recall_oracle_sql,
     quantized_oracle_sql,
 )
 
@@ -451,6 +452,30 @@ def ann_lsh_recall(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 5)
     approx = lsh_topk(emb, qs, k=10, bits=6, tables=6)
     exact = cosine_topk(emb, qs, k=10)
+    return ann_recall_report(approx, exact).orderBy("query_id")
+
+
+@register("ann_pq_recall", pq_recall_oracle_sql(k=10, rerank=50))
+def ann_pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ/ADC index (frozen codebooks, 50-candidate exact
+    re-rank) against the exact squared-L2 ground truth — completing the
+    acceptance-metric trio with ann_lsh_recall / ann_ivf_recall. Ground
+    truth is L2, not cosine: PQ ranks by squared-L2, and on unnormalized
+    embeddings the two orderings disagree, so a cosine ground truth would
+    misstate the index's recall. Both halves replay in the DuckDB oracle
+    (LUT chains + brute L2 rank), so the recall numbers are hash-proven."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.quantize import pq_topk
+    from ningaloo_turtle_etl_spark.operators.similarity import l2_topk
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
+    fix = _fixture("pq_codebooks")
+    books = np.asarray(fix["codebooks"], dtype=float)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(emb, qs, books, k=10, rerank=50)
+    exact = l2_topk(emb, qs, k=10)
     return ann_recall_report(approx, exact).orderBy("query_id")
 
 

@@ -67,8 +67,9 @@ def q_k_anonymity_events(spark, sf_dir):
     ),
     noised AS (
         SELECT event_type, n,
-               (('0x' || substr(md5(CAST(event_type AS VARCHAR)
-                                     || '#seed=7'), 1, 13))::BIGINT
+               (('0x' || substr(md5(
+                    coalesce(md5(CAST(event_type AS VARCHAR)), 'NULL')
+                    || '#seed=7'), 1, 13))::BIGINT
                 + 0.5) / 4503599627370496.0 AS u
         FROM agg
     )

@@ -150,10 +150,57 @@ def rda_residual_stats(spark, sf_dir):
     )
 
 
-@register("pcnm_join_back", None)
+# Frozen PCNM1 fixture for the oracle (VERDICT r05 item 3, the same frozen-
+# fixture pattern as the semantic-dedup centroids / PQ codebooks / classifier
+# coefficients): the query's coordinate universe is FIXED by construction —
+# c_nationkey ∈ 0..24 → 25 distinct (nationkey%5, nationkey%7) pairs at every
+# scale factor — so the 25×25 principal-coordinate eigenproblem has one
+# deterministic answer, reproduced here at full float precision by the exact
+# numpy recipe pcnm_scores runs (sorted sites, double-centered truncated
+# distances, eigh, canonical largest-|component|-positive sign; eigengap
+# λ1−λ2 ≈ 9.93 so PCNM1 is stable). The oracle joins this dim back and
+# rounds in SQL, replaying the Spark plan's dedup→score→join-back shape.
+_PCNM1_FIXTURE = (
+    "(0,0,1.9585002147274826),(0,1,2.3151380059867),(0,3,0.1596753817034381),"
+    "(0,5,-0.5159070333092461),(0,6,-0.38028815777634095),"
+    "(1,0,2.8774555601487948),(1,1,3.4141826200272325),"
+    "(1,2,1.8673090076965644),(1,4,-0.7373120513921649),"
+    "(1,6,-0.6127771438089644),(2,0,2.1893705907311407),"
+    "(2,1,2.5586458501938294),(2,2,0.883408375459337),"
+    "(2,3,-1.0822496423629202),(2,5,-1.2461418593148093),"
+    "(3,1,0.7301981011040026),(3,2,-0.8703931565521391),"
+    "(3,3,-2.49231892294614),(3,4,-2.7486027826976),"
+    "(3,6,-0.7498326371487752),(4,0,0.06566482794491352),"
+    "(4,2,-1.3267116011742257),(4,3,-2.4480354397787933),"
+    "(4,4,-2.3172504953740005),(4,5,-1.4917276120873177)"
+)
+
+
+@register(
+    "pcnm_join_back",
+    f"""
+    WITH scores(sx, sy, pcnm1_raw) AS (VALUES {_PCNM1_FIXTURE}),
+    agg AS (
+        SELECT CAST(c_nationkey % 5 AS DOUBLE) AS gx,
+               CAST(c_nationkey % 7 AS DOUBLE) AS gy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT agg.gx, agg.gy, agg.n, ROUND(scores.pcnm1_raw, 4) AS pcnm1
+    FROM agg
+    JOIN scores ON agg.gx = CAST(scores.sx AS DOUBLE)
+               AND agg.gy = CAST(scores.sy AS DOUBLE)
+    """,
+)
 def pcnm_join_back(spark, sf_dir):
     """M3: PCNM eigenvector scores computed on distinct synthetic coords and
-    broadcast-joined back (the 61-sites trick)."""
+    broadcast-joined back (the 61-sites trick,
+    reference spatial_modelling.Rmd:217-224). The eigendecomposition itself
+    is driver-side numpy (deterministic: sorted site list + canonical
+    eigenvector sign), so the oracle freezes the 25-site PCNM1 score matrix
+    as a fixture dim and replays the dedup→join-back + aggregate in SQL —
+    full rows/schema/hash check, not rows-only."""
     from ningaloo_turtle_etl_spark.stats import pcnm_scores
 
     c = load_table(spark, "customer", sf_dir).select(

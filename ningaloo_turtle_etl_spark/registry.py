@@ -30,8 +30,8 @@ _REGISTRY: dict[str, Q] = {}
 # component; entries after the marker are redundant with components already
 # proven above (TPC-H-flavored variants, the SQL-form flagship twin) or
 # extension queries — all still oracle-swept by pytest and the supplement
-# artifact (since r04 every entry but pcnm_join_back and sketch_profile
-# carries a full DuckDB oracle).
+# artifact (since r06 every entry but sketch_profile carries a full DuckDB
+# oracle — pcnm_join_back flipped via a frozen eigenvector-score fixture).
 # tests/test_registry_order.py asserts this list stays in sync with the
 # registry.
 PRIORITY: list[str] = [
@@ -263,6 +263,7 @@ PRIORITY: list[str] = [
     "dp_event_type_counts",
     "assoc_rules_copurchase",
     "tokenizer_fertility",
+    "ann_pq_recall",
 ]
 
 

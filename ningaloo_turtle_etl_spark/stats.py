@@ -126,7 +126,15 @@ def pcnm_scores(
             "(the reference's 61-site trick); bin/round the coordinates or "
             "raise max_sites explicitly"
         )
-    pts = np.array([[float(r[c]) for c in coord_cols] for r in pts_rows])
+    # Sort the site list: distinct().collect() order is nondeterministic
+    # across runs/partitionings, and while eigen-SCORES are permutation-
+    # equivariant, LAPACK's returned eigenvector signs are not — a fixed
+    # input ordering (plus the sign canonicalization below) makes PCNM
+    # columns bit-stable run-to-run, which is what lets the registered
+    # query freeze them as an oracle fixture.
+    pts = np.array(
+        sorted([float(r[c]) for c in coord_cols] for r in pts_rows)
+    )
     m = len(pts)
     d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
     if truncation is None:
@@ -143,7 +151,15 @@ def pcnm_scores(
     order = np.argsort(vals)[::-1]
     vals, vecs = vals[order], vecs[:, order]
     keep = min(n_vectors, int((vals > 1e-9).sum()))
-    scores = vecs[:, :keep] * np.sqrt(np.maximum(vals[:keep], 0))
+    vecs = vecs[:, :keep].copy()
+    # Canonical sign per eigenvector: the largest-|value| component (first
+    # such index on ties) is made positive — eigh's sign choice is
+    # LAPACK-version-dependent, and PCNM axes are sign-arbitrary anyway.
+    for j in range(keep):
+        i_max = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[i_max, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    scores = vecs * np.sqrt(np.maximum(vals[:keep], 0))
 
     spark = df.sparkSession
     score_rows = [

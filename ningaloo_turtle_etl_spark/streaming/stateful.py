@@ -142,6 +142,18 @@ def heavy_hitters_stream(
     per-shard cardinality), while eviction arithmetic is unit-tested
     directly.
 
+    OUTPUT CONTRACT (append mode): each micro-batch re-emits the FULL
+    per-shard summary, and append-mode sinks cannot retract earlier
+    emissions — so a multi-batch run leaves one (shard, item) row PER BATCH
+    in the sink, with earlier rows carrying stale est_counts. The sink is
+    therefore last-batch-wins: consumers must keep only each (shard, item)'s
+    latest row (e.g. max_by on a batch-id/ingest-time column, or read only
+    the final batch), or run in the single-batch ``availableNow`` regime
+    the batch≡stream harness uses, where the one batch IS the final state.
+    Emitting only changed entries would shrink the duplication but still
+    could not retract an evicted item's last row; the full-summary emission
+    keeps the last batch self-contained.
+
     Scale shape: state is O(shards × capacity) regardless of stream
     length — the knob the built-in streaming aggregation lacks (its state
     grows with distinct keys). Raise ``shards`` for hot-item write

@@ -225,6 +225,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
+        # r06 PQ recall-vs-exact-L2 acceptance row, full oracle
+        "ann_pq_recall",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
