@@ -1228,10 +1228,46 @@ def two_proportion_ztest(
     )
 
 
+def norm_ppf(p: float) -> float:
+    """Standard-normal quantile via Acklam's rational approximation
+    (|rel err| < 1.15e-9) — driver-side constant generator for the SRM
+    critical value; no scipy in this environment."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+
 def srm_check(
     df: DataFrame,
     arm_col: str,
     expected: dict[str, float],
+    alpha: float = 0.001,
 ) -> DataFrame:
     """Sample-ratio-mismatch check — the experimentation-platform health
     gate run BEFORE reading any metric: chi-square goodness-of-fit of
@@ -1247,9 +1283,21 @@ def srm_check(
     drive ``chi2`` to Infinity and are counted in ``n_undeclared``.
 
     Output: one row — (n_rows, n_arms, dof, n_undeclared, chi2,
-    max_abs_dev) where max_abs_dev is the largest
-    |observed_share - expected_share| (6dp), n_arms counts every arm seen
-    on either side, and dof is declared-arms − 1.
+    chi2_critical, srm_violated, max_abs_dev) where max_abs_dev is the
+    largest |observed_share - expected_share| (6dp), n_arms counts every
+    arm seen on either side, and dof is declared-arms − 1.
+
+    ``srm_violated`` is the consumer-safe boolean gate (the exact chi2 —
+    which is legitimately Infinity when an undeclared arm carries observed
+    mass — surprises JSON/BI consumers): chi2 exceeds the chi-square
+    critical value at ``alpha`` (default 0.001, the platform-standard SRM
+    threshold), OR any undeclared arm was observed. The critical value is
+    the Wilson–Hilferty cube approximation
+    dof·(1 − 2/(9·dof) + z_{1−alpha}·√(2/(9·dof)))³ — elementary
+    arithmetic over dof and a driver-side z constant, so the DuckDB oracle
+    replays the flag bit-for-bit (no chi-square CDF builtin needed);
+    WH is accurate to ~1e-3 relative at dof ≥ 1, far from any plausible
+    decision boundary for a gate.
 
     Scale shape: one map-side-combined count aggregate to the arms grid;
     the ratio dim is a broadcast literal frame. Single pass, single
@@ -1285,7 +1333,8 @@ def srm_check(
         # silently dropping the arm) is the whole point of the gate.
         F.when(F.col("o") > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
     )
-    return e.agg(
+    z = float(norm_ppf(1.0 - float(alpha)))
+    agg = e.agg(
         F.min("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_arms"),
         (F.sum(F.col("_declared").cast("long")) - 1).cast("long").alias(
@@ -1294,13 +1343,30 @@ def srm_check(
         F.sum((~F.col("_declared")).cast("long")).cast("long").alias(
             "n_undeclared"
         ),
-        F.round(F.sum(term), 6).alias("chi2"),
+        F.sum(term).alias("_chi2_raw"),
         F.round(
             F.max(
                 F.abs(F.col("o") / F.col("n").cast("double") - F.col("ratio"))
             ),
             6,
         ).alias("max_abs_dev"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof_d) + F.lit(z) * F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * dof_d)
+    )
+    crit = F.when(F.col("dof") >= 1, dof_d * wh * wh * wh).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_rows",
+        "n_arms",
+        "dof",
+        "n_undeclared",
+        F.round("_chi2_raw", 6).alias("chi2"),
+        F.round(crit, 6).alias("chi2_critical"),
+        (
+            (F.col("_chi2_raw") > crit) | (F.col("n_undeclared") > 0)
+        ).alias("srm_violated"),
+        "max_abs_dev",
     )
 
 
