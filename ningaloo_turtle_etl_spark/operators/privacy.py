@@ -122,6 +122,84 @@ def suppress_small_classes(
     return df.join(keep, on=list(quasi_cols), how="left_semi")
 
 
+def generalize_to_k(
+    df: DataFrame,
+    levels: Sequence[Sequence[tuple[str, Column]]],
+    k: int = 5,
+    max_suppressed_frac: float = 0.0,
+) -> DataFrame:
+    """Generalization ladder to k-anonymity (global recoding, then residual
+    suppression) — the standard alternative when dropping rows outright
+    (:func:`suppress_small_classes`) is too lossy: coarsen the
+    quasi-identifiers step by step (day → week → month → withheld,
+    value → wider buckets) until the release fits the anonymity budget,
+    and only then suppress whatever classes are still small.
+
+    ``levels``: the ladder, ordered finest-first; each level is a list of
+    ``(output_name, Column)`` pairs defining the generalized
+    quasi-identifier columns at that grain. Every level must emit the SAME
+    output names (same schema at every rung — a withheld column is
+    ``F.lit(None).cast(...)``, not an absent column).
+
+    Selection rule (deterministic, data-driven): the FIRST level whose
+    rows-at-risk — the rows living in classes smaller than k — does not
+    exceed ``max_suppressed_frac`` of the corpus is chosen; if no rung
+    qualifies, the coarsest level is used. Rows still in small classes at
+    the chosen level are suppressed, so the output is always k-anonymous.
+
+    Returns the class-grain release: the generalized columns +
+    ``class_size`` (BIGINT) + ``gen_level`` (INT, the chosen rung), only
+    classes with ``class_size >= k``. The same rule replays in plain SQL
+    (per-level aggregate + MIN(level) under the threshold), so registered
+    uses are fully oracle-checkable.
+
+    Scale shape: one count(*) pass for the corpus size, then per rung one
+    hash aggregate at class grain reduced to a SINGLE driver-side scalar
+    (rows at risk) — the driver loop is bounded by the ladder height
+    (3-5), never by data size, and no row payloads are ever collected.
+    The chosen level's class table is recomputed declaratively so Catalyst
+    sees one clean plan for the released frame."""
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    names0 = [n for n, _ in levels[0]]
+    for lvl in levels[1:]:
+        if [n for n, _ in lvl] != names0:
+            raise ValueError("every ladder level must emit the same columns")
+    n_rows = df.count()
+    budget = float(max_suppressed_frac) * float(n_rows)
+
+    def _classes(lvl):
+        return df.groupBy(
+            *[expr.alias(name) for name, expr in lvl]
+        ).agg(F.count(F.lit(1)).alias("class_size"))
+
+    chosen = len(levels) - 1
+    for i, lvl in enumerate(levels[:-1]):
+        row = (
+            _classes(lvl)
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("class_size") < F.lit(int(k)),
+                            F.col("class_size"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("at_risk")
+            )
+            .first()
+        )
+        if float(row["at_risk"]) <= budget:
+            chosen = i
+            break
+    return (
+        _classes(levels[chosen])
+        .filter(F.col("class_size") >= F.lit(int(k)))
+        .withColumn("gen_level", F.lit(int(chosen)).cast("int"))
+    )
+
+
 def _group_key(group_cols: Sequence[str]) -> Column:
     """INJECTIVE noise key over the group columns: each column is md5-hashed
     separately (NULL → the literal 'NULL', which no 32-hex digest can equal)

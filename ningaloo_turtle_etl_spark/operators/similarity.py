@@ -92,13 +92,21 @@ def l2_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = joined.select(
-        "query_id", "vec_id", F.round(dist, 6).alias("distance")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("vec_id"))
+    # Rank by the UNROUNDED distance (rounding only the projected output
+    # column) so near-ties within 1e-6 resolve in true L2 order — the same
+    # policy as pq_topk's exact re-rank stage, keeping both halves of a
+    # recall metric on one ordering convention.
+    scored = joined.select("query_id", "vec_id", dist.alias("_d"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("_d"), 6).alias("distance"),
+            "rank",
+        )
     )
 
 

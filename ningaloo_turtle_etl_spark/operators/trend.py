@@ -1295,9 +1295,12 @@ def srm_check(
     the Wilson–Hilferty cube approximation
     dof·(1 − 2/(9·dof) + z_{1−alpha}·√(2/(9·dof)))³ — elementary
     arithmetic over dof and a driver-side z constant, so the DuckDB oracle
-    replays the flag bit-for-bit (no chi-square CDF builtin needed);
-    WH is accurate to ~1e-3 relative at dof ≥ 1, far from any plausible
-    decision boundary for a gate.
+    replays the flag bit-for-bit (no chi-square CDF builtin needed).
+    In the deep alpha=0.001 tail WH overshoots the exact quantile at
+    small dof (11.157 vs 10.828 at dof=1, ~3.0% high; ~2.3% at dof=2;
+    <1% by dof≈8), so the gate is slightly CONSERVATIVE — a chi2 landing
+    between the exact and WH critical values passes — which is the safe
+    direction for a health check that exists to avoid false alarms.
 
     Scale shape: one map-side-combined count aggregate to the arms grid;
     the ratio dim is a broadcast literal frame. Single pass, single

@@ -313,11 +313,13 @@ def l2_brute_oracle_sql(k: int = 10) -> str:
     ),
     scored AS (
         SELECT query_id, c.vec_id,
-               ROUND(list_sum(list_transform(list_zip(c.v, qv),
-                     x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS distance
+               list_sum(list_transform(list_zip(c.v, qv),
+                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS distance
         FROM emb c, q WHERE c.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, distance, rank FROM (
+    -- rank by the UNROUNDED distance, round only the projected column —
+    -- mirrors the Spark side (and pq_topk's exact re-rank policy)
+    SELECT query_id, vec_id, ROUND(distance, 6) AS distance, rank FROM (
         SELECT query_id, vec_id, distance,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY distance, vec_id) AS INTEGER)

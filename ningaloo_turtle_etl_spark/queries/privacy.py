@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 
 from ningaloo_turtle_etl_spark.operators.privacy import (
     dp_noisy_counts,
+    generalize_to_k,
     k_anonymity_report,
 )
 from ningaloo_turtle_etl_spark.registry import register
@@ -91,3 +92,88 @@ def q_dp_event_type_counts(spark, sf_dir):
     return dp_noisy_counts(
         ev, ["event_type"], epsilon=0.5, sensitivity=1.0, seed=7
     ).orderBy("event_type")
+
+
+@register(
+    "k_anon_generalize_events",
+    f"""
+    WITH base AS (
+        SELECT event_type, {_DAY} AS day FROM events
+    ),
+    -- the ladder: day -> week -> month -> time withheld; same output
+    -- columns at every rung (g_time is NULL when withheld)
+    rungs AS (
+        SELECT 0 AS lvl, event_type, day AS g_time,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 1, event_type, CAST(floor(day / 7.0) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 2, event_type, CAST(floor(day / 30.0) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 3, event_type, CAST(NULL AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY 2, 3
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    risk AS (
+        SELECT lvl,
+               COALESCE(SUM(CASE WHEN class_size < 60
+                                 THEN class_size END), 0) AS at_risk
+        FROM rungs GROUP BY lvl
+    ),
+    -- first rung whose rows-at-risk fits the 2% suppression budget;
+    -- the coarsest rung (3) is the fallback
+    chosen AS (
+        SELECT COALESCE(
+            (SELECT MIN(lvl) FROM risk, tot
+             WHERE lvl < 3 AND at_risk <= 0.02 * n), 3) AS lvl
+    )
+    SELECT event_type, g_time, class_size,
+           CAST(chosen.lvl AS INTEGER) AS gen_level
+    FROM rungs JOIN chosen ON rungs.lvl = chosen.lvl
+    WHERE class_size >= 60
+    ORDER BY event_type, g_time
+    """,
+)
+def q_k_anon_generalize_events(spark, sf_dir):
+    """Generalization-ladder k-anonymity release of the event log
+    (`operators/privacy.py generalize_to_k`): coarsen the time
+    quasi-identifier day -> week -> month -> withheld until <=2% of rows
+    would need suppressing at k=60, then release class-grain counts with
+    the residual small classes suppressed. Scale-adaptive by construction:
+    the same rule picks month grain at sf0.001, week at sf0.01 and day at
+    sf0.1 — coarser data earns finer release grain. The driver loop is one
+    scalar aggregate per rung (ladder height, not data size)."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+
+    raw = load_table(spark, "events", sf_dir)
+    ev = raw.select(
+        "event_type",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    )
+    day = F.col("day")
+    ladder = [
+        [("event_type", F.col("event_type")), ("g_time", day)],
+        [
+            ("event_type", F.col("event_type")),
+            ("g_time", F.floor(day / F.lit(7.0)).cast("long")),
+        ],
+        [
+            ("event_type", F.col("event_type")),
+            ("g_time", F.floor(day / F.lit(30.0)).cast("long")),
+        ],
+        [
+            ("event_type", F.col("event_type")),
+            ("g_time", F.lit(None).cast("long")),
+        ],
+    ]
+    return generalize_to_k(
+        ev, ladder, k=60, max_suppressed_frac=0.02
+    ).orderBy("event_type", "g_time")

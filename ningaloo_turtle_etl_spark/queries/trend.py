@@ -992,20 +992,48 @@ def q_two_prop_click_vs_view(spark, sf_dir):
                COALESCE(obs.o, 0) AS o
         FROM dim FULL OUTER JOIN obs USING (arm)
     ),
-    tot AS (SELECT SUM(o) AS n FROM j)
-    SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_arms,
-           CAST(SUM(CASE WHEN declared THEN 1 ELSE 0 END) - 1 AS BIGINT)
-               AS dof,
-           CAST(SUM(CASE WHEN declared THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_undeclared,
-           ROUND(SUM(CASE
-               WHEN ratio * n > 0
-                   THEN (o - ratio * n) * (o - ratio * n) / (ratio * n)
-               WHEN o > 0 THEN CAST('infinity' AS DOUBLE)
-               ELSE 0.0 END), 6) AS chi2,
-           ROUND(MAX(abs(o / CAST(n AS DOUBLE) - ratio)), 6) AS max_abs_dev
-    FROM j, tot
+    tot AS (SELECT SUM(o) AS n FROM j),
+    agg AS (
+        SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_arms,
+               CAST(SUM(CASE WHEN declared THEN 1 ELSE 0 END) - 1 AS BIGINT)
+                   AS dof,
+               CAST(SUM(CASE WHEN declared THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_undeclared,
+               SUM(CASE
+                   WHEN ratio * n > 0
+                       THEN (o - ratio * n) * (o - ratio * n) / (ratio * n)
+                   WHEN o > 0 THEN CAST('infinity' AS DOUBLE)
+                   ELSE 0.0 END) AS chi2_raw,
+               ROUND(MAX(abs(o / CAST(n AS DOUBLE) - ratio)), 6)
+                   AS max_abs_dev
+        FROM j, tot
+    ),
+    -- Wilson–Hilferty chi-square critical value at alpha=0.001; the z
+    -- constant is exactly what the Spark side's Acklam norm_ppf(0.999)
+    -- emits, so the flag replays bit-for-bit (wh cubed as wh*wh*wh to
+    -- mirror the Spark expression, not POWER).
+    crit AS (
+        SELECT *,
+               CASE WHEN dof >= 1 THEN
+                   dof * (1.0 - 2.0 / (9.0 * dof)
+                          + 3.090232304709404
+                            * SQRT(2.0 / (9.0 * dof)))
+                       * (1.0 - 2.0 / (9.0 * dof)
+                          + 3.090232304709404
+                            * SQRT(2.0 / (9.0 * dof)))
+                       * (1.0 - 2.0 / (9.0 * dof)
+                          + 3.090232304709404
+                            * SQRT(2.0 / (9.0 * dof)))
+               ELSE 0.0 END AS crit_raw
+        FROM agg
+    )
+    SELECT n_rows, n_arms, dof, n_undeclared,
+           ROUND(chi2_raw, 6) AS chi2,
+           ROUND(crit_raw, 6) AS chi2_critical,
+           (chi2_raw > crit_raw OR n_undeclared > 0) AS srm_violated,
+           max_abs_dev
+    FROM crit
     """,
 )
 def q_srm_event_types(spark, sf_dir):

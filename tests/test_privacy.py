@@ -11,6 +11,7 @@ import pytest
 from ningaloo_turtle_etl_spark.operators.privacy import (
     anonymity_summary,
     dp_noisy_counts,
+    generalize_to_k,
     k_anonymity_report,
     laplace_noise,
     suppress_small_classes,
@@ -153,7 +154,58 @@ def test_dp_noisy_counts_validates(spark):
         k_anonymity_report(df, [])
 
 
+def test_generalize_to_k_ladder(spark):
+    # 3 classes at fine grain: sizes 4 / 4 / 2 -> fine rung fails k=4
+    # outright, passes once the suppression budget admits the 2-row class.
+    rows = (
+        [("a", d) for d in (1, 1, 1, 1, 2, 2, 2, 2)] + [("b", 1), ("b", 1)]
+    )
+    df = spark.createDataFrame(rows, "kind string, day int")
+    ladder = [
+        [("kind", F.col("kind")), ("g_time", F.col("day"))],
+        [("kind", F.col("kind")), ("g_time", F.lit(None).cast("int"))],
+    ]
+    # zero budget: rung 0 has 2 rows at risk -> coarsen to rung 1, where
+    # kind=b (2 rows) is STILL small and gets residually suppressed
+    out = {
+        (r["kind"], r["g_time"]): r
+        for r in generalize_to_k(df, ladder, k=4).collect()
+    }
+    assert set(out) == {("a", None)}
+    assert out[("a", None)]["class_size"] == 8
+    assert out[("a", None)]["gen_level"] == 1
+    # 20% budget admits suppressing the 2-row class: rung 0 chosen and the
+    # small class is suppressed from the release
+    fine = {
+        (r["kind"], r["g_time"]): r
+        for r in generalize_to_k(
+            df, ladder, k=4, max_suppressed_frac=0.2
+        ).collect()
+    }
+    assert set(fine) == {("a", 1), ("a", 2)}
+    assert all(r["gen_level"] == 0 for r in fine.values())
+    # coarsest rung is the fallback AND still suppresses residual small
+    # classes: k too big for any class -> empty release at the last rung
+    empty = generalize_to_k(df, ladder, k=99).collect()
+    assert empty == []
+    with pytest.raises(ValueError):
+        generalize_to_k(df, [], k=2)
+    with pytest.raises(ValueError):
+        generalize_to_k(
+            df,
+            [
+                [("kind", F.col("kind"))],
+                [("other", F.col("kind"))],
+            ],
+            k=2,
+        )
+
+
 def test_privacy_queries_match_oracle(spark, duck):
     qs, os_ = queries(), oracle_sql()
-    for name in ("k_anonymity_events", "dp_event_type_counts"):
+    for name in (
+        "k_anonymity_events",
+        "dp_event_type_counts",
+        "k_anon_generalize_events",
+    ):
         assert_df_matches_oracle(qs[name](spark, SF_DIR), duck, os_[name])

@@ -678,12 +678,17 @@ def test_srm_check_known_and_zero_arm(spark):
     )
     r = srm_check(df, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
     assert r["chi2"] == 4.0 and r["dof"] == 1 and r["max_abs_dev"] == 0.1
+    # Wilson–Hilferty critical value at alpha=0.001, dof=1, and the
+    # derived gate: 4.0 < 11.157245 -> healthy
+    assert r["chi2_critical"] == 11.157245
+    assert r["srm_violated"] is False
     # an expected arm with zero observed rows still contributes its mass
     z = spark.createDataFrame([("a",)] * 2 + [("b",)] * 2, "arm string")
     r2 = srm_check(z, "arm", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()[0]
     assert r2["n_arms"] == 3 and r2["chi2"] == 2.0
     assert r2["max_abs_dev"] == 0.25
     assert r2["n_undeclared"] == 0
+    assert r2["chi2_critical"] == 14.132925 and r2["srm_violated"] is False
     with _pt.raises(ValueError):
         srm_check(df, "arm", {"a": 0.5, "b": 0.4})
     # a rogue arm present in the data but absent from the declared split
@@ -696,6 +701,14 @@ def test_srm_check_known_and_zero_arm(spark):
     assert r3["n_arms"] == 3 and r3["dof"] == 1
     assert r3["n_undeclared"] == 1
     assert math.isinf(r3["chi2"])
+    # Infinity chi2 (and the undeclared arm itself) must trip the gate
+    assert r3["srm_violated"] is True
+    # dof < 1 branch: single declared arm -> critical value pinned to 0.0
+    # and a perfectly-conforming sample stays healthy (0 > 0 is false)
+    one = spark.createDataFrame([("a",)] * 5, "arm string")
+    r4 = srm_check(one, "arm", {"a": 1.0}).collect()[0]
+    assert r4["dof"] == 0 and r4["chi2"] == 0.0
+    assert r4["chi2_critical"] == 0.0 and r4["srm_violated"] is False
 
 
 def test_cell_silhouette_two_centroids(spark):
