@@ -68,9 +68,13 @@ PRIORITY: list[str] = [
     "corpus_curation_pipeline",
     "quality_budget_select",
     "pii_redaction",
+    # Promoted extension-family rows (r07): the driver window should prove
+    # at least one post-r04 family directly. A3 pivot coverage stays in
+    # window via flagship_summary_pivot + mark_capture_history.
+    "ann_pq_recall",
+    "dp_event_type_counts",
     # Core §2 relational surface.
     "group_count_sorted",
-    "pivot_event_types",
     "agg_scalars",
     "summary_stats",
     "histogram_values",
@@ -81,7 +85,6 @@ PRIORITY: list[str] = [
     "mark_capture_history",
     "join_left_single",
     "join_left_composite",
-    "join_natural",
     "join_anti_orphans",
     "join_semi_exists",
     "lookup_chain_revenue",
@@ -94,6 +97,11 @@ PRIORITY: list[str] = [
     "slice_topk",
     "timestamp_pipeline",
     # ---- 50-slot driver window ends here ----
+    # Demoted r07: A3/J4 remain window-covered by flagship_summary_pivot
+    # (+ mark_capture_history); both stay oracle-swept by pytest +
+    # supplement artifacts.
+    "pivot_event_types",
+    "join_natural",
     "string_null_funcs",
     "shipping_priority",
     "pricing_summary",
@@ -260,10 +268,10 @@ PRIORITY: list[str] = [
     "ann_lsh_recall",
     "ann_ivf_recall",
     "k_anonymity_events",
-    "dp_event_type_counts",
     "assoc_rules_copurchase",
     "tokenizer_fertility",
-    "ann_pq_recall",
+    # r07 generalization-ladder k-anonymity release, full oracle
+    "k_anon_generalize_events",
 ]
 
 

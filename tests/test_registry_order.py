@@ -48,6 +48,10 @@ def test_critical_components_inside_driver_window():
         # merged twins that carry F1-F6/P9/P10/F12 coverage
         "timestamp_pipeline",
         "patch_season",
+        # r07: the window must prove at least one post-r04 extension
+        # family directly (verdict item) — ANN acceptance + seeded-DP
+        "ann_pq_recall",
+        "dp_event_type_counts",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -57,6 +61,11 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
     beyond = list(registry.queries())[WINDOW:]
     oracles = registry.oracle_sql()
     allowed = {
+        # r07 window demotions: A3/J4 stay covered in-window by
+        # flagship_summary_pivot (+ mark_capture_history); both remain
+        # oracle-checked by tests/test_oracle_all.py + the supplement.
+        "pivot_event_types",
+        "join_natural",
         # TPC-H-flavored variants of components proven in-window + the
         # SQL-form flagship twin — all still oracle-checked by
         # tests/test_oracle_all.py.
@@ -219,14 +228,14 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "rank_fusion_select",
         "ann_lsh_recall",
         "ann_ivf_recall",
-        # r05 privacy/governance gates, full oracles (seeded-Laplace DP)
+        # r05 privacy/governance gates, full oracles (seeded-Laplace DP);
+        # dp_event_type_counts holds a driver-window row since r07
         "k_anonymity_events",
-        "dp_event_type_counts",
+        # r07 generalization-ladder k-anonymity release, full oracle
+        "k_anon_generalize_events",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
-        # r06 PQ recall-vs-exact-L2 acceptance row, full oracle
-        "ann_pq_recall",
         # displaced by window consolidation; their merged twins (see
         # text_token_quality / patch_season / timestamp_pipeline) hold the
         # driver rows for the same components
