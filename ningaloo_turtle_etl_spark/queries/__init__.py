@@ -9,6 +9,7 @@ import ningaloo_turtle_etl_spark.queries.core  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.extended  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.geo  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.joins  # noqa: F401
+import ningaloo_turtle_etl_spark.queries.linkage  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.llm_ops  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.olap  # noqa: F401
 import ningaloo_turtle_etl_spark.queries.privacy  # noqa: F401

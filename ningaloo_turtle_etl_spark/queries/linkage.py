@@ -1,0 +1,107 @@
+"""Fuzzy record-linkage queries (operators/linkage.py): blocked
+edit-distance match pairs and transitive entity-resolution clusters over
+the part-name dimension. Both carry full DuckDB value-hash oracles —
+levenshtein is a builtin on both engines, and the transitive closure
+replays as a recursive CTE (same pattern as near_dup_clusters)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ningaloo_turtle_etl_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+    fuzzy_name_clusters,
+)
+from ningaloo_turtle_etl_spark.registry import register
+from ningaloo_turtle_etl_spark.sources.tables import load_table
+
+# Blocking key: the noun token of "adjective noun" part names — the
+# phonetic-code / last-token blocking slot of a linkage pipeline.
+_BLK_SQL = "split_part(p_name, ' ', 2)"
+
+_PAIRS_SQL = f"""
+    WITH n AS (
+        SELECT DISTINCT p_name AS name, {_BLK_SQL} AS blk
+        FROM part WHERE p_name IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               1.0 - levenshtein(a.name, b.name) * 1.0
+                     / greatest(length(a.name), length(b.name)) AS sim_raw
+        FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+    )
+    SELECT name_a, name_b, ROUND(sim_raw, 6) AS sim
+    FROM pairs WHERE sim_raw >= 0.75
+"""
+
+
+@register(
+    "fuzzy_part_pairs",
+    _PAIRS_SQL + "\n    ORDER BY name_a, name_b",
+)
+def q_fuzzy_part_pairs(spark, sf_dir):
+    """Blocked fuzzy match pairs over the distinct part-name dimension
+    (`operators/linkage.py blocked_fuzzy_pairs`): within each noun block,
+    a<b pairs with normalized Levenshtein similarity >= 0.75 — the
+    candidate-generation stage of record linkage. The quadratic stage runs
+    on 64 distinct names, never the 2000-row part table; the threshold
+    gates the unrounded similarity and the output rounds to 6dp."""
+    part = load_table(spark, "part", sf_dir)
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        lambda name: F.split(name, " ").getItem(1),
+        threshold=0.75,
+    ).orderBy("name_a", "name_b")
+
+
+@register(
+    "fuzzy_part_clusters",
+    f"""
+    WITH RECURSIVE matched AS (
+        {_PAIRS_SQL}
+    ),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM matched
+        UNION
+        SELECT name_b, name_a FROM matched
+    ),
+    reach(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (
+        SELECT id, MIN(anc) AS component FROM reach GROUP BY id
+    ),
+    counts AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM part WHERE p_name IS NOT NULL GROUP BY 1
+    ),
+    labeled AS (
+        SELECT counts.name,
+               COALESCE(comp.component, counts.name) AS canonical,
+               n_records
+        FROM counts LEFT JOIN comp ON counts.name = comp.id
+    )
+    SELECT name, canonical, n_records,
+           CAST(SUM(n_records) OVER (PARTITION BY canonical) AS BIGINT)
+               AS cluster_records
+    FROM labeled
+    ORDER BY canonical, name
+    """,
+)
+def q_fuzzy_part_clusters(spark, sf_dir):
+    """Entity-resolution clusters over part names
+    (`operators/linkage.py fuzzy_name_clusters`): the match pairs fed
+    through distributed min-label connected components, canonicalized to
+    the smallest reachable name, with per-name and per-cluster record
+    counts — the rollup an exact groupBy would have split across spelling
+    variants. The DuckDB oracle replays the closure as a recursive CTE."""
+    part = load_table(spark, "part", sf_dir)
+    return fuzzy_name_clusters(
+        part,
+        "p_name",
+        lambda name: F.split(name, " ").getItem(1),
+        threshold=0.75,
+    ).orderBy("canonical", "name")

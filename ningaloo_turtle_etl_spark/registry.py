@@ -272,6 +272,9 @@ PRIORITY: list[str] = [
     "tokenizer_fertility",
     # r07 generalization-ladder k-anonymity release, full oracle
     "k_anon_generalize_events",
+    # r07 fuzzy record linkage (blocked levenshtein + CC clusters), full oracles
+    "fuzzy_part_pairs",
+    "fuzzy_part_clusters",
 ]
 
 

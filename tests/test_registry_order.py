@@ -233,6 +233,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "k_anonymity_events",
         # r07 generalization-ladder k-anonymity release, full oracle
         "k_anon_generalize_events",
+        # r07 fuzzy record linkage, full oracles
+        "fuzzy_part_pairs",
+        "fuzzy_part_clusters",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
