@@ -262,3 +262,123 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("declared_h"),
         ).alias("meta"),
     )
+
+
+AHASH_SCHEMA = "media_id long, n_cells int, h0 long, h1 long"
+
+
+def image_ahash(df: DataFrame, decoder: str = "stub") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over a binary image
+    column: decode → take the first 64 pixels of the row-major grid →
+    bit j = pixel_j above the 64-cell mean → pack into two 32-bit lanes
+    (``h0`` cells 0-31, ``h1`` cells 32-63; images smaller than 64 pixels
+    hash their ``n_cells`` real cells, upper bits zero). The above-mean
+    compare is INTEGER-exact (pixel·n > sum) so the DuckDB oracle replays
+    the bits without float-tie ambiguity.
+
+    Why lanes, not one 64-bit word: packing bit 63 of a signed BIGINT
+    overflows under ANSI mode; two lanes keep every value positive and
+    hamming distance is just the sum of per-lane popcounts.
+
+    The decode is the pluggable codec tier (same contract as
+    :func:`extract_image_features`); everything downstream of the hash —
+    banding, joins, verification — is pure Catalyst."""
+    if decoder == "stub":
+        raise NotImplementedError(
+            "image decode requires a codec; use decoder='fake' for the "
+            "deterministic test path or decoder='pil' with PIL installed"
+        )
+    decode = _DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, raw in zip(batch["media_id"], batch["content"]):
+                content = bytes(raw) if raw is not None else b""
+                _, _, pixels = decode(content)
+                cells = pixels.ravel().astype(np.int64)[:64]
+                n = int(cells.size)
+                h0 = h1 = 0
+                if n:
+                    tot = int(cells.sum())
+                    for j in range(n):
+                        if int(cells[j]) * n > tot:
+                            if j < 32:
+                                h0 |= 1 << j
+                            else:
+                                h1 |= 1 << (j - 32)
+                out.append(
+                    {"media_id": media_id, "n_cells": n, "h0": h0, "h1": h1}
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded hamming LSH over aHash lanes:
+    the 64 bits split into four 16-bit bands; candidates share
+    (n_cells, band index, band value) — pigeonhole guarantees every pair
+    with hamming ≤ 3 is caught, and small-edit pairs in practice share at
+    least one clean band — then the exact hamming distance
+    (popcount(h0⊕h0') + popcount(h1⊕h1')) verifies against
+    ``max_hamming``. Returns (id_a, id_b, hamming).
+
+    Scale shape: the LSH join moves only (media_id, n_cells, band, value)
+    — 4 fixed-width rows per image, never pixels — and verification reads
+    the 16-byte hash lanes. Same banded candidate-generation pattern as
+    the MinHash/SimHash text families (operators/dedup.py); joining on
+    n_cells keeps degenerate tiny-image all-zero upper bands from
+    cross-pairing with full-size images."""
+    h = hashes.select("media_id", "n_cells", "h0", "h1")
+    m16 = F.lit(65535)
+    bands = h.select(
+        "media_id",
+        "n_cells",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("h0").bitwiseAND(m16)).alias("val")),
+                F.struct(F.lit(1).alias("band"), (F.shiftright("h0", 16).bitwiseAND(m16)).alias("val")),
+                F.struct(F.lit(2).alias("band"), (F.col("h1").bitwiseAND(m16)).alias("val")),
+                F.struct(F.lit(3).alias("band"), (F.shiftright("h1", 16).bitwiseAND(m16)).alias("val")),
+            )
+        ).alias("b"),
+    ).select("media_id", "n_cells", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n_cells") == F.col("b.n_cells"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        F.col("h0").alias("a0"),
+        F.col("h1").alias("a1"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        F.col("h0").alias("b0"),
+        F.col("h1").alias("b1"),
+    )
+    ham = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -4125,3 +4125,121 @@ def q_tokenizer_fertility(spark, sf_dir):
             6,
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+def _ahash_oracle_sql(max_id: int = 250, edit_below: int = 60,
+                      max_hamming: int = 8) -> str:
+    """DuckDB replay of the aHash near-dup pipeline over the fake codec:
+    same byte extraction and dims as _multimodal_oracle_sql, cells = the
+    first least(64, w*h) cyclic pixels, integer-exact above-mean bits
+    (cell*n > sum) packed into two 32-bit lanes, 4x16-bit band LSH join
+    keyed by (n_cells, band, value), exact popcount-hamming verify."""
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text FROM documents
+        WHERE lang = 'en' AND doc_id < {max_id}
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, 10) || 'X' || substr(text, 12)
+        FROM documents WHERE lang = 'en' AND doc_id < {edit_below}
+    ),
+    d AS (SELECT media_id, hex(encode(text)) AS hx FROM media),
+    b AS (
+        SELECT media_id, length(hx) // 2 AS nb,
+               list_transform(range(length(hx) // 2),
+                   i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS bytes
+        FROM d
+    ),
+    dims AS (
+        SELECT media_id, nb, bytes,
+               CAST(CASE WHEN nb = 0 THEN 0
+                    ELSE (list_sum(list_slice(bytes, 1, least(8, nb))) % 31) + 2
+                    END AS BIGINT) AS w,
+               CAST(CASE WHEN nb = 0 THEN 0
+                    ELSE (list_sum(list_slice(bytes, nb - least(8, nb) + 1, nb))
+                          % 23) + 2
+                    END AS BIGINT) AS h
+        FROM b
+    ),
+    cl AS (
+        SELECT media_id, CAST(least(64, w * h) AS BIGINT) AS n,
+               list_transform(range(CAST(least(64, w * h) AS BIGINT)),
+                              j -> bytes[(j % nb) + 1]) AS cells
+        FROM dims
+    ),
+    hashes AS (
+        SELECT media_id, CAST(n AS INTEGER) AS n_cells,
+               COALESCE(list_sum(list_transform(range(least(n, 32)),
+                   j -> CASE WHEN cells[j+1] * n > list_sum(cells)
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)
+                   AS h0,
+               COALESCE(list_sum(list_transform(range(32, greatest(n, 32)),
+                   j -> CASE WHEN cells[j+1] * n > list_sum(cells)
+                             THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END)),
+                   0) AS h1
+        FROM cl
+    ),
+    bands AS (
+        SELECT media_id, n_cells, band,
+               CASE band WHEN 0 THEN h0 & 65535
+                         WHEN 1 THEN (h0 >> 16) & 65535
+                         WHEN 2 THEN h1 & 65535
+                         ELSE (h1 >> 16) & 65535 END AS val
+        FROM hashes, (SELECT unnest(range(4)) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.n_cells = b.n_cells AND a.band = b.band AND a.val = b.val
+         AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha.h0, hb.h0))
+                + bit_count(xor(ha.h1, hb.h1)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN hashes ha ON cand.id_a = ha.media_id
+    JOIN hashes hb ON cand.id_b = hb.media_id
+    WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+          <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("image_ahash_near_dups", _ahash_oracle_sql())
+def image_ahash_near_dups(spark, sf_dir):
+    """Perceptual-hash near-duplicate image detection over binary media
+    (`operators/multimodal.py image_ahash + ahash_near_dup_pairs`): the
+    fake-codec corpus plus single-character-edited variants, aHash'd in
+    the Arrow batch stage, then banded 16-bit hamming LSH and exact
+    popcount verification — the image twin of the SimHash text family.
+    Each edited variant pairs with its original at a small hamming
+    distance; everything after the codec is pure Catalyst and the whole
+    chain replays in DuckDB."""
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        image_ahash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 250)
+    )
+    orig = docs.select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("X"),
+            F.expr("substring(text, 12)"),
+        ).alias("text"),
+    )
+    media = (
+        orig.unionByName(edited)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    hashes = image_ahash(media, decoder="fake")
+    return ahash_near_dup_pairs(hashes, max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )

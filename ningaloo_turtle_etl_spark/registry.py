@@ -275,6 +275,8 @@ PRIORITY: list[str] = [
     # r07 fuzzy record linkage (blocked levenshtein + CC clusters), full oracles
     "fuzzy_part_pairs",
     "fuzzy_part_clusters",
+    # r07 perceptual-hash image near-dups (aHash + banded hamming LSH), full oracle
+    "image_ahash_near_dups",
 ]
 
 

@@ -1669,3 +1669,49 @@ def test_ann_lsh_recall_is_high_on_testdata(spark):
     assert mean > 0.0, "LSH found no ground-truth items at all"
     for r in rep:
         assert r["recall_at_k"] == round(r["n_hit"] / r["n_exact"], 6)
+
+
+def test_image_ahash_lanes_and_near_dup_pairs(spark):
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        _fake_decode,
+        ahash_near_dup_pairs,
+        image_ahash,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "until the corpus is long enough to fill the hash window")
+    edited = base[:10] + "X" + base[11:]  # 1-char flip inside the window
+    rows = [
+        (1, base.encode()),
+        (2, base.encode()),        # exact dup -> hamming 0
+        (3, edited.encode()),      # near dup -> small hamming
+        (4, ("z" * 120).encode()),  # constant bytes -> all-zero hash
+        (5, b""),                   # empty blob -> n_cells 0
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    with pytest.raises(NotImplementedError):
+        image_ahash(media)  # stub default, same honesty tier as decode
+    hashes = {r["media_id"]: r for r in image_ahash(media, decoder="fake").collect()}
+    # numpy reference replay of the integer-exact above-mean bits
+    _, _, px = _fake_decode(base.encode())
+    cells = px.ravel().astype(np.int64)[:64]
+    n, tot = len(cells), int(cells.sum())
+    h0 = sum(1 << j for j in range(min(n, 32)) if int(cells[j]) * n > tot)
+    h1 = sum(1 << (j - 32) for j in range(32, n) if int(cells[j]) * n > tot)
+    assert (hashes[1]["h0"], hashes[1]["h1"]) == (h0, h1)
+    assert hashes[1]["n_cells"] == 64
+    assert hashes[2]["h0"] == h0 and hashes[2]["h1"] == h1
+    assert (hashes[4]["h0"], hashes[4]["h1"]) == (0, 0)  # no cell above mean
+    assert hashes[5]["n_cells"] == 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(
+            image_ahash(media, decoder="fake"), max_hamming=8
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0  # exact duplicate caught at distance 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+    assert pairs[(1, 3)] == pairs[(2, 3)]
+    # the constant-byte and empty blobs never pair with the text blobs
+    # (different n_cells or far hamming)
+    assert not any(4 in p or 5 in p for p in pairs)

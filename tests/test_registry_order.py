@@ -236,6 +236,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # r07 fuzzy record linkage, full oracles
         "fuzzy_part_pairs",
         "fuzzy_part_clusters",
+        # r07 aHash image near-dups, full oracle
+        "image_ahash_near_dups",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
