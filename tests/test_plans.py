@@ -400,3 +400,23 @@ def test_psi_value_drift_bounds_broadcast_and_bins_combine(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_part_pairs_no_cartesian_and_name_dim_only(spark):
+    plan = plan_of(spark, "fuzzy_part_pairs")
+    # blocked self-join is a hash/broadcast equi-join on the block key,
+    # never a cartesian/nested-loop all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the quadratic stage reads only the name column from the part scan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "p_name" in m.group(1)
+    assert m and "p_brand" not in m.group(1)
+
+
+def test_image_ahash_pairs_band_join_is_equi_join(spark):
+    plan = plan_of(spark, "image_ahash_near_dups")
+    # LSH candidate generation must be an equi-join on band keys — an
+    # all-pairs hamming compare would be quadratic in the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
