@@ -30,6 +30,16 @@ Scale shape: one distinct-aggregate over names, a blocked self-join on the
 name dimension (never the fact table), CC on the match edges (pairs-sized,
 not corpus-sized), and equality joins back to row grain. No all-pairs stage
 ever touches row counts.
+
+Relationship to ``operators/relational.py edit_similarity_self_join`` (the
+Ed-Join pipeline behind the ``entity_resolution_clusters`` query): that
+operator matches at ROW grain under an ABSOLUTE edit budget with q-gram
+prefix blocking inferred from the strings; this module matches at
+distinct-NAME grain under a LENGTH-NORMALIZED similarity ratio with a
+caller-supplied blocking key. Use Ed-Join when ids must pair directly and
+"at most k typos" is the contract; use this when names repeat across many
+rows and the tolerance should scale with string length — the two cover the
+standard dedupe-tool surface between them.
 """
 
 from __future__ import annotations
