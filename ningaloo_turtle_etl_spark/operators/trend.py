@@ -1735,3 +1735,80 @@ def psi_drift(
     return fr.crossJoin(F.broadcast(psi)).select(
         "bin", "ref_frac", "cur_frac", "psi"
     )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    mu0: float,
+    sigma: float,
+    tau: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid inference via the mixture Sequential Probability Ratio
+    Test (mSPRT; Robbins 1970, the Howard/Johari "peeking problem"
+    machinery modern experimentation platforms ship): the fixed-n tests in
+    this module (welch/z/mwu) only control error at ONE preplanned look —
+    a dashboard that refreshes daily and stops "when significant" inflates
+    false positives severalfold. The mSPRT's mixture likelihood ratio
+    against H0: mean = ``mu0`` (normal mixture over effect sizes with
+    scale ``tau``, observation sd ``sigma``) is a martingale under H0, so
+    p_t = 1 / max_{k<=t} Λ_k is a VALID p-value at every look
+    simultaneously — monitor continuously, stop whenever.
+
+    Closed form, computed in log space (the LR overflows double precision
+    long before a real effect is interesting):
+
+        log Λ_n = ½·ln(σ²/(σ² + nτ²)) + n²·(x̄−μ0)²·τ² / (2σ²(σ² + nτ²))
+
+    Input is the raw event grain; output one row per (group, time bucket):
+    (group…, time, n_cum, mean_cum, log_lambda, p_always_valid, rejected)
+    with the running-max folded in — ``rejected`` latches once p (the
+    UNROUNDED value) crosses ``alpha`` and never un-rejects, exactly the
+    sequential-stopping semantics. μ0/σ/τ are caller-frozen constants (σ
+    estimated from pre-experiment data in practice) so the whole surface
+    is deterministic and cross-engine replayable.
+
+    Scale shape: one (group, time)-grain aggregate with map-side combine,
+    then cumulative-sum and running-max windows over the tiny grid — the
+    raw grain is touched exactly once."""
+    if sigma <= 0 or tau <= 0:
+        raise ValueError("sigma and tau must be positive")
+    g = list(group_cols)
+    daily = df.groupBy(
+        *g, F.col(time_col).alias("_t")
+    ).agg(
+        F.count(F.lit(1)).alias("_dn"),
+        F.sum(F.col(value_col).cast("double")).alias("_ds"),
+    )
+    w = Window.partitionBy(*g).orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s2 = float(sigma) * float(sigma)
+    t2 = float(tau) * float(tau)
+    cum = (
+        daily.withColumn("_n", F.sum("_dn").over(w))
+        .withColumn("_sum", F.sum("_ds").over(w))
+        .withColumn("_xbar", F.col("_sum") / F.col("_n"))
+    )
+    nd = F.col("_n").cast("double")
+    dev = F.col("_xbar") - F.lit(float(mu0))
+    denom = F.lit(s2) + nd * F.lit(t2)
+    log_lam = F.lit(0.5) * F.log(F.lit(s2) / denom) + (
+        nd * nd * dev * dev * F.lit(t2)
+    ) / (F.lit(2.0 * s2) * denom)
+    scored = cum.withColumn("_ll", log_lam).withColumn(
+        "_llmax", F.max("_ll").over(w)
+    )
+    p = F.exp(-F.greatest(F.lit(0.0), F.col("_llmax")))
+    return scored.select(
+        *g,
+        F.col("_t").alias(time_col),
+        F.col("_n").cast("long").alias("n_cum"),
+        F.round("_xbar", 6).alias("mean_cum"),
+        F.round("_ll", 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+        (p < F.lit(float(alpha))).alias("rejected"),
+    )

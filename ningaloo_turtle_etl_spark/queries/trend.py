@@ -1301,3 +1301,71 @@ def q_psi_value_drift(spark, sf_dir):
         F.to_date("ts") < F.lit("2024-01-16").cast("date"),
         n_bins=10,
     )
+
+
+@register(
+    "msprt_always_valid_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS dn,
+               SUM(CAST(value AS DOUBLE)) AS ds
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, day,
+               SUM(dn) OVER w AS n,
+               SUM(ds) OVER w AS s
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    lam AS (
+        SELECT event_type, day, n, s / n AS xbar,
+               0.5 * ln(2500.0 / (2500.0 + n * 100.0))
+               + (n * n * (s / n - 45.0) * (s / n - 45.0) * 100.0)
+                 / (2.0 * 2500.0 * (2500.0 + n * 100.0)) AS ll
+        FROM cum
+    ),
+    runmax AS (
+        SELECT event_type, day, n, xbar, ll,
+               MAX(ll) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS llmax
+        FROM lam
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_cum,
+           ROUND(xbar, 6) AS mean_cum,
+           ROUND(ll, 6) AS log_lambda,
+           ROUND(exp(-greatest(0.0, llmax)), 6) AS p_always_valid,
+           exp(-greatest(0.0, llmax)) < 0.05 AS rejected
+    FROM runmax
+    ORDER BY event_type, day
+    """,
+)
+def q_msprt_always_valid_daily(spark, sf_dir):
+    """Always-valid sequential monitoring of mean event value against
+    mu0=45 per type (`operators/trend.py msprt_always_valid`, mixture
+    SPRT with sigma=50, tau=10): the p-value that stays valid under DAILY
+    peeking — the running-max likelihood ratio latches `rejected` the
+    first day the evidence suffices and the error guarantee survives
+    continuous dashboards, unlike the fixed-n tests it complements.
+    Grid-grain windows over the daily tally; the raw events are touched
+    once."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import msprt_always_valid
+
+    raw = load_table(spark, "events", sf_dir)
+    ev = raw.select(
+        "event_type",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    return msprt_always_valid(
+        ev, ["event_type"], "day", "value",
+        mu0=45.0, sigma=50.0, tau=10.0, alpha=0.05,
+    ).orderBy("event_type", "day")

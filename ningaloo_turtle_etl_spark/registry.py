@@ -277,6 +277,8 @@ PRIORITY: list[str] = [
     "fuzzy_part_clusters",
     # r07 perceptual-hash image near-dups (aHash + banded hamming LSH), full oracle
     "image_ahash_near_dups",
+    # r07 always-valid sequential inference (mSPRT), full oracle
+    "msprt_always_valid_daily",
 ]
 
 

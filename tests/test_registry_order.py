@@ -238,6 +238,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "fuzzy_part_clusters",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
+        # r07 mSPRT always-valid sequential inference, full oracle
+        "msprt_always_valid_daily",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

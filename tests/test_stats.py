@@ -833,3 +833,51 @@ def test_qte_known_distributions(spark):
         assert r["qte"] == 10.0 and r["n_treat"] == 101
     med = {r["p"]: r for r in out}[0.5]
     assert med["q_control"] == 50.0 and med["q_treat"] == 60.0
+
+
+def test_msprt_always_valid_closed_form_and_latching(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import msprt_always_valid
+
+    # arm 'a': strong shift from mu0=0 -> rejects and stays rejected even
+    # after a null-ish day drags the pointwise LR back down; arm 'b': null.
+    rows = (
+        [("a", 1, 5.0), ("a", 1, 7.0), ("a", 2, 6.0)]
+        + [("a", 3, 0.0), ("a", 3, 0.0), ("a", 3, 0.0), ("a", 3, 0.0)]
+        + [("b", 1, 0.5), ("b", 2, -0.5), ("b", 3, 0.1)]
+    )
+    df = spark.createDataFrame(rows, "arm string, day int, x double")
+    out = {
+        (r["arm"], r["day"]): r
+        for r in msprt_always_valid(
+            df, ["arm"], "day", "x", mu0=0.0, sigma=2.0, tau=2.0, alpha=0.05
+        ).collect()
+    }
+
+    def ref_ll(n, xbar, s2=4.0, t2=4.0):
+        return 0.5 * math.log(s2 / (s2 + n * t2)) + (
+            n * n * xbar * xbar * t2
+        ) / (2 * s2 * (s2 + n * t2))
+
+    # closed form replayed exactly (6dp) on the cumulative grid
+    assert out[("a", 1)]["n_cum"] == 2
+    assert out[("a", 1)]["log_lambda"] == round(ref_ll(2, 6.0), 6)
+    assert out[("a", 2)]["log_lambda"] == round(ref_ll(3, 6.0), 6)
+    a3 = ref_ll(7, 18.0 / 7)
+    assert out[("a", 3)]["log_lambda"] == round(a3, 6)
+    # day-3 pointwise LR dropped, but the running max latches the
+    # rejection: p stays at the day-2 floor, rejected stays True
+    p2 = math.exp(-max(0.0, ref_ll(3, 6.0)))
+    assert out[("a", 2)]["rejected"] is True
+    assert out[("a", 3)]["rejected"] is True
+    assert out[("a", 3)]["p_always_valid"] == round(p2, 6)
+    assert a3 < ref_ll(3, 6.0)  # the latch actually did something
+    # the null arm never rejects and its p stays 1 (log-lambda < 0)
+    for d in (1, 2, 3):
+        assert out[("b", d)]["rejected"] is False
+        assert out[("b", d)]["p_always_valid"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        msprt_always_valid(df, ["arm"], "day", "x", 0.0, sigma=0.0, tau=1.0)
+    with _pt.raises(ValueError):
+        msprt_always_valid(df, ["arm"], "day", "x", 0.0, sigma=1.0, tau=-1.0)
