@@ -1812,3 +1812,71 @@ def msprt_always_valid(
         F.round(p, 6).alias("p_always_valid"),
         (p < F.lit(float(alpha))).alias("rejected"),
     )
+
+
+def power_mde_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    rel_effects: Sequence[float] = (0.01, 0.02, 0.05, 0.10),
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Experiment-planning grid: for each group's observed metric
+    (mean/sd from the data) and each candidate relative effect size,
+    the two-sample per-arm sample size the standard normal-approximation
+    power formula demands,
+
+        n_per_arm = 2σ²(z_{1−α/2} + z_{power})² / δ²,   δ = rel·mean,
+
+    plus the flip side — the minimum detectable effect the CURRENT n
+    already supports (equal split assumed):
+    mde_abs = (z_{1−α/2}+z_{power})·σ·√(4/n). The go/no-go table an
+    experimentation platform shows before anyone flips a flag: is this
+    metric sensitive enough, or would the test run for a quarter?
+
+    z constants come from the same Acklam ``norm_ppf`` the SRM gate uses,
+    so every number is elementary arithmetic over one aggregate row per
+    group and a broadcast literal grid — bit-replayable cross-engine.
+    Output per (group, rel_effect): (group…, rel_effect, n_rows, mean,
+    sd, delta_abs, n_required_per_arm, mde_abs_at_n, mde_rel_at_n),
+    doubles rounded 6dp, ``n_required_per_arm`` ceil'd to a BIGINT.
+
+    Scale shape: one map-side-combined aggregate to group grain, then a
+    literal-array explode — the grid never touches row grain."""
+    if not rel_effects:
+        raise ValueError("rel_effects must be non-empty")
+    if not 0 < alpha < 1 or not 0 < power < 1:
+        raise ValueError("alpha and power must be in (0, 1)")
+    z = norm_ppf(1.0 - float(alpha) / 2.0) + norm_ppf(float(power))
+    z2 = z * z
+    g = list(group_cols)
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.avg(F.col(value_col).cast("double")).alias("_mean"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("_sd"),
+    )
+    grid = agg.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(r)) for r in rel_effects])
+        ).alias("rel_effect"),
+    )
+    delta = F.col("rel_effect") * F.col("_mean")
+    var2 = F.lit(2.0) * F.col("_sd") * F.col("_sd")
+    mde_abs = F.lit(z) * F.col("_sd") * F.sqrt(
+        F.lit(4.0) / F.col("n_rows").cast("double")
+    )
+    return grid.select(
+        *g,
+        "rel_effect",
+        "n_rows",
+        F.round("_mean", 6).alias("mean"),
+        F.round("_sd", 6).alias("sd"),
+        F.round(delta, 6).alias("delta_abs"),
+        F.ceil(var2 * F.lit(z2) / (delta * delta))
+        .cast("long")
+        .alias("n_required_per_arm"),
+        F.round(mde_abs, 6).alias("mde_abs_at_n"),
+        F.round(mde_abs / F.col("_mean"), 6).alias("mde_rel_at_n"),
+    )

@@ -1369,3 +1369,51 @@ def q_msprt_always_valid_daily(spark, sf_dir):
         ev, ["event_type"], "day", "value",
         mu0=45.0, sigma=50.0, tau=10.0, alpha=0.05,
     ).orderBy("event_type", "day")
+
+
+@register(
+    "power_mde_by_type",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               AVG(CAST(value AS DOUBLE)) AS m,
+               stddev_samp(CAST(value AS DOUBLE)) AS sd
+        FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.*, r.rel_effect
+        FROM s CROSS JOIN (VALUES (0.01), (0.02), (0.05), (0.10))
+                          AS r(rel_effect)
+    )
+    SELECT event_type, rel_effect, n_rows,
+           ROUND(m, 6) AS mean,
+           ROUND(sd, 6) AS sd,
+           ROUND(rel_effect * m, 6) AS delta_abs,
+           CAST(ceil(2.0 * sd * sd * 7.848879738460949
+                     / (rel_effect * m * rel_effect * m)) AS BIGINT)
+               AS n_required_per_arm,
+           ROUND(2.8015852188468138 * sd * sqrt(4.0 / n_rows), 6)
+               AS mde_abs_at_n,
+           ROUND(2.8015852188468138 * sd * sqrt(4.0 / n_rows) / m, 6)
+               AS mde_rel_at_n
+    FROM grid
+    ORDER BY event_type, rel_effect
+    """,
+)
+def q_power_mde_by_type(spark, sf_dir):
+    """Experiment-planning power/MDE grid for the value metric per event
+    type (`operators/trend.py power_mde_table`, alpha=0.05, power=0.8):
+    the per-arm sample size each candidate lift needs, and the minimum
+    detectable effect the current volume already supports — the
+    feasibility table read before any flag flips. The z-sum constant
+    2.8015852188468138 (and its square 7.848879738460949) is exactly what
+    the Spark side's Acklam norm_ppf emits, so the grid replays
+    bit-for-bit; one aggregate per type + a literal grid explode."""
+    from ningaloo_turtle_etl_spark.operators.trend import power_mde_table
+
+    ev = load_table(spark, "events", sf_dir)
+    return power_mde_table(
+        ev, ["event_type"], "value",
+        rel_effects=(0.01, 0.02, 0.05, 0.10), alpha=0.05, power=0.8,
+    ).orderBy("event_type", "rel_effect")

@@ -279,6 +279,8 @@ PRIORITY: list[str] = [
     "image_ahash_near_dups",
     # r07 always-valid sequential inference (mSPRT), full oracle
     "msprt_always_valid_daily",
+    # r07 experiment-planning power/MDE grid, full oracle
+    "power_mde_by_type",
 ]
 
 

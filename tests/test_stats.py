@@ -881,3 +881,47 @@ def test_msprt_always_valid_closed_form_and_latching(spark):
         msprt_always_valid(df, ["arm"], "day", "x", 0.0, sigma=0.0, tau=1.0)
     with _pt.raises(ValueError):
         msprt_always_valid(df, ["arm"], "day", "x", 0.0, sigma=1.0, tau=-1.0)
+
+
+def test_power_mde_table_closed_form(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        norm_ppf,
+        power_mde_table,
+    )
+
+    rows = [("a", float(v)) for v in (8, 10, 12, 10)] + [
+        ("b", float(v)) for v in (0, 20, 0, 20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["rel_effect"]): r
+        for r in power_mde_table(
+            df, ["g"], "v", rel_effects=(0.1, 0.5), alpha=0.05, power=0.8
+        ).collect()
+    }
+    z = norm_ppf(0.975) + norm_ppf(0.8)
+    import statistics
+
+    for g, vals in (("a", [8, 10, 12, 10]), ("b", [0, 20, 0, 20])):
+        m, sd = statistics.mean(vals), statistics.stdev(vals)
+        for rel in (0.1, 0.5):
+            r = out[(g, rel)]
+            assert r["n_rows"] == 4 and r["mean"] == round(m, 6)
+            assert r["sd"] == round(sd, 6)
+            delta = rel * m
+            assert r["delta_abs"] == round(delta, 6)
+            assert r["n_required_per_arm"] == math.ceil(
+                2 * sd * sd * (z * z) / (delta * delta)
+            )
+            mde = z * sd * math.sqrt(4 / 4)
+            assert r["mde_abs_at_n"] == round(mde, 6)
+            assert r["mde_rel_at_n"] == round(mde / m, 6)
+    # noisier metric (b) needs ~a lot more samples at the same lift
+    assert (
+        out[("b", 0.1)]["n_required_per_arm"]
+        > out[("a", 0.1)]["n_required_per_arm"]
+    )
+    with pytest.raises(ValueError):
+        power_mde_table(df, ["g"], "v", rel_effects=())
+    with pytest.raises(ValueError):
+        power_mde_table(df, ["g"], "v", alpha=1.5)
