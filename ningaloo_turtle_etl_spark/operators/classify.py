@@ -635,3 +635,87 @@ def classifier_auc_by_group(
         F.col("_p").cast("long").alias("n_pos"),
         F.col("_n").cast("long").alias("n_neg"),
     )
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAV) score calibration: the non-parametric monotone map
+    from raw classifier scores to empirical positive rates (Zadrozny &
+    Elkan 2002) — the standard fix when a filter's scores rank well
+    (healthy AUC) but their VALUES lie (a "0.9" that is right 60% of the
+    time), which breaks any quality-threshold or expected-yield math
+    downstream.
+
+    Scores (probabilities in [0,1]) are frozen into ``n_bins`` equal-width
+    bins; the pool-adjacent-violators algorithm then merges neighboring
+    bins until the bin-wise positive rate is non-decreasing, each pooled
+    rate being Σpos/Σn over its block — the weighted least-squares
+    monotone fit. PAV itself runs DRIVER-SIDE on the collected bin table
+    (≤ n_bins rows — the bounded-dimension pattern of fit_centroids /
+    pcnm_scores), never on row grain; the result is a broadcastable
+    calibration dimension to join onto any scored corpus.
+
+    Output one row per non-empty bin: (bin, lo, hi, n, n_pos, rate_raw,
+    rate_iso), rates rounded 6dp. Cross-engine parity: PAV's pooled
+    block value at bin i equals the minimax formula
+    max_{j<=i} min_{k>=i} (Σpos/Σn over bins j..k), so a DuckDB oracle
+    replays the fit from the same integer bin sums with no iterative
+    code (both engines divide the identical integer pair — bit-equal
+    doubles)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    b = F.least(
+        F.floor(F.col(prob_col) * F.lit(int(n_bins))).cast("int"),
+        F.lit(int(n_bins) - 1),
+    )
+    bins = (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        )
+    )
+    rows = sorted(bins.collect(), key=lambda r: r["bin"])
+    if not rows:
+        raise ValueError("isotonic_calibration: empty input")
+    # PAV stack: each block [sum_n, sum_pos, member bins]; merge while the
+    # previous block's rate exceeds the current one.
+    blocks: list[list] = []
+    for r in rows:
+        blocks.append([int(r["n"]), int(r["n_pos"]), [int(r["bin"])]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2, bs2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2].extend(bs2)
+    raw = {int(r["bin"]): (int(r["n"]), int(r["n_pos"])) for r in rows}
+    out = []
+    width = 1.0 / n_bins
+    for bn, bp, members in blocks:
+        rate_iso = bp / bn
+        for bin_ in members:
+            n, p = raw[bin_]
+            out.append(
+                (
+                    bin_,
+                    round(bin_ * width, 6),
+                    round((bin_ + 1) * width, 6),
+                    n,
+                    p,
+                    round(p / n, 6),
+                    round(rate_iso, 6),
+                )
+            )
+    spark = scored.sparkSession
+    return spark.createDataFrame(
+        sorted(out),
+        "bin int, lo double, hi double, n long, n_pos long, "
+        "rate_raw double, rate_iso double",
+    )

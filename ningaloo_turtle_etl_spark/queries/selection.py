@@ -915,3 +915,81 @@ def rank_fusion_select(spark, sf_dir):
     return fused.select(
         "doc_id", "source", "rank_diversity", "rank_length_score", "rrf_score"
     ).orderBy("source", F.col("rrf_score").desc(), "doc_id")
+
+
+def _isotonic_oracle_sql(n_bins: int = 20) -> str:
+    """Isotonic-fit oracle via the minimax identity: the PAV block value
+    at bin i equals max_{j<=i} min_{k>=i} (Σpos/Σn over bins j..k) — a
+    closed form over interval sums, so no iterative pooling is needed in
+    SQL. Bin grain (<= n_bins rows), so the O(bins³) interval grid is a
+    few thousand rows regardless of corpus size."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT least(CAST(floor(p_english * {n_bins}) AS INTEGER),
+                     {n_bins - 1}) AS bin,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM lab GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, n, n_pos,
+               ROW_NUMBER() OVER (ORDER BY bin) AS i,
+               SUM(n) OVER (ORDER BY bin) AS cn,
+               SUM(n_pos) OVER (ORDER BY bin) AS cp
+        FROM bins
+    ),
+    av AS (
+        SELECT j.i AS j, k.i AS k,
+               (k.cp - j.cp + j.n_pos) * 1.0 / (k.cn - j.cn + j.n) AS a
+        FROM cum j JOIN cum k ON j.i <= k.i
+    ),
+    inner_min AS (
+        SELECT av.j, t.i, MIN(av.a) AS m
+        FROM av JOIN cum t ON av.j <= t.i AND av.k >= t.i
+        GROUP BY av.j, t.i
+    ),
+    fit AS (
+        SELECT i, MAX(m) AS g FROM inner_min GROUP BY i
+    )
+    SELECT c.bin,
+           ROUND(c.bin * 1.0 / {n_bins}, 6) AS lo,
+           ROUND((c.bin + 1) * 1.0 / {n_bins}, 6) AS hi,
+           c.n, c.n_pos,
+           ROUND(c.n_pos * 1.0 / c.n, 6) AS rate_raw,
+           ROUND(f.g, 6) AS rate_iso
+    FROM cum c JOIN fit f ON c.i = f.i
+    ORDER BY c.bin
+    """
+
+
+@register("classifier_isotonic_calibration", _isotonic_oracle_sql())
+def q_classifier_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration table for the frozen English classifier
+    against real lang labels (`operators/classify.py
+    isotonic_calibration`): the monotone score→rate map that makes the
+    classifier's probabilities mean what they say before any threshold or
+    expected-yield arithmetic trusts them — complements the binned
+    calibration curve (diagnosis) with the actual fix. PAV pools the
+    <= 20-bin table driver-side; the oracle replays the fit through the
+    minimax identity max_{j<=i} min_{k>=i} avg(j..k) from the same
+    integer bin sums."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        isotonic_calibration,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        # 3dp like the sibling AUC/calibration queries: the serving oracle
+        # emits 3dp scores, so binning must see the same values
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return isotonic_calibration(scored, "p", "y", n_bins=20)

@@ -281,6 +281,8 @@ PRIORITY: list[str] = [
     "msprt_always_valid_daily",
     # r07 experiment-planning power/MDE grid, full oracle
     "power_mde_by_type",
+    # r07 isotonic (PAV) classifier calibration, full oracle (minimax identity)
+    "classifier_isotonic_calibration",
 ]
 
 

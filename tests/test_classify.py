@@ -382,3 +382,40 @@ def test_classifier_auc_by_group_single_class_group_is_null(spark):
            classifier_auc_by_group(df, "p", "y", "grp").collect()}
     assert got["all_pos"]["auc"] is None and got["all_pos"]["n_neg"] == 0
     assert got["mixed"]["auc"] == 1.0
+
+
+def test_isotonic_calibration_pav_reference(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        isotonic_calibration,
+    )
+
+    # 4 occupied bins with a violation: raw rates .2, .6, .4, .9 — PAV
+    # pools bins 1 and 2 into (3+2)/(5+5) = 0.5.
+    rows = (
+        [(0.04, 1)] + [(0.04, 0)] * 4          # bin 0: 1/5
+        + [(0.30, 1)] * 3 + [(0.30, 0)] * 2    # bin 6: 3/5
+        + [(0.45, 1)] * 2 + [(0.45, 0)] * 3    # bin 9: 2/5  (violates)
+        + [(0.95, 1)] * 9 + [(0.95, 0)]        # bin 19: 9/10
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bin"]: r for r in isotonic_calibration(df, "p", "y", 20).collect()}
+    assert set(out) == {0, 6, 9, 19}
+    assert out[0]["rate_raw"] == 0.2 and out[0]["rate_iso"] == 0.2
+    assert out[6]["rate_raw"] == 0.6 and out[6]["rate_iso"] == 0.5
+    assert out[9]["rate_raw"] == 0.4 and out[9]["rate_iso"] == 0.5
+    assert out[19]["rate_raw"] == 0.9 and out[19]["rate_iso"] == 0.9
+    # fitted rates are non-decreasing in bin order; raw counts preserved
+    fits = [out[b]["rate_iso"] for b in sorted(out)]
+    assert fits == sorted(fits)
+    assert out[6]["n"] == 5 and out[6]["n_pos"] == 3
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == 0.05
+    # score 1.0 lands in the top bin (clamp), not a phantom bin 20
+    top = isotonic_calibration(
+        spark.createDataFrame([(1.0, 1), (0.0, 0)], "p double, y int"),
+        "p", "y", 20,
+    ).collect()
+    assert {r["bin"] for r in top} == {0, 19}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        isotonic_calibration(df, "p", "y", n_bins=1)

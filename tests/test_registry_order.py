@@ -242,6 +242,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "msprt_always_valid_daily",
         # r07 experiment-planning power/MDE grid, full oracle
         "power_mde_by_type",
+        # r07 isotonic PAV calibration, full oracle
+        "classifier_isotonic_calibration",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
