@@ -1880,3 +1880,91 @@ def power_mde_table(
         F.round(mde_abs, 6).alias("mde_abs_at_n"),
         F.round(mde_abs / F.col("_mean"), 6).alias("mde_rel_at_n"),
     )
+
+
+def msprt_two_sample(
+    df: DataFrame,
+    arm_col: str,
+    treat: str,
+    control: str,
+    time_col: str,
+    value_col: str,
+    sigma: float,
+    tau: float,
+    alpha: float = 0.05,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sample always-valid mSPRT — the treatment-vs-control form an
+    experimentation platform actually monitors (the one-sample
+    :func:`msprt_always_valid` is the drift/guardrail variant). Under H0
+    the cumulative mean difference d_t = x̄_T − x̄_C is
+    N(0, V_t = σ²(1/n_T + 1/n_C)); the normal-mixture likelihood ratio
+
+        log Λ_t = ½·ln(V_t/(V_t + τ²)) + d_t²·τ² / (2·V_t·(V_t + τ²))
+
+    is a martingale under H0, so p_t = 1/max_{k<=t}Λ_k is valid at every
+    look. ``rejected`` latches via the running max, same as the
+    one-sample form. Rows whose arm is neither ``treat`` nor ``control``
+    are ignored.
+
+    Output per (group…, time): (…, time, n_treat, n_control, diff,
+    log_lambda, p_always_valid, rejected). ``group_cols`` partitions
+    independent experiments/metrics; empty means one experiment — the
+    windows then run single-partition, which is safe ONLY because the
+    input to them is the bounded (group, time) grid, never row grain
+    (the raw events are reduced by one map-side-combined aggregate
+    first).
+
+    Both arms must have data by a given time bucket for the statistic to
+    exist; earlier buckets emit NULL diff/log_lambda with p = 1 and
+    rejected = false (no evidence yet — the honest sequential answer)."""
+    if sigma <= 0 or tau <= 0:
+        raise ValueError("sigma and tau must be positive")
+    g = list(group_cols)
+    is_t = F.col(arm_col) == F.lit(treat)
+    is_c = F.col(arm_col) == F.lit(control)
+    daily = (
+        df.filter(is_t | is_c)
+        .groupBy(*g, F.col(time_col).alias("_t"))
+        .agg(
+            F.sum(is_t.cast("long")).alias("_dnt"),
+            F.sum(F.when(is_t, F.col(value_col).cast("double")).otherwise(0.0)).alias("_dst"),
+            F.sum(is_c.cast("long")).alias("_dnc"),
+            F.sum(F.when(is_c, F.col(value_col).cast("double")).otherwise(0.0)).alias("_dsc"),
+        )
+    )
+    w = Window.partitionBy(*g).orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s2, t2 = float(sigma) ** 2, float(tau) ** 2
+    cum = (
+        daily.withColumn("_nt", F.sum("_dnt").over(w))
+        .withColumn("_st", F.sum("_dst").over(w))
+        .withColumn("_nc", F.sum("_dnc").over(w))
+        .withColumn("_sc", F.sum("_dsc").over(w))
+    )
+    both = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    diff = F.col("_st") / F.col("_nt") - F.col("_sc") / F.col("_nc")
+    v = F.lit(s2) * (
+        F.lit(1.0) / F.col("_nt").cast("double")
+        + F.lit(1.0) / F.col("_nc").cast("double")
+    )
+    log_lam = F.when(
+        both,
+        F.lit(0.5) * F.log(v / (v + F.lit(t2)))
+        + diff * diff * F.lit(t2) / (F.lit(2.0) * v * (v + F.lit(t2))),
+    )
+    scored = cum.withColumn("_ll", log_lam).withColumn(
+        "_llmax", F.max("_ll").over(w)
+    )
+    p = F.exp(-F.greatest(F.lit(0.0), F.coalesce(F.col("_llmax"), F.lit(0.0))))
+    return scored.select(
+        *g,
+        F.col("_t").alias(time_col),
+        F.col("_nt").cast("long").alias("n_treat"),
+        F.col("_nc").cast("long").alias("n_control"),
+        F.round(F.when(both, diff), 6).alias("diff"),
+        F.round("_ll", 6).alias("log_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+        (p < F.lit(float(alpha))).alias("rejected"),
+    )

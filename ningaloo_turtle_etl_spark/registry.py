@@ -283,6 +283,8 @@ PRIORITY: list[str] = [
     "power_mde_by_type",
     # r07 isotonic (PAV) classifier calibration, full oracle (minimax identity)
     "classifier_isotonic_calibration",
+    # r07 two-sample always-valid mSPRT (treatment vs control), full oracle
+    "msprt_click_vs_view",
 ]
 
 

@@ -244,6 +244,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "power_mde_by_type",
         # r07 isotonic PAV calibration, full oracle
         "classifier_isotonic_calibration",
+        # r07 two-sample mSPRT, full oracle
+        "msprt_click_vs_view",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

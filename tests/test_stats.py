@@ -925,3 +925,47 @@ def test_power_mde_table_closed_form(spark):
         power_mde_table(df, ["g"], "v", rel_effects=())
     with pytest.raises(ValueError):
         power_mde_table(df, ["g"], "v", alpha=1.5)
+
+
+def test_msprt_two_sample_reference_and_missing_arm(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import msprt_two_sample
+
+    # day 1: control only (no statistic yet); day 2+: both arms with a
+    # large separation -> rejection latches
+    rows = (
+        [("c", 1, 0.0), ("c", 1, 1.0)]
+        + [("t", 2, 10.0), ("t", 2, 12.0), ("c", 2, 0.0)]
+        + [("t", 3, 11.0), ("c", 3, 1.0)]
+        + [("x", 3, 99.0)]  # unrelated arm must be ignored
+    )
+    df = spark.createDataFrame(rows, "arm string, day int, v double")
+    out = {
+        r["day"]: r
+        for r in msprt_two_sample(
+            df, "arm", "t", "c", "day", "v", sigma=1.0, tau=5.0, alpha=0.05
+        ).collect()
+    }
+    # day 1: no treatment data -> NULL stats, p=1, not rejected
+    assert out[1]["n_treat"] == 0 and out[1]["n_control"] == 2
+    assert out[1]["diff"] is None and out[1]["log_lambda"] is None
+    assert out[1]["p_always_valid"] == 1.0 and out[1]["rejected"] is False
+
+    def ref(nt, mt, nc, mc, s2=1.0, t2=25.0):
+        d, v = mt - mc, s2 * (1 / nt + 1 / nc)
+        return 0.5 * math.log(v / (v + t2)) + d * d * t2 / (2 * v * (v + t2))
+
+    ll2 = ref(2, 11.0, 3, 1.0 / 3)
+    assert out[2]["log_lambda"] == round(ll2, 6)
+    assert out[2]["diff"] == round(11.0 - 1.0 / 3, 6)
+    assert out[2]["rejected"] is True
+    ll3 = ref(3, 11.0, 4, 0.5)
+    assert out[3]["log_lambda"] == round(ll3, 6)
+    # running max keeps p at the tightest level seen so far
+    assert out[3]["p_always_valid"] == round(
+        math.exp(-max(0.0, ll2, ll3)), 6
+    )
+    assert out[3]["n_treat"] == 3 and out[3]["n_control"] == 4  # 'x' ignored
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        msprt_two_sample(df, "arm", "t", "c", "day", "v", sigma=0.0, tau=1.0)
