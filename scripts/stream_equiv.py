@@ -385,6 +385,40 @@ def main() -> int:
         ["window_start", "event_type", "noisy_n"],
     )
 
+    # Streaming always-valid mSPRT monitor (streaming/stateful.py): the
+    # sequential state lives in applyInPandasWithState; over a one-file feed
+    # (one micro-batch = one "look") the final emission per arm must equal
+    # the batch operator's single-look row — same closed form, same totals.
+    # Multi-batch latching semantics are pinned in
+    # tests/test_stateful_streaming.py.
+    from ningaloo_turtle_etl_spark.operators.trend import msprt_always_valid
+    from ningaloo_turtle_etl_spark.streaming.stateful import (
+        msprt_monitor_stream,
+    )
+
+    mcols = ["arm", "n_cum", "mean_cum", "log_lambda",
+             "p_always_valid", "rejected"]
+    check(
+        "streaming_msprt_monitor",
+        msprt_always_valid(
+            batch.select(
+                F.col("event_type").alias("arm"),
+                F.lit(1).alias("look"),
+                "value",
+            ),
+            ["arm"], "look", "value", mu0=45.0, sigma=50.0, tau=10.0,
+        ).select(*mcols),
+        run_stream(
+            msprt_monitor_stream(
+                stream, "event_type", "value",
+                mu0=45.0, sigma=50.0, tau=10.0,
+            ),
+            "se_msprt",
+            mode="update",
+        ),
+        mcols,
+    )
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
