@@ -20,7 +20,10 @@ build brief's training-data-pipeline surface.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import json
+import math
 import os
 
 import pyspark.sql.functions as F
@@ -718,4 +721,81 @@ def isotonic_calibration(
         sorted(out),
         "bin int, lo double, hi double, n long, n_pos long, "
         "rate_raw double, rate_iso double",
+    )
+
+
+def split_conformal_report(
+    scored: DataFrame,
+    pred_col: str,
+    label_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    by: Sequence[str] = (),
+    exact: bool = True,
+) -> DataFrame:
+    """Split-conformal coverage report (Vovk et al.; the
+    distribution-free uncertainty wrapper): a deterministic md5 split
+    carves off a calibration set, q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    absolute residual there, and every TEST row's interval pred ± q̂ then
+    covers the truth with probability ≥ 1−α on exchangeable data — no
+    model assumptions, any scorer. The report aggregates test coverage
+    (optionally per ``by`` group: the per-source slice shows whether the
+    marginal guarantee hides an under-covered subpopulation, conformal's
+    known caveat).
+
+    Output: (by…, n_calib, n_test, q_hat, coverage, target). ``covered``
+    compares 6dp-rounded residual against 6dp-rounded q̂ — with scores on
+    a coarse grid, residual==q̂ ties are common, and comparing at the
+    release grain keeps the flag bit-stable cross-engine where a last-ulp
+    difference in the quantile would otherwise flip tied rows. If
+    ⌈(n_cal+1)(1−α)⌉ exceeds n_cal the interval is infinite (tiny
+    calibration sets cannot certify 1−α) and coverage is 1 by
+    construction.
+
+    Scale shape: the split and residuals are map-only; n_cal is one
+    driver scalar (bounded-driver list, SCALING.md); q̂ is one aggregate.
+    ``exact=True`` uses Spark's exact percentile at the integral order-
+    statistic index — per-group memory like the exact winsorize path;
+    ``exact=False`` flips to approx_percentile for corpus scale,
+    trading the finite-sample guarantee's exactness (same twin pattern
+    as winsorized_value_stats)."""
+    if not 0 < alpha < 1 or not 0 < calib_frac < 1:
+        raise ValueError("alpha and calib_frac must be in (0, 1)")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    resid = F.abs(
+        F.col(label_col).cast("double") - F.col(pred_col).cast("double")
+    )
+    base = scored.withColumn("_calib", u < F.lit(float(calib_frac))).withColumn(
+        "_resid", resid
+    )
+    calib = base.filter("_calib")
+    n_cal = calib.count()
+    k = math.ceil((n_cal + 1) * (1.0 - float(alpha)))
+    if n_cal == 0 or k > n_cal:
+        qhat_col = F.lit(float("inf"))
+    else:
+        frac = 0.0 if n_cal == 1 else (k - 1) / (n_cal - 1)
+        fn = "percentile" if exact else "approx_percentile"
+        qhat_col = F.expr(f"{fn}(_resid, {frac!r})")
+    qhat = calib.agg(qhat_col.alias("q_hat")) if n_cal else (
+        scored.sparkSession.createDataFrame([(float("inf"),)], "q_hat double")
+    )
+    g = list(by)
+    test = base.filter(~F.col("_calib")).crossJoin(F.broadcast(qhat))
+    covered = F.round("_resid", 6) <= F.round("q_hat", 6)
+    return (
+        test.groupBy(*g)
+        .agg(
+            F.lit(int(n_cal)).alias("n_calib"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.min("q_hat"), 6).alias("q_hat"),
+            F.round(F.avg(covered.cast("double")), 6).alias("coverage"),
+            F.round(F.lit(1.0 - float(alpha)), 6).alias("target"),
+        )
     )

@@ -993,3 +993,79 @@ def q_classifier_isotonic_calibration(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return isotonic_calibration(scored, "p", "y", n_bins=20)
+
+
+def _conformal_oracle_sql(alpha: float = 0.1, frac: float = 0.5) -> str:
+    """Split-conformal oracle: same md5-uniform split, the
+    ceil((n_cal+1)(1-alpha))-th smallest calibration residual via
+    ROW_NUMBER (the raw order statistic — equal to Spark's exact
+    percentile at the integral index; any last-ulp interpolation gap
+    dies at the 6dp compare grain), then per-source test coverage."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    base AS (
+        SELECT s.doc_id, d.source,
+               ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < {frac} AS calib,
+               abs(CAST(CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)
+                   - s.p_english) AS resid
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM base WHERE calib),
+    kk AS (
+        SELECT n_cal,
+               CAST(ceil((n_cal + 1) * (1.0 - {alpha})) AS BIGINT) AS k
+        FROM n
+    ),
+    ranked AS (
+        SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS r
+        FROM base WHERE calib
+    ),
+    qh AS (
+        SELECT CASE WHEN kk.n_cal = 0 OR kk.k > kk.n_cal
+                    THEN CAST('infinity' AS DOUBLE)
+                    ELSE (SELECT resid FROM ranked, kk WHERE r = kk.k)
+               END AS q_hat
+        FROM kk
+    )
+    SELECT source,
+           (SELECT CAST(n_cal AS INTEGER) FROM n) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND((SELECT q_hat FROM qh), 6) AS q_hat,
+           ROUND(AVG(CASE WHEN ROUND(resid, 6)
+                               <= ROUND((SELECT q_hat FROM qh), 6)
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+           {1.0 - alpha} AS target
+    FROM base WHERE NOT calib
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("conformal_coverage_by_source", _conformal_oracle_sql())
+def q_conformal_coverage_by_source(spark, sf_dir):
+    """Split-conformal coverage report for the frozen English classifier
+    (`operators/classify.py split_conformal_report`, alpha=0.1): the
+    distribution-free interval p ± q_hat calibrated on an md5-split half,
+    with per-source test coverage against the 90% target — the
+    uncertainty wrapper that needs no model assumptions, and the
+    per-source slice that exposes whether the marginal guarantee hides an
+    under-covered subpopulation."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        load_model_fixture,
+        split_conformal_report,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        "doc_id",
+        "source",
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return split_conformal_report(
+        scored, "p", "y", "doc_id", alpha=0.1, calib_frac=0.5,
+        by=["source"],
+    ).orderBy("source")

@@ -285,6 +285,8 @@ PRIORITY: list[str] = [
     "classifier_isotonic_calibration",
     # r07 two-sample always-valid mSPRT (treatment vs control), full oracle
     "msprt_click_vs_view",
+    # r07 split-conformal coverage report, full oracle
+    "conformal_coverage_by_source",
 ]
 
 

@@ -419,3 +419,49 @@ def test_isotonic_calibration_pav_reference(spark):
 
     with _pt.raises(ValueError):
         isotonic_calibration(df, "p", "y", n_bins=1)
+
+
+def test_split_conformal_report_coverage_guarantee(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        split_conformal_report,
+    )
+
+    # residuals are |y - p|; construct known preds so q_hat is derivable.
+    rows = [(i, 0.5, 1 if i % 3 == 0 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, p double, y int")
+    rep = split_conformal_report(
+        df, "p", "y", "id", alpha=0.1, calib_frac=0.5
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # every residual is exactly 0.5 -> q_hat = 0.5 and coverage is 1.0
+    assert r["q_hat"] == 0.5 and r["coverage"] == 1.0
+    assert r["target"] == 0.9
+    assert r["n_calib"] + r["n_test"] == 400 and r["n_calib"] > 0
+    # mixed residuals: 90% of calib at 0.1, 10% at 0.9 -> q_hat lands on
+    # the small residual and only small-residual test rows are covered
+    rows2 = [
+        (i, 0.9 if i % 10 == 0 else 0.1, 0) for i in range(1000)
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, p double, y int")
+    r2 = split_conformal_report(
+        df2, "p", "y", "id", alpha=0.2, calib_frac=0.5
+    ).collect()[0]
+    assert r2["q_hat"] in (0.1, 0.9)
+    if r2["q_hat"] == 0.1:
+        assert 0.7 <= r2["coverage"] < 1.0  # the 0.9-residual rows escape
+    # coverage >= target must hold on the typical draw (exchangeability)
+    assert r2["coverage"] >= 0.8 - 0.05
+    # tiny calibration set cannot certify 90% -> infinite interval,
+    # coverage pinned at 1
+    small = spark.createDataFrame(
+        [(1, 0.5, 0), (2, 0.4, 1)], "id long, p double, y int"
+    )
+    r3 = split_conformal_report(
+        small, "p", "y", "id", alpha=0.01, calib_frac=0.5
+    ).collect()[0]
+    assert math.isinf(r3["q_hat"]) and r3["coverage"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        split_conformal_report(df, "p", "y", "id", alpha=0.0)

@@ -246,6 +246,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "classifier_isotonic_calibration",
         # r07 two-sample mSPRT, full oracle
         "msprt_click_vs_view",
+        # r07 split-conformal coverage, full oracle
+        "conformal_coverage_by_source",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
