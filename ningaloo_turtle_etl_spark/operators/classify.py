@@ -676,7 +676,13 @@ def isotonic_calibration(
         F.lit(int(n_bins) - 1),
     )
     bins = (
-        scored.groupBy(b.alias("bin"))
+        # NULL scores/labels would surface as an unsortable NULL bin / None
+        # count at the driver — drop them here, documented: unscored rows
+        # cannot inform a calibration map.
+        scored.where(
+            F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
@@ -706,21 +712,24 @@ def isotonic_calibration(
         for bin_ in members:
             n, p = raw[bin_]
             out.append(
-                (
-                    bin_,
-                    round(bin_ * width, 6),
-                    round((bin_ + 1) * width, 6),
-                    n,
-                    p,
-                    round(p / n, 6),
-                    round(rate_iso, 6),
-                )
+                (bin_, bin_ * width, (bin_ + 1) * width, n, p, p / n, rate_iso)
             )
     spark = scored.sparkSession
+    # Rounding happens in F.round (HALF_UP), NOT Python round() — Python
+    # rounds half-to-even, which diverges from the DuckDB oracle's ROUND
+    # at exact dyadic midpoints like 1/128 = 0.0078125.
     return spark.createDataFrame(
         sorted(out),
         "bin int, lo double, hi double, n long, n_pos long, "
         "rate_raw double, rate_iso double",
+    ).select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n",
+        "n_pos",
+        F.round("rate_raw", 6).alias("rate_raw"),
+        F.round("rate_iso", 6).alias("rate_iso"),
     )
 
 
@@ -762,12 +771,9 @@ def split_conformal_report(
     as winsorized_value_stats)."""
     if not 0 < alpha < 1 or not 0 < calib_frac < 1:
         raise ValueError("alpha and calib_frac must be in (0, 1)")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        / F.lit(float(2**32))
-    )
+    from ningaloo_turtle_etl_spark.operators.trend import _md5_uniform
+
+    u = _md5_uniform(F.col(id_col))
     resid = F.abs(
         F.col(label_col).cast("double") - F.col(pred_col).cast("double")
     )

@@ -17,12 +17,23 @@ from ningaloo_turtle_etl_spark.sources.tables import load_table
 
 # Blocking key: the noun token of "adjective noun" part names — the
 # phonetic-code / last-token blocking slot of a linkage pipeline.
-_BLK_SQL = "split_part(p_name, ' ', 2)"
+# NULLIF mirrors Spark's F.split(...).getItem(1), which yields NULL (not
+# '') for one-token names — a NULL block never equi-joins, while DuckDB's
+# bare split_part('x',' ',2)='' would silently pair all such names.
+_BLK_SQL = "NULLIF(split_part(p_name, ' ', 2), '')"
 
 _PAIRS_SQL = f"""
-    WITH n AS (
+    WITH n0 AS (
         SELECT DISTINCT p_name AS name, {_BLK_SQL} AS blk
         FROM part WHERE p_name IS NOT NULL
+    ),
+    -- mirror the operator's max_block_names=5000 hard cost cap: oversized
+    -- blocks are EXCLUDED from pairing on both engines
+    n AS (
+        SELECT name, blk FROM (
+            SELECT name, blk, COUNT(*) OVER (PARTITION BY blk) AS bn
+            FROM n0
+        ) WHERE bn <= 5000
     ),
     pairs AS (
         SELECT a.name AS name_a, b.name AS name_b,

@@ -266,15 +266,19 @@ def msprt_monitor_stream(
         llmax = max(llmax, ll)
         state.update((n, s, llmax))
         p = math.exp(-max(0.0, llmax))
+        # Emit RAW doubles; rounding happens in F.round (HALF_UP) in the
+        # wrapper select — Python round() is half-to-even and diverges
+        # from the batch operator's F.round at exact dyadic midpoints
+        # (e.g. an integer metric with cumulative mean odd/128).
         return iter(
             [
                 pd.DataFrame(
                     {
                         "arm": [key[0]],
                         "n_cum": [n],
-                        "mean_cum": [round(xbar, 6)],
-                        "log_lambda": [round(ll, 6)],
-                        "p_always_valid": [round(p, 6)],
+                        "mean_cum": [xbar],
+                        "log_lambda": [ll],
+                        "p_always_valid": [p],
                         "rejected": [p < a],
                     }
                 )
@@ -285,10 +289,18 @@ def msprt_monitor_stream(
         F.col(arm_col).cast("string").alias("arm"),
         F.col(value_col).cast("double").alias("v"),
     )
-    return keyed.groupBy("arm").applyInPandasWithState(
+    raw = keyed.groupBy("arm").applyInPandasWithState(
         fn,
         outputStructType=MSPRT_OUTPUT_SCHEMA,
         stateStructType=MSPRT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.select(
+        "arm",
+        "n_cum",
+        F.round("mean_cum", 6).alias("mean_cum"),
+        F.round("log_lambda", 6).alias("log_lambda"),
+        F.round("p_always_valid", 6).alias("p_always_valid"),
+        "rejected",
     )
