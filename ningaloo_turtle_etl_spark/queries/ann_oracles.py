@@ -377,3 +377,43 @@ def ivf_recall_oracle_sql(k: int = 10, nprobe: int = 3) -> str:
     FROM tot t LEFT JOIN hit ON t.query_id = hit.query_id
     ORDER BY t.query_id
     """
+
+
+def jl_distortion_oracle_sql(
+    out_dim: int = 16, seed: int = 11, max_id: int = 40
+) -> str:
+    """jl_distortion_pairs: pairwise distance-preservation audit of the
+    seeded JL ±1/√k projection (operators/similarity.py jl_project) — the
+    matrix regenerates from the seed (no fixture), each projected
+    coordinate is the same literal-weighted list_zip fold Spark runs, and
+    both the original 64-dim and projected k-dim pairwise L2 distances are
+    computed from identical expressions, so ratio rows hash-match."""
+    from ningaloo_turtle_etl_spark.operators.similarity import _jl_matrix
+
+    dim = int(_fixture("ivf_centroids")["dim"])
+    m = _jl_matrix(dim, out_dim, seed)
+    coords = ", ".join(_dot_lit("v", m[j]) for j in range(out_dim))
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {max_id}
+    ),
+    proj AS (
+        SELECT vec_id, v, [{coords}]::DOUBLE[] AS jl FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+                    x -> (x[1]-x[2])*(x[1]-x[2])))) AS d_orig,
+               sqrt(list_sum(list_transform(list_zip(a.jl, b.jl),
+                    x -> (x[1]-x[2])*(x[1]-x[2])))) AS d_proj
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(d_orig, 6) AS d_orig,
+           ROUND(d_proj, 6) AS d_proj,
+           ROUND(CASE WHEN d_orig > 0 THEN d_proj / d_orig END, 6)
+               AS ratio
+    FROM pairs
+    ORDER BY id_a, id_b
+    """

@@ -406,6 +406,7 @@ def simhash_near_dups(spark, sf_dir):
 from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     ivf_oracle_sql,
     ivf_recall_oracle_sql,
+    jl_distortion_oracle_sql,
     lsh_recall_oracle_sql,
     lsh_oracle_sql,
     pq_oracle_sql,
@@ -4243,3 +4244,58 @@ def image_ahash_near_dups(spark, sf_dir):
     return ahash_near_dup_pairs(hashes, max_hamming=8).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "jl_distortion_pairs",
+    jl_distortion_oracle_sql(out_dim=16, seed=11, max_id=40),
+)
+def jl_distortion_pairs(spark, sf_dir):
+    """Johnson-Lindenstrauss distance-preservation audit
+    (`operators/similarity.py jl_project`, 64 -> 16 dims, seeded ±1/√k
+    signs): every pairwise L2 distance among the first 40 vectors in
+    original and projected space with the preservation ratio — the
+    acceptance harness for choosing out_dim before the 4x-cheaper
+    projected vectors feed IVF/PQ. Projection is map-only (one literal
+    fold per output coordinate, zero shuffles at any corpus size); the
+    bounded pairwise audit is acceptance-path only, like the ANN recall
+    ground truths."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _as_double,
+        jl_project,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 40)
+    proj = jl_project(emb, out_dim=16, seed=11)
+    both = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).join(proj, "vec_id")
+    a = both.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("jl").alias("ja"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("jl").alias("jb"),
+    )
+    sq = lambda x, y: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    d_orig = sq(F.col("va"), F.col("vb"))
+    d_proj = sq(F.col("ja"), F.col("jb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(d_orig, 6).alias("d_orig"),
+        F.round(d_proj, 6).alias("d_proj"),
+        F.round(
+            F.when(d_orig > 0, d_proj / d_orig), 6
+        ).alias("ratio"),
+    ).orderBy("id_a", "id_b")

@@ -287,6 +287,8 @@ PRIORITY: list[str] = [
     "msprt_click_vs_view",
     # r07 split-conformal coverage report, full oracle
     "conformal_coverage_by_source",
+    # r07 Johnson-Lindenstrauss projection distortion audit, full oracle
+    "jl_distortion_pairs",
 ]
 
 

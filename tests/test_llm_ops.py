@@ -1715,3 +1715,36 @@ def test_image_ahash_lanes_and_near_dup_pairs(spark):
     # the constant-byte and empty blobs never pair with the text blobs
     # (different n_cells or far hamming)
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_jl_project_preserves_distances_and_validates(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _jl_matrix,
+        jl_project,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = {r["vec_id"]: np.array(r["jl"]) for r in jl_project(df, 16, seed=11).collect()}
+    # numpy replay of the seeded matrix product
+    m = _jl_matrix(64, 16, 11)
+    for i in (0, 7, 29):
+        assert np.allclose(proj[i], m @ vecs[i], atol=1e-9)
+    # JL guarantee (loose bound at k=16): most pairwise ratios near 1
+    ratios = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            d0 = np.linalg.norm(vecs[i] - vecs[j])
+            d1 = np.linalg.norm(proj[i] - proj[j])
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.85 < ratios.mean() < 1.15
+    assert (np.abs(ratios - 1) < 0.75).all()
+    with pytest.raises(ValueError):
+        jl_project(df, out_dim=0)
+    with pytest.raises(ValueError):
+        jl_project(df, out_dim=65)

@@ -248,6 +248,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "msprt_click_vs_view",
         # r07 split-conformal coverage, full oracle
         "conformal_coverage_by_source",
+        # r07 JL projection distortion audit, full oracle
+        "jl_distortion_pairs",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
