@@ -662,6 +662,105 @@ def _classifier_eval_sf(spark, sf_dir):
     return classifier_pr_curve(scored, "p", "y")
 
 
+def _fuzzy_clusters_20k(spark, sf_dir):
+    """Fuzzy record linkage at 20k DISTINCT names (the grain the quadratic
+    stage actually runs on — real corpora hang millions of rows off far
+    fewer names): ~1k first-token blocks of ~20 names each, blocked
+    Levenshtein pairing, then connected components on the match edges and
+    the cluster rollup. The number to watch is that wall-clock tracks
+    sum(block²), never names² — and that the CC rounds stay edge-sized."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        fuzzy_name_clusters,
+    )
+
+    names = spark.range(20_000, numPartitions=8).select(
+        F.concat(
+            F.lit("blk"),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" entity"),
+            (F.col("id") % 37).cast("string"),
+            F.lit("v"),
+            F.floor(F.col("id") / 997).cast("string"),
+        ).alias("supplier")
+    )
+    out = fuzzy_name_clusters(
+        names,
+        "supplier",
+        lambda name: F.split(name, " ").getItem(0),
+        threshold=0.8,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("cluster_records").alias("chk"),
+    )
+
+
+def _image_ahash_100k(spark, sf_dir):
+    """aHash + banded-hamming LSH over 100k DISTINCT fake-codec images:
+    content is sha2(text || doc_id), so every image's first-64-byte pixel
+    window is unique — the realistic mostly-unique corpus (a text-suffix
+    salt is NOT enough: the fake codec reads the byte prefix, so replicas
+    would share identical hashes and the band join would go quadratic in
+    the replica count). Times the Arrow mapInPandas hash stage plus the
+    4x16-bit band join and popcount verify at true-negative-dominated
+    collision rates. The number to watch is that the join moves only
+    (id, n_cells, band, value) rows, never pixels."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        image_ahash,
+    )
+
+    media = _docs_scaled(spark, sf_dir, 100_000).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.sha2(
+                F.concat("text", F.lit("#"), F.col("doc_id").cast("string")),
+                256,
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    hashes = image_ahash(media, decoder="fake")
+    pairs = ahash_near_dup_pairs(hashes, max_hamming=8)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("hamming").alias("chk")
+    )
+
+
+def _msprt_daily_600k(spark, sf_dir):
+    """Always-valid mSPRT monitor over the full sf0.1 events table (~600k
+    rows, 5 types x ~150 days): one (type, day) map-side-combining
+    aggregate then cumulative windows over the ~750-row grid — the raw
+    grain is touched exactly once, so this should track the scan, not the
+    sequential math."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import msprt_always_valid
+
+    raw = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = raw.select(
+        "event_type",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    out = msprt_always_valid(
+        ev, ["event_type"], "day", "value",
+        mu0=45.0, sigma=50.0, tau=10.0, alpha=0.05,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rejected").cast("long")).alias("n_rejected"),
+        F.round(F.sum("log_lambda"), 3).alias("chk"),
+    )
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -694,12 +793,17 @@ EXTRAS = {
     "hotspots_1m": _hotspots_1m,
     "audience_overlap_600k": _audience_overlap_600k,
     "classifier_eval_sf": _classifier_eval_sf,
+    # r7-family probes (VERDICT r7 item 4): linkage, image LSH, mSPRT.
+    "fuzzy_clusters_20k": _fuzzy_clusters_20k,
+    "image_ahash_100k": _image_ahash_100k,
+    "msprt_daily_600k": _msprt_daily_600k,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
 # algorithms driving their own jobs): time fn()+collect, not collect alone —
 # a collect-only clock would miss all the work.
 EAGER_EXTRAS = {
+    "fuzzy_clusters_20k",
     "bpe_induce_encode_sf",
     "connected_components_100k",
     "bloom_decontam_50k",
@@ -713,6 +817,8 @@ EAGER_EXTRAS = {
 # between the paired sizes, and a second multi-10s run would double bench
 # wall-clock for no extra signal.
 SINGLE_RUN_EXTRAS = {
+    "fuzzy_clusters_20k",
+    "image_ahash_100k",
     "substring_removal_10x",
     "minhash_pairs_20k",
     "minhash_pairs_100k",
@@ -722,7 +828,33 @@ SINGLE_RUN_EXTRAS = {
 }
 
 
+def _wait_for_idle() -> float:
+    """Four consecutive rounds shipped load-contaminated numbers (loadavg
+    2.49 -> 4.39 -> 7.11); every cross-round perf comparison became
+    guesswork. Refusing to measure on a busy host is the fix: poll until
+    the 1-min loadavg drops below SPARK_GRAFT_MIN_IDLE (default 0.5),
+    bounded by SPARK_GRAFT_IDLE_WAIT_SEC (default 600 s) so an always-busy
+    host still produces an artifact (with the contamination visible in
+    env.loadavg_start / env.idle_waited_sec). Returns seconds waited."""
+    threshold = float(os.environ.get("SPARK_GRAFT_MIN_IDLE", "0.5"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_SEC", "600"))
+    t0 = time.monotonic()
+    while os.getloadavg()[0] >= threshold:
+        waited = time.monotonic() - t0
+        if waited >= max_wait:
+            print(
+                f"bench: proceeding despite loadavg "
+                f"{os.getloadavg()[0]:.2f} >= {threshold} after "
+                f"{waited:.0f}s wait",
+                file=sys.stderr,
+            )
+            break
+        time.sleep(10)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
+    idle_waited = _wait_for_idle()
     spark = get_spark("ningaloo-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.queries()
@@ -797,6 +929,7 @@ def main() -> None:
                     "loadavg_start": round(load_start, 2),
                     "loadavg_end": round(os.getloadavg()[0], 2),
                     "canary_pricing_summary_end": canary,
+                    "idle_waited_sec": idle_waited,
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

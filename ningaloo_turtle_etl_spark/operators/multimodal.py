@@ -327,25 +327,37 @@ def ahash_near_dup_pairs(
     ``max_hamming``. Returns (id_a, id_b, hamming).
 
     Scale shape: the LSH join moves only (media_id, n_cells, band, value)
-    — 4 fixed-width rows per image, never pixels — and verification reads
+    — ≤4 fixed-width rows per image, never pixels — and verification reads
     the 16-byte hash lanes. Same banded candidate-generation pattern as
     the MinHash/SimHash text families (operators/dedup.py); joining on
     n_cells keeps degenerate tiny-image all-zero upper bands from
-    cross-pairing with full-size images."""
+    cross-pairing with full-size images, and only bands that COVER real
+    cells are emitted (band*16 < n_cells): an image with n_cells ≤ 48 has
+    structurally-zero upper bands that carry no discriminating signal —
+    emitting them would put every same-size small image in one bucket, a
+    quadratic clique in the small-image count at corpus scale. The cost
+    is an honest recall bound for tiny images: k emitted bands guarantee
+    catching hamming ≤ k-1 (pigeonhole), so sub-49-cell images get a
+    tighter guarantee than the full 4-band hamming ≤ 3; zero-cell (empty)
+    blobs emit no bands and never pair."""
     h = hashes.select("media_id", "n_cells", "h0", "h1")
     m16 = F.lit(65535)
-    bands = h.select(
-        "media_id",
-        "n_cells",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("h0").bitwiseAND(m16)).alias("val")),
-                F.struct(F.lit(1).alias("band"), (F.shiftright("h0", 16).bitwiseAND(m16)).alias("val")),
-                F.struct(F.lit(2).alias("band"), (F.col("h1").bitwiseAND(m16)).alias("val")),
-                F.struct(F.lit(3).alias("band"), (F.shiftright("h1", 16).bitwiseAND(m16)).alias("val")),
-            )
-        ).alias("b"),
-    ).select("media_id", "n_cells", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    bands = (
+        h.select(
+            "media_id",
+            "n_cells",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), (F.col("h0").bitwiseAND(m16)).alias("val")),
+                    F.struct(F.lit(1).alias("band"), (F.shiftright("h0", 16).bitwiseAND(m16)).alias("val")),
+                    F.struct(F.lit(2).alias("band"), (F.col("h1").bitwiseAND(m16)).alias("val")),
+                    F.struct(F.lit(3).alias("band"), (F.shiftright("h1", 16).bitwiseAND(m16)).alias("val")),
+                )
+            ).alias("b"),
+        )
+        .select("media_id", "n_cells", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+        .filter(F.col("band") * 16 < F.col("n_cells"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -4181,12 +4181,15 @@ def _ahash_oracle_sql(max_id: int = 250, edit_below: int = 60,
         FROM cl
     ),
     bands AS (
+        -- only bands covering real cells (band*16 < n_cells): mirrors the
+        -- operator's guard against structurally-zero upper-band cliques
         SELECT media_id, n_cells, band,
                CASE band WHEN 0 THEN h0 & 65535
                          WHEN 1 THEN (h0 >> 16) & 65535
                          WHEN 2 THEN h1 & 65535
                          ELSE (h1 >> 16) & 65535 END AS val
         FROM hashes, (SELECT unnest(range(4)) AS band)
+        WHERE band * 16 < n_cells
     ),
     cand AS (
         SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
