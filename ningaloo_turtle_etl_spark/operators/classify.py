@@ -777,8 +777,16 @@ def split_conformal_report(
     resid = F.abs(
         F.col(label_col).cast("double") - F.col(pred_col).cast("double")
     )
-    base = scored.withColumn("_calib", u < F.lit(float(calib_frac))).withColumn(
-        "_resid", resid
+    # NULL pred/label rows are dropped up front (mirroring
+    # isotonic_calibration): they carry no residual, and counting them in
+    # n_cal while percentile() ignores their NULL residuals would map the
+    # conformal index k onto the wrong order statistic.
+    base = (
+        scored.filter(
+            F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .withColumn("_calib", u < F.lit(float(calib_frac)))
+        .withColumn("_resid", resid)
     )
     calib = base.filter("_calib")
     n_cal = calib.count()

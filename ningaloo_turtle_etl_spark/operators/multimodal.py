@@ -288,6 +288,11 @@ def image_ahash(df: DataFrame, decoder: str = "stub") -> DataFrame:
             "image decode requires a codec; use decoder='fake' for the "
             "deterministic test path or decoder='pil' with PIL installed"
         )
+    if decoder not in _DECODERS:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; supported: "
+            f"{sorted(_DECODERS)} (or 'stub' for the honest default)"
+        )
     decode = _DECODERS[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

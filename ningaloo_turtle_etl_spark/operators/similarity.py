@@ -840,7 +840,14 @@ def jl_project(
 
     Returns (id, jl array<double>). Pick out_dim with
     the distortion report (the registered ``jl_distortion_pairs`` query
-    is the acceptance harness)."""
+    is the acceptance harness).
+
+    Every row's vector length is validated against ``dim`` (inferred
+    from the first row when not supplied): a ragged corpus would
+    otherwise silently truncate (longer vectors) or NULL-out (shorter —
+    zip_with pads with NULL) coordinates and corrupt every distance
+    downstream, so a mismatched row fails the job with a descriptive
+    error instead."""
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).first()
         if first is None:
@@ -854,6 +861,16 @@ def jl_project(
         _dot(v, F.array(*[F.lit(float(x)) for x in m[j]]))
         for j in range(out_dim)
     ]
+    # assert_true rides inside the output column so Catalyst cannot prune
+    # it; it returns NULL on pass, raises on the first ragged row.
+    guard = F.assert_true(
+        F.size(v) == F.lit(int(dim)),
+        F.concat(
+            F.lit(f"jl_project: vector length != dim={dim} for id "),
+            F.col(id_col).cast("string"),
+        ),
+    )
     return corpus.select(
-        F.col(id_col).alias("vec_id"), F.array(*coords).alias("jl")
+        F.col(id_col).alias("vec_id"),
+        F.when(guard.isNull(), F.array(*coords)).alias("jl"),
     )

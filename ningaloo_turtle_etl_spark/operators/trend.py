@@ -1867,6 +1867,15 @@ def power_mde_table(
     mde_abs = F.lit(z) * F.col("_sd") * F.sqrt(
         F.lit(4.0) / F.col("n_rows").cast("double")
     )
+    # ceil() on the raw double is cross-engine fragile: a last-ulp
+    # stddev_samp divergence (or a ratio landing exactly on an integer)
+    # flips the result by 1, and delta=0 (mean 0) makes the ratio
+    # Infinity, which an ANSI BIGINT cast rejects. Round to the 6dp
+    # release grain first and emit NULL for zero-mean groups.
+    n_req = F.when(
+        delta != F.lit(0.0),
+        F.ceil(F.round(var2 * F.lit(z2) / (delta * delta), 6)).cast("long"),
+    )
     return grid.select(
         *g,
         "rel_effect",
@@ -1874,11 +1883,13 @@ def power_mde_table(
         F.round("_mean", 6).alias("mean"),
         F.round("_sd", 6).alias("sd"),
         F.round(delta, 6).alias("delta_abs"),
-        F.ceil(var2 * F.lit(z2) / (delta * delta))
-        .cast("long")
-        .alias("n_required_per_arm"),
+        n_req.alias("n_required_per_arm"),
         F.round(mde_abs, 6).alias("mde_abs_at_n"),
-        F.round(mde_abs / F.col("_mean"), 6).alias("mde_rel_at_n"),
+        # try_divide: a zero-mean group has no relative MDE (ANSI division
+        # would throw); NULL mirrors the n_required_per_arm guard.
+        F.round(F.try_divide(mde_abs, F.col("_mean")), 6).alias(
+            "mde_rel_at_n"
+        ),
     )
 
 

@@ -546,13 +546,32 @@ def corpus_clean_pipeline(spark, sf_dir):
     return cleaned.select("doc_id", "lang", "n_words", "n_chars")
 
 
-@register("sketch_profile", None)
+@register(
+    "sketch_profile",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_3rsd,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def sketch_profile(spark, sf_dir):
     """One-pass sketch profile per event_type: HLL++ distinct users +
     Greenwald-Khanna value quantiles — the bounded-state form of the
-    profiling questions that need full shuffles when asked exactly.
-    Approximations are engine-specific → rows-only; error bounds vs exact
-    are pinned in tests/test_sketches.py."""
+    profiling questions that need full shuffles when asked exactly. The
+    native estimates are engine-specific (DuckDB cannot replay HLL++/GK
+    sketch state), so the registered row outputs what IS cross-engine
+    checkable: the exact calibration column plus error-bound booleans —
+    |hll − exact|/exact ≤ 3·rsd, and each GK quantile landing inside the
+    exact percentile envelope at ±2% rank (orders of magnitude wider than
+    GK's n/accuracy rank guarantee). The oracle asserts the bounds as
+    literal TRUE, so a sketch regression flips a boolean and fails the
+    value hash — this was the registry's only no-oracle row r3-r7. Raw
+    estimate values remain available via `operators/sketches.py
+    approx_distinct / approx_quantiles`; error tracking vs exact is also
+    pinned in tests/test_sketches.py."""
     from ningaloo_turtle_etl_spark.operators.sketches import (
         approx_distinct,
         approx_quantiles,
@@ -563,13 +582,29 @@ def sketch_profile(spark, sf_dir):
     q = approx_quantiles(
         ev, "value", probabilities=(0.5, 0.95), accuracy=10_000, by=["event_type"]
     )
-    out = d.join(q, on="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.48D)").alias("_p50_lo"),
+        F.expr("percentile(value, 0.52D)").alias("_p50_hi"),
+        F.expr("percentile(value, 0.93D)").alias("_p95_lo"),
+        F.expr("percentile(value, 0.97D)").alias("_p95_hi"),
+    )
+    out = d.join(q, on="event_type").join(exact, on="event_type")
+    est = F.col("approx_distinct_user_id").cast("double")
+    ex = F.col("exact_users").cast("double")
+    p50 = F.col("approx_quantiles_value")[0]
+    p95 = F.col("approx_quantiles_value")[1]
     return out.select(
         "event_type",
-        F.col("approx_distinct_user_id").alias("approx_users"),
-        F.round(F.col("approx_quantiles_value")[0], 4).alias("p50_value"),
-        F.round(F.col("approx_quantiles_value")[1], 4).alias("p95_value"),
-    )
+        "exact_users",
+        (F.abs(est - ex) / ex <= F.lit(0.06)).alias("hll_within_3rsd"),
+        p50.between(F.col("_p50_lo"), F.col("_p50_hi")).alias(
+            "p50_within_rank_eps"
+        ),
+        p95.between(F.col("_p95_lo"), F.col("_p95_hi")).alias(
+            "p95_within_rank_eps"
+        ),
+    ).orderBy("event_type")
 
 
 @register(

@@ -1390,16 +1390,19 @@ def q_msprt_always_valid_daily(spark, sf_dir):
            ROUND(m, 6) AS mean,
            ROUND(sd, 6) AS sd,
            ROUND(rel_effect * m, 6) AS delta_abs,
-           -- (r·m)·(r·m): mirror Spark's delta*delta association — the
-           -- left-assoc r·m·r·m differs in the last ulp and feeds an
-           -- UNROUNDED ceil(), which can flip the integer between engines
-           CAST(ceil(2.0 * sd * sd * 7.848879738460949
-                     / ((rel_effect * m) * (rel_effect * m))) AS BIGINT)
-               AS n_required_per_arm,
+           -- (r·m)·(r·m) mirrors Spark's delta*delta association, the
+           -- 6dp pre-round mirrors the operator's cross-engine guard on
+           -- ceil(), and zero-mean groups emit NULL (delta 0 would make
+           -- the ratio Infinity)
+           CASE WHEN rel_effect * m <> 0.0 THEN
+               CAST(ceil(ROUND(2.0 * sd * sd * 7.848879738460949
+                     / ((rel_effect * m) * (rel_effect * m)), 6)) AS BIGINT)
+           END AS n_required_per_arm,
            ROUND(2.8015852188468138 * sd * sqrt(4.0 / n_rows), 6)
                AS mde_abs_at_n,
-           ROUND(2.8015852188468138 * sd * sqrt(4.0 / n_rows) / m, 6)
-               AS mde_rel_at_n
+           CASE WHEN m <> 0.0 THEN
+               ROUND(2.8015852188468138 * sd * sqrt(4.0 / n_rows) / m, 6)
+           END AS mde_rel_at_n
     FROM grid
     ORDER BY event_type, rel_effect
     """,

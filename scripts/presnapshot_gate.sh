@@ -29,10 +29,17 @@ if [[ "${SF01:-0}" == "1" ]]; then
     --json "CORRECTNESS_SF0p1_${tag}.json"
 fi
 if [[ "${TZ_SWEEP:-0}" == "1" ]]; then
-  echo "== extra: foreign-timezone sweep =="
+  echo "== extra: foreign-timezone sweep (DST-free zone) =="
   TZ=Australia/Perth JAVA_TOOL_OPTIONS=-Duser.timezone=Australia/Perth \
     python scripts/driver_sim.py --skip-smoke \
     --json "CORRECTNESS_TZ_${tag}.json"
+  # Perth observes no DST, so that sweep can never catch a spring-forward
+  # date-boundary bug (r7 verdict item 3); New York adds the DST-observing
+  # matrix point for the F1-F5 / ST3 / ST5 local-day logic.
+  echo "== extra: foreign-timezone sweep (DST-observing zone) =="
+  TZ=America/New_York JAVA_TOOL_OPTIONS=-Duser.timezone=America/New_York \
+    python scripts/driver_sim.py --skip-smoke \
+    --json "CORRECTNESS_TZ2_${tag}.json"
 fi
 if [[ "${STREAMS:-0}" == "1" ]]; then
   echo "== extra: batch≡stream equivalence =="

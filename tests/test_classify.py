@@ -465,3 +465,30 @@ def test_split_conformal_report_coverage_guarantee(spark):
 
     with _pt.raises(ValueError):
         split_conformal_report(df, "p", "y", "id", alpha=0.0)
+
+
+def test_split_conformal_report_drops_null_pred_label_rows(spark):
+    """NULL pred/label rows must not inflate n_cal: percentile() ignores
+    NULL residuals, so counting them would map the conformal index
+    ceil((n+1)(1-alpha)) onto the wrong order statistic (ADVICE r7)."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        split_conformal_report,
+    )
+
+    clean = [(i, 0.5, 1 if i % 3 == 0 else 0) for i in range(400)]
+    noisy = clean + [(1000 + i, None, 0) for i in range(50)] + [
+        (2000 + i, 0.5, None) for i in range(50)
+    ]
+    df_clean = spark.createDataFrame(clean, "id long, p double, y int")
+    df_noisy = spark.createDataFrame(noisy, "id long, p double, y int")
+    r_clean = split_conformal_report(
+        df_clean, "p", "y", "id", alpha=0.1, calib_frac=0.5
+    ).collect()[0]
+    r_noisy = split_conformal_report(
+        df_noisy, "p", "y", "id", alpha=0.1, calib_frac=0.5
+    ).collect()[0]
+    # NULL rows are invisible: identical split sizes, quantile, coverage
+    assert r_noisy["n_calib"] == r_clean["n_calib"]
+    assert r_noisy["n_test"] == r_clean["n_test"]
+    assert r_noisy["q_hat"] == r_clean["q_hat"]
+    assert r_noisy["coverage"] == r_clean["coverage"]

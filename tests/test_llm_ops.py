@@ -1715,6 +1715,41 @@ def test_image_ahash_lanes_and_near_dup_pairs(spark):
     # the constant-byte and empty blobs never pair with the text blobs
     # (different n_cells or far hamming)
     assert not any(4 in p or 5 in p for p in pairs)
+    with pytest.raises(ValueError, match="unknown decoder"):
+        image_ahash(media, decoder="webp")
+
+
+def test_ahash_pairs_skip_structurally_zero_bands(spark):
+    """Small images (n_cells <= 48) have upper bands that are zero for
+    EVERY image — emitting them would put all same-size small images in
+    one bucket, a quadratic clique at corpus scale. Only bands covering
+    real cells (band*16 < n_cells) may generate candidates."""
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    rows = [
+        # n_cells=8: only band 0 is real; 1 vs 2 differ there -> no pair
+        (1, 8, 0b0011, 0),
+        (2, 8, 0b0101, 0),
+        # 3 matches 1 exactly -> pairs at hamming 0 via band 0
+        (3, 8, 0b0011, 0),
+        # n_cells=0 empties: no real bands at all -> never pair
+        (4, 0, 0, 0),
+        (5, 0, 0, 0),
+        # n_cells=20: bands 0-1 real; 6 vs 7 share band 1, differ in band
+        # 0 by 4 bits -> caught via band 1 at hamming 4
+        (6, 20, (0b1010 << 16) | 0b1111, 0),
+        (7, 20, (0b1010 << 16) | 0b0000, 0),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, n_cells int, h0 long, h1 long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert pairs == {(1, 3): 0, (6, 7): 4}
 
 
 def test_jl_project_preserves_distances_and_validates(spark):
@@ -1748,3 +1783,12 @@ def test_jl_project_preserves_distances_and_validates(spark):
         jl_project(df, out_dim=0)
     with pytest.raises(ValueError):
         jl_project(df, out_dim=65)
+    # ragged corpus: a short vector would silently NULL-pad / truncate
+    # coordinates through zip_with — must fail loudly instead (ADVICE r7)
+    ragged = df.union(
+        spark.createDataFrame(
+            [(99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    with pytest.raises(Exception, match="vector length"):
+        jl_project(ragged, 16, seed=11, dim=64).collect()

@@ -927,6 +927,25 @@ def test_power_mde_table_closed_form(spark):
         power_mde_table(df, ["g"], "v", alpha=1.5)
 
 
+def test_power_mde_table_zero_mean_group_emits_null(spark):
+    """A zero-mean metric makes delta 0 and the sample-size ratio
+    Infinity; the ANSI BIGINT cast would reject it, so the operator must
+    emit NULL for n_required_per_arm instead (ADVICE r7)."""
+    from ningaloo_turtle_etl_spark.operators.trend import power_mde_table
+
+    rows = [("z", -5.0), ("z", 5.0), ("a", 8.0), ("a", 12.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["rel_effect"]): r
+        for r in power_mde_table(df, ["g"], "v", rel_effects=(0.1,)).collect()
+    }
+    assert out[("z", 0.1)]["n_required_per_arm"] is None
+    assert out[("z", 0.1)]["delta_abs"] == 0.0
+    assert out[("z", 0.1)]["mde_rel_at_n"] is None
+    assert out[("a", 0.1)]["n_required_per_arm"] is not None
+    assert out[("a", 0.1)]["mde_rel_at_n"] is not None
+
+
 def test_msprt_two_sample_reference_and_missing_arm(spark):
     from ningaloo_turtle_etl_spark.operators.trend import msprt_two_sample
 
