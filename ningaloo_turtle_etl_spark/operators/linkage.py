@@ -49,6 +49,55 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+# Letter→code table of American Soundex (Odell & Russell): labials 1,
+# gutturals/sibilants 2, dentals 3, L 4, nasals 5, R 6; vowels + H/W/Y
+# map to the separator digit 0.
+_PHONETIC_SRC = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_PHONETIC_DST = "11112222222233455600000000"
+# Adjacent same-digit runs collapse via nested two-char replaces: each
+# pass halves a run, so 3 passes close runs up to length 8 (far beyond
+# any real word). The SAME mechanism runs in both engines — a regex
+# backreference would be exact in Spark but RE2-based DuckDB has no
+# backreferences, and two different mechanisms is how cross-engine
+# drift starts.
+_COLLAPSE_PASSES = 3
+
+
+def phonetic_code(name: Column) -> Column:
+    """Portable Soundex-style phonetic code (letter + 3 digits) as a pure
+    Catalyst expression — the standard out-of-the-box blocking key for
+    :func:`blocked_fuzzy_pairs` ("smith"/"smyth", "peru"/"perou" land in
+    one block). Simplified from full American Soundex in one documented
+    way: H/W act as separators like vowels (same-code letters split by
+    ANY of them are coded twice), because the H/W look-through rule needs
+    a scan no fixed expression chain replays portably. Blocking only
+    needs a stable equivalence — both engines compute this IDENTICAL
+    chain (`phonetic_code_sql` is the DuckDB twin), so registered uses
+    carry full value-hash oracles unlike the engine-specific builtin
+    ``F.soundex``."""
+    u = F.upper(name)
+    d = F.translate(u, _PHONETIC_SRC, _PHONETIC_DST)
+    for _ in range(_COLLAPSE_PASSES):
+        for dig in "0123456":
+            d = F.replace(d, F.lit(dig + dig), F.lit(dig))
+    rest = F.replace(F.substring(d, 2, 1000), F.lit("0"), F.lit(""))
+    return F.concat(
+        F.substring(u, 1, 1),
+        F.substring(F.concat(rest, F.lit("000")), 1, 3),
+    )
+
+
+def phonetic_code_sql(expr: str) -> str:
+    """DuckDB replay of :func:`phonetic_code` — byte-identical chain
+    (same translate table, same nested-replace collapse, same padding)
+    over any SQL string expression."""
+    s = f"translate(upper({expr}), '{_PHONETIC_SRC}', '{_PHONETIC_DST}')"
+    for _ in range(_COLLAPSE_PASSES):
+        for dig in "0123456":
+            s = f"replace({s}, '{dig}{dig}', '{dig}')"
+    s = f"replace(substr({s}, 2, 1000), '0', '')"
+    return f"substr(upper({expr}), 1, 1) || substr({s} || '000', 1, 3)"
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -89,6 +138,77 @@ def blocked_fuzzy_pairs(
         .filter(F.col("name_a") < F.col("name_b"))
         .filter(sim >= F.lit(float(threshold)))
         .select("name_a", "name_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+def incremental_fuzzy_pairs(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    name_col: str,
+    block_fn: Callable[[Column], Column],
+    threshold: float = 0.75,
+    max_block_names: int = 5000,
+) -> DataFrame:
+    """Incremental record linkage: match pairs INVOLVING the new batch —
+    new×old and new×new, never old×old. The nightly-ingest entity-
+    resolution shape (mirror of ``operators/dedup.py
+    minhash_incremental_pairs``): with O old names and N genuinely new
+    ones (N << O), the blocked join probes only the blocks the new batch
+    touches, so pairing work scales with the new names' block collisions
+    instead of re-linking the whole dimension.
+
+    "New" means a distinct name value NOT present in ``old_df`` — a name
+    seen before is already linked and re-pairing it would duplicate the
+    standing edge set. Exactly equal to :func:`blocked_fuzzy_pairs` over
+    the union, restricted to pairs with at least one new name (the
+    ``max_block_names`` cap counts DISTINCT names over the union,
+    matching the full run bit-for-bit — pinned in tests). Returns
+    (name_a, name_b, sim) with name_a < name_b.
+
+    Scale shape: two distinct-aggregates and an anti-join at name grain,
+    then the blocked join probes from the new side only; old names never
+    pair with each other, and nothing ever touches row grain."""
+    old_names = (
+        old_df.select(F.col(name_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    new_names = (
+        new_df.select(F.col(name_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .join(old_names, on="name", how="left_anti")
+    )
+    names = (
+        old_names.withColumn("_is_new", F.lit(False))
+        .unionByName(new_names.withColumn("_is_new", F.lit(True)))
+        .withColumn("blk", block_fn(F.col("name")))
+    )
+    names = (
+        names.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("_bn") <= F.lit(int(max_block_names)))
+        .drop("_bn")
+    )
+    probe = names.filter("_is_new").select(
+        F.col("name").alias("name_p"), "blk"
+    )
+    other = names.select(F.col("name").alias("name_o"), "blk")
+    cand = (
+        probe.join(other, "blk")
+        .filter(F.col("name_p") != F.col("name_o"))
+        .select(
+            F.least("name_p", "name_o").alias("name_a"),
+            F.greatest("name_p", "name_o").alias("name_b"),
+        )
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    ).cast("double")
+    return cand.filter(sim >= F.lit(float(threshold))).select(
+        "name_a", "name_b", F.round(sim, 6).alias("sim")
     )
 
 

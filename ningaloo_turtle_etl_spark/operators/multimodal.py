@@ -8,6 +8,8 @@ real and tested; the codec step is pluggable because decode libraries
 - ``decoder='stub'``    → raises NotImplementedError (the honest default);
 - ``decoder='fake'``    → deterministic bytes-derived pseudo-decode so
   pipelines and tests exercise the full path;
+- ``decoder='ppm'``     → stdlib-only real decode of binary P5/P6 Netpbm
+  bytes (actual pixels, no dependencies);
 - ``decoder='pil'``     → real image decode if PIL is importable.
 
 At scale: mapInPandas streams Arrow batches, so a 100 TB binary corpus flows
@@ -57,7 +59,54 @@ def _pil_decode(content: bytes):
     return img.width, img.height, pixels
 
 
-_DECODERS = {"fake": _fake_decode, "pil": _pil_decode}
+def _ppm_decode(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Dependency-free decoder for binary Netpbm images — P5 (grayscale
+    PGM) and P6 (RGB PPM), the uncompressed formats every image tool can
+    emit (`pil` is gated on an absent dependency in this container; this
+    path proves the pipeline on REAL pixel bytes with stdlib only).
+
+    Header: magic, whitespace/comment-separated width height maxval, ONE
+    whitespace byte, then the raster. Only 8-bit (maxval <= 255) rasters
+    are supported. RGB collapses to integer BT.601 luma
+    ((299r + 587g + 114b) // 1000) so the result is bit-stable and
+    oracle-replayable like every other integer path in this module."""
+    if len(content) < 2 or content[:1] != b"P" or content[1:2] not in b"56":
+        raise ValueError("ppm decoder supports binary P5/P6 Netpbm only")
+    magic = content[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comment lines between header fields
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(content[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"unsupported netpbm dims/maxval {w}x{h}/{maxval}")
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if raster.size < w * h * ch:
+        raise ValueError("truncated netpbm raster")
+    if ch == 3:
+        rgb = raster.reshape(h, w, 3).astype(np.int64)
+        luma = (
+            rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+        ) // 1000
+        return w, h, luma.astype(np.uint8)
+    return w, h, raster.reshape(h, w)
+
+
+_DECODERS = {"fake": _fake_decode, "pil": _pil_decode, "ppm": _ppm_decode}
 
 
 def extract_image_features(
@@ -69,7 +118,8 @@ def extract_image_features(
     if decoder == "stub":
         raise NotImplementedError(
             "image decode requires a codec; use decoder='fake' for the "
-            "deterministic test path or decoder='pil' with PIL installed"
+            "deterministic test path, 'ppm' for stdlib-only real "
+            "P5/P6 Netpbm bytes, or 'pil' with PIL installed"
         )
     decode = _DECODERS[decoder]
 
@@ -149,7 +199,8 @@ def resize_images(
     if decoder == "stub":
         raise NotImplementedError(
             "image decode requires a codec; use decoder='fake' for the "
-            "deterministic test path or decoder='pil' with PIL installed"
+            "deterministic test path, 'ppm' for stdlib-only real "
+            "P5/P6 Netpbm bytes, or 'pil' with PIL installed"
         )
     decode = _DECODERS[decoder]
 
@@ -286,7 +337,8 @@ def image_ahash(df: DataFrame, decoder: str = "stub") -> DataFrame:
     if decoder == "stub":
         raise NotImplementedError(
             "image decode requires a codec; use decoder='fake' for the "
-            "deterministic test path or decoder='pil' with PIL installed"
+            "deterministic test path, 'ppm' for stdlib-only real "
+            "P5/P6 Netpbm bytes, or 'pil' with PIL installed"
         )
     if decoder not in _DECODERS:
         raise ValueError(

@@ -116,3 +116,123 @@ def q_fuzzy_part_clusters(spark, sf_dir):
         lambda name: F.split(name, " ").getItem(1),
         threshold=0.75,
     ).orderBy("canonical", "name")
+
+
+def _soundex_pairs_sql() -> str:
+    from ningaloo_turtle_etl_spark.operators.linkage import phonetic_code_sql
+
+    blk = phonetic_code_sql("regexp_extract(p_name, '([a-z]+)$', 1)")
+    return f"""
+    WITH n0 AS (
+        SELECT DISTINCT p_name AS name,
+               {blk} AS blk
+        FROM part WHERE p_name IS NOT NULL
+    ),
+    n AS (
+        SELECT name, blk FROM (
+            SELECT name, blk, COUNT(*) OVER (PARTITION BY blk) AS bn
+            FROM n0
+        ) WHERE bn <= 5000
+    ),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               1.0 - levenshtein(a.name, b.name) * 1.0
+                     / greatest(length(a.name), length(b.name)) AS sim_raw
+        FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+    )
+    SELECT name_a, name_b, ROUND(sim_raw, 6) AS sim
+    FROM pairs WHERE sim_raw >= 0.75
+    ORDER BY name_a, name_b
+    """
+
+
+@register("fuzzy_part_soundex_pairs", _soundex_pairs_sql())
+def q_fuzzy_part_soundex_pairs(spark, sf_dir):
+    """Fuzzy match pairs blocked by the built-in PHONETIC key
+    (`operators/linkage.py phonetic_code` over the final name token) —
+    the out-of-the-box blocking choice when no domain key exists:
+    sound-alike spelling variants land in one block even when no token
+    matches exactly, the classic recall win of Soundex blocking over
+    token equality. The portable Soundex-style chain (translate +
+    nested-replace collapse) computes IDENTICALLY in Catalyst and the
+    DuckDB oracle, so this row is value-hash checked — the engine
+    builtin F.soundex could not be."""
+    from ningaloo_turtle_etl_spark.operators.linkage import phonetic_code
+
+    part = load_table(spark, "part", sf_dir)
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        lambda name: phonetic_code(
+            F.regexp_extract(name, "([a-z]+)$", 1)
+        ),
+        threshold=0.75,
+    ).orderBy("name_a", "name_b")
+
+
+@register(
+    "fuzzy_part_incremental_pairs",
+    f"""
+    WITH oldn AS (
+        SELECT DISTINCT p_name AS name FROM part
+        WHERE p_partkey % 7 <> 0 AND p_name IS NOT NULL
+    ),
+    newn AS (
+        SELECT DISTINCT p_name AS name FROM part
+        WHERE p_partkey % 7 = 0 AND p_name IS NOT NULL
+          AND p_name NOT IN (SELECT name FROM oldn)
+    ),
+    u AS (
+        SELECT name, FALSE AS is_new FROM oldn
+        UNION ALL
+        SELECT name, TRUE FROM newn
+    ),
+    n0 AS (
+        SELECT name, is_new,
+               NULLIF(split_part(name, ' ', 2), '') AS blk
+        FROM u
+    ),
+    n AS (
+        SELECT name, is_new, blk FROM (
+            SELECT name, is_new, blk,
+                   COUNT(*) OVER (PARTITION BY blk) AS bn
+            FROM n0
+        ) WHERE bn <= 5000
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.name, b.name) AS name_a,
+                        greatest(a.name, b.name) AS name_b
+        FROM n a JOIN n b ON a.blk = b.blk AND a.name <> b.name
+        WHERE a.is_new
+    )
+    SELECT name_a, name_b,
+           ROUND(1.0 - levenshtein(name_a, name_b) * 1.0
+                 / greatest(length(name_a), length(name_b)), 6) AS sim
+    FROM cand
+    WHERE 1.0 - levenshtein(name_a, name_b) * 1.0
+          / greatest(length(name_a), length(name_b)) >= 0.75
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_part_incremental_pairs(spark, sf_dir):
+    """Incremental linkage over a simulated nightly part-ingest
+    (`operators/linkage.py incremental_fuzzy_pairs`): parts with
+    p_partkey % 7 == 0 arrive as the new batch, everything else is the
+    standing dimension; only pairs involving a genuinely NEW name (never
+    seen in the old batch) are emitted — new x old and new x new, never
+    old x old. Bit-equal to the full blocked run restricted to new-name
+    pairs (pinned in tests/test_linkage.py)."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        incremental_fuzzy_pairs,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    old = part.filter(F.col("p_partkey") % 7 != 0)
+    new = part.filter(F.col("p_partkey") % 7 == 0)
+    return incremental_fuzzy_pairs(
+        old,
+        new,
+        "p_name",
+        lambda name: F.split(name, " ").getItem(1),
+        threshold=0.75,
+    ).orderBy("name_a", "name_b")

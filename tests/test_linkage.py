@@ -87,3 +87,76 @@ def test_linkage_queries_match_oracle(spark, duck):
     qs, os_ = queries(), oracle_sql()
     for name in ("fuzzy_part_pairs", "fuzzy_part_clusters"):
         assert_df_matches_oracle(qs[name](spark, SF_DIR), duck, os_[name])
+
+
+def test_phonetic_code_matches_sql_twin_and_classic_examples(spark, duck):
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        phonetic_code,
+        phonetic_code_sql,
+    )
+
+    names = [
+        "robert", "rupert", "smith", "smyth", "peru", "perou",
+        "pfister", "tymczak", "jones", "lavender", "", "a",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["code"]
+        for r in df.select("name", phonetic_code(F.col("name")).alias("code")).collect()
+    }
+    # classic Soundex anchors (the H/W-separator simplification does not
+    # affect any of these)
+    assert got["robert"] == "R163" and got["rupert"] == "R163"
+    assert got["smith"] == "S530" and got["smyth"] == "S530"
+    assert got["peru"] == got["perou"] == "P600"
+    assert got["pfister"] == "P236"  # adjacent same-code letters collapse
+    assert got[""] == "000" and got["a"] == "A000"
+    # the DuckDB twin replays the chain byte-for-byte
+    sql = phonetic_code_sql("name")
+    rows = duck.execute(
+        f"SELECT name, {sql} AS code FROM (SELECT unnest(?) AS name)",
+        [names],
+    ).fetchall()
+    assert {n: c for n, c in rows} == got
+
+
+def test_incremental_fuzzy_pairs_equals_full_restricted(spark):
+    """Incremental linkage must be bit-equal to the full blocked run over
+    the union, restricted to pairs involving a genuinely new name."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        incremental_fuzzy_pairs,
+    )
+
+    blk = lambda n: F.substring(n, 1, 1)  # noqa: E731
+    old = spark.createDataFrame(
+        [("smith",)] * 2 + [("smyth",)] + [("stone",)] + [("jones",)],
+        "name string",
+    )
+    # 'smithe' is new; 'smith' repeats (already linked -> NOT new);
+    # 'jonas' is new in the j block
+    new = spark.createDataFrame(
+        [("smithe",), ("smith",), ("jonas",)], "name string"
+    )
+    inc = {
+        (r["name_a"], r["name_b"], r["sim"])
+        for r in incremental_fuzzy_pairs(
+            old, new, "name", blk, threshold=0.7
+        ).collect()
+    }
+    union = old.unionByName(new)
+    new_only = {"smithe", "jonas"}
+    full = {
+        (r["name_a"], r["name_b"], r["sim"])
+        for r in blocked_fuzzy_pairs(
+            union, "name", blk, threshold=0.7
+        ).collect()
+        if r["name_a"] in new_only or r["name_b"] in new_only
+    }
+    assert inc == full and inc  # equal AND non-trivial
+    # never an old x old pair
+    assert not any(
+        a not in new_only and b not in new_only for a, b, _ in inc
+    )
+    # the repeated name never re-pairs: smith x smyth is an OLD edge
+    assert not any({a, b} == {"smith", "smyth"} for a, b, _ in inc)

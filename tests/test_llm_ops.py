@@ -1719,6 +1719,61 @@ def test_image_ahash_lanes_and_near_dup_pairs(spark):
         image_ahash(media, decoder="webp")
 
 
+def test_image_ahash_on_real_ppm_pixels(spark):
+    """The aHash pipeline proven on ACTUAL image bytes (r7 verdict item
+    7): stdlib-decoded binary Netpbm rasters, not the fake codec. An 8x8
+    gradient PGM, a one-pixel-edited twin (small hamming), and its exact
+    P6 RGB re-encoding (identical luma -> identical hash)."""
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        _ppm_decode,
+        ahash_near_dup_pairs,
+        image_ahash,
+    )
+
+    # 8x8 grayscale gradient: pixel = row*32 + col*4 (all < 256)
+    px = bytes(r * 32 + c * 4 for r in range(8) for c in range(8))
+    pgm = b"P5\n# comment line\n8 8\n255\n" + px
+    edited = bytearray(px)
+    edited[27] = 255  # one bright pixel inside the 64-cell window
+    pgm_edited = b"P5\n8 8\n255\n" + bytes(edited)
+    # P6 twin of the original: gray triples -> BT.601 luma == the gray
+    # value exactly ((299+587+114)v // 1000 = v)
+    ppm_rgb = b"P6\n8 8\n255\n" + bytes(v for v in px for _ in range(3))
+
+    w, h, pix = _ppm_decode(pgm)
+    assert (w, h) == (8, 8) and pix.shape == (8, 8)
+    assert pix[3, 5] == 3 * 32 + 5 * 4
+    wr, hr, pixr = _ppm_decode(ppm_rgb)
+    assert (pixr == pix).all()
+    for bad in (b"P3\n8 8\n255\n" + px, b"P5\n8 8\n255\n" + px[:10], b"X"):
+        with pytest.raises(ValueError):
+            _ppm_decode(bad)
+
+    media = spark.createDataFrame(
+        [(1, pgm), (2, pgm_edited), (3, ppm_rgb)],
+        "media_id long, content binary",
+    )
+    hashes = {
+        r["media_id"]: r
+        for r in image_ahash(media, decoder="ppm").collect()
+    }
+    assert all(r["n_cells"] == 64 for r in hashes.values())
+    # RGB re-encoding hashes identically to its grayscale twin
+    assert (hashes[3]["h0"], hashes[3]["h1"]) == (
+        hashes[1]["h0"],
+        hashes[1]["h1"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(
+            image_ahash(media, decoder="ppm"), max_hamming=8
+        ).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 8
+    assert pairs[(1, 2)] == pairs[(2, 3)]
+
+
 def test_ahash_pairs_skip_structurally_zero_bands(spark):
     """Small images (n_cells <= 48) have upper bands that are zero for
     EVERY image — emitting them would put all same-size small images in

@@ -52,6 +52,9 @@ def test_critical_components_inside_driver_window():
         # family directly (verdict item) — ANN acceptance + seeded-DP
         "ann_pq_recall",
         "dp_event_type_counts",
+        # r08: the window must prove an r7 family directly (verdict item)
+        # — blocked fuzzy record linkage
+        "fuzzy_part_pairs",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -66,6 +69,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # oracle-checked by tests/test_oracle_all.py + the supplement.
         "pivot_event_types",
         "join_natural",
+        # r08 window demotion: the lag/window-shape component stays covered
+        # in-window by remigration_lag + topk_per_group; still oracle-checked
+        # by tests/test_oracle_all.py + the supplement.
+        "first_event_per_user",
         # TPC-H-flavored variants of components proven in-window + the
         # SQL-form flagship twin — all still oracle-checked by
         # tests/test_oracle_all.py.
@@ -233,9 +240,13 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "k_anonymity_events",
         # r07 generalization-ladder k-anonymity release, full oracle
         "k_anon_generalize_events",
-        # r07 fuzzy record linkage, full oracles
-        "fuzzy_part_pairs",
+        # r07 fuzzy record linkage, full oracles (the pairs stage holds a
+        # driver-window row since r08)
         "fuzzy_part_clusters",
+        # r08 portable-phonetic blocking variant, full oracle
+        "fuzzy_part_soundex_pairs",
+        # r08 incremental linkage, full oracle
+        "fuzzy_part_incremental_pairs",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle
