@@ -1706,3 +1706,113 @@ def cross_source_duplication(
             F.sum("p.nd").cast("long").alias("n_docs"),
         )
     )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS local-fingerprinting algorithm): hash every word k-gram of
+    the lowercased text, slide a window over ``window`` consecutive
+    k-gram hashes, keep each window's MINIMUM hash, distinct per doc.
+    The winnowing guarantee: any run of at least k + window − 1 shared
+    tokens between two documents shares at least one selected
+    fingerprint — so local overlap detection has a recall floor, unlike
+    MinHash (whole-doc similarity) or the global min (one hash per doc).
+    Density: ~2/(window+1) of the k-grams are selected, the storage dial.
+
+    Returns one row per selected distinct fingerprint: (id, fp) —
+    fp is the 60-bit md5 integer ``md5_hash60`` family, DuckDB-replayable.
+
+    Scale shape: the whole select happens INSIDE one row via array
+    expressions (k-gram build, per-gram hash, per-window array_min,
+    array_distinct) — map-only, zero shuffle, no explode until the
+    (id, fp) output rows; downstream joins move only fixed-width pairs.
+    Reference analog: the tagging ETL's duplicate-sighting audit works at
+    whole-record grain (`tagging-etl.Rmd:120-141`); this is the
+    sub-document grain the reference never needed but a plagiarism /
+    license-contamination pass over a 100 TB corpus does."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    gidx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        gidx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    hs = F.transform(grams, lambda g: md5_hash60(g))
+    widx = F.sequence(
+        F.lit(0), F.greatest(F.size(hs) - window, F.lit(0))
+    )
+    sels = F.array_distinct(
+        F.transform(widx, lambda p: F.array_min(F.slice(hs, p + 1, window)))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sels.alias("_fps"))
+        .select("id", F.explode("_fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
+
+
+def winnowing_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_fp_docs: int = 500,
+) -> DataFrame:
+    """Directed local-overlap pairs by winnowing-fingerprint containment:
+    |fp(A) ∩ fp(B)| / |fp(A)| ≥ ``threshold`` — a row says id_a's
+    selected regions are covered by id_b (quoting, partial plagiarism,
+    license-text contamination), the asymmetric signal whole-doc Jaccard
+    dilutes. Complements ``ngram_containment_pairs`` (exact shingle-set
+    containment, all-pairs within a block): this one needs NO blocking
+    column — candidates come from the inverted fingerprint index itself.
+
+    Fingerprints present in more than ``max_fp_docs`` documents are
+    dropped before pairing (the boilerplate/stop-fingerprint cap — MOSS's
+    "ignore matches in too many documents" — which also hard-bounds the
+    join fanout the way the LSH bucket caps do). Returns
+    (id_a, id_b, n_shared, containment), 6dp.
+
+    Scale shape: fingerprint grain only — one distinct (id, fp) frame,
+    a frequency cap at fp grain, one fp-keyed self-join whose fanout is
+    sum(fp_doc_count²) bounded by the cap, then a (pair)-grain count;
+    document text is read exactly once and never moves."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window)
+    from pyspark import StorageLevel
+
+    fps = _track_cache(fps.persist(StorageLevel.MEMORY_AND_DISK))
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
+    kept = fps.join(
+        freq.filter(F.col("_nd") <= F.lit(int(max_fp_docs))).select("fp"),
+        on="fp",
+    )
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.col("n_fp")
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), "n_fp"), on="id_a"
+        )
+        .filter(cont >= F.lit(float(threshold)))
+        .select(
+            "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
+        )
+    )

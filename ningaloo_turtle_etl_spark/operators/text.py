@@ -826,3 +826,163 @@ def source_scorecard(
             ),
         )
     )
+
+
+# --- generation-eval metrics: corpus BLEU / ROUGE-N -------------------------
+def _ordered_ngrams(toks: Column, n: int) -> Column:
+    """Positional word n-grams (duplicates KEPT — clipped counting needs
+    multiset semantics, unlike the distinct shingles the dedup family
+    uses). Texts shorter than n contribute no n-grams, per the standard
+    BLEU convention."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, gs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def corpus_bleu_rouge(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 4,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) and ROUGE-N recall over
+    paired (candidate, reference) text columns — the generation-eval
+    numbers a training-data pipeline reports when it distills, rewrites,
+    or back-translates at scale. Case-sensitive whitespace tokens (eval
+    must not fold what the model generated).
+
+    Per n ≤ ``max_n``: clipped matches Σ_g min(count_cand(g),
+    count_ref(g)) are summed CORPUS-wide before dividing (the corpus-BLEU
+    convention — micro-average, not a mean of per-sentence scores), giving
+    modified precision p_n = clip/Σcand_n and ROUGE-n recall
+    r_n = clip/Σref_n. BLEU = BP · exp(Σ ln(p_n)/max_n) with brevity
+    penalty BP = min(1, e^(1−r/c)) on total token lengths; BLEU is 0 if
+    any p_n is 0 (standard, no smoothing — deterministic and replayable).
+
+    Output per group: (group…, n_pairs, cand_tokens, ref_tokens,
+    brevity_penalty, p1..p{max_n}, rouge1_recall, rouge2_recall, bleu),
+    6dp.
+
+    Scale shape: n-gram counts explode to (pair, n, gram) grain with
+    map-side combine; clipping is ONE inner equi-join at that grain
+    (grams missing on either side clip to 0 and never move); everything
+    after is a groups×max_n aggregate. No pair ever compares to another
+    pair, so work is linear in corpus token count."""
+    if max_n < 2:
+        raise ValueError("max_n must be >= 2 (rouge2 is part of the contract)")
+    g = list(group_cols)
+    base = df.select(
+        *g,
+        F.col(id_col).alias("_id"),
+        tokens(cand_col).alias("_tc"),
+        tokens(ref_col).alias("_tr"),
+    )
+    grams_c = base.select(
+        *g,
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    _ordered_ngrams(F.col("_tc"), n).alias("gs"),
+                )
+                for n in range(1, max_n + 1)
+            ])
+        ).alias("_b"),
+    ).select(*g, "_id", F.col("_b.n").alias("n"), F.explode("_b.gs").alias("gram"))
+    grams_r = base.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    _ordered_ngrams(F.col("_tr"), n).alias("gs"),
+                )
+                for n in range(1, max_n + 1)
+            ])
+        ).alias("_b"),
+    ).select("_id", F.col("_b.n").alias("n"), F.explode("_b.gs").alias("gram"))
+    cc = grams_c.groupBy(*g, "_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    rc = grams_r.groupBy("_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    clipped = cc.join(rc, on=["_id", "n", "gram"]).select(
+        *g, "_id", "n", F.least("cc", "rc").alias("clip")
+    )
+    per_n = (
+        cc.groupBy(*g, "n").agg(F.sum("cc").alias("cand_n"))
+        .join(
+            clipped.groupBy(*g, "n").agg(F.sum("clip").alias("clip_n")),
+            on=g + ["n"],
+            how="left",
+        )
+        .join(
+            # ref totals need the group key: recover it from the cand side
+            base.select(*g, "_id")
+            .join(rc, on="_id")
+            .groupBy(*g, "n")
+            .agg(F.sum("rc").alias("ref_n")),
+            on=g + ["n"],
+            how="left",
+        )
+        .fillna(0, subset=["clip_n"])
+    )
+    p = F.col("clip_n") / F.col("cand_n")
+    r = F.col("clip_n") / F.col("ref_n")
+    wide = per_n.groupBy(*g).agg(
+        *[
+            F.max(F.when(F.col("n") == n, p)).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        F.max(F.when(F.col("n") == 1, r)).alias("rouge1_recall"),
+        F.max(F.when(F.col("n") == 2, r)).alias("rouge2_recall"),
+    )
+    lens = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.size("_tc")).alias("cand_tokens"),
+        F.sum(F.size("_tr")).alias("ref_tokens"),
+    )
+    joined = lens.join(wide, on=g) if g else lens.crossJoin(wide)
+    bp = (
+        F.when(F.col("cand_tokens") == 0, F.lit(0.0))  # empty candidates
+        .when(F.col("cand_tokens") >= F.col("ref_tokens"), F.lit(1.0))
+        .otherwise(
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_tokens") / F.col("cand_tokens").cast("double")
+            )
+        )
+    )
+    all_pos = None
+    for n in range(1, max_n + 1):
+        cond = F.col(f"p{n}") > 0
+        all_pos = cond if all_pos is None else (all_pos & cond)
+    log_mean = sum(
+        [F.log(F.col(f"p{n}")) for n in range(2, max_n + 1)],
+        F.log(F.col("p1")),
+    ) / F.lit(float(max_n))
+    bleu = F.when(all_pos, bp * F.exp(log_mean)).otherwise(F.lit(0.0))
+    return joined.select(
+        *g,
+        "n_pairs",
+        "cand_tokens",
+        "ref_tokens",
+        F.round(bp, 6).alias("brevity_penalty"),
+        *[
+            F.round(F.coalesce(F.col(f"p{n}"), F.lit(0.0)), 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        F.round(F.coalesce("rouge1_recall", F.lit(0.0)), 6).alias(
+            "rouge1_recall"
+        ),
+        F.round(F.coalesce("rouge2_recall", F.lit(0.0)), 6).alias(
+            "rouge2_recall"
+        ),
+        F.round(bleu, 6).alias("bleu"),
+    )

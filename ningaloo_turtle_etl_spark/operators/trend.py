@@ -416,24 +416,21 @@ def poisson_bootstrap_mean_ci(
     )
 
 
-def ks_test_pairs(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov D for every unordered group pair:
-    D = sup_x |F_a(x) - F_b(x)| over the pooled sample points, ECDFs
-    right-evaluated (the sup of two step functions is attained at a pooled
-    jump point, so maxing the right-evaluations at every pooled value is
-    exact). The nonparametric any-difference test completing the
-    parametric Welch t family.
+def _pooled_pair_ecdfs(
+    df: DataFrame, group_col: str, value_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffolding for the two-sample ECDF statistics
+    (:func:`ks_test_pairs`, :func:`wasserstein_pairs`): per-group ECDFs at
+    the DISTINCT-value grain, then for every unordered group pair the
+    pooled jump points with BOTH ECDFs right-evaluated (forward-filled)
+    at each point. Returns (pairs, at_v) where pairs is
+    (ga, gb, n_a, n_b) and at_v is (ga, gb, v, fa, fb) — one row per
+    pooled distinct value per pair.
 
-    Output: (group_a, group_b, n_a, n_b, ks_d).
-
-    Scale shape: ECDFs are computed once per group at the DISTINCT-value
-    grain (group-keyed window over the aggregated value counts, never raw
+    Scale shape: ECDFs are computed once per group at the distinct-value
+    grain (group-keyed window over aggregated value counts, never raw
     rows); the pair sweep unions the two ECDFs per pair and forward-fills
-    both sides with one (pair)-keyed window -- work is
+    both sides with one (pair)-keyed window — work is
     pairs x distinct-values, independent of row count."""
     vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
     counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
@@ -488,6 +485,26 @@ def ks_test_pairs(
     at_v = filled.groupBy("ga", "gb", "v").agg(
         F.max("fa").alias("fa"), F.max("fb").alias("fb")
     )
+    return pairs, at_v
+
+
+def ks_test_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for every unordered group pair:
+    D = sup_x |F_a(x) - F_b(x)| over the pooled sample points, ECDFs
+    right-evaluated (the sup of two step functions is attained at a pooled
+    jump point, so maxing the right-evaluations at every pooled value is
+    exact). The nonparametric any-difference test completing the
+    parametric Welch t family.
+
+    Output: (group_a, group_b, n_a, n_b, ks_d).
+
+    Scale shape: see :func:`_pooled_pair_ecdfs` — work is
+    pairs x distinct-values, independent of row count."""
+    pairs, at_v = _pooled_pair_ecdfs(df, group_col, value_col)
     d = at_v.groupBy("ga", "gb").agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d")
     )
@@ -499,6 +516,51 @@ def ks_test_pairs(
             "n_a",
             "n_b",
             "ks_d",
+        )
+    )
+
+
+def wasserstein_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """1D Wasserstein-1 (earth mover's) distance for every unordered
+    group pair: W1 = ∫|F_a(x) - F_b(x)| dx, computed exactly as the sum
+    over consecutive POOLED distinct values of
+    (v_next − v)·|F_a(v) − F_b(v)| — both ECDFs are step functions, so
+    the integrand is constant between pooled jump points and the sum is
+    the integral, no binning, no approximation.
+
+    Where KS (sup gap, scale-free) answers "are these different?", W1
+    answers "by HOW MUCH, in the metric's own units" — the mass-transport
+    cost that drift dashboards want next to PSI (which needs bins and
+    dies on support shifts) and KS (which saturates once supports
+    separate). W1 keeps growing linearly as distributions move apart.
+
+    Output: (group_a, group_b, n_a, n_b, w1), 6dp.
+
+    Scale shape: identical to :func:`ks_test_pairs` — per-group ECDFs at
+    distinct-value grain, one pair-keyed forward-fill window, then one
+    lead() and a sum over pooled points; work is pairs x distinct-values,
+    independent of row count."""
+    pairs, at_v = _pooled_pair_ecdfs(df, group_col, value_col)
+    wlead = Window.partitionBy("ga", "gb").orderBy("v")
+    seg = at_v.withColumn("_v_next", F.lead("v").over(wlead))
+    contrib = (F.col("_v_next") - F.col("v")) * F.abs(
+        F.col("fa") - F.col("fb")
+    )
+    d = seg.groupBy("ga", "gb").agg(
+        F.round(F.sum(contrib), 6).alias("w1")
+    )
+    return (
+        d.join(pairs, on=["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            "w1",
         )
     )
 

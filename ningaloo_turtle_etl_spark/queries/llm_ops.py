@@ -4337,3 +4337,206 @@ def jl_distortion_pairs(spark, sf_dir):
             F.when(d_orig > 0, d_proj / d_orig), 6
         ).alias("ratio"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "winnowing_quote_pairs",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE lang = 'en' AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000, substr(text, 1, 250)
+        FROM documents WHERE lang = 'en' AND doc_id < 50
+    ),
+    toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    hs AS (
+        SELECT id,
+               list_transform(
+                   list_transform(range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')),
+                   g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+        FROM toks
+    ),
+    sel AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(greatest(len(hs) - 4, 0) + 1),
+                   p -> list_min(list_slice(hs, p + 1, p + 4)))) AS fps
+        FROM hs
+    ),
+    fps AS (SELECT id, unnest(fps) AS fp FROM sel),
+    freq AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 500),
+    kept AS (SELECT fps.id, fps.fp FROM fps JOIN freq USING (fp)),
+    sizes AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY id
+    ),
+    shared AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(n_shared * 1.0 / n_fp, 6) AS containment
+    FROM shared JOIN sizes ON sizes.id = shared.id_a
+    WHERE n_shared * 1.0 / n_fp >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def winnowing_quote_pairs(spark, sf_dir):
+    """MOSS-style winnowing fingerprint containment over a quoting corpus
+    (`operators/dedup.py winnowing_fingerprints +
+    winnowing_containment_pairs`, k=3, window=4): each doc keeps the
+    per-window minimum k-gram hash (guaranteeing any k+window-1-token
+    shared run shares a fingerprint), a frequency cap drops boilerplate
+    fingerprints, and the inverted fingerprint index itself generates
+    candidates — no blocking column needed. The fixture plants 50
+    truncated quoters (prefix of a real doc under a new id); each must
+    surface as (quoter -> original) with high containment. Everything is
+    md5-integer arithmetic, replayed list-for-list in DuckDB."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        winnowing_containment_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 200)
+    )
+    quoters = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 250).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quoters)
+    return winnowing_containment_pairs(
+        corpus, k=3, window=4, threshold=0.6, max_fp_docs=500
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "bleu_rouge_by_source",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id AS _id, source,
+               substr(text, 1, 300) || ' xyzzy' AS cand,
+               text AS ref
+        FROM documents
+    ),
+    tok AS (
+        SELECT _id, source,
+               list_filter(string_split_regex(cand, '\s+'), x -> x <> '') AS tc,
+               list_filter(string_split_regex(ref,  '\s+'), x -> x <> '') AS tr
+        FROM corpus
+    ),
+    nn AS (SELECT unnest(range(1, 5)) AS n),
+    cg AS (
+        SELECT _id, source, n, unnest(gs) AS gram FROM (
+            SELECT _id, source, nn.n AS n,
+                   CASE WHEN len(tc) >= nn.n
+                        THEN list_transform(range(len(tc) - nn.n + 1),
+                             i -> array_to_string(
+                                 list_slice(tc, i + 1, i + nn.n), ' '))
+                        ELSE [] END AS gs
+            FROM tok CROSS JOIN nn
+        )
+    ),
+    rg AS (
+        SELECT _id, n, unnest(gs) AS gram FROM (
+            SELECT _id, nn.n AS n,
+                   CASE WHEN len(tr) >= nn.n
+                        THEN list_transform(range(len(tr) - nn.n + 1),
+                             i -> array_to_string(
+                                 list_slice(tr, i + 1, i + nn.n), ' '))
+                        ELSE [] END AS gs
+            FROM tok CROSS JOIN nn
+        )
+    ),
+    cc AS (
+        SELECT _id, source, n, gram, COUNT(*) AS cc
+        FROM cg GROUP BY 1, 2, 3, 4
+    ),
+    rc AS (SELECT _id, n, gram, COUNT(*) AS rc FROM rg GROUP BY 1, 2, 3),
+    clip AS (
+        SELECT cc.source, cc.n, SUM(least(cc.cc, rc.rc)) AS clip_n
+        FROM cc JOIN rc
+          ON cc._id = rc._id AND cc.n = rc.n AND cc.gram = rc.gram
+        GROUP BY 1, 2
+    ),
+    cand_tot AS (SELECT source, n, SUM(cc) AS cand_n FROM cc GROUP BY 1, 2),
+    ref_tot AS (
+        SELECT t.source, rc.n, SUM(rc.rc) AS ref_n
+        FROM rc JOIN (SELECT DISTINCT _id, source FROM tok) t
+          ON rc._id = t._id
+        GROUP BY 1, 2
+    ),
+    per_n AS (
+        SELECT cand_tot.source, cand_tot.n, cand_n,
+               COALESCE(clip_n, 0) AS clip_n, ref_n
+        FROM cand_tot
+        LEFT JOIN clip USING (source, n)
+        LEFT JOIN ref_tot USING (source, n)
+    ),
+    wide AS (
+        SELECT source,
+               MAX(CASE WHEN n = 1 THEN clip_n * 1.0 / cand_n END) AS p1,
+               MAX(CASE WHEN n = 2 THEN clip_n * 1.0 / cand_n END) AS p2,
+               MAX(CASE WHEN n = 3 THEN clip_n * 1.0 / cand_n END) AS p3,
+               MAX(CASE WHEN n = 4 THEN clip_n * 1.0 / cand_n END) AS p4,
+               MAX(CASE WHEN n = 1 THEN clip_n * 1.0 / ref_n END) AS r1,
+               MAX(CASE WHEN n = 2 THEN clip_n * 1.0 / ref_n END) AS r2
+        FROM per_n GROUP BY 1
+    ),
+    lens AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(len(tc)) AS BIGINT) AS cand_tokens,
+               CAST(SUM(len(tr)) AS BIGINT) AS ref_tokens
+        FROM tok GROUP BY 1
+    ),
+    fin AS (
+        SELECT lens.source, n_pairs, cand_tokens, ref_tokens,
+               CASE WHEN cand_tokens = 0 THEN 0.0
+                    WHEN cand_tokens >= ref_tokens THEN 1.0
+                    ELSE exp(1.0 - ref_tokens * 1.0 / cand_tokens)
+               END AS bp,
+               p1, p2, p3, p4, r1, r2
+        FROM lens JOIN wide USING (source)
+    )
+    SELECT source, n_pairs, cand_tokens, ref_tokens,
+           ROUND(bp, 6) AS brevity_penalty,
+           ROUND(COALESCE(p1, 0), 6) AS p1,
+           ROUND(COALESCE(p2, 0), 6) AS p2,
+           ROUND(COALESCE(p3, 0), 6) AS p3,
+           ROUND(COALESCE(p4, 0), 6) AS p4,
+           ROUND(COALESCE(r1, 0), 6) AS rouge1_recall,
+           ROUND(COALESCE(r2, 0), 6) AS rouge2_recall,
+           ROUND(CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+                      THEN bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)
+                      ELSE 0.0 END, 6) AS bleu
+    FROM fin ORDER BY source
+    """,
+)
+def bleu_rouge_by_source(spark, sf_dir):
+    """Corpus BLEU-4 + ROUGE-1/2 recall per source
+    (`operators/text.py corpus_bleu_rouge`): candidates are each
+    document truncated to 300 chars plus one wrong token, references the
+    full text — truncation drives the brevity penalty below 1, the bogus
+    token pushes precision below 1, and every n-gram stage (clipped
+    multiset counts, micro-averaged corpus totals, geometric-mean BLEU)
+    replays list-for-list in DuckDB. The shape a distillation /
+    rewrite pipeline reports nightly over generated-vs-reference pairs."""
+    from ningaloo_turtle_etl_spark.operators.text import corpus_bleu_rouge
+
+    docs = load_table(spark, "documents", sf_dir)
+    paired = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.substring("text", 1, 300), F.lit(" xyzzy")).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return corpus_bleu_rouge(
+        paired, "cand", "ref", "doc_id", max_n=4, group_cols=["source"]
+    ).orderBy("source")

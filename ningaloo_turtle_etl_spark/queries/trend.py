@@ -341,6 +341,76 @@ def q_value_ks_by_type(spark, sf_dir):
 
 
 @register(
+    "wasserstein_value_by_type",
+    """
+    WITH vals AS (SELECT event_type AS g, value AS v FROM events),
+    counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+    sizes AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    ecdf AS (
+        SELECT g, v,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(n AS DOUBLE) AS f
+        FROM counts JOIN sizes USING (g)
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.g < b.g
+    ),
+    merged AS (
+        SELECT ga, gb, e.v, e.f AS fa, CAST(NULL AS DOUBLE) AS fb
+        FROM pairs JOIN ecdf e ON e.g = ga
+        UNION ALL
+        SELECT ga, gb, e.v, CAST(NULL AS DOUBLE), e.f
+        FROM pairs JOIN ecdf e ON e.g = gb
+    ),
+    filled AS (
+        SELECT ga, gb, v,
+               COALESCE(LAST_VALUE(fa IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS fa,
+               COALESCE(LAST_VALUE(fb IGNORE NULLS) OVER (
+                   PARTITION BY ga, gb ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS fb
+        FROM merged
+    ),
+    at_v AS (
+        SELECT ga, gb, v, MAX(fa) AS fa, MAX(fb) AS fb
+        FROM filled GROUP BY 1, 2, 3
+    ),
+    seg AS (
+        SELECT ga, gb, v, fa, fb,
+               LEAD(v) OVER (PARTITION BY ga, gb ORDER BY v) AS v_next
+        FROM at_v
+    ),
+    d AS (
+        SELECT ga, gb, ROUND(SUM((v_next - v) * ABS(fa - fb)), 6) AS w1
+        FROM seg WHERE v_next IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT ga AS group_a, gb AS group_b, n_a, n_b, w1
+    FROM d JOIN pairs USING (ga, gb)
+    ORDER BY group_a, group_b
+    """,
+)
+def q_wasserstein_value_by_type(spark, sf_dir):
+    """Exact 1D earth-mover's distance between every pair of event types'
+    value distributions (`operators/trend.py wasserstein_pairs`): the
+    mass-transport cost in the metric's own units — the "by how much"
+    companion to value_ks_by_type's "are they different", and the drift
+    number that keeps growing after KS saturates and PSI's bins break on
+    support shifts. Step-function integral over pooled distinct values;
+    work is pairs x distinct values, never rows x rows."""
+    from ningaloo_turtle_etl_spark.operators.trend import wasserstein_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    return wasserstein_pairs(ev, "event_type", "value").orderBy(
+        "group_a", "group_b"
+    )
+
+
+@register(
     "value_bootstrap_ci",
     """
     WITH bdim AS (SELECT unnest(range(200)) AS b),

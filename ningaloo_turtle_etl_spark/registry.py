@@ -284,6 +284,14 @@ PRIORITY: list[str] = [
     "fuzzy_part_soundex_pairs",
     # r08 incremental linkage (new x all, never old x old), full oracle
     "fuzzy_part_incremental_pairs",
+    # r08 exact 1D earth-mover's drift distance, full oracle
+    "wasserstein_value_by_type",
+    # r08 MOSS winnowing fingerprint containment, full oracle
+    "winnowing_quote_pairs",
+    # r08 corpus BLEU-4 / ROUGE-N generation eval, full oracle
+    "bleu_rouge_by_source",
+    # r08 Bradley-Terry pairwise-preference leaderboard, full oracle
+    "bt_brand_preference",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

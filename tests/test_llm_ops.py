@@ -1847,3 +1847,118 @@ def test_jl_project_preserves_distances_and_validates(spark):
     )
     with pytest.raises(Exception, match="vector length"):
         jl_project(ragged, 16, seed=11, dim=64).collect()
+
+
+def test_winnowing_guarantee_and_containment_direction(spark):
+    """The winnowing guarantee: any shared token run of at least
+    k + window - 1 tokens yields at least one shared fingerprint; a
+    quoted fragment surfaces as a DIRECTED high-containment pair."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        winnowing_containment_pairs,
+        winnowing_fingerprints,
+    )
+
+    base = ["w%d" % i for i in range(30)]
+    fragment = base[10:21]  # 11 shared tokens >= k+window-1 = 6
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(["x%d" % i for i in range(8)] + fragment)),
+        (3, " ".join(base)),  # exact copy of 1
+        (4, " ".join("z%d" % i for i in range(25))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        i: {r["fp"] for r in rows_}
+        for i, rows_ in (
+            (i, winnowing_fingerprints(
+                df.filter(F.col("doc_id") == i), k=3, window=4
+            ).collect())
+            for i in (1, 2, 3, 4)
+        )
+    }
+    assert fps[1] == fps[3]  # deterministic, content-only
+    assert fps[1] & fps[2]   # the guarantee: shared run -> shared fp
+    assert not (fps[1] & fps[4])
+    # density: ~2/(window+1) of the k-grams are selected, never all
+    assert 1 <= len(fps[1]) < 28
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnowing_containment_pairs(
+            df, k=3, window=4, threshold=0.3, max_fp_docs=10
+        ).collect()
+    }
+    # exact copies: containment 1.0 in both directions
+    assert pairs[(1, 3)]["containment"] == 1.0
+    assert pairs[(3, 1)]["containment"] == 1.0
+    # the quoting doc is covered by the original far more than vice versa
+    assert (2, 1) in pairs
+    c_fwd = pairs[(2, 1)]["containment"]
+    c_rev = pairs.get((1, 2))
+    assert c_fwd >= 0.3 and (c_rev is None or c_rev["containment"] < c_fwd)
+    assert not any(4 in p for p in pairs)
+
+
+def test_corpus_bleu_rouge_matches_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from ningaloo_turtle_etl_spark.operators.text import corpus_bleu_rouge
+
+    pairs = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the cat the cat on mat", "the cat is on the mat"),
+        (3, "completely different words here", "the quick brown fox jumps"),
+        (4, "a b", "a b c d e f g h"),  # short candidate -> BP bites
+    ]
+    df = spark.createDataFrame(pairs, "id long, cand string, ref string")
+    row = corpus_bleu_rouge(df, "cand", "ref", "id", max_n=4).collect()[0]
+
+    def grams(toks, n):
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    clip, cand_n, ref_n = {}, {}, {}
+    c_len = r_len = 0
+    for _, c, r in pairs:
+        tc, tr = c.split(), r.split()
+        c_len += len(tc)
+        r_len += len(tr)
+        for n in range(1, 5):
+            gc, gr = grams(tc, n), grams(tr, n)
+            clip[n] = clip.get(n, 0) + sum(
+                min(v, gr[g]) for g, v in gc.items()
+            )
+            cand_n[n] = cand_n.get(n, 0) + sum(gc.values())
+            ref_n[n] = ref_n.get(n, 0) + sum(gr.values())
+    p = {n: clip[n] / cand_n[n] for n in range(1, 5)}
+    bp = 1.0 if c_len >= r_len else math.exp(1 - r_len / c_len)
+    bleu = (
+        bp * math.exp(sum(math.log(p[n]) for n in range(1, 5)) / 4)
+        if all(p[n] > 0 for n in range(1, 5))
+        else 0.0
+    )
+    assert row["n_pairs"] == 4
+    assert row["cand_tokens"] == c_len and row["ref_tokens"] == r_len
+    assert row["brevity_penalty"] == round(bp, 6)
+    for n in range(1, 5):
+        assert row[f"p{n}"] == round(p[n], 6)
+    assert row["rouge1_recall"] == round(clip[1] / ref_n[1], 6)
+    assert row["rouge2_recall"] == round(clip[2] / ref_n[2], 6)
+    assert abs(row["bleu"] - bleu) < 1e-6
+    # perfect candidates -> BLEU exactly 1 everywhere
+    perfect = spark.createDataFrame(
+        [(1, "x y z w v u t s", "x y z w v u t s")],
+        "id long, cand string, ref string",
+    )
+    prow = corpus_bleu_rouge(perfect, "cand", "ref", "id").collect()[0]
+    assert prow["bleu"] == 1.0 and prow["rouge2_recall"] == 1.0
+    # a zero p4 (no shared 4-gram) zeroes BLEU but not ROUGE
+    nosh = spark.createDataFrame(
+        [(1, "a b c q e f", "a b c d e f")],
+        "id long, cand string, ref string",
+    )
+    nrow = corpus_bleu_rouge(nosh, "cand", "ref", "id").collect()[0]
+    assert nrow["bleu"] == 0.0 and nrow["rouge1_recall"] > 0
+    with pytest.raises(ValueError):
+        corpus_bleu_rouge(df, "cand", "ref", "id", max_n=1)

@@ -247,6 +247,14 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "fuzzy_part_soundex_pairs",
         # r08 incremental linkage, full oracle
         "fuzzy_part_incremental_pairs",
+        # r08 exact 1D Wasserstein drift, full oracle
+        "wasserstein_value_by_type",
+        # r08 MOSS winnowing fingerprints, full oracle
+        "winnowing_quote_pairs",
+        # r08 corpus BLEU/ROUGE generation eval, full oracle
+        "bleu_rouge_by_source",
+        # r08 Bradley-Terry preference leaderboard, full oracle
+        "bt_brand_preference",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle

@@ -208,6 +208,44 @@ def test_ks_test_pairs_matches_bruteforce(spark):
     assert len(out) == 3
 
 
+def test_wasserstein_pairs_matches_bruteforce(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import wasserstein_pairs
+
+    samples = {
+        "a": [0.0, 1.0],
+        "b": [2.0, 3.0],          # pure shift of a by +2 -> W1 = 2
+        "c": [0.0, 1.0],          # identical to a -> W1 = 0
+        "d": [1.0, 2.0, 2.0, 5.0],
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in wasserstein_pairs(df, "g", "v").collect()
+    }
+    assert out[("a", "b")]["w1"] == 2.0  # mean shift exactly
+    assert out[("a", "c")]["w1"] == 0.0  # identical distributions
+
+    def brute(xs, ys):
+        pts = sorted(set(xs) | set(ys))
+        tot = 0.0
+        for p, p_next in zip(pts, pts[1:]):
+            fa = sum(1 for x in xs if x <= p) / len(xs)
+            fb = sum(1 for y in ys if y <= p) / len(ys)
+            tot += (p_next - p) * abs(fa - fb)
+        return tot
+
+    for (ga, gb), r in out.items():
+        assert abs(r["w1"] - round(brute(samples[ga], samples[gb]), 6)) < 1e-9
+        assert r["n_a"] == len(samples[ga]) and r["n_b"] == len(samples[gb])
+    assert len(out) == 6
+    # KS saturates at 1.0 for any disjoint pair; W1 keeps measuring the gap
+    far = spark.createDataFrame(
+        [("a", 0.0), ("z", 1000.0)], "g string, v double"
+    )
+    assert wasserstein_pairs(far, "g", "v").collect()[0]["w1"] == 1000.0
+
+
 def test_poisson_bootstrap_matches_python_replica(spark):
     import hashlib
     import math
@@ -988,3 +1026,54 @@ def test_msprt_two_sample_reference_and_missing_arm(spark):
 
     with _pt.raises(ValueError):
         msprt_two_sample(df, "arm", "t", "c", "day", "v", sigma=0.0, tau=1.0)
+
+
+def test_pairwise_battles_and_bradley_terry(spark):
+    from ningaloo_turtle_etl_spark.operators.preference import (
+        bradley_terry_ratings,
+        pairwise_battles,
+    )
+
+    rows = [
+        # ctx 1: a=5, b=3 -> a beats b ; ctx 2: tie -> nothing
+        (1, "a", 5), (1, "b", 3),
+        (2, "a", 4), (2, "b", 4),
+        (3, "b", 2), (3, "c", 1),
+    ]
+    df = spark.createDataFrame(rows, "ctx long, item string, s long")
+    battles = {
+        (r["winner"], r["loser"]): (r["winner_score"], r["loser_score"])
+        for r in pairwise_battles(df, "ctx", "item", "s").collect()
+    }
+    assert battles == {("a", "b"): (5, 3), ("b", "c"): (2, 1)}
+
+    # Unbalanced-schedule correction: x and y are both 1-1, but x split
+    # with the STRONG item while y split with the WEAK one -> BT must
+    # rank x above y (raw win rate cannot separate them).
+    games = (
+        [("s", "w")] * 4          # s crushes w
+        + [("s", "x"), ("x", "s")]  # x splits with strong
+        + [("y", "w"), ("w", "y")]  # y splits with weak
+    )
+    bdf = spark.createDataFrame(games, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry_ratings(bdf).collect()}
+    assert out["s"]["wins"] == 5 and out["s"]["losses"] == 1
+    assert out["x"]["wins"] == 1 and out["x"]["comparisons"] == 2
+    ratings = [out[i]["rating"] for i in ("s", "x", "y", "w")]
+    assert abs(sum(r["rating"] for r in out.values()) - 1.0) < 1e-5
+    assert ratings == sorted(ratings, reverse=True)  # s > x > y > w
+    assert out["s"]["rank"] == 1 and out["w"]["rank"] == 4
+    assert out["x"]["rating"] > out["y"]["rating"]  # the BT correction
+    # a never-winner rates exactly 0 at the MM fixed point
+    shutout = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("a", "b"), ("b", "a")],
+        "winner string, loser string",
+    )
+    zout = {r["item"]: r for r in bradley_terry_ratings(shutout).collect()}
+    assert zout["z"]["rating"] == 0.0 and zout["z"]["rank"] == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bradley_terry_ratings(bdf, iterations=0)
+    with _pt.raises(ValueError):
+        bradley_terry_ratings(bdf, max_items=2)
