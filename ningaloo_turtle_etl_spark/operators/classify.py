@@ -813,3 +813,62 @@ def split_conformal_report(
             F.round(F.lit(1.0 - float(alpha)), 6).alias("target"),
         )
     )
+
+
+def calibration_error_by_group(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group calibration scorecard: Brier score (mean squared error
+    of the probability itself — the strictly proper score that punishes
+    BOTH mis-ranking and mis-scaling), ECE (support-weighted mean
+    |observed − predicted| over ``n_bins`` fixed-width bins) and MCE (the
+    worst bin's gap). The per-group slice is the point:
+    :func:`classifier_calibration` reports the marginal curve, and a
+    model can be calibrated marginally while badly mis-scaled on one
+    source/language slice — exactly the slice a quality-threshold
+    curation gate then mis-filters.
+
+    NULL pred/label rows are dropped up front (the isotonic/conformal
+    convention). Output: (group…, n, n_pos, brier, ece, mce), 6dp; ECE
+    and MCE fold the ROUNDED per-bin means so both engines see identical
+    numbers.
+
+    Scale shape: one map-side-combined aggregate to (group, bin) grain
+    (≤ groups × n_bins rows), then a group-grain fold; the Brier moment
+    rides the same pass. The scored frame is touched once."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    g = list(group_cols)
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = scored.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *g,
+        F.least(F.floor(p * n_bins).cast("int"), F.lit(int(n_bins) - 1)).alias(
+            "bin"
+        ),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    bins = base.groupBy(*g, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+        F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "_se"
+        ),
+    )
+    gap = F.abs(F.col("frac_pos") - F.col("mean_pred"))
+    return bins.groupBy(*g).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
+        F.round(F.sum("_se") / F.sum("n"), 6).alias("brier"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )

@@ -267,3 +267,54 @@ def cdc_apply(
         ],
         *[F.col(f"s.{c}").alias(c) for c in carry_cols],
     )
+
+
+def dataset_digest(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent content digest per group — the "did this table
+    (partition) change?" primitive that lets a 100 TB snapshot comparison
+    short-circuit: equal digests end the check with one scan per side and
+    a constant-width exchange; only unequal groups proceed to the
+    row-level :func:`snapshot_diff`.
+
+    Two complementary folds over the md5-60 row hash (``\\x1f``-joined
+    string forms, NULLs marked with ``\\x1e`` so NULL ≠ '' ≠ 'NULL'):
+
+    - ``xor_digest`` — bit_xor of row hashes: commutative, fixed-width,
+      but an even number of identical rows cancels to the same value;
+    - ``sum_digest`` — the modular sum mod 2⁶¹−1, accumulated in
+      DECIMAL(38,0) so the partial sums cannot overflow at any row count
+      (a raw BIGINT sum of 60-bit terms overflows at 8 rows) — it
+      catches exactly the duplicate-multiplicity changes xor cancels.
+
+    With ``n_rows`` alongside, any insert/delete/update/duplication
+    change moves at least one of the three. Columns are compared via
+    their STRING casts — normalize floats/timestamps upstream (the same
+    caller contract as ``row_fingerprint``); int/string/date columns
+    replay bit-identically in the DuckDB oracle.
+
+    Output: (by…, n_rows, xor_digest, sum_digest).
+
+    Scale shape: map-only row hashing fused with the scan, one
+    map-side-combined aggregate to the group grain; nothing but the
+    3-number digest ever shuffles."""
+    if not cols:
+        raise ValueError("dataset_digest needs at least one column")
+    g = list(by)
+    rh = F.conv(
+        F.substring(row_fingerprint(cols), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(*g, rh.alias("_rh"))
+    return base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_rh)").alias("xor_digest"),
+        (
+            F.sum(F.col("_rh").cast("decimal(38,0)"))
+            % F.lit(2305843009213693951).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("sum_digest"),
+    )

@@ -874,3 +874,75 @@ def jl_project(
         F.col(id_col).alias("vec_id"),
         F.when(guard.isNull(), F.array(*coords)).alias("jl"),
     )
+
+
+def margin_bitext_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext / parallel-pair mining (Artetxe & Schwenk
+    2019, the LASER mining criterion): for each vector x on side A, its
+    best cosine candidate y* on side B is kept only when the RATIO
+    margin(x, y*) = cos(x, y*) / ((avg top-k cos(x, ·_B) +
+    avg top-k cos(y*, ·_A)) / 2) clears ``threshold`` — absolute cosine
+    alone over-mines hubs (vectors near everything) and under-mines
+    sparse regions; dividing by each side's local top-k neighborhood
+    density normalizes both away. THE standard recipe for mining
+    translation pairs / cross-source aligned samples from two embedding
+    spaces.
+
+    Returns (id_a, id_b, cosine, margin), one row per A-vector whose
+    best candidate clears the margin (forward mining); 6dp outputs, the
+    threshold gates the unrounded margin.
+
+    Scale shape: this is the exact verify stage — A×B scored with the
+    broadcast-smaller-side join, per-side top-k via rank-limit windows
+    (WindowGroupLimit trims before the shuffle). At corpus×corpus scale
+    generate candidates with the LSH/IVF blocks first (ann_* operators)
+    and feed the candidate pairs through this same margin math; the
+    criterion only ever needs each vector's local top-k, which the
+    blocked pass already yields."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = df_a.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = df_b.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "id_a", "id_b", cos.alias("cos")
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cos"), F.asc("id_a"))
+    ranked = scored.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    dx = (
+        ranked.filter(F.col("ra") <= k)
+        .groupBy("id_a")
+        .agg(F.avg("cos").alias("dx"))
+    )
+    dy = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("id_b")
+        .agg(F.avg("cos").alias("dy"))
+    )
+    margin = F.col("cos") / ((F.col("dx") + F.col("dy")) / F.lit(2.0))
+    return (
+        ranked.filter(F.col("ra") == 1)
+        .join(dx, on="id_a")
+        .join(dy, on="id_b")
+        .filter(margin >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos", 6).alias("cosine"),
+            F.round(margin, 6).alias("margin"),
+        )
+    )

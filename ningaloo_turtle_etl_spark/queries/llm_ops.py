@@ -4540,3 +4540,107 @@ def bleu_rouge_by_source(spark, sf_dir):
     return corpus_bleu_rouge(
         paired, "cand", "ref", "doc_id", max_n=4, group_cols=["source"]
     ).orderBy("source")
+
+
+@register(
+    "bitext_margin_pairs",
+    """
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings
+    ),
+    a AS (SELECT vec_id, v FROM emb WHERE label % 2 = 0),
+    b AS (SELECT vec_id, v FROM emb WHERE label % 2 = 1),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+        FROM a, b
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cos,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cos DESC, id_b) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY cos DESC, id_a) AS rb
+        FROM scored
+    ),
+    dx AS (SELECT id_a, AVG(cos) AS dx FROM ranked WHERE ra <= 4 GROUP BY 1),
+    dy AS (SELECT id_b, AVG(cos) AS dy FROM ranked WHERE rb <= 4 GROUP BY 1)
+    SELECT r.id_a, r.id_b,
+           ROUND(r.cos, 6) AS cosine,
+           ROUND(r.cos / ((dx.dx + dy.dy) / 2.0), 6) AS margin
+    FROM ranked r
+    JOIN dx ON r.id_a = dx.id_a
+    JOIN dy ON r.id_b = dy.id_b
+    WHERE r.ra = 1 AND r.cos / ((dx.dx + dy.dy) / 2.0) >= 1.1
+    ORDER BY r.id_a
+    """,
+)
+def bitext_margin_pairs(spark, sf_dir):
+    """Margin-criterion parallel-pair mining across the two label-parity
+    halves of the embedding space (`operators/similarity.py
+    margin_bitext_pairs`, k=4, margin >= 1.1): each even-label vector's
+    best odd-label cosine candidate survives only when it clears the
+    ratio margin against BOTH sides' local top-k neighborhood density —
+    the Artetxe-Schwenk criterion that suppresses hub vectors absolute
+    cosine over-mines. The exact verify stage of a bitext/aligned-pair
+    mining pipeline; at corpus scale the ann_* blocked passes generate
+    the candidates and this margin math is unchanged."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        margin_bitext_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    return margin_bitext_pairs(a, b, k=4, threshold=1.1).orderBy("id_a")
+
+
+@register(
+    "table_digest_by_flag",
+    """
+    WITH h AS (
+        SELECT l_returnflag,
+               ('0x' || substr(md5(concat_ws(chr(31),
+                   coalesce(CAST(l_orderkey AS VARCHAR), chr(31) || chr(0)),
+                   coalesce(CAST(l_partkey AS VARCHAR), chr(31) || chr(0)),
+                   coalesce(CAST(l_suppkey AS VARCHAR), chr(31) || chr(0)),
+                   coalesce(CAST(l_linenumber AS VARCHAR), chr(31) || chr(0)),
+                   coalesce(l_returnflag, chr(31) || chr(0)),
+                   coalesce(l_linestatus, chr(31) || chr(0))
+               )), 1, 15))::BIGINT AS rh
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
+           CAST(SUM(CAST(rh AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+               AS sum_digest
+    FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def table_digest_by_flag(spark, sf_dir):
+    """Order-independent per-partition content digest of lineitem's
+    business key + status columns (`operators/delta.py dataset_digest`):
+    bit_xor and overflow-safe modular-sum folds of the md5-60 row hash,
+    plus the row count — the constant-width change-detection primitive
+    that lets a 100 TB snapshot comparison short-circuit equal partitions
+    before any row-level diff runs. The digest arithmetic (decimal-
+    accumulated sum mod 2^61-1) replays bit-for-bit in DuckDB."""
+    from ningaloo_turtle_etl_spark.operators.delta import dataset_digest
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return dataset_digest(
+        li,
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+        by=["l_returnflag"],
+    ).orderBy("l_returnflag")

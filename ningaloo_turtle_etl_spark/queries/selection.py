@@ -1069,3 +1069,60 @@ def q_conformal_coverage_by_source(spark, sf_dir):
         scored, "p", "y", "doc_id", alpha=0.1, calib_frac=0.5,
         by=["source"],
     ).orderBy("source")
+
+
+def _brier_ece_oracle_sql(n_bins: int = 10) -> str:
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    base AS (
+        SELECT d.source,
+               least(CAST(floor(s.p_english * {n_bins}) AS INT),
+                     {n_bins - 1}) AS bin,
+               s.p_english AS p,
+               CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    bins AS (
+        SELECT source, bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               ROUND(AVG(p), 6) AS mean_pred,
+               ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_pos,
+               SUM((p - y) * (p - y)) AS se
+        FROM base GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           ROUND(SUM(se) / SUM(n), 6) AS brier,
+           ROUND(SUM(n * abs(frac_pos - mean_pred)) / SUM(n), 6) AS ece,
+           ROUND(MAX(abs(frac_pos - mean_pred)), 6) AS mce
+    FROM bins GROUP BY source ORDER BY source
+    """
+
+
+@register("brier_ece_by_source", _brier_ece_oracle_sql())
+def q_brier_ece_by_source(spark, sf_dir):
+    """Per-source calibration scorecard for the frozen English classifier
+    (`operators/classify.py calibration_error_by_group`, 10 bins): Brier
+    score (the strictly proper score that punishes mis-scaling AND
+    mis-ranking), ECE, and MCE per source — the slice view that catches a
+    model calibrated marginally but mis-scaled on one source, exactly
+    where a p>threshold curation gate then mis-filters. Complements
+    classifier_calibration_curve's marginal reliability diagram."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        calibration_error_by_group,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        "source",
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return calibration_error_by_group(
+        scored, "p", "y", n_bins=10, group_cols=["source"]
+    ).orderBy("source")

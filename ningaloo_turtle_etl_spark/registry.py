@@ -292,6 +292,12 @@ PRIORITY: list[str] = [
     "bleu_rouge_by_source",
     # r08 Bradley-Terry pairwise-preference leaderboard, full oracle
     "bt_brand_preference",
+    # r08 Artetxe-Schwenk margin bitext mining, full oracle
+    "bitext_margin_pairs",
+    # r08 per-group Brier/ECE/MCE calibration scorecard, full oracle
+    "brier_ece_by_source",
+    # r08 order-independent dataset content digest, full oracle
+    "table_digest_by_flag",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

@@ -492,3 +492,36 @@ def test_split_conformal_report_drops_null_pred_label_rows(spark):
     assert r_noisy["n_test"] == r_clean["n_test"]
     assert r_noisy["q_hat"] == r_clean["q_hat"]
     assert r_noisy["coverage"] == r_clean["coverage"]
+
+
+def test_calibration_error_by_group_hand_values(spark):
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        calibration_error_by_group,
+    )
+
+    # group "p": perfectly calibrated 0/1 predictions -> brier/ece/mce 0
+    # group "m": constant 0.8 prediction, 50% positives
+    rows = (
+        [("p", 1.0, 1)] * 5 + [("p", 0.0, 0)] * 5
+        + [("m", 0.8, 1)] * 5 + [("m", 0.8, 0)] * 5
+        + [("m", None, 1), ("m", 0.5, None)]  # dropped
+    )
+    df = spark.createDataFrame(rows, "g string, p double, y int")
+    out = {
+        r["g"]: r
+        for r in calibration_error_by_group(
+            df, "p", "y", n_bins=10, group_cols=["g"]
+        ).collect()
+    }
+    assert out["p"]["brier"] == 0.0 and out["p"]["ece"] == 0.0
+    assert out["p"]["mce"] == 0.0 and out["p"]["n"] == 10
+    # NULL rows dropped: n counts only the 10 clean rows
+    assert out["m"]["n"] == 10 and out["m"]["n_pos"] == 5
+    # constant 0.8 vs 0.5 base rate: brier = mean((0.8-y)^2) = 0.34,
+    # single bin -> ece = mce = |0.5 - 0.8| = 0.3
+    assert out["m"]["brier"] == round((5 * 0.04 + 5 * 0.64) / 10, 6)
+    assert out["m"]["ece"] == 0.3 and out["m"]["mce"] == 0.3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        calibration_error_by_group(df, "p", "y", n_bins=1)

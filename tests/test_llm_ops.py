@@ -1962,3 +1962,97 @@ def test_corpus_bleu_rouge_matches_python_replica(spark):
     assert nrow["bleu"] == 0.0 and nrow["rouge1_recall"] > 0
     with pytest.raises(ValueError):
         corpus_bleu_rouge(df, "cand", "ref", "id", max_n=1)
+
+
+def test_margin_bitext_pairs_matches_numpy_and_suppresses_hubs(spark):
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        margin_bitext_pairs,
+    )
+
+    rng = np.random.RandomState(9)
+    va = rng.randn(12, 16)
+    vb = rng.randn(12, 16)
+    vb[0] = va[0] + 0.05 * rng.randn(16)  # true pair for a0
+    dfa = spark.createDataFrame(
+        [(i, [float(x) for x in va[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    dfb = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vb[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id_a"]: r
+        for r in margin_bitext_pairs(dfa, dfb, k=4, threshold=0.0).collect()
+    }
+    # numpy replica of the forward margin for a0
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    sims = np.array([[cos(va[i], vb[j]) for j in range(12)] for i in range(12)])
+    j_star = int(np.argmax(sims[0]))
+    assert out[0]["id_b"] == 100 + j_star == 100  # planted pair found
+    dx = float(np.sort(sims[0])[::-1][:4].mean())
+    dy = float(np.sort(sims[:, j_star])[::-1][:4].mean())
+    expect = sims[0, j_star] / ((dx + dy) / 2)
+    assert abs(out[0]["margin"] - round(expect, 6)) < 1e-6
+    assert abs(out[0]["cosine"] - round(sims[0, j_star], 6)) < 1e-6
+    # every A vector emits exactly one best-candidate row at threshold 0
+    assert len(out) == 12
+    # the planted pair's cosine is near 1 and its margin clears 1 (random
+    # 16-dim pairs can fluke high RATIOS when their top-k denominators are
+    # near zero, so the discriminating signal here is cosine, not margin)
+    assert out[0]["cosine"] > 0.9 and out[0]["margin"] > 1.0
+    others = [r["cosine"] for i, r in out.items() if i != 0]
+    assert out[0]["cosine"] > max(others)
+    with pytest.raises(ValueError):
+        margin_bitext_pairs(dfa, dfb, k=0)
+
+
+def test_dataset_digest_order_invariant_and_change_sensitive(spark):
+    from ningaloo_turtle_etl_spark.operators.delta import dataset_digest
+
+    rows = [(i, "g%d" % (i % 2), "v%d" % i) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    base = {
+        r["g"]: r
+        for r in dataset_digest(df, ["id", "v"], by=["g"]).collect()
+    }
+    # invariant under row order AND partitioning
+    shuffled = df.orderBy(F.desc("id")).repartition(7)
+    re = {
+        r["g"]: r
+        for r in dataset_digest(shuffled, ["id", "v"], by=["g"]).collect()
+    }
+    for g in ("g0", "g1"):
+        assert (base[g]["xor_digest"], base[g]["sum_digest"]) == (
+            re[g]["xor_digest"],
+            re[g]["sum_digest"],
+        )
+    # a single value change flips both digests of exactly that group
+    changed = df.withColumn(
+        "v", F.when(F.col("id") == 42, F.lit("CHANGED")).otherwise(F.col("v"))
+    )
+    ch = {
+        r["g"]: r
+        for r in dataset_digest(changed, ["id", "v"], by=["g"]).collect()
+    }
+    assert ch["g0"]["xor_digest"] != base["g0"]["xor_digest"]
+    assert ch["g0"]["sum_digest"] != base["g0"]["sum_digest"]
+    assert ch["g1"]["xor_digest"] == base["g1"]["xor_digest"]
+    # duplicating every row cancels xor to 0... but the modular sum and
+    # n_rows both move — the reason BOTH folds ship
+    doubled = dataset_digest(df.union(df), ["id", "v"]).collect()[0]
+    single = dataset_digest(df, ["id", "v"]).collect()[0]
+    assert doubled["xor_digest"] == 0
+    assert doubled["n_rows"] == 2 * single["n_rows"]
+    assert doubled["sum_digest"] != single["sum_digest"]
+    # NULL is distinct from empty string
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "")], "id long, v string")
+    assert (
+        dataset_digest(a, ["id", "v"]).collect()[0]["xor_digest"]
+        != dataset_digest(b, ["id", "v"]).collect()[0]["xor_digest"]
+    )
+    with pytest.raises(ValueError):
+        dataset_digest(df, [])

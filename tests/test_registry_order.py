@@ -255,6 +255,12 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "bleu_rouge_by_source",
         # r08 Bradley-Terry preference leaderboard, full oracle
         "bt_brand_preference",
+        # r08 margin-criterion bitext mining, full oracle
+        "bitext_margin_pairs",
+        # r08 per-group calibration scorecard, full oracle
+        "brier_ece_by_source",
+        # r08 dataset content digest, full oracle
+        "table_digest_by_flag",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle
