@@ -419,6 +419,23 @@ def main() -> int:
         mcols,
     )
 
+    # Streaming dataset content digest (operators/delta.py dataset_digest):
+    # both folds are commutative monoids (bit_xor; modular decimal sum), so
+    # the BATCH operator runs unchanged as a complete-mode streaming
+    # aggregation — the nightly "did this feed change" digest kept hot.
+    from ningaloo_turtle_etl_spark.operators.delta import dataset_digest
+
+    dig_cols = ["event_type", "n_rows", "xor_digest", "sum_digest"]
+    dig_key = ["event_id", "user_id", "event_type"]
+    check(
+        "streaming_table_digest",
+        dataset_digest(batch, dig_key, by=["event_type"]),
+        run_stream(
+            dataset_digest(stream, dig_key, by=["event_type"]), "se_digest"
+        ),
+        dig_cols,
+    )
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=2)
