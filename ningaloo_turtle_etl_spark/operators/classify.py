@@ -872,3 +872,67 @@ def calibration_error_by_group(
         F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
         F.round(F.max(gap), 6).alias("mce"),
     )
+
+
+def woe_iv_report(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence / information-value report for a categorical
+    feature against a binary label — the classic scorecard-modeling
+    screen (credit-risk lineage) for "how predictive is this column,
+    and which values carry the signal": per feature value
+
+        woe_v = ln( ((pos_v + 0.5)/POS) / ((neg_v + 0.5)/NEG) )
+
+    (the 0.5 Laplace cell guard keeps empty cells finite), and the
+    feature-level IV = Σ_v (pos_v/POS − neg_v/NEG)·woe_v folded from the
+    ROUNDED per-value WOE so both engines sum identical numbers. Rule of
+    thumb: IV < 0.02 useless, 0.1-0.3 medium, > 0.5 suspicious
+    (leakage). NULL feature/label rows are dropped up front.
+
+    Output: one row per feature value — (feature_value, n, n_pos, n_neg,
+    pos_rate, woe, iv), 6dp, iv repeated on every row (the
+    classifier_calibration convention: curve + scalar in one frame).
+
+    Scale shape: one map-side-combined aggregate to the feature-value
+    grain; the IV fold is a 1-row broadcast back over the value table.
+    The fact is touched once."""
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(feature_col).cast("string").alias("feature_value"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    cells = base.groupBy("feature_value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("_neg"),
+    )
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "feature_value",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.log(
+                ((F.col("n_pos") + F.lit(0.5)) / F.col("_pos"))
+                / (
+                    (F.col("n") - F.col("n_pos") + F.lit(0.5))
+                    / F.col("_neg")
+                )
+            ),
+            6,
+        ).alias("woe"),
+        (
+            F.col("n_pos") / F.col("_pos")
+            - (F.col("n") - F.col("n_pos")) / F.col("_neg")
+        ).alias("_d"),
+    )
+    iv = w.agg(F.round(F.sum(F.col("_d") * F.col("woe")), 6).alias("iv"))
+    return w.crossJoin(F.broadcast(iv)).drop("_d")

@@ -4644,3 +4644,70 @@ def table_digest_by_flag(spark, sf_dir):
         ],
         by=["l_returnflag"],
     ).orderBy("l_returnflag")
+
+
+@register(
+    "kneser_ney_lm_scores",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS toks
+        FROM (SELECT doc_id, lower(text) AS text FROM documents)
+    ),
+    pairs AS (
+        SELECT doc_id, pw.p AS prev, pw.w AS w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(p := toks[i], w := toks[i+1]))) AS pw
+            FROM t
+        )
+    ),
+    bc AS MATERIALIZED (
+        SELECT prev, w, COUNT(*) AS bc FROM pairs GROUP BY prev, w
+    ),
+    pst AS (
+        SELECT prev, CAST(SUM(bc) AS BIGINT) AS pc, COUNT(*) AS n1p
+        FROM bc GROUP BY prev
+    ),
+    cont AS (SELECT w, COUNT(*) AS cont FROM bc GROUP BY w),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bc) AS b_types,
+               (SELECT COUNT(DISTINCT w)
+                FROM (SELECT unnest(toks) AS w FROM t)) AS v_size
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               -ln(CASE WHEN COALESCE(s.pc, 0) > 0 THEN
+                     greatest(CAST(COALESCE(b.bc, 0) AS DOUBLE) - 0.75, 0.0)
+                       / CAST(s.pc AS DOUBLE)
+                     + 0.75 * CAST(s.n1p AS DOUBLE) / CAST(s.pc AS DOUBLE)
+                       * (CAST(COALESCE(c.cont, 0) + 1 AS DOUBLE)
+                          / CAST(tot.b_types + tot.v_size AS DOUBLE))
+                   ELSE CAST(COALESCE(c.cont, 0) + 1 AS DOUBLE)
+                        / CAST(tot.b_types + tot.v_size AS DOUBLE)
+                   END) AS nll
+        FROM pairs p
+        LEFT JOIN bc b ON p.prev = b.prev AND p.w = b.w
+        LEFT JOIN pst s ON p.prev = s.prev
+        LEFT JOIN cont c ON p.w = c.w, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_lm_scores(spark, sf_dir):
+    """Kneser-Ney bigram perplexity scoring (`operators/text.py
+    kneser_ney_bigram_scores`, D=0.75) — the KenLM-default smoothing one
+    rung above the JM mixture (`bigram_lm_scores`): absolute-discounted
+    bigram mass backs off to CONTINUATION counts (how many distinct left
+    contexts a word follows), the fix for frequent-but-context-bound
+    words. Every KN statistic is an aggregate of the bigram-type table,
+    and the whole fit+score replays in DuckDB."""
+    from ningaloo_turtle_etl_spark.operators.text import (
+        kneser_ney_bigram_scores,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.lower(F.col("text"))
+    )
+    return kneser_ney_bigram_scores(docs, discount=0.75)

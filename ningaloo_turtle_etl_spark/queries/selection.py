@@ -1126,3 +1126,52 @@ def q_brier_ece_by_source(spark, sf_dir):
     return calibration_error_by_group(
         scored, "p", "y", n_bins=10, group_cols=["source"]
     ).orderBy("source")
+
+
+@register(
+    "woe_iv_source_vs_english",
+    """
+    WITH base AS (
+        SELECT source AS feature_value,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+    ),
+    cells AS (
+        SELECT feature_value,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS pos,
+               CAST(SUM(n - n_pos) AS BIGINT) AS neg
+        FROM cells
+    ),
+    w AS (
+        SELECT feature_value, n, n_pos,
+               n - n_pos AS n_neg,
+               ROUND(n_pos * 1.0 / n, 6) AS pos_rate,
+               ROUND(ln(((n_pos + 0.5) / tot.pos)
+                        / ((n - n_pos + 0.5) / tot.neg)), 6) AS woe,
+               n_pos * 1.0 / tot.pos - (n - n_pos) * 1.0 / tot.neg AS d
+        FROM cells, tot
+    ),
+    iv AS (SELECT ROUND(SUM(d * woe), 6) AS iv FROM w)
+    SELECT feature_value, n, n_pos, n_neg, pos_rate, woe, iv
+    FROM w, iv ORDER BY feature_value
+    """,
+)
+def q_woe_iv_source_vs_english(spark, sf_dir):
+    """Weight-of-evidence / information-value screen of the source column
+    against the English label (`operators/classify.py woe_iv_report`):
+    per-source WOE with the 0.5 Laplace cell guard and the feature-level
+    IV — the scorecard-lineage answer to "is this column predictive, and
+    which values carry it" that also flags leakage (IV > 0.5) before a
+    feature ships into the quality classifier."""
+    from ningaloo_turtle_etl_spark.operators.classify import woe_iv_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = docs.select(
+        "source", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    return woe_iv_report(labeled, "source", "is_en").orderBy("feature_value")

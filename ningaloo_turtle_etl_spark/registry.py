@@ -298,6 +298,10 @@ PRIORITY: list[str] = [
     "brier_ece_by_source",
     # r08 order-independent dataset content digest, full oracle
     "table_digest_by_flag",
+    # r08 Kneser-Ney bigram LM scoring, full oracle
+    "kneser_ney_lm_scores",
+    # r08 weight-of-evidence / information-value feature screen, full oracle
+    "woe_iv_source_vs_english",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

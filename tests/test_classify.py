@@ -525,3 +525,37 @@ def test_calibration_error_by_group_hand_values(spark):
 
     with _pt.raises(ValueError):
         calibration_error_by_group(df, "p", "y", n_bins=1)
+
+
+def test_woe_iv_report_hand_values(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.classify import woe_iv_report
+
+    # a: 8 pos / 2 neg; b: 2 pos / 8 neg; NULLs dropped
+    rows = (
+        [("a", 1)] * 8 + [("a", 0)] * 2
+        + [("b", 1)] * 2 + [("b", 0)] * 8
+        + [(None, 1), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "f string, y int")
+    out = {r["feature_value"]: r for r in woe_iv_report(df, "f", "y").collect()}
+    assert set(out) == {"a", "b"}
+    POS, NEG = 10, 10
+    woe_a = math.log(((8 + 0.5) / POS) / ((2 + 0.5) / NEG))
+    woe_b = math.log(((2 + 0.5) / POS) / ((8 + 0.5) / NEG))
+    assert abs(out["a"]["woe"] - round(woe_a, 6)) < 1e-9
+    assert abs(out["b"]["woe"] - round(woe_b, 6)) < 1e-9
+    assert out["a"]["n"] == 10 and out["a"]["n_pos"] == 8
+    iv = (8 / POS - 2 / NEG) * round(woe_a, 6) + (2 / POS - 8 / NEG) * round(
+        woe_b, 6
+    )
+    assert abs(out["a"]["iv"] - round(iv, 6)) < 1e-9
+    assert out["a"]["iv"] == out["b"]["iv"] > 0.5  # strongly predictive
+    # an uninformative feature scores near-zero IV
+    flat = spark.createDataFrame(
+        [("x", i % 2) for i in range(100)] + [("z", i % 2) for i in range(100)],
+        "f string, y int",
+    )
+    fout = woe_iv_report(flat, "f", "y").collect()
+    assert all(abs(r["iv"]) < 0.01 for r in fout)

@@ -2056,3 +2056,61 @@ def test_dataset_digest_order_invariant_and_change_sensitive(spark):
     )
     with pytest.raises(ValueError):
         dataset_digest(df, [])
+
+
+def test_kneser_ney_matches_python_replica_and_continuation_property(spark):
+    import math
+    from collections import Counter
+
+    from ningaloo_turtle_etl_spark.operators.text import (
+        kneser_ney_bigram_scores,
+    )
+
+    # 'paris' and 'francisco' appear equally often, but francisco only
+    # ever follows 'san' — KN's continuation backoff must downweight it.
+    docs = [
+        (1, "san francisco is big and paris is old"),
+        (2, "i saw san francisco and then paris again"),
+        (3, "visit paris in spring visit san francisco in fall"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in kneser_ney_bigram_scores(df, discount=0.75).collect()
+    }
+
+    # pure-Python replica
+    toks = {i: t.split() for i, t in docs}
+    bc = Counter(
+        (ts[j], ts[j + 1]) for ts in toks.values() for j in range(len(ts) - 1)
+    )
+    pc = Counter()
+    n1p = Counter()
+    cont = Counter()
+    for (p_, w_), c in bc.items():
+        pc[p_] += c
+        n1p[p_] += 1
+        cont[w_] += 1
+    B = len(bc)
+    V = len({t for ts in toks.values() for t in ts})
+    D = 0.75
+
+    def pkn(p_, w_):
+        pcont = (cont.get(w_, 0) + 1) / (B + V)
+        if pc.get(p_, 0) == 0:
+            return pcont
+        return max(bc.get((p_, w_), 0) - D, 0) / pc[p_] + D * n1p[p_] / pc[
+            p_
+        ] * pcont
+
+    for i, ts in toks.items():
+        nlls = [-math.log(pkn(ts[j], ts[j + 1])) for j in range(len(ts) - 1)]
+        assert out[i]["n_bigrams"] == len(nlls)
+        assert abs(out[i]["avg_nll"] - sum(nlls) / len(nlls)) < 1e-6
+    # the continuation property: equal unigram frequency, but
+    # francisco's continuation count (1 context) < paris's (3 contexts)
+    uni = Counter(t for ts in toks.values() for t in ts)
+    assert uni["francisco"] == uni["paris"]
+    assert cont["francisco"] == 1 and cont["paris"] > 1
+    with pytest.raises(ValueError):
+        kneser_ney_bigram_scores(df, discount=1.5)

@@ -261,6 +261,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "brier_ece_by_source",
         # r08 dataset content digest, full oracle
         "table_digest_by_flag",
+        # r08 Kneser-Ney LM scoring, full oracle
+        "kneser_ney_lm_scores",
+        # r08 WOE/IV feature screen, full oracle
+        "woe_iv_source_vs_english",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle
