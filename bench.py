@@ -761,6 +761,70 @@ def _msprt_daily_600k(spark, sf_dir):
     )
 
 
+def _winnowing_100k(spark, sf_dir):
+    """MOSS winnowing at 100k synthetic ~40-token docs (4M k-grams): docs
+    99000+ reuse the token seeds of docs 0-999, planting 1000 exact-dup
+    pairs in an otherwise-unique corpus — realistic fingerprint collision
+    rates, unlike replicated fixtures whose shared fingerprints send the
+    index join quadratic. Times the in-row array selection (hash + window
+    min) plus the inverted-index containment join."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        winnowing_containment_pairs,
+    )
+
+    base = spark.range(100_000, numPartitions=16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 99_000).alias("_seed"),
+    )
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("_seed") * 41 + j), F.lit(500_000))
+                .cast("string"),
+            ),
+        ),
+    )
+    docs = base.select("doc_id", words.alias("text"))
+    pairs = winnowing_containment_pairs(
+        docs, k=3, window=4, threshold=0.8, max_fp_docs=50
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("containment"), 3).alias("chk"),
+    )
+
+
+def _wasserstein_600k(spark, sf_dir):
+    """Exact pairwise W1 over the full sf events table: the pooled-ECDF
+    machinery at ~continuous value grain — the number to watch is that
+    work tracks pairs x distinct values, not rows."""
+    return registry.queries()["wasserstein_value_by_type"](spark, sf_dir)
+
+
+def _bleu_rouge_sf(spark, sf_dir):
+    """Corpus BLEU/ROUGE over the full sf documents table (4 n-gram
+    levels, both sides): times the (pair, n, gram) explode + clip join."""
+    return registry.queries()["bleu_rouge_by_source"](spark, sf_dir)
+
+
+def _digest_600k(spark, sf_dir):
+    """Dataset content digest over the full sf lineitem: one fused
+    hash+aggregate scan; should track raw scan throughput."""
+    return registry.queries()["table_digest_by_flag"](spark, sf_dir)
+
+
+def _bt_battles_sf(spark, sf_dir):
+    """Pairwise battles + Bradley-Terry over the full sf lineitem x part:
+    the (context, item) aggregate and k^2-per-order pairing dominate; the
+    MM fit itself is grid-sized (eager driver loop)."""
+    return registry.queries()["bt_brand_preference"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -797,6 +861,12 @@ EXTRAS = {
     "fuzzy_clusters_20k": _fuzzy_clusters_20k,
     "image_ahash_100k": _image_ahash_100k,
     "msprt_daily_600k": _msprt_daily_600k,
+    # r8-family probes: winnowing, W1 drift, BLEU, digest, Bradley-Terry.
+    "winnowing_100k": _winnowing_100k,
+    "wasserstein_600k": _wasserstein_600k,
+    "bleu_rouge_sf": _bleu_rouge_sf,
+    "digest_600k": _digest_600k,
+    "bt_battles_sf": _bt_battles_sf,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
@@ -804,6 +874,7 @@ EXTRAS = {
 # a collect-only clock would miss all the work.
 EAGER_EXTRAS = {
     "fuzzy_clusters_20k",
+    "bt_battles_sf",
     "bpe_induce_encode_sf",
     "connected_components_100k",
     "bloom_decontam_50k",
@@ -819,6 +890,7 @@ EAGER_EXTRAS = {
 SINGLE_RUN_EXTRAS = {
     "fuzzy_clusters_20k",
     "image_ahash_100k",
+    "winnowing_100k",
     "substring_removal_10x",
     "minhash_pairs_20k",
     "minhash_pairs_100k",

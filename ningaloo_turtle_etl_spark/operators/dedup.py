@@ -400,6 +400,11 @@ def minhash_near_dup_pairs(
     # set sizes (|A|+|B|-|A∩B|) instead of materializing the union.
     # Exactness is preserved up to hash collisions (~n²/2⁶⁰).
     shingle_hash = md5_hash60 if hash_family == "md5" else F.xxhash64
+    # NB on the barrier_col pattern (operators/scale.py): an A/B at 20k
+    # docs measured the barrier ~17% SLOWER here (17.4 s → 20.3 s) —
+    # unlike the winnowing/bigram chains, this stage's cost is dominated
+    # by the banded join + verification, not lambda re-evaluation, and
+    # the extra Generate layers only add overhead. Kept barrier-free.
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh_str")
     ).select(
@@ -1731,8 +1736,16 @@ def winnowing_fingerprints(
 
     Scale shape: the whole select happens INSIDE one row via array
     expressions (k-gram build, per-gram hash, per-window array_min,
-    array_distinct) — map-only, zero shuffle, no explode until the
-    (id, fp) output rows; downstream joins move only fixed-width pairs.
+    array_distinct) — map-only, zero shuffle, no row-multiplying explode
+    until the (id, fp) output rows; downstream joins move only
+    fixed-width pairs. The hash array crosses a one-element
+    explode(array(...)) Generate node before the window stage: a measured
+    64× cliff hides here — CollapseProject inlines a non-cheap array
+    expression into EVERY lambda that references it, so without the
+    barrier the per-window array_min recomputed the full md5 gram array
+    per window position (~35× per row; 557 s → 8.7 s at 100k docs).
+    Generators are collapse-proof, and one-row explode keeps the stage
+    map-only.
     Reference analog: the tagging ETL's duplicate-sighting audit works at
     whole-record grain (`tagging-etl.Rmd:120-141`); this is the
     sub-document grain the reference never needed but a plagiarism /
@@ -1743,19 +1756,22 @@ def winnowing_fingerprints(
 
     toks = tokens(F.lower(F.col(text_col)))
     gidx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    grams = F.transform(
-        gidx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    hs = F.transform(
+        gidx, lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
-    hs = F.transform(grams, lambda g: md5_hash60(g))
+    barrier = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(hs)).alias("_hs")
+    )
     widx = F.sequence(
-        F.lit(0), F.greatest(F.size(hs) - window, F.lit(0))
+        F.lit(0), F.greatest(F.size("_hs") - window, F.lit(0))
     )
     sels = F.array_distinct(
-        F.transform(widx, lambda p: F.array_min(F.slice(hs, p + 1, window)))
+        F.transform(
+            widx, lambda p: F.array_min(F.slice(F.col("_hs"), p + 1, window))
+        )
     )
     return (
-        df.select(F.col(id_col).alias("id"), sels.alias("_fps"))
-        .select("id", F.explode("_fps").alias("fp"))
+        barrier.select("id", F.explode(sels).alias("fp"))
         .where(F.col("fp").isNotNull())
         .distinct()
     )

@@ -229,7 +229,11 @@ def bigram_lm_scores(
     bigram counts (narrow). The scoring joins carry no hint — bigram type
     tables outgrow broadcast on real corpora, and AQE picks broadcast
     exactly when they don't. The only doc-width shuffles are the pair agg
-    input (type-sized after combine) and the per-doc score agg."""
+    input (type-sized after combine) and the per-doc score agg. (A
+    barrier_col Generate here was A/B'd and REVERTED: for parquet-backed
+    text the per-element tokenizer re-evaluation is cheap and the extra
+    Generate cost slightly more than it saved — see
+    operators/scale.py barrier_col for when the cliff is real.)"""
     toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
     idx = F.when(
         F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)

@@ -420,3 +420,59 @@ def test_image_ahash_pairs_band_join_is_equi_join(spark):
     # all-pairs hamming compare would be quadratic in the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_quote_pairs_no_cartesian_fp_index_join(spark):
+    plan = plan_of(spark, "winnowing_quote_pairs")
+    # candidates come from the inverted fingerprint index (fp equi-join),
+    # never an all-pairs document compare
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # fingerprint selection is pure array expressions — no Python stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bleu_rouge_clipping_is_equi_join_and_jvm_only(spark):
+    plan = plan_of(spark, "bleu_rouge_by_source")
+    # clipped counting joins cand and ref gram counts at (_id, n, gram)
+    # grain — equi-join, no pair-vs-pair comparison, no Python
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wasserstein_runs_on_distinct_value_grain(spark):
+    plan = plan_of(spark, "wasserstein_value_by_type")
+    # same scaffolding discipline as KS: the pair windows run on the
+    # aggregated distinct-value grain (HashAggregate before any Window),
+    # never a row-grain pair fanout
+    assert "CartesianProduct" not in plan
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_window != -1
+
+
+def test_table_digest_single_aggregate_no_extra_exchange(spark):
+    plan = plan_of(spark, "table_digest_by_flag")
+    # one partial+final aggregate pair -> exactly one exchange (plus the
+    # orderBy's range exchange); no join, no Python
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kneser_ney_counts_stay_on_type_grain(spark):
+    plan = plan_of(spark, "kneser_ney_lm_scores")
+    # the KN statistics aggregate the bigram-TYPE table; the count-table
+    # scoring joins are hash equi-joins (the only nested-loop join is the
+    # 1-row totals broadcast — the standard scalar-fold cross join)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bitext_margin_broadcasts_and_window_limits(spark):
+    plan = plan_of(spark, "bitext_margin_pairs")
+    # the scoring join broadcasts the smaller side; per-side top-k uses
+    # the rank-limit window (bounded per-partition state)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
