@@ -388,3 +388,61 @@ def k_core(
     raise RuntimeError(
         f"k_core: no convergence in {max_iterations} peeling rounds"
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, the near-linear community algorithm): every node starts as
+    its own label; each round, a node adopts the label most frequent
+    among its neighbors, ties broken by the SMALLEST label. Fixed
+    ``rounds`` synchronous updates — deterministic and cross-engine
+    replayable (asynchronous/randomized LPA converges faster but is
+    RNG-ordered; the fixed-round synchronous form is the one an oracle
+    can replay, same policy as :func:`pagerank`'s fixed iterations).
+    Complements :func:`connected_components` (which merges everything
+    touching) by finding DENSE sub-groups inside one component.
+
+    Input must be a symmetric edge list (see :func:`copurchase_edges`).
+    Output: (node, community) — community = the final label.
+
+    Scale shape: each round is one edge-keyed join against the
+    node-label frame plus a (node, label) count and a per-node argmax
+    window — all linear in |E|; a localCheckpoint per round truncates
+    the growing plan exactly as in connected_components. Synchronous
+    LPA can oscillate on bipartite-ish structure; fixed rounds bound
+    that instead of spinning."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("_n"), F.asc("label"))
+    for _ in range(int(rounds)):
+        neigh = e.join(
+            labels.select(F.col("node").alias("b"), "label"), on="b"
+        )
+        counts = neigh.groupBy("a", "label").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        labels = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

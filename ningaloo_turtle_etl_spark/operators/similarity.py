@@ -946,3 +946,79 @@ def margin_bitext_pairs(
             F.round(margin, 6).alias("margin"),
         )
     )
+
+
+def rbo_coefficients(p: float, depth: int) -> list:
+    """c_m = Σ_{d=m..depth} p^(d-1)/d — the contribution of a shared item
+    whose worse rank is m to the truncated RBO sum. Shared by the Spark
+    literals and the oracle SQL so both engines fold identical doubles."""
+    return [
+        sum(p ** (d - 1) / d for d in range(m, depth + 1))
+        for m in range(1, depth + 1)
+    ]
+
+
+def rank_biased_overlap(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    p: float = 0.9,
+    depth: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two per-query rankings:
+
+        rbo@depth = (1−p) · Σ_{d=1..depth} p^(d−1) · |A_d ∩ B_d| / d
+
+    — the TOP-WEIGHTED ranking-similarity metric that recall@k cannot
+    be: recall treats a hit at rank 1 and rank 10 identically, but an
+    ANN index that finds the right items in the wrong ORDER degrades
+    downstream re-ranking budgets, and RBO sees that. p sets the
+    top-weighting (0.9 ≈ the top ~10 ranks carry most mass); the
+    truncated sum is the standard evaluation form (no extrapolation
+    residual — deterministic, replayable). Output per query (every
+    query in ``ranks_a``): (query, n_shared, rbo), 6dp.
+
+    Scale shape: the depth-d intersection sizes are never materialized —
+    each shared item with ranks (ra, rb) contributes the precomputed
+    coefficient c_{max(ra,rb)} (it is inside both prefixes for every
+    d ≥ max), so the whole metric is one (query, id) equi-join over the
+    depth-truncated rankings plus a per-query sum of broadcast literal
+    coefficients."""
+    if not 0 < p < 1:
+        raise ValueError("p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    coeffs = rbo_coefficients(float(p), int(depth))
+    a = ranks_a.filter(F.col(rank_col) <= depth).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("i"),
+        F.col(rank_col).alias("ra"),
+    )
+    b = ranks_b.filter(F.col(rank_col) <= depth).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("i"),
+        F.col(rank_col).alias("rb"),
+    )
+    carr = F.array(*[F.lit(float(c)) for c in coeffs])
+    shared = a.join(b, on=["q", "i"]).select(
+        "q",
+        F.element_at(carr, F.greatest("ra", "rb").cast("int")).alias("_c"),
+    )
+    per_q = shared.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum("_c").alias("_s"),
+    )
+    queries = ranks_a.select(F.col(query_col).alias("q")).distinct()
+    return (
+        queries.join(per_q, on="q", how="left")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.lit(1.0 - float(p)) * F.coalesce("_s", F.lit(0.0)), 6
+            ).alias("rbo"),
+        )
+    )

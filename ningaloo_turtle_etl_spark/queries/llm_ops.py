@@ -4711,3 +4711,129 @@ def q_kneser_ney_lm_scores(spark, sf_dir):
         "text", F.lower(F.col("text"))
     )
     return kneser_ney_bigram_scores(docs, discount=0.75)
+
+
+def _lpa_oracle_sql(rounds: int = 8, min_shared: int = 2) -> str:
+    """Unrolled synchronous-LPA oracle: the support-thresholded symmetric
+    co-purchase edge list, then one count→argmax CTE per round (same
+    MATERIALIZED discipline as the k-core unroll — each round's labels
+    feed one join, but DuckDB would still inline the chain)."""
+    parts = [
+        f"""
+    WITH eo AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+    ),
+    e AS MATERIALIZED (
+        SELECT a.s AS a, b.s AS b
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.s <> b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM e
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT e.a AS node, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.a
+                       ORDER BY COUNT(*) DESC, l.label
+                   ) AS rk
+            FROM e JOIN l{i - 1} l ON e.b = l.node
+            GROUP BY e.a, l.label
+        ) WHERE rk = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, label AS community
+    FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("lpa_copurchase_communities", _lpa_oracle_sql(8, 2))
+def lpa_copurchase_communities(spark, sf_dir):
+    """Synchronous label-propagation communities over the support-2
+    co-purchase graph (`operators/graph.py
+    label_propagation_communities`, 8 fixed rounds): parts adopt the
+    most-frequent neighbor label (ties to the smallest), finding DENSE
+    purchase affinity groups inside the giant connected component —
+    the community structure connected_components (which merges anything
+    touching) and k-core (which only filters) cannot express. The oracle
+    unrolls the same synchronous rounds as materialized CTEs."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation_communities,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, min_shared=2)
+    return label_propagation_communities(edges, rounds=8).orderBy("node")
+
+
+def _rbo_oracle_sql(p: float = 0.9, depth: int = 10) -> str:
+    """LSH-vs-exact RBO oracle: both ranking halves are the existing ANN
+    oracles; each shared (query, item) contributes the literal
+    coefficient c_{max(ra, rb)} — the same doubles the Spark side embeds
+    (rbo_coefficients)."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        rbo_coefficients,
+    )
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import (
+        brute_oracle_sql,
+        lsh_oracle_sql,
+    )
+
+    coeffs = rbo_coefficients(p, depth)
+    carr = "[" + ", ".join(repr(float(c)) for c in coeffs) + "]"
+    return f"""
+    WITH approx AS ({lsh_oracle_sql(k=depth)}),
+    exact AS ({brute_oracle_sql(k=depth)}),
+    shared AS (
+        SELECT a.query_id,
+               ({carr}::DOUBLE[])[greatest(a.rank, e.rank)] AS c
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        WHERE a.rank <= {depth} AND e.rank <= {depth}
+    ),
+    per_q AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+               SUM(c) AS s
+        FROM shared GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND({1.0 - p!r} * COALESCE(s, 0.0), 6) AS rbo
+    FROM (SELECT DISTINCT query_id FROM approx) q
+    LEFT JOIN per_q ON q.query_id = per_q.query_id
+    ORDER BY q.query_id
+    """
+
+
+@register("ann_lsh_rbo", _rbo_oracle_sql(0.9, 10))
+def ann_lsh_rbo(spark, sf_dir):
+    """Top-weighted ranking agreement of the LSH ANN index against the
+    exact cosine ranking (`operators/similarity.py rank_biased_overlap`,
+    p=0.9, depth=10): the acceptance metric recall@k cannot express —
+    recall counts hits anywhere in the top-k equally, while RBO pays
+    more for agreement at the TOP, exactly where a downstream re-ranking
+    budget spends. Completes the ANN acceptance suite (recall trio +
+    rank-order agreement); coefficients are shared literals so the
+    number is hash-proven."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        rank_biased_overlap,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_topk(emb, qs, k=10, bits=6, tables=6)
+    exact = cosine_topk(emb, qs, k=10)
+    return rank_biased_overlap(approx, exact, p=0.9, depth=10).orderBy(
+        "query_id"
+    )

@@ -302,6 +302,10 @@ PRIORITY: list[str] = [
     "kneser_ney_lm_scores",
     # r08 weight-of-evidence / information-value feature screen, full oracle
     "woe_iv_source_vs_english",
+    # r08 synchronous label-propagation communities, full oracle
+    "lpa_copurchase_communities",
+    # r08 rank-biased overlap ANN acceptance metric, full oracle
+    "ann_lsh_rbo",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

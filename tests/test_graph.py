@@ -189,3 +189,40 @@ def test_copurchase_min_shared_thresholds_support(spark):
         for r in copurchase_edges(df, "ok", "item", min_shared=2).collect()
     }
     assert strong == {("a", "b"), ("b", "a")}
+
+
+def test_label_propagation_separates_cliques_cc_cannot(spark):
+    """Two 5-cliques joined by ONE bridge edge: connected_components
+    merges everything; LPA must keep two dense communities."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        connected_components,
+        label_propagation_communities,
+    )
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a != b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    cc = connected_components(edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    ))
+    assert cc.select("component").distinct().count() == 1
+    lpa = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(edges, rounds=8).collect()
+    }
+    comms = set(lpa.values())
+    assert len(comms) == 2
+    # each clique is internally uniform
+    assert len({lpa[n] for n in range(5)}) == 1
+    assert len({lpa[n] for n in range(10, 15)}) == 1
+    assert lpa[0] != lpa[10]
+    # deterministic: min-label tie-break makes each community's label its
+    # smallest member
+    assert lpa[0] == 0 and lpa[10] == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation_communities(edges, rounds=0)

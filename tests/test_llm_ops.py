@@ -2114,3 +2114,54 @@ def test_kneser_ney_matches_python_replica_and_continuation_property(spark):
     assert cont["francisco"] == 1 and cont["paris"] > 1
     with pytest.raises(ValueError):
         kneser_ney_bigram_scores(df, discount=1.5)
+
+
+def test_rank_biased_overlap_hand_values(spark):
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        rank_biased_overlap,
+        rbo_coefficients,
+    )
+
+    p, depth = 0.9, 5
+
+    def ranks(q, items):
+        return [(q, it, r + 1) for r, it in enumerate(items)]
+
+    a = spark.createDataFrame(
+        ranks(1, "abcde") + ranks(2, "abcde") + ranks(3, "vwxyz"),
+        "query_id long, vec_id string, rank int",
+    )
+    b = spark.createDataFrame(
+        ranks(1, "abcde") + ranks(2, "baecd") + ranks(3, "lmnop"),
+        "query_id long, vec_id string, rank int",
+    )
+    out = {
+        r["query_id"]: r
+        for r in rank_biased_overlap(
+            a, b, p=p, depth=depth, id_col="vec_id"
+        ).collect()
+    }
+    # identical rankings: rbo = (1-p) * sum p^(d-1) (overlap_d/d = 1)
+    ident = (1 - p) * sum(p ** (d - 1) for d in range(1, depth + 1))
+    assert abs(out[1]["rbo"] - round(ident, 6)) < 1e-9
+    # disjoint rankings: zero
+    assert out[3]["rbo"] == 0.0 and out[3]["n_shared"] == 0
+    # permuted ranking: brute-force replica via prefix overlaps
+    perm = {}
+    for d in range(1, depth + 1):
+        perm[d] = len(set("abcde"[:d]) & set("baecd"[:d]))
+    brute = (1 - p) * sum(
+        p ** (d - 1) * perm[d] / d for d in range(1, depth + 1)
+    )
+    assert abs(out[2]["rbo"] - round(brute, 6)) < 1e-9
+    # permutation hurts vs identity, but far less than disjoint
+    assert out[3]["rbo"] < out[2]["rbo"] < out[1]["rbo"]
+    # coefficient identity: c_m sums the tail weights
+    cs = rbo_coefficients(p, depth)
+    assert abs(cs[0] - sum(p ** (d - 1) / d for d in range(1, depth + 1))) < 1e-12
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, b, p=1.5)
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, b, depth=0)

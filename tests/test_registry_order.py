@@ -265,6 +265,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "kneser_ney_lm_scores",
         # r08 WOE/IV feature screen, full oracle
         "woe_iv_source_vs_english",
+        # r08 label-propagation communities, full oracle
+        "lpa_copurchase_communities",
+        # r08 RBO rank-agreement metric, full oracle
+        "ann_lsh_rbo",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle
