@@ -635,3 +635,169 @@ def frequent_sequences(
         F.asc("step_2"),
         F.asc("step_3"),
     ).limit(int(top_k))
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str,
+    channel_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str,
+    rounds: int = 12,
+    max_channels: int = 500,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016 — the
+    data-driven alternative to last-touch): build per-user journeys
+    (touch channels in (ts, order_col) order, truncated at the first
+    ``conversion`` event), fit the first-order transition matrix over
+    START/channels/CONV/DROP, and credit each channel by its REMOVAL
+    EFFECT — how much the START→CONV absorption probability falls when
+    that channel's node is knocked out (its state forced to absorb 0).
+    Last-touch credits only the final click; removal effect credits a
+    channel for every path that needed it.
+
+    Absorption runs ``rounds`` fixed synchronous value-iteration steps
+    (journeys longer than ``rounds`` contribute nothing — identical
+    truncation on both engines, same fixed-iteration policy as
+    pagerank/mSPRT). Converting users with no touches contribute
+    START→CONV; non-converting users with no touches carry no signal and
+    are dropped. Output per channel: (channel, n_touches,
+    removal_effect, attribution_share), 6dp — removal_effect =
+    1 − p_removed/p_base, shares normalized over positive effects.
+
+    Scale shape: journey construction is two user-keyed windows; the
+    transition grid aggregates map-side to ≤ (channels+2)² fixed-width
+    rows, hard-bounded by ``max_channels`` (raises beyond — this is the
+    bounded-driver fit, like bradley_terry_ratings); the value iteration
+    runs on that grid driver-side. The event table is touched once."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    u = F.col(user_col)
+    pos = F.struct(F.col(ts_col).alias("t"), F.col(order_col).alias("o"))
+    base = events.select(
+        u.alias("uid"),
+        F.col(channel_col).alias("ch"),
+        pos.alias("pos"),
+    )
+    conv_pos = (
+        base.filter(F.col("ch") == conversion)
+        .groupBy("uid")
+        .agg(F.min("pos").alias("cpos"))
+    )
+    touches = (
+        base.filter(F.col("ch") != conversion)
+        .join(conv_pos, on="uid", how="left")
+        .filter(F.col("cpos").isNull() | (F.col("pos") < F.col("cpos")))
+    )
+    w = Window.partitionBy("uid").orderBy(F.col("pos").asc())
+    seq = touches.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_prev", F.lag("ch").over(w)
+    ).withColumn(
+        "_last",
+        F.row_number().over(
+            Window.partitionBy("uid").orderBy(F.col("pos").desc())
+        ),
+    )
+    conv_flag = conv_pos.select("uid", F.lit(True).alias("_cv"))
+    seq = seq.join(conv_flag, on="uid", how="left")
+    start_edges = seq.filter(F.col("_rn") == 1).select(
+        F.lit("__START").alias("s"), F.col("ch").alias("t")
+    )
+    mid_edges = seq.filter(F.col("_prev").isNotNull()).select(
+        F.col("_prev").alias("s"), F.col("ch").alias("t")
+    )
+    end_edges = seq.filter(F.col("_last") == 1).select(
+        F.col("ch").alias("s"),
+        F.when(F.col("_cv"), F.lit("__CONV"))
+        .otherwise(F.lit("__DROP"))
+        .alias("t"),
+    )
+    no_touch_conv = (
+        conv_pos.join(
+            touches.select("uid").distinct(), on="uid", how="left_anti"
+        ).select(
+            F.lit("__START").alias("s"), F.lit("__CONV").alias("t")
+        )
+    )
+    edges = (
+        start_edges.unionByName(mid_edges)
+        .unionByName(end_edges)
+        .unionByName(no_touch_conv)
+    )
+    grid = edges.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    rows = grid.collect()  # bounded: <= (channels+2)^2
+    from collections import defaultdict
+
+    out_n: dict = defaultdict(int)
+    trans: dict = defaultdict(dict)
+    channels: set = set()
+    for r in rows:
+        s, t, n = r["s"], r["t"], int(r["n"])
+        out_n[s] += n
+        trans[s][t] = trans[s].get(t, 0) + n
+        for x in (s, t):
+            if x not in ("__START", "__CONV", "__DROP"):
+                channels.add(x)
+    if len(channels) > max_channels:
+        raise ValueError(
+            f"markov_removal_attribution: {len(channels)} channels exceeds "
+            f"max_channels={max_channels}; this is the bounded-driver fit"
+        )
+    states = sorted(channels) + ["__START"]
+
+    def absorb(removed: str | None) -> float:
+        p = {s: 0.0 for s in states}
+        for _ in range(int(rounds)):
+            new = {}
+            for s in states:
+                if s == removed:
+                    new[s] = 0.0
+                    continue
+                tot = out_n[s]
+                acc = 0.0
+                if tot:
+                    for t in sorted(trans[s]):
+                        if t == "__CONV":
+                            wv = 1.0
+                        elif t == "__DROP" or t == removed:
+                            wv = 0.0
+                        else:
+                            wv = p[t]
+                        acc += trans[s][t] / tot * wv
+                new[s] = acc
+            p = new
+        return p["__START"]
+
+    base_cv = absorb(None)
+    effects = {}
+    for c in sorted(channels):
+        pc = absorb(c)
+        effects[c] = (1.0 - pc / base_cv) if base_cv > 0 else 0.0
+    pos_sum = sum(e for e in effects.values() if e > 0)
+    touch_counts = {
+        r["ch"]: r["n"]
+        for r in touches.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    spark = events.sparkSession
+    out_rows = [
+        (
+            c,
+            int(touch_counts.get(c, 0)),
+            effects[c],
+            (effects[c] / pos_sum) if pos_sum > 0 and effects[c] > 0 else 0.0,
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, n_touches long, removal_effect double, "
+        "attribution_share double",
+    ).select(
+        "channel",
+        "n_touches",
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution_share", 6).alias("attribution_share"),
+    )

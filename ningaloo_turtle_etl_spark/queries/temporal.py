@@ -395,3 +395,148 @@ def q_event_trigram_sequences(spark, sf_dir):
     return frequent_sequences(
         ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
     )
+
+
+def _markov_attr_oracle_sql(
+    channels=("click", "error", "signup", "view"),
+    conversion: str = "purchase",
+    rounds: int = 12,
+) -> str:
+    """Full replay of markov_removal_attribution: journey windows, the
+    transition grid, then one unrolled value-iteration chain per removal
+    (base + one per channel), all MATERIALIZED (the doubled per-round
+    references would otherwise re-expand the scan exponentially). The
+    channel list is the generator's input — the fixture's event types
+    are stable across SFs."""
+    head = f"""
+    WITH conv AS MATERIALIZED (
+        SELECT uid, ct, co FROM (
+            SELECT user_id AS uid, ts AS ct, event_id AS co,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = '{conversion}'
+        ) WHERE rn = 1
+    ),
+    touches AS MATERIALIZED (
+        SELECT e.user_id AS uid, e.event_type AS ch, e.ts, e.event_id
+        FROM events e LEFT JOIN conv ON e.user_id = conv.uid
+        WHERE e.event_type <> '{conversion}'
+          AND (conv.uid IS NULL OR (e.ts, e.event_id) < (conv.ct, conv.co))
+    ),
+    seq AS MATERIALIZED (
+        SELECT uid, ch,
+               ROW_NUMBER() OVER (PARTITION BY uid
+                                  ORDER BY ts, event_id) AS rn,
+               LAG(ch) OVER (PARTITION BY uid
+                             ORDER BY ts, event_id) AS prev,
+               ROW_NUMBER() OVER (PARTITION BY uid
+                                  ORDER BY ts DESC, event_id DESC) AS rlast
+        FROM touches
+    ),
+    edges AS (
+        SELECT '__START' AS s, ch AS t FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT prev, ch FROM seq WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT seq.ch,
+               CASE WHEN conv.uid IS NOT NULL THEN '__CONV'
+                    ELSE '__DROP' END
+        FROM seq LEFT JOIN conv ON seq.uid = conv.uid
+        WHERE rlast = 1
+        UNION ALL
+        SELECT '__START', '__CONV' FROM conv
+        WHERE uid NOT IN (SELECT DISTINCT uid FROM touches)
+    ),
+    grid AS MATERIALIZED (
+        SELECT s, t, COUNT(*) AS n FROM edges GROUP BY 1, 2
+    ),
+    tots AS MATERIALIZED (SELECT s, SUM(n) AS tot FROM grid GROUP BY 1),
+    p AS MATERIALIZED (
+        SELECT g.s, g.t, g.n * 1.0 / tots.tot AS p
+        FROM grid g JOIN tots ON g.s = tots.s
+    ),
+    v0 AS MATERIALIZED (SELECT s, 0.0 AS v FROM tots)"""
+    parts = [head]
+
+    def chain(tag: str, removed: str | None) -> None:
+        prev = "v0"
+        for k in range(1, rounds + 1):
+            drop = (
+                f"p.t = '__DROP' OR p.t = '{removed}'"
+                if removed is not None
+                else "p.t = '__DROP'"
+            )
+            term = (
+                f"SUM(p.p * CASE WHEN p.t = '__CONV' THEN 1.0 "
+                f"WHEN {drop} THEN 0.0 "
+                f"ELSE COALESCE(v.v, 0.0) END)"
+            )
+            if removed is None:
+                case_s = term
+            else:
+                case_s = (
+                    f"CASE WHEN p.s = '{removed}' THEN 0.0 "
+                    f"ELSE {term} END"
+                )
+            parts.append(
+                f""",
+    {tag}{k} AS MATERIALIZED (
+        SELECT p.s, {case_s} AS v
+        FROM p LEFT JOIN {prev} v ON p.t = v.s
+        GROUP BY p.s
+    )"""
+            )
+            prev = f"{tag}{k}"
+
+    chain("vb", None)
+    for c in channels:
+        chain(f"v{c}", c)
+    vals = ",\n        ".join(
+        f"('{c}', (SELECT v FROM v{c}{rounds} WHERE s = '__START'))"
+        for c in channels
+    )
+    parts.append(
+        f""",
+    basev AS (SELECT v FROM vb{rounds} WHERE s = '__START'),
+    eff AS (
+        SELECT channel,
+               CASE WHEN (SELECT v FROM basev) > 0
+                    THEN 1.0 - pv / (SELECT v FROM basev)
+                    ELSE 0.0 END AS re
+        FROM (VALUES
+        {vals}) AS t(channel, pv)
+    ),
+    pos AS (SELECT SUM(CASE WHEN re > 0 THEN re END) AS ps FROM eff),
+    tc AS (
+        SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM touches GROUP BY 1
+    )
+    SELECT e.channel,
+           COALESCE(tc.n_touches, 0) AS n_touches,
+           ROUND(re, 6) AS removal_effect,
+           ROUND(CASE WHEN ps > 0 AND re > 0 THEN re / ps ELSE 0.0 END, 6)
+               AS attribution_share
+    FROM eff e LEFT JOIN tc ON e.channel = tc.channel, pos
+    ORDER BY e.channel"""
+    )
+    return "".join(parts)
+
+
+@register("markov_attribution_channels", _markov_attr_oracle_sql())
+def q_markov_attribution_channels(spark, sf_dir):
+    """Markov-chain removal-effect attribution over the event journeys
+    (`operators/temporal.py markov_removal_attribution`, 12 value-
+    iteration rounds): each channel's credit is how much the
+    START -> conversion absorption probability falls when its node is
+    knocked out — the data-driven attribution that credits every path
+    dependency, where attribution_last_touch credits only the final
+    click. The oracle replays journeys, the transition grid, and all
+    five unrolled value-iteration chains as materialized CTEs."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        markov_removal_attribution,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return markov_removal_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase", rounds=12
+    ).orderBy("channel")

@@ -306,6 +306,8 @@ PRIORITY: list[str] = [
     "lpa_copurchase_communities",
     # r08 rank-biased overlap ANN acceptance metric, full oracle
     "ann_lsh_rbo",
+    # r08 Markov removal-effect attribution, full oracle
+    "markov_attribution_channels",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

@@ -269,6 +269,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "lpa_copurchase_communities",
         # r08 RBO rank-agreement metric, full oracle
         "ann_lsh_rbo",
+        # r08 Markov removal-effect attribution, full oracle
+        "markov_attribution_channels",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle

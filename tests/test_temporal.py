@@ -424,3 +424,69 @@ def test_frequent_sequences_trigram_tally(spark):
     assert tally[("a", "b", "c")] == 3
     assert tally[("b", "c", "a")] == 1 and tally[("c", "a", "b")] == 1
     assert out[0]["n_occurrences"] == 3  # ranked first
+
+
+def test_markov_removal_attribution_hand_case(spark):
+    """Every conversion path goes through 'a' -> removing 'a' kills all
+    conversion (effect 1); 'b' appears only on dropped paths (effect 0,
+    no share); last-touch would have credited only the final channel."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        markov_removal_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(u, ch, minute):
+        nonlocal eid
+        eid += 1
+        return (u, ch, t0 + dt.timedelta(minutes=minute), eid)
+
+    # converters: a -> c -> purchase (x3)
+    for u in (1, 2, 3):
+        rows += [ev(u, "a", 1), ev(u, "c", 2), ev(u, "purchase", 3)]
+    # non-converter: b -> b (dropped path)
+    rows += [ev(9, "b", 1), ev(9, "b", 2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "purchase",
+            rounds=8,
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["removal_effect"] == 1.0
+    assert out["c"]["removal_effect"] == 1.0  # also on every conv path
+    assert out["b"]["removal_effect"] == 0.0
+    assert out["b"]["attribution_share"] == 0.0
+    assert out["a"]["attribution_share"] == out["c"]["attribution_share"] == 0.5
+    assert out["a"]["n_touches"] == 3 and out["b"]["n_touches"] == 2
+    # a converting user with NO touches contributes START->CONV: base
+    # conversion survives removals that would otherwise zero it
+    rows2 = rows + [ev(10, "purchase", 1)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out2 = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            df2, "user_id", "event_type", "ts", "event_id", "purchase",
+            rounds=8,
+        ).collect()
+    }
+    assert 0 < out2["a"]["removal_effect"] < 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        markov_removal_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "purchase",
+            rounds=0,
+        )
