@@ -176,3 +176,47 @@ def barrier_col(df: DataFrame, name: str, expr) -> DataFrame:
     per-element lambdas downstream; plain single-use references don't
     need it."""
     return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
+def quantize_minmax(col, lo: float, hi: float, bits: int = 16):
+    """Clamp-and-quantize a numeric column onto the [0, 2^bits) integer
+    grid — the per-dimension preprocessing for :func:`zorder_key`. lo/hi
+    are caller-frozen bounds (profile them once; data outside clamps), so
+    the mapping is stable across snapshots and engines."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        raise ValueError("hi must exceed lo")
+    top = (1 << bits) - 1
+    scaled = F.floor(
+        (F.col(col).cast("double") - F.lit(float(lo)))
+        / F.lit(span)
+        * F.lit(float(top + 1))
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(top))
+
+
+def zorder_key(cols: Sequence, bits: int = 16):
+    """Morton / Z-order key: interleave the low ``bits`` bits of k
+    already-quantized integer columns into one sort key — the
+    multi-dimensional clustering layout (Delta/Iceberg's OPTIMIZE ZORDER)
+    that makes range predicates on ANY of the dimensions prune files:
+    rows close in z-key are close in every dimension, so per-file min/max
+    stats stay tight on all of them at once, where a lexicographic sort
+    only prunes its leading column.
+
+    Pure integer Catalyst arithmetic (shift/mask/or — replays identically
+    in the DuckDB oracle); bit i of column j lands at position
+    i*k + j. Write with ``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)``
+    to get the clustered layout on disk."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * k > 62:
+        raise ValueError("bits * n_cols must fit in a signed 64-bit key")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            cc = c if not isinstance(c, str) else F.col(c)
+            bit = F.shiftright(cc.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key + (bit * F.lit(1 << (i * k + j)))
+    return key

@@ -4837,3 +4837,75 @@ def ann_lsh_rbo(spark, sf_dir):
     return rank_biased_overlap(approx, exact, p=0.9, depth=10).orderBy(
         "query_id"
     )
+
+
+@register(
+    "zorder_layout_buckets",
+    """
+    WITH q AS (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               least(greatest(CAST(floor((l_partkey - 1.0) / 2000.0 * 256.0)
+                                   AS BIGINT), 0), 255) AS qp,
+               least(greatest(CAST(floor((l_suppkey - 1.0) / 100.0 * 256.0)
+                                   AS BIGINT), 0), 255) AS qs
+        FROM lineitem
+    ),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               (((qp >> 0) & 1) << 0) + (((qs >> 0) & 1) << 1)
+             + (((qp >> 1) & 1) << 2) + (((qs >> 1) & 1) << 3)
+             + (((qp >> 2) & 1) << 4) + (((qs >> 2) & 1) << 5)
+             + (((qp >> 3) & 1) << 6) + (((qs >> 3) & 1) << 7)
+             + (((qp >> 4) & 1) << 8) + (((qs >> 4) & 1) << 9)
+             + (((qp >> 5) & 1) << 10) + (((qs >> 5) & 1) << 11)
+             + (((qp >> 6) & 1) << 12) + (((qs >> 6) & 1) << 13)
+             + (((qp >> 7) & 1) << 14) + (((qs >> 7) & 1) << 15)
+               AS zkey
+        FROM q
+    )
+    SELECT zkey >> 10 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_hi
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def zorder_layout_buckets(spark, sf_dir):
+    """Z-order (Morton) layout buckets over lineitem's (partkey, suppkey)
+    (`operators/scale.py quantize_minmax + zorder_key`, 8 bits/dim):
+    each zkey-range bucket — the unit a clustered write would put in one
+    file — carries BOTH dimensions' min/max spans, demonstrating the
+    locality that makes range predicates on EITHER key prune files
+    (test-pinned: per-bucket spans are a small fraction of the domain,
+    which no single-column sort gives the trailing key). Pure integer
+    bit arithmetic, replayed exactly in DuckDB."""
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        quantize_minmax,
+        zorder_key,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        "l_partkey",
+        "l_suppkey",
+        quantize_minmax("l_partkey", 1.0, 2001.0, bits=8).alias("qp"),
+        quantize_minmax("l_suppkey", 1.0, 101.0, bits=8).alias("qs"),
+    )
+    z = q.select(
+        "l_partkey",
+        "l_suppkey",
+        zorder_key([F.col("qp"), F.col("qs")], bits=8).alias("zkey"),
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("part_lo"),
+            F.max("l_partkey").cast("long").alias("part_hi"),
+            F.min("l_suppkey").cast("long").alias("supp_lo"),
+            F.max("l_suppkey").cast("long").alias("supp_hi"),
+        )
+        .orderBy("zbucket")
+    )

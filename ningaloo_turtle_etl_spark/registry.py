@@ -308,6 +308,8 @@ PRIORITY: list[str] = [
     "ann_lsh_rbo",
     # r08 Markov removal-effect attribution, full oracle
     "markov_attribution_channels",
+    # r08 Z-order clustering layout, full oracle
+    "zorder_layout_buckets",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

@@ -271,6 +271,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_lsh_rbo",
         # r08 Markov removal-effect attribution, full oracle
         "markov_attribution_channels",
+        # r08 Z-order layout buckets, full oracle
+        "zorder_layout_buckets",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle

@@ -171,3 +171,61 @@ def test_key_skew_profile_hand_distribution(spark):
     ).collect()[0]
     assert u["skew_factor"] == 1.0
     assert abs(u["entropy"] - math.log(8)) < 1e-6
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        quantize_minmax,
+        zorder_key,
+    )
+
+    # bit-interleave replica: z(x, y) with bit i of col j at i*k+j
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(["x", "y"], bits=4).alias("z")
+        ).collect()
+    }
+
+    def z_ref(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == z_ref(x, y) for x in range(16) for y in range(16))
+    # locality: consecutive z-key quartiles cover bounded x AND y spans —
+    # a lexicographic (x, y) sort leaves y's span at the full domain
+    zs = sorted(got.items(), key=lambda kv: kv[1])
+    quart = len(zs) // 4
+    for qi in range(4):
+        chunk = [xy for xy, _ in zs[qi * quart : (qi + 1) * quart]]
+        xs = [x for x, _ in chunk]
+        ys = [y for _, y in chunk]
+        assert max(xs) - min(xs) <= 8 and max(ys) - min(ys) <= 8
+    # quantizer clamps and lands on the integer grid
+    qdf = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (99.9,), (200.0,)], "v double"
+    )
+    vals = [
+        r["q"]
+        for r in qdf.select(
+            quantize_minmax("v", 0.0, 100.0, bits=4).alias("q")
+        ).collect()
+    ]
+    assert vals[0] == 0 and vals[-1] == 15  # clamped both ends
+    assert vals[2] == 8  # 50/100 * 16
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zorder_key(["x"], bits=4)
+    with _pt.raises(ValueError):
+        zorder_key(["x", "y"], bits=32)
+    with _pt.raises(ValueError):
+        quantize_minmax("v", 5.0, 5.0)
