@@ -1832,3 +1832,82 @@ def winnowing_containment_pairs(
             "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008) — every pair with
+    |A∩B|/|A∪B| ≥ ``threshold``, found without the all-pairs product and
+    without MinHash's probabilistic recall: two sets can only reach
+    Jaccard t if each contributes a token from its PREFIX — the
+    ⌈|s|−t·|s|⌉+1... precisely ℓ(s) = |s| − ⌈t·|s|⌉ + 1 — RAREST tokens
+    (global-frequency order, ties by token: any fixed total order works;
+    rarest-first keeps candidate buckets smallest). Candidates share a
+    prefix token on BOTH sides, pass the length gate
+    t·|a| ≤ |b| ≤ |a|/t, then verify exact Jaccard on the full sets.
+
+    The deterministic-completeness counterpart of MinHash LSH (which
+    trades recall for a band-tunable cost) and the set-similarity twin
+    of the edit-distance Ed-Join (`operators/relational.py
+    edit_similarity_self_join`). Returns (id_a, id_b, jaccard) 6dp; the
+    threshold gates the unrounded value.
+
+    Scale shape: the frequency dim aggregates map-side at token grain;
+    prefixes are a per-doc window over the token-rank frame; the
+    candidate join moves only (id, token) prefix rows — rare tokens by
+    construction, so buckets stay small — and verification joins the
+    per-doc distinct-token arrays (1-2% of corpus size) by id
+    equality."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    t = float(threshold)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("s"),
+    ).withColumn("n", F.size("s"))
+    sets = sets.filter(F.col("n") > 0)
+    tok = sets.select("id", "n", F.explode("s").alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("id").orderBy(F.asc("_f"), F.asc("tk"))
+    ranked = tok.join(freq, on="tk").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("_rn") <= plen).select("id", "n", "tk")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "tk"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tk"
+    )
+    cand = (
+        a.join(b, on="tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("nb") <= F.col("na") / F.lit(t))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                     F.col("n").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                     F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(jac >= F.lit(t))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

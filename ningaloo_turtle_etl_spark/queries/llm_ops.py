@@ -4909,3 +4909,57 @@ def zorder_layout_buckets(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@register(
+    "ppjoin_jaccard_pairs",
+    rf"""
+    WITH sets AS (
+        SELECT doc_id AS id, list_distinct({_TOKENS}) AS s
+        FROM (SELECT doc_id, lower(text) AS text FROM documents
+              WHERE doc_id < 150)
+    ),
+    sized AS (SELECT id, s, len(s) AS n FROM sets WHERE len(s) > 0),
+    tok AS (SELECT id, n, unnest(s) AS tk FROM sized),
+    freq AS (SELECT tk, COUNT(*) AS f FROM tok GROUP BY tk),
+    ranked AS (
+        SELECT tok.id, tok.n, tok.tk,
+               ROW_NUMBER() OVER (PARTITION BY tok.id
+                                  ORDER BY freq.f, tok.tk) AS rn
+        FROM tok JOIN freq ON tok.tk = freq.tk
+    ),
+    prefix AS (
+        SELECT id, n, tk FROM ranked
+        WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b ON a.tk = b.tk AND a.id < b.id
+        WHERE b.n >= 0.5 * a.n AND b.n <= a.n / 0.5
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / (x.n + y.n - len(list_intersect(x.s, y.s))) AS jac
+        FROM cand c
+        JOIN sized x ON c.id_a = x.id
+        JOIN sized y ON c.id_b = y.id
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ppjoin_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard self-join by PPJoin prefix filtering
+    (`operators/dedup.py ppjoin_pairs`, t=0.5): pairs must share one of
+    each side's rarest-prefix tokens, pass the length gate, then verify
+    exact Jaccard — deterministic 100% recall without MinHash's banded
+    probability or ngram_jaccard's blocking column, at prefix-join cost.
+    Brute-force completeness is pinned in tests/test_llm_ops.py."""
+    from ningaloo_turtle_etl_spark.operators.dedup import ppjoin_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 150
+    )
+    return ppjoin_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")

@@ -310,6 +310,10 @@ PRIORITY: list[str] = [
     "markov_attribution_channels",
     # r08 Z-order clustering layout, full oracle
     "zorder_layout_buckets",
+    # r08 PPJoin exact set-similarity self-join, full oracle
+    "ppjoin_jaccard_pairs",
+    # r08 deterministic word2vec-style negative sampling, full oracle
+    "negative_brand_samples",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape
     # component stays proven in-window by remigration_lag + topk_per_group;
     # this stays oracle-swept by pytest + the supplement artifact.

@@ -2165,3 +2165,43 @@ def test_rank_biased_overlap_hand_values(spark):
         rank_biased_overlap(a, b, p=1.5)
     with pytest.raises(ValueError):
         rank_biased_overlap(a, b, depth=0)
+
+
+def test_ppjoin_completeness_vs_bruteforce(spark):
+    """PPJoin prefix filtering must be EXACT: identical pair set and
+    jaccard values to the all-pairs brute force, at any threshold."""
+    from ningaloo_turtle_etl_spark.operators.dedup import ppjoin_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),      # jac 3/5 with 1
+        (3, "alpha beta gamma delta"),        # exact dup of 1
+        (4, "zeta eta theta iota kappa"),
+        (5, "zeta eta theta iota kappa mu"),  # jac 5/6 with 4
+        (6, "completely different words here entirely"),
+        (7, "alpha zeta"),                    # small set, rare overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(th):
+        sets = {i: set(t.split()) for i, t in rows}
+        out = {}
+        ids = sorted(sets)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    j = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+                    if j >= th:
+                        out[(x, y)] = round(j, 6)
+        return out
+
+    for th in (0.3, 0.5, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ppjoin_pairs(df, threshold=th).collect()
+        }
+        assert got == brute(th), th
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ppjoin_pairs(df, threshold=0.0)

@@ -273,6 +273,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "markov_attribution_channels",
         # r08 Z-order layout buckets, full oracle
         "zorder_layout_buckets",
+        # r08 PPJoin set-similarity join, full oracle
+        "ppjoin_jaccard_pairs",
+        # r08 deterministic negative sampling, full oracle
+        "negative_brand_samples",
         # r07 aHash image near-dups, full oracle
         "image_ahash_near_dups",
         # r07 mSPRT always-valid sequential inference, full oracle
