@@ -81,7 +81,15 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     failed = []
+    # --only + --json appends: preload the existing artifact so a
+    # post-sweep query addition can land its row without re-running the
+    # full registry (the full-sweep path still rewrites every row).
     report: dict[str, dict] = {}
+    if args.json and only and os.path.exists(args.json):
+        import json
+
+        with open(args.json) as fh:
+            report = json.load(fh)
     for name, fn in qs.items():
         if only and name not in only:
             continue
