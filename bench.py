@@ -6,9 +6,13 @@ on local[$SPARK_GRAFT_CPUS] and prints:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Timing policy: one untimed warmup action first (JIT + code cache + parquet
-footer cache), then each query timed once, end-to-end (plan + execute +
-collect). Results are small aggregates by design — collect cost is the
-driver-side constant, not the measurement.
+footer cache), then the headline list timed round-robin ``--runs`` times
+(default 3); each query reports its MIN with the max-min spread alongside
+(``queries_spread``), end-to-end (plan + execute + collect). Results are
+small aggregates by design — collect cost is the driver-side constant, not
+the measurement. Min-of-N replaced single-shot in r9: four rounds of
+cross-round deltas were traced to host load, and the idle-wait threshold
+proved unreachable, so min-of-N is the in-artifact noise floor.
 """
 
 from __future__ import annotations
@@ -825,6 +829,93 @@ def _bt_battles_sf(spark, sf_dir):
     return registry.queries()["bt_brand_preference"](spark, sf_dir)
 
 
+def _ppjoin_50k(spark, sf_dir):
+    """PPJoin exact set-similarity self-join at 50k synthetic ~14-token
+    docs (700k token instances over a 400k vocabulary — sparse, the
+    realistic regime), docs 49000+ echoing the token seeds of docs 0-999
+    so 1000 true near-dup pairs exist. Times rarity ranking (one window),
+    the prefix-token candidate join WITH the positional filter, and the
+    exact array-intersect verify. The number to watch is that candidate
+    fanout tracks prefix-bucket sizes, never docs²."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.dedup import ppjoin_pairs
+
+    base = spark.range(50_000, numPartitions=16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 49_000).alias("_seed"),
+    )
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(14)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("_seed") * 31 + j), F.lit(400_000))
+                .cast("string"),
+            ),
+        ),
+    )
+    docs = base.select("doc_id", words.alias("text"))
+    pairs = ppjoin_pairs(docs, threshold=0.8)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("jaccard"), 3).alias("chk"),
+    )
+
+
+def _lpa_100k_edges(spark, sf_dir):
+    """Synchronous label propagation over 100k edges (25k nodes in 1000
+    planted communities of 25; each node links to +1, +2, +3, +5 within
+    its community): 8 fixed rounds of the neighbor-label argmax. The
+    number to watch is per-round cost staying linear in |E| — the
+    (node, label) frames are localCheckpointed each round so lineage
+    can't compound."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    n = 25_000
+    edges = None
+    for step in (1, 2, 3, 5):
+        e = spark.range(n, numPartitions=8).select(
+            F.col("id").alias("src"), (F.col("id") + step).alias("dst")
+        ).filter(
+            (F.col("dst") < n)
+            & (F.floor(F.col("src") / 25) == F.floor(F.col("dst") / 25))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    comm = label_propagation_communities(edges, rounds=8)
+    return comm.agg(
+        F.countDistinct("community").alias("n_communities"),
+        F.sum("community").alias("chk"),
+    )
+
+
+def _markov_600k(spark, sf_dir):
+    """Markov removal-effect attribution over the full sf events table
+    (~600k rows at sf0.1): journey windows + the map-side-combined
+    transition grid + two bounded collects over ONE persisted touches
+    frame (the r9 persist fix) — the raw scan should dominate."""
+    return registry.queries()["markov_attribution_channels"](spark, sf_dir)
+
+
+def _kneser_ney_sf(spark, sf_dir):
+    """Kneser-Ney bigram fit+score over the full sf documents table:
+    every KN statistic is a bigram-type-grain aggregate; should track
+    the tokenize/explode scan."""
+    return registry.queries()["kneser_ney_lm_scores"](spark, sf_dir)
+
+
+def _zorder_600k(spark, sf_dir):
+    """Z-order key + bucket-span rollup over the full sf lineitem: pure
+    integer bit-interleave expressions, zero shuffle until the bucket
+    agg — should track raw scan throughput."""
+    return registry.queries()["zorder_layout_buckets"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -867,6 +958,13 @@ EXTRAS = {
     "bleu_rouge_sf": _bleu_rouge_sf,
     "digest_600k": _digest_600k,
     "bt_battles_sf": _bt_battles_sf,
+    # Second-batch r8-family probes (VERDICT r8 item 1): PPJoin, LPA,
+    # Markov attribution, Kneser-Ney, Z-order.
+    "ppjoin_50k": _ppjoin_50k,
+    "lpa_100k_edges": _lpa_100k_edges,
+    "markov_600k": _markov_600k,
+    "kneser_ney_sf": _kneser_ney_sf,
+    "zorder_600k": _zorder_600k,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
@@ -882,6 +980,8 @@ EAGER_EXTRAS = {
     "minhash_pairs_20k",
     "minhash_pairs_100k",
     "minhash_pairs_100k_collapsed",
+    "lpa_100k_edges",   # per-round localCheckpoint jobs run in the builder
+    "markov_600k",      # grid + touch-count collects run in the builder
 }
 
 # Large scale probes run ONCE (not min-of-2): they exist for the slope
@@ -897,6 +997,8 @@ SINGLE_RUN_EXTRAS = {
     "minhash_pairs_100k_collapsed",
     "simhash_sig_250k",
     "decontam_250k",
+    "ppjoin_50k",
+    "lpa_100k_edges",
 }
 
 
@@ -907,8 +1009,13 @@ def _wait_for_idle() -> float:
     the 1-min loadavg drops below SPARK_GRAFT_MIN_IDLE (default 0.5),
     bounded by SPARK_GRAFT_IDLE_WAIT_SEC (default 600 s) so an always-busy
     host still produces an artifact (with the contamination visible in
-    env.loadavg_start / env.idle_waited_sec). Returns seconds waited."""
-    threshold = float(os.environ.get("SPARK_GRAFT_MIN_IDLE", "0.5"))
+    env.loadavg_start / env.idle_waited_sec). Returns seconds waited.
+    r9: default threshold raised 0.5 -> 1.0 — all three r8 runs waited the
+    full bound then proceeded at loadavg 0.61-0.81, i.e. 0.5 is below this
+    host's floor; 1.0 is attainable and still catches real contamination
+    (the bad rounds ran at 2.5-7.1). Min-of-N headline reps are the primary
+    noise defense now."""
+    threshold = float(os.environ.get("SPARK_GRAFT_MIN_IDLE", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_SEC", "600"))
     t0 = time.monotonic()
     while os.getloadavg()[0] >= threshold:
@@ -926,6 +1033,21 @@ def _wait_for_idle() -> float:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
+        help="headline repetitions; queries report min-of-N + spread "
+        "(single-shot numbers were load-noise-dominated for four rounds "
+        "running — the 0.5 idle threshold is unreachable on this host, so "
+        "min-of-N IS the idle-approximation mechanism)",
+    )
+    args = ap.parse_args()
+    n_runs = max(1, args.runs)
+
     idle_waited = _wait_for_idle()
     spark = get_spark("ningaloo-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -945,22 +1067,30 @@ def main() -> None:
 
     import gc
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # Untimed GC between queries: session-lifetime debris (dropped
-        # DataFrames, spent broadcasts) otherwise piles into the old gen and
-        # can slow later array-heavy queries by 10x+. Python gc first so
-        # py4j releases JVM-side references System.gc() can then reclaim.
-        gc.collect()
-        spark._jvm.System.gc()
-        fn = HEADLINE_OVERRIDES.get(name)
-        df = fn(spark, SF_DIR) if fn else queries[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        if name in CHECKSUM:
-            df.agg({CHECKSUM[name]: "sum"}).collect()
-        else:
-            df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Round-robin over the headline list n_runs times (not N back-to-back
+    # runs of one query): a load spike then contaminates one REP of each
+    # query instead of every rep of one query, and min-of-N recovers.
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            # Untimed GC between queries: session-lifetime debris (dropped
+            # DataFrames, spent broadcasts) otherwise piles into the old gen
+            # and can slow later array-heavy queries by 10x+. Python gc first
+            # so py4j releases JVM-side references System.gc() can reclaim.
+            gc.collect()
+            spark._jvm.System.gc()
+            fn = HEADLINE_OVERRIDES.get(name)
+            df = fn(spark, SF_DIR) if fn else queries[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            if name in CHECKSUM:
+                df.agg({CHECKSUM[name]: "sum"}).collect()
+            else:
+                df.collect()
+            raw[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in raw.items()}
+    spread = {
+        name: round(max(ts) - min(ts), 3) for name, ts in raw.items()
+    }
 
     extras: dict[str, float] = {}
     for name, fn in EXTRAS.items():
@@ -996,12 +1126,14 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
                 "extras": extras,
                 "env": {
                     "loadavg_start": round(load_start, 2),
                     "loadavg_end": round(os.getloadavg()[0], 2),
                     "canary_pricing_summary_end": canary,
                     "idle_waited_sec": idle_waited,
+                    "headline_runs": n_runs,
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

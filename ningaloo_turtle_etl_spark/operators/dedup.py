@@ -1756,9 +1756,16 @@ def winnowing_fingerprints(
 
     toks = tokens(F.lower(F.col(text_col)))
     gidx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    hs = F.transform(
-        gidx, lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
+    # Documents shorter than k tokens have NO k-grams (the _ordered_ngrams
+    # empty-array convention) — without the guard, gidx's [0] would hash a
+    # sub-k gram and two tiny unrelated docs could pair at containment 1.0.
+    hs = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            gidx,
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     barrier = df.select(
         F.col(id_col).alias("id"), F.explode(F.array(hs)).alias("_hs")
     )
@@ -1834,11 +1841,76 @@ def winnowing_containment_pairs(
     )
 
 
+def _ppjoin_candidates(
+    sets: DataFrame,
+    t: float,
+    max_token_docs: int | None = None,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for ``ppjoin_pairs`` from a
+    (id, s: array, n: int) frame: rarity-ranked prefix rows, length
+    gate, and (by default) the positional filter. Exposed separately so
+    tests can assert the positional filter's candidate-count win without
+    touching the verified output; ``positional=False`` is the test-only
+    A/B switch."""
+    from pyspark.sql.window import Window
+
+    tok = sets.select("id", "n", F.explode("s").alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("id").orderBy(F.asc("_f"), F.asc("tk"))
+    ranked = tok.join(freq, on="tk").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("_rn") <= plen).select(
+        "id", "n", "tk", "_rn"
+    )
+    if max_token_docs is not None:
+        if max_token_docs < 1:
+            raise ValueError("max_token_docs must be >= 1")
+        pfreq = prefix.groupBy("tk").agg(F.count(F.lit(1)).alias("_pf"))
+        prefix = prefix.join(
+            pfreq.filter(F.col("_pf") <= F.lit(int(max_token_docs))).select(
+                "tk"
+            ),
+            on="tk",
+        )
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("na"),
+        F.col("_rn").alias("pa"),
+        "tk",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("nb"),
+        F.col("_rn").alias("pb"),
+        "tk",
+    )
+    # overlap floor α equivalent to Jaccard ≥ t at sizes (na, nb)
+    alpha = F.ceil(F.lit(t) * (F.col("na") + F.col("nb")) / F.lit(1.0 + t))
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    cand = (
+        a.join(b, on="tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("nb") <= F.col("na") / F.lit(t))
+        )
+    )
+    if positional:
+        cand = cand.filter(ubound >= alpha)
+    return cand.select("id_a", "id_b").distinct()
+
+
 def ppjoin_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_token_docs: int | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join via prefix filtering (the
     PPJoin family, Xiao et al. 2008) — every pair with
@@ -1849,7 +1921,26 @@ def ppjoin_pairs(
     (global-frequency order, ties by token: any fixed total order works;
     rarest-first keeps candidate buckets smallest). Candidates share a
     prefix token on BOTH sides, pass the length gate
-    t·|a| ≤ |b| ≤ |a|/t, then verify exact Jaccard on the full sets.
+    t·|a| ≤ |b| ≤ |a|/t AND the POSITIONAL filter (Xiao et al. 2008
+    §3.2): a shared prefix token at 1-indexed rarity-rank positions
+    (pa, pb) bounds the overlap by 1 + min(|a|−pa, |b|−pb), which must
+    reach the Jaccard-equivalent overlap floor α = ⌈t·(|a|+|b|)/(1+t)⌉.
+    The bound holds exactly for the pair's FIRST shared token in the
+    global rarity order (every other shared token ranks later on both
+    sides), so filter-then-distinct loses no true pair — it only prunes
+    candidate rows before the distinct, the join's cost driver.
+    Survivors verify exact Jaccard on the full sets.
+
+    ``max_token_docs`` (default None = off, exact) is the degenerate-
+    corpus escape hatch matching the cap discipline of the sibling
+    families (MinHash bucket caps, winnowing ``max_fp_docs``, linkage
+    block caps): prefix tokens carried by more than this many documents
+    are dropped from candidate generation, hard-bounding per-token join
+    fanout at cap². CAVEAT — unlike the positional filter this trades
+    exactness for the bound: a true pair whose EVERY shared prefix
+    token is capped is missed (plausible only on near-uniform
+    token-frequency corpora, where the uncapped join degrades toward
+    quadratic anyway).
 
     The deterministic-completeness counterpart of MinHash LSH (which
     trades recall for a band-tunable cost) and the set-similarity twin
@@ -1865,8 +1956,6 @@ def ppjoin_pairs(
     equality."""
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    from pyspark.sql.window import Window
-
     from ningaloo_turtle_etl_spark.operators.text import tokens
 
     t = float(threshold)
@@ -1875,30 +1964,7 @@ def ppjoin_pairs(
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("s"),
     ).withColumn("n", F.size("s"))
     sets = sets.filter(F.col("n") > 0)
-    tok = sets.select("id", "n", F.explode("s").alias("tk"))
-    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_f"))
-    w = Window.partitionBy("id").orderBy(F.asc("_f"), F.asc("tk"))
-    ranked = tok.join(freq, on="tk").withColumn(
-        "_rn", F.row_number().over(w)
-    )
-    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("_rn") <= plen).select("id", "n", "tk")
-    a = prefix.select(
-        F.col("id").alias("id_a"), F.col("n").alias("na"), "tk"
-    )
-    b = prefix.select(
-        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tk"
-    )
-    cand = (
-        a.join(b, on="tk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (F.col("nb") >= F.lit(t) * F.col("na"))
-            & (F.col("nb") <= F.col("na") / F.lit(t))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _ppjoin_candidates(sets, t, max_token_docs=max_token_docs)
     sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"),
                      F.col("n").alias("na"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),

@@ -96,7 +96,15 @@ def bradley_terry_ratings(
     beyond it: a leaderboard with millions of items wants the
     distributed-join formulation, not this driver fit) — and the MM loop
     runs on that bounded grid driver-side; the battle table is touched
-    exactly once."""
+    exactly once.
+
+    Cross-engine determinism note: the MM sums here use ``math.fsum``
+    (correctly-rounded, order-independent), while the DuckDB oracle's
+    SUM accumulates in engine order — the two can differ by ~1 ulp per
+    iteration, so a rating landing EXACTLY on a 6dp rounding boundary
+    could round apart (the same accepted last-ulp risk class as the
+    other iterative fits; the ranking tie-break on the rounded rating +
+    item keeps row order stable whenever the roundings agree)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     # items are emitted as strings (the leaderboard key type), so any
@@ -133,16 +141,18 @@ def bradley_terry_ratings(
     order = sorted(items)
     opp = {i: sorted({j for (a, j) in n if a == i}) for i in order}
     p = {i: 1.0 / len(order) for i in order} if order else {}
+    # math.fsum: correctly-rounded, summation-order-independent — removes
+    # the Python-side ordering sensitivity (see docstring determinism note)
     for _ in range(int(iterations)):
         new = {}
         for i in order:
-            d = sum(
+            d = math.fsum(
                 n[(i, j)] / (p[i] + p[j])
                 for j in opp[i]
                 if p[i] + p[j] > 0
             )
             new[i] = (wins.get(i, 0) / d) if d > 0 else 0.0
-        s = sum(new[i] for i in order)
+        s = math.fsum(new[i] for i in order)
         p = {i: (new[i] / s if s > 0 else 0.0) for i in order}
     spark = battles.sparkSession
     out_rows = []

@@ -883,6 +883,7 @@ def margin_bitext_pairs(
     threshold: float = 1.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_side: str = "b",
 ) -> DataFrame:
     """Margin-based bitext / parallel-pair mining (Artetxe & Schwenk
     2019, the LASER mining criterion): for each vector x on side A, its
@@ -899,15 +900,20 @@ def margin_bitext_pairs(
     best candidate clears the margin (forward mining); 6dp outputs, the
     threshold gates the unrounded margin.
 
-    Scale shape: this is the exact verify stage — A×B scored with the
-    broadcast-smaller-side join, per-side top-k via rank-limit windows
-    (WindowGroupLimit trims before the shuffle). At corpus×corpus scale
+    Scale shape: this is the exact verify stage — A×B scored with a
+    broadcast nested-loop join; ``broadcast_side`` declares which input
+    fits in executor memory ('b' default: pass the SMALLER corpus as
+    ``df_b``; 'a' flips the hint; 'auto' drops the hint and lets the
+    planner/AQE pick from size estimates). Per-side top-k is rank-limit
+    windows (WindowGroupLimit trims before the shuffle). At corpus×corpus scale
     generate candidates with the LSH/IVF blocks first (ann_* operators)
     and feed the candidate pairs through this same margin math; the
     criterion only ever needs each vector's local top-k, which the
     blocked pass already yields."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if broadcast_side not in ("a", "b", "auto"):
+        raise ValueError("broadcast_side must be 'a', 'b', or 'auto'")
     a = df_a.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     ).withColumn("na", _norm(F.col("va")))
@@ -915,9 +921,11 @@ def margin_bitext_pairs(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     ).withColumn("nb", _norm(F.col("vb")))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    scored = a.crossJoin(F.broadcast(b)).select(
-        "id_a", "id_b", cos.alias("cos")
-    )
+    if broadcast_side == "a":
+        a = F.broadcast(a)
+    elif broadcast_side == "b":
+        b = F.broadcast(b)
+    scored = a.crossJoin(b).select("id_a", "id_b", cos.alias("cos"))
     wa = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     wb = Window.partitionBy("id_b").orderBy(F.desc("cos"), F.asc("id_a"))
     ranked = scored.withColumn("ra", F.row_number().over(wa)).withColumn(

@@ -690,6 +690,14 @@ def markov_removal_attribution(
         .join(conv_pos, on="uid", how="left")
         .filter(F.col("cpos").isNull() | (F.col("pos") < F.col("cpos")))
     )
+    # Two bounded collects read this lineage (the transition grid and the
+    # per-channel touch counts); persist so the events scan + join + window
+    # chain runs once, not twice. Both actions happen inside this function,
+    # so the cache is released before returning (the output frame is a
+    # createDataFrame over driver rows — no lineage on `touches`).
+    from pyspark import StorageLevel
+
+    touches = touches.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("uid").orderBy(F.col("pos").asc())
     seq = touches.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_prev", F.lag("ch").over(w)
@@ -747,6 +755,8 @@ def markov_removal_attribution(
     states = sorted(channels) + ["__START"]
 
     def absorb(removed: str | None) -> float:
+        import math
+
         p = {s: 0.0 for s in states}
         for _ in range(int(rounds)):
             new = {}
@@ -757,6 +767,9 @@ def markov_removal_attribution(
                 tot = out_n[s]
                 acc = 0.0
                 if tot:
+                    # fsum: correctly-rounded, order-independent — same
+                    # accepted last-ulp-vs-oracle note as bradley_terry
+                    terms = []
                     for t in sorted(trans[s]):
                         if t == "__CONV":
                             wv = 1.0
@@ -764,7 +777,8 @@ def markov_removal_attribution(
                             wv = 0.0
                         else:
                             wv = p[t]
-                        acc += trans[s][t] / tot * wv
+                        terms.append(trans[s][t] / tot * wv)
+                    acc = math.fsum(terms)
                 new[s] = acc
             p = new
         return p["__START"]
@@ -781,6 +795,7 @@ def markov_removal_attribution(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    touches.unpersist()
     spark = events.sparkSession
     out_rows = [
         (

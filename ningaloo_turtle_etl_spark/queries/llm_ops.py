@@ -4357,10 +4357,11 @@ def jl_distortion_pairs(spark, sf_dir):
     ),
     hs AS (
         SELECT id,
-               list_transform(
+               CASE WHEN len(t) >= 3 THEN list_transform(
                    list_transform(range(greatest(len(t) - 3, 0) + 1),
                        i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')),
-                   g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+                   g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)
+               ELSE []::BIGINT[] END AS hs
         FROM toks
     ),
     sel AS (
@@ -4370,7 +4371,8 @@ def jl_distortion_pairs(spark, sf_dir):
                    p -> list_min(list_slice(hs, p + 1, p + 4)))) AS fps
         FROM hs
     ),
-    fps AS (SELECT id, unnest(fps) AS fp FROM sel),
+    fps0 AS (SELECT id, unnest(fps) AS fp FROM sel),
+    fps AS (SELECT id, fp FROM fps0 WHERE fp IS NOT NULL),
     freq AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 500),
     kept AS (SELECT fps.id, fps.fp FROM fps JOIN freq USING (fp)),
     sizes AS (

@@ -42,7 +42,6 @@ PRIORITY: list[str] = [
     "after_midnight_observation_date",
     "observation_status",
     "remigration_lag",
-    "topk_per_group",
     "set_operations",
     "json_extract_props",
     # Custom temporal operator (build-brief target): the bucketed
@@ -77,6 +76,13 @@ PRIORITY: list[str] = [
     # first_event_per_user (the lag/window-shape component stays proven
     # in-window by remigration_lag + topk_per_group).
     "fuzzy_part_pairs",
+    # Promoted r09 (verdict item 2, continuing the r6/r7/r8 rotation):
+    # the window proves an r8 family directly — PPJoin exact
+    # set-similarity self-join, which also carries this round's
+    # positional-filter change. Slot freed by demoting topk_per_group
+    # (the lag/rank window shape stays proven in-window by
+    # remigration_lag; O2/O3 TakeOrdered stays proven by slice_topk).
+    "ppjoin_jaccard_pairs",
     # Core §2 relational surface.
     "group_count_sorted",
     "agg_scalars",
@@ -101,6 +107,10 @@ PRIORITY: list[str] = [
     "slice_topk",
     "timestamp_pipeline",
     # ---- 50-slot driver window ends here ----
+    # Demoted r09 (slot freed for ppjoin_jaccard_pairs): the lag/rank
+    # window shape stays window-covered by remigration_lag, TakeOrdered
+    # by slice_topk; still oracle-swept by pytest + supplement artifacts.
+    "topk_per_group",
     # Demoted r07: A3/J4 remain window-covered by flagship_summary_pivot
     # (+ mark_capture_history); both stay oracle-swept by pytest +
     # supplement artifacts.
@@ -310,8 +320,6 @@ PRIORITY: list[str] = [
     "markov_attribution_channels",
     # r08 Z-order clustering layout, full oracle
     "zorder_layout_buckets",
-    # r08 PPJoin exact set-similarity self-join, full oracle
-    "ppjoin_jaccard_pairs",
     # r08 deterministic word2vec-style negative sampling, full oracle
     "negative_brand_samples",
     # r08 demotion freeing the fuzzy_part_pairs slot: the lag/window-shape

@@ -84,12 +84,19 @@ def main() -> int:
     # --only + --json appends: preload the existing artifact so a
     # post-sweep query addition can land its row without re-running the
     # full registry (the full-sweep path still rewrites every row).
+    # Preloaded keys that are no longer in the registry are PRUNED so
+    # rows for removed/renamed queries can't persist and overstate the
+    # artifact's freshness.
     report: dict[str, dict] = {}
     if args.json and only and os.path.exists(args.json):
         import json
 
         with open(args.json) as fh:
-            report = json.load(fh)
+            stale = json.load(fh)
+        report = {k: v for k, v in stale.items() if k in qs}
+        dropped = sorted(set(stale) - set(report))
+        if dropped:
+            print(f"pruned {len(dropped)} stale rows: {', '.join(dropped)}")
     for name, fn in qs.items():
         if only and name not in only:
             continue

@@ -55,6 +55,9 @@ def test_critical_components_inside_driver_window():
         # r08: the window must prove an r7 family directly (verdict item)
         # — blocked fuzzy record linkage
         "fuzzy_part_pairs",
+        # r09: the window must prove an r8 family directly (verdict item)
+        # — PPJoin exact set-similarity join with the positional filter
+        "ppjoin_jaccard_pairs",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -70,9 +73,14 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "pivot_event_types",
         "join_natural",
         # r08 window demotion: the lag/window-shape component stays covered
-        # in-window by remigration_lag + topk_per_group; still oracle-checked
+        # in-window by remigration_lag; still oracle-checked
         # by tests/test_oracle_all.py + the supplement.
         "first_event_per_user",
+        # r09 window demotion (slot freed for ppjoin_jaccard_pairs): the
+        # lag/rank window shape stays covered in-window by remigration_lag,
+        # TakeOrdered by slice_topk; still oracle-checked by
+        # tests/test_oracle_all.py + the supplement.
+        "topk_per_group",
         # TPC-H-flavored variants of components proven in-window + the
         # SQL-form flagship twin — all still oracle-checked by
         # tests/test_oracle_all.py.
@@ -273,8 +281,6 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "markov_attribution_channels",
         # r08 Z-order layout buckets, full oracle
         "zorder_layout_buckets",
-        # r08 PPJoin set-similarity join, full oracle
-        "ppjoin_jaccard_pairs",
         # r08 deterministic negative sampling, full oracle
         "negative_brand_samples",
         # r07 aHash image near-dups, full oracle

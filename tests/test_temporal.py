@@ -490,3 +490,50 @@ def test_markov_removal_attribution_hand_case(spark):
             df, "user_id", "event_type", "ts", "event_id", "purchase",
             rounds=0,
         )
+
+
+def test_markov_removal_attribution_persists_touches_once(spark):
+    """The two bounded collects (transition grid + touch counts) share
+    ONE materialization of the touches lineage: the operator persists it
+    exactly once and releases it before returning, so the events table
+    is scanned once, not twice."""
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        markov_removal_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0, 1),
+        (1, "purchase", t0 + dt.timedelta(minutes=1), 2),
+        (2, "b", t0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    # patch the CONCRETE class (pyspark.sql.classic defines its own
+    # persist/unpersist; the abstract base's methods never run)
+    cls = type(df)
+    calls = {"persist": 0, "unpersist": 0}
+    orig_p, orig_u = cls.persist, cls.unpersist
+
+    def spy_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_p(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_u(self, *a, **k)
+
+    cls.persist, cls.unpersist = spy_persist, spy_unpersist
+    try:
+        out = markov_removal_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "purchase",
+            rounds=4,
+        ).collect()
+    finally:
+        cls.persist, cls.unpersist = orig_p, orig_u
+    assert {r["channel"] for r in out} == {"a", "b"}
+    assert calls["persist"] == 1
+    assert calls["unpersist"] == 1
