@@ -916,6 +916,86 @@ def _zorder_600k(spark, sf_dir):
     return registry.queries()["zorder_layout_buckets"](spark, sf_dir)
 
 
+def _kmeans_20k(spark, sf_dir):
+    """Distributed Lloyd k-means at 20k 64-dim vectors (sf embeddings
+    replicated with id offsets), k=8 x 3 iterations: times 4 full
+    assignment scans (k inlined distance expressions) + 3 combined
+    updates. The number to watch is that each pass stays map-side —
+    no join, no vector shuffle."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    copies = max(20_000 // max(n, 1), 1)
+    big = emb
+    for i in range(copies - 1):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit((i + 1) * n))
+        )
+    return kmeans_lloyd(_spread(big), k=8, iterations=3)
+
+
+def _hits_100k_edges(spark, sf_dir):
+    """HITS at 100k directed edges (the LPA fixture graph): 10
+    half-steps of join+reduce+renormalize with localCheckpoint — the
+    per-round cost should track |E| like pagerank's."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import hits_scores
+
+    n = 25_000
+    edges = None
+    for step in (1, 2, 3, 5):
+        e = spark.range(n, numPartitions=8).select(
+            F.col("id").alias("src"), (F.col("id") + step).alias("dst")
+        ).filter(
+            (F.col("dst") < n)
+            & (F.floor(F.col("src") / 25) == F.floor(F.col("dst") / 25))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    out = hits_scores(edges, iterations=5)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("auth"), 3).alias("chk"),
+    )
+
+
+def _adamic_adar_sf(spark, sf_dir):
+    """Adamic-Adar over the full sf support-2 co-purchase graph: wedge
+    fanout Σ deg² under the degree cap, micro-int weights, anti-join of
+    existing edges. Watch that work tracks wedges, not pairs²."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        adamic_adar_links,
+        copurchase_edges,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = copurchase_edges(li, min_shared=2)
+    out = adamic_adar_links(edges, max_degree=1000)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("aa_score"), 3).alias("chk"),
+    )
+
+
+def _rake_sf(spark, sf_dir):
+    """RAKE over the full sf documents table — regex phrase split +
+    word-grain stats + phrase re-aggregation; should track the scan."""
+    return registry.queries()["rake_top_phrases"](spark, sf_dir)
+
+
+def _jsd_sf(spark, sf_dir):
+    """Source-vs-rest JSD over the full sf documents table — one token
+    explode + (group, token)-grain arithmetic."""
+    return registry.queries()["token_jsd_by_source"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -965,6 +1045,12 @@ EXTRAS = {
     "markov_600k": _markov_600k,
     "kneser_ney_sf": _kneser_ney_sf,
     "zorder_600k": _zorder_600k,
+    # r9-family probes: every family lands with telemetry from round one.
+    "kmeans_20k": _kmeans_20k,
+    "hits_100k_edges": _hits_100k_edges,
+    "adamic_adar_sf": _adamic_adar_sf,
+    "rake_sf": _rake_sf,
+    "jsd_sf": _jsd_sf,
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
@@ -982,6 +1068,10 @@ EAGER_EXTRAS = {
     "minhash_pairs_100k_collapsed",
     "lpa_100k_edges",   # per-round localCheckpoint jobs run in the builder
     "markov_600k",      # grid + touch-count collects run in the builder
+    "kmeans_20k",       # per-iteration collects run in the builder
+    "hits_100k_edges",  # per-round localCheckpoint jobs run in the builder
+    "rake_sf",          # bounded top-N collect runs in the builder
+    "jsd_sf",           # bounded per-group collect runs in the builder
 }
 
 # Large scale probes run ONCE (not min-of-2): they exist for the slope
@@ -999,6 +1089,9 @@ SINGLE_RUN_EXTRAS = {
     "decontam_250k",
     "ppjoin_50k",
     "lpa_100k_edges",
+    "kmeans_20k",
+    "hits_100k_edges",
+    "adamic_adar_sf",
 }
 
 
@@ -1036,6 +1129,13 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--skip-extras",
+        action="store_true",
+        help="headline-only run (the sf1 scaling probe uses this: extras "
+        "carry their own fixed-size fixtures and don't scale with the sf "
+        "dir)",
+    )
     ap.add_argument(
         "--runs",
         type=int,
@@ -1093,7 +1193,7 @@ def main() -> None:
     }
 
     extras: dict[str, float] = {}
-    for name, fn in EXTRAS.items():
+    for name, fn in ({} if args.skip_extras else EXTRAS).items():
         runs = []
         for _ in range(1 if name in SINGLE_RUN_EXTRAS else 2):
             gc.collect()

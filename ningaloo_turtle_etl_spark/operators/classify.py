@@ -936,3 +936,328 @@ def woe_iv_report(
     )
     iv = w.agg(F.round(F.sum(F.col("_d") * F.col("woe")), 6).alias("iv"))
     return w.crossJoin(F.broadcast(iv)).drop("_d")
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained distributed and replayed on the
+    SAME corpus, reported as a (actual, predicted, n) confusion grid —
+    the classic bag-of-words language/domain classifier (the
+    train-and-audit loop a labeling pipeline runs before trusting silver
+    labels; in-sample by design, documented: the point is the training
+    aggregation and scoring join, not generalization).
+
+    Training is pure aggregation: class priors from doc counts, Laplace-
+    smoothed token likelihoods ln((c_{k,t}+α)/(n_k+αV)) from one
+    (class, token) count grid. Every log-likelihood and log-prior is
+    quantized ONCE to integer nanos in the model table, so per-document
+    score sums are exact integers and argmax ties break identically
+    everywhere (smallest class label) — the repo's iterative-fit
+    convention applied to a one-shot fit.
+
+    Scale shape: ONE token explode; the model is a (class × vocab) dim
+    (broadcastable); scoring joins each doc-token row to the model at
+    token grain (fanout = tokens × classes) and map-side-combines to a
+    per-(doc, class) sum — document text is read exactly once."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    from pyspark import StorageLevel
+
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col(label_col).cast("string").alias("y"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    tok = base.select("id", "y", F.explode("toks").alias("tk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        classes = tok.select(F.col("y").alias("k")).distinct()
+        vocab = tok.select("tk").distinct()
+        v_n = vocab.count()
+        kt = tok.groupBy(F.col("y").alias("k"), "tk").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        # dense (class x vocab) model grid so unseen (k, t) pairs carry
+        # the alpha-only likelihood
+        grid = classes.crossJoin(vocab).join(kt, on=["k", "tk"], how="left")
+        nk = tok.groupBy(F.col("y").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("nk")
+        )
+        a = float(alpha)
+        model = (
+            grid.join(nk, on="k")
+            .select(
+                "k",
+                "tk",
+                F.round(
+                    F.log(
+                        (F.coalesce("c", F.lit(0)) + F.lit(a))
+                        / (F.col("nk") + F.lit(a) * F.lit(float(v_n)))
+                    )
+                    * F.lit(1e9),
+                    0,
+                )
+                .cast("long")
+                .alias("llm"),
+            )
+        )
+        ndocs = base.count()
+        prior = (
+            base.groupBy(F.col("y").alias("k"))
+            .agg(F.count(F.lit(1)).alias("dk"))
+            .select(
+                "k",
+                F.round(
+                    F.log(F.col("dk") / F.lit(float(ndocs))) * F.lit(1e9), 0
+                )
+                .cast("long")
+                .alias("lpm"),
+            )
+        )
+        scores = (
+            tok.join(F.broadcast(model), on="tk")
+            .groupBy("id", "k")
+            .agg(F.sum("llm").cast("long").alias("sm"))
+            .join(F.broadcast(prior), on="k")
+            .select("id", "k", (F.col("sm") + F.col("lpm")).alias("score"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.desc("score"), F.asc("k")
+        )
+        pred = (
+            scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("k").alias("predicted"))
+        )
+        out = (
+            base.select("id", F.col("y").alias("actual"))
+            .join(pred, on="id")
+            .groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        rows = out.collect()
+    finally:
+        tok.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "actual string, predicted string, n long"
+    ).orderBy("actual", "predicted")
+
+
+def gini_best_splits(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+) -> DataFrame:
+    """Best decision-stump split per numeric feature by weighted Gini
+    impurity — CART's root-node search, run as pure aggregation: for
+    each feature, candidate thresholds are the DISTINCT observed values;
+    cumulative class counts over the sorted value grid give each cut's
+    left/right Gini in one window pass (split rule: x <= threshold goes
+    left). The feature-screening companion to `woe_iv_report` (WOE ranks
+    by evidence, this ranks by achievable single-split purity).
+
+    Determinism: class counts are exact integers; each cut's weighted
+    Gini is a single closed-form expression over those integers, and
+    the per-feature argmin breaks ties on the smaller threshold.
+    Returns one row per feature: (feature, threshold, n_left, n_right,
+    gini_split, gini_root, gain), 6dp.
+
+    Scale shape: one (feature-value, class) aggregate per feature over
+    one scan (the features unpivot map-side); windows run on the
+    distinct-value grid, never raw rows."""
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    y = (F.col(label_col).cast("double") != 0).cast("long")
+    unpivot = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in feats
+                ]
+            )
+        ).alias("fv"),
+        y.alias("y"),
+    ).select(
+        F.col("fv.feature").alias("feature"), F.col("fv.v").alias("v"), "y"
+    ).filter(F.col("v").isNotNull())
+    grid = unpivot.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.partitionBy("feature").orderBy("v")
+    tot = Window.partitionBy("feature")
+    cum = grid.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("pos").over(tot).alias("pt"),
+    ).filter(F.col("nl") < F.col("nt"))  # the last cut splits nothing off
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+
+    # explicit multiplies, not **2: POWER() goes through libm pow while
+    # x*x is an exact IEEE multiply the oracle replays identically
+    def _gini(p, n):
+        a = p / n
+        b = (n - p) / n
+        return F.lit(1.0) - a * a - b * b
+
+    gini_split = (nl / F.col("nt")) * _gini(pl, nl) + (
+        nr / F.col("nt")
+    ) * _gini(pr, nr)
+    gini_root = _gini(F.col("pt"), F.col("nt"))
+    scored = cum.select(
+        "feature",
+        F.col("v").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(gini_split, 6).alias("gini_split"),
+        F.round(gini_root, 6).alias("gini_root"),
+    )
+    pick = Window.partitionBy("feature").orderBy(
+        F.asc("gini_split"), F.asc("threshold")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "n_right",
+            "gini_split",
+            "gini_root",
+            F.round(F.col("gini_root") - F.col("gini_split"), 6).alias(
+                "gain"
+            ),
+        )
+    )
+
+
+def logistic_gd_train(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """DISTRIBUTED logistic-regression training by full-batch gradient
+    descent — the minimal real model-training loop a data engine must
+    support (quality classifiers, fastText-style filters): each of
+    ``iterations`` rounds computes the exact batch gradient
+
+        g_j = Σ_rows (σ(w·x) − y) · x_j
+
+    in ONE map-side-combined aggregate (per-row terms quantized to
+    integer nanos, so the reduce is exact-integer and summation order
+    can never move a weight), then steps w ← w − lr·(g/1e9)/n on the
+    driver. Unlike ``train_hashed_text_model`` (a frozen serving
+    fixture), this TRAINS distributed and replays bit-for-bit in the
+    unrolled DuckDB oracle — the weight trajectory is part of the
+    contract. The 1-ulp exp() cross-engine caveat of the other libm
+    paths applies to the nano quantization (accepted, as elsewhere).
+
+    Returns one row per weight: (feature, weight) — weight 6dp — plus
+    the shared training metrics on every row: train accuracy (sign of
+    the FINAL margin — no libm in the decision) and mean log-loss
+    (nano-quantized per row, exact sum), both 6dp.
+
+    Scale shape: per iteration, ONE corpus scan aggregating to
+    n_features+1 integer cells; driver state is the weight vector.
+    The featurized frame persists across iterations+2 passes and is
+    released before returning (the output is a bounded driver frame)."""
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    names = (["_intercept"] if add_intercept else []) + feats
+    cols = ([F.lit(1.0).alias("_intercept")] if add_intercept else []) + [
+        F.col(c).cast("double").alias(c) for c in feats
+    ]
+    base = df.select(
+        *cols, (F.col(label_col).cast("double") != 0).cast("double").alias("_y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("logistic_gd_train: empty input")
+        w = [0.0] * len(names)
+        for _ in range(int(iterations)):
+            margin = None
+            for j, c in enumerate(names):
+                t = F.lit(w[j]) * F.col(c)
+                margin = t if margin is None else margin + t
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            grads = base.agg(
+                *[
+                    F.sum(
+                        F.round((p - F.col("_y")) * F.col(c) * F.lit(1e9), 0)
+                        .cast("long")
+                    ).alias(f"g{j}")
+                    for j, c in enumerate(names)
+                ]
+            ).collect()[0]
+            w = [
+                w[j] - float(lr) * ((int(grads[f"g{j}"]) / 1e9) / n)
+                for j in range(len(names))
+            ]
+        margin = None
+        for j, c in enumerate(names):
+            t = F.lit(w[j]) * F.col(c)
+            margin = t if margin is None else margin + t
+        # accuracy decides on the margin's SIGN — no libm in the decision
+        correct = (
+            (margin >= 0).cast("double") == F.col("_y")
+        ).cast("long")
+        # log-loss ln(1 + exp(-z)) with z = (2y-1)·margin, nano-quantized
+        z = (F.lit(2.0) * F.col("_y") - F.lit(1.0)) * margin
+        ll = F.round(F.log(F.lit(1.0) + F.exp(-z)) * F.lit(1e9), 0).cast(
+            "long"
+        )
+        m = base.agg(
+            F.sum(correct).alias("nc"), F.sum(ll).alias("lls")
+        ).collect()[0]
+        acc = int(m["nc"]) / n
+        loss = (int(m["lls"]) / 1e9) / n
+    finally:
+        base.unpersist()
+    rows = [(names[j], w[j], acc, loss) for j in range(len(names))]
+    # F.round (HALF_UP), never Python round() (half-to-even) — the
+    # repo-wide cross-engine rounding policy
+    return (
+        df.sparkSession.createDataFrame(
+            rows,
+            "feature string, weight double, train_acc double, "
+            "train_logloss double",
+        )
+        .select(
+            "feature",
+            F.round("weight", 6).alias("weight"),
+            F.round("train_acc", 6).alias("train_acc"),
+            F.round("train_logloss", 6).alias("train_logloss"),
+        )
+        .orderBy("feature")
+    )

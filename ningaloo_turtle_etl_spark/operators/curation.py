@@ -1209,3 +1209,56 @@ def domain_reweight(
         F.round(F.col("mean_loss") - F.col("_bl"), 6).alias("excess_loss"),
         F.round(F.col("_wr") / F.sum("_wr").over(w_all), 6).alias("weight"),
     )
+
+
+def class_diversity_profile(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Composition-diversity profile of each group over a class column —
+    the corpus-mix dashboard row deciding whether a source is a monoculture
+    (one language / one domain) or balanced: Shannon entropy H = −Σ p ln p
+    (nats), its effective class count e^H, Simpson diversity 1 − Σp², and
+    the Herfindahl-Hirschman concentration Σp² (HHI; 1 = monoculture).
+    Complements ``gini_concentration`` (size skew ACROSS groups) — this is
+    skew WITHIN each group's class mix.
+
+    Determinism: class counts are exact integers; each class's entropy /
+    p² term quantizes to integer nanos before the per-group sum (the
+    repo-wide convention), so class-order accumulation is moot.
+    Returns (group, n_rows, n_classes, shannon_h, effective_classes,
+    simpson, hhi), 6dp.
+
+    Scale shape: one map-side-combining aggregate to the (group, class)
+    grid; everything else runs on that grid."""
+    g = F.col(group_col)
+    cell = df.groupBy(
+        g.alias("g"), F.col(class_col).alias("cl")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cell.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") / F.col("n")
+    j = cell.join(F.broadcast(tot), on="g")
+    terms = j.select(
+        "g",
+        "n",
+        F.round(-p * F.log(p) * F.lit(1e9), 0).cast("long").alias("hm"),
+        F.round(p * p * F.lit(1e9), 0).cast("long").alias("sm"),
+    )
+    agg = terms.groupBy("g").agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("hm").cast("long").alias("h_nano"),
+        F.sum("sm").cast("long").alias("s_nano"),
+    )
+    h = F.col("h_nano") / 1e9
+    hhi = F.col("s_nano") / 1e9
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "n_classes",
+        F.round(h, 6).alias("shannon_h"),
+        F.round(F.exp(h), 6).alias("effective_classes"),
+        F.round(F.lit(1.0) - hhi, 6).alias("simpson"),
+        F.round(hhi, 6).alias("hhi"),
+    )

@@ -446,3 +446,181 @@ def label_propagation_communities(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by synchronous power
+    iteration over a DIRECTED edge list: each round,
+
+        auth(v) ← Σ_{u→v} hub(u),   hub(u) ← Σ_{u→v} auth(v),
+
+    each vector sum-normalized after its half-step. PageRank ranks by
+    endorsement flow; HITS separates the two roles a catalog / link graph
+    mixes — parts that ANCHOR baskets (authorities) vs parts that BIND
+    broad baskets together (hubs).
+
+    Determinism across engines (the pagerank integer-micro convention):
+    scores are integer micro-units; raw sums are exact-integer; the
+    sum-normalization requantizes via the exact integer half-up division
+    floor(raw·1e6/total + 1/2) = (2·raw·1e6 + total) div (2·total) — no
+    double division anywhere (2·raw·1e6 exceeds double's 2^53 exact-int
+    range long before it exceeds BIGINT), so the whole fit replays
+    bit-for-bit in the unrolled DuckDB oracle.
+
+    Returns (node, auth, hub), micro/1e6 at 6dp, after ``iterations``
+    full rounds.
+
+    Scale shape: each round is two (rank-vector ⋈ edges → key-grouped
+    exact-integer reduce) passes plus a 1-row broadcast total — identical
+    join geometry to pagerank; localCheckpoint per round keeps lineage
+    O(1). Edges and the node list persist across rounds and release
+    before return."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        hub = nodes.select(
+            "node", F.lit(1_000_000).cast("long").alias("m")
+        )
+        auth = None
+
+        def _half_step(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+            """One HITS half-step: propagate `vec` (node, m) across edges
+            from `key_in` to `key_out`, then integer-renormalize."""
+            summed = (
+                e.join(vec, on=e[key_in] == vec["node"])
+                .groupBy(F.col(key_out).alias("node"))
+                .agg(F.sum("m").cast("long").alias("raw"))
+            )
+            raw = nodes.join(summed, on="node", how="left").select(
+                "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+            )
+            tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+            return (
+                raw.crossJoin(F.broadcast(tot))
+                .select(
+                    "node",
+                    F.expr(
+                        "CASE WHEN tot > 0 THEN"
+                        " (2 * raw * 1000000 + tot) div (2 * tot)"
+                        " ELSE CAST(0 AS BIGINT) END"
+                    ).alias("m"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        for _ in range(int(iterations)):
+            auth = _half_step(hub, "src", "dst")
+            hub = _half_step(auth, "dst", "src")
+        # eager-checkpoint the output BEFORE releasing the inputs so the
+        # returned plan doesn't silently recompute the persisted lineage
+        return (
+            nodes.join(
+                auth.select("node", F.col("m").alias("am")), on="node"
+            )
+            .join(hub.select("node", F.col("m").alias("hm")), on="node")
+            .select(
+                "node",
+                F.round(F.col("am") / 1e6, 6).alias("auth"),
+                F.round(F.col("hm") / 1e6, 6).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for each
+    non-adjacent node pair (a, b), score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    — common neighbors weighted by how SELECTIVE they are (a shared
+    niche neighbor says more than a shared hub). The standard
+    recommendation/completion baseline one rung above raw
+    common-neighbor counts.
+
+    Determinism: each wedge's weight quantizes to integer micros
+    (round(1e6/ln(deg z))) BEFORE the per-pair sum, so summation order
+    can never move a score (the pagerank convention). Existing edges are
+    anti-joined away — the output is PREDICTIONS only:
+    (id_a, id_b, n_common, aa_score), id_a < id_b, score 6dp.
+
+    Scale shape: wedges enumerate at the CENTER node — fanout is
+    Σ deg(z)², hard-bounded by ``max_degree`` (wedge centers above it are
+    dropped; their per-wedge weight ≤ 1/ln(cap) ≈ noise, the same
+    hub-cap rationale as the LSH bucket caps — documented recall caveat:
+    a pair whose ONLY common neighbors are capped hubs scores 0). Degree
+    is one map-side aggregate; everything shuffled is fixed-width."""
+    if max_degree < 2:
+        raise ValueError("max_degree must be >= 2")
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.select("a", "b")
+        .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        # deg >= 2: a one-neighbor center can't form a pair anyway, and
+        # ln(1) = 0 would divide-by-zero under ANSI mode
+        centers = (
+            und.join(
+                deg.filter(
+                    (F.col("deg") >= 2) & (F.col("deg") <= int(max_degree))
+                ),
+                on="a",
+            )
+            .select(
+                F.col("a").alias("z"),
+                F.col("b").alias("nb"),
+                F.round(F.lit(1e6) / F.log(F.col("deg").cast("double")), 0)
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        x = centers.select("z", F.col("nb").alias("id_a"), "w")
+        y = centers.select("z", F.col("nb").alias("id_b"))
+        wedges = x.join(y, on="z").filter(F.col("id_a") < F.col("id_b"))
+        scored = wedges.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("wm"),
+        )
+        existing = und.filter(F.col("a") < F.col("b")).select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b")
+        )
+        out = scored.join(
+            existing, on=["id_a", "id_b"], how="left_anti"
+        ).select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("wm") / 1e6, 6).alias("aa_score"),
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        und.unpersist()

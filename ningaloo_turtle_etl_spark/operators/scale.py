@@ -220,3 +220,55 @@ def zorder_key(cols: Sequence, bits: int = 16):
             bit = F.shiftright(cc.cast("long"), i).bitwiseAND(F.lit(1))
             key = key + (bit * F.lit(1 << (i * k + j)))
     return key
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str,
+    order_cols: Sequence[str],
+    target_size: int,
+) -> DataFrame:
+    """Small-file compaction plan: assign an ordered file inventory to
+    sequential bins of ~``target_size`` bytes by cumulative-size split —
+    the OPTIMIZE/compact planning step every table format needs at scale
+    (a 100 TB table leaking 100 KB files burns its scan throughput on
+    open() calls). Files are packed in ``order_cols`` order (sort by
+    your layout key — e.g. the Z-order key from ``zorder_key`` — so
+    compacted files keep locality and min/max pruning stays tight);
+    bin = floor(cumulative_bytes_before / target), the streaming one-pass
+    rule (bins may overshoot by at most one file; a single file larger
+    than the target gets its own bin).
+
+    Returns one row per bin: (bin, n_files, total_bytes, avg_bytes) plus
+    first/last of the leading order column for plan inspection.
+
+    Scale shape: the inventory is METADATA grain (one row per file —
+    millions of rows for a pathological table, not billions), so the
+    single global ordering window is the honest cost; the plan is then
+    a broadcast-sized dimension the rewrite job joins on."""
+    if target_size < 1:
+        raise ValueError("target_size must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    lead = F.col(order_cols[0])
+    binned = files.withColumn(
+        "bin", F.floor(cum_before / F.lit(int(target_size))).cast("long")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.col(size_col)).cast("long").alias("total_bytes"),
+            F.round(F.avg(F.col(size_col)), 2).alias("avg_bytes"),
+            F.min(lead).alias("first_key"),
+            F.max(lead).alias("last_key"),
+        )
+        .orderBy("bin")
+    )

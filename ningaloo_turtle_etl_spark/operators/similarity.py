@@ -1030,3 +1030,129 @@ def rank_biased_overlap(
             ).alias("rbo"),
         )
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means over an embedding column — the clustering
+    stage a curation pipeline runs before SemDeDup cell dedup, diversity
+    sampling, or IVF index builds. Unlike ``fit_centroids`` (the IVF
+    builder: numpy Lloyd on a bounded driver SAMPLE), this one never
+    samples: every assignment pass scans the full corpus map-side against
+    k broadcast-literal centroids, and every update is one map-side-
+    combined aggregate — the shape that holds at 10^9 vectors, where a
+    sample-fit can misplace small clusters.
+
+    Determinism across engines (the pagerank integer-micro convention):
+    vectors quantize ONCE to integer micro-units (round(x·1e6)); all
+    distances are exact-integer sums of squared micro deltas, so argmin
+    ties break identically everywhere; centroid updates are exact integer
+    per-coordinate sums divided once, re-quantized via floor(s/n + 0.5).
+    Summation order can never move a result — the whole fit replays
+    bit-for-bit in the unrolled DuckDB oracle. Init = the vectors of the
+    k smallest ids (deterministic, resumable); a cluster that goes empty
+    keeps its previous centroid.
+
+    Returns one row per cluster after ``iterations`` update rounds plus a
+    final assignment: (cluster, n_vecs, inertia) — inertia is the summed
+    squared euclidean distance in original units (micro² / 1e12), 6dp.
+
+    Scale shape: per iteration, ONE corpus scan (k distance expressions
+    inlined — no join, no shuffle of vectors) + ONE map-side-combined
+    aggregate to k·(dim+1) cells; driver state is k×dim ints. The
+    quantized frame is persisted across the iterations+1 passes and
+    released before returning (bounded collects only)."""
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    import math
+
+    vm = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
+    )
+    base = corpus.select(F.col(id_col).alias("id"), vm.alias("vm"))
+    if dim is None:
+        first = base.select(F.size("vm").alias("d")).first()
+        if first is None:
+            raise ValueError("kmeans_lloyd: empty corpus")
+        dim = int(first["d"])
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init_rows = base.orderBy("id").limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(
+                f"kmeans_lloyd: k={k} exceeds corpus size {len(init_rows)}"
+            )
+        cents = [list(r["vm"]) for r in init_rows]
+
+        def dist_expr(c):
+            carr = F.array(*[F.lit(int(x)) for x in c])
+            return F.aggregate(
+                F.zip_with(F.col("vm"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        def assign_expr(cs):
+            # struct ordering = (dist, cluster): min is smallest distance,
+            # ties to the smallest cluster index — identical in SQL
+            return F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            dist_expr(c).alias("d"),
+                            F.lit(j).alias("j"),
+                        )
+                        for j, c in enumerate(cs)
+                    ]
+                )
+            )
+
+        for _ in range(int(iterations)):
+            a = base.withColumn("cluster", assign_expr(cents)["j"])
+            sums = (
+                a.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col("vm").getItem(i)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )  # bounded: <= k rows of dim+2 ints
+            got = {
+                int(r["cluster"]): [
+                    int(math.floor(int(r[f"s{i}"]) / int(r["n"]) + 0.5))
+                    for i in range(dim)
+                ]
+                for r in sums
+            }
+            cents = [got.get(j, cents[j]) for j in range(k)]
+
+        final = base.withColumn("a", assign_expr(cents)).select(
+            F.col("a")["j"].alias("cluster"), F.col("a")["d"].alias("d")
+        )
+        out = (
+            final.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.round(F.sum("d") / F.lit(1e12), 6).alias("inertia"),
+            )
+        )
+        # materialize before unpersist: the returned frame must not depend
+        # on the released cache
+        rows = out.collect()
+    finally:
+        base.unpersist()
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        rows, "cluster int, n_vecs long, inertia double"
+    ).orderBy("cluster")

@@ -1084,3 +1084,187 @@ def kneser_ney_bigram_scores(
             F.round(F.avg("nll"), 6).alias("avg_nll"),
         )
     )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency re-estimation over the corpus ``ngram_n``-
+    gram counts: the count-of-counts table N_r (how many distinct types
+    occur exactly r times) and the Turing-adjusted count
+    r* = (r+1)·N_{r+1}/N_r — the smoothing family (Good 1953) under
+    Katz backoff and the sanity check for every LM smoothing choice:
+    if r* ≪ r at small r, the corpus has a heavy unseen tail and
+    unsmoothed MLE counts will overfit. Row r=0 reports the unseen mass
+    p0 = N_1/N (the probability the next token is novel).
+
+    Rows r = 0..``max_r``; N_{r+1} missing → r_star NULL (the classic
+    'smooth N_r before the cliff' caveat, left to the caller).
+    Determinism: everything is exact-integer counts with one final
+    division per row. Returns (r, n_r, r_star, gt_mass), 6dp — gt_mass
+    is N_r·r/N, the raw probability mass sitting at count r.
+
+    Scale shape: one token explode → token-grain count (map-side
+    combine) → count-grain count; the output is ≤ max_r+1 rows."""
+    if max_r < 1 or ngram_n < 1:
+        raise ValueError("max_r and ngram_n must be >= 1")
+    toks = tokens(F.lower(F.col(text_col)))
+    if ngram_n == 1:
+        grams = toks
+    else:
+        grams = F.when(
+            F.size(toks) >= ngram_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - ngram_n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, ngram_n)
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    tok = docs.select(F.explode(grams).alias("tk"))
+    tf = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nr = tf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    from pyspark import StorageLevel
+
+    nr = nr.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        total = nr.agg(
+            F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_total")
+        )
+        nxt = nr.select(
+            (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+        )
+        out = (
+            nr.filter(F.col("r") <= int(max_r))
+            .join(nxt, on="r", how="left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "r",
+                "n_r",
+                F.round(
+                    (F.col("r") + 1) * F.col("n_r1") / F.col("n_r"), 6
+                ).alias("r_star"),
+                F.round(
+                    F.col("r") * F.col("n_r") / F.col("n_total"), 6
+                ).alias("gt_mass"),
+            )
+        )
+        one = nr.filter(F.col("r") == 1).select(F.col("n_r").alias("n1"))
+        zero = (
+            one.crossJoin(total)
+            .select(
+                F.lit(0).cast("long").alias("r"),
+                F.lit(0).cast("long").alias("n_r"),
+                F.round(F.col("n1") / F.col("n_total"), 6).alias("r_star"),
+                F.round(F.col("n1") / F.col("n_total"), 6).alias("gt_mass"),
+            )
+        )
+        result = zero.unionByName(out).orderBy("r")
+        rows = result.collect()
+    finally:
+        nr.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "r long, n_r long, r_star double, gt_mass double"
+    ).orderBy("r")
+
+
+RAKE_STOPWORDS: tuple[str, ...] = ENGLISH_STOPWORDS + (
+    "as", "at", "by", "an", "be", "or", "are", "with", "from", "this",
+    "but", "not", "had", "has", "have", "were", "which", "their", "they",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the whole corpus:
+    candidate phrases are maximal stopword-free token runs (text split
+    at stopwords and punctuation); each word scores degree/frequency
+    (degree = Σ length of phrases containing it — co-occurrence reach;
+    frequency = how often it appears in candidates), and a phrase scores
+    the sum of its word scores — favoring multi-word technical phrases
+    over frequent single words. The corpus-level keyword surfacer that
+    needs no training, the classic complement to TF-IDF's per-doc terms.
+
+    Phrases longer than ``max_phrase_len`` words are dropped (RAKE's
+    run-on guard). Scoring is in integer micro-units: word score =
+    round(1e6·deg/freq), phrase score = exact-integer sum — the usual
+    cross-engine convention. Returns the ``top_n`` phrases by
+    (score desc, phrase): (phrase, n_occurrences, n_words, rake_score).
+
+    Scale shape: phrase splitting is one regex pass per document
+    (map-only); word stats aggregate at word grain with map-side
+    combine; the phrase-score join explodes phrases to words and
+    re-aggregates at phrase grain — all fixed-width after the explode;
+    TakeOrdered serves the final top-N."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    stop_pat = "|".join(RAKE_STOPWORDS)
+    # split at punctuation OR standalone stopwords (case-insensitive)
+    delim = rf"(?i)([^a-z0-9\s]+|\b(?:{stop_pat})\b)"
+    phrases = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), delim, "|"), r"\|")
+        ).alias("p")
+    ).select(F.trim(F.regexp_replace("p", r"\s+", " ")).alias("phrase"))
+    phrases = phrases.filter(F.col("phrase") != "").withColumn(
+        "words", F.split("phrase", " ")
+    ).withColumn("n_words", F.size("words")).filter(
+        F.col("n_words") <= int(max_phrase_len)
+    )
+    from pyspark import StorageLevel
+
+    phrases = phrases.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wstats = (
+            phrases.select(
+                F.explode("words").alias("w"), F.col("n_words").alias("plen")
+            )
+            .groupBy("w")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum("plen").cast("long").alias("deg"),
+            )
+            .withColumn(
+                "wscore",
+                F.round(F.lit(1e6) * F.col("deg") / F.col("freq"), 0).cast(
+                    "long"
+                ),
+            )
+        )
+        pgrid = phrases.groupBy("phrase").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("n_words").alias("n_words"),
+        )
+        pw = pgrid.select(
+            "phrase", F.posexplode(F.split("phrase", " ")).alias("pos", "w")
+        )
+        scored = (
+            pw.join(wstats.select("w", "wscore"), on="w")
+            .groupBy("phrase")
+            .agg(F.sum("wscore").cast("long").alias("sm"))
+        )
+        out = (
+            pgrid.join(scored, on="phrase")
+            .select(
+                "phrase",
+                "n_occurrences",
+                "n_words",
+                F.round(F.col("sm") / 1e6, 6).alias("rake_score"),
+            )
+            .orderBy(F.desc("rake_score"), F.asc("phrase"))
+            .limit(int(top_n))
+        )
+        rows = out.collect()
+    finally:
+        phrases.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "phrase string, n_occurrences long, n_words int, rake_score double",
+    ).orderBy(F.desc("rake_score"), F.asc("phrase"))

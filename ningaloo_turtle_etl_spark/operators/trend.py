@@ -2041,3 +2041,323 @@ def msprt_two_sample(
         F.round(p, 6).alias("p_always_valid"),
         (p < F.lit(float(alpha))).alias("rejected"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per group over an already-
+    aggregated time series (one row per (group, time)): the
+    nonparametric S statistic
+
+        S = Σ_{i<j} sign(x_j − x_i),
+
+    its tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)] / 18, and the continuity-corrected normal score
+    z = (S∓1)/√Var(S). The distribution-free companion to the
+    Theil-Sen slope (`theil_sen_trend`): Theil-Sen answers "how steep",
+    MK answers "is the monotone trend real" without normality or
+    linearity assumptions — the standard pairing for drift monitoring.
+
+    Determinism: S and the tie term are exact integers from sign
+    comparisons; Var and z are then single-expression double math (and
+    IEEE sqrt is correctly rounded), so there is no summation-order
+    exposure. Returns (group, n_points, s_stat, var_s, z), 6dp.
+
+    Scale shape: the pairwise self-join runs on the AGGREGATED
+    (group, time) grain — for daily series that is days²/2 fixed-width
+    rows per group, never raw events; tie counts are one more pass on
+    the same grain. Aggregate the fact table to the series grain
+    upstream (one map-side-combining pass)."""
+    g = F.col(group_col)
+    base = df.select(
+        g.alias("g"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    a = base.select("g", F.col("t").alias("ti"), F.col("x").alias("xi"))
+    b = base.select("g", F.col("t").alias("tj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, on="g")
+        .filter(F.col("ti") < F.col("tj"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.signum(F.col("xj") - F.col("xi")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+        .filter(F.col("tp") > 1)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    joined = (
+        n.join(s, on="g")
+        .join(ties, on="g", how="left")
+        .withColumn("tie_term", F.coalesce("tie_term", F.lit(0)))
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_points"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def nelson_aalen_hazard(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_flag_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group:
+    Ĥ(t) = Σ_{t_i ≤ t} d_i / n_i over the distinct event times, where
+    d_i = events at t_i and n_i = subjects still at risk (not yet
+    evented and not yet censored). The hazard-scale complement of the
+    Kaplan-Meier survival curve (`kaplan_meier_conversion`): KM
+    multiplies survival factors, NA sums hazard increments — the
+    estimator a retention/conversion dashboard wants when comparing
+    hazard SLOPES (constant slope = exponential; bends = aging effects).
+
+    Input grain: one row per subject with its observed time and a 1/0
+    event flag (0 = right-censored at that time). Determinism: d and n
+    are exact integers; each increment d/n is integer-micro-quantized
+    (round(1e6·d/n)) before the cumulative sum, so the running total is
+    an exact-integer window — no float accumulation anywhere. Returns
+    (group, t, n_at_risk, n_events, hazard_step, cum_hazard), 6dp.
+
+    Scale shape: one aggregate to the (group, time) grain, then two
+    group-keyed windows on that grain — the raw subject table is
+    touched exactly once."""
+    g = F.col(group_col)
+    base = df.select(
+        g.alias("g"),
+        F.col(time_col).alias("t"),
+        F.col(event_flag_col).cast("long").alias("ev"),
+    )
+    grid = base.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    # at risk at t = total in group − all observations strictly before t
+    tot = Window.partitionBy("g")
+    at_risk = (
+        F.sum("n_obs").over(tot)
+        - F.coalesce(
+            F.sum("n_obs").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    stepped = grid.withColumn("n_at_risk", at_risk.cast("long")).withColumn(
+        "h_micro",
+        F.round(F.lit(1e6) * F.col("d") / F.col("n_at_risk"), 0).cast("long"),
+    )
+    cum = F.sum("h_micro").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return stepped.select(
+        F.col("g").alias(group_col),
+        "t",
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.round(F.col("h_micro") / 1e6, 6).alias("hazard_step"),
+        F.round(cum / 1e6, 6).alias("cum_hazard"),
+    )
+
+
+def stratified_ipw_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_flag_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Average treatment effect by stratification / inverse-propensity
+    weighting with within-stratum propensities — the observational
+    companion to the randomized-experiment stack (CUPED / DiD / QTE):
+    when treatment assignment correlates with a known confounder, the
+    naive mean difference is biased; estimating e_s = P(treat | stratum)
+    inside each stratum and averaging stratum effects by stratum weight
+    removes the confounding that the strata capture (exactly the Hajek
+    IPW estimator when the propensity model is stratum-saturated).
+
+        ATE = Σ_s (n_s / n) · (ȳ_treat,s − ȳ_control,s)
+
+    Strata with only one arm contribute nothing (no within-stratum
+    contrast) and are reported in ``n_strata_skipped``. Returns ONE row:
+    (n_strata, n_strata_skipped, ate_naive, ate_stratified, confounding
+    bias = naive − stratified), 6dp.
+
+    Scale shape: one map-side-combining aggregate to the
+    (stratum, arm) grain; everything after runs on that tiny grid."""
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(treat_flag_col).cast("int").alias("tr"),
+        F.col(outcome_col).cast("double").alias("y"),
+    )
+    cell = base.groupBy("s", "tr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+    piv = (
+        cell.groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("tr") == 1, F.col("n"))).alias("nt"),
+            F.sum(F.when(F.col("tr") == 1, F.col("sy"))).alias("syt"),
+            F.sum(F.when(F.col("tr") == 0, F.col("n"))).alias("nc"),
+            F.sum(F.when(F.col("tr") == 0, F.col("sy"))).alias("syc"),
+        )
+    )
+    both = F.col("nt").isNotNull() & F.col("nc").isNotNull()
+    eff = F.col("syt") / F.col("nt") - F.col("syc") / F.col("nc")
+    ns = F.coalesce("nt", F.lit(0)) + F.coalesce("nc", F.lit(0))
+    agg = piv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(~both, 1).otherwise(0)).cast("long").alias(
+            "n_strata_skipped"
+        ),
+        F.sum(F.when(both, ns)).alias("n_used"),
+        F.sum(F.when(both, ns * eff)).alias("wsum"),
+        F.sum("syt").alias("ty"),
+        F.sum("nt").alias("tn"),
+        F.sum("syc").alias("cy"),
+        F.sum("nc").alias("cn"),
+    )
+    naive = F.col("ty") / F.col("tn") - F.col("cy") / F.col("cn")
+    strat = F.col("wsum") / F.col("n_used")
+    return agg.select(
+        "n_strata",
+        "n_strata_skipped",
+        F.round(naive, 6).alias("ate_naive"),
+        F.round(strat, 6).alias("ate_stratified"),
+        F.round(naive - strat, 6).alias("confounding_bias"),
+    )
+
+
+def token_js_divergence(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's token distribution vs
+    the REST of the corpus — the bounded, symmetric distribution-drift
+    score ([0, ln 2]) a mixing pipeline uses to rank how idiosyncratic
+    each source is (KL explodes on unshared vocabulary; JSD doesn't,
+    because both sides mix toward m = (p+q)/2):
+
+        JSD(p‖q) = ½ Σ_t [p_t ln(p_t/m_t) + q_t ln(q_t/m_t)].
+
+    Determinism: token counts aggregate exactly; each token's JSD term
+    is quantized to integer NANOS (round(term·1e9)) before the per-group
+    sum, so vocabulary-order accumulation can never move the score.
+    Tokens ABSENT from the group (p=0, q>0) never materialize a
+    (group, token) row, but their total contribution is closed-form —
+    each is ½·q·ln2, so the whole tail is (ln2/2)·(1 − Σ_{t∈group} q_t),
+    computed from the same exact-integer quantized q mass (no row
+    explosion to the full group×vocab grid). Returns
+    (group, n_tokens, vocab, jsd_vs_rest), 6dp.
+
+    Scale shape: ONE token explode feeding a (group, token) count grid;
+    corpus totals derive from that grid (no second scan); the JSD sum
+    runs at (group, token) grain with map-side combine."""
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    g = F.col(group_col)
+    tok = docs.select(
+        g.alias("g"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tk")
+    )
+    gt = tok.groupBy("g", "tk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark import StorageLevel
+
+    gt = gt.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        totals = gt.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+        corpus_tok = gt.groupBy("tk").agg(
+            F.sum("c").cast("long").alias("ct")
+        )
+        corpus_n = gt.agg(F.sum("c").cast("long").alias("nall"))
+        j = (
+            gt.join(corpus_tok, on="tk")
+            .join(F.broadcast(totals), on="g")
+            .crossJoin(F.broadcast(corpus_n))
+        )
+        # p = group dist; q = rest-of-corpus dist (corpus minus the group)
+        p = F.col("c") / F.col("ng")
+        qc = F.col("ct") - F.col("c")
+        qn = F.col("nall") - F.col("ng")
+        q = qc / qn
+        m = (p + q) / F.lit(2.0)
+        term = (
+            F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(qc > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        ) / F.lit(2.0)
+        qm_term = F.when(qc > 0, q).otherwise(F.lit(0.0))
+        out = (
+            j.withColumn(
+                "tm", F.round(term * F.lit(1e9), 0).cast("long")
+            )
+            .withColumn(
+                "qm", F.round(qm_term * F.lit(1e9), 0).cast("long")
+            )
+            .groupBy("g")
+            .agg(
+                F.max("ng").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("vocab"),
+                F.sum("tm").cast("long").alias("jm"),
+                F.sum("qm").cast("long").alias("qmass"),
+            )
+            .select(
+                F.col("g").alias(group_col),
+                "n_tokens",
+                "vocab",
+                # closed-form tail: tokens with p=0 contribute 1/2·q·ln 2
+                # each; their total q-mass is 1 − Σ_{t∈group} q_t
+                F.round(
+                    (
+                        F.col("jm")
+                        + (F.lit(1e9) - F.col("qmass"))
+                        * F.lit(math.log(2.0) / 2.0)
+                    )
+                    / 1e9,
+                    6,
+                ).alias("jsd_vs_rest"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        gt.unpersist()
+    spark = docs.sparkSession
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("vocab", T.LongType()),
+            T.StructField("jsd_vs_rest", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(str(r[0]), r[1], r[2], r[3]) for r in rows], schema
+    )

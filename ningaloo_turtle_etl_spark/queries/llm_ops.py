@@ -4965,3 +4965,650 @@ def ppjoin_jaccard_pairs(spark, sf_dir):
         F.col("doc_id") < 150
     )
     return ppjoin_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd oracle (the pagerank/BPE chaining trick): one
+    assign→sum→recenter CTE triple per iteration. Every number is exact
+    integer micro arithmetic — quantize once, integer squared-distance
+    sums, floor(s/n + 0.5) recentering — so the fit replays bit-for-bit."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (v.vm[i] - c.c[i]) * (v.vm[i] - c.c[i])))"
+    )
+    parts = [
+        f"""
+    vm AS (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vm
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster, vm AS c
+        FROM (SELECT id, vm FROM vm ORDER BY id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    a{t} AS (
+        SELECT id, vm, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY dist, cluster) AS rn
+        FROM (SELECT v.id, v.vm, c.cluster, {d2} AS dist
+              FROM vm v CROSS JOIN c{t - 1} c)
+    ),
+    s{t} AS (
+        SELECT cluster, i, CAST(SUM(vm[i]) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a{t}, range(1, {dim + 1}) t(i)
+        WHERE rn = 1 GROUP BY cluster, i
+    ),
+    c{t} AS (
+        SELECT p.cluster, COALESCE(u.c, p.c) AS c
+        FROM c{t - 1} p LEFT JOIN (
+            SELECT cluster,
+                   list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                        ORDER BY i) AS c
+            FROM s{t} GROUP BY cluster
+        ) u USING (cluster)
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    af AS (
+        SELECT id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY dist, cluster) AS rn
+        FROM (SELECT v.id, c.cluster, {d2} AS dist
+              FROM vm v CROSS JOIN c{iterations} c)
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(dist) AS BIGINT) / 1e12, 6) AS inertia
+    FROM af WHERE rn = 1 GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle_sql(8, 3, 64))
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings table
+    (`operators/similarity.py kmeans_lloyd`, k=8, 3 iterations,
+    smallest-id init): the full-corpus clustering stage SemDeDup /
+    diversity sampling / IVF builds sit on — never sampled, one map-side
+    scan per assignment, one combined aggregate per update, all exact
+    integer micro arithmetic. The oracle unrolls all three
+    assign→sum→recenter rounds into chained CTEs and replays the fit
+    bit-for-bit (reference analog: the reference has no clustering; this
+    is the large-corpus extension its spatial PCNM dedup gestures at,
+    `spatial_modelling.Rmd:196-215`)."""
+    from ningaloo_turtle_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_lloyd(emb, k=8, iterations=3).orderBy("cluster")
+
+
+def _hits_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled HITS oracle: two propagate→total→requantize CTE triples
+    per round, all exact-integer (the (2·raw·1e6 + tot) // (2·tot)
+    half-up division mirrors the operator's `div` exactly)."""
+    parts = [
+        """
+    eo AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS src
+           FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT a.src AS src, b.src AS dst
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.src <> b.src
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes)"""
+    ]
+    for t in range(1, iterations + 1):
+        for tag, kin, kout in (("a", "src", "dst"), ("h", "dst", "src")):
+            prev = f"h{t - 1}" if tag == "a" else f"a{t}"
+            parts.append(
+                f""",
+    {tag}r{t} AS MATERIALIZED (
+        SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+        FROM nodes n LEFT JOIN (
+            SELECT ed.{kout} AS node, CAST(SUM(v.m) AS BIGINT) AS s
+            FROM ed JOIN {prev} v ON ed.{kin} = v.node
+            GROUP BY ed.{kout}
+        ) s ON n.node = s.node
+    ),
+    {tag}t{t} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM {tag}r{t}),
+    {tag}{t} AS MATERIALIZED (
+        SELECT node,
+               CASE WHEN tot > 0
+                    THEN (2 * raw * 1000000 + tot) // (2 * tot)
+                    ELSE CAST(0 AS BIGINT) END AS m
+        FROM {tag}r{t}, {tag}t{t}
+    )"""
+            )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT n.node, ROUND(a.m / 1e6, 6) AS auth, ROUND(h.m / 1e6, 6) AS hub
+    FROM nodes n
+    JOIN a{iterations} a ON n.node = a.node
+    JOIN h{iterations} h ON n.node = h.node
+    ORDER BY n.node"""
+    )
+
+
+@register("hits_copurchase", _hits_oracle_sql(5))
+def hits_copurchase(spark, sf_dir):
+    """HITS hubs & authorities (5 synchronous rounds, integer-micro
+    normalization) over the part co-purchase graph
+    (`operators/graph.py hits_scores`): separates basket ANCHORS
+    (authorities) from basket BINDERS (hubs), the two roles pagerank's
+    single endorsement score mixes. The oracle unrolls all ten
+    half-steps into chained exact-integer CTEs."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        hits_scores,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li)
+    return hits_scores(edges, iterations=5).orderBy("node")
+
+
+@register(
+    "adamic_adar_part_links",
+    """
+    WITH eo AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS src FROM lineitem
+    ),
+    e2 AS MATERIALIZED (
+        SELECT a.src AS a, b.src AS b
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.src <> b.src
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS MATERIALIZED (SELECT DISTINCT a, b FROM e2),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY a),
+    centers AS MATERIALIZED (
+        SELECT und.a AS z, und.b AS nb,
+               CAST(round(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+        FROM und JOIN deg ON und.a = deg.a
+        WHERE deg BETWEEN 2 AND 1000
+    ),
+    scored AS (
+        SELECT x.nb AS id_a, y.nb AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(x.w) AS BIGINT) AS wm
+        FROM centers x JOIN centers y
+          ON x.z = y.z AND x.nb < y.nb
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT s.id_a, s.id_b, s.n_common, s.wm
+        FROM scored s LEFT JOIN und ex
+          ON s.id_a = ex.a AND s.id_b = ex.b
+        WHERE ex.a IS NULL
+    )
+    SELECT id_a, id_b, n_common, ROUND(wm / 1e6, 6) AS aa_score
+    FROM pred ORDER BY aa_score DESC, id_a, id_b LIMIT 200
+    """,
+)
+def adamic_adar_part_links(spark, sf_dir):
+    """Adamic-Adar link prediction over the support-2 part co-purchase
+    graph (`operators/graph.py adamic_adar_links`): the top-200
+    NON-adjacent part pairs most likely to co-occur next, scored by
+    selectivity-weighted common neighbors — wedge weights quantize to
+    integer micros before the per-pair sum, wedge centers are capped at
+    degree 1000."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        adamic_adar_links,
+        copurchase_edges,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li, min_shared=2)
+    return (
+        adamic_adar_links(edges, max_degree=1000)
+        .orderBy(F.desc("aa_score"), "id_a", "id_b")
+        .limit(200)
+    )
+
+
+@register(
+    "good_turing_token_counts",
+    rf"""
+    WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+    tok AS (
+        SELECT unnest(CASE WHEN len(t) >= 3 THEN
+            list_transform(range(1, len(t) - 3 + 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))
+            ELSE []::VARCHAR[] END) AS tk
+        FROM toks
+    ),
+    tf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY tk),
+    nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+    total AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_total FROM nr),
+    body AS (
+        SELECT nr.r, nr.n_r,
+               ROUND((nr.r + 1) * nx.n_r * 1.0 / nr.n_r, 6) AS r_star,
+               ROUND(nr.r * nr.n_r * 1.0 / total.n_total, 6) AS gt_mass
+        FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+        CROSS JOIN total
+        WHERE nr.r <= 10
+    ),
+    zero AS (
+        SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+               ROUND(nr.n_r * 1.0 / total.n_total, 6) AS r_star,
+               ROUND(nr.n_r * 1.0 / total.n_total, 6) AS gt_mass
+        FROM nr CROSS JOIN total WHERE nr.r = 1
+    )
+    SELECT * FROM zero UNION ALL SELECT * FROM body ORDER BY r
+    """,
+)
+def good_turing_token_counts(spark, sf_dir):
+    """Good-Turing count-of-counts re-estimation over the corpus word
+    TRIGRAMS (`operators/text.py good_turing_counts`, n=3, r ≤ 10): the
+    adjusted counts r* = (r+1)N_{r+1}/N_r and the unseen mass N_1/N — the
+    smoothing diagnostic under Katz backoff, all exact-integer until one
+    final division per row. Trigram grain because the synthetic corpus's
+    unigram vocabulary is tiny (31 types, min count 26 at sf0.01 — no GT
+    regime); trigrams have the genuine power-law tail GT exists for."""
+    from ningaloo_turtle_etl_spark.operators.text import good_turing_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    return good_turing_counts(docs, max_r=10, ngram_n=3).orderBy("r")
+
+
+@register(
+    "source_lang_diversity",
+    """
+    WITH cell AS (
+        SELECT source AS g, lang AS cl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY g),
+    terms AS (
+        SELECT cell.g, tot.n,
+               CAST(round(-(cell.c * 1.0 / tot.n)
+                          * ln(cell.c * 1.0 / tot.n) * 1e9) AS BIGINT) AS hm,
+               CAST(round((cell.c * 1.0 / tot.n) * (cell.c * 1.0 / tot.n)
+                          * 1e9) AS BIGINT) AS sm
+        FROM cell JOIN tot USING (g)
+    ),
+    agg AS (
+        SELECT g, MAX(n) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(hm) AS BIGINT) AS h_nano,
+               CAST(SUM(sm) AS BIGINT) AS s_nano
+        FROM terms GROUP BY g
+    )
+    SELECT g AS source, n_rows, n_classes,
+           ROUND(h_nano / 1e9, 6) AS shannon_h,
+           ROUND(exp(h_nano / 1e9), 6) AS effective_classes,
+           ROUND(1.0 - s_nano / 1e9, 6) AS simpson,
+           ROUND(s_nano / 1e9, 6) AS hhi
+    FROM agg ORDER BY source
+    """,
+)
+def source_lang_diversity(spark, sf_dir):
+    """Language-diversity profile per source (`operators/curation.py
+    class_diversity_profile`): Shannon entropy / effective languages /
+    Simpson / HHI of each source's language mix — the corpus-composition
+    dashboard row; per-class terms quantize to integer nanos before the
+    per-group sum."""
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        class_diversity_profile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return class_diversity_profile(docs, "source", "lang").orderBy("source")
+
+
+@register(
+    "compaction_bin_plan",
+    """
+    WITH files AS (
+        SELECT l_returnflag AS rf,
+               CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 2592000)
+                    AS BIGINT) AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) * 200 AS file_bytes
+        FROM lineitem GROUP BY 1, 2
+    ),
+    binned AS (
+        SELECT rf, age_bucket, file_bytes,
+               CAST(floor(COALESCE(SUM(file_bytes) OVER (
+                   ORDER BY rf, age_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 2000000.0) AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(file_bytes), 2) AS avg_bytes,
+           MIN(rf) AS first_key, MAX(rf) AS last_key
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def compaction_bin_plan(spark, sf_dir):
+    """Small-file compaction plan over a synthetic file inventory derived
+    from lineitem's (returnflag, ship-month) cells (`operators/scale.py
+    compaction_bins`, ~2 MB target): the OPTIMIZE-style cumulative-size
+    split that rewrites a long tail of small files into near-target bins
+    while preserving the layout-key order (pairs with
+    zorder_layout_buckets)."""
+    from ningaloo_turtle_etl_spark.operators.scale import compaction_bins
+
+    li = load_table(spark, "lineitem", sf_dir)
+    files = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(
+            F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+            / F.lit(2592000)
+        )
+        .cast("long")
+        .alias("age_bucket"),
+    ).groupBy("rf", "age_bucket").agg(
+        (F.count(F.lit(1)) * 200).cast("long").alias("file_bytes")
+    )
+    return compaction_bins(
+        files, "file_bytes", ["rf", "age_bucket"], target_size=2_000_000
+    )
+
+
+def _rake_oracle_sql(top_n: int = 50, max_len: int = 4) -> str:
+    from ningaloo_turtle_etl_spark.operators.text import RAKE_STOPWORDS
+
+    stop = "|".join(RAKE_STOPWORDS)
+    delim = rf"(?i)([^a-z0-9\s]+|\b(?:{stop})\b)"
+    return rf"""
+    WITH ph0 AS (
+        SELECT unnest(string_split_regex(
+            regexp_replace(lower(text), '{delim}', '|', 'g'), '\|')) AS p
+        FROM documents
+    ),
+    phx AS (
+        SELECT phrase, string_split(phrase, ' ') AS words,
+               len(string_split(phrase, ' ')) AS n_words
+        FROM (SELECT trim(regexp_replace(p, '\s+', ' ', 'g')) AS phrase
+              FROM ph0)
+        WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= {max_len}
+    ),
+    wstats AS (
+        SELECT w,
+               CAST(round(1e6 * SUM(plen) * 1.0 / COUNT(*)) AS BIGINT)
+                   AS wscore
+        FROM (SELECT unnest(words) AS w, n_words AS plen FROM phx)
+        GROUP BY w
+    ),
+    pgrid AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(n_words) AS INT) AS n_words
+        FROM phx GROUP BY phrase
+    ),
+    scored AS (
+        SELECT pw.phrase, CAST(SUM(wstats.wscore) AS BIGINT) AS sm
+        FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+              FROM pgrid) pw
+        JOIN wstats USING (w) GROUP BY pw.phrase
+    )
+    SELECT p.phrase, p.n_occurrences, p.n_words,
+           ROUND(s.sm / 1e6, 6) AS rake_score
+    FROM pgrid p JOIN scored s USING (phrase)
+    ORDER BY rake_score DESC, p.phrase LIMIT {top_n}
+    """
+
+
+@register("rake_top_phrases", _rake_oracle_sql(50, 4))
+def rake_top_phrases(spark, sf_dir):
+    """RAKE keyword extraction over the corpus (`operators/text.py
+    rake_keywords`, top-50, phrases ≤ 4 words): candidate phrases are
+    maximal stopword/punctuation-free runs; words score degree/frequency
+    in integer micros; phrases sum their word scores — the untrained
+    corpus-keyword surfacer complementing TF-IDF's per-doc terms."""
+    from ningaloo_turtle_etl_spark.operators.text import rake_keywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rake_keywords(docs, top_n=50, max_phrase_len=4)
+
+
+@register(
+    "nb_lang_confusion",
+    rf"""
+    WITH base AS (
+        SELECT doc_id AS id, lang AS y, {_TOKENS} AS toks FROM documents
+    ),
+    tok AS (SELECT id, y, unnest(toks) AS tk FROM base),
+    classes AS (SELECT DISTINCT y AS k FROM tok),
+    vocab AS (SELECT DISTINCT tk FROM tok),
+    vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    kt AS (SELECT y AS k, tk, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    nk AS (SELECT y AS k, CAST(COUNT(*) AS BIGINT) AS nk
+           FROM tok GROUP BY 1),
+    model AS (
+        SELECT g.k, g.tk,
+               CAST(round(ln((COALESCE(kt.c, 0) + 1.0)
+                             / (nk.nk + 1.0 * vn.v)) * 1e9) AS BIGINT)
+                   AS llm
+        FROM (SELECT k, tk FROM classes CROSS JOIN vocab) g
+        LEFT JOIN kt ON g.k = kt.k AND g.tk = kt.tk
+        JOIN nk ON g.k = nk.k CROSS JOIN vn
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    prior AS (
+        SELECT y AS k,
+               CAST(round(ln(COUNT(*) * 1.0 / nd.n) * 1e9) AS BIGINT) AS lpm
+        FROM base CROSS JOIN nd GROUP BY y, nd.n
+    ),
+    scores AS (
+        SELECT tok.id, model.k,
+               CAST(SUM(model.llm) AS BIGINT) + ANY_VALUE(prior.lpm)
+                   AS score
+        FROM tok JOIN model ON tok.tk = model.tk
+        JOIN prior ON model.k = prior.k
+        GROUP BY tok.id, model.k
+    ),
+    pred AS (
+        SELECT id, k AS predicted FROM (
+            SELECT id, k,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY score DESC, k) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT base.y AS actual, pred.predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base JOIN pred ON base.id = pred.id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def nb_lang_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained distributed
+    on the corpus and replayed in-sample as an (actual, predicted, n)
+    confusion grid (`operators/classify.py naive_bayes_confusion`,
+    Laplace α=1): priors and smoothed log-likelihoods are one-pass
+    aggregations quantized to integer nanos in the model table, so
+    per-document argmax scores are exact-integer sums — the labeling-
+    pipeline audit loop, fully oracle-replayed."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        naive_bayes_confusion,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return naive_bayes_confusion(docs, "lang").orderBy(
+        "actual", "predicted"
+    )
+
+
+@register(
+    "gini_best_split_features",
+    rf"""
+    WITH feats AS (
+        SELECT CAST(n_chars AS DOUBLE) AS n_chars,
+               CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    unpiv AS (
+        SELECT 'n_chars' AS feature, n_chars AS v, y FROM feats
+        UNION ALL
+        SELECT 'n_tokens', n_tokens, y FROM feats
+    ),
+    grid AS (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM unpiv WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, v,
+               CAST(SUM(n) OVER (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pl,
+               CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+        FROM grid
+    ),
+    scored AS (
+        SELECT feature, v AS threshold, nl AS n_left, nt - nl AS n_right,
+               ROUND((nl * 1.0 / nt) * (1.0 - (pl * 1.0 / nl) * (pl * 1.0 / nl)
+                       - ((nl - pl) * 1.0 / nl) * ((nl - pl) * 1.0 / nl))
+                   + ((nt - nl) * 1.0 / nt)
+                     * (1.0 - ((pt - pl) * 1.0 / (nt - nl))
+                             * ((pt - pl) * 1.0 / (nt - nl))
+                        - ((nt - nl - pt + pl) * 1.0 / (nt - nl))
+                          * ((nt - nl - pt + pl) * 1.0 / (nt - nl))),
+                   6) AS gini_split,
+               ROUND(1.0 - (pt * 1.0 / nt) * (pt * 1.0 / nt)
+                     - ((nt - pt) * 1.0 / nt) * ((nt - pt) * 1.0 / nt),
+                   6) AS gini_root
+        FROM cum WHERE nl < nt
+    )
+    SELECT feature, threshold, n_left, n_right, gini_split, gini_root,
+           ROUND(gini_root - gini_split, 6) AS gain
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+              ORDER BY gini_split, threshold) AS rn FROM scored)
+    WHERE rn = 1 ORDER BY feature
+    """,
+)
+def gini_best_split_features(spark, sf_dir):
+    """CART root-node split search over document features (n_chars,
+    token count) for predicting lang='en' (`operators/classify.py
+    gini_best_splits`): cumulative class counts over each feature's
+    sorted distinct-value grid give every cut's weighted Gini in one
+    window pass; argmin per feature on the ROUNDED impurity with a
+    threshold tiebreak — the single-split purity screen next to
+    woe_iv_source_vs_english."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        gini_best_splits,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(tokens(F.lower(F.col("text")))).cast("double").alias(
+            "n_tokens"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return gini_best_splits(
+        docs, ["n_chars", "n_tokens"], "y"
+    ).orderBy("feature")
+
+
+def _logistic_gd_oracle_sql(iterations: int = 3, lr: float = 0.5) -> str:
+    """Unrolled full-batch gradient-descent oracle: one gradient CTE +
+    one weight CTE per iteration (the pagerank/BPE chaining trick).
+    Per-row gradient terms quantize to integer nanos before the exact-
+    integer SUM, mirroring the operator; the weight step arithmetic is
+    written with identical operation order."""
+    margin = "(w.w0 * _intercept + w.w1 * f_chars + w.w2 * f_tokens)"
+    parts = [
+        rf"""
+    base AS MATERIALIZED (
+        SELECT 1.0 AS _intercept,
+               CAST(n_chars AS DOUBLE) / 1000.0 AS f_chars,
+               CAST(len({_TOKENS}) AS DOUBLE) / 100.0 AS f_tokens,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS _y
+        FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    g{t} AS (
+        SELECT
+            CAST(SUM(CAST(round((p - _y) * _intercept * 1e9) AS BIGINT))
+                 AS BIGINT) AS g0,
+            CAST(SUM(CAST(round((p - _y) * f_chars * 1e9) AS BIGINT))
+                 AS BIGINT) AS g1,
+            CAST(SUM(CAST(round((p - _y) * f_tokens * 1e9) AS BIGINT))
+                 AS BIGINT) AS g2
+        FROM (SELECT base.*,
+                     1.0 / (1.0 + exp(-{margin})) AS p
+              FROM base CROSS JOIN w{t - 1} w)
+    ),
+    w{t} AS (
+        SELECT w.w0 - {lr} * ((g.g0 / 1e9) / nn.n) AS w0,
+               w.w1 - {lr} * ((g.g1 / 1e9) / nn.n) AS w1,
+               w.w2 - {lr} * ((g.g2 / 1e9) / nn.n) AS w2
+        FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    scored AS (
+        SELECT base.*, {margin} AS m
+        FROM base CROSS JOIN w{iterations} w
+    ),
+    metrics AS (
+        SELECT ROUND(SUM(CASE WHEN (CASE WHEN m >= 0 THEN 1.0 ELSE 0.0 END)
+                                    = _y THEN 1 ELSE 0 END) * 1.0
+                     / ANY_VALUE(nn.n), 6) AS train_acc,
+               ROUND((CAST(SUM(CAST(round(
+                   ln(1.0 + exp(-((2.0 * _y - 1.0) * m))) * 1e9) AS BIGINT))
+                   AS BIGINT) / 1e9) / ANY_VALUE(nn.n), 6) AS train_logloss
+        FROM scored CROSS JOIN nn
+    )
+    SELECT f.feature, ROUND(f.weight, 6) AS weight,
+           m.train_acc, m.train_logloss
+    FROM (SELECT '_intercept' AS feature, w0 AS weight FROM w{iterations}
+          UNION ALL SELECT 'f_chars', w1 FROM w{iterations}
+          UNION ALL SELECT 'f_tokens', w2 FROM w{iterations}) f
+    CROSS JOIN metrics m
+    ORDER BY f.feature"""
+    )
+
+
+@register("logistic_gd_weights", _logistic_gd_oracle_sql(3, 0.5))
+def logistic_gd_weights(spark, sf_dir):
+    """Distributed full-batch logistic-regression training on document
+    features (`operators/classify.py logistic_gd_train`, 3 GD rounds,
+    lr=0.5, features: intercept + n_chars/1000 + tokens/100, label
+    lang='en'): each round is ONE map-side-combined gradient aggregate
+    with nano-quantized terms, so the entire weight TRAJECTORY replays
+    bit-for-bit in the unrolled oracle — training as a first-class
+    verified operator, not a frozen fixture (contrast
+    quality_classifier_scores, which serves a frozen model)."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        logistic_gd_train,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("f_chars"),
+        (
+            F.size(tokens(F.lower(F.col("text")))).cast("double")
+            / F.lit(100.0)
+        ).alias("f_tokens"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return logistic_gd_train(
+        docs, ["f_chars", "f_tokens"], "y", iterations=3, lr=0.5
+    )

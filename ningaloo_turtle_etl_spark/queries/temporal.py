@@ -540,3 +540,69 @@ def q_markov_attribution_channels(spark, sf_dir):
     return markov_removal_attribution(
         ev, "user_id", "event_type", "ts", "event_id", "purchase", rounds=12
     ).orderBy("channel")
+
+
+@register(
+    "position_attribution_channels",
+    """
+    WITH conv AS MATERIALIZED (
+        SELECT uid, ct, co FROM (
+            SELECT user_id AS uid, ts AS ct, event_id AS co,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    touches AS MATERIALIZED (
+        SELECT e.user_id AS uid, e.event_type AS ch, e.ts, e.event_id
+        FROM events e JOIN conv ON e.user_id = conv.uid
+        WHERE e.event_type <> 'purchase'
+          AND (e.ts, e.event_id) < (conv.ct, conv.co)
+    ),
+    seq AS (
+        SELECT uid, ch,
+               ROW_NUMBER() OVER (PARTITION BY uid
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY uid) AS n
+        FROM touches
+    ),
+    cr AS (
+        SELECT ch, rn = 1 AS isf, rn = n AS isl,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN 400000
+                    ELSE CAST(round(200000.0 / (n - 2)) AS BIGINT)
+               END AS cm
+        FROM seq
+    ),
+    per AS (
+        SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(CASE WHEN isf THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first,
+               CAST(SUM(CASE WHEN isl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last,
+               CAST(SUM(cm) AS BIGINT) AS cm
+        FROM cr GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cm) AS BIGINT) AS t FROM per)
+    SELECT channel, n_touches, n_first, n_last,
+           ROUND(cm / 1e6, 6) AS credit,
+           ROUND(cm * 1.0 / t, 6) AS credit_share
+    FROM per, tot ORDER BY channel
+    """,
+)
+def q_position_attribution_channels(spark, sf_dir):
+    """U-shaped (40/20/40) position-based attribution over the same
+    journey construction as the Markov query (`operators/temporal.py
+    position_attribution`): first and last touch take 40% each, middles
+    split 20% — the rule-based midpoint between attribution_last_touch
+    and markov_attribution_channels, integer-micro credits so per-channel
+    sums are exact."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        position_attribution,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return position_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase"
+    ).orderBy("channel")

@@ -1577,3 +1577,268 @@ def q_msprt_click_vs_view(spark, sf_dir):
         ev, "event_type", "click", "view", "day", "value",
         sigma=50.0, tau=10.0, alpha=0.05,
     ).orderBy("day")
+
+
+@register(
+    "mann_kendall_daily_counts",
+    """
+    WITH grid AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM grid a JOIN grid b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM grid GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tp
+              FROM grid GROUP BY 1, 2) t
+        WHERE tp > 1 GROUP BY 1
+    ),
+    j AS (
+        SELECT n.event_type, n.n, s.s_stat,
+               COALESCE(ties.tie_term, 0) AS tie_term
+        FROM n JOIN s USING (event_type)
+        LEFT JOIN ties USING (event_type)
+    )
+    SELECT event_type, n AS n_points, s_stat,
+           ROUND((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0, 6) AS var_s,
+           ROUND(CASE
+               WHEN s_stat > 0 THEN (s_stat - 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+               WHEN s_stat < 0 THEN (s_stat + 1)
+                   / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+               ELSE 0.0 END, 6) AS z
+    FROM j ORDER BY event_type
+    """,
+)
+def mann_kendall_daily_counts(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on the daily event-count series
+    per type (`operators/trend.py mann_kendall_trend`): the
+    distribution-free 'is this drift real' companion to the Theil-Sen
+    slope (`theil_sen_daily_counts`) — exact-integer S and tie terms,
+    single-expression variance and continuity-corrected z, no float
+    accumulation anywhere."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import mann_kendall_trend
+
+    raw = load_table(spark, "events", sf_dir)
+    grid = raw.select(
+        "event_type",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return mann_kendall_trend(
+        grid, "event_type", "day", "x"
+    ).orderBy("event_type")
+
+
+@register(
+    "nelson_aalen_daily_conversion",
+    """
+    WITH subj AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) AS t0,
+               CAST(floor(epoch(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END)) / 86400) AS BIGINT)
+                   AS tp,
+               CAST(floor(epoch(MAX(ts)) / 86400) AS BIGINT) AS tlast
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tlast - t0 END AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM subj
+    ),
+    grid AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM spells GROUP BY t
+    ),
+    stepped AS (
+        SELECT t, d,
+               CAST(SUM(n_obs) OVER () -
+                    COALESCE(SUM(n_obs) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM grid
+    ),
+    h AS (
+        SELECT t, n_at_risk, d,
+               CAST(round(1e6 * d / n_at_risk) AS BIGINT) AS hm
+        FROM stepped
+    )
+    SELECT t, n_at_risk, d AS n_events,
+           ROUND(hm / 1e6, 6) AS hazard_step,
+           ROUND(CAST(SUM(hm) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / 1e6, 6) AS cum_hazard
+    FROM h ORDER BY t
+    """,
+)
+def nelson_aalen_daily_conversion(spark, sf_dir):
+    """Nelson-Aalen cumulative conversion hazard in days-since-first-
+    event (`operators/trend.py nelson_aalen_hazard`): each user is a
+    subject, the event is their first purchase, non-purchasers are
+    right-censored at their last activity — the hazard-scale complement
+    of km_conversion_curve, integer-micro exact."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import nelson_aalen_hazard
+
+    raw = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.floor(_epoch_seconds(raw, "ts") / F.lit(86400)).cast("long")
+    per_user = raw.select(
+        "user_id",
+        day.alias("day"),
+        F.when(F.col("event_type") == "purchase", day).alias("pday"),
+    ).groupBy("user_id").agg(
+        F.min("day").alias("t0"),
+        F.min("pday").alias("tp"),
+        F.max("day").alias("tlast"),
+    )
+    spells = per_user.select(
+        F.lit("all").alias("g"),
+        F.when(
+            F.col("tp").isNotNull(), F.col("tp") - F.col("t0")
+        ).otherwise(F.col("tlast") - F.col("t0")).alias("t"),
+        F.col("tp").isNotNull().cast("int").alias("ev"),
+    )
+    return nelson_aalen_hazard(spells, "g", "t", "ev").select(
+        "t", "n_at_risk", "n_events", "hazard_step", "cum_hazard"
+    ).orderBy("t")
+
+
+@register(
+    "ipw_ate_click_vs_view",
+    """
+    WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS s,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS tr,
+               value AS y
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cell AS (
+        SELECT s, tr, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy
+        FROM base GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT s,
+               SUM(CASE WHEN tr = 1 THEN n END) AS nt,
+               SUM(CASE WHEN tr = 1 THEN sy END) AS syt,
+               SUM(CASE WHEN tr = 0 THEN n END) AS nc,
+               SUM(CASE WHEN tr = 0 THEN sy END) AS syc
+        FROM cell GROUP BY s
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CASE WHEN nt IS NULL OR nc IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_strata_skipped,
+               SUM(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL
+                        THEN nt + nc END) AS n_used,
+               SUM(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL
+                        THEN (nt + nc) * (syt / nt - syc / nc) END) AS wsum,
+               SUM(syt) AS ty, SUM(nt) AS tn,
+               SUM(syc) AS cy, SUM(nc) AS cn
+        FROM piv
+    )
+    SELECT n_strata, n_strata_skipped,
+           ROUND(ty / tn - cy / cn, 6) AS ate_naive,
+           ROUND(wsum / n_used, 6) AS ate_stratified,
+           ROUND((ty / tn - cy / cn) - wsum / n_used, 6) AS confounding_bias
+    FROM agg
+    """,
+)
+def ipw_ate_click_vs_view(spark, sf_dir):
+    """Stratified / inverse-propensity ATE of click vs view mean value
+    with day-of-week strata (`operators/trend.py stratified_ipw_ate`):
+    the observational-causal rung of the experimentation stack — CUPED
+    and DiD assume randomized assignment; this is the estimator when
+    assignment correlates with a known confounder (here weekday
+    traffic mix)."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import stratified_ipw_ate
+
+    raw = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = raw.select(
+        (
+            F.floor(_epoch_seconds(raw, "ts") / F.lit(86400)).cast("long")
+            % 7
+        ).alias("s"),
+        (F.col("event_type") == "click").cast("int").alias("tr"),
+        F.col("value").alias("y"),
+    )
+    return stratified_ipw_ate(base, "s", "tr", "y")
+
+
+@register(
+    "token_jsd_by_source",
+    r"""
+    WITH tok AS (
+        SELECT source AS g,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tk
+        FROM documents
+    ),
+    gt AS (SELECT g, tk, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gt GROUP BY g),
+    ct AS (SELECT tk, CAST(SUM(c) AS BIGINT) AS ct FROM gt GROUP BY tk),
+    nall AS (SELECT CAST(SUM(c) AS BIGINT) AS nall FROM gt),
+    terms AS (
+        SELECT gt.g, totals.ng,
+               CAST(round(1e9 * (
+                   CASE WHEN gt.c > 0 THEN (gt.c * 1.0 / totals.ng)
+                       * ln((gt.c * 1.0 / totals.ng) /
+                            (((gt.c * 1.0 / totals.ng) +
+                              ((ct.ct - gt.c) * 1.0 / (nall.nall - totals.ng)))
+                             / 2.0)) ELSE 0.0 END
+                 + CASE WHEN ct.ct - gt.c > 0
+                        THEN ((ct.ct - gt.c) * 1.0 / (nall.nall - totals.ng))
+                       * ln(((ct.ct - gt.c) * 1.0 / (nall.nall - totals.ng)) /
+                            (((gt.c * 1.0 / totals.ng) +
+                              ((ct.ct - gt.c) * 1.0 / (nall.nall - totals.ng)))
+                             / 2.0)) ELSE 0.0 END
+               ) / 2.0) AS BIGINT) AS tm,
+               CAST(round(1e9 * CASE WHEN ct.ct - gt.c > 0
+                   THEN (ct.ct - gt.c) * 1.0 / (nall.nall - totals.ng)
+                   ELSE 0.0 END) AS BIGINT) AS qm
+        FROM gt JOIN ct USING (tk) JOIN totals USING (g) CROSS JOIN nall
+    )
+    SELECT g AS source, MAX(ng) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND((CAST(SUM(tm) AS BIGINT)
+                  + (1e9 - CAST(SUM(qm) AS BIGINT)) * ln(2) / 2.0)
+                 / 1e9, 6) AS jsd_vs_rest
+    FROM terms GROUP BY g ORDER BY g
+    """,
+)
+def token_jsd_by_source(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution vs
+    the rest of the corpus (`operators/trend.py token_js_divergence`):
+    the bounded symmetric drift score for ranking source idiosyncrasy —
+    per-token terms quantize to integer nanos before the sum, and the
+    p=0 tail collapses to the closed-form (ln2/2)·(1 − Σq) correction."""
+    from ningaloo_turtle_etl_spark.operators.trend import token_js_divergence
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_js_divergence(docs, "source").orderBy("source")

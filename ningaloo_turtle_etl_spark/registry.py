@@ -340,6 +340,37 @@ PRIORITY: list[str] = [
     "conformal_coverage_by_source",
     # r07 Johnson-Lindenstrauss projection distortion audit, full oracle
     "jl_distortion_pairs",
+    # r09 distributed Lloyd k-means (integer-micro exact, unrolled oracle)
+    "kmeans_embedding_clusters",
+    # r09 HITS hubs/authorities (integer-micro normalization, unrolled)
+    "hits_copurchase",
+    # r09 Adamic-Adar link prediction (micro-quantized wedge weights)
+    "adamic_adar_part_links",
+    # r09 Mann-Kendall monotone-trend test (exact-integer S + ties)
+    "mann_kendall_daily_counts",
+    # r09 Nelson-Aalen cumulative hazard (integer-micro increments)
+    "nelson_aalen_daily_conversion",
+    # r09 stratified/IPW observational ATE
+    "ipw_ate_click_vs_view",
+    # r09 Jensen-Shannon source drift (nano-quantized terms + closed tail)
+    "token_jsd_by_source",
+    # r09 Good-Turing count-of-counts re-estimation (trigram grain)
+    "good_turing_token_counts",
+    # r09 Shannon/Simpson/HHI composition diversity per source
+    "source_lang_diversity",
+    # r09 small-file compaction bin plan (cumulative-size split)
+    "compaction_bin_plan",
+    # r09 RAKE keyword extraction (micro-int word scores)
+    "rake_top_phrases",
+    # r09 U-shaped position-based attribution (integer-micro credits)
+    "position_attribution_channels",
+    # r09 Naive Bayes train+confusion audit (nano-quantized model table)
+    "nb_lang_confusion",
+    # r09 CART root-split Gini screen (windowed cut search)
+    "gini_best_split_features",
+    # r09 distributed logistic-regression training (full-batch GD,
+    # nano-quantized gradients, bit-exact unrolled oracle)
+    "logistic_gd_weights",
 ]
 
 

@@ -559,3 +559,106 @@ def test_woe_iv_report_hand_values(spark):
     )
     fout = woe_iv_report(flat, "f", "y").collect()
     assert all(abs(r["iv"]) < 0.01 for r in fout)
+
+
+def test_naive_bayes_confusion_separable_corpus(spark):
+    """Perfectly separable vocabularies classify perfectly; a mixed doc
+    with majority-class tokens goes to the majority class (exact-integer
+    argmax, smallest-class tiebreak)."""
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        naive_bayes_confusion,
+    )
+
+    rows = [
+        (1, "en", "hello world hello"),
+        (2, "en", "world hello again"),
+        (3, "de", "hallo welt hallo"),
+        (4, "de", "welt hallo nochmal"),
+        (5, "en", "hello hallo hello"),  # 2 en-ish vs 1 de-ish token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in naive_bayes_confusion(df, "lang").collect()
+    }
+    assert out[("en", "en")] == 3  # incl. the mixed doc
+    assert out[("de", "de")] == 2
+    assert ("en", "de") not in out and ("de", "en") not in out
+    with pytest.raises(ValueError):
+        naive_bayes_confusion(df, "lang", alpha=0.0)
+
+
+def test_gini_best_splits_hand_case(spark):
+    """A feature that separates the classes at x <= 2 must win with
+    gini_split 0 and gain = root impurity; a pure-noise feature gains
+    ~nothing; the perfect split's counts land 2/2."""
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        gini_best_splits,
+    )
+
+    rows = [
+        (1.0, 5.0, 0), (2.0, 9.0, 0),  # class 0 at low good_f
+        (3.0, 5.0, 1), (4.0, 9.0, 1),  # class 1 at high good_f
+    ]
+    df = spark.createDataFrame(rows, "good_f double, noise_f double, y int")
+    out = {
+        r["feature"]: r
+        for r in gini_best_splits(df, ["good_f", "noise_f"], "y").collect()
+    }
+    g = out["good_f"]
+    assert g["threshold"] == 2.0
+    assert g["n_left"] == 2 and g["n_right"] == 2
+    assert g["gini_split"] == 0.0
+    assert g["gini_root"] == 0.5 and g["gain"] == 0.5
+    # noise_f (two values, classes split evenly within each) gains 0
+    assert out["noise_f"]["gain"] == 0.0
+    with pytest.raises(ValueError):
+        gini_best_splits(df, [], "y")
+
+
+def test_logistic_gd_matches_numpy_reference(spark):
+    """The distributed GD trajectory must match an independent numpy
+    replay with the same nano quantization; the learned boundary must
+    separate a separable hand dataset (accuracy 1.0)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        logistic_gd_train,
+    )
+
+    xs = [(-2.0,), (-1.5,), (-1.0,), (1.0,), (1.5,), (2.0,)]
+    ys = [0, 0, 0, 1, 1, 1]
+    df = spark.createDataFrame(
+        [(x[0], y) for x, y in zip(xs, ys)], "x double, y int"
+    )
+    out = {r["feature"]: r for r in logistic_gd_train(
+        df, ["x"], "y", iterations=4, lr=1.0).collect()}
+
+    X = np.array([[1.0, x[0]] for x in xs])
+    Y = np.array(ys, dtype=float)
+    w = np.zeros(2)
+    n = len(ys)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        terms = (p - Y)[:, None] * X * 1e9
+        g = np.array([
+            sum(int(math.floor(t + 0.5)) if t >= 0
+                else -int(math.floor(-t + 0.5)) for t in col)
+            for col in terms.T
+        ])
+        w = w - 1.0 * ((g / 1e9) / n)
+    assert out["_intercept"]["weight"] == pytest.approx(w[0], abs=1e-6)
+    assert out["x"]["weight"] == pytest.approx(w[1], abs=1e-6)
+    assert out["x"]["train_acc"] == 1.0  # separable -> perfect sign split
+    assert out["x"]["train_logloss"] > 0
+    with pytest.raises(ValueError):
+        logistic_gd_train(df, [], "y")
+    with pytest.raises(ValueError):
+        logistic_gd_train(df, ["x"], "y", iterations=0)

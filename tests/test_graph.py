@@ -226,3 +226,77 @@ def test_label_propagation_separates_cliques_cc_cannot(spark):
 
     with _pt.raises(ValueError):
         label_propagation_communities(edges, rounds=0)
+
+
+def test_hits_hand_graph(spark):
+    """Star-ish directed graph: u1,u2,u3 all point at v (v = the
+    authority, the u's = hubs); v points at w. After normalization the
+    authority mass concentrates on v and hub mass on the u's."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (10, 20)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits_scores(edges, iterations=3).collect()}
+    assert set(out) == {1, 2, 3, 10, 20}
+    # v(10) dominates authority; sources have none (no in-edges)
+    assert out[10]["auth"] > out[20]["auth"] > 0
+    assert out[1]["auth"] == out[2]["auth"] == out[3]["auth"] == 0.0
+    # hubs: the u's tie and dominate; the sink (20) has no out-edges
+    assert out[1]["hub"] == out[2]["hub"] == out[3]["hub"]
+    assert out[1]["hub"] > out[10]["hub"] >= 0
+    assert out[20]["hub"] == 0.0
+    # each vector is sum-normalized to ~1 (micro half-up residue only)
+    assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hits_scores(edges, iterations=0)
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path a-z-b plus hub h connected to everything: (a,b) must be
+    predicted via z (weight 1/ln deg(z)) and via h — and AA must weight
+    the selective z ABOVE an equally-shared hub of higher degree;
+    existing edges never appear."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [
+            (1, 100),  # a-z
+            (2, 100),  # b-z
+            (1, 99), (2, 99), (3, 99), (4, 99),  # hub h touches a,b,c,d
+            (3, 4),   # c-d directly connected
+        ],
+        "src long, dst long",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in adamic_adar_links(edges).collect()
+    }
+    # (1,2): common neighbors z (deg 2) and h (deg 4)
+    expect_12 = round(
+        (round(1e6 / math.log(2)) + round(1e6 / math.log(4))) / 1e6, 6
+    )
+    assert out[(1, 2)]["n_common"] == 2
+    assert out[(1, 2)]["aa_score"] == expect_12
+    # (3,4) are ADJACENT -> never predicted
+    assert (3, 4) not in out
+    # (1,3): only the hub in common -> scores below (1,2)
+    assert out[(1, 3)]["aa_score"] < out[(1, 2)]["aa_score"]
+    # degree cap drops the hub as a wedge center: (1,3) disappears,
+    # (1,2) survives via z alone
+    capped = {
+        (r["id_a"], r["id_b"]): r
+        for r in adamic_adar_links(edges, max_degree=3).collect()
+    }
+    assert (1, 3) not in capped
+    assert capped[(1, 2)]["n_common"] == 1
+    assert capped[(1, 2)]["aa_score"] == round(
+        round(1e6 / math.log(2)) / 1e6, 6
+    )

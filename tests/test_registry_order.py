@@ -297,6 +297,22 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "conformal_coverage_by_source",
         # r07 JL projection distortion audit, full oracle
         "jl_distortion_pairs",
+        # r09 additions, all full oracles
+        "kmeans_embedding_clusters",
+        "hits_copurchase",
+        "adamic_adar_part_links",
+        "mann_kendall_daily_counts",
+        "nelson_aalen_daily_conversion",
+        "ipw_ate_click_vs_view",
+        "token_jsd_by_source",
+        "good_turing_token_counts",
+        "source_lang_diversity",
+        "compaction_bin_plan",
+        "rake_top_phrases",
+        "position_attribution_channels",
+        "nb_lang_confusion",
+        "gini_best_split_features",
+        "logistic_gd_weights",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

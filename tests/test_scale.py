@@ -229,3 +229,31 @@ def test_zorder_key_interleave_and_locality(spark):
         zorder_key(["x", "y"], bits=32)
     with _pt.raises(ValueError):
         quantize_minmax("v", 5.0, 5.0)
+
+
+def test_compaction_bins_hand_inventory(spark):
+    """Sequential cumulative-size split: equal files pack to the target;
+    an oversized file takes its own bin; order keys ride along."""
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.scale import compaction_bins
+
+    files = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 1, 5), ("b", 2, 5)],
+        "k string, sub int, bytes long",
+    )
+    out = {r["bin"]: r for r in compaction_bins(
+        files, "bytes", ["k", "sub"], target_size=10).collect()}
+    assert out[0]["n_files"] == 2 and out[0]["total_bytes"] == 10
+    assert out[0]["first_key"] == "a" and out[0]["last_key"] == "a"
+    assert out[1]["n_files"] == 2 and out[1]["first_key"] == "b"
+    big = spark.createDataFrame(
+        [("a", 1, 25), ("b", 1, 5)], "k string, sub int, bytes long"
+    )
+    out2 = {r["bin"]: r for r in compaction_bins(
+        big, "bytes", ["k", "sub"], target_size=10).collect()}
+    # the 25-byte file occupies bin 0 alone; the next starts at bin 2
+    assert out2[0]["n_files"] == 1 and out2[0]["total_bytes"] == 25
+    assert out2[2]["n_files"] == 1 and out2[2]["total_bytes"] == 5
+    with pytest.raises(ValueError):
+        compaction_bins(files, "bytes", ["k"], target_size=0)

@@ -1077,3 +1077,91 @@ def test_pairwise_battles_and_bradley_terry(spark):
         bradley_terry_ratings(bdf, iterations=0)
     with _pt.raises(ValueError):
         bradley_terry_ratings(bdf, max_items=2)
+
+
+def test_mann_kendall_hand_series(spark):
+    """Strictly increasing series: S = n(n-1)/2, Var = n(n-1)(2n+5)/18,
+    z = (S-1)/sqrt(Var); constant series: S = 0, z = 0 (full ties)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import mann_kendall_trend
+
+    rows = [("up", t, float(t)) for t in range(1, 11)]
+    rows += [("flat", t, 7.0) for t in range(1, 11)]
+    rows += [("down", t, float(-t)) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    out = {r["g"]: r for r in mann_kendall_trend(df, "g", "t", "x").collect()}
+    n = 10
+    s = n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert out["up"]["s_stat"] == s
+    assert out["up"]["var_s"] == round(var, 6)
+    assert out["up"]["z"] == round((s - 1) / math.sqrt(var), 6)
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["z"] == 0.0
+    assert out["flat"]["var_s"] == 0.0  # all ties cancel the variance
+    assert out["down"]["s_stat"] == -10
+    assert out["down"]["z"] < 0
+
+
+def test_nelson_aalen_hand_ladder(spark):
+    """5 subjects: events at t=1 (2 of 5) and t=3 (1 of 2), censor at
+    t=2 (1) and t=3 (1): H(1)=2/5, H(3)=2/5+1/2 (the censored t=2 row
+    shrinks the risk set but adds no hazard)."""
+    from ningaloo_turtle_etl_spark.operators.trend import nelson_aalen_hazard
+
+    rows = [
+        ("g", 1, 1), ("g", 1, 1),  # two events at t=1
+        ("g", 2, 0),               # censored at t=2
+        ("g", 3, 1), ("g", 3, 0),  # one event, one censor at t=3
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, ev int")
+    out = {r["t"]: r for r in nelson_aalen_hazard(df, "g", "t", "ev").collect()}
+    assert out[1]["n_at_risk"] == 5 and out[1]["n_events"] == 2
+    assert out[1]["hazard_step"] == 0.4 and out[1]["cum_hazard"] == 0.4
+    assert out[2]["n_at_risk"] == 3 and out[2]["n_events"] == 0
+    assert out[2]["cum_hazard"] == 0.4
+    assert out[3]["n_at_risk"] == 2 and out[3]["n_events"] == 1
+    assert out[3]["hazard_step"] == 0.5 and out[3]["cum_hazard"] == 0.9
+
+
+def test_stratified_ipw_removes_planted_confounding(spark):
+    """Within-stratum effect is exactly 0 but treatment concentrates in
+    the high-outcome stratum: naive ATE = 5, stratified ATE = 0."""
+    from ningaloo_turtle_etl_spark.operators.trend import stratified_ipw_ate
+
+    rows = (
+        [("hi", 1, 10.0)] * 3 + [("hi", 0, 10.0)]
+        + [("lo", 1, 0.0)] + [("lo", 0, 0.0)] * 3
+        + [("solo", 1, 99.0)]  # one-arm stratum: must be skipped
+    )
+    df = spark.createDataFrame(rows, "s string, tr int, y double")
+    out = stratified_ipw_ate(df, "s", "tr", "y").collect()[0]
+    assert out["n_strata"] == 3 and out["n_strata_skipped"] == 1
+    # naive: treat mean (30+0+99)/5 = 25.8, control (10+0)/4 = 2.5
+    assert out["ate_naive"] == round(25.8 - 2.5, 6)
+    assert out["ate_stratified"] == 0.0
+    assert out["confounding_bias"] == out["ate_naive"]
+
+
+def test_class_diversity_profile_hand_cases(spark):
+    """Uniform 2-class group: H = ln2, effective = 2, simpson = hhi =
+    0.5; monoculture: H = 0, effective = 1, hhi = 1."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        class_diversity_profile,
+    )
+
+    rows = [("u", "en"), ("u", "de"), ("u", "en"), ("u", "de"),
+            ("m", "en"), ("m", "en"), ("m", "en")]
+    df = spark.createDataFrame(rows, "g string, lang string")
+    out = {
+        r["g"]: r for r in class_diversity_profile(df, "g", "lang").collect()
+    }
+    assert out["u"]["n_classes"] == 2
+    assert out["u"]["shannon_h"] == round(math.log(2), 6)
+    assert out["u"]["effective_classes"] == 2.0
+    assert out["u"]["simpson"] == 0.5 and out["u"]["hhi"] == 0.5
+    assert out["m"]["shannon_h"] == 0.0
+    assert out["m"]["effective_classes"] == 1.0
+    assert out["m"]["hhi"] == 1.0

@@ -537,3 +537,49 @@ def test_markov_removal_attribution_persists_touches_once(spark):
     assert {r["channel"] for r in out} == {"a", "b"}
     assert calls["persist"] == 1
     assert calls["unpersist"] == 1
+
+
+def test_position_attribution_hand_journeys(spark):
+    """One-touch journey takes 1.0; two-touch 0.5/0.5; four-touch
+    0.4/0.1/0.1/0.4; non-converters and post-conversion touches are
+    excluded."""
+    import datetime as dt
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        position_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, ch, minute):
+        nonlocal eid
+        eid += 1
+        return (u, ch, t0 + dt.timedelta(minutes=minute), eid)
+
+    rows += [ev(1, "a", 1), ev(1, "purchase", 2)]
+    rows += [ev(2, "a", 1), ev(2, "b", 2), ev(2, "purchase", 3)]
+    rows += [ev(3, "a", 1), ev(3, "b", 2), ev(3, "b", 3), ev(3, "c", 4),
+             ev(3, "purchase", 5), ev(3, "a", 6)]  # post-conv 'a' ignored
+    rows += [ev(9, "c", 1), ev(9, "c", 2)]  # non-converter
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r["channel"]: r
+        for r in position_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "purchase"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    # a: 1.0 (solo) + 0.5 (first of two) + 0.4 (first of four) = 1.9
+    assert out["a"]["credit"] == 1.9
+    # b: 0.5 (last of two) + 0.1 + 0.1 (middles of four) = 0.7
+    assert out["b"]["credit"] == 0.7
+    # c: 0.4 (last of four); the non-converter contributes nothing
+    assert out["c"]["credit"] == 0.4
+    assert out["a"]["n_first"] == 3 and out["c"]["n_last"] == 1
+    total = sum(r["credit"] for r in out.values())
+    assert abs(total - 3.0) < 1e-6  # one unit of credit per conversion
+    share_sum = sum(r["credit_share"] for r in out.values())
+    assert abs(share_sum - 1.0) < 1e-5
