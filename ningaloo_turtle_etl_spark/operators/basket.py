@@ -160,3 +160,72 @@ def association_rules(
             conf / (F.col("_sb") / F.col("n_baskets")), ndigits
         ).alias("lift"),
     )
+
+
+def item_cosine_pairs(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Item-item cosine (Ochiai) similarity over binary basket-item
+    incidence — THE classic item-based collaborative-filtering score
+    (Sarwar et al. 2001): cos(i, j) = co(i,j) / √(n_i·n_j) on 0/1
+    vectors, needing only the co-occurrence grid and per-item counts.
+    Complements `assoc_rules_copurchase` (directional confidence/lift)
+    and `adamic_adar_links` (non-adjacent link PREDICTION) with the
+    symmetric similarity RANKING recommenders serve directly.
+
+    Pairs below ``min_co`` shared baskets are dropped (noise floor and
+    the fanout cap — the support threshold every CF system applies);
+    top ``top_n`` by (cosine desc, id_a, id_b). 6dp on the output; the
+    ordering key is the rounded value with id tiebreaks, so the cut is
+    deterministic cross-engine.
+
+    Scale shape: one distinct (basket, item) projection; the pair grid
+    comes from a basket-keyed self-join (fanout per-basket-size², the
+    copurchase_edges bound); counts and the final arithmetic run at
+    item/pair grain. TakeOrdered serves the top-N."""
+    if min_co < 1 or top_n < 1:
+        raise ValueError("min_co and top_n must be >= 1")
+    bi = facts.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    from pyspark import StorageLevel
+
+    bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ni = bi.groupBy(F.col("it").alias("i")).agg(
+            F.count(F.lit(1)).cast("long").alias("ni")
+        )
+        a = bi.select("bk", F.col("it").alias("id_a"))
+        b = bi.select("bk", F.col("it").alias("id_b"))
+        co = (
+            a.join(b, on="bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("co"))
+            .filter(F.col("co") >= F.lit(int(min_co)))
+        )
+        cos = F.col("co") / F.sqrt(
+            F.col("na").cast("double") * F.col("nb").cast("double")
+        )
+        out = (
+            co.join(ni.select(F.col("i").alias("id_a"),
+                              F.col("ni").alias("na")), on="id_a")
+            .join(ni.select(F.col("i").alias("id_b"),
+                            F.col("ni").alias("nb")), on="id_b")
+            .select(
+                "id_a", "id_b", "co",
+                F.round(cos, 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "id_a", "id_b")
+            .limit(int(top_n))
+        )
+        rows = out.collect()
+    finally:
+        bi.unpersist()
+    return facts.sparkSession.createDataFrame(
+        rows, "id_a long, id_b long, co long, cosine double"
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")

@@ -526,3 +526,56 @@ def audience_overlap(
             F.col("n_both") / F.least("n_a", "n_b").cast("double"), 6
         ).alias("overlap_coef"),
     )
+
+
+def moment_profile(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Four-moment distribution profile per group — mean, population
+    variance, skewness g1, excess kurtosis g2 — computed from RAW POWER
+    SUMS (Σx, Σx², Σx³, Σx⁴) with the moment formulas written explicitly:
+    Spark's skewness()/kurtosis() and DuckDB's use DIFFERENT estimator
+    conventions (population g-statistics vs sample G-statistics), so the
+    built-ins can never hash-match; explicit power sums make the formula
+    the contract, identical in both engines.
+
+        m_k = Σ(x−x̄)^k / n  (expanded in power sums),
+        g1 = m3 / m2^1.5,   g2 = m4 / m2² − 3.
+
+    Returns (by..., n, mean, variance, skewness, kurtosis_excess), 6dp.
+    Zero-variance groups report NULL g1/g2 (undefined, both engines).
+
+    Scale shape: one map-side-combining aggregate; the power-sum
+    accumulation is the only pass over the data."""
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - F.lit(3.0) * m * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m * (F.col("s3") / n)
+        + F.lit(6.0) * m * m * (F.col("s2") / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    g1 = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    g2 = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    return agg.select(
+        *by,
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(m2, 6).alias("variance"),
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("kurtosis_excess"),
+    )

@@ -5612,3 +5612,86 @@ def logistic_gd_weights(spark, sf_dir):
     return logistic_gd_train(
         docs, ["f_chars", "f_tokens"], "y", iterations=3, lr=0.5
     )
+
+
+@register(
+    "moment_profile_by_type",
+    """
+    WITH agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s1,
+               SUM(value * value) AS s2,
+               SUM(value * value * value) AS s3,
+               SUM(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+           ROUND(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+               (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * sqrt(s2 / n - (s1 / n) * (s1 / n))) END, 6) AS skewness,
+           ROUND(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+               (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 END, 6)
+               AS kurtosis_excess
+    FROM agg ORDER BY event_type
+    """,
+)
+def moment_profile_by_type(spark, sf_dir):
+    """Four-moment value profile per event type (`operators/relational.py
+    moment_profile`): mean / population variance / skewness g1 / excess
+    kurtosis g2 from raw power sums with the formulas written out —
+    Spark's and DuckDB's built-in skewness()/kurtosis() use different
+    estimator conventions, so the explicit power-sum form IS the
+    cross-engine contract."""
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        moment_profile,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return moment_profile(ev, "value", by=["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "item_cosine_top100",
+    """
+    WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    ni AS (SELECT it AS i, CAST(COUNT(*) AS BIGINT) AS ni
+           FROM bi GROUP BY it),
+    co AS (
+        SELECT a.it AS id_a, b.it AS id_b, CAST(COUNT(*) AS BIGINT) AS co
+        FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT co.id_a, co.id_b, co.co,
+           ROUND(co.co / sqrt(CAST(x.ni AS DOUBLE) * CAST(y.ni AS DOUBLE)),
+                 6) AS cosine
+    FROM co JOIN ni x ON co.id_a = x.i JOIN ni y ON co.id_b = y.i
+    ORDER BY cosine DESC, co.id_a, co.id_b LIMIT 100
+    """,
+)
+def item_cosine_top100(spark, sf_dir):
+    """Top-100 item-item cosine (Ochiai) similarities over the
+    order-part incidence (`operators/basket.py item_cosine_pairs`,
+    min_co=2): the item-based collaborative-filtering ranking —
+    symmetric similarity from the co-occurrence grid and per-item
+    counts only, the serving complement to assoc_rules_copurchase's
+    directional confidence."""
+    from ningaloo_turtle_etl_spark.operators.basket import (
+        item_cosine_pairs,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return item_cosine_pairs(
+        li, "l_orderkey", "l_partkey", min_co=2, top_n=100
+    )

@@ -371,6 +371,11 @@ PRIORITY: list[str] = [
     # r09 distributed logistic-regression training (full-batch GD,
     # nano-quantized gradients, bit-exact unrolled oracle)
     "logistic_gd_weights",
+    # r09 four-moment profile from raw power sums (explicit formulas —
+    # built-in skewness/kurtosis conventions differ across engines)
+    "moment_profile_by_type",
+    # r09 item-item cosine CF ranking (Ochiai over the incidence grid)
+    "item_cosine_top100",
 ]
 
 

@@ -94,3 +94,35 @@ def test_tokenizer_fertility_matches_oracle_and_bounds(spark, duck):
     assert rows and all(r["fertility"] >= 1.0 for r in rows)
     assert all(0.0 < r["chars_per_token"] < 20.0 for r in rows)
     assert_df_matches_oracle(out, duck, os_["tokenizer_fertility"])
+
+
+def test_item_cosine_pairs_hand_case(spark):
+    """cos = co/sqrt(na*nb) on binary incidence: a pair in every shared
+    basket scores 1.0; min_co drops single-co pairs; ranking is
+    deterministic on (rounded cosine, ids)."""
+    import math
+
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.basket import (
+        item_cosine_pairs,
+    )
+
+    rows = [
+        (1, 10), (1, 11),
+        (2, 10), (2, 11),
+        (3, 10), (3, 12),
+        (4, 10), (4, 12),
+        (5, 12), (5, 13),   # (12,13) co=1 -> dropped at min_co=2
+    ]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in item_cosine_pairs(df, "bk", "it", min_co=2).collect()
+    }
+    # 10 in 4 baskets, 11 in 2, co(10,11)=2 -> 2/sqrt(8)
+    assert out[(10, 11)]["cosine"] == round(2 / math.sqrt(8), 6)
+    assert out[(10, 12)]["co"] == 2
+    assert (12, 13) not in out
+    with pytest.raises(ValueError):
+        item_cosine_pairs(df, "bk", "it", min_co=0)

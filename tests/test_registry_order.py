@@ -313,6 +313,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "nb_lang_confusion",
         "gini_best_split_features",
         "logistic_gd_weights",
+        "moment_profile_by_type",
+        "item_cosine_top100",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

@@ -1165,3 +1165,29 @@ def test_class_diversity_profile_hand_cases(spark):
     assert out["m"]["shannon_h"] == 0.0
     assert out["m"]["effective_classes"] == 1.0
     assert out["m"]["hhi"] == 1.0
+
+
+def test_moment_profile_hand_values(spark):
+    """Symmetric data: skewness 0; uniform two-point data: kurtosis
+    excess -2 (the minimum); constant data: variance 0, NULL g1/g2 —
+    all from the explicit power-sum formulas (scipy-population
+    convention)."""
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        moment_profile,
+    )
+
+    rows = (
+        [("sym", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)]
+        + [("two", v) for v in (0.0, 1.0, 0.0, 1.0)]
+        + [("const", 7.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in moment_profile(df, "v", by=["g"]).collect()}
+    assert out["sym"]["mean"] == 3.0
+    assert out["sym"]["variance"] == 2.0
+    assert out["sym"]["skewness"] == 0.0
+    assert out["sym"]["kurtosis_excess"] == -1.3  # uniform 5-point
+    assert out["two"]["kurtosis_excess"] == -2.0
+    assert out["const"]["variance"] == 0.0
+    assert out["const"]["skewness"] is None
+    assert out["const"]["kurtosis_excess"] is None
