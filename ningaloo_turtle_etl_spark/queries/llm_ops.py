@@ -3160,23 +3160,57 @@ def countmin_token_counts(spark, sf_dir):
     )
 
 
-@register(
-    "entity_resolution_clusters",
-    f"""
-    WITH RECURSIVE {_EDIT_CTES},
-    edges AS (
+def _entity_resolution_oracle_sql(rounds: int = 16) -> str:
+    """Unrolled POINTER-JUMPING connected components over the Ed-Join
+    match edges — min-of-neighbors then label ← label(label) per round,
+    exactly the Spark operator's algorithm (`operators/graph.py
+    connected_components`), so after convergence the labels are
+    identical by determinism; ``rounds`` pointer-jumped rounds cover
+    component diameter ~2^rounds, far past any real name graph.
+
+    Replaces the r3 RECURSIVE transitive-closure form, which
+    materialized |cluster|² reach rows — at sf0.1 the synthetic
+    customer names ('Customer#000000123') are all within edit-1 digit
+    flips of each other, the graph collapses toward ONE 15k-member
+    cluster, and the closure hit 225M rows / 33 GB / ~an hour in
+    DuckDB. Pointer jumping is node-grain per round: seconds at any
+    sf (the exact scale lesson SCALING.md teaches for the Spark side,
+    applied to the oracle)."""
+    parts = [
+        f"""
+    {_EDIT_CTES},
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM vpairs
         UNION
         SELECT id_b, id_a FROM vpairs
     ),
-    reach AS (
-        SELECT src AS id, dst AS anc FROM edges
-        UNION
-        SELECT src AS id, src AS anc FROM edges
-        UNION
-        SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.id
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS lbl FROM nodes)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    m{t} AS MATERIALIZED (
+        SELECT n.id,
+               LEAST(l.lbl, COALESCE(nm.nmin, l.lbl)) AS mid
+        FROM nodes n
+        JOIN l{t - 1} l ON n.id = l.id
+        LEFT JOIN (
+            SELECT e.src AS id, MIN(l.lbl) AS nmin
+            FROM edges e JOIN l{t - 1} l ON e.dst = l.id
+            GROUP BY e.src
+        ) nm ON n.id = nm.id
     ),
-    comp AS (SELECT id, MIN(anc) AS cluster_id FROM reach GROUP BY id),
+    l{t} AS MATERIALIZED (
+        SELECT a.id, COALESCE(b.mid, a.mid) AS lbl
+        FROM m{t} a LEFT JOIN m{t} b ON a.mid = b.id
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    comp AS (SELECT id, lbl AS cluster_id FROM l{rounds}),
     sizes AS (
         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
         FROM comp GROUP BY 1
@@ -3187,9 +3221,11 @@ def countmin_token_counts(spark, sf_dir):
     JOIN customer n ON n.c_custkey = c.id
     JOIN customer r ON r.c_custkey = c.cluster_id
     JOIN sizes sz ON sz.cluster_id = c.cluster_id
-    ORDER BY c.cluster_id, member_id
-    """,
-)
+    ORDER BY c.cluster_id, member_id"""
+    )
+
+
+@register("entity_resolution_clusters", _entity_resolution_oracle_sql(16))
 def entity_resolution_clusters(spark, sf_dir):
     """Entity resolution end-to-end: Ed-Join edit-distance blocking over
     customer names (`operators/relational.py edit_similarity_self_join`) →
