@@ -12,7 +12,15 @@ footer cache), then the headline list timed round-robin ``--runs`` times
 small aggregates by design — collect cost is the driver-side constant, not
 the measurement. Min-of-N replaced single-shot in r9: four rounds of
 cross-round deltas were traced to host load, and the idle-wait threshold
-proved unreachable, so min-of-N is the in-artifact noise floor.
+proved unreachable, so min-of-N is the in-artifact noise floor. r10
+extends the same policy to the extras (``--extras-runs``, default 2,
+round-robin, with per-probe spread + min-rep loadavg recorded) — r9's
+single-shot extras shipped phantom 2.4x regressions under ramping load.
+The result JSON is also written to ``--out`` (default BENCH_LAST.json):
+r9's driver artifact was truncated mid-JSON by bounded stdout-tail
+capture, so the file is the authoritative copy. ``--scale-extras`` swaps
+in the 10x SCALE_EXTRAS table (iterative/quadratic-risk families) for
+the sf1 scaling probe.
 """
 
 from __future__ import annotations
@@ -165,9 +173,10 @@ def _simhash_signatures(signature):
 
 
 # Ordered: JVM-only probes before the pandas-UDF-heavy one, so worker-pool
-# spawn can't poison the JVM measurements. Each probe runs twice and reports
-# the min — these are steady-state throughput claims, and first-run worker
-# spawn / codegen costs at this size swamp the signal run-to-run.
+# spawn can't poison the JVM measurements. Probes run round-robin
+# ``--extras-runs`` times and report min + spread + min-rep loadavg —
+# these are steady-state throughput claims, and first-run worker spawn /
+# codegen costs at this size swamp the signal run-to-run.
 def _decontam_50k(spark, sf_dir):
     """Decontamination throughput at 50k docs: word-3-gram explode into a
     broadcast eval vocabulary with map-side partial agg — the corpus-side
@@ -226,21 +235,29 @@ def _bloom_decontam_50k(spark, sf_dir):
     )
 
 
-def _connected_components_100k(spark, sf_dir):
-    """Connected components over 100k nodes in 3,125 diameter-31 chains —
-    the worst case for label propagation. Pointer jumping should close it in
-    ~log2(31) rounds; wall-clock here is iterative join+checkpoint overhead,
-    the cost that dominates CC at any scale."""
-    import pyspark.sql.functions as F
+def _cc_chains_at(n_nodes):
+    """Connected components over n_nodes in diameter-31 chains — the
+    worst case for label propagation. Pointer jumping should close it in
+    ~log2(31) rounds; wall-clock here is iterative join+checkpoint
+    overhead, the cost that dominates CC at any scale."""
 
-    from ningaloo_turtle_etl_spark.operators.graph import connected_components
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    base = spark.range(100_000, numPartitions=8)
-    edges = base.filter((F.col("id") + 1) % 32 != 0).select(
-        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
-    )
-    comp = connected_components(edges)
-    return comp.agg(F.sum("component").alias("chk"), F.count(F.lit(1)).alias("n"))
+        from ningaloo_turtle_etl_spark.operators.graph import (
+            connected_components,
+        )
+
+        base = spark.range(n_nodes, numPartitions=8)
+        edges = base.filter((F.col("id") + 1) % 32 != 0).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        comp = connected_components(edges)
+        return comp.agg(
+            F.sum("component").alias("chk"), F.count(F.lit(1)).alias("n")
+        )
+
+    return run
 
 
 def _dsir_50k(spark, sf_dir):
@@ -666,39 +683,44 @@ def _classifier_eval_sf(spark, sf_dir):
     return classifier_pr_curve(scored, "p", "y")
 
 
-def _fuzzy_clusters_20k(spark, sf_dir):
-    """Fuzzy record linkage at 20k DISTINCT names (the grain the quadratic
-    stage actually runs on — real corpora hang millions of rows off far
-    fewer names): ~1k first-token blocks of ~20 names each, blocked
-    Levenshtein pairing, then connected components on the match edges and
-    the cluster rollup. The number to watch is that wall-clock tracks
-    sum(block²), never names² — and that the CC rounds stay edge-sized."""
-    import pyspark.sql.functions as F
+def _fuzzy_clusters_at(n_names, n_blocks=997):
+    """Fuzzy record linkage at n_names DISTINCT names (the grain the
+    quadratic stage actually runs on — real corpora hang millions of
+    rows off far fewer names): n_blocks first-token blocks of
+    ~n_names/n_blocks names each, blocked Levenshtein pairing, then
+    connected components on the match edges and the cluster rollup. The
+    number to watch is that wall-clock tracks sum(block²), never
+    names² — and that the CC rounds stay edge-sized."""
 
-    from ningaloo_turtle_etl_spark.operators.linkage import (
-        fuzzy_name_clusters,
-    )
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    names = spark.range(20_000, numPartitions=8).select(
-        F.concat(
-            F.lit("blk"),
-            (F.col("id") % 997).cast("string"),
-            F.lit(" entity"),
-            (F.col("id") % 37).cast("string"),
-            F.lit("v"),
-            F.floor(F.col("id") / 997).cast("string"),
-        ).alias("supplier")
-    )
-    out = fuzzy_name_clusters(
-        names,
-        "supplier",
-        lambda name: F.split(name, " ").getItem(0),
-        threshold=0.8,
-    )
-    return out.agg(
-        F.count(F.lit(1)).alias("n_names"),
-        F.sum("cluster_records").alias("chk"),
-    )
+        from ningaloo_turtle_etl_spark.operators.linkage import (
+            fuzzy_name_clusters,
+        )
+
+        names = spark.range(n_names, numPartitions=8).select(
+            F.concat(
+                F.lit("blk"),
+                (F.col("id") % n_blocks).cast("string"),
+                F.lit(" entity"),
+                (F.col("id") % 37).cast("string"),
+                F.lit("v"),
+                F.floor(F.col("id") / n_blocks).cast("string"),
+            ).alias("supplier")
+        )
+        out = fuzzy_name_clusters(
+            names,
+            "supplier",
+            lambda name: F.split(name, " ").getItem(0),
+            threshold=0.8,
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("cluster_records").alias("chk"),
+        )
+
+    return run
 
 
 def _image_ahash_100k(spark, sf_dir):
@@ -765,42 +787,49 @@ def _msprt_daily_600k(spark, sf_dir):
     )
 
 
-def _winnowing_100k(spark, sf_dir):
-    """MOSS winnowing at 100k synthetic ~40-token docs (4M k-grams): docs
-    99000+ reuse the token seeds of docs 0-999, planting 1000 exact-dup
-    pairs in an otherwise-unique corpus — realistic fingerprint collision
-    rates, unlike replicated fixtures whose shared fingerprints send the
-    index join quadratic. Times the in-row array selection (hash + window
-    min) plus the inverted-index containment join."""
-    import pyspark.sql.functions as F
+def _winnowing_at(n_docs):
+    """MOSS winnowing at n_docs synthetic ~40-token docs (40·n_docs
+    k-grams): the top 1% of ids reuse the token seeds of docs 0-999,
+    planting ~1000 exact-dup pairs in an otherwise-unique corpus —
+    realistic fingerprint collision rates, unlike replicated fixtures
+    whose shared fingerprints send the index join quadratic. Times the
+    in-row array selection (hash + window min) plus the inverted-index
+    containment join."""
 
-    from ningaloo_turtle_etl_spark.operators.dedup import (
-        winnowing_containment_pairs,
-    )
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    base = spark.range(100_000, numPartitions=16).select(
-        F.col("id").alias("doc_id"),
-        (F.col("id") % 99_000).alias("_seed"),
-    )
-    words = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(40)),
-            lambda j: F.concat(
-                F.lit("w"),
-                F.pmod(F.xxhash64(F.col("_seed") * 41 + j), F.lit(500_000))
-                .cast("string"),
+        from ningaloo_turtle_etl_spark.operators.dedup import (
+            winnowing_containment_pairs,
+        )
+
+        uniq = n_docs - n_docs // 100  # last 1% echo seeds 0..n/100-1
+        base = spark.range(n_docs, numPartitions=16).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % uniq).alias("_seed"),
+        )
+        words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("_seed") * 41 + j), F.lit(500_000)
+                    ).cast("string"),
+                ),
             ),
-        ),
-    )
-    docs = base.select("doc_id", words.alias("text"))
-    pairs = winnowing_containment_pairs(
-        docs, k=3, window=4, threshold=0.8, max_fp_docs=50
-    )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("containment"), 3).alias("chk"),
-    )
+        )
+        docs = base.select("doc_id", words.alias("text"))
+        pairs = winnowing_containment_pairs(
+            docs, k=3, window=4, threshold=0.8, max_fp_docs=50
+        )
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("containment"), 3).alias("chk"),
+        )
+
+    return run
 
 
 def _wasserstein_600k(spark, sf_dir):
@@ -829,69 +858,89 @@ def _bt_battles_sf(spark, sf_dir):
     return registry.queries()["bt_brand_preference"](spark, sf_dir)
 
 
-def _ppjoin_50k(spark, sf_dir):
-    """PPJoin exact set-similarity self-join at 50k synthetic ~14-token
-    docs (700k token instances over a 400k vocabulary — sparse, the
-    realistic regime), docs 49000+ echoing the token seeds of docs 0-999
-    so 1000 true near-dup pairs exist. Times rarity ranking (one window),
-    the prefix-token candidate join WITH the positional filter, and the
-    exact array-intersect verify. The number to watch is that candidate
-    fanout tracks prefix-bucket sizes, never docs²."""
-    import pyspark.sql.functions as F
+def _ppjoin_at(n_docs, vocab=400_000):
+    """PPJoin exact set-similarity self-join at n_docs synthetic
+    ~14-token docs (14·n_docs token instances over a ``vocab``-token
+    vocabulary — sparse, the realistic regime), the top 2% of ids
+    echoing the token seeds of the first ids so true near-dup pairs
+    exist. Times rarity ranking (one window), the prefix-token candidate
+    join WITH the positional filter, and the exact array-intersect
+    verify. The number to watch is that candidate fanout tracks
+    prefix-bucket sizes, never docs²."""
 
-    from ningaloo_turtle_etl_spark.operators.dedup import ppjoin_pairs
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    base = spark.range(50_000, numPartitions=16).select(
-        F.col("id").alias("doc_id"),
-        (F.col("id") % 49_000).alias("_seed"),
-    )
-    words = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(14)),
-            lambda j: F.concat(
-                F.lit("w"),
-                F.pmod(F.xxhash64(F.col("_seed") * 31 + j), F.lit(400_000))
-                .cast("string"),
+        from ningaloo_turtle_etl_spark.operators.dedup import ppjoin_pairs
+
+        uniq = n_docs - n_docs // 50  # last 2% echo early seeds
+        base = spark.range(n_docs, numPartitions=16).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % uniq).alias("_seed"),
+        )
+        words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(14)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("_seed") * 31 + j), F.lit(vocab)
+                    ).cast("string"),
+                ),
             ),
-        ),
-    )
-    docs = base.select("doc_id", words.alias("text"))
-    pairs = ppjoin_pairs(docs, threshold=0.8)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("jaccard"), 3).alias("chk"),
-    )
+        )
+        docs = base.select("doc_id", words.alias("text"))
+        pairs = ppjoin_pairs(docs, threshold=0.8)
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("jaccard"), 3).alias("chk"),
+        )
+
+    return run
 
 
-def _lpa_100k_edges(spark, sf_dir):
-    """Synchronous label propagation over 100k edges (25k nodes in 1000
-    planted communities of 25; each node links to +1, +2, +3, +5 within
-    its community): 8 fixed rounds of the neighbor-label argmax. The
-    number to watch is per-round cost staying linear in |E| — the
-    (node, label) frames are localCheckpointed each round so lineage
-    can't compound."""
+def _community_edges(spark, n_nodes):
+    """~4·n_nodes directed edges: n_nodes in communities of 25, each node
+    linking to +1, +2, +3, +5 within its community — the shared graph
+    fixture for the LPA and HITS probes at any scale."""
     import pyspark.sql.functions as F
 
-    from ningaloo_turtle_etl_spark.operators.graph import (
-        label_propagation_communities,
-    )
-
-    n = 25_000
     edges = None
     for step in (1, 2, 3, 5):
-        e = spark.range(n, numPartitions=8).select(
+        e = spark.range(n_nodes, numPartitions=8).select(
             F.col("id").alias("src"), (F.col("id") + step).alias("dst")
         ).filter(
-            (F.col("dst") < n)
+            (F.col("dst") < n_nodes)
             & (F.floor(F.col("src") / 25) == F.floor(F.col("dst") / 25))
         )
         edges = e if edges is None else edges.unionByName(e)
-    comm = label_propagation_communities(edges, rounds=8)
-    return comm.agg(
-        F.countDistinct("community").alias("n_communities"),
-        F.sum("community").alias("chk"),
-    )
+    return edges
+
+
+def _lpa_at(n_nodes):
+    """Synchronous label propagation over ~4·n_nodes edges (planted
+    communities of 25): 8 fixed rounds of the neighbor-label argmax. The
+    number to watch is per-round cost staying linear in |E| — the
+    (node, label) frames are localCheckpointed each round so lineage
+    can't compound."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.graph import (
+            label_propagation_communities,
+        )
+
+        comm = label_propagation_communities(
+            _community_edges(spark, n_nodes), rounds=8
+        )
+        return comm.agg(
+            F.countDistinct("community").alias("n_communities"),
+            F.sum("community").alias("chk"),
+        )
+
+    return run
 
 
 def _markov_600k(spark, sf_dir):
@@ -916,52 +965,57 @@ def _zorder_600k(spark, sf_dir):
     return registry.queries()["zorder_layout_buckets"](spark, sf_dir)
 
 
-def _kmeans_20k(spark, sf_dir):
-    """Distributed Lloyd k-means at 20k 64-dim vectors (sf embeddings
-    replicated with id offsets), k=8 x 3 iterations: times 4 full
-    assignment scans (k inlined distance expressions) + 3 combined
+def _kmeans_at(target):
+    """Distributed Lloyd k-means at ~target 64-dim vectors (sf
+    embeddings replicated with id offsets), k=8 x 3 iterations: times 4
+    full assignment scans (k inlined distance expressions) + 3 combined
     updates. The number to watch is that each pass stays map-side —
     no join, no vector shuffle."""
-    import pyspark.sql.functions as F
 
-    from ningaloo_turtle_etl_spark.operators.similarity import kmeans_lloyd
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    n = emb.count()
-    copies = max(20_000 // max(n, 1), 1)
-    big = emb
-    for i in range(copies - 1):
-        big = big.unionByName(
-            emb.withColumn("vec_id", F.col("vec_id") + F.lit((i + 1) * n))
+        from ningaloo_turtle_etl_spark.operators.similarity import (
+            kmeans_lloyd,
         )
-    return kmeans_lloyd(_spread(big), k=8, iterations=3)
 
-
-def _hits_100k_edges(spark, sf_dir):
-    """HITS at 100k directed edges (the LPA fixture graph): 10
-    half-steps of join+reduce+renormalize with localCheckpoint — the
-    per-round cost should track |E| like pagerank's."""
-    import pyspark.sql.functions as F
-
-    from ningaloo_turtle_etl_spark.operators.graph import hits_scores
-
-    n = 25_000
-    edges = None
-    for step in (1, 2, 3, 5):
-        e = spark.range(n, numPartitions=8).select(
-            F.col("id").alias("src"), (F.col("id") + step).alias("dst")
-        ).filter(
-            (F.col("dst") < n)
-            & (F.floor(F.col("src") / 25) == F.floor(F.col("dst") / 25))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
         )
-        edges = e if edges is None else edges.unionByName(e)
-    out = hits_scores(edges, iterations=5)
-    return out.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("auth"), 3).alias("chk"),
-    )
+        n = emb.count()
+        copies = max(target // max(n, 1), 1)
+        big = emb
+        for i in range(copies - 1):
+            big = big.unionByName(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
+                )
+            )
+        return kmeans_lloyd(_spread(big), k=8, iterations=3)
+
+    return run
+
+
+def _hits_at(n_nodes, iterations=5):
+    """HITS over the community-graph fixture (~4·n_nodes edges):
+    ``iterations`` full auth/hub rounds of join+reduce with ONE fused
+    normalization per round — the per-round cost should track |E| like
+    pagerank's."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.graph import hits_scores
+
+        out = hits_scores(
+            _community_edges(spark, n_nodes), iterations=iterations
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("auth"), 3).alias("chk"),
+        )
+
+    return run
 
 
 def _adamic_adar_sf(spark, sf_dir):
@@ -1006,7 +1060,7 @@ EXTRAS = {
     "decontam_50k": _decontam_50k,
     "dsir_50k": _dsir_50k,
     "bloom_decontam_50k": _bloom_decontam_50k,
-    "connected_components_100k": _connected_components_100k,
+    "connected_components_100k": _cc_chains_at(100_000),
     "spatial_tag_regions_10x": _spatial_10x("udf"),
     "spatial_tag_regions_expr_10x": _spatial_10x("expr"),
     "winsorize_6m_exact": _winsorize_6m(True),
@@ -1029,28 +1083,46 @@ EXTRAS = {
     "audience_overlap_600k": _audience_overlap_600k,
     "classifier_eval_sf": _classifier_eval_sf,
     # r7-family probes (VERDICT r7 item 4): linkage, image LSH, mSPRT.
-    "fuzzy_clusters_20k": _fuzzy_clusters_20k,
+    "fuzzy_clusters_20k": _fuzzy_clusters_at(20_000),
     "image_ahash_100k": _image_ahash_100k,
     "msprt_daily_600k": _msprt_daily_600k,
     # r8-family probes: winnowing, W1 drift, BLEU, digest, Bradley-Terry.
-    "winnowing_100k": _winnowing_100k,
+    "winnowing_100k": _winnowing_at(100_000),
     "wasserstein_600k": _wasserstein_600k,
     "bleu_rouge_sf": _bleu_rouge_sf,
     "digest_600k": _digest_600k,
     "bt_battles_sf": _bt_battles_sf,
     # Second-batch r8-family probes (VERDICT r8 item 1): PPJoin, LPA,
     # Markov attribution, Kneser-Ney, Z-order.
-    "ppjoin_50k": _ppjoin_50k,
-    "lpa_100k_edges": _lpa_100k_edges,
+    "ppjoin_50k": _ppjoin_at(50_000),
+    "lpa_100k_edges": _lpa_at(25_000),
     "markov_600k": _markov_600k,
     "kneser_ney_sf": _kneser_ney_sf,
     "zorder_600k": _zorder_600k,
     # r9-family probes: every family lands with telemetry from round one.
-    "kmeans_20k": _kmeans_20k,
-    "hits_100k_edges": _hits_100k_edges,
+    "kmeans_20k": _kmeans_at(20_000),
+    "hits_100k_edges": _hits_at(25_000),
     "adamic_adar_sf": _adamic_adar_sf,
     "rake_sf": _rake_sf,
     "jsd_sf": _jsd_sf,
+}
+
+# 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
+# item 2): the failure class that only appears at scale — superlinear
+# candidate growth, per-round overhead amplification, lineage compounding.
+# Run via --scale-extras (single-shot by design; these are multi-minute
+# probes whose signal is the 10x SLOPE vs the same-named EXTRAS anchor).
+# Fixture scaling matches how real corpora grow: ppjoin's vocabulary and
+# fuzzy linkage's block count scale WITH the rows (constant density /
+# block size), not frozen at the small-probe values.
+SCALE_EXTRAS = {
+    "hits_1m_edges": _hits_at(250_000),
+    "lpa_1m_edges": _lpa_at(250_000),
+    "ppjoin_500k": _ppjoin_at(500_000, vocab=4_000_000),
+    "winnowing_1m": _winnowing_at(1_000_000),
+    "kmeans_200k": _kmeans_at(200_000),
+    "fuzzy_clusters_200k": _fuzzy_clusters_at(200_000, n_blocks=9973),
+    "connected_components_1m": _cc_chains_at(1_000_000),
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative
@@ -1072,26 +1144,12 @@ EAGER_EXTRAS = {
     "hits_100k_edges",  # per-round localCheckpoint jobs run in the builder
     "rake_sf",          # bounded top-N collect runs in the builder
     "jsd_sf",           # bounded per-group collect runs in the builder
-}
-
-# Large scale probes run ONCE (not min-of-2): they exist for the slope
-# between the paired sizes, and a second multi-10s run would double bench
-# wall-clock for no extra signal.
-SINGLE_RUN_EXTRAS = {
-    "fuzzy_clusters_20k",
-    "image_ahash_100k",
-    "winnowing_100k",
-    "substring_removal_10x",
-    "minhash_pairs_20k",
-    "minhash_pairs_100k",
-    "minhash_pairs_100k_collapsed",
-    "simhash_sig_250k",
-    "decontam_250k",
-    "ppjoin_50k",
-    "lpa_100k_edges",
-    "kmeans_20k",
-    "hits_100k_edges",
-    "adamic_adar_sf",
+    # --scale-extras twins of the eager probes above
+    "lpa_1m_edges",
+    "hits_1m_edges",
+    "kmeans_200k",
+    "fuzzy_clusters_200k",
+    "connected_components_1m",
 }
 
 
@@ -1145,8 +1203,33 @@ def main() -> None:
         "running — the 0.5 idle threshold is unreachable on this host, so "
         "min-of-N IS the idle-approximation mechanism)",
     )
+    ap.add_argument(
+        "--extras-runs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_EXTRAS_RUNS", "2")),
+        help="extras repetitions, round-robin like the headline; each "
+        "probe reports min-of-N + spread + the loadavg its min was "
+        "measured under (single-shot extras shipped phantom 2.4x "
+        "regressions in r9 when loadavg ramped to 8.8 mid-sequence)",
+    )
+    ap.add_argument(
+        "--scale-extras",
+        action="store_true",
+        help="run the 10x SCALE_EXTRAS table instead of EXTRAS (the sf1 "
+        "probe for the iterative/quadratic-risk families); combine with "
+        "--extras-runs 1 — these are multi-minute probes whose signal is "
+        "the slope vs the same-family EXTRAS anchor",
+    )
+    ap.add_argument(
+        "--out",
+        default=os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"),
+        help="also write the result JSON to this file (the driver's "
+        "bounded stdout-tail capture truncated r9's artifact mid-JSON; "
+        "the file is the authoritative copy). '-' disables.",
+    )
     args = ap.parse_args()
     n_runs = max(1, args.runs)
+    n_extras_runs = max(1, args.extras_runs)
 
     idle_waited = _wait_for_idle()
     spark = get_spark("ningaloo-bench")
@@ -1192,12 +1275,23 @@ def main() -> None:
         name: round(max(ts) - min(ts), 3) for name, ts in raw.items()
     }
 
-    extras: dict[str, float] = {}
-    for name, fn in ({} if args.skip_extras else EXTRAS).items():
-        runs = []
-        for _ in range(1 if name in SINGLE_RUN_EXTRAS else 2):
+    # Extras: round-robin min-of-N like the headline (r9 item 1) — a load
+    # spike contaminates one rep of each probe, not every rep of one probe.
+    # Each probe also records the 1-min loadavg its MIN rep started under,
+    # so a contaminated artifact is self-describing.
+    if args.scale_extras:
+        extras_table = SCALE_EXTRAS
+    elif args.skip_extras:
+        extras_table = {}
+    else:
+        extras_table = EXTRAS
+    ex_raw: dict[str, list[float]] = {n: [] for n in extras_table}
+    ex_loads: dict[str, list[float]] = {n: [] for n in extras_table}
+    for _ in range(n_extras_runs):
+        for name, fn in extras_table.items():
             gc.collect()
             spark._jvm.System.gc()
+            ex_loads[name].append(os.getloadavg()[0])
             if name in EAGER_EXTRAS:
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).collect()
@@ -1205,8 +1299,15 @@ def main() -> None:
                 df = fn(spark, SF_DIR)
                 t0 = time.perf_counter()
                 df.collect()
-            runs.append(time.perf_counter() - t0)
-        extras[name] = round(min(runs), 3)
+            ex_raw[name].append(time.perf_counter() - t0)
+    extras = {n: round(min(ts), 3) for n, ts in ex_raw.items()}
+    extras_spread = {
+        n: round(max(ts) - min(ts), 3) for n, ts in ex_raw.items()
+    }
+    extras_loadavg = {
+        n: round(ex_loads[n][ts.index(min(ts))], 2)
+        for n, ts in ex_raw.items()
+    }
 
     # Canary: re-time the first headline query warm at the very end. A
     # canary far above its headline number means the host got busier while
@@ -1219,26 +1320,32 @@ def main() -> None:
     canary = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "extras": extras,
-                "env": {
-                    "loadavg_start": round(load_start, 2),
-                    "loadavg_end": round(os.getloadavg()[0], 2),
-                    "canary_pricing_summary_end": canary,
-                    "idle_waited_sec": idle_waited,
-                    "headline_runs": n_runs,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spread,
+        "extras": extras,
+        "extras_spread": extras_spread,
+        "extras_loadavg": extras_loadavg,
+        "env": {
+            "loadavg_start": round(load_start, 2),
+            "loadavg_end": round(os.getloadavg()[0], 2),
+            "canary_pricing_summary_end": canary,
+            "idle_waited_sec": idle_waited,
+            "headline_runs": n_runs,
+            "extras_runs": n_extras_runs,
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    if args.out and args.out != "-":
+        # File first, stdout second: the file survives even if the
+        # consumer's stdout capture truncates (r9's BENCH artifact did).
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 

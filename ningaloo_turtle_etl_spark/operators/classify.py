@@ -1038,9 +1038,24 @@ def naive_bayes_confusion(
             .filter(F.col("_rn") == 1)
             .select("id", F.col("k").alias("predicted"))
         )
+        # Token-less docs produce no score rows (they never reach the
+        # token join) but ARE counted in the priors — score them by the
+        # prior-only argmax (same tie-break: largest prior, smallest
+        # class label) so sum(n) over the grid equals the doc count.
+        empty_pred = (
+            base.filter(F.size("toks") == 0)
+            .select("id")
+            .crossJoin(
+                F.broadcast(
+                    prior.orderBy(F.desc("lpm"), F.asc("k"))
+                    .limit(1)
+                    .select(F.col("k").alias("predicted"))
+                )
+            )
+        )
         out = (
             base.select("id", F.col("y").alias("actual"))
-            .join(pred, on="id")
+            .join(pred.unionByName(empty_pred), on="id")
             .groupBy("actual", "predicted")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )

@@ -1841,6 +1841,20 @@ def winnowing_containment_pairs(
     )
 
 
+def _rationalize_threshold(t: float, max_den: int = 1_000_000) -> tuple[int, int]:
+    """Recover the intended exact rational num/den from a float
+    threshold (0.9 → (9, 10)). Any decimal threshold with ≤6 fractional
+    digits round-trips exactly: the float is within 2⁻⁵³ of the intended
+    rational and distinct rationals with den ≤ 10⁶ are ≥ 10⁻¹² apart,
+    so ``limit_denominator`` lands on the intended one. Keeping den
+    bounded also keeps every integer gate (num·n, den·(na+nb), …)
+    far inside long range at corpus-scale set sizes."""
+    from fractions import Fraction
+
+    fr = Fraction(t).limit_denominator(max_den)
+    return fr.numerator, fr.denominator
+
+
 def _ppjoin_candidates(
     sets: DataFrame,
     t: float,
@@ -1852,8 +1866,19 @@ def _ppjoin_candidates(
     gate, and (by default) the positional filter. Exposed separately so
     tests can assert the positional filter's candidate-count win without
     touching the verified output; ``positional=False`` is the test-only
-    A/B switch."""
+    A/B switch.
+
+    All threshold gates use EXACT integer arithmetic: ``t`` is
+    rationalized to num/den (recovering the intended decimal from the
+    float, e.g. 0.9 → 9/10) and every ceil-of-float bound is rewritten
+    as an integer inequality via ``ceil(a/b) <= c ⇔ a <= b*c``. The
+    former float path pruned true boundary pairs — e.g. t=0.9 with a
+    9-token subset of a 10-token set: ceil(0.9*(9+10)/1.9) evaluated as
+    ceil(9.000000000000002)=10 while the true overlap floor is 9 —
+    silently violating the EXACT completeness contract."""
     from pyspark.sql.window import Window
+
+    num, den = _rationalize_threshold(t)
 
     tok = sets.select("id", "n", F.explode("s").alias("tk"))
     freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_f"))
@@ -1861,10 +1886,12 @@ def _ppjoin_candidates(
     ranked = tok.join(freq, on="tk").withColumn(
         "_rn", F.row_number().over(w)
     )
-    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("_rn") <= plen).select(
-        "id", "n", "tk", "_rn"
-    )
+    # _rn <= n - ceil(t*n) + 1  ⇔  ceil(num*n/den) <= n - _rn + 1
+    #                           ⇔  num*n <= den*(n - _rn + 1)
+    prefix = ranked.filter(
+        F.lit(num) * F.col("n")
+        <= F.lit(den) * (F.col("n") - F.col("_rn") + F.lit(1))
+    ).select("id", "n", "tk", "_rn")
     if max_token_docs is not None:
         if max_token_docs < 1:
             raise ValueError("max_token_docs must be >= 1")
@@ -1887,21 +1914,26 @@ def _ppjoin_candidates(
         F.col("_rn").alias("pb"),
         "tk",
     )
-    # overlap floor α equivalent to Jaccard ≥ t at sizes (na, nb)
-    alpha = F.ceil(F.lit(t) * (F.col("na") + F.col("nb")) / F.lit(1.0 + t))
+    # Overlap floor α = ceil(t*(na+nb)/(1+t)) with t = num/den:
+    # t/(1+t) = num/(den+num), so α = ceil(num*(na+nb)/(den+num)) and
+    # ubound >= α  ⇔  num*(na+nb) <= (den+num)*ubound — exact integers.
     ubound = F.lit(1) + F.least(
         F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
     )
     cand = (
         a.join(b, on="tk")
         .filter(F.col("id_a") < F.col("id_b"))
+        # nb >= t*na ⇔ den*nb >= num*na; nb <= na/t ⇔ num*nb <= den*na
         .filter(
-            (F.col("nb") >= F.lit(t) * F.col("na"))
-            & (F.col("nb") <= F.col("na") / F.lit(t))
+            (F.lit(den) * F.col("nb") >= F.lit(num) * F.col("na"))
+            & (F.lit(num) * F.col("nb") <= F.lit(den) * F.col("na"))
         )
     )
     if positional:
-        cand = cand.filter(ubound >= alpha)
+        cand = cand.filter(
+            F.lit(num) * (F.col("na") + F.col("nb"))
+            <= F.lit(den + num) * ubound
+        )
     return cand.select("id_a", "id_b").distinct()
 
 
@@ -1969,11 +2001,14 @@ def ppjoin_pairs(
                      F.col("n").alias("na"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"),
                      F.col("n").alias("nb"))
+    num, den = _rationalize_threshold(t)
     inter = F.size(F.array_intersect("sa", "sb"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    union = F.col("na") + F.col("nb") - inter
+    jac = inter / union
+    # jac >= t exactly: inter/union >= num/den ⇔ den*inter >= num*union
     return (
         cand.join(sa, on="id_a")
         .join(sb, on="id_b")
-        .filter(jac >= F.lit(t))
+        .filter(F.lit(den) * inter >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -506,19 +506,22 @@ def hits_scores(
             END of each full round checkpoints (the hub): the auth
             half-step is consumed exactly once by the hub step that
             follows, so materializing it separately just doubles the
-            job/checkpoint count — measured 13.7 s → the per-round form
-            at 100k edges (bench `hits_100k_edges`); plan depth stays
-            O(1) because each round starts from a checkpointed hub."""
+            job/checkpoint count; plan depth stays O(1) because each
+            round starts from a checkpointed hub. The vector stays SPARSE
+            through the loop — nodes with no contribution are simply
+            absent (raw=0 → m=0: absent rows add nothing to the total,
+            propagate nothing, and requantize to 0), so the per-half-step
+            zero-fill join the r9 form carried was 2 shuffles/round of
+            pure overhead (A/B: 13.7 s → 6.4 s warm at 100k edges, bench
+            `hits_100k_edges`); the zero rows materialize once in the
+            output join instead."""
             summed = (
                 e.join(vec, on=e[key_in] == vec["node"])
                 .groupBy(F.col(key_out).alias("node"))
                 .agg(F.sum("m").cast("long").alias("raw"))
             )
-            raw = nodes.join(summed, on="node", how="left").select(
-                "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
-            )
-            tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
-            out = raw.crossJoin(F.broadcast(tot)).select(
+            tot = summed.agg(F.sum("raw").cast("long").alias("tot"))
+            out = summed.crossJoin(F.broadcast(tot)).select(
                 "node",
                 F.expr(
                     "CASE WHEN tot > 0 THEN"
@@ -535,16 +538,24 @@ def hits_scores(
             auth = _half_step(hub, "src", "dst", checkpoint=(i == last))
             hub = _half_step(auth, "dst", "src", checkpoint=True)
         # eager-checkpoint the output BEFORE releasing the inputs so the
-        # returned plan doesn't silently recompute the persisted lineage
+        # returned plan doesn't silently recompute the persisted lineage;
+        # left joins + coalesce zero-fill the nodes the sparse vectors
+        # never reached (sinks' hub, sources' auth).
         return (
             nodes.join(
-                auth.select("node", F.col("m").alias("am")), on="node"
+                auth.select("node", F.col("m").alias("am")),
+                on="node",
+                how="left",
             )
-            .join(hub.select("node", F.col("m").alias("hm")), on="node")
+            .join(
+                hub.select("node", F.col("m").alias("hm")),
+                on="node",
+                how="left",
+            )
             .select(
                 "node",
-                F.round(F.col("am") / 1e6, 6).alias("auth"),
-                F.round(F.col("hm") / 1e6, 6).alias("hub"),
+                F.round(F.coalesce("am", F.lit(0)) / 1e6, 6).alias("auth"),
+                F.round(F.coalesce("hm", F.lit(0)) / 1e6, 6).alias("hub"),
             )
             .localCheckpoint(eager=True)
         )

@@ -544,29 +544,44 @@ def moment_profile(
         m_k = Σ(x−x̄)^k / n  (expanded in power sums),
         g1 = m3 / m2^1.5,   g2 = m4 / m2² − 3.
 
+    Determinism (repo convention): each per-row power term quantizes to
+    a fixed integer grid BEFORE summation — x at 1e-9, x² at 1e-6, x³ at
+    1e-3, x⁴ at 1 (per-power scales keep the scaled terms integral-
+    double-exact) — and the integer terms sum as DECIMAL(38,0), so the
+    accumulation is order-independent, cancellation-free, and overflow-
+    free at corpus scale (raw double power sums are summation-order-
+    dependent: a last-ulp difference could flip a 6dp boundary between
+    engines).
+
     Returns (by..., n, mean, variance, skewness, kurtosis_excess), 6dp.
     Zero-variance groups report NULL g1/g2 (undefined, both engines).
 
     Scale shape: one map-side-combining aggregate; the power-sum
     accumulation is the only pass over the data."""
     x = F.col(value_col).cast("double")
+
+    def _q(term, scale: float):
+        return F.round(term * F.lit(scale), 0).cast("decimal(38,0)")
+
     agg = df.groupBy(*[F.col(c) for c in by]).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x).alias("s1"),
-        F.sum(x * x).alias("s2"),
-        F.sum(x * x * x).alias("s3"),
-        F.sum(x * x * x * x).alias("s4"),
+        F.sum(_q(x, 1e9)).alias("q1"),
+        F.sum(_q(x * x, 1e6)).alias("q2"),
+        F.sum(_q(x * x * x, 1e3)).alias("q3"),
+        F.sum(_q(x * x * x * x, 1e0)).alias("q4"),
     )
     n = F.col("n").cast("double")
-    m = F.col("s1") / n
-    m2 = F.col("s2") / n - m * m
-    m3 = F.col("s3") / n - F.lit(3.0) * m * (F.col("s2") / n) + F.lit(
-        2.0
-    ) * m * m * m
+    s1 = F.col("q1").cast("double") / F.lit(1e9)
+    s2 = F.col("q2").cast("double") / F.lit(1e6)
+    s3 = F.col("q3").cast("double") / F.lit(1e3)
+    s4 = F.col("q4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
     m4 = (
-        F.col("s4") / n
-        - F.lit(4.0) * m * (F.col("s3") / n)
-        + F.lit(6.0) * m * m * (F.col("s2") / n)
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
         - F.lit(3.0) * m * m * m * m
     )
     g1 = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))

@@ -734,7 +734,19 @@ def markov_removal_attribution(
         .unionByName(no_touch_conv)
     )
     grid = edges.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
-    rows = grid.collect()  # bounded: <= (channels+2)^2
+    # Both bounded collects run inside try/finally so an exception in
+    # either cannot leak the MEMORY_AND_DISK cache for the session
+    # lifetime (repo convention, cf. rake_keywords / kmeans_lloyd).
+    try:
+        rows = grid.collect()  # bounded: <= (channels+2)^2
+        touch_counts = {
+            r["ch"]: r["n"]
+            for r in touches.groupBy("ch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        touches.unpersist()
     from collections import defaultdict
 
     out_n: dict = defaultdict(int)
@@ -789,13 +801,6 @@ def markov_removal_attribution(
         pc = absorb(c)
         effects[c] = (1.0 - pc / base_cv) if base_cv > 0 else 0.0
     pos_sum = sum(e for e in effects.values() if e > 0)
-    touch_counts = {
-        r["ch"]: r["n"]
-        for r in touches.groupBy("ch")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    touches.unpersist()
     spark = events.sparkSession
     out_rows = [
         (

@@ -2065,7 +2065,9 @@ def mann_kendall_trend(
     Determinism: S and the tie term are exact integers from sign
     comparisons; Var and z are then single-expression double math (and
     IEEE sqrt is correctly rounded), so there is no summation-order
-    exposure. Returns (group, n_points, s_stat, var_s, z), 6dp.
+    exposure. Singleton groups (one (group, time) point → no pairs) are
+    reported with s=0, var_s=0, z=0 rather than dropped. Returns
+    (group, n_points, s_stat, var_s, z), 6dp.
 
     Scale shape: the pairwise self-join runs on the AGGREGATED
     (group, time) grain — for daily series that is days²/2 fixed-width
@@ -2104,8 +2106,13 @@ def mann_kendall_trend(
             .alias("tie_term")
         )
     )
+    # LEFT join `s`: a singleton group (one (group, time) point) yields
+    # no i<j pairs, so an inner join would silently drop it; report it
+    # with s=0, var_s=0, z=0 instead (z's s_stat=0 branch already
+    # handles the 0/0 case).
     joined = (
-        n.join(s, on="g")
+        n.join(s, on="g", how="left")
+        .withColumn("s_stat", F.coalesce("s_stat", F.lit(0)))
         .join(ties, on="g", how="left")
         .withColumn("tie_term", F.coalesce("tie_term", F.lit(0)))
     )

@@ -5452,9 +5452,20 @@ def rake_top_phrases(spark, sf_dir):
                                       ORDER BY score DESC, k) AS rn
             FROM scores
         ) WHERE rn = 1
+    ),
+    empty_pred AS (
+        -- token-less docs: prior-only argmax (same tie-break)
+        SELECT base.id,
+               (SELECT k FROM prior ORDER BY lpm DESC, k LIMIT 1)
+                   AS predicted
+        FROM base WHERE len(toks) = 0
+    ),
+    allpred AS (
+        SELECT * FROM pred UNION ALL SELECT * FROM empty_pred
     )
-    SELECT base.y AS actual, pred.predicted, CAST(COUNT(*) AS BIGINT) AS n
-    FROM base JOIN pred ON base.id = pred.id
+    SELECT base.y AS actual, allpred.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base JOIN allpred ON base.id = allpred.id
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -5655,10 +5666,14 @@ def logistic_gd_weights(spark, sf_dir):
     """
     WITH agg AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(value) AS s1,
-               SUM(value * value) AS s2,
-               SUM(value * value * value) AS s3,
-               SUM(value * value * value * value) AS s4
+               CAST(SUM(CAST(ROUND(value * 1e9, 0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e9 AS s1,
+               CAST(SUM(CAST(ROUND(value * value * 1e6, 0)
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s2,
+               CAST(SUM(CAST(ROUND(value * value * value * 1e3, 0)
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e3 AS s3,
+               CAST(SUM(CAST(ROUND(value * value * value * value, 0)
+                    AS DECIMAL(38,0))) AS DOUBLE) AS s4
         FROM events GROUP BY event_type
     )
     SELECT event_type, n,

@@ -1607,9 +1607,9 @@ def q_msprt_click_vs_view(spark, sf_dir):
         WHERE tp > 1 GROUP BY 1
     ),
     j AS (
-        SELECT n.event_type, n.n, s.s_stat,
+        SELECT n.event_type, n.n, COALESCE(s.s_stat, 0) AS s_stat,
                COALESCE(ties.tie_term, 0) AS tie_term
-        FROM n JOIN s USING (event_type)
+        FROM n LEFT JOIN s USING (event_type)
         LEFT JOIN ties USING (event_type)
     )
     SELECT event_type, n AS n_points, s_stat,

@@ -589,6 +589,22 @@ def test_naive_bayes_confusion_separable_corpus(spark):
     with pytest.raises(ValueError):
         naive_bayes_confusion(df, "lang", alpha=0.0)
 
+    # Token-less docs must NOT vanish from the grid: they carry the
+    # prior-only argmax (4 en vs 3 de docs → prior argmax 'en' for
+    # both empty docs).
+    rows2 = rows + [(6, "en", "   "), (7, "de", "")]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, lang string, text string"
+    )
+    out2 = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in naive_bayes_confusion(df2, "lang").collect()
+    }
+    assert sum(out2.values()) == 7  # every doc accounted for
+    assert out2[("en", "en")] == 4  # 3 token-ful + empty doc 6
+    assert out2[("de", "en")] == 1  # empty doc 7 → prior argmax
+    assert out2[("de", "de")] == 2
+
 
 def test_gini_best_splits_hand_case(spark):
     """A feature that separates the classes at x <= 2 must win with

@@ -2342,6 +2342,47 @@ def test_ppjoin_completeness_vs_bruteforce(spark):
         ppjoin_pairs(df, threshold=0.0)
 
 
+def test_ppjoin_exact_threshold_boundary_pairs(spark):
+    """Regression for the float-ceil boundary bug: a pair at EXACTLY
+    Jaccard = threshold must survive. Under float math, t=0.9 with a
+    9-token subset of a 10-token set computed the overlap floor as
+    ceil(0.9*19/1.9) = ceil(9.000000000000002) = 10 (true floor: 9) and
+    the positional filter silently pruned the true pair. The gates now
+    rationalize t (0.9 → 9/10) and compare in exact integers."""
+    from ningaloo_turtle_etl_spark.operators.dedup import (
+        _rationalize_threshold,
+        ppjoin_pairs,
+    )
+
+    assert _rationalize_threshold(0.9) == (9, 10)
+    assert _rationalize_threshold(0.8) == (4, 5)
+    assert _rationalize_threshold(0.5) == (1, 2)
+    assert _rationalize_threshold(1.0) == (1, 1)
+
+    w9 = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    rows = [
+        (1, w9),                    # 9 tokens
+        (2, w9 + " t10"),           # 10 tokens; jac(1,2) = 9/10 = t
+        (3, "a1 a2 a3 a4 a5 a6 a7 a8"),             # 8 tokens
+        (4, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),      # jac(3,4) = 8/10
+        (5, "b1 b2 b3 b4"),
+        (6, "b1 b2 b3 b4 b5"),      # jac(5,6) = 4/5 = 0.8 exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got09 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, threshold=0.9).collect()
+    }
+    assert got09 == {(1, 2): 0.9}
+
+    got08 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, threshold=0.8).collect()
+    }
+    assert got08 == {(1, 2): 0.9, (3, 4): 0.8, (5, 6): 0.8}
+
+
 def test_ppjoin_positional_filter_prunes_candidates(spark):
     """The Xiao et al. positional filter must (a) strictly shrink the
     candidate set on a corpus where docs share only LATE-prefix tokens,

@@ -1089,6 +1089,7 @@ def test_mann_kendall_hand_series(spark):
     rows = [("up", t, float(t)) for t in range(1, 11)]
     rows += [("flat", t, 7.0) for t in range(1, 11)]
     rows += [("down", t, float(-t)) for t in range(1, 6)]
+    rows += [("lone", 1, 3.0)]  # singleton group: no i<j pairs
     df = spark.createDataFrame(rows, "g string, t int, x double")
     out = {r["g"]: r for r in mann_kendall_trend(df, "g", "t", "x").collect()}
     n = 10
@@ -1101,6 +1102,10 @@ def test_mann_kendall_hand_series(spark):
     assert out["flat"]["var_s"] == 0.0  # all ties cancel the variance
     assert out["down"]["s_stat"] == -10
     assert out["down"]["z"] < 0
+    # Singleton group is REPORTED (n=1, s=0, var=0, z=0), not dropped.
+    assert out["lone"]["n_points"] == 1
+    assert out["lone"]["s_stat"] == 0
+    assert out["lone"]["var_s"] == 0.0 and out["lone"]["z"] == 0.0
 
 
 def test_nelson_aalen_hand_ladder(spark):
