@@ -957,6 +957,7 @@ def length_bucket_batches(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_size: int = 8,
+    salt: int = 1,
 ) -> DataFrame:
     """Length-bucketed inference/training batch building: group documents
     into power-of-two token-length buckets, fill fixed-size batches within
@@ -966,16 +967,23 @@ def length_bucket_batches(
     pads ~45x; within a pow2 bucket the worst case is 2x.
 
     Output: one row per batch -- ``(bucket, batch_id, n_docs, max_len,
-    sum_len, pad_frac)`` where pad_frac = 1 - sum_len/(n_docs*max_len).
+    sum_len, pad_frac)`` where pad_frac = 1 - sum_len/(n_docs*max_len);
+    with ``salt > 1`` an extra ``shard`` column precedes ``batch_id``.
 
     Scale shape: token counting is map-only Catalyst; the only shuffle is
     the per-bucket window that assigns batch slots. With only ~7 buckets
-    that window is skew-prone at corpus scale -- shard it by prepending a
-    salt derived from md5(id) to the partition key and renumbering
-    batches per (bucket, salt) shard, which preserves every guarantee
-    except global batch numbering (batch ids become (salt, seq) pairs).
-    The per-batch aggregate then reuses the same partitioning (no second
-    shuffle)."""
+    that window is skew-prone at corpus scale -- ``salt > 1`` shards it:
+    the partition key becomes (bucket, shard) with shard =
+    md5(id) mod salt (deterministic, engine-portable), batches renumber
+    per shard, and every guarantee except GLOBAL batch numbering is
+    preserved (batch ids become (shard, seq) pairs; each batch is still
+    single-bucket, still filled in id order within its shard, padding
+    accounting unchanged). The per-batch aggregate reuses the same
+    partitioning -- no second shuffle; a plan test pins the sharded
+    exchange. salt=1 (default) is the oracle-parity path with byte-
+    identical output to the unsalted form."""
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     from pyspark.sql.window import Window
 
     from ningaloo_turtle_etl_spark.operators.text import tokens
@@ -986,13 +994,28 @@ def length_bucket_batches(
         n_tok.alias("_len"),
         length_bucket(n_tok).alias("bucket"),
     )
-    w = Window.partitionBy("bucket").orderBy(id_col)
+    if salt > 1:
+        sized = sized.withColumn(
+            "shard",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(salt)),
+            ).cast("int"),
+        )
+        keys = ["bucket", "shard"]
+    else:
+        keys = ["bucket"]
+    w = Window.partitionBy(*keys).orderBy(id_col)
     slotted = sized.withColumn(
         "batch_id",
         ((F.row_number().over(w) - 1) / F.lit(int(batch_size))).cast("int"),
     )
     return (
-        slotted.groupBy("bucket", "batch_id")
+        slotted.groupBy(*keys, "batch_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.max("_len").cast("int").alias("max_len"),

@@ -330,3 +330,153 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fused three-tier ANN serving pipeline — IVF cell shortlist →
+    PQ/ADC re-rank → exact squared-L2 final top-k — the shape that
+    actually runs at 10⁹ vectors (each tier cuts the candidate set the
+    next, more exact, more expensive tier scores):
+
+    1. INDEX (map-only over the corpus, built once): every vector gets
+       its IVF cell (argmin of the frozen coarse centroids) and its m
+       PQ tinyint codes. The serving index is (vec_id, cell, code) —
+       ~m+4 bytes/vector; full vectors are only fetched for the final
+       exact stage.
+    2. PROBE: each query finds its ``nprobe`` nearest cells (the same
+       seeded centroid expression), and only corpus rows in probed
+       cells become candidates — an equi-join on cell against the
+       broadcast query set, never a full scan.
+    3. ADC: candidates score as m ``element_at`` lookups into the
+       query's broadcast (m·k_codes) lookup table — no per-vector
+       float math; the per-query ``shortlist`` best survive.
+    4. EXACT: the shortlist joins back to the original vectors BY ID
+       (only shortlist·|Q| vectors are ever materialized) and re-scores
+       exact squared L2; the final ``k`` rank comes from this stage.
+
+    Same determinism contract as the single-tier siblings: cell argmin,
+    PQ codes and ADC sums are left-to-right float folds the DuckDB
+    oracle replays bit-for-bit from the same frozen fixtures
+    (``ivf_centroids`` + ``pq_codebooks``); queries are a small
+    broadcast set by contract (their LUTs are driver-computed, like
+    ``pq_topk``'s).
+
+    Recall shape: the floor is min(IVF recall at ``nprobe``, PQ recall
+    at ``shortlist``) — tests/test_quantize.py pins the measured floor
+    against the brute-force L2 ground truth.
+
+    Returns (query_id, vec_id, distance, rank): exact squared L2, 6dp.
+    """
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _as_double,
+        _nearest_centroids_expr,
+    )
+
+    if k < 1 or nprobe < 1 or shortlist < k:
+        raise ValueError("need k >= 1, nprobe >= 1, shortlist >= k")
+    m, kcodes, d_sub = codebooks.shape
+    spark = corpus.sparkSession
+
+    # 1. serving index: (vec_id, cell, code) — one map-only pass
+    enc = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_centroids_expr(
+            _as_double(F.col(vec_col)), centroids, 1
+        )[0].alias("cell"),
+        pq_encode_expr(vec_col, codebooks).alias("code"),
+    )
+
+    # 2. probed cells per query (Spark-side: the same fold order as the
+    # corpus assignment, so oracle parity holds; explode_outer per the
+    # InferFiltersFromGenerate note on ivf_index_topk)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    qcells = q.withColumn(
+        "cell",
+        F.explode_outer(
+            _nearest_centroids_expr(F.col("qv"), centroids, nprobe)
+        ),
+    ).select("query_id", "cell")
+
+    # 3. driver-side ADC lookup tables (numpy's per-subvector sums are
+    # sequential at d_sub <= 8 — same floats as the oracle's chains)
+    q_rows = q.collect()
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"])
+        subs = qv.reshape(m, d_sub)
+        lut = ((subs[:, None, :] - codebooks) ** 2).sum(-1)  # (m, k)
+        luts.append((r["query_id"], [float(x) for x in lut.ravel()]))
+    lut_df = spark.createDataFrame(luts, "query_id long, lut array<double>")
+
+    adc = sum(
+        (
+            F.element_at(
+                F.col("lut"),
+                F.lit(i * kcodes + 1)
+                + F.element_at(F.col("code"), i + 1).cast("int"),
+            )
+            for i in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    # corpus cells are unique per vector, so the cell equi-join yields
+    # each (query, candidate) pair at most once — no dedup stage
+    cand = (
+        enc.join(F.broadcast(qcells), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut_df), on="query_id")
+        .select("query_id", "vec_id", adc.alias("distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("vec_id")
+    )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(shortlist))
+        .select("query_id", "vec_id")
+    )
+
+    # 4. exact squared-L2 re-rank on the shortlist only
+    exact_corpus = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q_df = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"])) for r in q_rows],
+        "query_id long, q array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        short.join(exact_corpus, on="vec_id")
+        .join(F.broadcast(q_df), on="query_id")
+        .select("query_id", "vec_id", l2.alias("distance"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("vec_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("distance", 6).alias("distance"),
+            "rank",
+        )
+    )

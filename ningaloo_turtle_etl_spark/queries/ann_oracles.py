@@ -251,6 +251,104 @@ def pq_oracle_sql(k: int = 3, rerank: int = 50) -> str:
     """
 
 
+def ivf_pq_oracle_sql(k: int = 3, nprobe: int = 3, shortlist: int = 20) -> str:
+    """ann_ivf_pq_topk — the fused three-tier serving pipeline replayed
+    end-to-end from BOTH frozen fixtures: IVF cell assignment (argmin of
+    the ivf_centroids chains) restricts candidates to each query's
+    ``nprobe`` probed cells; the survivors score by the PQ/ADC chains
+    (pq_codebooks LUT recomputed per pair, same float order); the ADC
+    ``shortlist`` re-ranks exact squared-L2 and the final ``k`` come from
+    the exact stage."""
+    ivf = _fixture("ivf_centroids")
+    pq = _fixture("pq_codebooks")
+    dists = ", ".join(
+        "list_sum(list_transform(list_zip(v, "
+        + _vec_lit(c)
+        + "), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for c in ivf["centroids"]
+    )
+    n_cells = ivf["n_centroids"]
+    m, kcodes, d_sub = pq["m"], pq["k"], pq["d_sub"]
+    books = pq["codebooks"]
+
+    def sqdist(i: int, code: int) -> str:
+        return " + ".join(
+            f"(v[{i * d_sub + j + 1}] - {repr(float(books[i][code][j]))})"
+            f"*(v[{i * d_sub + j + 1}] - {repr(float(books[i][code][j]))})"
+            for j in range(d_sub)
+        )
+
+    encode = ", ".join(
+        f"list_position([{', '.join(sqdist(i, c) for c in range(kcodes))}], "
+        f"list_min([{', '.join(sqdist(i, c) for c in range(kcodes))}])) - 1"
+        for i in range(m)
+    )
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(_vec_lit(code) for code in sub) + "]" for sub in books
+        )
+        + "]"
+    )
+    adc = " + ".join(
+        "list_sum(list_transform(list_zip("
+        f"q[{i * d_sub + 1}:{(i + 1) * d_sub}], cb[{i + 1}][code[{i + 1}] + 1]), "
+        "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for i in range(m)
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    base AS (SELECT vec_id, v, [{dists}] AS ds FROM emb),
+    enc AS (
+        SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell,
+               [{encode}] AS code
+        FROM base
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, v AS q, cell FROM (
+            SELECT vec_id, v, i AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ds[i + 1], i) AS pr
+            FROM base, unnest(range({n_cells})) u(i)
+            WHERE vec_id < {QUERY_CUT}
+        ) WHERE pr <= {nprobe}
+    ),
+    adc AS (
+        SELECT p.query_id, e.vec_id, {adc} AS distance
+        FROM enc e JOIN probed p ON e.cell = p.cell,
+             (SELECT {cb_lit} AS cb) b
+        WHERE e.vec_id <> p.query_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY distance, vec_id) AS r
+            FROM adc
+        ) WHERE r <= {shortlist}
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS q FROM emb
+           WHERE vec_id < {QUERY_CUT}),
+    exact AS (
+        SELECT s.query_id, s.vec_id,
+               list_sum(list_transform(list_zip(e.v, qv.q),
+                        x -> (x[1]-x[2])*(x[1]-x[2]))) AS distance
+        FROM short s
+        JOIN emb e ON s.vec_id = e.vec_id
+        JOIN qv ON s.query_id = qv.query_id
+    )
+    SELECT query_id, vec_id, ROUND(distance, 6) AS distance, rank FROM (
+        SELECT query_id, vec_id, distance,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY distance, vec_id) AS INTEGER)
+                   AS rank
+        FROM exact
+    ) WHERE rank <= {k}
+    """
+
+
 def brute_oracle_sql(k: int = 3) -> str:
     """Exact brute-force cosine top-k (the embedding_cosine_topk shape,
     parameterized k) — also the ground-truth half of the recall oracle."""

@@ -409,6 +409,7 @@ from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     jl_distortion_oracle_sql,
     lsh_recall_oracle_sql,
     lsh_oracle_sql,
+    ivf_pq_oracle_sql,
     pq_oracle_sql,
     pq_recall_oracle_sql,
     quantized_oracle_sql,
@@ -753,6 +754,36 @@ def ann_pq_topk(spark, sf_dir):
     books = np.asarray(fix["codebooks"], dtype=float)
     emb = load_table(spark, "embeddings", sf_dir)
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=3, rerank=50)
+
+
+@register("ann_ivf_pq_topk", ivf_pq_oracle_sql(k=3, nprobe=3, shortlist=20))
+def ann_ivf_pq_topk(spark, sf_dir):
+    """The fused three-tier ANN production query (`operators/quantize.py
+    ivf_pq_topk`) — IVF cell shortlist → PQ/ADC re-rank → exact squared-L2
+    final top-k, the serving shape at 10⁹ vectors: the index the corpus
+    carries is (vec_id, cell, m tinyint codes); full vectors are fetched
+    by id only for the exact stage's shortlist·|Q| rows. Both frozen
+    fixtures (ivf_centroids + pq_codebooks) replay in the DuckDB oracle,
+    so every tier's cut — probed cells, ADC shortlist, exact ranks — is
+    hash-proven end-to-end; the recall floor vs brute-force L2 is pinned
+    in tests/test_quantize.py."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.quantize import ivf_pq_topk
+    from ningaloo_turtle_etl_spark.queries.ann_oracles import _fixture
+
+    cents = np.asarray(_fixture("ivf_centroids")["centroids"], dtype=float)
+    books = np.asarray(_fixture("pq_codebooks")["codebooks"], dtype=float)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        cents,
+        books,
+        k=3,
+        nprobe=3,
+        shortlist=20,
+    )
 
 
 def _multimodal_oracle_sql(max_id: int = 200, bins: int = 8) -> str:

@@ -59,7 +59,6 @@ PRIORITY: list[str] = [
     "text_token_quality",
     "lang_id_confusion",
     "doc_fingerprints",
-    "ngram_jaccard_near_dups",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "multimodal_image_features",
@@ -83,6 +82,14 @@ PRIORITY: list[str] = [
     # (the lag/rank window shape stays proven in-window by
     # remigration_lag; O2/O3 TakeOrdered stays proven by slice_topk).
     "ppjoin_jaccard_pairs",
+    # Promoted r10 (verdict item 8, continuing the rotation): the window
+    # proves an r9 family directly — distributed Lloyd k-means, whose
+    # integer-micro unrolled-oracle pattern (exact centroid replay in
+    # DuckDB) the window had never carried. Slot freed by demoting
+    # ngram_jaccard_near_dups (the Jaccard-pair near-dup shape stays
+    # proven in-window by ppjoin_jaccard_pairs; still oracle-swept by
+    # pytest + the supplement artifacts).
+    "kmeans_embedding_clusters",
     # Core §2 relational surface.
     "group_count_sorted",
     "agg_scalars",
@@ -164,6 +171,9 @@ PRIORITY: list[str] = [
     "corpus_drift_metrics",
     "dsir_importance_select",
     "ann_pq_topk",
+    # r10: the fused IVF → PQ/ADC → exact three-tier serving pipeline
+    # (verdict item 6), full oracle from both frozen fixtures
+    "ann_ivf_pq_topk",
     "weighted_sample_topn",
     "quality_classifier_scores",
     "text_classifier_scores",
@@ -340,8 +350,10 @@ PRIORITY: list[str] = [
     "conformal_coverage_by_source",
     # r07 Johnson-Lindenstrauss projection distortion audit, full oracle
     "jl_distortion_pairs",
-    # r09 distributed Lloyd k-means (integer-micro exact, unrolled oracle)
-    "kmeans_embedding_clusters",
+    # Demoted r10 (slot freed for kmeans_embedding_clusters): the
+    # Jaccard-pair near-dup shape stays window-covered by
+    # ppjoin_jaccard_pairs; still oracle-swept by pytest + supplement.
+    "ngram_jaccard_near_dups",
     # r09 HITS hubs/authorities (integer-micro normalization, unrolled)
     "hits_copurchase",
     # r09 Adamic-Adar link prediction (micro-quantized wedge weights)

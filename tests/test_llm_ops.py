@@ -1340,6 +1340,56 @@ def test_length_bucket_batches_policy(spark):
     assert (edge["a"], edge["b"], edge["c"], edge["d"]) == (16, 32, 1024, 16)
 
 
+def test_length_bucket_batches_salted_shards(spark):
+    """salt>1 is the corpus-scale skew path: the slot window partitions
+    by (bucket, shard) instead of the ~7-value bucket alone. Guarantees
+    preserved: every batch single-bucket, <= batch_size docs, doc count
+    conserved, padding accounting identical in form; only GLOBAL batch
+    numbering is traded (ids become (shard, seq)). The plan must show
+    the sharded exchange and NO second exchange for the aggregate."""
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.curation import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, "w " * 10) for i in range(40)] + [
+        (100 + i, "w " * 40) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucket_batches(df, batch_size=8, salt=4)
+    got = out.collect()
+    assert "shard" in out.columns
+    assert sum(r["n_docs"] for r in got) == 46  # conservation
+    assert all(r["n_docs"] <= 8 for r in got)
+    assert all(r["shard"] in range(4) for r in got)
+    # uniform lengths within a bucket -> zero padding waste regardless
+    # of how the shards split the docs
+    assert all(r["pad_frac"] == 0.0 for r in got)
+    # within each (bucket, shard), batch ids are dense from 0
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in got:
+        per[(r["bucket"], r["shard"])].append(r["batch_id"])
+    for ids in per.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # plan: ONE exchange, keyed by bucket AND shard (the agg reuses the
+    # window's partitioning — no second shuffle). AQE's toString prints
+    # the final plan followed by "== Initial Plan ==" — cut the echo off
+    # before counting.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert m and "bucket" in m.group(1) and "shard" in m.group(1), plan
+    with pytest.raises(ValueError):
+        length_bucket_batches(df, salt=0)
+
+
 def test_curriculum_order_exact_and_approx_agree(spark):
     from ningaloo_turtle_etl_spark.operators.curation import curriculum_order
 

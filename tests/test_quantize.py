@@ -142,3 +142,79 @@ def test_pq_rerank_distances_are_exact(spark):
     for r in out:
         ref = float(((vecs[r["vec_id"]] - vecs[r["query_id"]]) ** 2).sum())
         assert abs(r["distance"] - ref) < 1e-5
+
+
+def test_ivf_pq_topk_fused_pipeline_recall_floor(spark):
+    """The fused IVF → PQ/ADC → exact pipeline: (a) its exact-stage
+    distances are true squared L2; (b) recall vs brute-force L2 clears a
+    floor and grows with nprobe; (c) at nprobe = n_cells (no IVF cut)
+    it matches plain pq_topk with the same shortlist — the IVF tier only
+    removes candidates, never rescores them."""
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        fit_pq_codebooks,
+        ivf_pq_topk,
+        pq_topk,
+    )
+    from ningaloo_turtle_etl_spark.operators.similarity import fit_centroids
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = fit_centroids(emb, 8)
+    books = fit_pq_codebooks(emb, m_subvectors=16, k_codes=16)
+    k = 5
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    exact_sets = {}
+    for q in range(10):
+        d = sorted(
+            (float(((vecs[i] - vecs[q]) ** 2).sum()), i)
+            for i in vecs
+            if i != q
+        )[:k]
+        exact_sets[q] = {i for _, i in d}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact_sets[q] & got.get(q, set())) for q in exact_sets)
+        return hits / (k * len(exact_sets))
+
+    out2 = ivf_pq_topk(
+        emb, queries, cents, books, k=k, nprobe=2, shortlist=100
+    )
+    # (a) exact-stage distances are true squared L2
+    for r in out2.collect():
+        ref = float(((vecs[r["vec_id"]] - vecs[r["query_id"]]) ** 2).sum())
+        assert abs(r["distance"] - ref) < 1e-5
+    r2 = recall(out2)
+    r_all = recall(
+        ivf_pq_topk(emb, queries, cents, books, k=k, nprobe=8, shortlist=100)
+    )
+    # (b) floor + monotonicity in nprobe (measured: 0.62 @ nprobe=2,
+    # 0.98 @ nprobe=8 on the sf0.001 table)
+    assert r2 >= 0.4
+    assert r_all >= r2
+    assert r_all >= 0.85
+
+    # (c) nprobe = n_cells disables the IVF cut: identical rows to the
+    # single-tier PQ path at the same shortlist
+    fused_all = {
+        (r["query_id"], r["vec_id"], r["distance"], r["rank"])
+        for r in ivf_pq_topk(
+            emb, queries, cents, books, k=k, nprobe=8, shortlist=100
+        ).collect()
+    }
+    plain = {
+        (r["query_id"], r["vec_id"], r["distance"], r["rank"])
+        for r in pq_topk(emb, queries, books, k=k, rerank=100).collect()
+    }
+    assert fused_all == plain
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_pq_topk(emb, queries, cents, books, k=5, shortlist=3)

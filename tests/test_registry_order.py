@@ -58,6 +58,10 @@ def test_critical_components_inside_driver_window():
         # r09: the window must prove an r8 family directly (verdict item)
         # — PPJoin exact set-similarity join with the positional filter
         "ppjoin_jaccard_pairs",
+        # r10: the window must prove an r9 family directly (verdict item)
+        # — distributed Lloyd k-means with the integer-micro unrolled
+        # oracle pattern
+        "kmeans_embedding_clusters",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -81,6 +85,11 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # TakeOrdered by slice_topk; still oracle-checked by
         # tests/test_oracle_all.py + the supplement.
         "topk_per_group",
+        # r10 window demotion (slot freed for kmeans_embedding_clusters):
+        # the Jaccard-pair near-dup shape stays covered in-window by
+        # ppjoin_jaccard_pairs; still oracle-checked by
+        # tests/test_oracle_all.py + the supplement.
+        "ngram_jaccard_near_dups",
         # TPC-H-flavored variants of components proven in-window + the
         # SQL-form flagship twin — all still oracle-checked by
         # tests/test_oracle_all.py.
@@ -125,6 +134,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "corpus_drift_metrics",
         "dsir_importance_select",
         "ann_pq_topk",
+        "ann_ivf_pq_topk",
         "weighted_sample_topn",
         "quality_classifier_scores",
         "text_classifier_scores",
