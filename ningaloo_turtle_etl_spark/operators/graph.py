@@ -226,6 +226,56 @@ def pagerank(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) where hops is the MINIMUM number of
+    directed edges from any seed, up to ``max_hops`` (unreached nodes are
+    absent). The canonical frontier expansion — the building block of
+    k-hop neighborhoods, reachability filters, and taint/contamination
+    spread over citation or link graphs.
+
+    Each round joins only the FRONTIER (nodes first reached last round)
+    onto the edge list, then anti-joins the visited set — work per round
+    is frontier-sized, never graph-sized, and a node is expanded exactly
+    once ever (the textbook parallel-BFS invariant), so total work across
+    all rounds is one pass over the reachable edges. Rounds are
+    driver-counted with a localCheckpoint per round (O(1) lineage, same
+    convention as pagerank/connected_components); hops are exact
+    integers, no float anywhere. The DuckDB oracle states the same
+    semantics independently as a depth-bounded recursive CTE with a
+    MIN(hops) rollup."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.persist()
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, on=frontier.node == e.src, how="inner")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
 def copurchase_edges(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",

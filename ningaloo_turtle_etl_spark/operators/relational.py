@@ -594,3 +594,47 @@ def moment_profile(
         F.round(g1, 6).alias("skewness"),
         F.round(g2, 6).alias("kurtosis_excess"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows no other row dominates, where
+    domination means <= on ``minimize_col`` AND >= on ``maximize_col``
+    with at least one strict. Classic OLAP skyline query (Borzsony et al.,
+    ICDE'01) — the reference has no native operator for it, and neither
+    does Spark, so it composes from two aggregation grains:
+
+    1. collapse to the DISTINCT ``minimize_col`` grain keeping each
+       value's max of ``maximize_col`` (a map-side-combinable groupBy —
+       the only row-count-sized shuffle);
+    2. on that value-grain table (bounded by the MINIMIZE column's
+       distinct count, not the row count) a running strict-prefix max via
+       an ordered window decides which (min_val, max_val) pairs survive:
+       keep iff max_val > max over all strictly smaller min_vals;
+    3. semi-join the surviving pairs back to the full rows, so ties
+       (identical value pairs) are all kept — neither dominates the other.
+
+    The single-partition window in step 2 runs on the distinct-value
+    grain only (like histogram/summary grains elsewhere); at 100 TB the
+    frontier input to it is |distinct prices|, not |rows|. Returns the
+    full surviving rows (id_cols + both value cols)."""
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    grain = df.groupBy(minimize_col).agg(F.max(mx).alias("_gmax"))
+    w = (
+        Window.orderBy(mn)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surviving = (
+        grain.withColumn("_pmax", F.max("_gmax").over(w))
+        .filter(
+            F.col("_pmax").isNull() | (F.col("_gmax") > F.col("_pmax"))
+        )
+        .select(minimize_col, F.col("_gmax").alias(maximize_col))
+    )
+    return df.join(
+        F.broadcast(surviving), on=[minimize_col, maximize_col], how="left_semi"
+    ).select(*id_cols, minimize_col, maximize_col)

@@ -222,6 +222,120 @@ def zorder_key(cols: Sequence, bits: int = 16):
     return key
 
 
+def hilbert_key(xcol, ycol, bits: int = 8):
+    """Hilbert-curve key for two already-quantized integer columns — the
+    locality-preserving layout twin of :func:`zorder_key` (what Delta's
+    liquid clustering uses instead of Morton): consecutive key values are
+    ALWAYS grid neighbors (unit Manhattan step, no Z-shaped jumps), so
+    per-file min/max spans stay tighter than Z-order for the same file
+    count.
+
+    Unrolled per-level state machine (the classic xy2d walk: quadrant
+    digit d += s²·((3·rx) XOR ry), then mask + reflect + swap), expressed
+    as ``bits`` chained pure-Catalyst CASE/bit expressions with NO UDF;
+    the DuckDB oracle replays the identical levels as chained CTEs. A
+    pure-Python replica in tests pins the bijection and the unit-step
+    adjacency property independently of both engines."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    x = (F.col(xcol) if isinstance(xcol, str) else xcol).cast("long")
+    y = (F.col(ycol) if isinstance(ycol, str) else ycol).cast("long")
+    d = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx_set = x.bitwiseAND(F.lit(s)) > 0
+        ry_set = y.bitwiseAND(F.lit(s)) > 0
+        digit = (
+            F.when(rx_set & ry_set, 2)
+            .when(rx_set, 3)
+            .when(ry_set, 1)
+            .otherwise(0)
+        )
+        d = d + F.lit(s * s) * digit
+        xm = x.bitwiseAND(F.lit(s - 1))
+        ym = y.bitwiseAND(F.lit(s - 1))
+        nx = (
+            F.when(ry_set, xm)
+            .when(rx_set, F.lit(s - 1) - ym)
+            .otherwise(ym)
+        )
+        ny = (
+            F.when(ry_set, ym)
+            .when(rx_set, F.lit(s - 1) - xm)
+            .otherwise(xm)
+        )
+        x, y = nx, ny
+    return d
+
+
+def with_hilbert_key(
+    df: DataFrame, xcol, ycol, bits: int = 8, name: str = "hkey"
+) -> DataFrame:
+    """:func:`hilbert_key` as a DataFrame pass that MATERIALIZES the
+    (x, y, d) walk state once per level behind a one-element
+    ``explode(array(struct(...)))`` barrier — the collapse-proof helper's
+    pattern. The naive single-Column form chains each level's CASE into
+    the previous level's full expression, so the tree grows ~4× per
+    level; at 6+ bits whole-stage codegen fails to compile it and the
+    scan falls back to interpreted eval (observed 24 s vs ~2 s on the
+    layout-bucket probe). With per-level real columns every stage is a
+    shallow map-only projection inside codegen. Use this for any bits;
+    the Column form stays for embedding into other expressions at <= 4
+    bits."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    x = (F.col(xcol) if isinstance(xcol, str) else xcol).cast("long")
+    y = (F.col(ycol) if isinstance(ycol, str) else ycol).cast("long")
+    cur = df.select(
+        "*",
+        x.alias("_hx"),
+        y.alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        hx, hy, hd = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx_set = hx.bitwiseAND(F.lit(s)) > 0
+        ry_set = hy.bitwiseAND(F.lit(s)) > 0
+        digit = (
+            F.when(rx_set & ry_set, 2)
+            .when(rx_set, 3)
+            .when(ry_set, 1)
+            .otherwise(0)
+        )
+        xm = hx.bitwiseAND(F.lit(s - 1))
+        ym = hy.bitwiseAND(F.lit(s - 1))
+        nx = F.when(ry_set, xm).when(rx_set, F.lit(s - 1) - ym).otherwise(ym)
+        ny = F.when(ry_set, ym).when(rx_set, F.lit(s - 1) - xm).otherwise(xm)
+        cur = (
+            cur.select(
+                "*",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            nx.alias("x"),
+                            ny.alias("y"),
+                            (hd + F.lit(s * s) * digit).alias("d"),
+                        )
+                    )
+                ).alias("_hs"),
+            )
+            .drop("_hx", "_hy", "_hd")
+            .withColumns(
+                {
+                    "_hx": F.col("_hs.x"),
+                    "_hy": F.col("_hs.y"),
+                    "_hd": F.col("_hs.d"),
+                }
+            )
+            .drop("_hs")
+        )
+    return (
+        cur.drop("_hx", "_hy")
+        .withColumnRenamed("_hd", name)
+    )
+
+
 def compaction_bins(
     files: DataFrame,
     size_col: str,

@@ -1156,3 +1156,138 @@ def kmeans_lloyd(
     return spark.createDataFrame(
         rows, "cluster int, n_vecs long, inertia double"
     ).orderBy("cluster")
+
+
+def mf_gd_factors(
+    ratings: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.0625,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """DISTRIBUTED rank-1 matrix-factorization training (Funk-SVD first
+    factor) by synchronous full-batch gradient descent — the recsys /
+    preference-model sibling of ``logistic_gd_train``: learn p_u, q_i
+    minimizing Σ (r_ui − p_u·q_i)² without MLlib.
+
+    Per round (all updates read the ROUND-START factors — synchronous,
+    so the trajectory is partition-order-free):
+
+        e_ui  = r_ui − p_u·q_i
+        p_u  += lr · mean_i(e_ui · q_i)
+        q_i  += lr · mean_u(e_ui · p_u)
+
+    MEAN (not sum) gradients keep the step bounded by lr·|e|·|factor|
+    regardless of a node's degree — a power-law user with 10⁶ ratings
+    takes the same-magnitude step as a cold one, so the fixed lr
+    survives any scale. Determinism across engines (the logistic-GD
+    nano convention): each pair's gradient term rounds to integer nanos
+    BEFORE the per-key exact-integer SUM, so summation order can never
+    move a factor; everything else is plain double arithmetic in an
+    operation order the oracle mirrors token-for-token. lr defaults to
+    1/16 — exactly representable in binary, immune to how an engine
+    parses decimal literals.
+
+    Scale shape per round: one join of the ratings onto the two
+    factor vectors (factor tables are entity-sized — broadcast when they
+    fit, hash-join co-partitioned by key when they don't) and two
+    map-side-combined aggregates; rounds are driver-counted with a
+    localCheckpoint each (O(1) lineage, the pagerank convention).
+    Returns ('cust'|'part'-style side labels via col names) — one row
+    per user and per item: (side, id, factor, train_rmse), where
+    train_rmse is the final-model fit over the training pairs."""
+    r = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).persist()
+    p = (
+        r.select("u")
+        .distinct()
+        .select(
+            "u",
+            (
+                F.lit(0.5)
+                + (F.col("u") % 7).cast("double") / F.lit(10).cast("double")
+            ).alias("pf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = (
+        r.select("i")
+        .distinct()
+        .select(
+            "i",
+            (
+                F.lit(0.5)
+                + (F.col("i") % 11).cast("double") / F.lit(10).cast("double")
+            ).alias("qf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lrc = F.lit(float(lr))
+    for _ in range(iterations):
+        j = r.join(F.broadcast(p), on="u").join(F.broadcast(q), on="i")
+        e = F.col("r") - F.col("pf") * F.col("qf")
+        terms = j.select(
+            "u",
+            "i",
+            F.round(e * F.col("qf") * F.lit(1e9), 0).cast("long").alias("tp"),
+            F.round(e * F.col("pf") * F.lit(1e9), 0).cast("long").alias("tq"),
+        )
+        gp = terms.groupBy("u").agg(
+            F.sum("tp").alias("g"), F.count(F.lit(1)).alias("n")
+        )
+        gq = terms.groupBy("i").agg(
+            F.sum("tq").alias("g"), F.count(F.lit(1)).alias("n")
+        )
+        p = (
+            p.join(gp, on="u")
+            .select(
+                "u",
+                (
+                    F.col("pf")
+                    + lrc * ((F.col("g") / F.lit(1e9)) / F.col("n"))
+                ).alias("pf"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        q = (
+            q.join(gq, on="i")
+            .select(
+                "i",
+                (
+                    F.col("qf")
+                    + lrc * ((F.col("g") / F.lit(1e9)) / F.col("n"))
+                ).alias("qf"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    fit = r.join(F.broadcast(p), on="u").join(F.broadcast(q), on="i")
+    err = F.col("r") - F.col("pf") * F.col("qf")
+    sq = err * err
+    rmse_row = fit.select(
+        F.round(sq * F.lit(1e9), 0).cast("long").alias("t")
+    ).agg(
+        F.round(
+            F.sqrt((F.sum("t") / F.lit(1e9)) / F.count(F.lit(1))), 6
+        ).alias("train_rmse")
+    )
+    r.unpersist()
+    out = (
+        p.select(
+            F.lit("user").alias("side"),
+            F.col("u").alias("id"),
+            F.round("pf", 6).alias("factor"),
+        )
+        .unionByName(
+            q.select(
+                F.lit("item").alias("side"),
+                F.col("i").alias("id"),
+                F.round("qf", 6).alias("factor"),
+            )
+        )
+        .crossJoin(F.broadcast(rmse_row))
+    )
+    return out.orderBy("side", "id")

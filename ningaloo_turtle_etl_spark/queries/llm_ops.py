@@ -2935,6 +2935,55 @@ def pagerank_copurchase(spark, sf_dir):
     )
 
 
+@register(
+    "bfs_hop_distance",
+    """
+    WITH RECURSIVE
+    eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS src
+           FROM lineitem),
+    ed AS (
+        SELECT DISTINCT a.src AS src, b.src AS dst
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.src <> b.src
+    ),
+    walk(node, hops) AS (
+        SELECT DISTINCT src AS node, 0 AS hops FROM eo WHERE src <= 3
+        UNION
+        SELECT ed.dst, w.hops + 1
+        FROM walk w JOIN ed ON ed.src = w.node
+        WHERE w.hops < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def bfs_hop_distance(spark, sf_dir):
+    """Multi-source BFS (`operators/graph.py bfs_hops`, 3 rounds) over
+    the part co-purchase graph from the seed set {parts 1-3 present in
+    lineitem}: minimum hop count to every node within 3 hops. Spark
+    expands a frontier per round (frontier-sized joins, visited-set
+    anti-join, each node expanded once ever); the oracle states the same
+    semantics independently as a depth-bounded recursive CTE with a
+    MIN(hops) rollup — a different algorithm shape entirely, so
+    agreement pins the traversal, not the implementation."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        bfs_hops,
+        copurchase_edges,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li)
+    seeds = (
+        li.filter(F.col("l_partkey") <= 3)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return (
+        bfs_hops(edges, seeds, max_hops=3)
+        .select("node", F.col("hops").cast("int").alias("hops"))
+        .orderBy("node")
+    )
+
+
 # Ed-Join prefix-filtered edit-distance pairs over customer names — shared
 # between the pair query and the entity-resolution clustering on top of it.
 _EDIT_CTES = """
@@ -4980,6 +5029,92 @@ def zorder_layout_buckets(spark, sf_dir):
     )
 
 
+def _hilbert_oracle_sql(bits: int = 6) -> str:
+    """Chained-CTE replay of the unrolled Hilbert xy2d state machine
+    (`operators/scale.py hilbert_key`): one CTE per level computing the
+    next (hx, hy, digit-accumulated hd) under fresh column names — no
+    lateral-alias ambiguity — from 6-bit quantized (l_partkey, l_suppkey)."""
+    ctes = [
+        """
+    q AS (
+        SELECT least(greatest(CAST(floor((l_partkey - 1.0) / 2000.0 * 64.0)
+                                   AS BIGINT), 0), 63) AS hx0,
+               least(greatest(CAST(floor((l_suppkey - 1.0) / 100.0 * 64.0)
+                                   AS BIGINT), 0), 63) AS hy0,
+               CAST(0 AS BIGINT) AS hd0,
+               l_partkey, l_suppkey
+        FROM lineitem
+    )"""
+    ]
+    prev = "q"
+    for idx, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        a, b = idx, idx + 1
+        ctes.append(f"""
+    h{b} AS (
+        SELECT l_partkey, l_suppkey,
+               CASE WHEN hy{a} >= {s} THEN hx{a} & {s - 1}
+                    WHEN hx{a} >= {s} THEN {s - 1} - (hy{a} & {s - 1})
+                    ELSE hy{a} & {s - 1} END AS hx{b},
+               CASE WHEN hy{a} >= {s} THEN hy{a} & {s - 1}
+                    WHEN hx{a} >= {s} THEN {s - 1} - (hx{a} & {s - 1})
+                    ELSE hx{a} & {s - 1} END AS hy{b},
+               hd{a} + {s * s} * (CASE WHEN hx{a} >= {s} AND hy{a} >= {s} THEN 2
+                                       WHEN hx{a} >= {s} THEN 3
+                                       WHEN hy{a} >= {s} THEN 1
+                                       ELSE 0 END) AS hd{b}
+        FROM {prev})""")
+        prev = f"h{b}"
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT hd{bits} >> 6 AS hbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_hi
+    FROM {prev} GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("hilbert_layout_buckets", _hilbert_oracle_sql(6))
+def hilbert_layout_buckets(spark, sf_dir):
+    """Hilbert-curve layout buckets over lineitem's (partkey, suppkey)
+    (`operators/scale.py quantize_minmax + hilbert_key`, 6 bits/dim) —
+    the locality-preserving twin of zorder_layout_buckets: consecutive
+    key values are always grid NEIGHBORS (pinned by the adjacency
+    property test), so each 64-key bucket is a connected curve segment
+    and its per-dimension min/max spans run tighter than Morton's
+    Z-jumps for the same bucket count — tighter spans = more files
+    pruned by a range predicate at 100 TB. Pure unrolled integer
+    Catalyst arithmetic, no UDF; the oracle replays the same six levels
+    as chained CTEs."""
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        quantize_minmax,
+        with_hilbert_key,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        "l_partkey",
+        "l_suppkey",
+        quantize_minmax("l_partkey", 1.0, 2001.0, bits=6).alias("qp"),
+        quantize_minmax("l_suppkey", 1.0, 101.0, bits=6).alias("qs"),
+    )
+    z = with_hilbert_key(q, "qp", "qs", bits=6, name="hkey")
+    return (
+        z.groupBy(F.shiftright("hkey", 6).alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("part_lo"),
+            F.max("l_partkey").cast("long").alias("part_hi"),
+            F.min("l_suppkey").cast("long").alias("supp_lo"),
+            F.max("l_suppkey").cast("long").alias("supp_hi"),
+        )
+        .orderBy("hbucket")
+    )
+
+
 @register(
     "ppjoin_jaccard_pairs",
     rf"""
@@ -5661,6 +5796,117 @@ def _logistic_gd_oracle_sql(iterations: int = 3, lr: float = 0.5) -> str:
           UNION ALL SELECT 'f_tokens', w2 FROM w{iterations}) f
     CROSS JOIN metrics m
     ORDER BY f.feature"""
+    )
+
+
+def _mf_gd_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled rank-1 matrix-factorization GD oracle (the logistic-GD
+    chaining pattern): per round one joined-error CTE feeds two mean-
+    gradient CTEs (per-pair terms rounded to integer nanos before the
+    exact-integer SUM) and two factor-step CTEs whose double arithmetic
+    mirrors `operators/similarity.py mf_gd_factors` token-for-token.
+    lr = 0.0625 (binary-exact literal)."""
+    parts = [
+        """
+    base AS MATERIALIZED (
+        SELECT o_custkey AS u, l_partkey AS i,
+               CAST(SUM(l_quantity) AS DOUBLE) / CAST(10 AS DOUBLE) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 80 AND l_partkey <= 120
+        GROUP BY 1, 2
+    ),
+    p0 AS (SELECT u, 0.5 + CAST(u % 7 AS DOUBLE) / CAST(10 AS DOUBLE) AS pf
+           FROM (SELECT DISTINCT u FROM base)),
+    q0 AS (SELECT i, 0.5 + CAST(i % 11 AS DOUBLE) / CAST(10 AS DOUBLE) AS qf
+           FROM (SELECT DISTINCT i FROM base))"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    j{t} AS (
+        SELECT base.u, base.i, base.r, p.pf, q.qf
+        FROM base JOIN p{t - 1} p USING (u) JOIN q{t - 1} q USING (i)
+    ),
+    gp{t} AS (
+        SELECT u,
+               CAST(SUM(CAST(round((r - pf * qf) * qf * 1e9) AS BIGINT))
+                    AS BIGINT) AS g,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j{t} GROUP BY u
+    ),
+    gq{t} AS (
+        SELECT i,
+               CAST(SUM(CAST(round((r - pf * qf) * pf * 1e9) AS BIGINT))
+                    AS BIGINT) AS g,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j{t} GROUP BY i
+    ),
+    p{t} AS (
+        SELECT p.u, p.pf + 0.0625 * ((g.g / 1e9) / g.n) AS pf
+        FROM p{t - 1} p JOIN gp{t} g USING (u)
+    ),
+    q{t} AS (
+        SELECT q.i, q.qf + 0.0625 * ((g.g / 1e9) / g.n) AS qf
+        FROM q{t - 1} q JOIN gq{t} g USING (i)
+    )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    fit AS (
+        SELECT base.r, p.pf, q.qf
+        FROM base JOIN p{n} p USING (u) JOIN q{n} q USING (i)
+    ),
+    rmse AS (
+        SELECT ROUND(sqrt((CAST(SUM(CAST(round(
+                   (r - pf * qf) * (r - pf * qf) * 1e9) AS BIGINT))
+                   AS BIGINT) / 1e9) / COUNT(*)), 6) AS train_rmse
+        FROM fit
+    )
+    SELECT f.side, f.id, ROUND(f.factor, 6) AS factor, m.train_rmse
+    FROM (SELECT 'user' AS side, u AS id, pf AS factor FROM p{n}
+          UNION ALL SELECT 'item', i, qf FROM q{n}) f
+    CROSS JOIN rmse m
+    ORDER BY f.side, f.id"""
+    )
+
+
+@register("mf_gd_factors", _mf_gd_oracle_sql(3))
+def mf_gd_factors_query(spark, sf_dir):
+    """Rank-1 Funk-SVD trained distributed on the (customer, part,
+    quantity/10) implicit-rating matrix (`operators/similarity.py
+    mf_gd_factors`, 3 synchronous mean-gradient rounds, lr=1/16): the
+    recsys-training family next to logistic_gd_weights, with the learned
+    user/item factor trajectory as the oracle contract and the final
+    train RMSE carried on every row. Bounded entity sets (custkey<=80,
+    partkey<=120) keep the factor tables broadcastable at every SF while
+    ratings-per-entity still grow with the data."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        mf_gd_factors,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter((F.col("o_custkey") <= 80) & (F.col("l_partkey") <= 120))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            (
+                F.sum("l_quantity").cast("double")
+                / F.lit(10).cast("double")
+            ).alias("rating")
+        )
+    )
+    return mf_gd_factors(
+        ratings,
+        iterations=3,
+        lr=0.0625,
+        user_col="o_custkey",
+        item_col="l_partkey",
+        rating_col="rating",
     )
 
 

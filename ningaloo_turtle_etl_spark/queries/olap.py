@@ -439,3 +439,47 @@ def q_source_gini(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return gini_concentration(docs, "source", weight_col="n_chars")
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+        SELECT p_partkey, p_retailprice, p_size FROM part
+    )
+    SELECT a.p_partkey, ROUND(a.p_retailprice, 6) AS price, a.p_size
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark, sf_dir):
+    """Skyline query (Borzsony et al., ICDE'01): parts on the Pareto
+    frontier of (minimize retail price, maximize size) — no other part is
+    at-most-as-expensive AND at-least-as-big with one strict. The oracle
+    states dominance INDEPENDENTLY as a quadratic NOT EXISTS anti-join;
+    the Spark plan (`operators/relational.py pareto_frontier_2d`) never
+    goes quadratic: one groupBy to the distinct-price grain, a strict
+    prefix-max window on that bounded grain, and a broadcast semi-join
+    back — the 100 TB cost is one map-combinable shuffle."""
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    return (
+        pareto_frontier_2d(
+            part, "p_retailprice", "p_size", id_cols=("p_partkey",)
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 6).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_partkey")
+    )

@@ -388,6 +388,20 @@ PRIORITY: list[str] = [
     "moment_profile_by_type",
     # r09 item-item cosine CF ranking (Ochiai over the incidence grid)
     "item_cosine_top100",
+    # r10 skyline (Pareto frontier) — distinct-grain window vs the
+    # oracle's independent quadratic NOT EXISTS dominance statement
+    "pareto_frontier_parts",
+    # r10 Hilbert-curve layout buckets (the locality-preserving twin of
+    # zorder_layout_buckets; unrolled state-machine bit arithmetic
+    # replayed level-by-level in SQL)
+    "hilbert_layout_buckets",
+    # r10 multi-source BFS hop distance (frontier-expansion rounds vs a
+    # bounded recursive-CTE oracle)
+    "bfs_hop_distance",
+    # r10 matrix-factorization gradient training (rank-1 Funk-SVD,
+    # integer-micro exact rounds, unrolled-oracle trajectory like
+    # logistic_gd_weights)
+    "mf_gd_factors",
 ]
 
 

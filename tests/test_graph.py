@@ -300,3 +300,33 @@ def test_adamic_adar_hand_graph(spark):
     assert capped[(1, 2)]["aa_score"] == round(
         round(1e6 / math.log(2)) / 1e6, 6
     )
+
+
+def test_bfs_hops_min_distance_cycles_and_bound(spark):
+    """Multi-source BFS on a hand graph with a cycle, a diamond (two
+    paths of different length — MIN hops must win), and an island:
+    exact hop counts, unreachable nodes absent, max_hops honored, and a
+    seed that is also reachable from another seed stays at hops 0."""
+    from ningaloo_turtle_etl_spark.operators.graph import bfs_hops
+
+    #  1 -> 2 -> 3 -> 4 -> 5   (chain)
+    #  1 -> 3                  (shortcut: node 3 is 1 hop, not 2)
+    #  5 -> 1                  (cycle back)
+    #  6 -> 7                  (island, unreachable from seeds)
+    #  2 is also a seed        (stays hops 0; its neighbors at 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 1), (6, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+    full = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=10).collect()
+    }
+    assert full == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+    assert 6 not in full and 7 not in full

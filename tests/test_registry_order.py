@@ -325,6 +325,12 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "logistic_gd_weights",
         "moment_profile_by_type",
         "item_cosine_top100",
+        # r10 extension families, full oracles (skyline / Hilbert layout /
+        # multi-source BFS / rank-1 MF training)
+        "pareto_frontier_parts",
+        "hilbert_layout_buckets",
+        "bfs_hop_distance",
+        "mf_gd_factors",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
