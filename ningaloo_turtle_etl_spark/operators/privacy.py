@@ -31,6 +31,7 @@ this extends the engine's governance surface alongside PII redaction in
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -278,3 +279,55 @@ def dp_noisy_counts(
     if include_true:
         cols.append(F.col("_true_n").alias("true_count"))
     return agg.select(*cols)
+
+
+def entropy_l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_value: int = 3,
+) -> DataFrame:
+    """ENTROPY l-diversity (Machanavajjhala et al. 2007 §3.2): distinct-
+    count l-diversity accepts a class of 1000 rows where one sensitive
+    value covers 998 of them — the attacker's posterior is near-certain
+    even though n_sensitive >= l. The entropy instantiation requires
+    H(class) = −Σ p·ln p >= ln(l), i.e. the EFFECTIVE number of sensitive
+    values exp(H) >= l, which a skewed class fails.
+
+    Per class: ``class_size``, ``n_sensitive``, ``entropy`` (nats),
+    ``effective_l`` = exp(entropy), ``is_entropy_l_diverse``. Computed
+    from the (class, sensitive-value) count grid as
+    H = ln(n) − (Σ c·ln c)/n — integer counts into one ln each, so both
+    engines evaluate the identical expression tree; per-class term sums
+    quantize to integer nanos first (the repo summation-order
+    convention). Two hash aggregates, both keyed by the class columns;
+    nothing row-sized survives the first."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    c = F.col("_c").cast("double")
+    per_class = cells.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+        F.sum(F.round(c * F.log(c) * F.lit(1e9), 0).cast("long")).alias(
+            "_clnc"
+        ),
+    )
+    n = F.col("class_size").cast("double")
+    entropy = F.log(n) - (F.col("_clnc") / F.lit(1e9)) / n
+    # compare ROUNDED entropy to a 6dp threshold literal: both engines
+    # parse the same decimal into the same double, so the flag can never
+    # flip on a last-ulp ln() difference between libm builds
+    threshold = round(math.log(l_value), 6)
+    return per_class.select(
+        *quasi_cols,
+        "class_size",
+        "n_sensitive",
+        F.round(entropy, 6).alias("entropy"),
+        F.round(F.exp(entropy), 6).alias("effective_l"),
+        (F.round(entropy, 6) >= F.lit(threshold)).alias(
+            "is_entropy_l_diverse"
+        ),
+    )

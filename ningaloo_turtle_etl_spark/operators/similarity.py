@@ -21,6 +21,8 @@ partition key IS the bucket, so a probe touches only matching partitions.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -1291,3 +1293,220 @@ def mf_gd_factors(
         .crossJoin(F.broadcast(rmse_row))
     )
     return out.orderBy("side", "id")
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "vec_id",
+    rank_col: str = "rank",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics over a ranked candidate list — the
+    evaluation loop every embedding/ANN/CF stage needs: per query,
+    NDCG@k, precision@k, MRR, and hit count, with relevance = "candidate
+    shares the query's label" and the corpus-wide relevant count feeding
+    the ideal DCG.
+
+    Determinism: the 1/log2(rank+1) discount weights are INTEGER NANO
+    LITERALS precomputed in Python (rank <= k, so there are k of them) —
+    no engine ever calls log2, so no libm ulp can move a DCG; DCG and
+    IDCG are exact integer sums/lookups and meet only in one final
+    double division. Scale shape: one label join per side of the ranked
+    list (candidate lists are k-bounded per query), one label-grain
+    count for the relevant totals — nothing exceeds the ranked-list
+    grain."""
+    w = [int(round(1e9 / math.log2(i + 1))) for i in range(1, k + 1)]
+    cum = []
+    acc = 0
+    for x in w:
+        acc += x
+        cum.append(acc)
+    w_arr = F.array([F.lit(x) for x in w])
+    cum_arr = F.array([F.lit(x) for x in cum])
+    lab = labels.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lab")
+    )
+    r = (
+        ranked.select(
+            F.col(query_col).alias("query_id"),
+            F.col(cand_col).alias("cand_id"),
+            F.col(rank_col).cast("int").alias("rank"),
+        )
+        .join(
+            lab.select(
+                F.col("_lid").alias("query_id"), F.col("_lab").alias("_qlab")
+            ),
+            on="query_id",
+        )
+        .join(
+            lab.select(
+                F.col("_lid").alias("cand_id"), F.col("_lab").alias("_clab")
+            ),
+            on="cand_id",
+        )
+        .withColumn(
+            "rel", (F.col("_qlab") == F.col("_clab")).cast("int")
+        )
+    )
+    perq = r.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("rank")))
+        .cast("long")
+        .alias("dcg_n"),
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_first"),
+    )
+    counts = labels.groupBy(F.col(label_col).alias("_lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nl")
+    )
+    out = (
+        perq.join(
+            lab.select(
+                F.col("_lid").alias("query_id"), F.col("_lab")
+            ),
+            on="query_id",
+        )
+        .join(F.broadcast(counts), on="_lab")
+        .withColumn("n_rel_corpus", (F.col("_nl") - 1).cast("long"))
+    )
+    idcg = F.element_at(
+        cum_arr, F.least(F.col("n_rel_corpus"), F.lit(k)).cast("int")
+    )
+    return out.select(
+        "query_id",
+        "n_rel_corpus",
+        "hits_at_k",
+        F.round(
+            F.col("hits_at_k") / F.lit(k).cast("double"), 6
+        ).alias("precision_at_k"),
+        F.round(F.lit(1).cast("double") / F.col("_first"), 6).alias("mrr"),
+        F.when(
+            F.col("n_rel_corpus") > 0,
+            F.round(F.col("dcg_n") / idcg.cast("double"), 6),
+        ).alias("ndcg_at_k"),
+    ).orderBy("query_id")
+
+
+def pca_power_component(
+    corpus: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED top principal component by power iteration — the
+    whitening/dimension-diagnostic stage next to kmeans_lloyd and
+    jl_project, computed WITHOUT materializing the d×d covariance:
+    each round applies Σ·v as two coordinate-grain passes,
+    s_i = (x_i − μ)·v then w = Σ_i s_i (x_i − μ), followed by an L2
+    normalize — the matrix-free form that works at any d and any corpus
+    size (the covariance never exists; only the n×d coordinate grain and
+    the d-row vector do).
+
+    Determinism (the kmeans/logistic integer conventions): coordinates
+    quantize once to integer micros; the mean re-quantizes via
+    floor(s/n + 0.5); every dot-product/accumulation term rounds to
+    integer nanos BEFORE its exact-integer SUM, so no summation order
+    anywhere; init v0 = e_1. Returns one row per dimension
+    (dim_idx, loading, eigenvalue) with the final-round Rayleigh-scale
+    estimate ‖w‖/n carried on every row.
+
+    Scale shape per round: one broadcast join of the d-row vector onto
+    the coordinate grain + vid-keyed aggregate, one vid-keyed join back
+    + j-keyed aggregate (both map-side-combinable); the centered grain
+    is persisted once; rounds are driver-counted, localCheckpoint per
+    round."""
+    coord = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+        )
+        .select(
+            "vid",
+            (F.col("pos") + 1).cast("long").alias("j"),
+            F.round(F.col("x") * F.lit(1e6), 0).cast("long").alias("xm"),
+        )
+    )
+    n_row = corpus.count()  # bounded driver scalar (one count, like kmeans)
+    mu = (
+        coord.groupBy("j")
+        .agg(F.sum("xm").alias("s"))
+        .select(
+            "j",
+            F.floor(F.col("s") / F.lit(n_row) + F.lit(0.5))
+            .cast("long")
+            .alias("mu_m"),
+        )
+    )
+    cent = (
+        coord.join(F.broadcast(mu), on="j")
+        .select(
+            "vid",
+            "j",
+            ((F.col("xm") - F.col("mu_m")) / F.lit(1e6)).alias("c"),
+        )
+        .persist()
+    )
+    v = mu.select(
+        "j",
+        F.when(F.col("j") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+    ).localCheckpoint(eager=True)
+    nsq = None
+    for _ in range(iterations):
+        s = (
+            cent.join(F.broadcast(v), on="j")
+            .groupBy("vid")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("v") * F.lit(1e9), 0).cast(
+                        "long"
+                    )
+                ).alias("g")
+            )
+            .select("vid", (F.col("g") / F.lit(1e9)).alias("sv"))
+        )
+        w = (
+            cent.join(s, on="vid")
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.round(F.col("sv") * F.col("c") * F.lit(1e9), 0).cast(
+                        "long"
+                    )
+                ).alias("gw")
+            )
+            .select("j", (F.col("gw") / F.lit(1e9)).alias("wd"))
+            .localCheckpoint(eager=True)
+        )
+        nsq = (
+            w.agg(
+                F.sum(
+                    F.round(F.col("wd") * F.col("wd") * F.lit(1e9), 0).cast(
+                        "long"
+                    )
+                ).alias("nsq")
+            )
+        ).localCheckpoint(eager=True)
+        v = (
+            w.crossJoin(F.broadcast(nsq))
+            .select(
+                "j",
+                (F.col("wd") / F.sqrt(F.col("nsq") / F.lit(1e9))).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    cent.unpersist()
+    eig = F.round(
+        F.sqrt(F.col("nsq") / F.lit(1e9)) / F.lit(n_row), 6
+    ).alias("eigenvalue")
+    return (
+        v.crossJoin(F.broadcast(nsq))
+        .select(
+            F.col("j").cast("int").alias("dim_idx"),
+            F.round("v", 6).alias("loading"),
+            eig,
+        )
+        .orderBy("dim_idx")
+    )

@@ -515,3 +515,53 @@ def jl_distortion_oracle_sql(
     FROM pairs
     ORDER BY id_a, id_b
     """
+
+
+def ndcg_oracle_sql(k: int = 10) -> str:
+    """ranking_ndcg_eval — retrieval metrics over the brute-force cosine
+    top-k with relevance = shared label. The 1/log2(rank+1) discount
+    weights are the SAME integer-nano literals the operator embeds
+    (precomputed in Python; neither engine calls log2), so DCG/IDCG are
+    exact integer arithmetic meeting in one final double division."""
+    import math
+
+    w = [int(round(1e9 / math.log2(i + 1))) for i in range(1, k + 1)]
+    cum, acc = [], 0
+    for x in w:
+        acc += x
+        cum.append(acc)
+    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+    cum_lit = "[" + ", ".join(str(x) for x in cum) + "]"
+    return f"""
+    WITH ranked AS ({brute_oracle_sql(k=k)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nl
+            FROM lab GROUP BY label),
+    j AS (
+        SELECT r.query_id, r.rank,
+               CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        JOIN lab ql ON r.query_id = ql.vec_id
+        JOIN lab cl ON r.vec_id = cl.vec_id
+    ),
+    perq AS (
+        SELECT query_id,
+               CAST(SUM(rel * ({w_lit})[rank]) AS BIGINT) AS dcg_n,
+               CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        FROM j GROUP BY query_id
+    )
+    SELECT p.query_id,
+           CAST(cnt.nl - 1 AS BIGINT) AS n_rel_corpus,
+           p.hits_at_k,
+           ROUND(p.hits_at_k / CAST({k} AS DOUBLE), 6) AS precision_at_k,
+           ROUND(CAST(1 AS DOUBLE) / p.first_rel, 6) AS mrr,
+           CASE WHEN cnt.nl - 1 > 0 THEN
+               ROUND(p.dcg_n / CAST(({cum_lit})[least(cnt.nl - 1,
+                                                      {k})] AS DOUBLE), 6)
+           END AS ndcg_at_k
+    FROM perq p
+    JOIN lab ql ON p.query_id = ql.vec_id
+    JOIN cnt ON ql.label = cnt.label
+    ORDER BY p.query_id
+    """

@@ -405,6 +405,7 @@ def simhash_near_dups(spark, sf_dir):
 
 from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     ivf_oracle_sql,
+    ndcg_oracle_sql,
     ivf_recall_oracle_sql,
     jl_distortion_oracle_sql,
     lsh_recall_oracle_sql,
@@ -5799,6 +5800,92 @@ def _logistic_gd_oracle_sql(iterations: int = 3, lr: float = 0.5) -> str:
     )
 
 
+def _pca_power_oracle_sql(iterations: int = 3, d: int = 64) -> str:
+    """Unrolled matrix-free power-iteration oracle (the logistic/kmeans
+    chaining pattern) over the coordinate grain (embeddings × range(d)):
+    per round one vid-keyed dot CTE, one j-keyed accumulate CTE, a 1-row
+    nano-quantized norm, and the normalized vector — every accumulation
+    term rounds to integer nanos before its exact-integer SUM, mirroring
+    `operators/similarity.py pca_power_component` token-for-token."""
+    parts = [
+        f"""
+    coord AS MATERIALIZED (
+        SELECT vec_id AS vid, CAST(j AS BIGINT) AS j,
+               CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS xm
+        FROM embeddings, range(1, {d + 1}) t(j)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mu AS (
+        SELECT j, CAST(floor(CAST(SUM(xm) AS BIGINT) / n + 0.5) AS BIGINT)
+                   AS mu_m
+        FROM coord CROSS JOIN nn GROUP BY j, n
+    ),
+    cent AS MATERIALIZED (
+        SELECT vid, coord.j, (xm - mu_m) / 1e6 AS c
+        FROM coord JOIN mu ON coord.j = mu.j
+    ),
+    v0 AS (
+        SELECT j, CASE WHEN j = 1 THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS v
+        FROM mu
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    s{t} AS (
+        SELECT vid,
+               CAST(SUM(CAST(round(c * v * 1e9) AS BIGINT)) AS BIGINT) AS g
+        FROM cent JOIN v{t - 1} USING (j) GROUP BY vid
+    ),
+    sv{t} AS (SELECT vid, g / 1e9 AS sv FROM s{t}),
+    w{t} AS (
+        SELECT j,
+               CAST(SUM(CAST(round(sv * c * 1e9) AS BIGINT)) AS BIGINT)
+                   AS gw
+        FROM cent JOIN sv{t} USING (vid) GROUP BY j
+    ),
+    wd{t} AS (SELECT j, gw / 1e9 AS wd FROM w{t}),
+    ns{t} AS (
+        SELECT CAST(SUM(CAST(round(wd * wd * 1e9) AS BIGINT)) AS BIGINT)
+                   AS nsq
+        FROM wd{t}
+    ),
+    v{t} AS (
+        SELECT j, wd / sqrt(nsq / 1e9) AS v
+        FROM wd{t} CROSS JOIN ns{t}
+    )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT CAST(j AS INT) AS dim_idx, ROUND(v, 6) AS loading,
+           ROUND(sqrt(nsq / 1e9) / nn.n, 6) AS eigenvalue
+    FROM v{n} CROSS JOIN ns{n} CROSS JOIN nn
+    ORDER BY dim_idx"""
+    )
+
+
+@register("pca_power_component", _pca_power_oracle_sql(3, 64))
+def pca_power_component_query(spark, sf_dir):
+    """Top principal component of the embedding corpus by matrix-free
+    power iteration (`operators/similarity.py pca_power_component`, 3
+    rounds, v0 = e_1): the covariance never materializes — each round is
+    two coordinate-grain passes and a d-row normalize, the shape that
+    holds at any dimension and corpus size. Integer-micro coordinates,
+    floor(s/n+0.5) mean, nano-quantized accumulation terms: the whole
+    trajectory replays bit-for-bit in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        pca_power_component,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pca_power_component(emb, iterations=3)
+
+
 def _mf_gd_oracle_sql(iterations: int = 3) -> str:
     """Unrolled rank-1 matrix-factorization GD oracle (the logistic-GD
     chaining pattern): per round one joined-error CTE feeds two mean-
@@ -6023,3 +6110,23 @@ def item_cosine_top100(spark, sf_dir):
     return item_cosine_pairs(
         li, "l_orderkey", "l_partkey", min_co=2, top_n=100
     )
+
+
+@register("ranking_ndcg_eval", ndcg_oracle_sql(10))
+def ranking_ndcg_eval(spark, sf_dir):
+    """Retrieval evaluation (`operators/similarity.py ranking_metrics`):
+    NDCG@10, precision@10, MRR and hit count per query over the exact
+    cosine top-10, with relevance = candidate shares the query's label
+    and the corpus-wide relevant count feeding the ideal DCG — the
+    metric loop that grades every ANN/CF/embedding stage. Discount
+    weights are shared integer-nano literals (no engine calls log2), so
+    only one final division is float."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        cosine_topk,
+        ranking_metrics,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    ranked = cosine_topk(emb, qs, k=10)
+    return ranking_metrics(ranked, emb, k=10)

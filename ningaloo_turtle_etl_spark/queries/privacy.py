@@ -177,3 +177,60 @@ def q_k_anon_generalize_events(spark, sf_dir):
     return generalize_to_k(
         ev, ladder, k=60, max_suppressed_frac=0.02
     ).orderBy("event_type", "g_time")
+
+
+@register(
+    "entropy_l_diversity_events",
+    f"""
+    WITH cells AS (
+        SELECT event_type, {_DAY} AS day, user_id,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT event_type, day,
+               CAST(SUM(c) AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+               CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+                   AS clnc
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT event_type, day, class_size, n_sensitive,
+           ROUND(ln(CAST(class_size AS DOUBLE))
+                 - (clnc / 1e9) / CAST(class_size AS DOUBLE), 6) AS entropy,
+           ROUND(exp(ln(CAST(class_size AS DOUBLE))
+                 - (clnc / 1e9) / CAST(class_size AS DOUBLE)), 6)
+               AS effective_l,
+           ROUND(ln(CAST(class_size AS DOUBLE))
+                 - (clnc / 1e9) / CAST(class_size AS DOUBLE), 6)
+               >= CAST(4.382027 AS DOUBLE) AS is_entropy_l_diverse
+    FROM cls ORDER BY event_type, day
+    """,
+)
+def q_entropy_l_diversity_events(spark, sf_dir):
+    """ENTROPY l-diversity audit (Machanavajjhala et al. 2007 §3.2) of
+    the same (event_type, day) release as k_anonymity_events
+    (`operators/privacy.py entropy_l_diversity_report`, l=80): the
+    count-distinct check passes a class whose 80 distinct users are one
+    heavy user plus 79 singletons; the entropy check requires the
+    EFFECTIVE user count exp(H) >= 80, which skew fails. Per-class c·ln c
+    terms quantize to integer nanos before the class sum, and the flag
+    compares 6dp-rounded entropy to a shared 6dp threshold literal, so
+    no libm last-ulp can flip a row between engines."""
+    from ningaloo_turtle_etl_spark.operators.privacy import (
+        entropy_l_diversity_report,
+    )
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+
+    raw = load_table(spark, "events", sf_dir)
+    ev = raw.select(
+        "event_type",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    return entropy_l_diversity_report(
+        ev, ["event_type", "day"], "user_id", l_value=80
+    ).orderBy("event_type", "day")

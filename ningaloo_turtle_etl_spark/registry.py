@@ -402,6 +402,15 @@ PRIORITY: list[str] = [
     # integer-micro exact rounds, unrolled-oracle trajectory like
     # logistic_gd_weights)
     "mf_gd_factors",
+    # r10 entropy l-diversity (Machanavajjhala §3.2 — the skew-sensitive
+    # release gate the count-distinct check misses)
+    "entropy_l_diversity_events",
+    # r10 retrieval evaluation: NDCG@10 / precision / MRR with shared
+    # integer-nano discount literals (no engine calls log2)
+    "ranking_ndcg_eval",
+    # r10 matrix-free PCA power iteration (covariance never materialized;
+    # unrolled nano-exact trajectory oracle)
+    "pca_power_component",
 ]
 
 

@@ -3065,3 +3065,109 @@ def test_mf_gd_factors_matches_python_replica(spark):
     assert all(
         abs(got_u[u] - (0.5 + (u % 7) / 10.0)) > 1e-9 for u in got_u
     )
+
+
+def test_ranking_metrics_hand_values_and_weight_exactness(spark):
+    """NDCG/precision/MRR against hand-computed values on a fixed ranked
+    list, including the no-relevant query (null mrr/zero ndcg) and the
+    IDCG cap at min(n_rel, k)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    # labels: queries 1,2,3; corpus 10-15
+    labels = spark.createDataFrame(
+        [
+            (1, "a"), (2, "b"), (3, "c"),
+            (10, "a"), (11, "a"), (12, "b"), (13, "b"), (14, "b"),
+            (15, "z"),
+        ],
+        "vec_id long, label string",
+    )
+    # ranked@3: q1 hits at ranks 1 and 3; q2 hits at rank 2 only;
+    # q3 has no relevant anywhere (label 'c' unique)
+    ranked = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 12, 2), (1, 11, 3),
+            (2, 10, 1), (2, 13, 2), (2, 15, 3),
+            (3, 10, 1), (3, 11, 2), (3, 12, 3),
+        ],
+        "query_id long, vec_id long, rank int",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ranking_metrics(ranked, labels, k=3).collect()
+    }
+    w = [int(round(1e9 / math.log2(i + 1))) for i in (1, 2, 3)]
+    # q1: label 'a' has 3 members -> n_rel = 2; dcg = w1 + w3;
+    #     idcg = w1 + w2 (capped at n_rel=2)
+    assert out[1]["n_rel_corpus"] == 2 and out[1]["hits_at_k"] == 2
+    assert out[1]["mrr"] == 1.0
+    assert abs(out[1]["ndcg_at_k"] - round((w[0] + w[2]) / (w[0] + w[1]), 6)) < 1e-9
+    # q2: label 'b' has 4 members -> n_rel = 3; dcg = w2; idcg = all three
+    assert out[2]["n_rel_corpus"] == 3 and out[2]["hits_at_k"] == 1
+    assert out[2]["mrr"] == 0.5
+    assert abs(out[2]["ndcg_at_k"] - round(w[1] / (w[0] + w[1] + w[2]), 6)) < 1e-9
+    assert abs(out[2]["precision_at_k"] - round(1 / 3, 6)) < 1e-6
+    # q3: nothing relevant in the corpus -> ndcg null, mrr null, hits 0
+    assert out[3]["n_rel_corpus"] == 0 and out[3]["hits_at_k"] == 0
+    assert out[3]["ndcg_at_k"] is None and out[3]["mrr"] is None
+
+
+def test_pca_power_component_replica_and_planted_direction(spark):
+    """Two pins: (a) the 3-round trajectory matches an exact numpy
+    replica of the integer-micro/nano arithmetic; (b) on data with a
+    planted dominant direction the learned component aligns with numpy's
+    true top eigenvector (|cos| > 0.99) and the eigenvalue estimate is
+    close — the semantic check, independent of the quantization."""
+    import math
+
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        pca_power_component,
+    )
+
+    rng = np.random.RandomState(5)
+    direction = rng.randn(8)
+    direction /= np.linalg.norm(direction)
+    data = (
+        np.outer(rng.randn(60) * 5.0, direction)
+        + rng.randn(60, 8) * 0.3
+    )
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in data[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pca_power_component(df, iterations=3).collect()
+    loadings = np.array([r["loading"] for r in sorted(got, key=lambda r: r["dim_idx"])])
+    eig = got[0]["eigenvalue"]
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    # exact replica
+    xm = np.array([[rnd(float(np.float32(x)) * 1e6) for x in row] for row in data])
+    n = 60
+    mu = np.array([math.floor(int(xm[:, j].sum()) / n + 0.5) for j in range(8)])
+    c = (xm - mu) / 1e6
+    v = np.zeros(8)
+    v[0] = 1.0
+    for _ in range(3):
+        s = np.array([sum(rnd(c[i, j] * v[j] * 1e9) for j in range(8)) for i in range(n)]) / 1e9
+        w = np.array([sum(rnd(s[i] * c[i, j] * 1e9) for i in range(n)) for j in range(8)]) / 1e9
+        nsq = sum(rnd(w[j] * w[j] * 1e9) for j in range(8))
+        norm = math.sqrt(nsq / 1e9)
+        v = w / norm
+    assert np.allclose(loadings, np.round(v, 6), atol=1e-9)
+    assert abs(eig - round(norm / n, 6)) < 1e-9
+
+    # semantic: aligns with the true top eigenvector of the centered data
+    centered = data - data.mean(axis=0)
+    cov = centered.T @ centered / n
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(loadings @ top)) > 0.99
+    assert abs(eig - evals[-1]) / evals[-1] < 0.1

@@ -209,3 +209,43 @@ def test_privacy_queries_match_oracle(spark, duck):
         "k_anon_generalize_events",
     ):
         assert_df_matches_oracle(qs[name](spark, SF_DIR), duck, os_[name])
+
+
+def test_entropy_l_diversity_catches_skew_distinct_count_misses(spark):
+    """A class can pass distinct-count l-diversity (n_sensitive >= l)
+    while one value covers almost every row — the attacker's posterior
+    is near-certain. The entropy check must fail exactly that class and
+    pass the uniform one; values are hand-computed."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.privacy import (
+        entropy_l_diversity_report,
+    )
+
+    rows = []
+    # class A: 4 sensitive values, uniform 25 each -> H = ln 4, eff_l = 4
+    for s in range(4):
+        rows += [("A", s)] * 25
+    # class B: 4 distinct values but 97/1/1/1 -> eff_l ~ 1.2
+    rows += [("B", 0)] * 97 + [("B", 1), ("B", 2), ("B", 3)]
+    df = spark.createDataFrame(rows, "qid string, sens int")
+    rep = {
+        r["qid"]: r
+        for r in entropy_l_diversity_report(
+            df, ["qid"], "sens", l_value=3
+        ).collect()
+    }
+    assert rep["A"]["class_size"] == 100 and rep["A"]["n_sensitive"] == 4
+    assert rep["B"]["n_sensitive"] == 4  # distinct-count check would PASS
+    assert abs(rep["A"]["entropy"] - math.log(4)) < 1e-6
+    assert abs(rep["A"]["effective_l"] - 4.0) < 1e-6
+    # replica of B's entropy with the operator's nano quantization
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    clnc = rnd(97 * math.log(97.0) * 1e9) + 3 * rnd(1 * math.log(1.0) * 1e9)
+    h_b = math.log(100.0) - (clnc / 1e9) / 100.0
+    assert abs(rep["B"]["entropy"] - round(h_b, 6)) < 1e-9
+    assert rep["B"]["effective_l"] < 1.3
+    assert rep["A"]["is_entropy_l_diverse"] is True
+    assert rep["B"]["is_entropy_l_diverse"] is False  # skew caught

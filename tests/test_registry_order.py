@@ -331,6 +331,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "hilbert_layout_buckets",
         "bfs_hop_distance",
         "mf_gd_factors",
+        "entropy_l_diversity_events",
+        "ranking_ndcg_eval",
+        "pca_power_component",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
