@@ -901,3 +901,98 @@ def position_attribution(
         F.round(F.col("cm") / 1e6, 6).alias("credit"),
         F.round(F.col("cm") / F.col("tot"), 6).alias("credit_share"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: Sequence[str],
+    conversion: str,
+    channel_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over journey channel
+    SETS — the game-theoretic credit rule the last-touch/position/Markov
+    trio approximates (unique solution satisfying efficiency, symmetry,
+    dummy, additivity). The coalition value v(T) counts conversions by
+    users whose touched-channel set is contained in T; channel i's
+    credit is the Shapley sum over its marginal contributions.
+
+    Exactness: every quantity is an INTEGER until the single final
+    division — v(T) values are counts, and the coalition weights are
+    pre-multiplied by n! (w_s·n! = s!·(n−1−s)!, a plain integer per
+    coalition size, embedded as literals by Python's factorial), so both
+    engines do identical integer sums and one double divide. ``channels``
+    is a caller-frozen vocabulary (like quantize bounds): bit i of the
+    user mask = channels[i], deterministic with no driver collect.
+
+    Scale shape: user journeys collapse to a bitmask via one bit_or
+    aggregate (map-side combinable); everything after runs on the 2^n
+    COALITION grain (n = |channels|, n <= 20 guarded — at n=4 that is 16
+    rows), joined by broadcast. The row-count-sized work is exactly two
+    aggregates over the event log."""
+    n = len(channels)
+    if n < 1 or n > 20:
+        raise ValueError("channels must have 1..20 entries")
+    if len(set(channels)) != n:
+        raise ValueError("channels must be distinct")
+    bits = {c: 1 << i for i, c in enumerate(channels)}
+    spark = events.sparkSession
+    chan_df = spark.createDataFrame(
+        [(c, bits[c]) for c in channels], "channel string, bit long"
+    )
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(channel_col).alias("ch")
+    )
+    masks = (
+        ev.join(
+            F.broadcast(
+                chan_df.select(
+                    F.col("channel").alias("ch"), F.col("bit")
+                )
+            ),
+            on="ch",
+        )
+        .groupBy("u")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    conv = ev.filter(F.col("ch") == F.lit(conversion)).select("u").distinct()
+    set_counts = (
+        conv.join(masks, on="u", how="left")
+        .select(F.coalesce("mask", F.lit(0)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = spark.range(0, 1 << n).select(F.col("id").alias("t"))
+    v = (
+        t.join(
+            F.broadcast(set_counts),
+            on=F.col("mask").bitwiseAND(F.col("t")) == F.col("mask"),
+            how="left",
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    fact = [1] * (n + 1)
+    for i in range(2, n + 1):
+        fact[i] = fact[i - 1] * i
+    w = [fact[s] * fact[n - 1 - s] for s in range(n)]  # w_s * n!
+    w_arr = F.array([F.lit(x) for x in w])
+    vt = v.select(F.col("t").alias("t"), F.col("v").alias("vt"))
+    vti = v.select(F.col("t").alias("ti"), F.col("v").alias("vti"))
+    pairs = (
+        chan_df.crossJoin(vt)
+        .filter(F.col("t").bitwiseAND(F.col("bit")) == 0)
+        .withColumn("ti", F.col("t").bitwiseOR(F.col("bit")))
+        .join(vti, on="ti")
+    )
+    num = F.sum(
+        F.element_at(w_arr, F.bit_count("t").cast("int") + F.lit(1))
+        * (F.col("vti") - F.col("vt"))
+    ).cast("long")
+    return (
+        pairs.groupBy("channel")
+        .agg(
+            F.round(num / F.lit(float(fact[n])), 6).alias("shapley"),
+        )
+        .orderBy("channel")
+    )

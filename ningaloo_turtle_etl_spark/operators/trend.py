@@ -2368,3 +2368,76 @@ def token_js_divergence(
     return spark.createDataFrame(
         [(str(r[0]), r[1], r[2], r[3]) for r in rows], schema
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per group — the
+    level+trend forecast a monitoring pipeline runs on its daily series
+    (plain EWMA under-forecasts any trending series by a full lag step):
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},  l_1 = y_1, b_1 = 0
+
+    The recursion is inherently sequential, so it runs as ONE in-group
+    fold (`F.aggregate` over the order-sorted value array) — state is
+    (level, trend), each group touched once, work linear in the series
+    length; the cross-group axis stays fully parallel. Group state is
+    bounded by the series grain (days), the same per-group bound as the
+    ACF/changepoint operators. α/β default to binary-exact 1/2 and 1/4
+    so engines can't disagree on literal parsing; the fold order is the
+    series order in BOTH engines, so there is no summation-order issue
+    to quantize away.
+
+    Oracle note: the DuckDB replay is a depth-bounded RECURSIVE CTE, not
+    list_reduce — DuckDB 1.0's list_reduce evaluates struct-field lambda
+    outputs into vectors that ALIAS the accumulator, so a field written
+    earlier (l) clobbers `a.l` inside the next field's expression (b)
+    from the second merge onward; measured divergence, avoided entirely.
+
+    Returns one row per group: n_points, level, trend, forecast
+    (level + horizon·trend), each rounded to 6dp."""
+    a, b = float(alpha), float(beta)
+    series = df.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("y"),
+                )
+            )
+        ).alias("_s")
+    )
+    first_y = F.element_at("_s", 1)["y"]
+    init = F.struct(first_y.alias("l"), F.lit(0.0).alias("b"))
+    rest = F.slice("_s", 2, F.greatest(F.size("_s") - 1, F.lit(0)))
+
+    def merge(acc, e):
+        new_l = F.lit(a) * e["y"] + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(b)
+            * (
+                (F.lit(a) * e["y"] + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+                - acc["l"]
+            )
+            + F.lit(1.0 - b) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = F.aggregate(rest, init, merge)
+    return series.select(
+        *group_cols,
+        F.size("_s").cast("long").alias("n_points"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(
+            state["l"] + F.lit(float(horizon)) * state["b"], 6
+        ).alias("forecast"),
+    )

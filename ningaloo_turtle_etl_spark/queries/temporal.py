@@ -606,3 +606,60 @@ def q_position_attribution_channels(spark, sf_dir):
     return position_attribution(
         ev, "user_id", "event_type", "ts", "event_id", "purchase"
     ).orderBy("channel")
+
+
+@register(
+    "shapley_attribution_channels",
+    """
+    WITH chans(channel, bit) AS (
+        VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)
+    ),
+    masks AS (
+        SELECT e.user_id AS u, CAST(bit_or(c.bit) AS BIGINT) AS mask
+        FROM events e JOIN chans c ON e.event_type = c.channel
+        GROUP BY 1
+    ),
+    conv AS (SELECT DISTINCT user_id AS u FROM events
+             WHERE event_type = 'purchase'),
+    setc AS (
+        SELECT COALESCE(m.mask, 0) AS mask, CAST(COUNT(*) AS BIGINT) AS c
+        FROM conv LEFT JOIN masks m USING (u) GROUP BY 1
+    ),
+    ts AS (SELECT CAST(i AS BIGINT) AS t FROM range(0, 16) r(i)),
+    v AS (
+        SELECT ts.t, CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS v
+        FROM ts LEFT JOIN setc s ON (s.mask & ts.t) = s.mask
+        GROUP BY ts.t
+    ),
+    pairs AS (
+        SELECT ch.channel, vt.v AS vt, vi.v AS vti,
+               CAST(bit_count(vt.t) AS INT) AS s
+        FROM chans ch
+        JOIN v vt ON (vt.t & ch.bit) = 0
+        JOIN v vi ON vi.t = (vt.t | ch.bit)
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(([6, 2, 2, 6])[s + 1] * (vti - vt)) AS BIGINT)
+                 / CAST(24 AS DOUBLE), 6) AS shapley
+    FROM pairs GROUP BY channel ORDER BY channel
+    """,
+)
+def shapley_attribution_channels(spark, sf_dir):
+    """EXACT Shapley-value attribution of purchase conversions across
+    the four non-conversion channels (`operators/temporal.py
+    shapley_attribution`) — the game-theoretic completion of the
+    attribution trio (last-touch / position / Markov removal): the only
+    credit rule satisfying efficiency + symmetry + dummy + additivity.
+    Journeys collapse to one bitmask aggregate; everything after runs on
+    the 16-row coalition grain with n!-scaled INTEGER weights, so both
+    engines agree to the last bit before the single final division."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        shapley_attribution,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return shapley_attribution(
+        ev,
+        channels=["click", "error", "signup", "view"],
+        conversion="purchase",
+    )

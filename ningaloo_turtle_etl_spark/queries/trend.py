@@ -1842,3 +1842,79 @@ def token_jsd_by_source(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return token_js_divergence(docs, "source").orderBy("source")
+
+
+@register(
+    "holt_linear_daily",
+    """
+    WITH RECURSIVE
+    d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS idx,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ),
+    walk(event_type, idx, l, b) AS (
+        SELECT event_type, CAST(1 AS BIGINT), y, CAST(0 AS DOUBLE)
+        FROM s WHERE idx = 1
+        UNION ALL
+        SELECT w.event_type, w.idx + 1,
+               0.5 * s.y + 0.5 * (w.l + w.b),
+               0.25 * ((0.5 * s.y + 0.5 * (w.l + w.b)) - w.l)
+                   + 0.75 * w.b
+        FROM walk w
+        JOIN s ON s.event_type = w.event_type AND s.idx = w.idx + 1
+    )
+    SELECT w.event_type,
+           CAST(w.idx AS BIGINT) AS n_points,
+           ROUND(w.l, 6) AS level,
+           ROUND(w.b, 6) AS trend,
+           ROUND(w.l + 7.0 * w.b, 6) AS forecast
+    FROM walk w
+    JOIN (SELECT event_type, MAX(idx) AS mi FROM walk GROUP BY 1) last
+      ON w.event_type = last.event_type AND w.idx = last.mi
+    ORDER BY w.event_type
+    """,
+)
+def holt_linear_daily(spark, sf_dir):
+    """Holt linear-trend smoothing of the per-type daily event counts
+    (`operators/trend.py holt_linear_forecast`, alpha=1/2, beta=1/4,
+    7-day forecast): the level+trend state after folding each group's
+    ordered series once, with the fold replayed independently by a
+    recursive CTE in the oracle (NOT list_reduce — DuckDB 1.0's struct
+    lambda aliases the accumulator into the output vector, measured
+    divergence documented on the operator). Binary-exact smoothing
+    constants; the sequential fold order is the series order in both
+    engines, so no quantization is needed anywhere."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        holt_linear_forecast,
+    )
+
+    raw = load_table(spark, "events", sf_dir)
+    daily = (
+        raw.select(
+            "event_type",
+            F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return holt_linear_forecast(
+        daily,
+        ["event_type"],
+        order_col="day",
+        value_col="y",
+        alpha=0.5,
+        beta=0.25,
+        horizon=7,
+    ).orderBy("event_type")

@@ -411,6 +411,13 @@ PRIORITY: list[str] = [
     # r10 matrix-free PCA power iteration (covariance never materialized;
     # unrolled nano-exact trajectory oracle)
     "pca_power_component",
+    # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
+    # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
+    # documented and avoided)
+    "holt_linear_daily",
+    # r10 exact Shapley-value attribution (coalition-grain integer
+    # arithmetic, n!-scaled weights, one final division)
+    "shapley_attribution_channels",
 ]
 
 

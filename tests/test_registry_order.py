@@ -334,6 +334,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "entropy_l_diversity_events",
         "ranking_ndcg_eval",
         "pca_power_component",
+        "holt_linear_daily",
+        "shapley_attribution_channels",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

@@ -583,3 +583,66 @@ def test_position_attribution_hand_journeys(spark):
     assert abs(total - 3.0) < 1e-6  # one unit of credit per conversion
     share_sum = sum(r["credit_share"] for r in out.values())
     assert abs(share_sum - 1.0) < 1e-5
+
+
+def test_shapley_attribution_matches_permutation_bruteforce(spark):
+    """Shapley credits vs the textbook permutation-average reference
+    (independent of the coalition-sum form the operator uses), plus the
+    efficiency axiom: credits sum to v(all channels) − v(∅) — converting
+    users with no channel touches contribute only to the constant and
+    cancel out of every credit."""
+    import itertools
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        shapley_attribution,
+    )
+
+    channels = ["a", "b", "c"]
+    # journeys: (user, touched channels, converted?)
+    journeys = [
+        (1, ["a"], True),
+        (2, ["a"], True),
+        (3, ["b"], True),
+        (4, ["a", "b"], True),
+        (5, ["b", "c"], False),
+        (6, ["c"], True),
+        (7, [], True),          # direct conversion, no touches
+        (8, ["a", "c"], False),
+    ]
+    rows = []
+    for u, chs, conv in journeys:
+        rows += [(u, ch) for ch in chs]
+        if conv:
+            rows.append((u, "buy"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["channel"]: r["shapley"]
+        for r in shapley_attribution(
+            ev, channels=channels, conversion="buy"
+        ).collect()
+    }
+
+    def v(coalition):
+        s = set(coalition)
+        return sum(
+            1 for _, chs, conv in journeys if conv and set(chs) <= s
+        )
+
+    ref = {c: 0.0 for c in channels}
+    perms = list(itertools.permutations(channels))
+    for perm in perms:
+        seen = []
+        for c in perm:
+            ref[c] += v(seen + [c]) - v(seen)
+            seen.append(c)
+    ref = {c: round(x / len(perms), 6) for c, x in ref.items()}
+    assert got == ref, (got, ref)
+    # efficiency: credits sum to v(full) - v(empty)
+    assert abs(sum(got.values()) - (v(channels) - v([]))) < 1e-6
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shapley_attribution(ev, channels=["a", "a"], conversion="buy")
+    with _pt.raises(ValueError):
+        shapley_attribution(ev, channels=[], conversion="buy")

@@ -213,3 +213,63 @@ def test_psi_drift_degenerate_reference_single_value(spark):
     )
     out = psi_drift(df, "v", F.col("side") == 1, n_bins=10).collect()
     assert [r["bin"] for r in out] == [0]
+
+
+def test_holt_linear_forecast_replica_and_trend_advantage(spark):
+    """Holt's level/trend fold vs an exact Python replica (same fold
+    order, same binary-exact constants), plus the semantic reason the
+    operator exists: on a linear ramp the trend-aware forecast tracks
+    the future value while plain EWMA (beta=0: trend stays 0) lags by
+    a full step; singleton groups come back (l=y, b=0)."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        holt_linear_forecast,
+    )
+
+    ramp = [(i, 10.0 + 3.0 * i) for i in range(30)]
+    noisy = [(i, [7.0, 13.0, 9.0, 11.0][i % 4]) for i in range(20)]
+    rows = (
+        [("ramp", d, y) for d, y in ramp]
+        + [("noisy", d, y) for d, y in noisy]
+        + [("single", 0, 42.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, d long, y double")
+    got = {
+        r["g"]: r
+        for r in holt_linear_forecast(
+            df, ["g"], "d", "y", alpha=0.5, beta=0.25, horizon=7
+        ).collect()
+    }
+
+    def replica(ys, a=0.5, b=0.25):
+        l, t = ys[0], 0.0
+        for v in ys[1:]:
+            nl = a * v + (1.0 - a) * (l + t)
+            nt = b * ((a * v + (1.0 - a) * (l + t)) - l) + (1.0 - b) * t
+            l, t = nl, nt
+        return l, t
+
+    for g, ys in (
+        ("ramp", [y for _, y in ramp]),
+        ("noisy", [y for _, y in noisy]),
+    ):
+        l, t = replica(ys)
+        assert got[g]["n_points"] == len(ys)
+        assert abs(got[g]["level"] - round(l, 6)) < 1e-9
+        assert abs(got[g]["trend"] - round(t, 6)) < 1e-9
+        assert abs(got[g]["forecast"] - round(l + 7.0 * t, 6)) < 1e-9
+
+    assert got["single"]["n_points"] == 1
+    assert got["single"]["level"] == 42.0 and got["single"]["trend"] == 0.0
+    assert got["single"]["forecast"] == 42.0
+
+    # semantic: the true 7-ahead ramp value is 10 + 3*36 = 118; Holt gets
+    # close, the trendless fold (beta=0 keeps b=0) lags far behind
+    true_future = 10.0 + 3.0 * (29 + 7)
+    assert abs(got["ramp"]["forecast"] - true_future) < 3.0
+    flat = {
+        r["g"]: r
+        for r in holt_linear_forecast(
+            df, ["g"], "d", "y", alpha=0.5, beta=0.0, horizon=7
+        ).collect()
+    }
+    assert true_future - flat["ramp"]["forecast"] > 5.0
