@@ -965,6 +965,168 @@ def _zorder_600k(spark, sf_dir):
     return registry.queries()["zorder_layout_buckets"](spark, sf_dir)
 
 
+def _hilbert_600k(spark, sf_dir):
+    """Hilbert key + bucket-span rollup over the full sf lineitem —
+    Z-order's direct twin probe (zorder_600k): six materialized
+    unrolled levels instead of one interleave expression; the number to
+    watch is that the explode-barrier stages stay map-only and inside
+    codegen (the naive expression chain fell out of codegen at 24 s)."""
+    return registry.queries()["hilbert_layout_buckets"](spark, sf_dir)
+
+
+def _pareto_600k(spark, sf_dir):
+    """Skyline over the full sf lineitem on (minimize extendedprice,
+    maximize quantity): one map-combinable groupBy to the distinct-price
+    grain, then the documented single-partition prefix-max window on
+    that grain — this probe MEASURES the grain trade-off (price is the
+    high-cardinality worst case for the window input)."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = pareto_frontier_2d(li, "l_extendedprice", "l_quantity")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 3).alias("chk"),
+    )
+
+
+def _shapley_sf(spark, sf_dir):
+    """Exact Shapley attribution over the full sf event log: two
+    row-count-sized aggregates (bitmask bit_or + conversion distinct),
+    then the 16-row coalition grain — should track the scan."""
+    return registry.queries()["shapley_attribution_channels"](spark, sf_dir)
+
+
+def _holt_users_sf(spark, sf_dir):
+    """Holt linear fold at the USER grain (thousands of groups instead
+    of the registry query's 5): per-user daily counts, one sorted-array
+    fold each — the many-small-groups shape where collect_list pressure
+    would show."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        holt_linear_forecast,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    out = holt_linear_forecast(daily, ["user_id"], "day", "y")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("forecast"), 3).alias("chk"),
+    )
+
+
+def _pca_at(target):
+    """Matrix-free PCA power iteration at ~target 64-dim vectors
+    (replicated sf embeddings): 3 rounds x (coordinate-grain dot +
+    accumulate). Watch that work tracks n x d and the d-row vector side
+    always broadcasts."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.similarity import (
+            pca_power_component,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        copies = max(target // max(n, 1), 1)
+        big = emb
+        for i in range(copies - 1):
+            big = big.unionByName(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
+                )
+            )
+        return pca_power_component(_spread(big), iterations=3)
+
+    return run
+
+
+def _mf_gd_sf(spark, sf_dir):
+    """Rank-1 MF gradient training over the FULL sf rating matrix (no
+    entity filter): 3 rounds of ratings x broadcast-factor joins + two
+    mean-gradient aggregates. Watch that ratings never re-shuffle and
+    both factor sides stay broadcast."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.similarity import mf_gd_factors
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            (
+                F.sum("l_quantity").cast("double")
+                / F.lit(10).cast("double")
+            ).alias("rating")
+        )
+    )
+    out = mf_gd_factors(
+        ratings,
+        iterations=3,
+        user_col="o_custkey",
+        item_col="l_partkey",
+        rating_col="rating",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("factor"), 3).alias("chk"),
+    )
+
+
+def _bfs_at(n_nodes, max_hops=4):
+    """Multi-source BFS over a deterministic 2-out expander (dst =
+    (id*48271+1) %% n and (id*16807+3) %% n) from n/60 spread seeds: the
+    frontier grows into the hundreds of thousands within the hop budget,
+    so the probe times real frontier-join + visited-anti-join rounds at
+    graph scale, not a toy chain."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.graph import bfs_hops
+
+        ids = spark.range(n_nodes, numPartitions=8)
+        e1 = ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 48271 + 1) % n_nodes).alias("dst"),
+        )
+        e2 = ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 16807 + 3) % n_nodes).alias("dst"),
+        )
+        seeds = spark.range(0, n_nodes, 60).select(
+            F.col("id").alias("node")
+        )
+        out = bfs_hops(e1.unionByName(e2), seeds, max_hops=max_hops)
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hops").alias("chk"),
+        )
+
+    return run
+
+
 def _kmeans_at(target):
     """Distributed Lloyd k-means at ~target 64-dim vectors (sf
     embeddings replicated with id offsets), k=8 x 3 iterations: times 4
@@ -1105,6 +1267,18 @@ EXTRAS = {
     "adamic_adar_sf": _adamic_adar_sf,
     "rake_sf": _rake_sf,
     "jsd_sf": _jsd_sf,
+    # r10-family probes: Hilbert layout (Z-order twin), skyline at the
+    # high-cardinality-grain worst case, Shapley, user-grain Holt folds,
+    # PCA power iteration, full-matrix MF training, expander BFS.
+    # (entropy-l and NDCG ride existing aggregate/ranked-list grains —
+    # no distinct scale risk to probe.)
+    "hilbert_600k": _hilbert_600k,
+    "pareto_600k": _pareto_600k,
+    "shapley_sf": _shapley_sf,
+    "holt_users_sf": _holt_users_sf,
+    "pca_100k": _pca_at(100_000),
+    "mf_gd_sf": _mf_gd_sf,
+    "bfs_600k_nodes": _bfs_at(600_000),
 }
 
 # 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
@@ -1144,6 +1318,10 @@ EAGER_EXTRAS = {
     "hits_100k_edges",  # per-round localCheckpoint jobs run in the builder
     "rake_sf",          # bounded top-N collect runs in the builder
     "jsd_sf",           # bounded per-group collect runs in the builder
+    # r10 probes whose operators run jobs inside the builder
+    "pca_100k",       # per-round localCheckpoints + count run in the builder
+    "mf_gd_sf",       # per-round localCheckpoints run in the builder
+    "bfs_600k_nodes", # frontier rounds localCheckpoint in the builder
     # --scale-extras twins of the eager probes above
     "lpa_1m_edges",
     "hits_1m_edges",

@@ -339,6 +339,9 @@ def _jpeg_decode(content: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("jpeg decoder: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any scan

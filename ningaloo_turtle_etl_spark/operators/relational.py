@@ -623,6 +623,12 @@ def pareto_frontier_2d(
     frontier input to it is |distinct prices|, not |rows|. Returns the
     full surviving rows (id_cols + both value cols)."""
     mn, mx = F.col(minimize_col), F.col(maximize_col)
+    # rows with a NULL value column are excluded up front: under SQL
+    # three-valued dominance a NULL row neither dominates nor is
+    # dominated, so "on the frontier" is undefined for it — and Spark's
+    # nulls-first window ordering would otherwise let a NULL minimize
+    # value shadow every real row
+    df = df.filter(mn.isNotNull() & mx.isNotNull())
     grain = df.groupBy(minimize_col).agg(F.max(mx).alias("_gmax"))
     w = (
         Window.orderBy(mn)

@@ -1399,114 +1399,121 @@ def pca_power_component(
     """DISTRIBUTED top principal component by power iteration — the
     whitening/dimension-diagnostic stage next to kmeans_lloyd and
     jl_project, computed WITHOUT materializing the d×d covariance:
-    each round applies Σ·v as two coordinate-grain passes,
-    s_i = (x_i − μ)·v then w = Σ_i s_i (x_i − μ), followed by an L2
-    normalize — the matrix-free form that works at any d and any corpus
-    size (the covariance never exists; only the n×d coordinate grain and
-    the d-row vector do).
+    each round applies the centered covariance to v as one map-side
+    pass, s_i = (x_i − μ)·v / then w = (1/n)·Σ_i s_i (x_i − μ), and the
+    d-row w is collected to the driver (the kmeans broadcast-centroid
+    convention: a bounded d-sized collect per round) where it is
+    normalized and re-embedded as LITERALS for the next round. No
+    per-round join anywhere: a round costs exactly one scan + one
+    map-side-combined aggregate over the coordinate grain — the shape
+    that holds at 10⁹ vectors.
 
-    Determinism (the kmeans/logistic integer conventions): coordinates
-    quantize once to integer micros; the mean re-quantizes via
-    floor(s/n + 0.5); every dot-product/accumulation term rounds to
-    integer nanos BEFORE its exact-integer SUM, so no summation order
-    anywhere; init v0 = e_1. Returns one row per dimension
-    (dim_idx, loading, eigenvalue) with the final-round Rayleigh-scale
-    estimate ‖w‖/n carried on every row.
+    Determinism (the kmeans integer conventions): coordinates quantize
+    once to integer micros; the mean re-quantizes via floor(s/n + 0.5);
+    every accumulation term rounds to integer MICROS before its
+    exact-integer SUM (micro, not nano, so the per-key sums stay inside
+    int64 at 10¹² terms — and w carries the 1/n of the covariance
+    before squaring, so the norm terms never grow with n); driver-side
+    arithmetic is plain IEEE double (division, sqrt — bit-identical on
+    any engine), and all output rounding happens in Spark expressions.
+    Init v0 = e_1. Returns one row per dimension (dim_idx, loading,
+    eigenvalue) with the final ‖Σ·v‖ Rayleigh-scale estimate on every
+    row; the whole trajectory replays bit-for-bit in the unrolled
+    oracle."""
+    import math
 
-    Scale shape per round: one broadcast join of the d-row vector onto
-    the coordinate grain + vid-keyed aggregate, one vid-keyed join back
-    + j-keyed aggregate (both map-side-combinable); the centered grain
-    is persisted once; rounds are driver-counted, localCheckpoint per
-    round."""
-    coord = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
-        )
-        .select(
-            "vid",
-            (F.col("pos") + 1).cast("long").alias("j"),
-            F.round(F.col("x") * F.lit(1e6), 0).cast("long").alias("xm"),
-        )
-    )
-    n_row = corpus.count()  # bounded driver scalar (one count, like kmeans)
-    mu = (
-        coord.groupBy("j")
-        .agg(F.sum("xm").alias("s"))
-        .select(
-            "j",
-            F.floor(F.col("s") / F.lit(n_row) + F.lit(0.5))
-            .cast("long")
-            .alias("mu_m"),
-        )
-    )
-    cent = (
-        coord.join(F.broadcast(mu), on="j")
-        .select(
-            "vid",
-            "j",
-            ((F.col("xm") - F.col("mu_m")) / F.lit(1e6)).alias("c"),
-        )
-        .persist()
-    )
-    v = mu.select(
-        "j",
-        F.when(F.col("j") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+    # localCheckpoint (not persist): severs the upstream lineage so the
+    # driver does not re-analyze a potentially huge input plan (unions,
+    # deep pipelines) on every one of the per-round jobs — the same O(1)
+    # lineage convention as kmeans/pagerank rounds
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(1e6), 0).cast("long"),
+        ).alias("xm"),
     ).localCheckpoint(eager=True)
-    nsq = None
-    for _ in range(iterations):
-        s = (
-            cent.join(F.broadcast(v), on="j")
-            .groupBy("vid")
-            .agg(
-                F.sum(
-                    F.round(F.col("c") * F.col("v") * F.lit(1e9), 0).cast(
-                        "long"
-                    )
-                ).alias("g")
-            )
-            .select("vid", (F.col("g") / F.lit(1e9)).alias("sv"))
+    first = base.select(F.size("xm").alias("d")).first()
+    spark = corpus.sparkSession
+    if first is None:
+        base.unpersist()
+        return spark.createDataFrame(
+            [], "dim_idx int, loading double, eigenvalue double"
         )
-        w = (
-            cent.join(s, on="vid")
-            .groupBy("j")
+    d = int(first["d"])
+    n_row = base.count()  # bounded driver scalar (one count, like kmeans)
+    mu_rows = (
+        base.select(F.posexplode("xm").alias("j0", "xv"))
+        .groupBy("j0")
+        .agg(F.sum("xv").alias("s"))
+        .collect()
+    )
+    mu_m = [0] * d
+    for r in mu_rows:
+        # floor(s/n + 0.5): long/long division is IEEE double on any engine
+        mu_m[r["j0"]] = int(math.floor(r["s"] / n_row + 0.5))
+    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
+
+    mu_arr = F.array([F.lit(int(m)).cast("long") for m in mu_m])
+    # centered coordinates as a REAL persisted column, computed ONCE —
+    # they are round-invariant, and the barrier keeps CollapseProject
+    # from re-inlining the zip into the per-element lambdas below
+    cent = (
+        barrier_col(
+            base,
+            "c",
+            F.zip_with(
+                F.col("xm"), mu_arr, lambda a, b: (a - b) / F.lit(1e6)
+            ),
+        )
+        .select("vid", "c")
+        .localCheckpoint(eager=True)
+    )
+    v = [1.0] + [0.0] * (d - 1)
+    norm = 1.0
+    for _ in range(iterations):
+        v_arr = F.array([F.lit(float(x)) for x in v])
+        s_terms = F.zip_with(
+            F.col("c"),
+            v_arr,
+            lambda cj, vj: F.round(cj * vj * F.lit(1e6), 0).cast("long"),
+        )
+        step = barrier_col(
+            cent,
+            "sv",
+            F.aggregate(
+                s_terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+            )
+            / F.lit(1e6),
+        )
+        w_rows = (
+            step.select("sv", F.posexplode("c").alias("j0", "cj"))
+            .groupBy("j0")
             .agg(
                 F.sum(
-                    F.round(F.col("sv") * F.col("c") * F.lit(1e9), 0).cast(
+                    F.round(F.col("sv") * F.col("cj") * F.lit(1e6), 0).cast(
                         "long"
                     )
                 ).alias("gw")
             )
-            .select("j", (F.col("gw") / F.lit(1e9)).alias("wd"))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        nsq = (
-            w.agg(
-                F.sum(
-                    F.round(F.col("wd") * F.col("wd") * F.lit(1e9), 0).cast(
-                        "long"
-                    )
-                ).alias("nsq")
-            )
-        ).localCheckpoint(eager=True)
-        v = (
-            w.crossJoin(F.broadcast(nsq))
-            .select(
-                "j",
-                (F.col("wd") / F.sqrt(F.col("nsq") / F.lit(1e9))).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    cent.unpersist()
-    eig = F.round(
-        F.sqrt(F.col("nsq") / F.lit(1e9)) / F.lit(n_row), 6
-    ).alias("eigenvalue")
-    return (
-        v.crossJoin(F.broadcast(nsq))
-        .select(
-            F.col("j").cast("int").alias("dim_idx"),
-            F.round("v", 6).alias("loading"),
-            eig,
-        )
-        .orderBy("dim_idx")
+        wd = [0.0] * d
+        for r in w_rows:
+            wd[r["j0"]] = (r["gw"] / 1e6) / n_row  # the covariance 1/n
+        nsq = 0
+        for x in wd:
+            t = x * x * 1e6
+            nsq += int(math.floor(t + 0.5))  # wd >= 0 squared: half-up
+        norm = math.sqrt(nsq / 1e6)
+        v = [x / norm for x in wd]
+
+    out = spark.createDataFrame(
+        [(j + 1, v[j], norm) for j in range(d)],
+        "dim_idx int, loading double, eigenvalue double",
     )
+    return out.select(
+        "dim_idx",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    ).orderBy("dim_idx")

@@ -5803,10 +5803,13 @@ def _logistic_gd_oracle_sql(iterations: int = 3, lr: float = 0.5) -> str:
 def _pca_power_oracle_sql(iterations: int = 3, d: int = 64) -> str:
     """Unrolled matrix-free power-iteration oracle (the logistic/kmeans
     chaining pattern) over the coordinate grain (embeddings × range(d)):
-    per round one vid-keyed dot CTE, one j-keyed accumulate CTE, a 1-row
-    nano-quantized norm, and the normalized vector — every accumulation
-    term rounds to integer nanos before its exact-integer SUM, mirroring
-    `operators/similarity.py pca_power_component` token-for-token."""
+    per round one vid-keyed dot CTE and one j-keyed accumulate CTE, with
+    every accumulation term rounded to integer MICROS before its
+    exact-integer SUM, the covariance 1/n applied before the norm, and
+    norm/normalize arithmetic in plain double — mirroring
+    `operators/similarity.py pca_power_component` token-for-token
+    (floor(x+0.5) for the non-negative squared terms, exactly the
+    operator's driver-side helper)."""
     parts = [
         f"""
     coord AS MATERIALIZED (
@@ -5836,24 +5839,24 @@ def _pca_power_oracle_sql(iterations: int = 3, d: int = 64) -> str:
             f""",
     s{t} AS (
         SELECT vid,
-               CAST(SUM(CAST(round(c * v * 1e9) AS BIGINT)) AS BIGINT) AS g
+               CAST(SUM(CAST(round(c * v * 1e6) AS BIGINT)) AS BIGINT) AS g
         FROM cent JOIN v{t - 1} USING (j) GROUP BY vid
     ),
-    sv{t} AS (SELECT vid, g / 1e9 AS sv FROM s{t}),
+    sv{t} AS (SELECT vid, g / 1e6 AS sv FROM s{t}),
     w{t} AS (
         SELECT j,
-               CAST(SUM(CAST(round(sv * c * 1e9) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(round(sv * c * 1e6) AS BIGINT)) AS BIGINT)
                    AS gw
         FROM cent JOIN sv{t} USING (vid) GROUP BY j
     ),
-    wd{t} AS (SELECT j, gw / 1e9 AS wd FROM w{t}),
+    wd{t} AS (SELECT j, (gw / 1e6) / nn.n AS wd FROM w{t} CROSS JOIN nn),
     ns{t} AS (
-        SELECT CAST(SUM(CAST(round(wd * wd * 1e9) AS BIGINT)) AS BIGINT)
-                   AS nsq
+        SELECT CAST(SUM(CAST(floor(wd * wd * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS nsq
         FROM wd{t}
     ),
     v{t} AS (
-        SELECT j, wd / sqrt(nsq / 1e9) AS v
+        SELECT j, wd / sqrt(nsq / 1e6) AS v
         FROM wd{t} CROSS JOIN ns{t}
     )"""
         )
@@ -5863,8 +5866,8 @@ def _pca_power_oracle_sql(iterations: int = 3, d: int = 64) -> str:
         + "".join(parts)
         + f"""
     SELECT CAST(j AS INT) AS dim_idx, ROUND(v, 6) AS loading,
-           ROUND(sqrt(nsq / 1e9) / nn.n, 6) AS eigenvalue
-    FROM v{n} CROSS JOIN ns{n} CROSS JOIN nn
+           ROUND(sqrt(nsq / 1e6), 6) AS eigenvalue
+    FROM v{n} CROSS JOIN ns{n}
     ORDER BY dim_idx"""
     )
 

@@ -231,3 +231,24 @@ def test_pareto_frontier_matches_bruteforce_and_keeps_ties(spark):
     )
     sizes = [s for _, s in rows]
     assert sizes == sorted(set(sizes)), rows
+
+
+def test_pareto_frontier_null_rows_are_excluded(spark):
+    """Rows with NULL value columns are neither dominators nor
+    dominated under three-valued logic — they must be dropped, not let
+    Spark's nulls-first window ordering shadow every real row."""
+    from ningaloo_turtle_etl_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (2, None, 99), (3, 4.0, None), (4, 4.0, 10)],
+        "pid long, price double, size int",
+    )
+    got = {
+        r["pid"]
+        for r in pareto_frontier_2d(
+            df, "price", "size", id_cols=("pid",)
+        ).collect()
+    }
+    assert got == {4}

@@ -3148,7 +3148,7 @@ def test_pca_power_component_replica_and_planted_direction(spark):
     def rnd(v):
         return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
 
-    # exact replica
+    # exact replica (micro quantization; covariance 1/n inside wd)
     xm = np.array([[rnd(float(np.float32(x)) * 1e6) for x in row] for row in data])
     n = 60
     mu = np.array([math.floor(int(xm[:, j].sum()) / n + 0.5) for j in range(8)])
@@ -3156,13 +3156,13 @@ def test_pca_power_component_replica_and_planted_direction(spark):
     v = np.zeros(8)
     v[0] = 1.0
     for _ in range(3):
-        s = np.array([sum(rnd(c[i, j] * v[j] * 1e9) for j in range(8)) for i in range(n)]) / 1e9
-        w = np.array([sum(rnd(s[i] * c[i, j] * 1e9) for i in range(n)) for j in range(8)]) / 1e9
-        nsq = sum(rnd(w[j] * w[j] * 1e9) for j in range(8))
-        norm = math.sqrt(nsq / 1e9)
+        s = np.array([sum(rnd(c[i, j] * v[j] * 1e6) for j in range(8)) for i in range(n)]) / 1e6
+        w = np.array([sum(rnd(s[i] * c[i, j] * 1e6) for i in range(n)) for j in range(8)]) / 1e6 / n
+        nsq = sum(math.floor(w[j] * w[j] * 1e6 + 0.5) for j in range(8))
+        norm = math.sqrt(nsq / 1e6)
         v = w / norm
     assert np.allclose(loadings, np.round(v, 6), atol=1e-9)
-    assert abs(eig - round(norm / n, 6)) < 1e-9
+    assert abs(eig - round(norm, 6)) < 1e-9
 
     # semantic: aligns with the true top eigenvector of the centered data
     centered = data - data.mean(axis=0)
@@ -3171,3 +3171,19 @@ def test_pca_power_component_replica_and_planted_direction(spark):
     top = evecs[:, -1]
     assert abs(float(loadings @ top)) > 0.99
     assert abs(eig - evals[-1]) / evals[-1] < 0.1
+
+
+def test_jpeg_decoder_tolerates_fill_bytes():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; real encoders emit them for alignment. Decode must be
+    identical with fill bytes injected between segments."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.multimodal import _jpeg_decode
+
+    img = np.add.outer(np.arange(8) * 20.0, np.arange(8) * 10.0)
+    jpg = _make_jpeg([(1, 1, 1, img)])
+    _, _, base = _jpeg_decode(jpg)
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:]
+    _, _, pix = _jpeg_decode(padded)
+    assert (pix == base).all()

@@ -529,3 +529,44 @@ def test_kmeans_assignment_scan_has_no_join(spark):
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pareto_frontier_broadcast_semi_join_jvm_only(spark):
+    plan = plan_of(spark, "pareto_frontier_parts")
+    # the dominance statement is NOT executed quadratically: surviving
+    # value pairs fan back via a broadcast LEFT SEMI join; no all-pairs
+    # compare, no Python stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hilbert_buckets_stay_in_codegen_no_python(spark):
+    plan = plan_of(spark, "hilbert_layout_buckets")
+    # the six unrolled levels are materialized Generate stages — map-only,
+    # JVM-side, no join anywhere before the bucket aggregate
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode barriers that keep codegen alive
+    assert "Join" not in plan
+
+
+def test_mf_gd_round_joins_broadcast_factor_tables(spark):
+    plan = plan_of(spark, "mf_gd_factors")
+    # every round joins ratings onto the two entity-sized factor vectors:
+    # those sides must broadcast-hash; the only nested-loop join allowed
+    # is the single 1-row train_rmse metric attach (a cross join with a
+    # literal-sized side), never a ratings-sided one
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shapley_runs_on_coalition_grain(spark):
+    plan = plan_of(spark, "shapley_attribution_channels")
+    # after the bitmask bit_or aggregate everything is 2^n-grain; the
+    # subset-containment join is tiny-side broadcast, never row x row
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "bit_or" in plan.lower()
