@@ -2441,3 +2441,99 @@ def holt_linear_forecast(
             state["l"] + F.lit(float(horizon)) * state["b"], 6
         ).alias("forecast"),
     )
+
+
+def cmh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    treat_flag_col: str,
+    outcome_flag_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio and test across the
+    strata's 2×2 tables — the BINARY-outcome rung of the observational
+    stack (stratified_ipw_ate is the continuous-outcome twin): when a
+    confounder both shifts exposure and shifts a yes/no outcome, the
+    collapsed table's odds ratio is Simpson-biased; CMH pools the
+    per-stratum tables instead.
+
+        OR_CMH = Σ_s(a·d/n) / Σ_s(b·c/n)
+        χ²_MH  = (Σa − Σ (a+b)(a+c)/n)² / Σ (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+
+    (a = treated∧outcome, b = treated∧¬outcome, c = control∧outcome,
+    d = control∧¬outcome, no continuity correction). Determinism: the
+    2×2 cells are exact integer counts; each stratum's four ratio terms
+    quantize to integer MICROS before the cross-stratum sum (micros, not
+    the usual nanos — the a·d/n terms grow with the table, and micros
+    keep the quantized sums inside int64 out to ~10¹² rows per stratum,
+    the same overflow headroom call as the PCA power terms). Strata
+    where either margin is empty (n ≤ 1 or a degenerate margin) simply
+    contribute their zero products — no row is dropped.
+
+    Returns ONE row: (n_strata, n_total, or_pooled, or_cmh, chi2_mh),
+    6dp. or_pooled is the collapsed-table odds ratio shown for the
+    Simpson contrast; NULL when a collapsed margin cell is zero (odds
+    undefined), as is or_cmh when Σb·c/n is zero.
+
+    Scale shape: one map-side-combining aggregate to the stratum grain,
+    then a second to one row — nothing after the first shuffle touches
+    fact rows."""
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(treat_flag_col).cast("int").alias("tr"),
+        F.col(outcome_flag_col).cast("int").alias("y"),
+    )
+    cell = base.groupBy("s").agg(
+        F.sum(F.col("tr") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("tr") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("tr")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("tr")) * (1 - F.col("y"))).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n = a + b + c + d
+    nz = F.when(n > 0, n)  # NULL-out empty strata; terms coalesce to 0
+    micros = lambda col: F.coalesce(  # noqa: E731
+        F.round(col * 1e6, 0).cast("long"), F.lit(0).cast("long")
+    )
+    var_den = F.when(n > 1, n * n * (n - 1))
+    terms = cell.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("nn"),
+        F.col("a").alias("ai"),
+        micros(a * d / nz).alias("t_ad"),
+        micros(b * c / nz).alias("t_bc"),
+        micros((a + b) * (a + c) / nz).alias("t_e"),
+        micros((a + b) * (c + d) * (a + c) * (b + d) / var_den).alias("t_v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("nn").cast("long").alias("n_total"),
+        F.sum("ai").cast("long").alias("sum_a"),
+        F.sum("t_ad").cast("long").alias("s_ad"),
+        F.sum("t_bc").cast("long").alias("s_bc"),
+        F.sum("t_e").cast("long").alias("s_e"),
+        F.sum("t_v").cast("long").alias("s_v"),
+    )
+    # Collapsed-table (pooled) odds ratio for the Simpson contrast.
+    pooled = base.agg(
+        F.sum(F.col("tr") * F.col("y")).cast("long").alias("pa"),
+        F.sum(F.col("tr") * (1 - F.col("y"))).cast("long").alias("pb"),
+        F.sum((1 - F.col("tr")) * F.col("y")).cast("long").alias("pc"),
+        F.sum((1 - F.col("tr")) * (1 - F.col("y"))).cast("long").alias("pd"),
+    )
+    joined = agg.crossJoin(F.broadcast(pooled))
+    or_pooled = F.when(
+        (F.col("pb") > 0) & (F.col("pc") > 0) & (F.col("pd") > 0),
+        (F.col("pa").cast("double") * F.col("pd"))
+        / (F.col("pb").cast("double") * F.col("pc")),
+    )
+    or_cmh = F.when(
+        F.col("s_bc") > 0, F.col("s_ad").cast("double") / F.col("s_bc")
+    )
+    diff = F.col("sum_a").cast("double") - F.col("s_e") / F.lit(1e6)
+    chi2 = F.when(F.col("s_v") > 0, diff * diff / (F.col("s_v") / F.lit(1e6)))
+    return joined.select(
+        "n_strata",
+        "n_total",
+        F.round(or_pooled, 6).alias("or_pooled"),
+        F.round(or_cmh, 6).alias("or_cmh"),
+        F.round(chi2, 6).alias("chi2_mh"),
+    )

@@ -483,3 +483,59 @@ def pareto_frontier_parts(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH per AS (
+        SELECT o_custkey AS c,
+               CAST(MAX(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+                    AS BIGINT) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 1e6, 0) AS BIGINT))
+                    AS BIGINT) AS mon
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(last_day) AS gmax FROM per),
+    sc AS (
+        SELECT c, gmax - last_day AS r_days, freq, mon,
+               ntile(5) OVER (ORDER BY gmax - last_day DESC, c) AS r_score,
+               ntile(5) OVER (ORDER BY freq, c) AS f_score,
+               ntile(5) OVER (ORDER BY mon, c) AS m_score
+        FROM per, mx
+    )
+    SELECT CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_low_freq'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(mon) / 1e6 / COUNT(*), 6) AS avg_monetary,
+           ROUND(SUM(r_days) * 1.0 / COUNT(*), 6) AS avg_recency_days
+    FROM sc GROUP BY 1, 2, 3, 4
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM lifecycle segmentation of the order file
+    (`operators/relational.py rfm_segments`): rank-quintile recency /
+    frequency / monetary scores per customer, rolled up to the ≤125-row
+    segment grain — the marketing-warehouse rollup that pairs with
+    cohort_weekly_retention's time view. NTILE over (measure, custkey)
+    is the identical deterministic total order in both engines; money
+    sums in exact integer micros."""
+    from ningaloo_turtle_etl_spark.operators.relational import rfm_segments
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_segments(
+        orders,
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        epoch_seconds=_epoch_seconds(orders, "o_orderdate"),
+    )

@@ -1918,3 +1918,100 @@ def holt_linear_daily(spark, sf_dir):
         beta=0.25,
         horizon=7,
     ).orderBy("event_type")
+
+
+@register(
+    "cmh_click_vs_view",
+    """
+    WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS s,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS tr,
+               CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cell AS (
+        SELECT s,
+               CAST(SUM(tr * y) AS BIGINT) AS a,
+               CAST(SUM(tr * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - tr) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - tr) * (1 - y)) AS BIGINT) AS d
+        FROM base GROUP BY s
+    ),
+    terms AS (
+        SELECT a + b + c + d AS nn, a AS ai,
+               CASE WHEN a + b + c + d > 0 THEN CAST(round(1e6 *
+                   (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                   / CAST(a + b + c + d AS DOUBLE), 0) AS BIGINT)
+                   ELSE 0 END AS t_ad,
+               CASE WHEN a + b + c + d > 0 THEN CAST(round(1e6 *
+                   (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   / CAST(a + b + c + d AS DOUBLE), 0) AS BIGINT)
+                   ELSE 0 END AS t_bc,
+               CASE WHEN a + b + c + d > 0 THEN CAST(round(1e6 *
+                   (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                   * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                   / CAST(a + b + c + d AS DOUBLE), 0) AS BIGINT)
+                   ELSE 0 END AS t_e,
+               CASE WHEN a + b + c + d > 1 THEN CAST(round(1e6 *
+                   (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                   * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                   * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                   * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * CAST(a + b + c + d AS DOUBLE)
+                      * (CAST(a + b + c + d AS DOUBLE) - 1)), 0) AS BIGINT)
+                   ELSE 0 END AS t_v
+        FROM cell
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(nn) AS BIGINT) AS n_total,
+               CAST(SUM(ai) AS BIGINT) AS sum_a,
+               CAST(SUM(t_ad) AS BIGINT) AS s_ad,
+               CAST(SUM(t_bc) AS BIGINT) AS s_bc,
+               CAST(SUM(t_e) AS BIGINT) AS s_e,
+               CAST(SUM(t_v) AS BIGINT) AS s_v
+        FROM terms
+    ),
+    pooled AS (
+        SELECT CAST(SUM(tr * y) AS BIGINT) AS pa,
+               CAST(SUM(tr * (1 - y)) AS BIGINT) AS pb,
+               CAST(SUM((1 - tr) * y) AS BIGINT) AS pc,
+               CAST(SUM((1 - tr) * (1 - y)) AS BIGINT) AS pd
+        FROM base
+    )
+    SELECT n_strata, n_total,
+           ROUND(CASE WHEN pb > 0 AND pc > 0 AND pd > 0
+                      THEN (CAST(pa AS DOUBLE) * pd)
+                           / (CAST(pb AS DOUBLE) * pc) END, 6) AS or_pooled,
+           ROUND(CASE WHEN s_bc > 0
+                      THEN CAST(s_ad AS DOUBLE) / s_bc END, 6) AS or_cmh,
+           ROUND(CASE WHEN s_v > 0
+                      THEN (CAST(sum_a AS DOUBLE) - s_e / 1e6)
+                           * (CAST(sum_a AS DOUBLE) - s_e / 1e6)
+                           / (s_v / 1e6) END, 6) AS chi2_mh
+    FROM agg, pooled
+    """,
+)
+def cmh_click_vs_view(spark, sf_dir):
+    """Cochran–Mantel–Haenszel pooled odds ratio of click vs view
+    producing a high-value (value ≥ 50) interaction, stratified by
+    day-of-week (`operators/trend.py cmh_odds_ratio`): the binary-
+    outcome rung of the observational-causal stack next to
+    ipw_ate_click_vs_view's continuous ATE — the collapsed odds ratio
+    is shown alongside for the Simpson-bias contrast."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import cmh_odds_ratio
+
+    raw = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = raw.select(
+        (
+            F.floor(_epoch_seconds(raw, "ts") / F.lit(86400)).cast("long")
+            % 7
+        ).alias("s"),
+        (F.col("event_type") == "click").cast("int").alias("tr"),
+        (F.col("value") >= 50.0).cast("int").alias("y"),
+    )
+    return cmh_odds_ratio(base, "s", "tr", "y")

@@ -418,6 +418,12 @@ PRIORITY: list[str] = [
     # r10 exact Shapley-value attribution (coalition-grain integer
     # arithmetic, n!-scaled weights, one final division)
     "shapley_attribution_channels",
+    # r10 second batch: RFM lifecycle segmentation (rank-quintile NTILE
+    # on the customer grain, segment-grain output) and the CMH pooled
+    # odds ratio (binary-outcome observational rung, micro-quantized
+    # stratum terms)
+    "rfm_customer_segments",
+    "cmh_click_vs_view",
 ]
 
 

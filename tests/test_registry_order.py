@@ -336,6 +336,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "pca_power_component",
         "holt_linear_daily",
         "shapley_attribution_channels",
+        # r10 second batch: RFM segment rollup + CMH pooled odds ratio
+        "rfm_customer_segments",
+        "cmh_click_vs_view",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

@@ -273,3 +273,84 @@ def test_holt_linear_forecast_replica_and_trend_advantage(spark):
         ).collect()
     }
     assert true_future - flat["ramp"]["forecast"] > 5.0
+
+
+def test_cmh_odds_ratio_simpson_and_replica(spark):
+    """cmh_odds_ratio on the textbook Simpson's-paradox layout: two
+    strata whose within-stratum odds ratios are both 1 (treatment does
+    nothing), but whose arm mix differs so the collapsed table shows a
+    spurious effect — CMH must report ~1, pooled must not. Exact values
+    checked against a Python replica of the micro-quantized fold."""
+    from ningaloo_turtle_etl_spark.operators.trend import cmh_odds_ratio
+
+    # stratum A: treated 80 (40/40), control 20 (10/10) — OR 1, rate .5
+    # stratum B: treated 20 (2/18), control 80 (8/72)   — OR 1, rate .1
+    rows = []
+    for s, tr, y, n in [
+        ("A", 1, 1, 40), ("A", 1, 0, 40), ("A", 0, 1, 10), ("A", 0, 0, 10),
+        ("B", 1, 1, 2), ("B", 1, 0, 18), ("B", 0, 1, 8), ("B", 0, 0, 72),
+    ]:
+        rows += [(s, tr, y)] * n
+    df = spark.createDataFrame(rows, "s string, tr int, y int")
+    out = cmh_odds_ratio(df, "s", "tr", "y").collect()[0]
+
+    def micros(x):
+        import decimal
+        return int(
+            decimal.Decimal(x * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    tables = {"A": (40, 40, 10, 10), "B": (2, 18, 8, 72)}
+    s_ad = sum(micros(a * d / (a + b + c + d)) for a, b, c, d in tables.values())
+    s_bc = sum(micros(b * c / (a + b + c + d)) for a, b, c, d in tables.values())
+    sum_a = sum(t[0] for t in tables.values())
+    s_e = sum(
+        micros((a + b) * (a + c) / (a + b + c + d))
+        for a, b, c, d in tables.values()
+    )
+    s_v = sum(
+        micros(
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+        )
+        for a, b, c, d in tables.values()
+    )
+    pa, pb, pc, pd = (
+        sum(t[i] for t in tables.values()) for i in range(4)
+    )
+
+    assert out["n_strata"] == 2 and out["n_total"] == 200
+    assert abs(out["or_cmh"] - round(s_ad / s_bc, 6)) < 1e-9
+    # within-stratum effect is null → CMH ~ 1
+    assert abs(out["or_cmh"] - 1.0) < 0.01
+    pooled = (pa * pd) / (pb * pc)
+    assert abs(out["or_pooled"] - round(pooled, 6)) < 1e-9
+    # Simpson: the collapsed table shows a big spurious effect
+    assert out["or_pooled"] > 2.0
+    diff = sum_a - s_e / 1e6
+    assert abs(out["chi2_mh"] - round(diff * diff / (s_v / 1e6), 6)) < 1e-9
+
+
+def test_cmh_odds_ratio_degenerate_strata(spark):
+    """Single-arm and singleton strata contribute zero terms instead of
+    NULLing the whole estimate; an all-degenerate input reports NULL
+    odds ratios rather than dividing by zero."""
+    from ningaloo_turtle_etl_spark.operators.trend import cmh_odds_ratio
+
+    # stratum 'solo' has only treated rows; 'one' has a single row
+    rows = (
+        [("ok", 1, 1)] * 5 + [("ok", 1, 0)] * 5
+        + [("ok", 0, 1)] * 2 + [("ok", 0, 0)] * 8
+        + [("solo", 1, 1)] * 4 + [("one", 0, 1)]
+    )
+    df = spark.createDataFrame(rows, "s string, tr int, y int")
+    out = cmh_odds_ratio(df, "s", "tr", "y").collect()[0]
+    assert out["n_strata"] == 3 and out["n_total"] == 25
+    # only 'ok' contributes: a·d/n = 1*8... a=5,b=5,c=2,d=8,n=20
+    assert abs(out["or_cmh"] - round((5 * 8 / 20) / (5 * 2 / 20), 6)) < 1e-6
+
+    allnull = cmh_odds_ratio(
+        spark.createDataFrame([("x", 1, 1)], "s string, tr int, y int"),
+        "s", "tr", "y",
+    ).collect()[0]
+    assert allnull["or_cmh"] is None and allnull["chi2_mh"] is None
