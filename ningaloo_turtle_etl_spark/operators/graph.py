@@ -693,3 +693,74 @@ def adamic_adar_links(
         return out
     finally:
         und.unpersist()
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge list — the TextRank recursion
+    (Mihalcea & Tarau, EMNLP'04):
+
+        rank(v) ← (1 − d) + d · Σ_{u→v} w(u,v) / strength(u) · rank(u)
+
+    where strength(u) = Σ_k w(u,k) replaces out-degree. Same integer-
+    micro determinism contract as :func:`pagerank` (each edge
+    contribution rounds d·rank·w/strength to a whole micro before the
+    exact-integer per-node reduce) and the same scale shape: one
+    rank⋈edges join plus one dst-keyed aggregate per round, node-sized
+    rank vector, localCheckpoint keeping lineage O(1)."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    ed = e.join(strength, on="src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base_micro = int(round((1.0 - damping) * 1e6))
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micro")
+    )
+    try:
+        for _ in range(iterations):
+            contrib = ed.join(
+                ranks, on=ed.src == ranks.node, how="inner"
+            ).select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(damping)
+                    * F.col("rank_micro")
+                    * F.col("w")
+                    / F.col("strength"),
+                    0,
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(summed, on="node", how="left")
+                .select(
+                    "node",
+                    (F.lit(base_micro) + F.coalesce("s", F.lit(0)))
+                    .cast("long")
+                    .alias("rank_micro"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+    return ranks.select(
+        "node", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
+    )

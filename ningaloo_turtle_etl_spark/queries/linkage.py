@@ -236,3 +236,42 @@ def q_fuzzy_part_incremental_pairs(spark, sf_dir):
         lambda name: F.split(name, " ").getItem(1),
         threshold=0.75,
     ).orderBy("name_a", "name_b")
+
+
+@register(
+    "symspell_customer_pairs",
+    """
+    WITH n AS (
+        SELECT DISTINCT c_name AS name FROM customer
+        WHERE c_name IS NOT NULL
+    ),
+    keys AS (
+        SELECT name, unnest(list_distinct(list_append(
+            list_transform(generate_series(1, length(name)),
+                i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+            name))) AS k
+        FROM n
+    ),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY name_a, name_b
+    """,
+)
+def q_symspell_customer_pairs(spark, sf_dir):
+    """Every edit-distance-1 customer-name pair via SymSpell
+    delete-neighborhood blocking (`operators/linkage.py
+    symspell_del1_pairs`): the precomputed-index alternative to
+    Ed-Join's prefix filter on the same linkage surface — exactly
+    complete for ed ≤ 1 by the symmetric-delete meeting argument, with
+    candidate generation as a pure equi-join on delete keys."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        symspell_del1_pairs,
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    return symspell_del1_pairs(cust, "c_name").orderBy("name_a", "name_b")

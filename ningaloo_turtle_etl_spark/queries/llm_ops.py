@@ -6133,3 +6133,127 @@ def ranking_ndcg_eval(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 5)
     ranked = cosine_topk(emb, qs, k=10)
     return ranking_metrics(ranked, emb, k=10)
+
+
+@register(
+    "ann_hamming_topk",
+    """
+    WITH codes AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(0, 31),
+                   i -> CASE WHEN embedding[i + 1] > 0
+                             THEN 1::BIGINT << i
+                             ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(generate_series(32, 63),
+                   i -> CASE WHEN embedding[i + 1] > 0
+                             THEN 1::BIGINT << (i - 32)
+                             ELSE 0::BIGINT END)) AS BIGINT) AS w1
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(bit_count(xor(c.w0, q.w0))
+                    + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamming
+        FROM codes c, codes q
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, hamming, rank FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS INT)
+                   AS rank
+        FROM pairs
+    ) WHERE rank <= 10
+    """,
+)
+def ann_hamming_topk(spark, sf_dir):
+    """Binary-quantized ANN (Charikar sign-bit codes, STOC'02): Hamming
+    top-10 for the first eight query vectors over 32-bit-word sign
+    codes (`operators/quantize.py sign_bit_words / hamming_topk`) — the
+    coarsest, cheapest tier of the quantization ladder (1 bit/dim;
+    XOR+popcount per pair). Both engines build the identical BIGINT
+    words, so the distances are exact integers."""
+    from ningaloo_turtle_etl_spark.operators.quantize import hamming_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 8), dim=64, k=10)
+
+
+def _textrank_oracle_sql(
+    iterations: int = 3, damping: float = 0.85, top_k: int = 20
+) -> str:
+    r"""Unrolled weighted-PageRank oracle for textrank_keywords: the same
+    chained-CTE pattern as _pagerank_oracle_sql, with co-occurrence
+    weights (contribution = round(d·rank·w/strength) in whole micros)
+    and the map-only adjacent-pair extraction replayed with list
+    functions."""
+    base = int(round((1.0 - damping) * 1e6))
+    parts = [
+        r"""
+    tl AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+               x -> regexp_matches(x, '^[a-z]{4,}$')) AS l
+        FROM documents
+    ),
+    adj AS (
+        SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+               i -> struct_pack(a := l[i], b := l[i + 1]))) AS p
+        FROM tl
+    ),
+    ab AS (SELECT p.a AS a, p.b AS b FROM adj WHERE p.a <> p.b),
+    und AS (
+        SELECT least(a, b) AS u, greatest(a, b) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM ab GROUP BY 1, 2
+    ),
+    ed0 AS (
+        SELECT u AS src, v AS dst, w FROM und
+        UNION ALL SELECT v, u, w FROM und
+    ),
+    st AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength
+           FROM ed0 GROUP BY src),
+    ed AS (SELECT ed0.src, ed0.dst, ed0.w, st.strength
+           FROM ed0 JOIN st USING (src)),
+    nodes AS (SELECT src AS node FROM ed0
+              UNION SELECT dst FROM ed0),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT n.node, CAST({base} + COALESCE(s.s, 0) AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node,
+                   CAST(SUM(CAST(ROUND(CAST({damping} AS DOUBLE) * r.rm
+                       * ed.w / ed.strength, 0) AS BIGINT)) AS BIGINT) AS s
+            FROM ed JOIN r{i - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+        ) s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT token, rank, pos FROM (
+        SELECT node AS token, ROUND(rm / 1e6, 6) AS rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY rm DESC, node) AS INT)
+                   AS pos
+        FROM r{iterations}
+    ) WHERE pos <= {top_k} ORDER BY pos"""
+    )
+
+
+@register("textrank_keywords", _textrank_oracle_sql(3))
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction over the corpus (`operators/text.py
+    textrank_keywords` → `operators/graph.py weighted_pagerank`): global
+    top-20 tokens by 3 rounds of the weighted PageRank recursion on the
+    adjacent-token co-occurrence graph — the unsupervised keyword scorer
+    of the curation stack. The oracle unrolls the identical integer-
+    micro rounds as chained CTEs."""
+    from ningaloo_turtle_etl_spark.operators.text import textrank_keywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    return textrank_keywords(docs, top_k=20, iterations=3)

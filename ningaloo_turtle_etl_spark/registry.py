@@ -424,6 +424,15 @@ PRIORITY: list[str] = [
     # stratum terms)
     "rfm_customer_segments",
     "cmh_click_vs_view",
+    # r10 binary quantization tier: sign-bit codes + Hamming top-k
+    # (exact-integer distances; 32-bit words shared with the oracle)
+    "ann_hamming_topk",
+    # r10 SymSpell symmetric-delete blocking (exactly-complete ed<=1
+    # linkage via delete-key equi-join; Ed-Join's index-side twin)
+    "symspell_customer_pairs",
+    # r10 TextRank keywords (weighted PageRank on the adjacent-token
+    # co-occurrence graph; unrolled integer-micro oracle)
+    "textrank_keywords",
 ]
 
 

@@ -330,3 +330,87 @@ def test_bfs_hops_min_distance_cycles_and_bound(spark):
     }
     assert full == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
     assert 6 not in full and 7 not in full
+
+
+def test_weighted_pagerank_replica_and_weight_sensitivity(spark):
+    """weighted_pagerank vs an exact integer-micro Python replica on a
+    small weighted digraph, plus the semantic reason weights exist: mass
+    follows the heavy edge, and with uniform weights the result
+    degrades to plain pagerank on the same edges."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        pagerank,
+        weighted_pagerank,
+    )
+
+    edges = [
+        ("a", "b", 9), ("a", "c", 1),
+        ("b", "a", 1), ("c", "a", 1), ("d", "a", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(df, iterations=3).collect()
+    }
+
+    strength = {}
+    for s, _, w in edges:
+        strength[s] = strength.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    rm = {n: 1_000_000 for n in nodes}
+    import decimal
+
+    def r_half_up(x):
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inc[d] += r_half_up(0.85 * rm[s] * w / strength[s])
+        rm = {n: 150_000 + inc[n] for n in nodes}
+    want = {n: round(v / 1e6, 6) for n, v in rm.items()}
+    assert got == want
+
+    # mass follows the heavy edge: b (weight 9 from a) outranks c
+    assert got["b"] > got["c"]
+    # uniform weights == unweighted pagerank on the same edge list
+    uni = spark.createDataFrame(
+        [(s, d, 1) for s, d, _ in edges], "src string, dst string, w long"
+    )
+    uw = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(uni, iterations=3).collect()
+    }
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(
+                [(s, d) for s, d, _ in edges], "src string, dst string"
+            ),
+            iterations=3,
+        ).collect()
+    }
+    assert uw == pr
+
+
+def test_textrank_keywords_adjacency_and_ranking(spark):
+    """textrank_keywords on a crafted corpus: short/non-alpha tokens are
+    dropped before adjacency, the hub word every sentence pivots on
+    outranks leaf words, and (token, pos) ordering is deterministic."""
+    from ningaloo_turtle_etl_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join spark window aa 42"),
+            (2, "shuffle spark filter spark scan"),
+            (3, "join window filter"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, top_k=10, iterations=3).collect()
+    toks = [r["token"] for r in out]
+    assert "aa" not in toks  # len < 4 dropped from the graph
+    assert toks[0] == "spark"  # the co-occurrence hub wins
+    assert [r["pos"] for r in out] == list(range(1, len(out) + 1))
+    assert all(out[i]["rank"] >= out[i + 1]["rank"] for i in range(len(out) - 1))

@@ -160,3 +160,66 @@ def test_incremental_fuzzy_pairs_equals_full_restricted(spark):
     )
     # the repeated name never re-pairs: smith x smyth is an OLD edge
     assert not any({a, b} == {"smith", "smyth"} for a, b, _ in inc)
+
+
+def test_symspell_del1_pairs_exact_completeness(spark):
+    """Delete-neighborhood blocking finds every ed<=1 pair — one case
+    per edit kind (substitution, insertion, deletion), plus an ed=2
+    pair it must NOT emit, duplicates collapsing to the distinct-name
+    grain, and the documented bucket-cap completeness trade."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        symspell_del1_pairs,
+    )
+
+    names = [
+        "carla", "carli",      # substitution at the tail
+        "brook", "brooke",     # insertion
+        "dan",                 # deletion vs "dana"? none — pairs w/ "dana"
+        "dana",
+        "zzz",                 # isolated
+        "mike", "mage",        # ed 2 — must not pair
+    ]
+    df = spark.createDataFrame(
+        [(n,) for n in names + ["carla", "dan"]], "name string"
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in symspell_del1_pairs(df, "name").collect()
+    }
+    assert out == {
+        ("carla", "carli"): 1,
+        ("brook", "brooke"): 1,
+        ("dan", "dana"): 1,
+    }
+
+    # brute-force agreement on a denser set: every ed<=1 pair, no extras
+    import itertools
+
+    def ed(a, b):
+        m = {(0, j): j for j in range(len(b) + 1)}
+        for i in range(1, len(a) + 1):
+            m[(i, 0)] = i
+            for j in range(1, len(b) + 1):
+                m[(i, j)] = min(
+                    m[(i - 1, j)] + 1,
+                    m[(i, j - 1)] + 1,
+                    m[(i - 1, j - 1)] + (a[i - 1] != b[j - 1]),
+                )
+        return m[(len(a), len(b))]
+
+    dense = [f"w{i:03d}" for i in range(40)] + ["w0x1", "w01", "w0011"]
+    ddf = spark.createDataFrame([(n,) for n in dense], "name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in symspell_del1_pairs(ddf, "name").collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(set(dense)), 2)
+        if ed(a, b) <= 1
+    }
+    assert got == want
+
+    # cap: a tiny bucket cap drops the shared-key groups (documented trade)
+    capped = symspell_del1_pairs(df, "name", max_bucket_names=1).collect()
+    assert capped == []

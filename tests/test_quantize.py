@@ -218,3 +218,57 @@ def test_ivf_pq_topk_fused_pipeline_recall_floor(spark):
 
     with pytest.raises(ValueError):
         ivf_pq_topk(emb, queries, cents, books, k=5, shortlist=3)
+
+
+def test_sign_bit_hamming_replica_and_semantics(spark):
+    """sign_bit_words/hamming_topk vs a numpy replica on deterministic
+    vectors: identical packed words, exact Hamming distances, rank-1 is
+    the sign-identical vector, and the binary distance preserves the
+    coarse cosine ordering it exists to estimate (Charikar)."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        hamming_topk,
+        sign_bit_words,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 64, 40
+    vecs = rng.randn(n, dim).astype(np.float32)
+    # v1 shares v0's sign pattern exactly → Hamming 0 despite different values
+    vecs[1] = np.where(vecs[0] > 0, 0.5, -0.5).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # packed words match the replica exactly
+    words = df.select(
+        "vec_id", *[w.alias(f"w{i}") for i, w in enumerate(sign_bit_words("embedding", dim))]
+    ).collect()
+    bits = (vecs > 0).astype(np.int64)
+    for r in words:
+        w0 = int(sum(bits[r["vec_id"]][i] << i for i in range(32)))
+        w1 = int(sum(bits[r["vec_id"]][32 + i] << i for i in range(32)))
+        assert (r["w0"], r["w1"]) == (w0, w1)
+
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), dim=dim, k=n - 1)
+    got = {r["vec_id"]: (r["hamming"], r["rank"]) for r in out.collect()}
+    ham = {
+        j: int((bits[0] != bits[j]).sum()) for j in range(1, n)
+    }
+    assert {j: h for j, (h, _) in got.items()} == ham
+    # the sign-identical vector is rank 1 at distance 0
+    assert got[1] == (0, 1)
+    # coarse agreement with cosine: mean cosine of the 5 hamming-nearest
+    # beats the 5 hamming-farthest by a wide margin
+    cos = {
+        j: float(
+            vecs[0] @ vecs[j] / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[j]))
+        )
+        for j in range(1, n)
+    }
+    by_rank = sorted(got, key=lambda j: got[j][1])
+    near = np.mean([cos[j] for j in by_rank[:5]])
+    far = np.mean([cos[j] for j in by_rank[-5:]])
+    assert near > far + 0.3

@@ -339,6 +339,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
         "rfm_customer_segments",
         "cmh_click_vs_view",
+        "ann_hamming_topk",
+        "symspell_customer_pairs",
+        "textrank_keywords",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
