@@ -1237,3 +1237,175 @@ def q_negative_brand_samples(spark, sf_dir):
         orders, "o_orderkey", brand_w, "brand", "c",
         n_neg=4, power=0.75, seed="neg",
     ).orderBy("example", "slot")
+
+
+def _cv_fold_auc_oracle_sql(k: int = 5) -> str:
+    """K-fold CV AUC oracle: serving SQL as a CTE, folds from the repo's
+    md5-uniform of doc_id (deterministic, engine-portable), then the
+    grouped Mann-Whitney fold partitioned by fold id."""
+    return f"""
+    WITH scored AS ({_text_oracle_sql()}),
+    lab AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {k} AS fold,
+               p_english AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    g AS (
+        SELECT fold, p, COUNT(*) AS n, SUM(y) AS pos
+        FROM lab GROUP BY fold, p
+    ),
+    c AS (
+        SELECT fold, p, pos, n - pos AS neg,
+               COALESCE(SUM(n - pos) OVER (PARTITION BY fold ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below
+        FROM g
+    ),
+    num AS (
+        SELECT fold, SUM(pos * (neg_below + neg / 2.0)) AS nm
+        FROM c GROUP BY fold
+    ),
+    tot AS (
+        SELECT fold, SUM(pos) AS tp, SUM(n - pos) AS tn
+        FROM g GROUP BY fold
+    )
+    SELECT num.fold AS fold,
+           ROUND(nm / (tp * tn), 6) AS auc,
+           CAST(tp AS BIGINT) AS n_pos,
+           CAST(tn AS BIGINT) AS n_neg
+    FROM num JOIN tot ON num.fold = tot.fold
+    ORDER BY fold
+    """
+
+
+@register("cv_fold_auc", _cv_fold_auc_oracle_sql(5))
+def q_cv_fold_auc(spark, sf_dir):
+    """5-fold cross-validated AUC of the frozen English classifier
+    (`operators/classify.py classifier_auc_by_group` over md5-hash
+    folds): the eval-harness question a single global AUC can't answer
+    — is the ranking power stable across resamples, or carried by a
+    lucky subset? Folds come from the repo's deterministic md5 uniform
+    of doc_id (no RNG, replayable in SQL), so the same doc lands in the
+    same fold on every engine and every rerun. Each fold's Mann-Whitney
+    fold is window-partitioned by fold id — shuffle-parallel, no global
+    sort."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        classifier_auc_by_group,
+        hashed_text_scores,
+        load_model_fixture,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        F.round("p_english", 3).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return (
+        classifier_auc_by_group(scored, "p", "y", "fold")
+        .withColumnRenamed("group", "fold")
+        .orderBy("fold")
+    )
+
+
+def _platt_oracle_sql(iterations: int = 4, lr: float = 0.5) -> str:
+    """Unrolled Platt-scaling oracle: the logistic-GD chaining pattern
+    (one gradient CTE + one weight CTE per round) specialized to the
+    two-parameter calibrator sigmoid(b + a·score) over the frozen
+    classifier's serving scores. Per-row gradient terms quantize to
+    integer nanos before the exact-integer SUM; weight-step arithmetic
+    keeps the operator's operation order."""
+    margin = "(w.w0 * _intercept + w.w1 * f_score)"
+    parts = [
+        f"""
+    sc AS MATERIALIZED ({_text_oracle_sql()}),
+    base AS MATERIALIZED (
+        SELECT 1.0 AS _intercept,
+               CAST(round(p_english, 3) AS DOUBLE) AS f_score,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS _y
+        FROM sc
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    g{t} AS (
+        SELECT
+            CAST(SUM(CAST(round((p - _y) * _intercept * 1e9) AS BIGINT))
+                 AS BIGINT) AS g0,
+            CAST(SUM(CAST(round((p - _y) * f_score * 1e9) AS BIGINT))
+                 AS BIGINT) AS g1
+        FROM (SELECT base.*,
+                     1.0 / (1.0 + exp(-{margin})) AS p
+              FROM base CROSS JOIN w{t - 1} w)
+    ),
+    w{t} AS (
+        SELECT w.w0 - {lr} * ((g.g0 / 1e9) / nn.n) AS w0,
+               w.w1 - {lr} * ((g.g1 / 1e9) / nn.n) AS w1
+        FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    scored AS (
+        SELECT base.*, {margin} AS m
+        FROM base CROSS JOIN w{iterations} w
+    ),
+    metrics AS (
+        SELECT ROUND(SUM(CASE WHEN (CASE WHEN m >= 0 THEN 1.0 ELSE 0.0 END)
+                                    = _y THEN 1 ELSE 0 END) * 1.0
+                     / ANY_VALUE(nn.n), 6) AS train_acc,
+               ROUND((CAST(SUM(CAST(round(
+                   ln(1.0 + exp(-((2.0 * _y - 1.0) * m))) * 1e9) AS BIGINT))
+                   AS BIGINT) / 1e9) / ANY_VALUE(nn.n), 6) AS train_logloss
+        FROM scored CROSS JOIN nn
+    )
+    SELECT f.feature, ROUND(f.weight, 6) AS weight,
+           m.train_acc, m.train_logloss
+    FROM (SELECT '_intercept' AS feature, w0 AS weight FROM w{iterations}
+          UNION ALL SELECT 'f_score', w1 FROM w{iterations}) f
+    CROSS JOIN metrics m
+    ORDER BY f.feature"""
+    )
+
+
+@register("platt_calibration_weights", _platt_oracle_sql(4, 0.5))
+def q_platt_calibration_weights(spark, sf_dir):
+    """Platt scaling of the frozen English classifier (Platt 1999):
+    fit sigmoid(b + a·score) to the real labels by 4 rounds of the
+    SAME distributed full-batch GD the engine trains models with
+    (`operators/classify.py logistic_gd_train` on the single score
+    feature) — the parametric companion to classifier_isotonic_
+    calibration: isotonic reshapes scores monotonically with bin-level
+    freedom; Platt fits the two-parameter sigmoid a small calibration
+    set can support without overfitting. The weight trajectory replays
+    bit-for-bit in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        hashed_text_scores,
+        load_model_fixture,
+        logistic_gd_train,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = load_model_fixture("text_model")
+    scored = hashed_text_scores(docs, model, out_col="p_english").select(
+        F.round("p_english", 3).cast("double").alias("f_score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return logistic_gd_train(
+        scored, ["f_score"], "y", iterations=4, lr=0.5
+    ).orderBy("feature")

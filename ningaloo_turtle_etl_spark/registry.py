@@ -433,6 +433,12 @@ PRIORITY: list[str] = [
     # r10 TextRank keywords (weighted PageRank on the adjacent-token
     # co-occurrence graph; unrolled integer-micro oracle)
     "textrank_keywords",
+    # r10 k-fold cross-validated AUC (md5-uniform folds, grouped
+    # Mann-Whitney — the eval-harness stability check)
+    "cv_fold_auc",
+    # r10 Platt scaling (two-parameter sigmoid calibration trained by
+    # the distributed GD loop; unrolled trajectory oracle)
+    "platt_calibration_weights",
 ]
 
 

@@ -678,3 +678,28 @@ def test_logistic_gd_matches_numpy_reference(spark):
         logistic_gd_train(df, [], "y")
     with pytest.raises(ValueError):
         logistic_gd_train(df, ["x"], "y", iterations=0)
+
+
+def test_platt_scaling_shape_on_separable_scores(spark):
+    """Platt calibration = logistic_gd_train on the single score
+    feature: on a score column that separates the labels, the learned
+    slope is positive (monotone calibrator) and four GD rounds already
+    beat the w=0 logloss baseline ln 2."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        logistic_gd_train,
+    )
+
+    rows = [(0.1 + 0.02 * i, 0) for i in range(20)] + [
+        (0.7 + 0.01 * i, 1) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "f_score double, y int")
+    out = {
+        r["feature"]: r
+        for r in logistic_gd_train(
+            df, ["f_score"], "y", iterations=4, lr=0.5
+        ).collect()
+    }
+    assert out["f_score"]["weight"] > 0
+    assert out["f_score"]["train_logloss"] < math.log(2.0)

@@ -342,6 +342,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_hamming_topk",
         "symspell_customer_pairs",
         "textrank_keywords",
+        "cv_fold_auc",
+        "platt_calibration_weights",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",

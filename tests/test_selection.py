@@ -442,3 +442,33 @@ def test_negative_samples_distribution_and_determinism(spark):
 
     with _pt.raises(ValueError):
         negative_samples(ex, "ex_id", items, "item", "c", n_neg=0)
+
+
+def test_cv_fold_assignment_deterministic_and_balanced(spark):
+    """The md5-uniform fold id matches a hashlib replica exactly, every
+    doc lands in exactly one of the 5 folds, and the fold sizes are
+    roughly balanced (md5 is uniform)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    folds = df.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    ).collect()
+    for r in folds:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["fold"] == h % 5
+    sizes = {}
+    for r in folds:
+        sizes[r["fold"]] = sizes.get(r["fold"], 0) + 1
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) < 2 * min(sizes.values())
