@@ -1212,6 +1212,88 @@ def _jsd_sf(spark, sf_dir):
     return registry.queries()["token_jsd_by_source"](spark, sf_dir)
 
 
+def _symspell_at(n_names):
+    """SymSpell delete-1 blocking at n synthetic 9-digit account names:
+    key explode (~19 keys/name) + key-equi self-join + levenshtein
+    verify. Watch that candidates track shared-key pairs (bounded per
+    key by the padding structure), never names²."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.linkage import (
+            symspell_del1_pairs,
+        )
+
+        names = _spread(
+            spark.range(0, n_names).select(
+                F.concat(
+                    F.lit("Account#"), F.lpad(F.col("id"), 9, "0")
+                ).alias("name")
+            )
+        )
+        out = symspell_del1_pairs(names, "name")
+        return out.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("dist").alias("chk"),
+        )
+
+    return run
+
+
+def _hamming_at(target):
+    """Sign-bit Hamming top-10 for 8 queries over ~target 64-dim
+    vectors (sf embeddings replicated with id offsets): the probe times
+    code packing (map-only aggregate over the vector) + XOR/popcount
+    scoring + the per-query window. Corpus must never shuffle — the
+    query side is an 8-row broadcast."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.quantize import (
+            hamming_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        copies = max(target // max(n, 1), 1)
+        big = emb
+        for i in range(copies - 1):
+            big = big.unionByName(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
+                )
+            )
+        out = hamming_topk(
+            _spread(big), emb.filter(F.col("vec_id") < 8), dim=64, k=10
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hamming").alias("chk"),
+        )
+
+    return run
+
+
+def _textrank_sf(spark, sf_dir):
+    """TextRank over the full sf documents table: map-only pair
+    extraction + 3 weighted-PageRank rounds on the vocabulary grain.
+    Rounds cost vocabulary-sized joins — watch that the corpus is
+    touched exactly once."""
+    return registry.queries()["textrank_keywords"](spark, sf_dir)
+
+
+def _rfm_sf(spark, sf_dir):
+    """RFM over the full sf order file: one customer-grain aggregate +
+    three global NTILE sorts of the customer dimension + the segment
+    rollup. The sorts are the documented dimension-grain trade — watch
+    them track customers, not orders."""
+    return registry.queries()["rfm_customer_segments"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -1279,6 +1361,13 @@ EXTRAS = {
     "pca_100k": _pca_at(100_000),
     "mf_gd_sf": _mf_gd_sf,
     "bfs_600k_nodes": _bfs_at(600_000),
+    # r10 second-batch probes: SymSpell blocking, binary-Hamming ANN,
+    # TextRank, RFM. (CMH/cv-AUC/Platt ride existing aggregate and
+    # classifier-eval grains — no distinct scale risk to probe.)
+    "symspell_100k": _symspell_at(100_000),
+    "hamming_100k": _hamming_at(100_000),
+    "textrank_sf": _textrank_sf,
+    "rfm_sf": _rfm_sf,
 }
 
 # 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
@@ -1297,6 +1386,7 @@ SCALE_EXTRAS = {
     "kmeans_200k": _kmeans_at(200_000),
     "fuzzy_clusters_200k": _fuzzy_clusters_at(200_000, n_blocks=9973),
     "connected_components_1m": _cc_chains_at(1_000_000),
+    "symspell_1m": _symspell_at(1_000_000),
 }
 
 # Probes whose operator executes eagerly inside the builder (iterative

@@ -264,65 +264,106 @@ def symspell_del1_pairs(
     max_bucket_names: int | None = None,
 ) -> DataFrame:
     """SymSpell delete-neighborhood blocking (Garbe's symmetric-delete
-    algorithm): every edit-distance-≤1 pair of DISTINCT names, found by
-    joining on shared delete-1 keys instead of scanning candidates.
-    Each name emits its ≤ len+1 delete-1 variants (itself included);
-    two strings within one edit ALWAYS share a key — a substitution
-    meets at the both-sides delete of the differing position, an
-    insert/delete meets at the shorter string itself — so the blocking
-    is exactly complete for ed ≤ 1, unlike LSH's probabilistic recall.
-    Candidates verify with one levenshtein call. This is the
+    algorithm): every edit-distance-1 pair of DISTINCT names, found by
+    equi-joins on delete-1 keys instead of scanning candidates — the
     precomputed-index alternative to Ed-Join's prefix filter
-    (blocked_fuzzy_pairs): O(len) keys per name at build time buys
-    equi-join candidate generation with no similarity math until
-    verify.
+    (blocked_fuzzy_pairs).
 
-    Returns (name_a, name_b, dist) over a < b distinct pairs, dist ≤ 1
-    (0 never occurs across distinct names).
+    The keys are POSITION-AUGMENTED, which makes the join
+    verification-free and the candidate set exactly the answer:
+
+    * substitution: a ≠ b of equal length are ed-1 iff deleting the SAME
+      position i from both yields the same string — a self-join on
+      (i, delete_i(name)) emits exactly the substitution pairs, nothing
+      else (a plain delete-key join would also meet cross-position
+      deletes, i.e. ed-2 pairs: measured 10.2M candidates for 2.25M true
+      pairs at 100k account names, a 4.5× verify bill).
+    * insert/delete: a is ed-1 from a shorter b iff some delete_i(a)
+      equals b itself — a join of a's delete variants against the
+      original names, one-directional by length.
+
+    Both joins hit only true pairs, so no levenshtein verify runs at
+    all (the DuckDB oracle for this operator intentionally keeps the
+    naive single-key + verify formulation as an independent algorithm).
+    Returns (name_a, name_b, dist) over a < b distinct pairs, dist = 1.
 
     Scale shape: keys explode map-side from the DISTINCT-name dimension
-    (never the fact table); the self-join shuffles (key, name) tuples
-    only. Bucket skew is bounded by construction — a delete-1 key of
-    length L is shared only by names within one edit of it, ≤ ~(L+1)·|Σ|
-    strings — but ``max_bucket_names`` offers the minhash-style cap
-    (oversized key buckets DROPPED, a documented completeness trade for
+    (never the fact table), ≤ len+1 keys per name; the joins shuffle
+    (key, name) tuples only and their outputs ARE the result — no
+    post-join dedup shuffle (substitution pairs are unique by the single
+    differing position; insert pairs are unique after the per-name
+    array_distinct; the two sets are disjoint by length). Bucket skew is
+    bounded by construction (a key is shared only by strings within one
+    edit of it); ``max_bucket_names`` offers the minhash-style cap
+    (oversized key buckets DROPPED — a documented completeness trade for
     adversarial name sets; default None keeps the exact contract)."""
     name = F.col("name")
+    # length guard: F.sequence(1, 0) would generate a DESCENDING [1, 0]
+    # for the empty string rather than no keys
     names = (
         df.select(F.col(name_col).alias("name"))
-        .where(name.isNotNull())
+        .where(name.isNotNull() & (F.length(name) > 0))
         .distinct()
     )
-    del1 = F.transform(
-        F.sequence(F.lit(1), F.length(name)),
-        lambda i: F.concat(
-            name.substr(F.lit(1), i - 1),
-            name.substr(i + 1, F.length(name)),
-        ),
+    # (position, delete_i(name)) keys; position 0 is the original string
+    del_keys = F.array_distinct(
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length(name)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat(
+                        name.substr(F.lit(1), i - 1),
+                        name.substr(i + 1, F.length(name)),
+                    ).alias("k"),
+                ),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(0).cast("int").alias("pos"), name.alias("k")
+                )
+            ),
+        )
     )
     keys = names.select(
-        "name",
-        F.explode(
-            F.array_distinct(F.concat(del1, F.array(name)))
-        ).alias("k"),
-    )
-    if max_bucket_names is not None:
-        keys = (
-            keys.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("k"))
+        "name", F.explode(del_keys).alias("pk")
+    ).select("name", F.col("pk.pos").alias("pos"), F.col("pk.k").alias("k"))
+
+    def _cap(kdf: DataFrame, cols: list[str]) -> DataFrame:
+        if max_bucket_names is None:
+            return kdf
+        return (
+            kdf.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy(*cols))
             )
             .filter(F.col("_bn") <= F.lit(int(max_bucket_names)))
             .drop("_bn")
         )
-    a = keys.select(F.col("name").alias("name_a"), "k")
-    b = keys.select(F.col("name").alias("name_b"), "k")
-    cand = (
-        a.join(b, "k")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
+
+    dels = _cap(keys.filter(F.col("pos") > 0), ["pos", "k"])
+    origs = _cap(keys.filter(F.col("pos") == 0), ["k"])
+    # substitutions: same-position deletes meet; unique per pair
+    subs = (
+        dels.alias("a")
+        .join(
+            dels.alias("b"),
+            on=[F.col("a.pos") == F.col("b.pos"), F.col("a.k") == F.col("b.k")],
+        )
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
     )
-    dist = F.levenshtein("name_a", "name_b")
-    return cand.filter(dist <= 1).select(
-        "name_a", "name_b", dist.cast("long").alias("dist")
+    # insert/delete: a's delete variant IS b; one-directional by length
+    insdel = (
+        dels.alias("a")
+        .join(origs.alias("b"), on=F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.name") != F.col("b.name"))
+        .select(
+            F.least("a.name", "b.name").alias("name_a"),
+            F.greatest("a.name", "b.name").alias("name_b"),
+        )
+    )
+    return subs.union(insdel).select(
+        "name_a", "name_b", F.lit(1).cast("long").alias("dist")
     )

@@ -689,10 +689,12 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.round(F.col(amount_col) * 1e6, 0).cast("long")).alias("mon"),
     )
-    gmax = per.agg(F.max("last_day").alias("gmax"))
-    sc = per.crossJoin(F.broadcast(gmax)).withColumn(
-        "r_days", F.col("gmax") - F.col("last_day")
-    )
+    # dataset-max via an unpartitioned window on the CUSTOMER grain (the
+    # frame is already dimension-sized and about to be globally sorted
+    # for ntile anyway) — a separate agg branch would re-scan the fact
+    sc = per.withColumn(
+        "gmax", F.max("last_day").over(Window.partitionBy())
+    ).withColumn("r_days", F.col("gmax") - F.col("last_day"))
     sc = sc.select(
         "c",
         "r_days",

@@ -6257,3 +6257,81 @@ def q_textrank_keywords(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return textrank_keywords(docs, top_k=20, iterations=3)
+
+
+def _ppr_oracle_sql(
+    iterations: int, damping: float = 0.85, brand: str = "Brand#11"
+) -> str:
+    """Unrolled personalized-PageRank oracle: the pagerank CTE chain
+    with teleport mass restricted to the seed nodes (is_seed · base per
+    round, seed-only initial mass)."""
+    base = int(round((1.0 - damping) * 1e6))
+    parts = [
+        f"""
+    eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS src
+           FROM lineitem),
+    ed0 AS (
+        SELECT DISTINCT a.src AS src, b.src AS dst
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.src <> b.src
+    ),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM ed0 GROUP BY src),
+    ed AS (SELECT ed0.src, ed0.dst, od.outdeg
+           FROM ed0 JOIN od USING (src)),
+    nodes0 AS (SELECT src AS node FROM ed0
+               UNION SELECT dst FROM ed0),
+    sd AS (SELECT DISTINCT p_partkey AS node FROM part
+           WHERE p_brand = '{brand}'),
+    nodes AS (
+        SELECT n.node,
+               CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        FROM nodes0 n LEFT JOIN sd s ON n.node = s.node
+    ),
+    r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rm
+           FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT n.node,
+               CAST(n.is_seed * {base} + COALESCE(s.s, 0) AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node,
+                   CAST(SUM(CAST(ROUND(CAST({damping} AS DOUBLE) * r.rm
+                       / ed.outdeg, 0) AS BIGINT)) AS BIGINT) AS s
+            FROM ed JOIN r{i - 1} r ON ed.src = r.node
+            GROUP BY ed.dst
+        ) s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT node, ROUND(rm / 1e6, 6) AS rank FROM r{iterations}"""
+    )
+
+
+@register("ppr_copurchase_brand", _ppr_oracle_sql(5))
+def ppr_copurchase_brand(spark, sf_dir):
+    """Personalized PageRank from one brand's parts over the co-purchase
+    graph (`operators/graph.py personalized_pagerank`, 5 rounds, d=0.85):
+    random walk with restart at the Brand#11 seed set — proximity-to-
+    seeds item recommendation, where global pagerank_copurchase would
+    resurface the same overall hubs for every brand. Integer-micro
+    rounds, seed set broadcast once."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    seeds = part.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    edges = copurchase_edges(li)
+    return personalized_pagerank(edges, seeds, iterations=5).select(
+        "node", "rank"
+    )

@@ -439,6 +439,9 @@ PRIORITY: list[str] = [
     # r10 Platt scaling (two-parameter sigmoid calibration trained by
     # the distributed GD loop; unrolled trajectory oracle)
     "platt_calibration_weights",
+    # r10 personalized PageRank (random walk with restart at a seed
+    # set; proximity recommendation vs global centrality)
+    "ppr_copurchase_brand",
 ]
 
 

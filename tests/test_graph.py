@@ -414,3 +414,56 @@ def test_textrank_keywords_adjacency_and_ranking(spark):
     assert toks[0] == "spark"  # the co-occurrence hub wins
     assert [r["pos"] for r in out] == list(range(1, len(out) + 1))
     assert all(out[i]["rank"] >= out[i + 1]["rank"] for i in range(len(out) - 1))
+
+
+def test_personalized_pagerank_replica_and_seed_locality(spark):
+    """personalized_pagerank vs an exact integer-micro replica on a
+    two-community barbell, plus the semantic contract: mass concentrates
+    near the seed — a node adjacent to the seed outranks the twin node
+    in the far community, while GLOBAL pagerank scores the symmetric
+    twins identically."""
+    import decimal
+
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # two triangles (a,b,c) and (x,y,z) bridged by c—x; seed at a
+    und = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, iterations=5).collect()
+    }
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+
+    def r_half_up(v):
+        return int(decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    rm = {n: (1_000_000 if n == "a" else 0) for n in nodes}
+    for _ in range(5):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += r_half_up(0.85 * rm[s] / outdeg[s])
+        rm = {n: (150_000 if n == "a" else 0) + inc[n] for n in nodes}
+    assert got == {n: round(v / 1e6, 6) for n, v in rm.items()}
+
+    # seed locality: b (adjacent to seed) far outranks its far twin y
+    assert got["b"] > got["y"] * 2
+    # global pagerank can't tell the symmetric twins apart
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5).collect()
+    }
+    assert pr["b"] == pr["y"]

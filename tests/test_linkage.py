@@ -220,6 +220,17 @@ def test_symspell_del1_pairs_exact_completeness(spark):
     }
     assert got == want
 
-    # cap: a tiny bucket cap drops the shared-key groups (documented trade)
-    capped = symspell_del1_pairs(df, "name", max_bucket_names=1).collect()
-    assert capped == []
+    # cap: an oversized (pos, key) bucket is dropped — the three-way
+    # substitution group at (5, "carl") exceeds cap 2, so its pairs
+    # vanish, while the untouched insert pair survives
+    trio = spark.createDataFrame(
+        [(n,) for n in ["carla", "carli", "carlo", "brook", "brooke"]],
+        "name string",
+    )
+    capped = {
+        (r["name_a"], r["name_b"])
+        for r in symspell_del1_pairs(
+            trio, "name", max_bucket_names=2
+        ).collect()
+    }
+    assert capped == {("brook", "brooke")}

@@ -570,3 +570,42 @@ def test_shapley_runs_on_coalition_grain(spark):
     # subset-containment join is tiny-side broadcast, never row x row
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "bit_or" in plan.lower()
+
+
+def test_hamming_topk_broadcast_queries_jvm_only(spark):
+    plan = plan_of(spark, "ann_hamming_topk")
+    # sign-bit packing + XOR/popcount are Catalyst expressions fused with
+    # the scan; the 8-row query side broadcasts so the corpus never
+    # shuffles before the per-query top-k window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_symspell_pairs_key_equi_join_jvm_only(spark):
+    plan = plan_of(spark, "symspell_customer_pairs")
+    # candidates come from the delete-1 key EQUI-join over the distinct
+    # name dimension — never an all-pairs compare, never a Python stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_single_fact_aggregate_then_dimension_windows(spark):
+    plan = plan_of(spark, "rfm_customer_segments")
+    # one map-side-combined aggregate brings orders to the customer
+    # grain; the dataset max and the three NTILE sorts all run on that
+    # dimension (documented trade) — no join, no second scan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1  # orders is read exactly once
+
+
+def test_cmh_two_aggregates_no_fact_join(spark):
+    plan = plan_of(spark, "cmh_click_vs_view")
+    # stratum cells + pooled cells are two map-combined aggregates over
+    # the filtered fact; the final combine is a 1-row broadcast cross —
+    # no fact-fact join anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
