@@ -2537,3 +2537,101 @@ def cmh_odds_ratio(
         F.round(or_cmh, 6).alias("or_cmh"),
         F.round(chi2, 6).alias("chi2_mh"),
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing per group —
+    level + trend + a ``period``-slot seasonal profile, the full
+    classical decomposition forecast (Holt's linear fold under-forecasts
+    any weekly-shaped series by the seasonal amplitude):
+
+        l_t = α·(y_t − s_{t−m}[i]) + (1−α)·(l + b)
+        b_t = β·(l_t − l) + (1−β)·b
+        s_t[i] = γ·(y_t − l_t) + (1−γ)·s_{t−m}[i],  i = order mod m
+
+    l_1 = y_1, b_1 = 0, s_1 = 0⃗ (the standard cold-start; the profile
+    converges within a few periods). The seasonal slot indexes by the
+    ABSOLUTE order value mod m — not the row position — so gap days
+    cannot rotate the profile. Like holt_linear_forecast this is ONE
+    in-group `F.aggregate` fold over the order-sorted series (state is
+    (l, b, s[0..m−1])); the cross-group axis stays fully parallel and
+    the constants default binary-exact (α=1/2, β=1/4, γ=1/2), with the
+    fold order shared by both engines — nothing to quantize. The oracle
+    replays as a recursive CTE carrying the m seasonal columns (the
+    list_reduce aliasing bug documented on holt_linear applies here
+    doubly — never list_reduce a struct state).
+
+    Returns one row per group: n_points, level, trend, s0..s{m−1}
+    (the learned profile), and forecast = level + horizon·trend +
+    s[(last_order + horizon) mod m], all 6dp."""
+    a, b, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    series = df.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).cast("long").alias("o"),
+                    F.col(value_col).cast("double").alias("y"),
+                )
+            )
+        ).alias("_s")
+    )
+    first = F.element_at("_s", 1)
+    init = F.struct(
+        first["y"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), m).alias("s"),
+    )
+    rest = F.slice("_s", 2, F.greatest(F.size("_s") - 1, F.lit(0)))
+
+    def merge(acc, e):
+        idx = (e["o"] % m).cast("int")  # 0-based seasonal slot
+        s_prev = F.element_at(acc["s"], idx + F.lit(1))
+        new_l = F.lit(a) * (e["y"] - s_prev) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        new_b = F.lit(b) * (new_l - acc["l"]) + F.lit(1.0 - b) * acc["b"]
+        new_s = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.when(
+                j.cast("int") == idx,
+                F.lit(g) * (e["y"] - new_l) + F.lit(1.0 - g) * s_prev,
+            ).otherwise(F.element_at(acc["s"], j.cast("int") + F.lit(1))),
+        )
+        return F.struct(
+            new_l.alias("l"), new_b.alias("b"), new_s.alias("s")
+        )
+
+    state = F.aggregate(rest, init, merge)
+    last_o = F.element_at("_s", F.size("_s"))["o"]
+    f_idx = ((last_o + F.lit(int(horizon))) % m).cast("int")
+    out = [
+        F.size("_s").cast("long").alias("n_points"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+    ]
+    out += [
+        F.round(F.element_at(state["s"], j + 1), 6).alias(f"s{j}")
+        for j in range(m)
+    ]
+    out.append(
+        F.round(
+            state["l"]
+            + F.lit(float(horizon)) * state["b"]
+            + F.element_at(state["s"], f_idx + F.lit(1)),
+            6,
+        ).alias("forecast")
+    )
+    return series.select(*group_cols, *out)

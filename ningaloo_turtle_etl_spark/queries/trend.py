@@ -2015,3 +2015,97 @@ def cmh_click_vs_view(spark, sf_dir):
         (F.col("value") >= 50.0).cast("int").alias("y"),
     )
     return cmh_odds_ratio(base, "s", "tr", "y")
+
+
+def _holt_winters_oracle_sql(m: int = 7, horizon: int = 7) -> str:
+    """Recursive-CTE replay of holt_winters_forecast (α=1/2, β=1/4,
+    γ=1/2): the walk carries (l, b, s0..s6, dw) and updates one seasonal
+    slot per row with IDENTICALLY-ordered arithmetic; the same
+    list_reduce struct-aliasing bug documented on holt_linear_daily
+    forces the CTE form here too."""
+    sprev = (
+        "CASE s.dw "
+        + " ".join(f"WHEN {j} THEN w.s{j}" for j in range(m))
+        + " END"
+    )
+    new_l = f"(0.5 * (s.y - {sprev}) + 0.5 * (w.l + w.b))"
+    new_b = f"(0.25 * ({new_l} - w.l) + 0.75 * w.b)"
+    s_updates = ",\n               ".join(
+        f"CASE WHEN s.dw = {j} THEN 0.5 * (s.y - {new_l})"
+        f" + 0.5 * ({sprev}) ELSE w.s{j} END"
+        for j in range(m)
+    )
+    zeros = ", ".join(f"CAST(0.0 AS DOUBLE)" for _ in range(m))
+    scols = ", ".join(f"s{j}" for j in range(m))
+    sel_s = ", ".join(f"ROUND(w.s{j}, 6) AS s{j}" for j in range(m))
+    return f"""
+    WITH RECURSIVE
+    d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, y,
+               CAST(day % {m} AS INT) AS dw,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS idx
+        FROM d
+    ),
+    walk(event_type, idx, l, b, {scols}, dw) AS (
+        SELECT event_type, CAST(1 AS BIGINT), y, CAST(0 AS DOUBLE),
+               {zeros}, dw
+        FROM s WHERE idx = 1
+        UNION ALL
+        SELECT w.event_type, w.idx + 1,
+               {new_l},
+               {new_b},
+               {s_updates},
+               s.dw
+        FROM walk w
+        JOIN s ON s.event_type = w.event_type AND s.idx = w.idx + 1
+    )
+    SELECT w.event_type,
+           CAST(w.idx AS BIGINT) AS n_points,
+           ROUND(w.l, 6) AS level,
+           ROUND(w.b, 6) AS trend,
+           {sel_s},
+           ROUND(w.l + {float(horizon)} * w.b + (CASE
+               CAST((w.dw + {horizon}) % {m} AS INT) """ + " ".join(
+        f"WHEN {j} THEN w.s{j}" for j in range(m)
+    ) + f""" END), 6) AS forecast
+    FROM walk w
+    JOIN (SELECT event_type, MAX(idx) AS mi FROM walk GROUP BY 1) last
+      ON w.event_type = last.event_type AND w.idx = last.mi
+    ORDER BY w.event_type
+    """
+
+
+@register("holt_winters_daily", _holt_winters_oracle_sql(7, 7))
+def holt_winters_daily(spark, sf_dir):
+    """Holt–Winters additive triple smoothing of the per-type daily
+    event counts (`operators/trend.py holt_winters_forecast`, α=1/2,
+    β=1/4, γ=1/2, weekly profile, 7-day-ahead forecast): the seasonal
+    completion of holt_linear_daily — level, trend AND the learned
+    day-of-week profile, folded once per group with the recursion
+    replayed by a 9-state-column recursive CTE in the oracle."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        holt_winters_forecast,
+    )
+
+    raw = load_table(spark, "events", sf_dir)
+    daily = (
+        raw.select(
+            "event_type",
+            F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return holt_winters_forecast(
+        daily, ["event_type"], "day", "y", period=7, horizon=7
+    ).orderBy("event_type")

@@ -442,6 +442,9 @@ PRIORITY: list[str] = [
     # r10 personalized PageRank (random walk with restart at a seed
     # set; proximity recommendation vs global centrality)
     "ppr_copurchase_brand",
+    # r10 Holt-Winters additive triple smoothing (level+trend+weekly
+    # profile; 9-state-column recursive-CTE oracle)
+    "holt_winters_daily",
 ]
 
 

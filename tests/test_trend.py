@@ -354,3 +354,67 @@ def test_cmh_odds_ratio_degenerate_strata(spark):
         "s", "tr", "y",
     ).collect()[0]
     assert allnull["or_cmh"] is None and allnull["chi2_mh"] is None
+
+
+def test_holt_winters_replica_and_seasonal_advantage(spark):
+    """holt_winters_forecast vs an exact Python replica (same fold
+    order, same binary-exact constants), plus the semantic reason the
+    seasonal state exists: on a sawtooth weekly pattern the HW forecast
+    tracks the true next-week value while Holt's linear fold (γ slot
+    never learned) misses by the seasonal amplitude."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        holt_linear_forecast,
+        holt_winters_forecast,
+    )
+
+    # 8 weeks of a weekly sawtooth on a slight ramp
+    season = [0.0, 10.0, 20.0, 5.0, -5.0, -15.0, -15.0]
+    rows = [
+        ("saw", d, 100.0 + 0.5 * d + season[d % 7]) for d in range(56)
+    ] + [("single", 3, 42.0)]
+    df = spark.createDataFrame(rows, "g string, d long, y double")
+    got = {
+        r["g"]: r
+        for r in holt_winters_forecast(
+            df, ["g"], "d", "y", period=7, horizon=7
+        ).collect()
+    }
+
+    def replica(series, m=7, a=0.5, b=0.25, g=0.5):
+        (o0, y0), rest = series[0], series[1:]
+        l, t, s = y0, 0.0, [0.0] * m
+        for o, y in rest:
+            i = o % m
+            nl = a * (y - s[i]) + (1.0 - a) * (l + t)
+            nt = b * (nl - l) + (1.0 - b) * t
+            s[i] = g * (y - nl) + (1.0 - g) * s[i]
+            l, t = nl, nt
+        last_o = series[-1][0]
+        fc = l + 7.0 * t + s[(last_o + 7) % m]
+        return l, t, s, fc
+
+    saw = [(d, 100.0 + 0.5 * d + season[d % 7]) for d in range(56)]
+    l, t, s, fc = replica(saw)
+    r = got["saw"]
+    assert r["n_points"] == 56
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["trend"] - round(t, 6)) < 1e-9
+    for j in range(7):
+        assert abs(r[f"s{j}"] - round(s[j], 6)) < 1e-9
+    assert abs(r["forecast"] - round(fc, 6)) < 1e-9
+
+    # singleton: cold-start state comes back unchanged
+    assert got["single"]["level"] == 42.0
+    assert got["single"]["forecast"] == 42.0
+
+    # semantic: true day-62 value vs the two forecasts
+    true62 = 100.0 + 0.5 * 62 + season[62 % 7]
+    hw_err = abs(r["forecast"] - true62)
+    lin = {
+        r2["g"]: r2
+        for r2 in holt_linear_forecast(
+            df, ["g"], "d", "y", alpha=0.5, beta=0.25, horizon=7
+        ).collect()
+    }
+    lin_err = abs(lin["saw"]["forecast"] - true62)
+    assert hw_err < 3.0 and lin_err > hw_err + 3.0
