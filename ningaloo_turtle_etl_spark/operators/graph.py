@@ -187,9 +187,13 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(outdeg, on="src").persist()
+    # nodes derive from the PERSISTED ed (every edge row survives the
+    # outdeg join), not from e — a second reference to e would recompute
+    # the whole upstream edge build (for co-purchase graphs, the
+    # order-key self-join) once more just to list the vertices
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -721,9 +725,11 @@ def weighted_pagerank(
     )
     strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
     ed = e.join(strength, on="src").persist()
+    # nodes from the persisted ed — see pagerank's note on double edge
+    # builds
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -796,8 +802,8 @@ def personalized_pagerank(
     ed = e.join(outdeg, on="src").persist()
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .join(F.broadcast(sd.withColumn("_s", F.lit(1))), on="node", how="left")
         .select("node", F.coalesce("_s", F.lit(0)).alias("is_seed"))
