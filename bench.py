@@ -1409,6 +1409,7 @@ EAGER_EXTRAS = {
     "rake_sf",          # bounded top-N collect runs in the builder
     "jsd_sf",           # bounded per-group collect runs in the builder
     # r10 probes whose operators run jobs inside the builder
+    "textrank_sf",    # weighted-PageRank rounds localCheckpoint in the builder
     "pca_100k",       # per-round localCheckpoints + count run in the builder
     "mf_gd_sf",       # per-round localCheckpoints run in the builder
     "bfs_600k_nodes", # frontier rounds localCheckpoint in the builder

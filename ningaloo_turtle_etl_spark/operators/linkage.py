@@ -342,11 +342,15 @@ def symspell_del1_pairs(
 
     dels = _cap(keys.filter(F.col("pos") > 0), ["pos", "k"])
     origs = _cap(keys.filter(F.col("pos") == 0), ["k"])
-    # substitutions: same-position deletes meet; unique per pair
+    # hint("merge"): the delete-key frames are len(name)x the name
+    # dimension, but their lineage (often spark.range / generators)
+    # carries tiny size ESTIMATES — Catalyst happily broadcast a 20M-row
+    # exploded side at the 1M-name probe and OOM'd the driver. The
+    # operator's scale contract is a shuffled key join; pin it.
     subs = (
         dels.alias("a")
         .join(
-            dels.alias("b"),
+            dels.alias("b").hint("merge"),
             on=[F.col("a.pos") == F.col("b.pos"), F.col("a.k") == F.col("b.k")],
         )
         .filter(F.col("a.name") < F.col("b.name"))
@@ -357,7 +361,7 @@ def symspell_del1_pairs(
     # insert/delete: a's delete variant IS b; one-directional by length
     insdel = (
         dels.alias("a")
-        .join(origs.alias("b"), on=F.col("a.k") == F.col("b.k"))
+        .join(origs.alias("b").hint("merge"), on=F.col("a.k") == F.col("b.k"))
         .filter(F.col("a.name") != F.col("b.name"))
         .select(
             F.least("a.name", "b.name").alias("name_a"),
