@@ -1286,6 +1286,14 @@ def _textrank_sf(spark, sf_dir):
     return registry.queries()["textrank_keywords"](spark, sf_dir)
 
 
+def _unigram_sf(spark, sf_dir):
+    """Unigram-LM tokenizer fit + Viterbi segmentation over the full sf
+    documents table: one substring-explode count shuffle (the fit) and
+    one map-only in-document DP pass. Watch that the DP stays a fold —
+    no joins, no per-position shuffle."""
+    return registry.queries()["unigram_tokenizer_stats"](spark, sf_dir)
+
+
 def _rfm_sf(spark, sf_dir):
     """RFM over the full sf order file: one customer-grain aggregate +
     three global NTILE sorts of the customer dimension + the segment
@@ -1368,6 +1376,7 @@ EXTRAS = {
     "hamming_100k": _hamming_at(100_000),
     "textrank_sf": _textrank_sf,
     "rfm_sf": _rfm_sf,
+    "unigram_sf": _unigram_sf,
 }
 
 # 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
@@ -1410,6 +1419,7 @@ EAGER_EXTRAS = {
     "jsd_sf",           # bounded per-group collect runs in the builder
     # r10 probes whose operators run jobs inside the builder
     "textrank_sf",    # weighted-PageRank rounds localCheckpoint in the builder
+    "unigram_sf",     # the vocab-fit collect runs in the builder
     "pca_100k",       # per-round localCheckpoints + count run in the builder
     "mf_gd_sf",       # per-round localCheckpoints run in the builder
     "bfs_600k_nodes", # frontier rounds localCheckpoint in the builder

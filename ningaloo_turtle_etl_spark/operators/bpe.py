@@ -206,3 +206,173 @@ def encode_corpus(
             F.coalesce("token_stream", F.lit("")).alias("token_stream"),
         )
     )
+
+
+# Sentinel for "position unreachable / before the string starts" in the
+# unigram-Viterbi fold: far below any real nano-scaled log-likelihood, far
+# above long-overflow when a candidate adds one more piece logp.
+_VIT_SENT = -(1 << 62)
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 64,
+    max_piece_len: int = 4,
+) -> list[tuple[str, int]]:
+    """Fit the unigram-LM candidate vocabulary (the seed step of
+    SentencePiece's unigram model, Kudo 2018): count EVERY substring of
+    length 1..``max_piece_len`` of the lowercased corpus, keep all
+    length-1 pieces (so segmentation is always feasible) plus the
+    ``top_k`` most frequent multi-char pieces, ties broken by piece
+    string. Returns [(piece, count)] — a BOUNDED driver list
+    (charset + top_k rows; the collect is the documented dimension-sized
+    exception, same class as the BPE merge list).
+
+    Scale shape: the substring explode is map-only (nested transform,
+    no join); the count shuffle is piece-keyed with map-side combine;
+    top-k is TakeOrdered, never a global window."""
+    L = int(max_piece_len)
+    tx = F.lower(F.col(text_col))
+    t = docs.select(tx.alias("tx")).where(
+        F.col("tx").isNotNull() & (F.length("tx") > 0)
+    )
+    pieces = t.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tx")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(L), F.length("tx") - i + 1),
+                        ),
+                        lambda l: F.col("tx").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("piece")
+    )
+    counts = pieces.groupBy("piece").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    singles = counts.filter(F.length("piece") == 1)
+    multis = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(int(top_k))
+    )
+    rows = singles.union(multis).collect()  # bounded: charset + top_k
+    return sorted((r["piece"], int(r["c"])) for r in rows)
+
+
+def unigram_viterbi_stats(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    group_col: str = "source",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi segmentation of every document under a unigram piece LM
+    (the E-step scoring pass of SentencePiece's unigram trainer, Kudo
+    2018), rolled up to tokenizer-evaluation stats per group:
+
+        dp[i] = max over piece p ending at i (len ≤ L, p ∈ vocab) of
+                dp[i − |p|] + ln P(p)
+
+    with P(p) = count(p) / Σ counts over the vocabulary. The DP runs as
+    ONE in-document `F.aggregate` fold over character positions — state
+    is the last L (score, pieces) cells — so segmentation is map-only
+    and fuses with the scan: no joins, no shuffles until the final
+    group rollup; cross-document parallelism is full.
+
+    Determinism: ln P quantizes to integer NANOS per piece BEFORE the DP
+    (so the fold is exact-integer and a 1-ulp ln() difference between
+    engines — or between Python literals and DuckDB — is absorbed by the
+    rounding, the repo's accepted libm caveat); the argmax packs
+    (score, piece_len) into one BIGINT key (score·8 + len, monotone in
+    score, longer piece wins ties) replayed bit-for-bit by the oracle's
+    recursive CTE.
+
+    Returns one row per group: n_docs, n_chars, n_pieces, fertility
+    (pieces per char — the compression the learned vocab buys vs 1.0
+    for char-level), ll_per_char (mean log-likelihood per char), 6dp."""
+    import math
+
+    L = int(max_piece_len)
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    total = sum(c for _, c in vocab)
+    lp = {p: int(round(math.log(c / total) * 1e9)) for p, c in vocab}
+    if any(len(p) > L for p, _ in vocab):
+        raise ValueError("vocab piece longer than max_piece_len")
+    m = F.create_map(
+        *[F.lit(x) for kv in lp.items() for x in (kv[0], kv[1])]
+    )
+    tx = F.lower(F.col(text_col))
+    t = docs.select(
+        F.col(group_col).alias("g"), tx.alias("tx")
+    ).where(F.col("tx").isNotNull() & (F.length("tx") > 0))
+
+    # state: array of L dp cells, state[k] = dp[i-1-k] = (score, pieces)
+    cell = lambda s, c: F.struct(  # noqa: E731
+        F.lit(s).cast("long").alias("s"), F.lit(c).cast("int").alias("c")
+    )
+    init = F.array(cell(0, 0), *[cell(_VIT_SENT, 0) for _ in range(L - 1)])
+
+    def merge(acc, i):
+        cands = []
+        for l in range(1, L + 1):
+            prev = F.element_at(acc, l)
+            piece_lp = F.element_at(m, F.col("tx").substr(i - (l - 1), F.lit(l)))
+            cands.append(
+                F.when(
+                    (F.lit(l) <= i)
+                    & piece_lp.isNotNull()
+                    & (prev["s"] > F.lit(_VIT_SENT // 2)),
+                    (prev["s"] + piece_lp) * 8 + l,
+                ).otherwise(F.lit(_VIT_SENT))
+            )
+        best = F.greatest(*cands)
+        l_dec = ((best % 8) + 8) % 8
+        s_new = ((best - l_dec) / F.lit(8)).cast("long")
+        c_prev = None
+        for l in range(L, 0, -1):
+            base = F.element_at(acc, l)["c"] + F.lit(1)
+            c_prev = (
+                base
+                if c_prev is None
+                else F.when(l_dec == l, base).otherwise(c_prev)
+            )
+        new_cell = F.struct(
+            s_new.alias("s"), c_prev.cast("int").alias("c")
+        )
+        return F.concat(
+            F.array(new_cell), F.slice(acc, 1, L - 1)
+        )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.length("tx")), init, merge
+    )
+    final = F.element_at(state, 1)
+    scored = t.select(
+        "g",
+        F.length("tx").cast("long").alias("nch"),
+        final["s"].alias("s"),
+        final["c"].cast("long").alias("np"),
+    )
+    return (
+        scored.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nch").cast("long").alias("n_chars"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("np") / F.sum("nch").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                (F.sum("s") / F.lit(1e9)) / F.sum("nch"), 6
+            ).alias("ll_per_char"),
+        )
+        .orderBy(group_col)
+    )

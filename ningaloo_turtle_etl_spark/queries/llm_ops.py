@@ -6335,3 +6335,122 @@ def ppr_copurchase_brand(spark, sf_dir):
     return personalized_pagerank(edges, seeds, iterations=5).select(
         "node", "rank"
     )
+
+
+def _unigram_oracle_sql(top_k: int = 64, L: int = 4) -> str:
+    r"""Recursive-CTE replay of the unigram-Viterbi fold: the vocab CTE
+    re-derives the identical (singles ∪ top-k) piece table, ln P
+    quantizes to integer nanos (absorbing the Python-vs-DuckDB libm
+    ulp), and the walk advances one char per step carrying the last-4
+    dp cells, with the same (score·8 + len) argmax key as the Spark
+    fold."""
+    SENT = -(1 << 62)
+    HALF = SENT // 2
+    # candidate keys: piece of length l ends at p = w.pos + 1, starts at
+    # w.pos + 2 - l; prev dp cell for length l is (s{l}, c{l})
+    cands = []
+    for l in range(1, L + 1):
+        cands.append(
+            f"CASE WHEN {l} <= w.pos + 1 AND v{l}.lp IS NOT NULL"
+            f" AND w.s{l} > CAST({HALF} AS BIGINT)"
+            f" THEN (w.s{l} + v{l}.lp) * 8 + {l}"
+            f" ELSE CAST({SENT} AS BIGINT) END"
+        )
+    best = "GREATEST(" + ", ".join(cands) + ")"
+    ldec = f"((({best}) % 8) + 8) % 8"
+    c_new = (
+        f"CASE {ldec} "
+        + " ".join(f"WHEN {l} THEN w.c{l} + 1" for l in range(1, L))
+        + f" ELSE w.c{L} + 1 END"
+    )
+    joins = "\n".join(
+        f"    LEFT JOIN vlp v{l} ON v{l}.piece ="
+        f" substr(t.tx, w.pos + 2 - {l}, {l})"
+        for l in range(1, L + 1)
+    )
+    scols = ", ".join(f"s{l}, c{l}" for l in range(1, L + 1))
+    base_cells = "CAST(0 AS BIGINT), 0, " + ", ".join(
+        f"CAST({SENT} AS BIGINT), 0" for _ in range(L - 1)
+    )
+    shift = ", ".join(f"w.s{l}, w.c{l}" for l in range(1, L))
+    return f"""
+    WITH RECURSIVE
+    t AS MATERIALIZED (
+        SELECT doc_id, source AS g, lower(text) AS tx
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    sub AS MATERIALIZED (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(flatten(list_transform(
+                generate_series(1, length(tx)),
+                i -> list_transform(
+                    generate_series(1, least({L}, length(tx) - i + 1)),
+                    l -> substr(tx, CAST(i AS INT), CAST(l AS INT))))))
+                AS piece
+            FROM t
+        ) GROUP BY piece
+    ),
+    vocab AS (
+        SELECT piece, c FROM sub WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, c FROM (
+            SELECT piece, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+            FROM sub WHERE length(piece) >= 2
+        ) WHERE rk <= {top_k}
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM vocab),
+    vlp AS MATERIALIZED (
+        SELECT piece, CAST(round(ln(c * 1.0 / tot) * 1e9) AS BIGINT) AS lp
+        FROM vocab, tot
+    ),
+    walk(doc_id, pos, {scols}) AS (
+        SELECT doc_id, 0, {base_cells} FROM t
+        UNION ALL
+        SELECT w.doc_id, w.pos + 1,
+               CAST((({best}) - ({ldec})) / 8 AS BIGINT),
+               {c_new},
+               {shift}
+        FROM walk w
+        JOIN t ON t.doc_id = w.doc_id AND w.pos < length(t.tx)
+{joins}
+    ),
+    fin AS (
+        SELECT w.doc_id, w.s1 AS s, w.c1 AS np
+        FROM walk w
+        JOIN t ON t.doc_id = w.doc_id AND w.pos = length(t.tx)
+    )
+    SELECT t.g AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(t.tx)) AS BIGINT) AS n_chars,
+           CAST(SUM(fin.np) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(fin.np) AS BIGINT)
+                 / CAST(SUM(length(t.tx)) AS DOUBLE), 6) AS fertility,
+           ROUND((CAST(SUM(fin.s) AS BIGINT) / 1e9)
+                 / CAST(SUM(length(t.tx)) AS BIGINT), 6) AS ll_per_char
+    FROM fin JOIN t ON fin.doc_id = t.doc_id
+    GROUP BY t.g ORDER BY t.g
+    """
+
+
+@register("unigram_tokenizer_stats", _unigram_oracle_sql(64, 4))
+def unigram_tokenizer_stats(spark, sf_dir):
+    """Unigram-LM (SentencePiece, Kudo 2018) Viterbi tokenization stats
+    per source (`operators/bpe.py unigram_vocab / unigram_viterbi_stats`):
+    fit the singles ∪ top-64 substring vocabulary on the corpus, segment
+    every document by the exact Viterbi DP under the unigram piece LM —
+    a map-only in-document fold, the probabilistic counterpart of the
+    BPE greedy encoder — and report per-source fertility (pieces/char)
+    and log-likelihood per char. Integer-nano piece log-probs make the
+    DP exact-integer; the oracle replays fit + DP end-to-end as a
+    recursive CTE."""
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        unigram_viterbi_stats,
+        unigram_vocab,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = unigram_vocab(docs, top_k=64, max_piece_len=4)
+    return unigram_viterbi_stats(
+        docs, vocab, group_col="source", max_piece_len=4
+    )

@@ -445,6 +445,9 @@ PRIORITY: list[str] = [
     # r10 Holt-Winters additive triple smoothing (level+trend+weekly
     # profile; 9-state-column recursive-CTE oracle)
     "holt_winters_daily",
+    # r10 unigram-LM (SentencePiece) Viterbi tokenizer stats (exact
+    # integer-nano DP as an in-document fold; fit+DP recursive oracle)
+    "unigram_tokenizer_stats",
 ]
 
 

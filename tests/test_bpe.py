@@ -161,3 +161,68 @@ def test_encode_corpus_matches_python_reference(spark):
     assert got == exp
     # the OOV word really went through the merge-applying fallback
     assert "z a p </w>" in got[10][1]
+
+
+def test_unigram_viterbi_replica_and_compression(spark):
+    """unigram_vocab + unigram_viterbi_stats vs an exact Python Viterbi
+    replica (same nano-quantized log-probs, same longer-piece tie-break),
+    plus the semantics: with multi-char pieces in the vocab the
+    segmentation compresses (fertility < 1), and under a singles-only
+    vocab it degrades to char-level (fertility exactly 1)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        unigram_viterbi_stats,
+        unigram_vocab,
+    )
+
+    rows = [
+        (1, "A", "abab abab"),
+        (2, "A", "ababab"),
+        (3, "B", "ba ba ab"),
+        (4, "B", "aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    vocab = unigram_vocab(docs, top_k=4, max_piece_len=4)
+    got = {
+        r["source"]: r
+        for r in unigram_viterbi_stats(docs, vocab, "source").collect()
+    }
+
+    total = sum(c for _, c in vocab)
+    lp = {p: round(math.log(c / total) * 1e9) for p, c in vocab}
+
+    def viterbi(tx):
+        n = len(tx)
+        dp = [(0, 0)] + [None] * n
+        for i in range(1, n + 1):
+            best = None
+            for l in range(1, min(4, i) + 1):
+                piece = tx[i - l : i]
+                if piece in lp and dp[i - l] is not None:
+                    key = (dp[i - l][0] + lp[piece]) * 8 + l
+                    if best is None or key > best:
+                        best = key
+            ld = best % 8
+            dp[i] = ((best - ld) // 8, dp[i - ld][1] + 1)
+        return dp[n]
+
+    agg = {}
+    for _, src, tx in rows:
+        s, c = viterbi(tx.lower())
+        sc, nc, np_, n = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (sc + s, nc + len(tx), np_ + c, n + 1)
+    for src, (sc, nc, np_, n) in agg.items():
+        r = got[src]
+        assert r["n_docs"] == n and r["n_chars"] == nc
+        assert r["n_pieces"] == np_
+        assert abs(r["fertility"] - round(np_ / nc, 6)) < 1e-9
+        assert abs(r["ll_per_char"] - round((sc / 1e9) / nc, 6)) < 1e-9
+        assert r["fertility"] < 1.0  # multi-char pieces compress
+
+    singles = [(p, c) for p, c in vocab if len(p) == 1]
+    char_level = {
+        r["source"]: r
+        for r in unigram_viterbi_stats(docs, singles, "source").collect()
+    }
+    assert all(r["fertility"] == 1.0 for r in char_level.values())
