@@ -237,6 +237,11 @@ def unigram_vocab(
     t = docs.select(tx.alias("tx")).where(
         F.col("tx").isNotNull() & (F.length("tx") > 0)
     )
+    # same small-input spread as the DP pass: the substring explode is
+    # map-heavy, and a single-file corpus would run it on one core
+    par = t.sparkSession.sparkContext.defaultParallelism
+    if t.rdd.getNumPartitions() < par:
+        t = t.repartition(par)
     pieces = t.select(
         F.explode(
             F.flatten(
@@ -313,6 +318,15 @@ def unigram_viterbi_stats(
     t = docs.select(
         F.col(group_col).alias("g"), tx.alias("tx")
     ).where(F.col("tx").isNotNull() & (F.length("tx") > 0))
+    # The DP is CPU-bound per document: if the input arrives in fewer
+    # partitions than the session has cores (one small parquet file),
+    # spread the doc grain first — one narrow shuffle of the text column
+    # buys full-core segmentation (95 s -> seconds on the sf0.1 single
+    # file). At real corpus scale partitions >> cores and this is a
+    # no-op.
+    par = t.sparkSession.sparkContext.defaultParallelism
+    if t.rdd.getNumPartitions() < par:
+        t = t.repartition(par)
 
     # state: array of L dp cells, state[k] = dp[i-1-k] = (score, pieces)
     cell = lambda s, c: F.struct(  # noqa: E731
