@@ -386,3 +386,76 @@ def compaction_bins(
         )
         .orderBy("bin")
     )
+
+
+def inequality_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Within-group inequality profile of a non-negative size measure —
+    the three standard indices a mixing pipeline reads TOGETHER because
+    they weight the distribution differently (gini_concentration covers
+    the across-group view):
+
+        CV      = σ/μ                      (top-sensitive, 2nd moment)
+        Theil T = (1/n) Σ (x/μ)·ln(x/μ)    (decomposable entropy index)
+        Atkinson(ε=½) = 1 − ((1/n) Σ √x)² / μ   (bottom-sensitive)
+
+    Zero values contribute 0 to the Theil sum (x·ln x → 0 limit) and 0
+    to Σ√x — the standard conventions, applied identically in the
+    oracle. Determinism: Σx and Σx² are exact integer sums (the measure
+    is integral); the per-row Theil terms quantize to integer NANOS and
+    the √x terms to integer MICROS before summation, so both
+    cross-engine sums are order-independent and the 1-ulp ln()/sqrt()
+    caveat is absorbed by the rounding (repo convention).
+
+    Returns (group, n, mean, cv, theil_t, atkinson_05), 6dp; singleton
+    and all-equal groups report 0 for all three indices.
+
+    Scale shape: one map-side-combined aggregate to the group grain for
+    (Σx, n), a broadcast join back (group dim is small by construction),
+    one second map-combined aggregate. Two passes over the measure — the
+    Theil term needs μ — and nothing else."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("x").isNotNull() & (F.col("x") >= 0))
+    totals = base.groupBy("g").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = base.join(F.broadcast(totals), on="g")
+    ratio = F.col("x") * F.col("n") / F.col("sx").cast("double")
+    t_theil = F.when(
+        (F.col("x") > 0) & (F.col("sx") > 0),
+        F.round(ratio * F.log(ratio) * F.lit(1e9), 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    t_sqrt = F.round(
+        F.sqrt(F.col("x").cast("double")) * F.lit(1e6), 0
+    ).cast("long")
+    agg = j.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(t_theil).alias("s_theil"),
+        F.sum(t_sqrt).alias("s_sqrt"),
+    )
+    mu = F.col("sx") / F.col("n").cast("double")
+    var = F.col("sxx") / F.col("n") - mu * mu
+    cv = F.when(
+        (F.col("sx") > 0) & (var > 0), F.sqrt(var) / mu
+    ).otherwise(F.lit(0.0))
+    theil = F.col("s_theil") / F.lit(1e9) / F.col("n")
+    atk = F.when(
+        F.col("sx") > 0,
+        F.lit(1.0)
+        - F.pow(F.col("s_sqrt") / F.lit(1e6) / F.col("n"), 2) / mu,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(cv, 6).alias("cv"),
+        F.round(theil, 6).alias("theil_t"),
+        F.round(atk, 6).alias("atkinson_05"),
+    ).orderBy(group_col)

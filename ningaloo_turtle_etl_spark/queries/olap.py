@@ -539,3 +539,68 @@ def rfm_customer_segments(spark, sf_dir):
         "o_totalprice",
         epoch_seconds=_epoch_seconds(orders, "o_orderdate"),
     )
+
+
+@register(
+    "inequality_profile_by_source",
+    """
+    WITH base AS (
+        SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+    ),
+    totals AS (
+        SELECT g, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY g
+    ),
+    terms AS (
+        SELECT base.g, base.x, totals.sx, totals.n,
+               CASE WHEN base.x > 0 AND totals.sx > 0
+                    THEN CAST(round((base.x * totals.n
+                             / CAST(totals.sx AS DOUBLE))
+                        * ln(base.x * totals.n
+                             / CAST(totals.sx AS DOUBLE)) * 1e9, 0)
+                        AS BIGINT)
+                    ELSE 0 END AS t_theil,
+               CAST(round(sqrt(CAST(base.x AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS t_sqrt
+        FROM base JOIN totals USING (g)
+    ),
+    agg AS (
+        SELECT g, MAX(n) AS n, MAX(sx) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(t_theil) AS BIGINT) AS s_theil,
+               CAST(SUM(t_sqrt) AS BIGINT) AS s_sqrt
+        FROM terms GROUP BY g
+    )
+    SELECT g AS source, n,
+           ROUND(sx / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND(CASE WHEN sx > 0
+                       AND sxx / CAST(n AS DOUBLE)
+                           - (sx / CAST(n AS DOUBLE))
+                             * (sx / CAST(n AS DOUBLE)) > 0
+                      THEN sqrt(sxx / CAST(n AS DOUBLE)
+                           - (sx / CAST(n AS DOUBLE))
+                             * (sx / CAST(n AS DOUBLE)))
+                           / (sx / CAST(n AS DOUBLE))
+                      ELSE 0.0 END, 6) AS cv,
+           ROUND(s_theil / 1e9 / n, 6) AS theil_t,
+           ROUND(CASE WHEN sx > 0
+                      THEN 1.0 - pow(s_sqrt / 1e6 / n, 2)
+                           / (sx / CAST(n AS DOUBLE))
+                      ELSE 0.0 END, 6) AS atkinson_05
+    FROM agg ORDER BY source
+    """,
+)
+def q_inequality_profile_by_source(spark, sf_dir):
+    """Within-source inequality of document length (`operators/scale.py
+    inequality_profile`): CV, Theil T, and Atkinson(½) read together —
+    top-, entropy-, and bottom-sensitive views of how unevenly char
+    mass spreads across a source's documents, the mixing-pipeline
+    companion to source_gini's across-source concentration."""
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        inequality_profile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return inequality_profile(docs, "source", "n_chars")

@@ -448,6 +448,9 @@ PRIORITY: list[str] = [
     # r10 unigram-LM (SentencePiece) Viterbi tokenizer stats (exact
     # integer-nano DP as an in-document fold; fit+DP recursive oracle)
     "unigram_tokenizer_stats",
+    # r10 within-group inequality profile (CV / Theil / Atkinson —
+    # nano-quantized entropy terms, micro-quantized sqrt terms)
+    "inequality_profile_by_source",
 ]
 
 

@@ -359,3 +359,58 @@ def test_hilbert_buckets_tighter_than_zorder_worst_span(spark):
     )
     assert h <= z, (h, z)
     assert h <= 15  # a 64-cell hilbert segment stays in a small box
+
+
+def test_inequality_profile_replica_and_orderings(spark):
+    """inequality_profile vs an exact Python replica (same quantized
+    terms), plus the index semantics: an all-equal group scores 0 on
+    all three; a skewed group scores strictly higher on each; zeros
+    contribute the documented limits."""
+    import decimal
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        inequality_profile,
+    )
+
+    rows = (
+        [("flat", 100)] * 8
+        + [("skew", 10)] * 7 + [("skew", 930)]
+        + [("zeros", 0), ("zeros", 0), ("zeros", 100), ("zeros", 100)]
+        + [("single", 42)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r["g"]: r for r in inequality_profile(df, "g", "x").collect()
+    }
+
+    def rhu(v):
+        return int(decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    import collections
+
+    groups = collections.defaultdict(list)
+    for g, x in rows:
+        groups[g].append(x)
+    for g, xs in groups.items():
+        n, sx = len(xs), sum(xs)
+        mu = sx / n
+        s_theil = sum(
+            rhu((x * n / sx) * math.log(x * n / sx) * 1e9)
+            for x in xs
+            if x > 0
+        )
+        s_sqrt = sum(rhu(math.sqrt(x) * 1e6) for x in xs)
+        var = sum(x * x for x in xs) / n - mu * mu
+        cv = math.sqrt(var) / mu if var > 0 and sx > 0 else 0.0
+        r = got[g]
+        assert r["n"] == n
+        assert abs(r["mean"] - round(mu, 6)) < 1e-9
+        assert abs(r["cv"] - round(cv, 6)) < 1e-9
+        assert abs(r["theil_t"] - round(s_theil / 1e9 / n, 6)) < 1e-9
+        atk = 1.0 - (s_sqrt / 1e6 / n) ** 2 / mu
+        assert abs(r["atkinson_05"] - round(atk, 6)) < 1e-9
+
+    for k in ("cv", "theil_t", "atkinson_05"):
+        assert got["flat"][k] == 0.0 and got["single"][k] == 0.0
+        assert got["skew"][k] > got["zeros"][k] > 0.0
