@@ -1276,3 +1276,116 @@ def logistic_gd_train(
         )
         .orderBy("feature")
     )
+
+
+def quantile_gd_train(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    q: float = 0.75,
+    iterations: int = 4,
+    lr: float = 64.0,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """DISTRIBUTED linear QUANTILE regression by full-batch subgradient
+    descent on the pinball loss — the conditional-quantile twin of
+    :func:`logistic_gd_train` (mean regression answers "expected value";
+    a p75/p95 model is what latency/exposure budgeting actually needs):
+
+        g_j = Σ_rows x_j · (1[w·x > y] − q),   w ← w − lr · (g / 1e9) / n
+
+    with per-row gradient terms quantized to integer nanos before the
+    exact-integer reduce (the indicator is a double comparison both
+    engines evaluate on identical doubles, so the subgradient choice is
+    engine-portable; ties w·x = y take the 1[·]=0 branch in both). The
+    WEIGHT TRAJECTORY is the oracle contract, as with the logistic and
+    MF trainers — convergence quality is the semantic test's job, not
+    the oracle's.
+
+    Returns one row per weight: (feature, weight) plus shared metrics on
+    every row — coverage (fraction y ≤ w·x; → q at the optimum) and mean
+    pinball loss (nano-quantized), 6dp.
+
+    Scale shape: per iteration ONE map-side-combined aggregate to
+    n_features+1 integer cells; driver state is the weight vector; the
+    featurized frame persists across iterations+1 passes and releases
+    before returning."""
+    feats = list(feature_cols)
+    if not feats and not add_intercept:
+        raise ValueError(
+            "feature_cols must be non-empty when add_intercept=False"
+        )
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    from pyspark import StorageLevel
+
+    names = (["_intercept"] if add_intercept else []) + feats
+    cols = ([F.lit(1.0).alias("_intercept")] if add_intercept else []) + [
+        F.col(c).cast("double").alias(c) for c in feats
+    ]
+    base = df.select(
+        *cols, F.col(label_col).cast("double").alias("_y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("quantile_gd_train: empty input")
+        w = [0.0] * len(names)
+        for _ in range(int(iterations)):
+            pred = None
+            for j, c in enumerate(names):
+                t = F.lit(w[j]) * F.col(c)
+                pred = t if pred is None else pred + t
+            ind = (pred > F.col("_y")).cast("double")
+            grads = base.agg(
+                *[
+                    F.sum(
+                        F.round(
+                            (ind - F.lit(float(q))) * F.col(c) * F.lit(1e9),
+                            0,
+                        ).cast("long")
+                    ).alias(f"g{j}")
+                    for j, c in enumerate(names)
+                ]
+            ).collect()[0]
+            w = [
+                w[j] - float(lr) * ((int(grads[f"g{j}"]) / 1e9) / n)
+                for j in range(len(names))
+            ]
+        pred = None
+        for j, c in enumerate(names):
+            t = F.lit(w[j]) * F.col(c)
+            pred = t if pred is None else pred + t
+        u = F.col("_y") - pred
+        pin = F.round(
+            F.when(
+                u >= 0, F.lit(float(q)) * u
+            ).otherwise(F.lit(float(q) - 1.0) * u)
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+        cov = (F.col("_y") <= pred).cast("long")
+        m = base.agg(
+            F.sum(cov).alias("nc"), F.sum(pin).alias("ps")
+        ).collect()[0]
+        coverage = int(m["nc"]) / n
+        loss = (int(m["ps"]) / 1e9) / n
+    finally:
+        base.unpersist()
+    rows = [(names[j], w[j], coverage, loss) for j in range(len(names))]
+    return (
+        df.sparkSession.createDataFrame(
+            rows,
+            "feature string, weight double, coverage double, "
+            "pinball_loss double",
+        )
+        .select(
+            "feature",
+            F.round("weight", 6).alias("weight"),
+            F.round("coverage", 6).alias("coverage"),
+            F.round("pinball_loss", 6).alias("pinball_loss"),
+        )
+        .orderBy("feature")
+    )

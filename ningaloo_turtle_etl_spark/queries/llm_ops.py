@@ -6454,3 +6454,112 @@ def unigram_tokenizer_stats(spark, sf_dir):
     return unigram_viterbi_stats(
         docs, vocab, group_col="source", max_piece_len=4
     )
+
+
+def _quantile_gd_oracle_sql(
+    iterations: int = 4, lr: float = 64.0, q: float = 0.75
+) -> str:
+    """Unrolled pinball-subgradient oracle (the logistic-GD chaining
+    pattern): per round one gradient CTE + one weight CTE, per-row
+    terms nano-quantized, identical operation order; the weekend flag
+    derives from the epoch-day index (day 0 = Thursday, so weekend =
+    day % 7 IN (2, 3)) — pure integer math, timezone-free."""
+    qm1 = q - 1.0
+    margin = "(w.w0 * _intercept + w.w1 * f_wknd + w.w2 * f_click)"
+    ind = f"CASE WHEN {margin} > _y THEN 1.0 ELSE 0.0 END"
+    parts = [
+        f"""
+    base AS MATERIALIZED (
+        SELECT 1.0 AS _intercept,
+               CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7
+                         IN (2, 3) THEN 1.0 ELSE 0.0 END AS f_wknd,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END
+                   AS f_click,
+               value AS _y
+        FROM events
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    g{t} AS (
+        SELECT
+            CAST(SUM(CAST(round((ind - {q}) * _intercept * 1e9) AS BIGINT))
+                 AS BIGINT) AS g0,
+            CAST(SUM(CAST(round((ind - {q}) * f_wknd * 1e9) AS BIGINT))
+                 AS BIGINT) AS g1,
+            CAST(SUM(CAST(round((ind - {q}) * f_click * 1e9) AS BIGINT))
+                 AS BIGINT) AS g2
+        FROM (SELECT base.*, {ind} AS ind
+              FROM base CROSS JOIN w{t - 1} w)
+    ),
+    w{t} AS (
+        SELECT w.w0 - {lr} * ((g.g0 / 1e9) / nn.n) AS w0,
+               w.w1 - {lr} * ((g.g1 / 1e9) / nn.n) AS w1,
+               w.w2 - {lr} * ((g.g2 / 1e9) / nn.n) AS w2
+        FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    scored AS (
+        SELECT base.*, {margin} AS m
+        FROM base CROSS JOIN w{iterations} w
+    ),
+    metrics AS (
+        SELECT ROUND(SUM(CASE WHEN _y <= m THEN 1 ELSE 0 END) * 1.0
+                     / ANY_VALUE(nn.n), 6) AS coverage,
+               ROUND((CAST(SUM(CAST(round(
+                   (CASE WHEN _y - m >= 0 THEN {q} * (_y - m)
+                         ELSE CAST({qm1} AS DOUBLE) * (_y - m) END)
+                   * 1e9) AS BIGINT)) AS BIGINT) / 1e9)
+                   / ANY_VALUE(nn.n), 6) AS pinball_loss
+        FROM scored CROSS JOIN nn
+    )
+    SELECT f.feature, ROUND(f.weight, 6) AS weight,
+           m.coverage, m.pinball_loss
+    FROM (SELECT '_intercept' AS feature, w0 AS weight FROM w{iterations}
+          UNION ALL SELECT 'f_wknd', w1 FROM w{iterations}
+          UNION ALL SELECT 'f_click', w2 FROM w{iterations}) f
+    CROSS JOIN metrics m
+    ORDER BY f.feature"""
+    )
+
+
+@register("quantile_gd_weights", _quantile_gd_oracle_sql(4, 64.0, 0.75))
+def quantile_gd_weights(spark, sf_dir):
+    """Linear p75 quantile regression of event value on (weekend,
+    is-click) trained by the distributed pinball-subgradient loop
+    (`operators/classify.py quantile_gd_train`, 4 rounds, lr=64): the
+    conditional-quantile rung of the trainer stack next to
+    logistic_gd_weights (classification) and mf_gd_factors
+    (factorization) — budget/SLA questions are quantile questions, not
+    mean questions. The weight trajectory replays bit-for-bit in the
+    unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        quantile_gd_train,
+    )
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+
+    raw = load_table(spark, "events", sf_dir)
+    base = raw.select(
+        (
+            (
+                F.floor(_epoch_seconds(raw, "ts") / F.lit(86400)).cast(
+                    "long"
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("double")
+        .alias("f_wknd"),
+        (F.col("event_type") == "click").cast("double").alias("f_click"),
+        F.col("value").alias("y"),
+    )
+    return quantile_gd_train(
+        base, ["f_wknd", "f_click"], "y", q=0.75, iterations=4, lr=64.0
+    )

@@ -451,6 +451,9 @@ PRIORITY: list[str] = [
     # r10 within-group inequality profile (CV / Theil / Atkinson —
     # nano-quantized entropy terms, micro-quantized sqrt terms)
     "inequality_profile_by_source",
+    # r10 pinball-subgradient quantile regression (the conditional-
+    # quantile rung of the trainer stack; unrolled trajectory oracle)
+    "quantile_gd_weights",
 ]
 
 

@@ -703,3 +703,52 @@ def test_platt_scaling_shape_on_separable_scores(spark):
     }
     assert out["f_score"]["weight"] > 0
     assert out["f_score"]["train_logloss"] < math.log(2.0)
+
+
+def test_quantile_gd_replica_and_coverage(spark):
+    """quantile_gd_train vs an exact Python replica of the nano-
+    quantized subgradient fold, plus the semantics: trained long enough
+    on an intercept-only problem, the predicted constant's coverage
+    approaches the target quantile — and a q=0.9 model predicts a
+    strictly higher constant than a q=0.5 model on the same data."""
+    import decimal
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        quantile_gd_train,
+    )
+
+    ys = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(y,) for y in ys], "y double")
+
+    def rhu(v):
+        return int(decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    def replica(q, iters, lr):
+        w = 0.0
+        n = len(ys)
+        for _ in range(iters):
+            g = sum(rhu(((1.0 if w > y else 0.0) - q) * 1.0 * 1e9) for y in ys)
+            w = w - lr * ((g / 1e9) / n)
+        return w
+
+    got = {
+        r["feature"]: r
+        for r in quantile_gd_train(
+            df, [], "y", q=0.75, iterations=6, lr=32.0, add_intercept=True
+        ).collect()
+    }
+    w = replica(0.75, 6, 32.0)
+    r = got["_intercept"]
+    assert abs(r["weight"] - round(w, 6)) < 1e-9
+    cov = sum(1 for y in ys if y <= w) / len(ys)
+    assert abs(r["coverage"] - round(cov, 6)) < 1e-9
+    # semantic: coverage lands near the target quantile
+    assert 0.6 <= r["coverage"] <= 0.9
+
+    hi = quantile_gd_train(
+        df, [], "y", q=0.9, iterations=20, lr=32.0
+    ).collect()[0]
+    lo = quantile_gd_train(
+        df, [], "y", q=0.5, iterations=20, lr=32.0
+    ).collect()[0]
+    assert hi["weight"] > lo["weight"]

@@ -348,6 +348,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "holt_winters_daily",
         "unigram_tokenizer_stats",
         "inequality_profile_by_source",
+        "quantile_gd_weights",
         # r05 Apriori market-basket rules + tokenizer eval, full oracles
         "assoc_rules_copurchase",
         "tokenizer_fertility",
