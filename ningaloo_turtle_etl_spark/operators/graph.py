@@ -717,12 +717,24 @@ def weighted_pagerank(
     contribution rounds d·rank·w/strength to a whole micro before the
     exact-integer per-node reduce) and the same scale shape: one
     rank⋈edges join plus one dst-keyed aggregate per round, node-sized
-    rank vector, localCheckpoint keeping lineage O(1)."""
+    rank vector, localCheckpoint keeping lineage O(1).
+
+    Weights stay DOUBLE through strength/contribution: the TextRank
+    caller's count weights are integers (exact in double to 2^53, so
+    identical results to the former long path), and fractional weights
+    now flow through uncorrupted instead of being silently truncated
+    by a long cast."""
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
-    )
+        F.col(weight_col).cast("double").alias("w"),
+    ).persist()
+    # materialize e ONCE before it fans out: it feeds both the strength
+    # aggregate and the join probe side, and an unpersisted e re-runs
+    # the caller's whole edge build (for TextRank, the corpus-wide pair
+    # extraction scan) once per branch — the same double-build class as
+    # pagerank's r10 node-list fix, one frame earlier in the chain
+    e.count()
     strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
     ed = e.join(strength, on="src").persist()
     # nodes from the persisted ed — see pagerank's note on double edge
@@ -767,6 +779,7 @@ def weighted_pagerank(
     finally:
         ed.unpersist()
         nodes.unpersist()
+        e.unpersist()
     return ranks.select(
         "node", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
     )

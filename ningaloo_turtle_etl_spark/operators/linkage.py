@@ -290,9 +290,14 @@ def symspell_del1_pairs(
     Scale shape: keys explode map-side from the DISTINCT-name dimension
     (never the fact table), ≤ len+1 keys per name; the joins shuffle
     (key, name) tuples only and their outputs ARE the result — no
-    post-join dedup shuffle (substitution pairs are unique by the single
-    differing position; insert pairs are unique after the per-name
-    array_distinct; the two sets are disjoint by length). Bucket skew is
+    post-join dedup shuffle. Substitution pairs are unique by the single
+    differing position (delete_i(a)=delete_i(b) at two positions forces
+    a=b). Insert/delete pairs join on the BARE key, so that side is
+    deduped to distinct (name, k) first — repeated-character runs make
+    several delete positions collapse to the same string ('w0011' del
+    pos 3 and 4 both give 'w011'), and (pos,k) struct distinctness
+    alone would emit the pair once per position. The two branches are
+    disjoint by length. Bucket skew is
     bounded by construction (a key is shared only by strings within one
     edit of it); ``max_bucket_names`` offers the minhash-style cap
     (oversized key buckets DROPPED — a documented completeness trade for
@@ -358,9 +363,16 @@ def symspell_del1_pairs(
             F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
         )
     )
-    # insert/delete: a's delete variant IS b; one-directional by length
+    # insert/delete: a's delete variant IS b; one-directional by length.
+    # This join matches on the bare key, so drop pos and dedupe
+    # (name, k) — otherwise repeated-character runs (several delete
+    # positions → same string) emit the same pair once per position.
+    insdel_dels = _cap(
+        keys.filter(F.col("pos") > 0).select("name", "k").distinct(),
+        ["k"],
+    )
     insdel = (
-        dels.alias("a")
+        insdel_dels.alias("a")
         .join(origs.alias("b").hint("merge"), on=F.col("a.k") == F.col("b.k"))
         .filter(F.col("a.name") != F.col("b.name"))
         .select(

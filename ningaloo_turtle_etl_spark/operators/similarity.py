@@ -1390,6 +1390,167 @@ def ranking_metrics(
     ).orderBy("query_id")
 
 
+def pca_power_components(
+    corpus: DataFrame,
+    n_components: int = 2,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``n_components`` principal components by power iteration with
+    HOTELLING DEFLATION — the multi-eigenvector extension of
+    :func:`pca_power_component` that the PCNM/RDA surface consumes
+    (reference computes multi-axis ordinations; the driver-side scipy
+    fallback in stats.py is hard-capped and cannot run at 10⁹ vectors).
+
+    Component k starts from v0 = e_k and iterates w = C·v like the
+    single-component path; deflation happens on the d-sized driver
+    vector AFTER each distributed pass — w′ = w − Σ_{m<k} λ_m·(v_m·v)·v_m
+    — so the 100 TB shape is unchanged: per round exactly one scan + one
+    map-side-combined aggregate over the coordinate grain, a d-row
+    collect, and O(p·d) driver arithmetic. The covariance is never
+    materialized and no per-round join exists for any component.
+
+    Determinism (the exact conventions the unrolled DuckDB oracle
+    replays token-for-token): coordinates/mean/accumulations quantize as
+    in pca_power_component; each deflation dot v_m·v quantizes its d
+    products to integer MICROS (round half-away-from-zero — products can
+    be negative) and sums them exactly; the per-dimension subtraction is
+    wd − (λ_1·dot_1)·v_1[j] − (λ_2·dot_2)·v_2[j] … in component order,
+    plain IEEE double both engines.
+
+    Returns (component, dim_idx, loading, eigenvalue) — component =
+    1..p, eigenvalue = that component's final Rayleigh-scale ‖C·v‖ —
+    ordered by (component, dim_idx), loadings/eigenvalues rounded 6dp.
+    Successive loadings are near-orthogonal (exactly orthogonal in the
+    iteration limit; the orthogonality test pins |v_i·v_j| small)."""
+    # localCheckpoint (not persist): severs the upstream lineage so the
+    # driver does not re-analyze a potentially huge input plan on every
+    # per-round job — the kmeans/pagerank O(1)-lineage convention
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(1e6), 0).cast("long"),
+        ).alias("xm"),
+    ).localCheckpoint(eager=True)
+    first = base.select(F.size("xm").alias("d")).first()
+    spark = corpus.sparkSession
+    if first is None:
+        base.unpersist()
+        return spark.createDataFrame(
+            [],
+            "component int, dim_idx int, loading double, eigenvalue double",
+        )
+    d = int(first["d"])
+    p = max(1, min(int(n_components), d))
+    n_row = base.count()  # bounded driver scalar (one count, like kmeans)
+    mu_rows = (
+        base.select(F.posexplode("xm").alias("j0", "xv"))
+        .groupBy("j0")
+        .agg(F.sum("xv").alias("s"))
+        .collect()
+    )
+    mu_m = [0] * d
+    for r in mu_rows:
+        # floor(s/n + 0.5): long/long division is IEEE double on any engine
+        mu_m[r["j0"]] = int(math.floor(r["s"] / n_row + 0.5))
+    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
+
+    mu_arr = F.array([F.lit(int(m)).cast("long") for m in mu_m])
+    # centered coordinates as a REAL persisted column, computed ONCE —
+    # round-invariant AND component-invariant; the barrier keeps
+    # CollapseProject from re-inlining the zip into the per-element
+    # lambdas below
+    cent = (
+        barrier_col(
+            base,
+            "c",
+            F.zip_with(
+                F.col("xm"), mu_arr, lambda a, b: (a - b) / F.lit(1e6)
+            ),
+        )
+        .select("vid", "c")
+        .localCheckpoint(eager=True)
+    )
+
+    def _half_away(x: float) -> int:
+        # round half away from zero, matching Spark F.round(x, 0) and
+        # DuckDB round(x) on possibly-negative deflation products
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    comps: list[tuple[list[float], float]] = []  # (v_m, lambda_m)
+    for k in range(p):
+        v = [0.0] * d
+        v[k] = 1.0
+        norm = 1.0
+        for _ in range(iterations):
+            v_arr = F.array([F.lit(float(x)) for x in v])
+            s_terms = F.zip_with(
+                F.col("c"),
+                v_arr,
+                lambda cj, vj: F.round(cj * vj * F.lit(1e6), 0).cast("long"),
+            )
+            step = barrier_col(
+                cent,
+                "sv",
+                F.aggregate(
+                    s_terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+                )
+                / F.lit(1e6),
+            )
+            w_rows = (
+                step.select("sv", F.posexplode("c").alias("j0", "cj"))
+                .groupBy("j0")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.col("sv") * F.col("cj") * F.lit(1e6), 0
+                        ).cast("long")
+                    ).alias("gw")
+                )
+                .collect()
+            )
+            wd = [0.0] * d
+            for r in w_rows:
+                wd[r["j0"]] = (r["gw"] / 1e6) / n_row  # the covariance 1/n
+            # Hotelling deflation on the d-sized driver vector: remove
+            # each prior component's contribution λ_m·(v_m·v)·v_m. The
+            # dot quantizes to exact integer micros (sum order free);
+            # the subtraction itself is sequential double, mirrored by
+            # the oracle's wd − (λ·dot)·v_m[j] chain in the same order.
+            for v_m, lam_m in comps:
+                dot_i = 0
+                for j in range(d):
+                    dot_i += _half_away(v_m[j] * v[j] * 1e6)
+                coef = lam_m * (dot_i / 1e6)
+                for j in range(d):
+                    wd[j] = wd[j] - coef * v_m[j]
+            nsq = 0
+            for x in wd:
+                t = x * x * 1e6
+                nsq += int(math.floor(t + 0.5))  # squared: non-negative
+            norm = math.sqrt(nsq / 1e6)
+            v = [x / norm for x in wd]
+        comps.append((v, norm))
+
+    rows = [
+        (k + 1, j + 1, comps[k][0][j], comps[k][1])
+        for k in range(p)
+        for j in range(d)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "component int, dim_idx int, loading double, eigenvalue double",
+    )
+    return out.select(
+        "component",
+        "dim_idx",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    ).orderBy("component", "dim_idx")
+
+
 def pca_power_component(
     corpus: DataFrame,
     iterations: int = 3,

@@ -1323,9 +1323,26 @@ def textrank_keywords(
     und = ab.groupBy(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    # symmetric expansion via explode, NOT union(select, select): a
+    # union re-evaluates the und lineage (the full corpus pair-extract
+    # scan) once per branch; explode of a 2-struct array emits both
+    # directions in one pass over und
     edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).union(und.select(F.col("v"), F.col("u"), "w"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     ranked = weighted_pagerank(
         edges, iterations=iterations, damping=damping
     )

@@ -2491,17 +2491,24 @@ def cmh_odds_ratio(
     a, b, c, d = (F.col(x).cast("double") for x in "abcd")
     n = a + b + c + d
     nz = F.when(n > 0, n)  # NULL-out empty strata; terms coalesce to 0
+    # identical-operation-order convention: the oracle writes each term
+    # as round(1e6 * <product> / <den>, 0) with 1e6 multiplied FIRST and
+    # the same left-to-right factor association — mirror that exactly so
+    # a value at a half-micro boundary rounds the same on both engines
     micros = lambda col: F.coalesce(  # noqa: E731
-        F.round(col * 1e6, 0).cast("long"), F.lit(0).cast("long")
+        F.round(col, 0).cast("long"), F.lit(0).cast("long")
     )
+    m6 = F.lit(1e6)
     var_den = F.when(n > 1, n * n * (n - 1))
     terms = cell.select(
         (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("nn"),
         F.col("a").alias("ai"),
-        micros(a * d / nz).alias("t_ad"),
-        micros(b * c / nz).alias("t_bc"),
-        micros((a + b) * (a + c) / nz).alias("t_e"),
-        micros((a + b) * (c + d) * (a + c) * (b + d) / var_den).alias("t_v"),
+        micros(m6 * (a * d) / nz).alias("t_ad"),
+        micros(m6 * (b * c) / nz).alias("t_bc"),
+        micros(m6 * (a + b) * (a + c) / nz).alias("t_e"),
+        micros(
+            m6 * (a + b) * (c + d) * (a + c) * (b + d) / var_den
+        ).alias("t_v"),
     )
     agg = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_strata"),

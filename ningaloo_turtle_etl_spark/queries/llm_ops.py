@@ -5872,6 +5872,139 @@ def _pca_power_oracle_sql(iterations: int = 3, d: int = 64) -> str:
     )
 
 
+def _pca_power_components_oracle_sql(
+    p: int = 2, iterations: int = 3, d: int = 64
+) -> str:
+    """Unrolled DEFLATED power-iteration oracle: the single-component
+    chain (`_pca_power_oracle_sql`) repeated per component, with each
+    later component's per-round wd deflated by every finished
+    component — wd − (λ_m·(dot_m/1e6))·v_m[j] in component order, the
+    dot quantized to exact integer micros — token-for-token the driver
+    arithmetic in `operators/similarity.py pca_power_components`."""
+    parts = [
+        f"""
+    coord AS MATERIALIZED (
+        SELECT vec_id AS vid, CAST(j AS BIGINT) AS j,
+               CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS xm
+        FROM embeddings, range(1, {d + 1}) t(j)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mu AS (
+        SELECT j, CAST(floor(CAST(SUM(xm) AS BIGINT) / n + 0.5) AS BIGINT)
+                   AS mu_m
+        FROM coord CROSS JOIN nn GROUP BY j, n
+    ),
+    cent AS MATERIALIZED (
+        SELECT vid, coord.j, (xm - mu_m) / 1e6 AS c
+        FROM coord JOIN mu ON coord.j = mu.j
+    )"""
+    ]
+    T = iterations
+    for k in range(1, p + 1):
+        parts.append(
+            f""",
+    v{k}_0 AS MATERIALIZED (
+        SELECT j, CASE WHEN j = {k} THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS v
+        FROM mu
+    )"""
+        )
+        for t in range(1, T + 1):
+            parts.append(
+                f""",
+    s{k}_{t} AS MATERIALIZED (
+        SELECT vid,
+               CAST(SUM(CAST(round(c * v * 1e6) AS BIGINT)) AS BIGINT) AS g
+        FROM cent JOIN v{k}_{t - 1} USING (j) GROUP BY vid
+    ),
+    sv{k}_{t} AS MATERIALIZED (SELECT vid, g / 1e6 AS sv FROM s{k}_{t}),
+    w{k}_{t} AS MATERIALIZED (
+        SELECT j,
+               CAST(SUM(CAST(round(sv * c * 1e6) AS BIGINT)) AS BIGINT)
+                   AS gw
+        FROM cent JOIN sv{k}_{t} USING (vid) GROUP BY j
+    ),
+    wd{k}_{t} AS MATERIALIZED (
+        SELECT j, (gw / 1e6) / nn.n AS wd FROM w{k}_{t} CROSS JOIN nn
+    )"""
+            )
+            if k > 1:
+                # deflation: quantized dot per prior component, then the
+                # sequential per-j subtraction in component order
+                for m in range(1, k):
+                    parts.append(
+                        f""",
+    dot{k}_{t}_{m} AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(round(a.v * b.v * 1e6) AS BIGINT)) AS BIGINT)
+                   AS dm
+        FROM v{m}_{T} a JOIN v{k}_{t - 1} b USING (j)
+    )"""
+                    )
+                sub = "".join(
+                    f" - (sqrt(ns{m}_{T}.nsq / 1e6)"
+                    f" * (dot{k}_{t}_{m}.dm / 1e6)) * a{m}.v"
+                    for m in range(1, k)
+                )
+                joins = "".join(
+                    f" JOIN v{m}_{T} a{m} USING (j)"
+                    f" CROSS JOIN ns{m}_{T} CROSS JOIN dot{k}_{t}_{m}"
+                    for m in range(1, k)
+                )
+                parts.append(
+                    f""",
+    wdef{k}_{t} AS MATERIALIZED (
+        SELECT w.j, w.wd{sub} AS wd
+        FROM wd{k}_{t} w{joins}
+    )"""
+                )
+            src = f"wdef{k}_{t}" if k > 1 else f"wd{k}_{t}"
+            parts.append(
+                f""",
+    ns{k}_{t} AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(floor(wd * wd * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS nsq
+        FROM {src}
+    ),
+    v{k}_{t} AS MATERIALIZED (
+        SELECT j, wd / sqrt(nsq / 1e6) AS v
+        FROM {src} CROSS JOIN ns{k}_{t}
+    )"""
+            )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS component, CAST(j AS INT) AS dim_idx,"
+        f" ROUND(v, 6) AS loading,"
+        f" ROUND(sqrt(nsq / 1e6), 6) AS eigenvalue"
+        f" FROM v{k}_{T} CROSS JOIN ns{k}_{T}"
+        for k in range(1, p + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    {finals}
+    ORDER BY component, dim_idx"""
+    )
+
+
+@register("pca_power_components", _pca_power_components_oracle_sql(2, 3, 64))
+def pca_power_components_query(spark, sf_dir):
+    """Top-2 principal components of the embedding corpus by deflated
+    power iteration (`operators/similarity.py pca_power_components`,
+    3 rounds per component, v0 = e_k): component 2 iterates on the
+    covariance with component 1's λ·vvᵀ removed — deflation happens on
+    the d-sized driver vector, so the distributed shape stays one
+    scan + one coordinate-grain aggregate per round at any corpus
+    size. The full two-component trajectory (including the quantized
+    deflation dots) replays bit-for-bit in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        pca_power_components,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pca_power_components(emb, n_components=2, iterations=3)
+
+
 @register("pca_power_component", _pca_power_oracle_sql(3, 64))
 def pca_power_component_query(spark, sf_dir):
     """Top principal component of the embedding corpus by matrix-free

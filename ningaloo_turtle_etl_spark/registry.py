@@ -68,7 +68,11 @@ PRIORITY: list[str] = [
     # Promoted extension-family rows (r07): the driver window should prove
     # at least one post-r04 family directly. A3 pivot coverage stays in
     # window via flagship_summary_pivot + mark_capture_history.
-    "ann_pq_recall",
+    # r11 (verdict item 2): ann_pq_recall's slot upgraded to the fused
+    # three-tier IVF→PQ→exact serving query, which subsumes the PQ
+    # acceptance shape (recall vs exact stays pinned in pytest + the
+    # supplement artifacts).
+    "ann_ivf_pq_topk",
     "dp_event_type_counts",
     # Promoted r08 (verdict item 5): the window proves an r7 family
     # directly — blocked fuzzy linkage. Slot freed by demoting
@@ -90,6 +94,14 @@ PRIORITY: list[str] = [
     # proven in-window by ppjoin_jaccard_pairs; still oracle-swept by
     # pytest + the supplement artifacts).
     "kmeans_embedding_clusters",
+    # Promoted r11 (verdict item 2, continuing the rotation): the window
+    # proves an r10 family directly — SymSpell verification-free
+    # delete-neighborhood blocking, carrying this round's insdel
+    # bare-key dedup fix. Slot freed by demoting join_left_single (J1's
+    # left-equi shape stays proven in-window by join_left_composite, the
+    # single-key equi shape by join_inner_project; still oracle-swept by
+    # pytest + the supplement artifacts).
+    "symspell_customer_pairs",
     # Core §2 relational surface.
     "group_count_sorted",
     "agg_scalars",
@@ -100,7 +112,6 @@ PRIORITY: list[str] = [
     "grouped_html_popup",
     "pairwise_site_distances",
     "mark_capture_history",
-    "join_left_single",
     "join_left_composite",
     "join_anti_orphans",
     "join_semi_exists",
@@ -114,6 +125,12 @@ PRIORITY: list[str] = [
     "slice_topk",
     "timestamp_pipeline",
     # ---- 50-slot driver window ends here ----
+    # Demoted r11 (slots freed for ann_ivf_pq_topk /
+    # symspell_customer_pairs): J1's left-equi shape stays in-window via
+    # join_left_composite + join_inner_project; PQ acceptance stays
+    # pinned by the fused ann_ivf_pq_topk window row plus pytest.
+    "join_left_single",
+    "ann_pq_recall",
     # Demoted r09 (slot freed for ppjoin_jaccard_pairs): the lag/rank
     # window shape stays window-covered by remigration_lag, TakeOrdered
     # by slice_topk; still oracle-swept by pytest + supplement artifacts.
@@ -171,9 +188,6 @@ PRIORITY: list[str] = [
     "corpus_drift_metrics",
     "dsir_importance_select",
     "ann_pq_topk",
-    # r10: the fused IVF → PQ/ADC → exact three-tier serving pipeline
-    # (verdict item 6), full oracle from both frozen fixtures
-    "ann_ivf_pq_topk",
     "weighted_sample_topn",
     "quality_classifier_scores",
     "text_classifier_scores",
@@ -411,6 +425,9 @@ PRIORITY: list[str] = [
     # r10 matrix-free PCA power iteration (covariance never materialized;
     # unrolled nano-exact trajectory oracle)
     "pca_power_component",
+    # r11: top-p deflated power iteration (verdict item 8 — the
+    # PCNM/RDA multi-eigenvector surface at the distributed shape)
+    "pca_power_components",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)
@@ -427,9 +444,6 @@ PRIORITY: list[str] = [
     # r10 binary quantization tier: sign-bit codes + Hamming top-k
     # (exact-integer distances; 32-bit words shared with the oracle)
     "ann_hamming_topk",
-    # r10 SymSpell symmetric-delete blocking (exactly-complete ed<=1
-    # linkage via delete-key equi-join; Ed-Join's index-side twin)
-    "symspell_customer_pairs",
     # r10 TextRank keywords (weighted PageRank on the adjacent-token
     # co-occurrence graph; unrolled integer-micro oracle)
     "textrank_keywords",

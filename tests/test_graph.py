@@ -393,6 +393,19 @@ def test_weighted_pagerank_replica_and_weight_sensitivity(spark):
     }
     assert uw == pr
 
+    # fractional weights are NOT truncated: 2.5× all weights leaves the
+    # normalized w/strength ratios (hence every rank) unchanged, which a
+    # silent long cast would break (2.5 -> 2, 22.5 -> 22)
+    frac = spark.createDataFrame(
+        [(s, d, w * 2.5) for s, d, w in edges],
+        "src string, dst string, w double",
+    )
+    fr = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(frac, iterations=3).collect()
+    }
+    assert fr == got
+
 
 def test_textrank_keywords_adjacency_and_ranking(spark):
     """textrank_keywords on a crafted corpus: short/non-alpha tokens are

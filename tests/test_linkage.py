@@ -209,16 +209,20 @@ def test_symspell_del1_pairs_exact_completeness(spark):
 
     dense = [f"w{i:03d}" for i in range(40)] + ["w0x1", "w01", "w0011"]
     ddf = spark.createDataFrame([(n,) for n in dense], "name string")
-    got = {
+    got_rows = sorted(
         (r["name_a"], r["name_b"])
         for r in symspell_del1_pairs(ddf, "name").collect()
-    }
-    want = {
+    )
+    want = sorted(
         (a, b)
         for a, b in itertools.combinations(sorted(set(dense)), 2)
         if ed(a, b) <= 1
-    }
-    assert got == want
+    )
+    # row-LIST compare: 'w0011' deletes positions 4 and 5 both to
+    # 'w001', so a (pos,k)-grain insdel side would emit that pair
+    # twice — a set compare masked exactly that duplication
+    assert got_rows == want
+    assert ("w001", "w0011") in want
 
     # cap: an oversized (pos, key) bucket is dropped — the three-way
     # substitution group at (5, "carl") exceeds cap 2, so its pairs

@@ -3173,6 +3173,111 @@ def test_pca_power_component_replica_and_planted_direction(spark):
     assert abs(eig - evals[-1]) / evals[-1] < 0.1
 
 
+def test_pca_power_components_deflation_replica_and_orthogonality(spark):
+    """Top-2 deflated power iteration: (a) component 1 is bit-identical
+    to pca_power_component (no deflation applies); (b) the full
+    two-component trajectory — including the micro-quantized deflation
+    dot — matches an exact numpy replica; (c) the two loadings are
+    near-orthogonal; (d) on data with TWO planted directions both
+    recovered components align with numpy's top-2 eigenvectors."""
+    import math
+
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        pca_power_component,
+        pca_power_components,
+    )
+
+    rng = np.random.RandomState(11)
+    d1 = rng.randn(8)
+    d1 /= np.linalg.norm(d1)
+    d2 = rng.randn(8)
+    d2 -= (d2 @ d1) * d1
+    d2 /= np.linalg.norm(d2)
+    data = (
+        np.outer(rng.randn(60) * 6.0, d1)
+        + np.outer(rng.randn(60) * 2.5, d2)
+        + rng.randn(60, 8) * 0.2
+    )
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in data[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pca_power_components(df, n_components=2, iterations=3).collect()
+    by_comp = {}
+    eig = {}
+    for r in got:
+        by_comp.setdefault(r["component"], {})[r["dim_idx"]] = r["loading"]
+        eig[r["component"]] = r["eigenvalue"]
+    v1 = np.array([by_comp[1][j] for j in range(1, 9)])
+    v2 = np.array([by_comp[2][j] for j in range(1, 9)])
+
+    # (a) component 1 == the single-component operator, value for value
+    single = {
+        r["dim_idx"]: (r["loading"], r["eigenvalue"])
+        for r in pca_power_component(df, iterations=3).collect()
+    }
+    for j in range(1, 9):
+        assert by_comp[1][j] == single[j][0]
+        assert eig[1] == single[j][1]
+
+    # (b) exact replica of the deflated trajectory
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    xm = np.array(
+        [[rnd(float(np.float32(x)) * 1e6) for x in row] for row in data]
+    )
+    n = 60
+    mu = np.array(
+        [math.floor(int(xm[:, j].sum()) / n + 0.5) for j in range(8)]
+    )
+    c = (xm - mu) / 1e6
+    comps = []
+    for k in range(2):
+        v = np.zeros(8)
+        v[k] = 1.0
+        for _ in range(3):
+            s = np.array(
+                [
+                    sum(rnd(c[i, j] * v[j] * 1e6) for j in range(8))
+                    for i in range(n)
+                ]
+            ) / 1e6
+            w = np.array(
+                [
+                    sum(rnd(s[i] * c[i, j] * 1e6) for i in range(n))
+                    for j in range(8)
+                ]
+            ) / 1e6 / n
+            w = list(w)
+            for vm, lam in comps:
+                dot_i = sum(rnd(vm[j] * v[j] * 1e6) for j in range(8))
+                coef = lam * (dot_i / 1e6)
+                for j in range(8):
+                    w[j] = w[j] - coef * vm[j]
+            nsq = sum(math.floor(w[j] * w[j] * 1e6 + 0.5) for j in range(8))
+            norm = math.sqrt(nsq / 1e6)
+            v = np.array(w) / norm
+        comps.append((v, norm))
+    assert np.allclose(v1, np.round(comps[0][0], 6), atol=1e-9)
+    assert np.allclose(v2, np.round(comps[1][0], 6), atol=1e-9)
+    assert abs(eig[1] - round(comps[0][1], 6)) < 1e-9
+    assert abs(eig[2] - round(comps[1][1], 6)) < 1e-9
+
+    # (c) near-orthogonality of successive components
+    assert abs(float(v1 @ v2)) < 0.02
+
+    # (d) both align with numpy's top-2 eigenvectors; λ1 > λ2
+    centered = data - data.mean(axis=0)
+    cov = centered.T @ centered / n
+    evals, evecs = np.linalg.eigh(cov)
+    assert abs(float(v1 @ evecs[:, -1])) > 0.99
+    assert abs(float(v2 @ evecs[:, -2])) > 0.98
+    assert eig[1] > eig[2]
+
+
 def test_jpeg_decoder_tolerates_fill_bytes():
     """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
     marker; real encoders emit them for alignment. Decode must be

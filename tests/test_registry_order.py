@@ -49,8 +49,9 @@ def test_critical_components_inside_driver_window():
         "timestamp_pipeline",
         "patch_season",
         # r07: the window must prove at least one post-r04 extension
-        # family directly (verdict item) — ANN acceptance + seeded-DP
-        "ann_pq_recall",
+        # family directly (verdict item) — ANN + seeded-DP; r11 upgraded
+        # the ANN slot to the fused three-tier serving query
+        "ann_ivf_pq_topk",
         "dp_event_type_counts",
         # r08: the window must prove an r7 family directly (verdict item)
         # — blocked fuzzy record linkage
@@ -62,6 +63,9 @@ def test_critical_components_inside_driver_window():
         # — distributed Lloyd k-means with the integer-micro unrolled
         # oracle pattern
         "kmeans_embedding_clusters",
+        # r11: the window must prove an r10 family directly (verdict
+        # item) — SymSpell verification-free delete blocking
+        "symspell_customer_pairs",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -85,6 +89,13 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # TakeOrdered by slice_topk; still oracle-checked by
         # tests/test_oracle_all.py + the supplement.
         "topk_per_group",
+        # r11 window demotions (slots freed for ann_ivf_pq_topk and
+        # symspell_customer_pairs): J1's left-equi shape stays in-window
+        # via join_left_composite + join_inner_project; PQ acceptance is
+        # subsumed by the fused in-window ann_ivf_pq_topk. Both remain
+        # oracle-checked by tests/test_oracle_all.py + the supplement.
+        "join_left_single",
+        "ann_pq_recall",
         # r10 window demotion (slot freed for kmeans_embedding_clusters):
         # the Jaccard-pair near-dup shape stays covered in-window by
         # ppjoin_jaccard_pairs; still oracle-checked by
@@ -134,7 +145,6 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "corpus_drift_metrics",
         "dsir_importance_select",
         "ann_pq_topk",
-        "ann_ivf_pq_topk",
         "weighted_sample_topn",
         "quality_classifier_scores",
         "text_classifier_scores",
@@ -334,13 +344,14 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "entropy_l_diversity_events",
         "ranking_ndcg_eval",
         "pca_power_component",
+        # r11: deflated top-p power iteration (r10 verdict item 8)
+        "pca_power_components",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
         "rfm_customer_segments",
         "cmh_click_vs_view",
         "ann_hamming_topk",
-        "symspell_customer_pairs",
         "textrank_keywords",
         "cv_fold_auc",
         "platt_calibration_weights",
