@@ -1735,17 +1735,29 @@ def winnowing_fingerprints(
     fp is the 60-bit md5 integer ``md5_hash60`` family, DuckDB-replayable.
 
     Scale shape: the whole select happens INSIDE one row via array
-    expressions (k-gram build, per-gram hash, per-window array_min,
+    expressions (k-gram build, per-gram hash, per-window min,
     array_distinct) — map-only, zero shuffle, no row-multiplying explode
     until the (id, fp) output rows; downstream joins move only
-    fixed-width pairs. The hash array crosses a one-element
-    explode(array(...)) Generate node before the window stage: a measured
-    64× cliff hides here — CollapseProject inlines a non-cheap array
-    expression into EVERY lambda that references it, so without the
-    barrier the per-window array_min recomputed the full md5 gram array
-    per window position (~35× per row; 557 s → 8.7 s at 100k docs).
-    Generators are collapse-proof, and one-row explode keeps the stage
-    map-only.
+    fixed-width pairs. Two constant-factor lessons are baked in:
+
+    * SHIFTED-ARRAY zip_with, not per-position transform+slice: both the
+      k-gram build and the window-min formerly ran
+      ``transform(indices, i -> f(slice(arr, i, len)))`` — one array
+      allocation per POSITION inside an interpreted higher-order
+      function. Zipping k (resp. ``window``) doc-level slices instead
+      does the same work with k−1 string concats / window−1 ``least``
+      calls per position and only k+window array allocations per DOC:
+      measured 4.4 s → 1.7 s for the full fingerprint stage at 100k
+      docs, identical fingerprints (same gram text, same md5).
+    * The hash array still crosses a one-element explode(array(...))
+      Generate node before the window stage: a measured 64× cliff hides
+      here — CollapseProject inlines a non-cheap array expression into
+      EVERY lambda that references it, so without the barrier the
+      window-min zips would recompute the full md5 gram array per
+      reference (557 s → 8.7 s at 100k docs when first found).
+      Generators are collapse-proof, and one-row explode keeps the
+      stage map-only.
+
     Reference analog: the tagging ETL's duplicate-sighting audit works at
     whole-record grain (`tagging-etl.Rmd:120-141`); this is the
     sub-document grain the reference never needed but a plagiarism /
@@ -1755,26 +1767,38 @@ def winnowing_fingerprints(
     from ningaloo_turtle_etl_spark.operators.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
-    gidx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    n = F.size(toks)
+    m = n - F.lit(k - 1)  # gram count when n >= k
+    grams = F.slice(toks, 1, m)
+    for o in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, o + 1, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
     # Documents shorter than k tokens have NO k-grams (the _ordered_ngrams
-    # empty-array convention) — without the guard, gidx's [0] would hash a
-    # sub-k gram and two tiny unrelated docs could pair at containment 1.0.
+    # empty-array convention) — without the guard, a short doc would hash
+    # a sub-k gram and two tiny unrelated docs could pair at
+    # containment 1.0. The when() also keeps the negative-length slices
+    # of the gram build unevaluated on short docs.
     hs = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            gidx,
-            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
+        n >= k, F.transform(grams, lambda g: md5_hash60(g))
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     barrier = df.select(
         F.col(id_col).alias("id"), F.explode(F.array(hs)).alias("_hs")
     )
-    widx = F.sequence(
-        F.lit(0), F.greatest(F.size("_hs") - window, F.lit(0))
-    )
+    h = F.col("_hs")
+    nw = F.size(h) - F.lit(window - 1)  # window count when size >= window
+    wm = F.slice(h, 1, nw)
+    for o in range(1, window):
+        wm = F.zip_with(
+            wm, F.slice(h, o + 1, nw), lambda x, y: F.least(x, y)
+        )
+    # size < window: the old index form degraded to min over the whole
+    # (possibly empty) array — array_min(empty) is NULL, dropped below
     sels = F.array_distinct(
-        F.transform(
-            widx, lambda p: F.array_min(F.slice(F.col("_hs"), p + 1, window))
+        F.when(F.size(h) >= window, wm).otherwise(
+            F.array(F.array_min(h))
         )
     )
     return (
