@@ -26,17 +26,20 @@ from ningaloo_turtle_etl_spark.operators.text import tokens
 
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Space-joined word n-grams from a token-array column; [] when the doc
-    has fewer than ``n`` tokens. Index arithmetic (1-based ``element_at``
-    over a ``sequence``) rather than explode/re-group keeps it a single
-    projection. IMPORTANT: pass a *bound attribute* (a projected alias), not
-    the tokenizer expression — this column is referenced once per gram
-    inside the transform lambda, and an inlined tokenizer would re-split the
-    text O(tokens) times per doc (measured 5× on the 50k-doc bench probe)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    has fewer than ``n`` tokens. Shifted-array zip_with
+    (`text.sliding_ngrams`) rather than per-gram element_at/slice inside a
+    transform — identical gram strings, n array ops per DOC instead of per
+    gram (the r11 winnowing constant-factor lesson; the element_at form
+    measured slower still than slice). IMPORTANT: pass a *bound attribute*
+    (a projected alias), not the tokenizer expression — the zipped slices
+    reference this column n times per doc, and an inlined tokenizer would
+    re-split the text n times (formerly O(tokens) times; measured 5× on
+    the 50k-doc bench probe)."""
+    from ningaloo_turtle_etl_spark.operators.text import sliding_ngrams
+
+    return F.when(F.size(toks) >= n, sliding_ngrams(toks, n)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(col: Column | str, n: int) -> Column:

@@ -198,12 +198,15 @@ def fold_bucket(terms: list[Column], init: Column) -> Column:
 # --- shingles / MinHash -----------------------------------------------------
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (distinct). Pure columns:
-    slide an index sequence over the token array."""
+    shifted-array zip_with over the token array (`text.sliding_ngrams`,
+    the r11 constant-factor form — identical gram strings)."""
+    from ningaloo_turtle_etl_spark.operators.text import sliding_ngrams
+
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, sliding_ngrams(toks, n)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 

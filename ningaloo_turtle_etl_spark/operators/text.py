@@ -36,6 +36,25 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+def sliding_ngrams(toks: Column, n: int) -> Column:
+    """Positional word n-grams (duplicates kept) by SHIFTED-ARRAY
+    zip_with: zip n doc-level slices, concatenating one token per step —
+    n-1 string concats per position and n array allocations per DOC.
+    The former ``transform(indices, i -> concat_ws(slice(toks, i, n)))``
+    form allocated one slice per POSITION inside an interpreted
+    higher-order function: 3.3 s of a 3.7 s gram+hash stage at 100k
+    docs, 3× cheaper zipped (the winnowing r11 lesson, shared by every
+    n-gram family). Callers MUST guard with ``size(toks) >= n`` — the
+    slices have negative length on shorter docs."""
+    m = F.size(toks) - F.lit(n - 1)
+    g = F.slice(toks, 1, m)
+    for o in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, o + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return g
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace words plus a BPE-ish subword estimate
     (wordpieces ≈ runs of letters / digits / single punctuation — the
@@ -838,9 +857,7 @@ def _ordered_ngrams(toks: Column, n: int) -> Column:
     multiset semantics, unlike the distinct shingles the dedup family
     uses). Texts shorter than n contribute no n-grams, per the standard
     BLEU convention."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    gs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.when(F.size(toks) >= n, gs).otherwise(
+    return F.when(F.size(toks) >= n, sliding_ngrams(toks, n)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -1116,13 +1133,7 @@ def good_turing_counts(
         grams = toks
     else:
         grams = F.when(
-            F.size(toks) >= ngram_n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - ngram_n),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, ngram_n)
-                ),
-            ),
+            F.size(toks) >= ngram_n, sliding_ngrams(toks, ngram_n)
         ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     tok = docs.select(F.explode(grams).alias("tk"))
     tf = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("r"))
