@@ -97,15 +97,22 @@ def top_bigram(docs: DataFrame, text_col: str = "text") -> tuple[str, str]:
     demos and tests. One pair-keyed aggregation; the argmax collects a
     single row."""
     toks = tokens(F.lower(F.col(text_col)))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("a"),
-            F.element_at(toks, i + 1).alias("b"),
+    # Generate barrier + shifted-array zip_with: per-position
+    # element_at(toks, i) let CollapseProject inline the tokenizer into
+    # every lookup — O(tokens²) per doc (the textrank r11 cliff)
+    tk = F.col("_tk")
+    m = F.size(tk) - F.lit(1)
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, m),
+            F.slice(tk, 2, m),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     row = (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(F.explode(F.array(toks)).alias("_tk"))
+        .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
