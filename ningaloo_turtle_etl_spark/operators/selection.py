@@ -758,3 +758,91 @@ def negative_samples(
         .filter((F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi")))
         .select("example", "slot", "item")
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER coreset selection over an embedding column
+    (Gonzalez 1985 farthest-point traversal, the 2-approximation to the
+    k-center objective) — the diversity-maximizing counterpart of the
+    quality/importance selectors (DSIR, budget select): pick the point
+    farthest from everything already picked, k times. The classic
+    coreset recipe for "cover the embedding space with k exemplars"
+    (dataset distillation seeds, eval-set diversification, k-means++-
+    style initialization at corpus scale).
+
+    Distributed shape (the BFS/kmeans round pattern): a persisted
+    (id, vec, dmin) state frame; each round updates dmin =
+    least(dmin, ‖x − c_new‖²) with the NEW center embedded as literals —
+    one map pass, no join — then takes the argmax by TakeOrdered
+    (dist DESC, id ASC tiebreak). k rounds = k scans; state carries one
+    bigint next to the vector, lineage O(1) via localCheckpoint.
+
+    Determinism: squared distances accumulate as exact integers — each
+    per-coordinate term rounds ((x_j−c_j)²·1e6) to a long before the
+    fold — so argmax order is integer order, replayed coordinate-for-
+    coordinate by the unrolled DuckDB oracle. The first center is the
+    minimum id (no RNG).
+
+    Returns (pos, id, radius): pos = 1..k selection order, radius = the
+    point's min squared distance to the earlier centers at selection
+    time (6dp; NULL for pos 1) — radius is non-increasing and radius at
+    pos k+1 would be the k-center coverage bound."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    first = (
+        base.orderBy(F.asc("id")).limit(1).collect()
+    )
+    if not first:
+        return corpus.sparkSession.createDataFrame(
+            [], "pos int, id long, radius double"
+        )
+    centers = [(int(first[0]["id"]), [float(x) for x in first[0]["v"]], None)]
+
+    def _dist_to(c_coords):
+        c_arr = F.array([F.lit(float(x)) for x in c_coords])
+        terms = F.zip_with(
+            F.col("v"),
+            c_arr,
+            lambda x, c: F.round((x - c) * (x - c) * F.lit(1e6), 0).cast(
+                "long"
+            ),
+        )
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+        )
+
+    state = base.select("id", "v", _dist_to(centers[0][1]).alias("dmin"))
+    state = state.localCheckpoint(eager=True)
+    for _ in range(1, int(k)):
+        top = (
+            state.orderBy(F.desc("dmin"), F.asc("id")).limit(1).collect()
+        )
+        if not top or int(top[0]["dmin"]) == 0:
+            break  # fewer than k distinct points — coverage is exact
+        cid = int(top[0]["id"])
+        coords = [float(x) for x in top[0]["v"]]
+        centers.append((cid, coords, int(top[0]["dmin"]) / 1e6))
+        state = state.select(
+            "id",
+            "v",
+            F.least(F.col("dmin"), _dist_to(coords)).alias("dmin"),
+        ).localCheckpoint(eager=True)
+    rows = [
+        (i + 1, centers[i][0], centers[i][2]) for i in range(len(centers))
+    ]
+    return (
+        corpus.sparkSession.createDataFrame(
+            rows, "pos int, id long, radius double"
+        )
+        .select("pos", "id", F.round("radius", 6).alias("radius"))
+        .orderBy("pos")
+    )

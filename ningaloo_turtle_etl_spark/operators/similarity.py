@@ -1678,3 +1678,137 @@ def pca_power_component(
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
     ).orderBy("dim_idx")
+
+
+def als_rank1_factors(
+    ratings: DataFrame,
+    iterations: int = 3,
+    lam: float = 0.25,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """DISTRIBUTED rank-1 ALTERNATING LEAST SQUARES — the closed-form
+    counterpart of :func:`mf_gd_factors` (same model Σ(r_ui − p_u·q_i)²,
+    different optimizer): each half-step solves its side exactly given
+    the other,
+
+        p_u = Σ_i r_ui·q_i / (λ + Σ_i q_i²)
+        q_i = Σ_u r_ui·p_u / (λ + Σ_u p_u²)
+
+    (ridge λ keeps lonely entities finite), which converges in far fewer
+    passes than GD and is embarrassingly parallel per entity — the
+    reason ALS, not SGD, is the classic distributed recsys trainer.
+
+    Entirely distributed: no driver-side state at all — factors live in
+    entity-sized DataFrames; each half-step is one ratings⋈factor join
+    (broadcast when the factor side fits, co-partitioned hash join when
+    it doesn't) plus one map-side-combined aggregate, localCheckpoint
+    per update (O(1) lineage). Determinism: the per-rating numerator
+    and denominator terms round to integer NANOS before their exact-
+    integer per-key SUMs (partition order can never move a factor);
+    the division is plain double in an operation order the unrolled
+    DuckDB oracle mirrors token-for-token. Init q_i = 0.5 + (i%7)/10
+    (the mf_gd convention); λ defaults to 1/4, binary-exact.
+
+    Returns one row per entity: (side 'user'|'item', id, factor,
+    train_rmse) — factor 6dp, train_rmse the final-model fit (nano-
+    quantized squared errors, exact mean, sqrt) shared on every row."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    r = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).persist()
+    r.count()
+    lam_l = F.lit(float(lam))
+
+    def _nano_sum(term):
+        return F.sum(F.round(term * F.lit(1e9), 0).cast("long"))
+
+    q = (
+        r.select("i")
+        .distinct()
+        .select(
+            "i",
+            (
+                F.lit(0.5)
+                + (F.col("i") % 7).cast("double") / F.lit(10).cast("double")
+            ).alias("qf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = None
+    try:
+        for _ in range(int(iterations)):
+            p = (
+                r.join(q, on="i")
+                .groupBy("u")
+                .agg(
+                    _nano_sum(F.col("r") * F.col("qf")).alias("num"),
+                    _nano_sum(F.col("qf") * F.col("qf")).alias("den"),
+                )
+                .select(
+                    "u",
+                    (
+                        (F.col("num") / F.lit(1e9))
+                        / (lam_l + F.col("den") / F.lit(1e9))
+                    ).alias("pf"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            q = (
+                r.join(p, on="u")
+                .groupBy("i")
+                .agg(
+                    _nano_sum(F.col("r") * F.col("pf")).alias("num"),
+                    _nano_sum(F.col("pf") * F.col("pf")).alias("den"),
+                )
+                .select(
+                    "i",
+                    (
+                        (F.col("num") / F.lit(1e9))
+                        / (lam_l + F.col("den") / F.lit(1e9))
+                    ).alias("qf"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        err = F.col("r") - F.col("pf") * F.col("qf")
+        fit = (
+            r.join(p, on="u")
+            .join(q, on="i")
+            .agg(
+                _nano_sum(err * err).alias("se"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                F.sqrt(
+                    (F.col("se") / F.lit(1e9)) / F.col("n")
+                ).alias("train_rmse")
+            )
+        )
+        users = p.select(
+            F.lit("user").alias("side"),
+            F.col("u").cast("long").alias("id"),
+            F.col("pf").alias("factor"),
+        )
+        items = q.select(
+            F.lit("item").alias("side"),
+            F.col("i").cast("long").alias("id"),
+            F.col("qf").alias("factor"),
+        )
+        out = (
+            users.unionByName(items)
+            .crossJoin(F.broadcast(fit))
+            .select(
+                "side",
+                "id",
+                F.round("factor", 6).alias("factor"),
+                F.round("train_rmse", 6).alias("train_rmse"),
+            )
+            .orderBy("side", "id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        r.unpersist()

@@ -2642,3 +2642,149 @@ def holt_winters_forecast(
         ).alias("forecast")
     )
     return series.select(*group_cols, *out)
+
+
+def gmm_em_1d(
+    df: DataFrame,
+    value_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """DISTRIBUTED two-component 1-D Gaussian-mixture fit by
+    expectation-maximization — the soft-assignment counterpart of
+    kmeans_lloyd for a single metric column (bimodal latency, mixed
+    bot/human engagement values, contaminated sensor ranges): each EM
+    round is ONE map-side-combined aggregate; no per-row state ever
+    leaves the executors.
+
+    Deterministic init from the exact first two moments (the
+    moment_profile quantization: Σx at 1e-9, Σx² at 1e-6 grids, summed
+    as DECIMAL(38,0)): μ₁,₂ = mean ∓ sd, σ²₁,₂ = max(var, 1e-6),
+    w₁,₂ = 1/2. Per round, the E-step responsibility
+
+        r_i = w₁·N(x_i; μ₁, σ₁²) / (w₁·N₁ + w₂·N₂)   (0.5 when both
+        densities underflow to zero)
+
+    is a pure column expression with the parameters embedded as
+    LITERALS; the M-step sufficient statistics quantize per row
+    (r and r·x to integer nanos, r·x² to micros — per-power grids keep
+    the terms integral-double-exact) and sum as DECIMAL(38,0), so the
+    reduce is exact-integer and order-free. The component-2 sums use
+    (1−r) explicitly — round((1−r)·s) ≠ s − round(r·s) at half
+    boundaries, so deriving them by subtraction would break the replay.
+    Parameter updates are plain IEEE driver doubles, mirrored
+    operation-for-operation by the unrolled DuckDB oracle; the usual
+    1-ulp libm caveat (exp here) is absorbed by the nano grid as in
+    logistic_gd_train.
+
+    Returns two rows (component, weight, mu, variance, mean_loglik) —
+    component 1 is the lower-μ init branch; mean_loglik is the
+    per-row-nano-quantized mean log-density under the FINAL parameters,
+    identical on both rows; all 6dp.
+
+    Scale shape: init + ``iterations`` + 1 aggregates, each one corpus
+    scan to a handful of integer cells; driver state is 6 floats."""
+    import math
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    x = F.col(value_col).cast("double")
+    base = df.select(x.alias("x")).where(
+        F.col("x").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("x") * F.lit(1e9), 0).cast("decimal(38,0)")
+            ).alias("q1"),
+            F.sum(
+                F.round(F.col("x") * F.col("x") * F.lit(1e6), 0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("q2"),
+        ).collect()[0]
+        n = int(init["n"])
+        if n == 0:
+            raise ValueError("gmm_em_1d: empty input")
+        mean = (int(init["q1"]) / 1e9) / n
+        var = (int(init["q2"]) / 1e6) / n - mean * mean
+        sd = math.sqrt(max(var, 0.0))
+        v0 = max(var, 1e-6)
+        w1, mu1, v1 = 0.5, mean - sd, v0
+        w2, mu2, v2 = 0.5, mean + sd, v0
+
+        def _dens(w, mu, v):
+            return (
+                F.lit(w)
+                * F.exp(
+                    -((F.col("x") - F.lit(mu)) * (F.col("x") - F.lit(mu)))
+                    / (F.lit(2.0) * F.lit(v))
+                )
+                / F.sqrt(F.lit(2.0 * math.pi) * F.lit(v))
+            )
+
+        def _q(term, scale):
+            return F.sum(
+                F.round(term * F.lit(scale), 0).cast("decimal(38,0)")
+            )
+
+        for _ in range(int(iterations)):
+            p1 = _dens(w1, mu1, v1)
+            p2 = _dens(w2, mu2, v2)
+            r = F.when(p1 + p2 > 0, p1 / (p1 + p2)).otherwise(F.lit(0.5))
+            s = base.agg(
+                _q(r, 1e9).alias("a_r"),
+                _q(r * F.col("x"), 1e9).alias("a_rx"),
+                _q(r * F.col("x") * F.col("x"), 1e6).alias("a_rxx"),
+                _q(F.lit(1.0) - r, 1e9).alias("b_r"),
+                _q((F.lit(1.0) - r) * F.col("x"), 1e9).alias("b_rx"),
+                _q(
+                    (F.lit(1.0) - r) * F.col("x") * F.col("x"), 1e6
+                ).alias("b_rxx"),
+            ).collect()[0]
+            n1 = int(s["a_r"]) / 1e9
+            n2 = int(s["b_r"]) / 1e9
+            mu1 = (int(s["a_rx"]) / 1e9) / n1
+            mu2 = (int(s["b_rx"]) / 1e9) / n2
+            v1 = max((int(s["a_rxx"]) / 1e6) / n1 - mu1 * mu1, 1e-6)
+            v2 = max((int(s["b_rxx"]) / 1e6) / n2 - mu2 * mu2, 1e-6)
+            w1 = n1 / n
+            w2 = n2 / n
+        p1 = _dens(w1, mu1, v1)
+        p2 = _dens(w2, mu2, v2)
+        ll = base.agg(
+            F.sum(
+                F.round(
+                    F.when(p1 + p2 > 0, F.log(p1 + p2)).otherwise(
+                        F.lit(-745.0)  # ln of the smallest double, both
+                        # engines' underflow stand-in
+                    )
+                    * F.lit(1e9),
+                    0,
+                ).cast("decimal(38,0)")
+            ).alias("lls")
+        ).collect()[0]
+        mean_ll = (int(ll["lls"]) / 1e9) / n
+    finally:
+        base.unpersist()
+    rows = [
+        (1, w1, mu1, v1, mean_ll),
+        (2, w2, mu2, v2, mean_ll),
+    ]
+    return (
+        df.sparkSession.createDataFrame(
+            rows,
+            "component int, weight double, mu double, variance double, "
+            "mean_loglik double",
+        )
+        .select(
+            "component",
+            F.round("weight", 6).alias("weight"),
+            F.round("mu", 6).alias("mu"),
+            F.round("variance", 6).alias("variance"),
+            F.round("mean_loglik", 6).alias("mean_loglik"),
+        )
+        .orderBy("component")
+    )

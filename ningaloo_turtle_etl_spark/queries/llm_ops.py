@@ -6696,3 +6696,102 @@ def quantile_gd_weights(spark, sf_dir):
     return quantile_gd_train(
         base, ["f_wknd", "f_click"], "y", q=0.75, iterations=4, lr=64.0
     )
+
+
+def _als_rank1_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled rank-1 ALS oracle: per round one user half-solve and one
+    item half-solve CTE — per-rating numerator/denominator terms rounded
+    to integer nanos before exact-integer per-key SUMs, the closed-form
+    division in the same association as
+    `operators/similarity.py als_rank1_factors`. λ = 0.25 binary-exact;
+    init q_i = 0.5 + (i%7)/10. All CTEs MATERIALIZED."""
+    parts = [
+        """
+    base AS MATERIALIZED (
+        SELECT o_custkey AS u, l_partkey AS i,
+               CAST(SUM(l_quantity) AS DOUBLE) / CAST(10 AS DOUBLE) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 80 AND l_partkey <= 120
+        GROUP BY 1, 2
+    ),
+    q0 AS MATERIALIZED (
+        SELECT i, 0.5 + CAST(i % 7 AS DOUBLE) / CAST(10 AS DOUBLE) AS qf
+        FROM (SELECT DISTINCT i FROM base)
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    p{t} AS MATERIALIZED (
+        SELECT u,
+               (CAST(SUM(CAST(round(r * qf * 1e9) AS BIGINT)) AS BIGINT)
+                / 1e9)
+               / (0.25 + CAST(SUM(CAST(round(qf * qf * 1e9) AS BIGINT))
+                              AS BIGINT) / 1e9) AS pf
+        FROM base JOIN q{t - 1} USING (i) GROUP BY u
+    ),
+    q{t} AS MATERIALIZED (
+        SELECT i,
+               (CAST(SUM(CAST(round(r * pf * 1e9) AS BIGINT)) AS BIGINT)
+                / 1e9)
+               / (0.25 + CAST(SUM(CAST(round(pf * pf * 1e9) AS BIGINT))
+                              AS BIGINT) / 1e9) AS qf
+        FROM base JOIN p{t} USING (u) GROUP BY i
+    )"""
+        )
+    T = iterations
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    fit AS MATERIALIZED (
+        SELECT sqrt((CAST(SUM(CAST(round((r - pf * qf) * (r - pf * qf)
+                                         * 1e9) AS BIGINT)) AS BIGINT)
+                     / 1e9) / CAST(COUNT(*) AS BIGINT)) AS train_rmse
+        FROM base JOIN p{T} USING (u) JOIN q{T} USING (i)
+    )
+    SELECT side, id, ROUND(factor, 6) AS factor,
+           ROUND(train_rmse, 6) AS train_rmse
+    FROM (SELECT 'user' AS side, CAST(u AS BIGINT) AS id, pf AS factor
+          FROM p{T}
+          UNION ALL
+          SELECT 'item', CAST(i AS BIGINT), qf FROM q{T})
+    CROSS JOIN fit
+    ORDER BY side, id"""
+    )
+
+
+@register("als_rank1_factors", _als_rank1_oracle_sql(3))
+def als_rank1_factors_query(spark, sf_dir):
+    """Rank-1 ALTERNATING least squares on the same (customer, part,
+    quantity/10) implicit-rating matrix as mf_gd_factors
+    (`operators/similarity.py als_rank1_factors`, 3 alternations,
+    λ=1/4): the closed-form distributed recsys trainer next to the GD
+    one — each half-step solves its side exactly in one join + one
+    exact-integer aggregate, no driver state at all. The factor
+    trajectory and final train RMSE replay in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        als_rank1_factors,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter((F.col("o_custkey") <= 80) & (F.col("l_partkey") <= 120))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            (
+                F.sum("l_quantity").cast("double")
+                / F.lit(10).cast("double")
+            ).alias("rating")
+        )
+    )
+    return als_rank1_factors(
+        ratings,
+        iterations=3,
+        lam=0.25,
+        user_col="o_custkey",
+        item_col="l_partkey",
+        rating_col="rating",
+    )

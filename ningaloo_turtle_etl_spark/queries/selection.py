@@ -1409,3 +1409,79 @@ def q_platt_calibration_weights(spark, sf_dir):
     return logistic_gd_train(
         scored, ["f_score"], "y", iterations=4, lr=0.5
     ).orderBy("feature")
+
+
+def _kcenter_oracle_sql(k: int = 8, d: int = 64) -> str:
+    """Unrolled greedy k-center oracle: c1 = min id; per round one
+    dmin-update CTE (exact-integer per-coordinate micro terms, identical
+    operation order to `operators/selection.py kcenter_select`) and one
+    argmax CTE (dmin DESC, id ASC). All CTEs MATERIALIZED — each c{r}
+    is referenced by the next round AND the final union, and DuckDB
+    re-evaluates inline CTEs per reference (the pca/unigram lesson)."""
+
+    def dist(a, b):
+        return (
+            f"CAST(list_sum(list_transform(range(1, {d + 1}), j ->"
+            f" CAST(round((CAST({a}.embedding[j] AS DOUBLE)"
+            f" - CAST({b}.embedding[j] AS DOUBLE))"
+            f" * (CAST({a}.embedding[j] AS DOUBLE)"
+            f" - CAST({b}.embedding[j] AS DOUBLE)) * 1e6)"
+            f" AS BIGINT))) AS BIGINT)"
+        )
+
+    parts = [
+        """
+    e AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+    c1 AS MATERIALIZED (
+        SELECT id, embedding FROM e ORDER BY id LIMIT 1
+    ),
+    d1 AS MATERIALIZED (
+        SELECT e.id, e.embedding, """
+        + dist("e", "c")
+        + """ AS dmin
+        FROM e CROSS JOIN c1 c
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+    c{r} AS MATERIALIZED (
+        SELECT id, embedding, dmin FROM d{r - 1}
+        ORDER BY dmin DESC, id LIMIT 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f""",
+    d{r} AS MATERIALIZED (
+        SELECT t.id, t.embedding, least(t.dmin, {dist('t', 'c')}) AS dmin
+        FROM d{r - 1} t CROSS JOIN c{r} c
+    )"""
+            )
+    finals = ["SELECT 1 AS pos, id, CAST(NULL AS DOUBLE) AS radius FROM c1"]
+    finals += [
+        f"SELECT {r}, id, ROUND(dmin / 1e6, 6) FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + "".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY pos"
+    )
+
+
+@register("kcenter_coreset_select", _kcenter_oracle_sql(8, 64))
+def kcenter_coreset_select(spark, sf_dir):
+    """Greedy k-center coreset over the embedding corpus
+    (`operators/selection.py kcenter_select`, k=8, first center = min
+    vec_id): farthest-point traversal picks 8 exemplars that 2-approx
+    cover the space — the diversity selector next to DSIR's importance
+    selector. Each round is one literal-center map pass + TakeOrdered;
+    distances are exact integer micros, replayed coordinate-for-
+    coordinate by the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.selection import kcenter_select
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kcenter_select(emb, k=8)

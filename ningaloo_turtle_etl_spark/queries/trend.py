@@ -2109,3 +2109,114 @@ def holt_winters_daily(spark, sf_dir):
     return holt_winters_forecast(
         daily, ["event_type"], "day", "y", period=7, horizon=7
     ).orderBy("event_type")
+
+
+def _gmm_em_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled 2-component 1-D GMM EM oracle (the logistic-GD chaining
+    pattern): moment-based deterministic init, then per round one
+    responsibility + sufficient-statistic aggregate CTE and one
+    parameter CTE — every driver-side double operation mirrored in the
+    same association, per-row terms nano/micro-quantized before exact
+    sums, all CTEs MATERIALIZED (the unigram/pca re-evaluation lesson).
+    Mirrors `operators/trend.py gmm_em_1d` token-for-token."""
+
+    def dens(c):
+        return (
+            f"w{c} * exp(-((x - mu{c}) * (x - mu{c})) / (2.0 * v{c}))"
+            f" / sqrt(2.0 * pi() * v{c})"
+        )
+
+    parts = [
+        f"""
+    base AS MATERIALIZED (
+        SELECT CAST(value AS DOUBLE) AS x FROM events
+        WHERE value IS NOT NULL
+    ),
+    init AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS BIGINT) AS q1,
+               CAST(SUM(CAST(round(x * x * 1e6) AS BIGINT)) AS BIGINT) AS q2
+        FROM base
+    ),
+    p0 AS MATERIALIZED (
+        SELECT n, 0.5 AS w1, mean - sd AS mu1, v0 AS v1,
+               0.5 AS w2, mean + sd AS mu2, v0 AS v2
+        FROM (SELECT n, mean, sqrt(greatest(vr, 0.0)) AS sd,
+                     greatest(vr, 1e-6) AS v0
+              FROM (SELECT n, (q1 / 1e9) / n AS mean,
+                           (q2 / 1e6) / n - ((q1 / 1e9) / n)
+                               * ((q1 / 1e9) / n) AS vr
+                    FROM init))
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    m{t} AS MATERIALIZED (
+        SELECT ANY_VALUE(n) AS n,
+               CAST(SUM(CAST(round(r * 1e9) AS BIGINT)) AS BIGINT) AS a_r,
+               CAST(SUM(CAST(round(r * x * 1e9) AS BIGINT)) AS BIGINT)
+                   AS a_rx,
+               CAST(SUM(CAST(round(r * x * x * 1e6) AS BIGINT)) AS BIGINT)
+                   AS a_rxx,
+               CAST(SUM(CAST(round((1.0 - r) * 1e9) AS BIGINT)) AS BIGINT)
+                   AS b_r,
+               CAST(SUM(CAST(round((1.0 - r) * x * 1e9) AS BIGINT))
+                   AS BIGINT) AS b_rx,
+               CAST(SUM(CAST(round((1.0 - r) * x * x * 1e6) AS BIGINT))
+                   AS BIGINT) AS b_rxx
+        FROM (SELECT n, x,
+                     CASE WHEN {dens(1)} + {dens(2)} > 0
+                          THEN {dens(1)} / ({dens(1)} + {dens(2)})
+                          ELSE 0.5 END AS r
+              FROM base CROSS JOIN p{t - 1})
+    ),
+    p{t} AS MATERIALIZED (
+        SELECT n, n1 / n AS w1, mu1,
+               greatest((a_rxx / 1e6) / n1 - mu1 * mu1, 1e-6) AS v1,
+               n2 / n AS w2, mu2,
+               greatest((b_rxx / 1e6) / n2 - mu2 * mu2, 1e-6) AS v2
+        FROM (SELECT n, n1, n2, (a_rx / 1e9) / n1 AS mu1,
+                     (b_rx / 1e9) / n2 AS mu2, a_rxx, b_rxx
+              FROM (SELECT n, a_r / 1e9 AS n1, b_r / 1e9 AS n2,
+                           a_rx, b_rx, a_rxx, b_rxx
+                    FROM m{t}))
+    )"""
+        )
+    T = iterations
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    ll AS MATERIALIZED (
+        SELECT ANY_VALUE(n) AS n,
+               CAST(SUM(CAST(round((CASE WHEN {dens(1)} + {dens(2)} > 0
+                                         THEN ln({dens(1)} + {dens(2)})
+                                         ELSE -745.0 END) * 1e9)
+                        AS BIGINT)) AS BIGINT) AS lls
+        FROM base CROSS JOIN p{T}
+    )
+    SELECT 1 AS component, ROUND(w1, 6) AS weight, ROUND(mu1, 6) AS mu,
+           ROUND(v1, 6) AS variance,
+           ROUND((lls / 1e9) / ll.n, 6) AS mean_loglik
+    FROM p{T} CROSS JOIN ll
+    UNION ALL
+    SELECT 2, ROUND(w2, 6), ROUND(mu2, 6), ROUND(v2, 6),
+           ROUND((lls / 1e9) / ll.n, 6)
+    FROM p{T} CROSS JOIN ll
+    ORDER BY component"""
+    )
+
+
+@register("gmm_em_value_components", _gmm_em_oracle_sql(3))
+def gmm_em_value_components(spark, sf_dir):
+    """Two-component Gaussian-mixture fit of the event value
+    distribution by EM (`operators/trend.py gmm_em_1d`, 3 rounds,
+    moment-deterministic init): the soft-assignment density twin of
+    kmeans — weights/means/variances plus the final mean log-density,
+    every EM round one exact-integer aggregate, the whole parameter
+    trajectory replayed by the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.trend import gmm_em_1d
+
+    raw = load_table(spark, "events", sf_dir)
+    return gmm_em_1d(raw, "value", iterations=3)

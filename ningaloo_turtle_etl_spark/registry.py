@@ -428,6 +428,15 @@ PRIORITY: list[str] = [
     # r11: top-p deflated power iteration (verdict item 8 — the
     # PCNM/RDA multi-eigenvector surface at the distributed shape)
     "pca_power_components",
+    # r11: two-component 1-D Gaussian mixture by EM (soft-assignment
+    # density twin of kmeans; unrolled moment-init + 3-round oracle)
+    "gmm_em_value_components",
+    # r11: greedy k-center coreset (farthest-point traversal, the
+    # diversity selector; unrolled exact-integer-distance oracle)
+    "kcenter_coreset_select",
+    # r11: rank-1 ALS (closed-form alternating solve, zero driver state;
+    # the optimizer twin of mf_gd_factors)
+    "als_rank1_factors",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

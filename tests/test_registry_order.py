@@ -346,6 +346,10 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "pca_power_component",
         # r11: deflated top-p power iteration (r10 verdict item 8)
         "pca_power_components",
+        # r11 extension families, full oracles
+        "gmm_em_value_components",
+        "kcenter_coreset_select",
+        "als_rank1_factors",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -472,3 +472,64 @@ def test_cv_fold_assignment_deterministic_and_balanced(spark):
         sizes[r["fold"]] = sizes.get(r["fold"], 0) + 1
     assert set(sizes) == {0, 1, 2, 3, 4}
     assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_kcenter_select_replica_and_coverage(spark):
+    """Greedy farthest-point traversal: (a) exact match vs a Python
+    replica of the integer-micro distance arithmetic on planted 2-D
+    clusters; (b) the selection visits every cluster before revisiting
+    one (the diversity property); (c) radius is non-increasing; (d)
+    ties and duplicate points stop the traversal early."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.selection import kcenter_select
+
+    # four tight clusters at the corners of a square
+    pts = []
+    for ci, (cx, cy) in enumerate([(0, 0), (10, 0), (0, 10), (10, 10)]):
+        for j in range(5):
+            pts.append((ci * 10 + j, [cx + j * 0.1, cy - j * 0.1]))
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["pos"], r["id"], r["radius"])
+        for r in kcenter_select(df, k=6).collect()
+    ]
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    def dist_m(a, b):
+        import numpy as np
+
+        a = [float(np.float32(x)) for x in a]
+        b = [float(np.float32(x)) for x in b]
+        return sum(rnd((x - c) * (x - c) * 1e6) for x, c in zip(a, b))
+
+    coords = dict(pts)
+    sel = [min(coords)]
+    dmin = {i: dist_m(v, coords[sel[0]]) for i, v in coords.items()}
+    want = [(1, sel[0], None)]
+    for pos in range(2, 7):
+        cid = max(dmin, key=lambda i: (dmin[i], -i))
+        want.append((pos, cid, round(dmin[cid] / 1e6, 6)))
+        for i, v in coords.items():
+            dmin[i] = min(dmin[i], dist_m(v, coords[cid]))
+    assert got == want
+
+    # diversity: the first 4 selections hit 4 distinct clusters
+    first4_clusters = {i // 10 for _, i, _ in got[:4]}
+    assert first4_clusters == {0, 1, 2, 3}
+    # radius non-increasing
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+    # duplicates: 3 distinct points, k=5 -> stops at 3 rows
+    dup = spark.createDataFrame(
+        [(i, [float(i % 3), 0.0]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    short = kcenter_select(dup, k=5).collect()
+    assert len(short) == 3

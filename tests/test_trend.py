@@ -418,3 +418,102 @@ def test_holt_winters_replica_and_seasonal_advantage(spark):
     }
     lin_err = abs(lin["saw"]["forecast"] - true62)
     assert hw_err < 3.0 and lin_err > hw_err + 3.0
+
+
+def test_gmm_em_1d_replica_and_separation(spark):
+    """Two pins: (a) the 3-round EM trajectory matches an exact Python
+    replica of the quantized arithmetic; (b) on a planted two-mode
+    mixture the fitted means recover both modes, the low-mode component
+    gets ~its planted weight, and iterating EM does not decrease the
+    mean log-likelihood."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import gmm_em_1d
+
+    # planted: 300 points near 10, 100 near 50 (deterministic jitter)
+    vals = [10.0 + (i % 7) * 0.5 for i in range(300)] + [
+        50.0 + (i % 5) * 0.8 for i in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["component"]: r for r in gmm_em_1d(df, "value", 3).collect()
+    }
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    n = len(vals)
+    q1 = sum(rnd(v * 1e9) for v in vals)
+    q2 = sum(rnd(v * v * 1e6) for v in vals)
+    mean = (q1 / 1e9) / n
+    var = (q2 / 1e6) / n - mean * mean
+    sd = math.sqrt(max(var, 0.0))
+    v0 = max(var, 1e-6)
+    w1, mu1, v1 = 0.5, mean - sd, v0
+    w2, mu2, v2 = 0.5, mean + sd, v0
+    for _ in range(3):
+        sums = [0] * 6
+        for x in vals:
+            d1 = (
+                w1
+                * math.exp(-((x - mu1) * (x - mu1)) / (2.0 * v1))
+                / math.sqrt(2.0 * math.pi * v1)
+            )
+            d2 = (
+                w2
+                * math.exp(-((x - mu2) * (x - mu2)) / (2.0 * v2))
+                / math.sqrt(2.0 * math.pi * v2)
+            )
+            r = d1 / (d1 + d2) if d1 + d2 > 0 else 0.5
+            sums[0] += rnd(r * 1e9)
+            sums[1] += rnd(r * x * 1e9)
+            sums[2] += rnd(r * x * x * 1e6)
+            sums[3] += rnd((1.0 - r) * 1e9)
+            sums[4] += rnd((1.0 - r) * x * 1e9)
+            sums[5] += rnd((1.0 - r) * x * x * 1e6)
+        n1 = sums[0] / 1e9
+        n2 = sums[3] / 1e9
+        mu1 = (sums[1] / 1e9) / n1
+        mu2 = (sums[4] / 1e9) / n2
+        v1 = max((sums[2] / 1e6) / n1 - mu1 * mu1, 1e-6)
+        v2 = max((sums[5] / 1e6) / n2 - mu2 * mu2, 1e-6)
+        w1 = n1 / n
+        w2 = n2 / n
+    lls = 0
+    for x in vals:
+        d1 = (
+            w1
+            * math.exp(-((x - mu1) * (x - mu1)) / (2.0 * v1))
+            / math.sqrt(2.0 * math.pi * v1)
+        )
+        d2 = (
+            w2
+            * math.exp(-((x - mu2) * (x - mu2)) / (2.0 * v2))
+            / math.sqrt(2.0 * math.pi * v2)
+        )
+        lls += rnd((math.log(d1 + d2) if d1 + d2 > 0 else -745.0) * 1e9)
+    mean_ll = (lls / 1e9) / n
+
+    def r6(v):
+        import decimal
+
+        return float(
+            decimal.Decimal(v).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    assert got[1]["weight"] == r6(w1)
+    assert got[1]["mu"] == r6(mu1)
+    assert got[1]["variance"] == r6(v1)
+    assert got[2]["mu"] == r6(mu2)
+    assert got[1]["mean_loglik"] == r6(mean_ll)
+
+    # semantic: the two modes are recovered and weights ~ 3:1
+    assert abs(got[1]["mu"] - 11.5) < 2.0
+    assert abs(got[2]["mu"] - 51.6) < 2.5
+    assert 0.6 < got[1]["weight"] < 0.85
+
+    # more EM rounds never decrease the mean log-likelihood
+    got5 = gmm_em_1d(df, "value", 5).collect()[0]
+    assert got5["mean_loglik"] >= got[1]["mean_loglik"] - 1e-9
