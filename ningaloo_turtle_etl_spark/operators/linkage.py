@@ -44,7 +44,7 @@ standard dedupe-tool surface between them.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -382,4 +382,121 @@ def symspell_del1_pairs(
     )
     return subs.union(insdel).select(
         "name_a", "name_b", F.lit(1).cast("long").alias("dist")
+    )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    gamma_cols: Sequence[str],
+    iterations: int = 3,
+    p0: float = 0.125,
+    m0: float = 0.75,
+    u0: float = 0.25,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage parameter estimation by EM (Winkler
+    1988): given candidate pairs with BINARY field-agreement indicators
+    γ_j, learn the match proportion p and the per-field conditional
+    agreement rates m_j = P(γ_j|match), u_j = P(γ_j|non-match) — the
+    probabilistic foundation under the deterministic blockers
+    (blocked_fuzzy_pairs, symspell_del1_pairs): the learned
+    log2(m/u) agreement weights ARE the classic linkage scores.
+
+        E: w = p·Π f(m_j,γ_j) / (p·Π f(m_j,γ_j) + (1−p)·Π f(u_j,γ_j)),
+           f(q,γ) = q if γ else 1−q
+        M: p = Σw/n,  m_j = Σ_{γ_j=1} w / Σw,
+           u_j = Σ_{γ_j=1} (1−w) / (n − Σw)
+
+    Scale shape: the pairs frame (already blocked — candidate grain, not
+    record²) persists once; each EM round is ONE map-side-combined
+    aggregate with the parameters embedded as literals; driver state is
+    2k+1 floats. Determinism: w quantizes to integer nanos once per
+    pair (so 1−w is exactly 1e9−w_n and all six sums are exact
+    integers); init p=1/8, m=3/4, u=1/4 binary-exact; M-step division
+    order mirrored by the unrolled DuckDB oracle.
+
+    Returns one row per field: (field, m, u, weight_agree = log2(m/u),
+    weight_disagree = log2((1−m)/(1−u))) with the shared (p_match,
+    n_pairs) on every row; 6dp."""
+    fields = list(gamma_cols)
+    if not fields:
+        raise ValueError("gamma_cols must be non-empty")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    import math
+
+    from pyspark import StorageLevel
+
+    base = pairs.select(
+        *[F.col(c).cast("int").alias(c) for c in fields]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("fellegi_sunter_em: empty candidate set")
+        p, m, u = float(p0), [float(m0)] * len(fields), [float(u0)] * len(
+            fields
+        )
+        for _ in range(int(iterations)):
+            num = F.lit(p)
+            den = F.lit(1.0 - p)
+            for j, c in enumerate(fields):
+                g = F.col(c)
+                num = num * F.when(g == 1, F.lit(m[j])).otherwise(
+                    F.lit(1.0 - m[j])
+                )
+                den = den * F.when(g == 1, F.lit(u[j])).otherwise(
+                    F.lit(1.0 - u[j])
+                )
+            wn = F.round(num / (num + den) * F.lit(1e9), 0).cast("long")
+            aggs = [F.sum(wn).alias("sw")] + [
+                F.sum(F.col(c) * wn).alias(f"swg{j}")
+                for j, c in enumerate(fields)
+            ] + [
+                F.sum(
+                    F.col(c) * (F.lit(1_000_000_000).cast("long") - wn)
+                ).alias(f"scg{j}")
+                for j, c in enumerate(fields)
+            ]
+            s = base.agg(*aggs).collect()[0]
+            sw = int(s["sw"]) / 1e9
+            p = sw / n
+            m = [
+                (int(s[f"swg{j}"]) / 1e9) / sw for j in range(len(fields))
+            ]
+            u = [
+                (int(s[f"scg{j}"]) / 1e9) / (n - sw)
+                for j in range(len(fields))
+            ]
+        rows = [
+            (
+                fields[j],
+                m[j],
+                u[j],
+                math.log2(m[j] / u[j]) if u[j] > 0 and m[j] > 0 else None,
+                math.log2((1.0 - m[j]) / (1.0 - u[j]))
+                if m[j] < 1 and u[j] < 1
+                else None,
+                p,
+                n,
+            )
+            for j in range(len(fields))
+        ]
+    finally:
+        base.unpersist()
+    return (
+        pairs.sparkSession.createDataFrame(
+            rows,
+            "field string, m double, u double, weight_agree double, "
+            "weight_disagree double, p_match double, n_pairs long",
+        )
+        .select(
+            "field",
+            F.round("m", 6).alias("m"),
+            F.round("u", 6).alias("u"),
+            F.round("weight_agree", 6).alias("weight_agree"),
+            F.round("weight_disagree", 6).alias("weight_disagree"),
+            F.round("p_match", 6).alias("p_match"),
+            "n_pairs",
+        )
+        .orderBy("field")
     )

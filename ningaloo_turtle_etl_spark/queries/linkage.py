@@ -275,3 +275,143 @@ def q_symspell_customer_pairs(spark, sf_dir):
 
     cust = load_table(spark, "customer", sf_dir)
     return symspell_del1_pairs(cust, "c_name").orderBy("name_a", "name_b")
+
+
+def _fellegi_sunter_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled Fellegi–Sunter EM oracle: a shared blocked candidate-
+    pair CTE with three binary agreement indicators, then per round one
+    nano-quantized weighted aggregate + one parameter CTE — operation
+    order mirroring `operators/linkage.py fellegi_sunter_em`
+    token-for-token (w quantized ONCE per pair; 1−w = 1e9−w_n exactly).
+    Init p=1/8, m=3/4, u=1/4 (binary-exact). All CTEs MATERIALIZED."""
+    parts = [
+        """
+    pr AS MATERIALIZED (
+        SELECT p_partkey AS id, p_brand,
+               string_split(p_type, ' ')[1] AS t1,
+               CAST(floor(p_retailprice / 10) AS BIGINT) AS pb,
+               p_size, p_partkey % 8 AS sub
+        FROM part
+    ),
+    cand AS MATERIALIZED (
+        SELECT CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g0,
+               CASE WHEN a.t1 = b.t1 THEN 1 ELSE 0 END AS g1,
+               CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS g2
+        FROM pr a JOIN pr b
+          ON a.p_size = b.p_size AND a.sub = b.sub AND a.id < b.id
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand),
+    th0 AS (SELECT 0.125 AS p, 0.75 AS m0, 0.75 AS m1, 0.75 AS m2,
+                   0.25 AS u0, 0.25 AS u1, 0.25 AS u2)"""
+    ]
+    num = (
+        "p * (CASE WHEN g0 = 1 THEN m0 ELSE 1.0 - m0 END)"
+        " * (CASE WHEN g1 = 1 THEN m1 ELSE 1.0 - m1 END)"
+        " * (CASE WHEN g2 = 1 THEN m2 ELSE 1.0 - m2 END)"
+    )
+    den = (
+        "(1.0 - p) * (CASE WHEN g0 = 1 THEN u0 ELSE 1.0 - u0 END)"
+        " * (CASE WHEN g1 = 1 THEN u1 ELSE 1.0 - u1 END)"
+        " * (CASE WHEN g2 = 1 THEN u2 ELSE 1.0 - u2 END)"
+    )
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    e{t} AS MATERIALIZED (
+        SELECT CAST(SUM(wn) AS BIGINT) AS sw,
+               CAST(SUM(g0 * wn) AS BIGINT) AS swg0,
+               CAST(SUM(g1 * wn) AS BIGINT) AS swg1,
+               CAST(SUM(g2 * wn) AS BIGINT) AS swg2,
+               CAST(SUM(g0 * (1000000000 - wn)) AS BIGINT) AS scg0,
+               CAST(SUM(g1 * (1000000000 - wn)) AS BIGINT) AS scg1,
+               CAST(SUM(g2 * (1000000000 - wn)) AS BIGINT) AS scg2
+        FROM (SELECT g0, g1, g2,
+                     CAST(round({num} / ({num} + {den}) * 1e9) AS BIGINT)
+                         AS wn
+              FROM cand CROSS JOIN th{t - 1})
+    ),
+    th{t} AS MATERIALIZED (
+        SELECT (sw / 1e9) / n AS p,
+               (swg0 / 1e9) / (sw / 1e9) AS m0,
+               (swg1 / 1e9) / (sw / 1e9) AS m1,
+               (swg2 / 1e9) / (sw / 1e9) AS m2,
+               (scg0 / 1e9) / (n - sw / 1e9) AS u0,
+               (scg1 / 1e9) / (n - sw / 1e9) AS u1,
+               (scg2 / 1e9) / (n - sw / 1e9) AS u2
+        FROM e{t} CROSS JOIN nn
+    )"""
+        )
+    T = iterations
+    fields = [
+        ("brand_eq", "m0", "u0"),
+        ("type_word_eq", "m1", "u1"),
+        ("price_bucket_eq", "m2", "u2"),
+    ]
+    finals = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS field, ROUND({m}, 6) AS m,"
+        f" ROUND({u}, 6) AS u,"
+        f" ROUND(log2({m} / {u}), 6) AS weight_agree,"
+        f" ROUND(log2((1.0 - {m}) / (1.0 - {u})), 6) AS weight_disagree,"
+        f" ROUND(p, 6) AS p_match, n AS n_pairs"
+        f" FROM th{T} CROSS JOIN nn"
+        for name, m, u in fields
+    )
+    return (
+        "WITH " + "".join(parts) + "\n    " + finals + "\n    ORDER BY field"
+    )
+
+
+@register("fellegi_sunter_part_weights", _fellegi_sunter_oracle_sql(3))
+def fellegi_sunter_part_weights(spark, sf_dir):
+    """Fellegi–Sunter match-weight estimation over blocked part pairs
+    (`operators/linkage.py fellegi_sunter_em`, 3 EM rounds): candidate
+    pairs share (p_size, partkey%8) — a deterministic candidate sample,
+    the grain EM needs, never record² — with binary agreement on brand,
+    type head-word, and retail-price decile bucket. Learns P(agree|match) m,
+    P(agree|non-match) u, and the classic log2(m/u) linkage weights the
+    deterministic blockers (fuzzy_part_pairs, symspell) threshold on;
+    the whole parameter trajectory replays in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        fellegi_sunter_em,
+    )
+
+    pt = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("id"),
+        "p_brand",
+        F.split(F.col("p_type"), " ").getItem(0).alias("t1"),
+        F.floor(F.col("p_retailprice") / 10).cast("long").alias("pb"),
+        "p_size",
+        (F.col("p_partkey") % 8).alias("sub"),
+    )
+    a = pt.alias("a")
+    b = pt.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.p_size") == F.col("b.p_size"),
+                F.col("a.sub") == F.col("b.sub"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            .cast("int")
+            .alias("g0"),
+            (F.col("a.t1") == F.col("b.t1")).cast("int").alias("g1"),
+            (F.col("a.pb") == F.col("b.pb")).cast("int").alias("g2"),
+        )
+    )
+    out = fellegi_sunter_em(cand, ["g0", "g1", "g2"], iterations=3)
+    return out.select(
+        F.when(F.col("field") == "g0", F.lit("brand_eq"))
+        .when(F.col("field") == "g1", F.lit("type_word_eq"))
+        .otherwise(F.lit("price_bucket_eq"))
+        .alias("field"),
+        "m",
+        "u",
+        "weight_agree",
+        "weight_disagree",
+        "p_match",
+        "n_pairs",
+    ).orderBy("field")

@@ -2220,3 +2220,145 @@ def gmm_em_value_components(spark, sf_dir):
 
     raw = load_table(spark, "events", sf_dir)
     return gmm_em_1d(raw, "value", iterations=3)
+
+
+def _cox_ph_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled Cox partial-likelihood Newton oracle: a shared subject
+    CTE (per-user time-to-first-purchase with click-count covariate),
+    then per step one per-time aggregate + reverse-cumulative-window
+    CTE and one (U, I) reduce CTE — quantization grids and operation
+    order mirroring `operators/trend.py cox_ph_fit` token-for-token.
+    β{t} carries the running coefficient; all CTEs MATERIALIZED."""
+    parts = [
+        """
+    ev AS MATERIALIZED (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               event_type, value
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    subj AS MATERIALIZED (
+        SELECT CASE WHEN p_day IS NOT NULL THEN p_day - f_day
+                    ELSE l_day - f_day END AS t,
+               CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS d,
+               CAST(clicks AS DOUBLE) / 10.0 AS x
+        FROM (SELECT user_id, MIN(day) AS f_day, MAX(day) AS l_day,
+                     MIN(CASE WHEN event_type = 'purchase'
+                                   AND value >= 90.0 THEN day END)
+                         AS p_day,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         AS clicks
+              FROM ev GROUP BY user_id)
+    ),
+    b0 AS (SELECT 0.0 AS beta)"""
+    ]
+    for s in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pt{s} AS MATERIALIZED (
+        SELECT t,
+               CAST(SUM(CAST(round(exp(beta * x) * 1e9) AS BIGINT))
+                   AS BIGINT) AS r0,
+               CAST(SUM(CAST(round(x * exp(beta * x) * 1e9) AS BIGINT))
+                   AS BIGINT) AS r1,
+               CAST(SUM(CAST(round(x * x * exp(beta * x) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS r2,
+               CAST(SUM(d) AS BIGINT) AS m,
+               CAST(SUM(d * CAST(round(x * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sx
+        FROM subj CROSS JOIN b{s - 1} GROUP BY t
+    ),
+    cum{s} AS MATERIALIZED (
+        SELECT t, m, sx,
+               CAST(SUM(r0) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s0,
+               CAST(SUM(r1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s1,
+               CAST(SUM(r2) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s2
+        FROM pt{s}
+    ),
+    ui{s} AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(round((sx / 1e9
+                   - m * ((s1 / 1e9) / (s0 / 1e9))) * 1e9) AS BIGINT))
+                   AS BIGINT) AS u,
+               CAST(SUM(CAST(round(m * ((s2 / 1e6) / (s0 / 1e9)
+                   - ((s1 / 1e9) / (s0 / 1e9))
+                     * ((s1 / 1e9) / (s0 / 1e9))) * 1e9) AS BIGINT))
+                   AS BIGINT) AS i
+        FROM cum{s} WHERE m > 0
+    ),
+    b{s} AS MATERIALIZED (
+        SELECT beta + (u / 1e9) / (i / 1e9) AS beta
+        FROM b{s - 1} CROSS JOIN ui{s}
+    )"""
+        )
+    T = iterations
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                  CAST(SUM(d) AS BIGINT) AS n_events FROM subj)
+    SELECT ROUND(beta, 6) AS beta, ROUND(exp(beta), 6) AS hazard_ratio,
+           ROUND((u / 1e9) / sqrt(i / 1e9), 6) AS score_z,
+           n_subjects, n_events
+    FROM b{T} CROSS JOIN ui1 CROSS JOIN nn"""
+    )
+
+
+@register("cox_ph_click_hazard", _cox_ph_oracle_sql(3))
+def cox_ph_click_hazard(spark, sf_dir):
+    """Cox proportional-hazards regression of time-to-first-HIGH-VALUE-purchase
+    (value >= 90, so ~15% of users are genuinely right-censored) on
+    click intensity (`operators/trend.py cox_ph_fit`, 3 Newton steps,
+    Breslow ties): per user, t = days from first event to first
+    qualifying purchase (censored at last observed day), x = clicks/10 — "do
+    clickier users convert FASTER, hazard-ratio per 10 clicks" with
+    censoring handled exactly. Each step is one subject scan to the
+    distinct-day grain + window risk sums on that grain; the β
+    trajectory and β=0 score test replay in the unrolled oracle."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import cox_ph_fit
+
+    raw = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull()
+    )
+    ev = raw.select(
+        "user_id",
+        F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "event_type",
+        "value",
+    )
+    subj = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("day").alias("f_day"),
+            F.max("day").alias("l_day"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 90.0),
+                    F.col("day"),
+                )
+            ).alias("p_day"),
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("clicks"),
+        )
+        .select(
+            F.when(
+                F.col("p_day").isNotNull(), F.col("p_day") - F.col("f_day")
+            )
+            .otherwise(F.col("l_day") - F.col("f_day"))
+            .alias("t"),
+            F.col("p_day").isNotNull().cast("int").alias("d"),
+            (F.col("clicks").cast("double") / F.lit(10.0)).alias("x"),
+        )
+    )
+    return cox_ph_fit(subj, "t", "d", "x", iterations=3)

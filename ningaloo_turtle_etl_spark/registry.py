@@ -437,6 +437,12 @@ PRIORITY: list[str] = [
     # r11: rank-1 ALS (closed-form alternating solve, zero driver state;
     # the optimizer twin of mf_gd_factors)
     "als_rank1_factors",
+    # r11: Cox proportional hazards (Breslow ties, Newton on the
+    # partial likelihood; the regression rung of the survival stack)
+    "cox_ph_click_hazard",
+    # r11: Fellegi–Sunter EM match-weight estimation (the probabilistic
+    # foundation under the deterministic linkage blockers)
+    "fellegi_sunter_part_weights",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -238,3 +238,75 @@ def test_symspell_del1_pairs_exact_completeness(spark):
         ).collect()
     }
     assert capped == {("brook", "brooke")}
+
+
+def test_fellegi_sunter_em_replica_and_separation(spark):
+    """Two pins: (a) the 3-round EM trajectory matches an exact Python
+    replica of the nano-quantized arithmetic; (b) on a planted set —
+    10% true-match pairs that agree on both fields, non-matches mostly
+    disagreeing — EM learns m >> u on both fields, a p_match near the
+    planted rate, and positive agreement weights."""
+    from ningaloo_turtle_etl_spark.operators.linkage import (
+        fellegi_sunter_em,
+    )
+
+    # 40 matches (g0=1, g1=1 mostly), 360 non-matches (mostly 0s)
+    rows = []
+    for i in range(40):
+        rows.append((1, 1 if i % 10 else 0))  # matches: g0 always, g1 90%
+    for i in range(360):
+        rows.append((1 if i % 20 == 0 else 0, 1 if i % 12 == 0 else 0))
+    df = spark.createDataFrame(rows, "g0 int, g1 int")
+    got = {
+        r["field"]: r
+        for r in fellegi_sunter_em(df, ["g0", "g1"], iterations=3).collect()
+    }
+
+    import math
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    n = len(rows)
+    p, m, u = 0.125, [0.75, 0.75], [0.25, 0.25]
+    for _ in range(3):
+        sw = swg = scg = None
+        sw = 0
+        swg = [0, 0]
+        scg = [0, 0]
+        for g in rows:
+            num = p
+            den = 1.0 - p
+            for j in range(2):
+                num = num * (m[j] if g[j] == 1 else 1.0 - m[j])
+                den = den * (u[j] if g[j] == 1 else 1.0 - u[j])
+            wn = rnd(num / (num + den) * 1e9)
+            sw += wn
+            for j in range(2):
+                swg[j] += g[j] * wn
+                scg[j] += g[j] * (1_000_000_000 - wn)
+        swd = sw / 1e9
+        p = swd / n
+        m = [(swg[j] / 1e9) / swd for j in range(2)]
+        u = [(scg[j] / 1e9) / (n - swd) for j in range(2)]
+
+    def r6(v):
+        import decimal
+
+        return float(
+            decimal.Decimal(v).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    for j, f in enumerate(["g0", "g1"]):
+        assert got[f]["m"] == r6(m[j])
+        assert got[f]["u"] == r6(u[j])
+        assert got[f]["p_match"] == r6(p)
+    assert got["g0"]["n_pairs"] == n
+
+    # separation: the match class concentrates on the agree-agree pairs
+    assert got["g0"]["m"] > 0.9 and got["g0"]["u"] < 0.15
+    assert got["g1"]["m"] > got["g1"]["u"]
+    assert got["g0"]["weight_agree"] > 2.0
+    assert 0.05 < got["g0"]["p_match"] < 0.2

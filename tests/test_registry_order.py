@@ -350,6 +350,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "gmm_em_value_components",
         "kcenter_coreset_select",
         "als_rank1_factors",
+        "cox_ph_click_hazard",
+        "fellegi_sunter_part_weights",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -517,3 +517,94 @@ def test_gmm_em_1d_replica_and_separation(spark):
     # more EM rounds never decrease the mean log-likelihood
     got5 = gmm_em_1d(df, "value", 5).collect()[0]
     assert got5["mean_loglik"] >= got[1]["mean_loglik"] - 1e-9
+
+
+def test_cox_ph_fit_replica_and_likelihood_optimum(spark):
+    """Three pins: (a) the 3-step Newton trajectory matches an exact
+    Python replica of the quantized risk-set arithmetic (ties +
+    censoring in the fixture); (b) the returned β sits at the maximum
+    of the true Breslow partial log-likelihood (grid check); (c) the
+    planted direction (high x → faster events) gives β > 0 and a
+    positive score z."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import cox_ph_fit
+
+    # planted: x in {0,1,2}; higher x = earlier event day; some censored
+    rows = [
+        # (t, d, x) with ties at t=2 and t=5
+        (1, 1, 2.0), (2, 1, 2.0), (2, 1, 1.0), (3, 1, 2.0),
+        (4, 1, 1.0), (5, 1, 1.0), (5, 1, 0.0), (6, 1, 0.0),
+        (7, 0, 0.0), (7, 1, 0.0), (8, 0, 1.0), (9, 0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "t long, d int, x double")
+    got = cox_ph_fit(df, "t", "d", "x", iterations=3).collect()[0]
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    def newton_replica(iters):
+        beta, z0 = 0.0, None
+        for step in range(iters):
+            per_t = {}
+            for t, d, x in rows:
+                e = math.exp(beta * x)
+                c = per_t.setdefault(t, [0, 0, 0, 0, 0])
+                c[0] += rnd(e * 1e9)
+                c[1] += rnd(x * e * 1e9)
+                c[2] += rnd(x * x * e * 1e6)
+                c[3] += d
+                c[4] += d * rnd(x * 1e9)
+            s0 = s1 = s2 = 0
+            u_i = i_i = 0
+            for t in sorted(per_t, reverse=True):
+                r0, r1, r2, m, sx = per_t[t]
+                s0 += r0
+                s1 += r1
+                s2 += r2
+                if m > 0:
+                    rat1 = (s1 / 1e9) / (s0 / 1e9)
+                    u_i += rnd((sx / 1e9 - m * rat1) * 1e9)
+                    i_i += rnd(
+                        m * ((s2 / 1e6) / (s0 / 1e9) - rat1 * rat1) * 1e9
+                    )
+            u, info = u_i / 1e9, i_i / 1e9
+            if step == 0:
+                z0 = u / math.sqrt(info) if info > 0 else None
+            if info <= 0:
+                break
+            beta = beta + u / info
+        return beta, z0
+
+    beta, z0 = newton_replica(3)
+
+    def r6(v):
+        import decimal
+
+        return float(
+            decimal.Decimal(v).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    assert got["beta"] == r6(beta)
+    assert got["hazard_ratio"] == r6(math.exp(beta))
+    assert got["score_z"] == r6(z0)
+    assert got["n_subjects"] == 12 and got["n_events"] == 9
+
+    # (b) β maximizes the exact Breslow partial log-likelihood
+    def pll(b):
+        out = 0.0
+        times = sorted({t for t, d, _ in rows if d})
+        for te in times:
+            risk = [x for t, _, x in rows if t >= te]
+            ev = [x for t, d, x in rows if t == te and d]
+            out += sum(b * x for x in ev) - len(ev) * math.log(
+                sum(math.exp(b * x) for x in risk)
+            )
+        return out
+    grid = [beta + k * 0.01 for k in range(-30, 31)]
+    assert abs(max(grid, key=pll) - beta) <= 0.02
+
+    # (c) planted direction
+    assert got["beta"] > 0 and got["score_z"] > 0
