@@ -6795,3 +6795,98 @@ def als_rank1_factors_query(spark, sf_dir):
         item_col="l_partkey",
         rating_col="rating",
     )
+
+
+@register(
+    "audio_wav_features",
+    """
+    WITH ids AS (
+        SELECT doc_id AS media_id,
+               800 + (doc_id % 50) * 16 AS n,
+               3 + doc_id % 7 AS m
+        FROM documents WHERE doc_id < 200
+    ),
+    w AS (
+        SELECT media_id, n,
+               list_transform(range(0, n),
+                   k -> ((k * m + media_id) % 4001) - 2000) AS vs
+        FROM ids
+    ),
+    f AS (
+        SELECT media_id, n,
+               CAST(list_sum(list_transform(vs, v -> v * v)) AS BIGINT)
+                   AS sumsq,
+               CAST(len(list_filter(range(1, n),
+                   i -> vs[i] * vs[i + 1] < 0)) AS BIGINT) AS zc,
+               [CAST(list_sum(list_transform(range(b * (n // 4) + 1,
+                        (b + 1) * (n // 4) + 1), i -> vs[i] * vs[i]))
+                    AS BIGINT) FOR b IN [0, 1, 2, 3]] AS be
+        FROM w
+    )
+    SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+           ROUND(n / 8000, 6) AS duration_sec,
+           ROUND(sqrt(sumsq / n) / 32768.0, 6) AS rms,
+           zc AS zero_crossings,
+           ROUND(be[1] / 32768.0 / 32768.0, 6) AS e0,
+           ROUND(be[2] / 32768.0 / 32768.0, 6) AS e1,
+           ROUND(be[3] / 32768.0 / 32768.0, 6) AS e2,
+           ROUND(be[4] / 32768.0 / 32768.0, 6) AS e3
+    FROM f ORDER BY media_id
+    """,
+)
+def audio_wav_features(spark, sf_dir):
+    """Audio-tier multimodal plumbing with a REAL codec: synthesize a
+    deterministic PCM16 WAV blob per document id (sawtooth-ish samples
+    v_k = ((k·m + id) mod 4001) − 2000), decode it back through the
+    RIFF/WAVE parser (`operators/multimodal.py _wav_decode` — chunk
+    walk, fmt validation, 16-bit PCM), and extract integer-exact
+    features (RMS, zero crossings, equal-time band energies) via
+    Arrow-batched mapInPandas (`extract_wav_features`). The oracle
+    regenerates the same PCM from the formula and recomputes every
+    feature from exact integer sums — so the full synth→encode→decode→
+    feature path is value-hash-proven, not just schema-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from ningaloo_turtle_etl_spark.operators.multimodal import (
+        extract_wav_features,
+        synth_pcm16_wav,
+    )
+
+    ids = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 200
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        for batch in batches:
+            out = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                n = 800 + (mid % 50) * 16
+                m = 3 + mid % 7
+                k = np.arange(n, dtype=np.int64)
+                v = ((k * m + mid) % 4001) - 2000
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content": synth_pcm16_wav(
+                            v.astype(np.int16), 8000
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(synth, schema="media_id long, content binary")
+    feats = extract_wav_features(media, n_bands=4)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        F.round("e0", 6).alias("e0"),
+        F.round("e1", 6).alias("e1"),
+        F.round("e2", 6).alias("e2"),
+        F.round("e3", 6).alias("e3"),
+    ).orderBy("media_id")

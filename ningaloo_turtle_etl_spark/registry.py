@@ -443,6 +443,9 @@ PRIORITY: list[str] = [
     # r11: Fellegi–Sunter EM match-weight estimation (the probabilistic
     # foundation under the deterministic linkage blockers)
     "fellegi_sunter_part_weights",
+    # r11: real WAV codec tier — synth→RIFF/PCM16 decode→integer-exact
+    # audio features, full oracle from the regenerated PCM
+    "audio_wav_features",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -352,6 +352,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "als_rank1_factors",
         "cox_ph_click_hazard",
         "fellegi_sunter_part_weights",
+        "audio_wav_features",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
