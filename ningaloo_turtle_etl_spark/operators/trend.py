@@ -2923,3 +2923,71 @@ def cox_ph_fit(
             "n_events",
         )
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group — the monotone-association
+    rung between Pearson (correlation_diag: linear only) and
+    Mann–Kendall (trend test, no effect size): rank both columns with
+    AVERAGE ranks for ties, then Pearson on the ranks.
+
+    Exactness trick: the average rank (r_min + (t−1)/2) is a multiple
+    of ½, so DOUBLED ranks are exact integers computed directly from
+    the rank window (2·r_min + t − 1) — no float ever enters the rank
+    grain, and all five Pearson sums are exact integer aggregates
+    (DECIMAL(38,0): Σ(2r)² ≤ 4n³ outgrows int64 past ~1.3M rows per
+    group). The scale factor cancels in ρ. The final ρ arithmetic is
+    double over the five sums in one fixed association, mirrored by the
+    oracle.
+
+    Scale shape: two rank windows (one per column, partitioned by the
+    group — the per-group sort is the one shuffle) and one map-side-
+    combined aggregate. Returns (by..., n, rho) 6dp; ρ NULL for groups
+    with no rank variance (all-tied column)."""
+    gb = [F.col(c) for c in by]
+    w_x = Window.partitionBy(*gb).orderBy(F.col(x_col))
+    w_y = Window.partitionBy(*gb).orderBy(F.col(y_col))
+    w_tx = Window.partitionBy(*gb, F.col(x_col))
+    w_ty = Window.partitionBy(*gb, F.col(y_col))
+    ranked = df.select(
+        *gb,
+        (
+            F.lit(2) * F.rank().over(w_x)
+            + F.count(F.lit(1)).over(w_tx)
+            - F.lit(1)
+        ).cast("long").alias("rx"),
+        (
+            F.lit(2) * F.rank().over(w_y)
+            + F.count(F.lit(1)).over(w_ty)
+            - F.lit(1)
+        ).cast("long").alias("ry"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx") * F.col("rx"))).alias("sxx"),
+        F.sum(dec(F.col("ry") * F.col("ry"))).alias("syy"),
+        F.sum(dec(F.col("rx") * F.col("ry"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        (nd * sxy - sx * sy) / F.sqrt(varx * vary),
+    )
+    return agg.select(
+        *[F.col(c) for c in by], "n", F.round(rho, 6).alias("rho")
+    ).orderBy(*[F.col(c) for c in by]) if by else agg.select(
+        "n", F.round(rho, 6).alias("rho")
+    )

@@ -2362,3 +2362,67 @@ def cox_ph_click_hazard(spark, sf_dir):
         )
     )
     return cox_ph_fit(subj, "t", "d", "x", iterations=3)
+
+
+@register(
+    "spearman_value_vs_time",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x,
+               CAST(floor(epoch(ts)) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                    + count(*) OVER (PARTITION BY event_type, x) - 1
+                    AS BIGINT) AS rx,
+               CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                    + count(*) OVER (PARTITION BY event_type, y) - 1
+                    AS BIGINT) AS ry
+        FROM base
+    ),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(rx AS HUGEINT)) AS sx,
+               SUM(CAST(ry AS HUGEINT)) AS sy,
+               SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
+               SUM(CAST(ry * ry AS HUGEINT)) AS syy,
+               SUM(CAST(rx * ry AS HUGEINT)) AS sxy
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE)))
+                 END, 6) AS rho
+    FROM agg ORDER BY event_type
+    """,
+)
+def spearman_value_vs_time(spark, sf_dir):
+    """Spearman rank correlation between event value and event time per
+    type (`operators/trend.py spearman_by_group`): "is value drifting
+    monotonically over the observation window" with an effect size,
+    robust to any monotone transform — the association rung between
+    correlation_diag's Pearson and mann_kendall_daily_counts' trend
+    test. Doubled average ranks keep every sum an exact integer."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+    from ningaloo_turtle_etl_spark.operators.trend import spearman_by_group
+
+    raw = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = raw.select(
+        "event_type",
+        F.col("value").cast("double").alias("x"),
+        _epoch_seconds(raw, "ts").cast("double").alias("y"),
+    )
+    return spearman_by_group(base, "x", "y", ["event_type"])

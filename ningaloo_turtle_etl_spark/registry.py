@@ -446,6 +446,9 @@ PRIORITY: list[str] = [
     # r11: real WAV codec tier — synth→RIFF/PCM16 decode→integer-exact
     # audio features, full oracle from the regenerated PCM
     "audio_wav_features",
+    # r11: Spearman rank correlation (doubled-average-rank exact-integer
+    # sums; the monotone-association effect size)
+    "spearman_value_vs_time",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

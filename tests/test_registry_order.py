@@ -353,6 +353,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "cox_ph_click_hazard",
         "fellegi_sunter_part_weights",
         "audio_wav_features",
+        "spearman_value_vs_time",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -608,3 +608,61 @@ def test_cox_ph_fit_replica_and_likelihood_optimum(spark):
 
     # (c) planted direction
     assert got["beta"] > 0 and got["score_z"] > 0
+
+
+def test_spearman_by_group_properties(spark):
+    """Spearman pins without scipy: exact ±1 on monotone data, exact
+    match vs a tie-aware Python reference (average ranks + Pearson),
+    invariance under a monotone transform of x, and the NULL contract
+    for an all-tied column."""
+    from ningaloo_turtle_etl_spark.operators.trend import spearman_by_group
+
+    rows = [
+        # g='up': y = x^3 (monotone, nonlinear) -> rho exactly 1
+        *[("up", float(x), float(x) ** 3) for x in range(1, 9)],
+        # g='down': y decreasing in x -> rho exactly -1
+        *[("down", float(x), float(-2 * x + 5)) for x in range(1, 9)],
+        # g='ties': repeated x and y values
+        ("ties", 1.0, 2.0), ("ties", 1.0, 3.0), ("ties", 2.0, 3.0),
+        ("ties", 3.0, 1.0), ("ties", 3.0, 5.0), ("ties", 4.0, 5.0),
+        # g='flat': x constant -> rho NULL
+        ("flat", 7.0, 1.0), ("flat", 7.0, 2.0), ("flat", 7.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["rho"])
+        for r in spearman_by_group(df, "x", "y", ["g"]).collect()
+    }
+    assert got["up"] == (8, 1.0)
+    assert got["down"] == (8, -1.0)
+    assert got["flat"][1] is None
+
+    # tie-aware reference on the 'ties' group
+    import math
+
+    pts = [(x, y) for g, x, y in rows if g == "ties"]
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [
+            (order.index(v) + 1 + order.index(v) + order.count(v)) / 2
+            for v in vals
+        ]
+
+    rx = avg_ranks([p[0] for p in pts])
+    ry = avg_ranks([p[1] for p in pts])
+    n = len(pts)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    assert abs(got["ties"][1] - num / den) < 1e-6
+
+    # monotone-transform invariance: exp(x) has the same ranks as x
+    df2 = spark.createDataFrame(
+        [("ties", math.exp(x), y) for x, y in pts],
+        "g string, x double, y double",
+    )
+    got2 = spearman_by_group(df2, "x", "y", ["g"]).collect()[0]["rho"]
+    assert got2 == got["ties"][1]
