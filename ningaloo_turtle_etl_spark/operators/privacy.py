@@ -36,6 +36,7 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 _TWO_52 = float(1 << 52)
 
@@ -330,4 +331,112 @@ def entropy_l_diversity_report(
         (F.round(entropy, 6) >= F.lit(threshold)).alias(
             "is_entropy_l_diverse"
         ),
+    )
+
+
+def dp_quantile_exponential(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    q_num: int = 1,
+    q_den: int = 2,
+    epsilon: float = 1.0,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Differentially-private QUANTILE release per group by the
+    EXPONENTIAL MECHANISM (McSherry & Talwar 2007; the Smith 2011
+    quantile instantiation) — the rank-statistic rung of the DP stack
+    next to dp_noisy_counts' Laplace counts: Laplace noise on a
+    quantile VALUE has unbounded sensitivity, so the mechanism samples
+    an inter-point interval with probability ∝ width · e^{ε·u/2},
+    u(interval j) = −|j − q·n| (how many ranks off target).
+
+    Deterministic release (the dp_noisy_counts convention): the sample
+    draw is the md5-seeded uniform per GROUP, so the same data + seed
+    releases the same value and the whole mechanism replays in the
+    DuckDB oracle; across groups/seeds the draw is uniform. q is a
+    RATIONAL q_num/q_den so the utility distance d_j = |q_den·j −
+    q_num·n| is exact integer; interval weights quantize to integer
+    nanos before the exact cumulative-sum window, and the selected
+    interval is the first whose cumsum reaches u·total (double compare,
+    identical order both engines). Values clamp to [lo, hi]; the
+    released point is the selected interval's midpoint.
+
+    Scale shape: one per-group sort window (the unavoidable quantile
+    shuffle), one lead() to form intervals plus one synthetic j=0
+    boundary row per group, one cumsum window on the interval grain,
+    one reduce per group. Returns (group..., n, dp_quantile) 6dp."""
+    if q_den < 1 or not (0 <= q_num <= q_den):
+        raise ValueError("q_num/q_den must be a fraction in [0, 1]")
+    gb = [F.col(c) for c in group_cols]
+    z = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(*gb, z.alias("z"))
+    ranked = base.select(
+        *gb,
+        "z",
+        F.row_number().over(
+            Window.partitionBy(*gb).orderBy(F.col("z"))
+        ).alias("j"),
+        F.count(F.lit(1)).over(Window.partitionBy(*gb)).alias("n"),
+        F.lead("z", 1, float(hi)).over(
+            Window.partitionBy(*gb).orderBy(F.col("z"))
+        ).alias("z_next"),
+    )
+    # j = 0 boundary interval (lo -> min value), one row per group
+    bound0 = ranked.where(F.col("j") == 1).select(
+        *gb,
+        F.lit(float(lo)).alias("a"),
+        F.col("z").alias("b"),
+        F.lit(0).alias("j"),
+        "n",
+    )
+    intervals = ranked.select(
+        *gb, F.col("z").alias("a"), F.col("z_next").alias("b"), "j", "n"
+    ).unionByName(bound0)
+    # exact-integer utility distance, nano-quantized weight
+    d = F.abs(
+        F.lit(int(q_den)) * F.col("j") - F.lit(int(q_num)) * F.col("n")
+    ).cast("double")
+    wgt = (F.col("b") - F.col("a")) * F.exp(
+        F.lit(-float(epsilon)) * d / F.lit(2.0 * q_den)
+    )
+    wn = F.round(wgt * F.lit(1e9), 0).cast("long")
+    w_cum = (
+        Window.partitionBy(*gb)
+        .orderBy(F.col("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = intervals.select(
+        *gb,
+        "a",
+        "b",
+        "j",
+        "n",
+        F.sum(wn).over(w_cum).alias("cw"),
+        F.sum(wn).over(Window.partitionBy(*gb)).alias("tw"),
+    )
+    key = F.md5(F.concat_ws("|", *gb))
+    u = _seeded_uniform(key, seed)
+    hit = cum.where(
+        F.col("cw").cast("double") >= u * F.col("tw").cast("double")
+    )
+    return (
+        hit.groupBy(*gb)
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.struct("j", "a", "b")).alias("sel"),
+        )
+        .select(
+            *[F.col(c) for c in group_cols],
+            "n",
+            F.round(
+                (F.col("sel.a") + F.col("sel.b")) / F.lit(2.0), 6
+            ).alias("dp_quantile"),
+        )
+        .orderBy(*[F.col(c) for c in group_cols])
     )

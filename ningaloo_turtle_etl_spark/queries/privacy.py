@@ -234,3 +234,80 @@ def q_entropy_l_diversity_events(spark, sf_dir):
     return entropy_l_diversity_report(
         ev, ["event_type", "day"], "user_id", l_value=80
     ).orderBy("event_type", "day")
+
+
+@register(
+    "dp_value_median_exponential",
+    """
+    WITH base AS (
+        SELECT event_type,
+               least(greatest(CAST(value AS DOUBLE), 0.0), 100.0) AS z
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, z,
+               row_number() OVER (PARTITION BY event_type ORDER BY z)
+                   AS j,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               lead(z, 1, 100.0) OVER (PARTITION BY event_type ORDER BY z)
+                   AS z_next
+        FROM base
+    ),
+    intervals AS (
+        SELECT event_type, z AS a, z_next AS b, j, n FROM ranked
+        UNION ALL
+        SELECT event_type, 0.0, z, 0, n FROM ranked WHERE j = 1
+    ),
+    weighted AS (
+        SELECT event_type, a, b, j, n,
+               CAST(round((b - a) * exp(-1.0
+                   * CAST(abs(2 * j - 1 * n) AS DOUBLE) / 4.0) * 1e9)
+                   AS BIGINT) AS wn
+        FROM intervals
+    ),
+    cum AS (
+        SELECT event_type, a, b, j, n,
+               CAST(SUM(wn) OVER (PARTITION BY event_type ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+               CAST(SUM(wn) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tw,
+               (('0x' || substr(md5(md5(event_type) || '#seed=7'),
+                                1, 13))::BIGINT + 0.5)
+                   / 4503599627370496.0 AS u
+        FROM weighted
+    )
+    SELECT event_type, MAX(n) AS n,
+           ROUND((MIN({'j': j, 'a': a, 'b': b}).a
+                  + MIN({'j': j, 'a': a, 'b': b}).b) / 2.0, 6)
+               AS dp_quantile
+    FROM cum
+    WHERE CAST(cw AS DOUBLE) >= u * CAST(tw AS DOUBLE)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dp_value_median_exponential(spark, sf_dir):
+    """Differentially-private per-type median of event value by the
+    exponential mechanism (`operators/privacy.py
+    dp_quantile_exponential`, ε=1, domain [0,100], md5-seeded draw):
+    the rank-statistic DP release Laplace noise cannot provide (value
+    sensitivity is unbounded) — interval sampled ∝ width·e^{εu/2} with
+    exact-integer rank utilities and nano-quantized weights, the whole
+    mechanism replayed by the oracle."""
+    from ningaloo_turtle_etl_spark.operators.privacy import (
+        dp_quantile_exponential,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return dp_quantile_exponential(
+        ev,
+        "value",
+        ["event_type"],
+        q_num=1,
+        q_den=2,
+        epsilon=1.0,
+        lo=0.0,
+        hi=100.0,
+        seed=7,
+    )

@@ -449,6 +449,9 @@ PRIORITY: list[str] = [
     # r11: Spearman rank correlation (doubled-average-rank exact-integer
     # sums; the monotone-association effect size)
     "spearman_value_vs_time",
+    # r11: DP quantile by the exponential mechanism (seeded draw; the
+    # rank-statistic DP release next to the Laplace counts)
+    "dp_value_median_exponential",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -249,3 +249,80 @@ def test_entropy_l_diversity_catches_skew_distinct_count_misses(spark):
     assert rep["B"]["effective_l"] < 1.3
     assert rep["A"]["is_entropy_l_diverse"] is True
     assert rep["B"]["is_entropy_l_diverse"] is False  # skew caught
+
+
+def test_dp_quantile_exponential_replica_and_utility(spark):
+    """Exponential-mechanism quantile pins: (a) exact match vs a Python
+    replica of the interval weights / seeded draw; (b) with n=200 and
+    eps=1 the released median lands within a few ranks of the true
+    median; (c) different seeds select different intervals somewhere
+    across groups (the draw is really seed-dependent); (d) the release
+    is always inside [lo, hi]."""
+    import hashlib
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.privacy import (
+        dp_quantile_exponential,
+    )
+
+    vals = {
+        "a": [float(5 + (i * 7) % 90) for i in range(200)],
+        "b": [float(20 + (i * 3) % 40) for i in range(150)],
+    }
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {
+        r["g"]: (r["n"], r["dp_quantile"])
+        for r in dp_quantile_exponential(
+            df, "value", ["g"], 1, 2, 1.0, 0.0, 100.0, 7
+        ).collect()
+    }
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    def replica(g, xs, seed, eps=1.0, lo=0.0, hi=100.0, qn=1, qd=2):
+        z = sorted(min(max(x, lo), hi) for x in xs)
+        n = len(z)
+        ivs = [(0, lo, z[0])] + [
+            (j, z[j - 1], z[j] if j < n else hi) for j in range(1, n + 1)
+        ]
+        # j = 1..n-1 intervals are (z_j, z_{j+1}); j = n is (z_n, hi)
+        ivs = [(0, lo, z[0])] + [
+            (j, z[j - 1], z[j]) for j in range(1, n)
+        ] + [(n, z[n - 1], hi)]
+        wns = []
+        for j, a, b in ivs:
+            d = abs(qd * j - qn * n)
+            wns.append(rnd((b - a) * math.exp(-eps * d / (2.0 * qd)) * 1e9))
+        key = hashlib.md5(
+            (hashlib.md5(g.encode()).hexdigest() + f"#seed={seed}").encode()
+        ).hexdigest()
+        u = (int(key[:13], 16) + 0.5) / 4503599627370496.0
+        total = sum(wns)
+        cum = 0
+        for (j, a, b), wn in zip(ivs, wns):
+            cum += wn
+            if float(cum) >= u * float(total):
+                return (a + b) / 2.0
+        return ivs[-1][1]
+
+    for g in vals:
+        want = round(replica(g, vals[g], 7) * 1e6) / 1e6
+        assert abs(got[g][1] - want) < 1e-9, (g, got[g], want)
+        assert 0.0 <= got[g][1] <= 100.0
+
+    # utility: within a few ranks of the true median
+    for g in vals:
+        z = sorted(vals[g])
+        true_med = z[len(z) // 2]
+        assert abs(got[g][1] - true_med) < 10.0
+
+    # seed-dependence: some group moves under another seed
+    got2 = {
+        r["g"]: r["dp_quantile"]
+        for r in dp_quantile_exponential(
+            df, "value", ["g"], 1, 2, 1.0, 0.0, 100.0, 101
+        ).collect()
+    }
+    assert any(got2[g] != got[g][1] for g in vals)

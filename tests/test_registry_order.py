@@ -354,6 +354,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "fellegi_sunter_part_weights",
         "audio_wav_features",
         "spearman_value_vs_time",
+        "dp_value_median_exponential",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
