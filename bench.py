@@ -1294,6 +1294,14 @@ def _unigram_sf(spark, sf_dir):
     return registry.queries()["unigram_tokenizer_stats"](spark, sf_dir)
 
 
+def _wordpiece_sf(spark, sf_dir):
+    """WordPiece greedy scan over the full sf documents table: same
+    vocab fit as unigram_sf, then the map-only greedy fold — watch that
+    greedy stays one in-document pass (no joins, no per-position
+    shuffle) like the Viterbi twin."""
+    return registry.queries()["wordpiece_tokenizer_stats"](spark, sf_dir)
+
+
 def _ppr_sf(spark, sf_dir):
     """Personalized PageRank from the seed brand over the co-purchase
     graph: 5 restart rounds, each one rank⋈edges join + dst aggregate.
@@ -1408,6 +1416,7 @@ EXTRAS = {
     # r11 (VERDICT r10 item 5): the r10 families that shipped without a
     # committed probe — PPR (SCALING quoted a fix with no artifact),
     # Holt-Winters, and the classifier/ranking eval grains.
+    "wordpiece_sf": _wordpiece_sf,
     "ppr_sf": _ppr_sf,
     "holt_winters_sf": _holt_winters_sf,
     "cv_auc_sf": _cv_auc_sf,
@@ -1457,6 +1466,7 @@ EAGER_EXTRAS = {
     "textrank_sf",    # weighted-PageRank rounds localCheckpoint in the builder
     "ppr_sf",         # restart rounds localCheckpoint in the builder
     "unigram_sf",     # the vocab-fit collect runs in the builder
+    "wordpiece_sf",   # shares unigram's vocab-fit collect in the builder
     "pca_100k",       # per-round localCheckpoints + count run in the builder
     "mf_gd_sf",       # per-round localCheckpoints run in the builder
     "bfs_600k_nodes", # frontier rounds localCheckpoint in the builder

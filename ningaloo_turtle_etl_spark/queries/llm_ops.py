@@ -6890,3 +6890,115 @@ def audio_wav_features(spark, sf_dir):
         F.round("e2", 6).alias("e2"),
         F.round("e3", 6).alias("e3"),
     ).orderBy("media_id")
+
+
+def _wordpiece_oracle_sql(top_k: int = 64, L: int = 4) -> str:
+    r"""Recursive-CTE replay of the WordPiece greedy scan: the same
+    (singles ∪ top-k) vocab fit as the unigram oracle, then a walk that
+    advances one char per step carrying (skip, np, nu, s) — longest
+    match chosen by a length-descending COALESCE, [UNK] fallback at the
+    fixed penalty, mirroring `operators/bpe.py wordpiece_greedy_stats`
+    decision-for-decision."""
+    UNK = -25_000_000_000
+    lp_cases = ", ".join(
+        f"CASE WHEN w.pos + {l} <= length(t.tx) AND v{l}.lp IS NOT NULL"
+        f" THEN v{l}.lp END"
+        for l in range(L, 0, -1)
+    )
+    l_cases = ", ".join(
+        f"CASE WHEN w.pos + {l} <= length(t.tx) AND v{l}.lp IS NOT NULL"
+        f" THEN {l} END"
+        for l in range(L, 0, -1)
+    )
+    lp_choice = f"COALESCE({lp_cases}, CAST({UNK} AS BIGINT))"
+    l_choice = f"COALESCE({l_cases}, 1)"
+    joins = "\n".join(
+        f"    LEFT JOIN vlp v{l} ON v{l}.piece ="
+        f" substr(t.tx, w.pos + 1, {l})"
+        for l in range(1, L + 1)
+    )
+    return f"""
+    WITH RECURSIVE
+    t AS MATERIALIZED (
+        SELECT doc_id, source AS g, lower(text) AS tx
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    sub AS MATERIALIZED (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(flatten(list_transform(
+                generate_series(1, length(tx)),
+                i -> list_transform(
+                    generate_series(1, least({L}, length(tx) - i + 1)),
+                    l -> substr(tx, CAST(i AS INT), CAST(l AS INT))))))
+                AS piece
+            FROM t
+        ) GROUP BY piece
+    ),
+    vocab AS (
+        SELECT piece, c FROM sub WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, c FROM (
+            SELECT piece, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+            FROM sub WHERE length(piece) >= 2
+        ) WHERE rk <= {top_k}
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM vocab),
+    vlp AS MATERIALIZED (
+        SELECT piece, CAST(round(ln(c * 1.0 / tot) * 1e9) AS BIGINT) AS lp
+        FROM vocab, tot
+    ),
+    walk(doc_id, pos, skip, np, nu, s) AS (
+        SELECT doc_id, 0, 0, 0, 0, CAST(0 AS BIGINT) FROM t
+        UNION ALL
+        SELECT w.doc_id, w.pos + 1,
+               CASE WHEN w.skip > 0 THEN w.skip - 1
+                    ELSE ({l_choice}) - 1 END,
+               CASE WHEN w.skip > 0 THEN w.np ELSE w.np + 1 END,
+               CASE WHEN w.skip > 0
+                         OR ({lp_choice}) <> CAST({UNK} AS BIGINT)
+                    THEN w.nu ELSE w.nu + 1 END,
+               CASE WHEN w.skip > 0 THEN w.s
+                    ELSE w.s + ({lp_choice}) END
+        FROM walk w
+        JOIN t ON t.doc_id = w.doc_id AND w.pos < length(t.tx)
+{joins}
+    ),
+    fin AS (
+        SELECT w.doc_id, w.np, w.nu, w.s
+        FROM walk w
+        JOIN t ON t.doc_id = w.doc_id AND w.pos = length(t.tx)
+    )
+    SELECT t.g AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(t.tx)) AS BIGINT) AS n_chars,
+           CAST(SUM(fin.np) AS BIGINT) AS n_pieces,
+           CAST(SUM(fin.nu) AS BIGINT) AS n_unk,
+           ROUND(CAST(SUM(fin.np) AS BIGINT)
+                 / CAST(SUM(length(t.tx)) AS DOUBLE), 6) AS fertility,
+           ROUND((CAST(SUM(fin.s) AS BIGINT) / 1e9)
+                 / CAST(SUM(length(t.tx)) AS BIGINT), 6) AS ll_per_char
+    FROM fin JOIN t ON fin.doc_id = t.doc_id
+    GROUP BY t.g ORDER BY t.g
+    """
+
+
+@register("wordpiece_tokenizer_stats", _wordpiece_oracle_sql(64, 4))
+def wordpiece_tokenizer_stats(spark, sf_dir):
+    """WordPiece greedy longest-match tokenization stats per source
+    (`operators/bpe.py wordpiece_greedy_stats`) under the SAME fitted
+    vocabulary as unigram_tokenizer_stats — completing the tokenizer
+    trio (BPE merges / unigram Viterbi / WordPiece greedy) and
+    measuring greedy's fertility/likelihood gap vs the Viterbi optimum
+    on identical pieces. Map-only in-document fold; the oracle replays
+    fit + greedy scan as a recursive CTE."""
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        unigram_vocab,
+        wordpiece_greedy_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = unigram_vocab(docs, top_k=64, max_piece_len=4)
+    return wordpiece_greedy_stats(
+        docs, vocab, group_col="source", max_piece_len=4
+    )

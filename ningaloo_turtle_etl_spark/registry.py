@@ -452,6 +452,9 @@ PRIORITY: list[str] = [
     # r11: DP quantile by the exponential mechanism (seeded draw; the
     # rank-statistic DP release next to the Laplace counts)
     "dp_value_median_exponential",
+    # r11: WordPiece greedy longest-match tokenizer (completes the
+    # BPE / unigram-Viterbi / WordPiece trio under one shared vocab)
+    "wordpiece_tokenizer_stats",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

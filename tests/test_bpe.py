@@ -226,3 +226,60 @@ def test_unigram_viterbi_replica_and_compression(spark):
         for r in unigram_viterbi_stats(docs, singles, "source").collect()
     }
     assert all(r["fertility"] == 1.0 for r in char_level.values())
+
+
+def test_wordpiece_greedy_replica_unk_and_viterbi_gap(spark):
+    """Three pins: (a) the greedy scan matches a Python replica
+    piece-for-piece on a hand vocab (including a case where greedy and
+    Viterbi disagree); (b) characters outside the vocab count as [UNK]
+    pieces at the fixed penalty; (c) under the SAME vocab, greedy
+    fertility >= Viterbi fertility and greedy ll <= Viterbi ll (Viterbi
+    is the optimum)."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.bpe import (
+        _WP_UNK_NANOS,
+        unigram_viterbi_stats,
+        wordpiece_greedy_stats,
+    )
+
+    # vocab where greedy is suboptimal on 'abc': greedy takes 'ab'+'c'
+    # (2 pieces) but if 'c' were absent... use 'abcd': greedy ab+cd,
+    # viterbi could pick a+bcd if bcd is much more likely
+    vocab = [
+        ("a", 10), ("b", 10), ("c", 10), ("d", 10),
+        ("ab", 50), ("bcd", 400),
+    ]
+    total = sum(c for _, c in vocab)
+    lp = {p: round(math.log(c / total) * 1e9) for p, c in vocab}
+    docs = spark.createDataFrame(
+        [("g", "abcd"), ("g", "ab"), ("g", "xa")], "source string, text string"
+    )
+    got = wordpiece_greedy_stats(
+        docs, vocab, group_col="source", max_piece_len=4
+    ).collect()[0]
+    # greedy: 'abcd' -> ab, c, d (3 pieces); 'ab' -> ab (1);
+    # 'xa' -> [UNK], a (2, one unk)
+    want_np = 3 + 1 + 2
+    want_s = (
+        lp["ab"] + lp["c"] + lp["d"] + lp["ab"] + _WP_UNK_NANOS + lp["a"]
+    )
+    assert got["n_pieces"] == want_np
+    assert got["n_unk"] == 1
+    assert got["n_chars"] == 8
+    assert got["ll_per_char"] == round((want_s / 1e9) / 8, 6)
+
+    # Viterbi on 'abcd' alone: a + bcd beats ab + c + d
+    docs1 = spark.createDataFrame(
+        [("g", "abcd")], "source string, text string"
+    )
+    vit = unigram_viterbi_stats(
+        docs1, vocab, group_col="source", max_piece_len=4
+    ).collect()[0]
+    assert vit["n_pieces"] == 2  # a + bcd
+    grd = wordpiece_greedy_stats(
+        docs1, vocab, group_col="source", max_piece_len=4
+    ).collect()[0]
+    assert grd["n_pieces"] == 3  # ab + c + d
+    assert grd["fertility"] >= vit["fertility"]
+    assert grd["ll_per_char"] <= vit["ll_per_char"]

@@ -355,6 +355,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "audio_wav_features",
         "spearman_value_vs_time",
         "dp_value_median_exponential",
+        "wordpiece_tokenizer_stats",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
