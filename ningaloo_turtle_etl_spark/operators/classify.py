@@ -1389,3 +1389,166 @@ def quantile_gd_train(
         )
         .orderBy("feature")
     )
+
+
+def gbm_stumps_train(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """DISTRIBUTED gradient boosting with decision-STUMP base learners
+    (L2 boosting, Friedman 2001 with squared loss — the residual-
+    fitting view): F₀ = mean(y); each round fits the single best stump
+    to the CURRENT RESIDUALS across all features (the variance-
+    reduction split: maximize sl²/nl + sr²/nr over the distinct-value
+    grid) and adds lr · leaf-mean. The nonlinear-model rung above
+    logistic_gd_train (linear) and gini_best_splits (one split, no
+    boosting): three stumps already express V-shaped and interaction-
+    free nonlinear responses no linear model can.
+
+    Scale shape per round: ONE scan unpivoting the features map-side
+    with the running prediction (an accumulated stump-literal CASE
+    chain — no per-row state, no join), one (feature, value) grid
+    aggregate, cumulative windows ON the grid, TakeOrdered(1) for the
+    best cut. Driver state is the stump list.
+
+    Determinism: residuals quantize to integer nanos on the grid sums;
+    each cut's score sl²/nl + sr²/nr computes in double from those
+    exact integers and re-quantizes to micros for the argmax
+    (tiebreak: feature ASC, threshold ASC); leaf values and the lr step
+    are plain double mirrored by the unrolled oracle. Split rule:
+    x <= threshold goes left; rows with a NULL feature value are
+    excluded from that feature's grid but still scored (they take the
+    right branch, the x > threshold arm, at predict time — documented
+    asymmetry, matching the CASE WHEN x <= t semantics both engines).
+
+    Returns one row per round: (round, feature, threshold, left_value,
+    right_value) with shared (f0, train_mse) on every row, 6dp."""
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.col(label_col).cast("double").alias("_y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        head = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("_y") * F.lit(1e9), 0).cast("long")
+            ).alias("sy"),
+        ).collect()[0]
+        n = int(head["n"])
+        if n == 0:
+            raise ValueError("gbm_stumps_train: empty input")
+        f0 = (int(head["sy"]) / 1e9) / n
+        stumps: list[tuple[str, float, float, float]] = []
+
+        def _pred():
+            p = F.lit(f0)
+            for feat, thr, lv, rv in stumps:
+                p = p + F.lit(float(lr)) * F.when(
+                    F.col(feat) <= F.lit(thr), F.lit(lv)
+                ).otherwise(F.lit(rv))
+            return p
+
+        for _ in range(int(iterations)):
+            r = F.col("_y") - _pred()
+            unpivot = base.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("feature"),
+                                F.col(c).alias("v"),
+                            )
+                            for c in feats
+                        ]
+                    )
+                ).alias("fv"),
+                F.round(r * F.lit(1e9), 0).cast("long").alias("rn"),
+            ).select(
+                F.col("fv.feature").alias("feature"),
+                F.col("fv.v").alias("v"),
+                "rn",
+            ).filter(F.col("v").isNotNull())
+            grid = unpivot.groupBy("feature", "v").agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("rn").alias("s"),
+            )
+            w = Window.partitionBy("feature").orderBy("v")
+            tot = Window.partitionBy("feature")
+            cum = grid.select(
+                "feature",
+                "v",
+                F.sum("c").over(w).alias("nl"),
+                F.sum("s").over(w).alias("sl"),
+                F.sum("c").over(tot).alias("nt"),
+                F.sum("s").over(tot).alias("st"),
+            ).filter(F.col("nl") < F.col("nt"))
+            sl_d = F.col("sl") / F.lit(1e9)
+            sr_d = (F.col("st") - F.col("sl")) / F.lit(1e9)
+            score = sl_d * sl_d / F.col("nl") + sr_d * sr_d / (
+                F.col("nt") - F.col("nl")
+            )
+            scored = cum.select(
+                "feature",
+                "v",
+                "nl",
+                "nt",
+                "sl",
+                "st",
+                F.round(score * F.lit(1e6), 0).cast("long").alias("sc"),
+            )
+            best = (
+                scored.orderBy(
+                    F.desc("sc"), F.asc("feature"), F.asc("v")
+                )
+                .limit(1)
+                .collect()[0]
+            )
+            lv = (int(best["sl"]) / 1e9) / int(best["nl"])
+            rv = ((int(best["st"]) - int(best["sl"])) / 1e9) / (
+                int(best["nt"]) - int(best["nl"])
+            )
+            stumps.append(
+                (str(best["feature"]), float(best["v"]), lv, rv)
+            )
+        err = F.col("_y") - _pred()
+        fit = base.agg(
+            F.sum(
+                F.round(err * err * F.lit(1e9), 0).cast("long")
+            ).alias("se")
+        ).collect()[0]
+        mse = (int(fit["se"]) / 1e9) / n
+    finally:
+        base.unpersist()
+    rows = [
+        (t + 1, stumps[t][0], stumps[t][1], stumps[t][2], stumps[t][3], f0, mse)
+        for t in range(len(stumps))
+    ]
+    return (
+        df.sparkSession.createDataFrame(
+            rows,
+            "round int, feature string, threshold double, "
+            "left_value double, right_value double, f0 double, "
+            "train_mse double",
+        )
+        .select(
+            "round",
+            "feature",
+            F.round("threshold", 6).alias("threshold"),
+            F.round("left_value", 6).alias("left_value"),
+            F.round("right_value", 6).alias("right_value"),
+            F.round("f0", 6).alias("f0"),
+            F.round("train_mse", 6).alias("train_mse"),
+        )
+        .orderBy("round")
+    )

@@ -7002,3 +7002,132 @@ def wordpiece_tokenizer_stats(spark, sf_dir):
     return wordpiece_greedy_stats(
         docs, vocab, group_col="source", max_piece_len=4
     )
+
+
+def _gbm_stumps_oracle_sql(iterations: int = 3, lr: float = 0.5) -> str:
+    """Unrolled L2-boosting oracle: per round one residual/unpivot/grid
+    CTE chain with cumulative windows on the (feature, value) grid, one
+    argmax CTE (micro-quantized score, feature/threshold tiebreak), one
+    stump CTE — prediction rebuilt per round from the prior stump CTEs
+    in the same CASE association as
+    `operators/classify.py gbm_stumps_train`. All CTEs MATERIALIZED."""
+
+    def pred(upto: int) -> str:
+        p = "f0.f0"
+        for s in range(1, upto + 1):
+            p += (
+                f" + {lr} * (CASE WHEN st{s}.feature = 'n_chars'"
+                f" THEN (CASE WHEN b.x_chars <= st{s}.v"
+                f" THEN st{s}.lv ELSE st{s}.rv END)"
+                f" ELSE (CASE WHEN b.x_tokens <= st{s}.v"
+                f" THEN st{s}.lv ELSE st{s}.rv END) END)"
+            )
+        return p
+
+    def joins(upto: int) -> str:
+        return "".join(f" CROSS JOIN st{s}" for s in range(1, upto + 1))
+
+    parts = [
+        f"""
+    b AS MATERIALIZED (
+        SELECT CAST(n_chars AS DOUBLE) AS x_chars,
+               CAST(len({_TOKENS}) AS DOUBLE) AS x_tokens,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS _y
+        FROM documents
+    ),
+    hd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(round(_y * 1e9) AS BIGINT)) AS BIGINT)
+                      AS sy
+           FROM b),
+    f0 AS (SELECT n, (sy / 1e9) / n AS f0 FROM hd)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+    g{t} AS MATERIALIZED (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(rn) AS BIGINT) AS s
+        FROM (
+            SELECT u.feature, u.v,
+                   CAST(round((b._y - ({pred(t - 1)})) * 1e9) AS BIGINT)
+                       AS rn
+            FROM b CROSS JOIN f0{joins(t - 1)}
+            CROSS JOIN LATERAL (VALUES ('n_chars', b.x_chars),
+                                ('n_tokens', b.x_tokens)) u(feature, v)
+            WHERE u.v IS NOT NULL
+        ) GROUP BY feature, v
+    ),
+    c{t} AS MATERIALIZED (
+        SELECT feature, v,
+               CAST(SUM(c) OVER (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nl,
+               CAST(SUM(s) OVER (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sl,
+               CAST(SUM(c) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(SUM(s) OVER (PARTITION BY feature) AS BIGINT) AS st
+        FROM g{t}
+    ),
+    st{t} AS MATERIALIZED (
+        SELECT feature, v, (sl / 1e9) / nl AS lv,
+               ((st - sl) / 1e9) / (nt - nl) AS rv
+        FROM (
+            SELECT feature, v, nl, nt, sl, st,
+                   CAST(round(((sl / 1e9) * (sl / 1e9) / nl
+                        + ((st - sl) / 1e9) * ((st - sl) / 1e9)
+                          / (nt - nl)) * 1e6) AS BIGINT) AS sc
+            FROM c{t} WHERE nl < nt
+            ORDER BY sc DESC, feature ASC, v ASC LIMIT 1
+        )
+    )"""
+        )
+    T = iterations
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {s} AS round, st{s}.feature,"
+        f" ROUND(st{s}.v, 6) AS threshold,"
+        f" ROUND(st{s}.lv, 6) AS left_value,"
+        f" ROUND(st{s}.rv, 6) AS right_value,"
+        f" ROUND(f0.f0, 6) AS f0, ROUND(m.mse, 6) AS train_mse"
+        f" FROM st{s} CROSS JOIN f0 CROSS JOIN m"
+        for s in range(1, T + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    m AS MATERIALIZED (
+        SELECT (CAST(SUM(CAST(round((b._y - ({pred(T)}))
+                   * (b._y - ({pred(T)})) * 1e9) AS BIGINT)) AS BIGINT)
+                / 1e9) / ANY_VALUE(f0.n) AS mse
+        FROM b CROSS JOIN f0{joins(T)}
+    )
+    {finals}
+    ORDER BY round"""
+    )
+
+
+@register("gbm_stumps_lang_model", _gbm_stumps_oracle_sql(3, 0.5))
+def gbm_stumps_lang_model(spark, sf_dir):
+    """L2 gradient-boosted decision stumps predicting lang='en' from
+    document length features (`operators/classify.py gbm_stumps_train`,
+    3 rounds, lr=1/2): the nonlinear-model rung above
+    logistic_gd_weights — each round fits the best variance-reduction
+    stump to the current residuals on the distinct-value grid and the
+    whole stump trajectory + train MSE replays in the unrolled
+    oracle."""
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        gbm_stumps_train,
+    )
+    from ningaloo_turtle_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(tokens(F.lower(F.col("text")))).cast("double").alias(
+            "n_tokens"
+        ),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    return gbm_stumps_train(
+        docs, ["n_chars", "n_tokens"], "y", iterations=3, lr=0.5
+    )

@@ -455,6 +455,9 @@ PRIORITY: list[str] = [
     # r11: WordPiece greedy longest-match tokenizer (completes the
     # BPE / unigram-Viterbi / WordPiece trio under one shared vocab)
     "wordpiece_tokenizer_stats",
+    # r11: L2 gradient-boosted decision stumps (the nonlinear-model
+    # rung above logistic GD; grid-grain split search per round)
+    "gbm_stumps_lang_model",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -752,3 +752,89 @@ def test_quantile_gd_replica_and_coverage(spark):
         df, [], "y", q=0.5, iterations=20, lr=32.0
     ).collect()[0]
     assert hi["weight"] > lo["weight"]
+
+
+def test_gbm_stumps_replica_vshape_and_monotone_mse(spark):
+    """Boosted-stump pins: (a) exact match vs a Python replica of the
+    quantized grid/argmax/leaf arithmetic; (b) on a planted V-shaped
+    response (y = |x - 5|, which a linear model cannot fit) three
+    stumps cut the MSE far below the best single stump's; (c) train
+    MSE is non-increasing in rounds."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.classify import (
+        gbm_stumps_train,
+    )
+
+    pts = [(float(x), abs(x - 5.0)) for x in range(11)] * 4
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = gbm_stumps_train(df, ["x"], "y", iterations=3, lr=0.5).collect()
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    n = len(pts)
+    f0 = sum(rnd(y * 1e9) for _, y in pts) / 1e9 / n
+    stumps = []
+
+    def predict(x):
+        p = f0
+        for thr, lv, rv in stumps:
+            p += 0.5 * (lv if x <= thr else rv)
+        return p
+
+    for _ in range(3):
+        grid = {}
+        for x, y in pts:
+            c, s = grid.get(x, (0, 0))
+            grid[x] = (c + 1, s + rnd((y - predict(x)) * 1e9))
+        xs = sorted(grid)
+        nt = sum(c for c, _ in grid.values())
+        st = sum(s for _, s in grid.values())
+        best = None
+        nl = sl = 0
+        for v in xs:
+            nl += grid[v][0]
+            sl += grid[v][1]
+            if nl >= nt:
+                break
+            sld, srd = sl / 1e9, (st - sl) / 1e9
+            sc = rnd((sld * sld / nl + srd * srd / (nt - nl)) * 1e6)
+            key = (sc, -1, -v)  # maximize sc, tiebreak smaller v
+            if best is None or key > best[0]:
+                best = (key, v, nl, sl)
+        _, v, nl, sl = best
+        lv = (sl / 1e9) / nl
+        rv = ((st - sl) / 1e9) / (nt - nl)
+        stumps.append((v, lv, rv))
+    se = sum(rnd((y - predict(x)) ** 2 * 1e9) for x, y in pts)
+    mse3 = (se / 1e9) / n
+
+    def r6(v):
+        import decimal
+
+        return float(
+            decimal.Decimal(v).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    assert [(r["round"], r["feature"]) for r in got] == [
+        (1, "x"), (2, "x"), (3, "x")
+    ]
+    for t, r in enumerate(got):
+        assert r["threshold"] == r6(stumps[t][0])
+        assert r["left_value"] == r6(stumps[t][1])
+        assert r["right_value"] == r6(stumps[t][2])
+    assert got[0]["f0"] == r6(f0)
+    assert got[0]["train_mse"] == r6(mse3)
+
+    # V-shape: 3 rounds beat 1 round clearly; MSE monotone in rounds
+    mses = [
+        gbm_stumps_train(df, ["x"], "y", iterations=k, lr=0.5).collect()[
+            0
+        ]["train_mse"]
+        for k in (1, 2, 3)
+    ]
+    assert mses[0] >= mses[1] >= mses[2]
+    assert mses[2] < 0.6 * mses[0]

@@ -356,6 +356,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "spearman_value_vs_time",
         "dp_value_median_exponential",
         "wordpiece_tokenizer_stats",
+        "gbm_stumps_lang_model",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
