@@ -996,3 +996,89 @@ def shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts_epoch",
+    min_support: float = 0.05,
+    top_n: int = 50,
+) -> DataFrame:
+    """Length-3 SEQUENTIAL-PATTERN support mining (the GSP/PrefixSpan
+    contract at fixed length: Srikant & Agrawal 1996, Pei et al. 2001)
+    — for every ordered type triple (a, b, c), the fraction of users
+    whose history contains a, then b strictly later, then c strictly
+    later still (subsequence semantics, arbitrary gaps). The
+    order-sensitive complement of assoc_rules_copurchase (itemsets
+    ignore order) and eventually_follows (pairs only).
+
+    Containment test per (user, pattern) is the classic GREEDY earliest
+    occurrence, provably equivalent to existence: e₁ = first a;
+    e₂ = first b after e₁; e₃ = first c after e₂ — three array lookups
+    on the user's per-type sorted time arrays, no per-event work.
+
+    Scale shape: one (user, type) aggregate with sorted time arrays;
+    the pattern grid is the DISTINCT-TYPE cube (|T|³ rows — alphabet-
+    sized, broadcast); three broadcast-grid joins fan each user row out
+    |T|²-fold at most, never event-grain; one pattern-keyed count
+    reduce. Exact integer support counts. Returns (t1, t2, t3,
+    n_users, support) — support = users containing / all users, 6dp —
+    filtered to support ≥ ``min_support``, top ``top_n`` by
+    (support DESC, t1, t2, t3)."""
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(time_col).cast("long").alias("e"),
+    ).where(
+        F.col("u").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("e").isNotNull()
+    )
+    upt = base.groupBy("u", "t").agg(
+        F.sort_array(F.collect_list("e")).alias("ts")
+    )
+    n_users = base.select("u").distinct().count()
+    if n_users == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "t1 string, t2 string, t3 string, n_users long, support double",
+        )
+    types = base.select(F.col("t").alias("ty")).distinct()
+    pats = (
+        types.select(F.col("ty").alias("t1"))
+        .crossJoin(types.select(F.col("ty").alias("t2")))
+        .crossJoin(types.select(F.col("ty").alias("t3")))
+    )
+    a = upt.select("u", F.col("t").alias("t1"), F.col("ts").alias("tsa"))
+    b = upt.select("u", F.col("t").alias("t2"), F.col("ts").alias("tsb"))
+    c = upt.select("u", F.col("t").alias("t3"), F.col("ts").alias("tsc"))
+    joined = (
+        a.join(F.broadcast(pats), on="t1")
+        .join(b, on=["u", "t2"])
+        .join(c, on=["u", "t3"])
+    )
+    # try_element_at: the filtered arrays are legitimately empty when
+    # no b follows the first a (ANSI element_at would throw)
+    e1 = F.try_element_at("tsa", F.lit(1))
+    bs = F.filter(F.col("tsb"), lambda x: x > e1)
+    e2 = F.try_element_at(bs, F.lit(1))
+    cs = F.filter(F.col("tsc"), lambda x: x > e2)
+    contained = (F.size(cs) > 0).cast("int")
+    sup = joined.select("t1", "t2", "t3", contained.alias("hit")).groupBy(
+        "t1", "t2", "t3"
+    ).agg(F.sum("hit").cast("long").alias("n_users"))
+    ratio = F.col("n_users") / F.lit(float(n_users))
+    return (
+        sup.where(ratio >= F.lit(float(min_support)))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_users",
+            F.round(ratio, 6).alias("support"),
+        )
+        .orderBy(F.desc("support"), "t1", "t2", "t3")
+        .limit(int(top_n))
+    )

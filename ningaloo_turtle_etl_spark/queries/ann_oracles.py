@@ -565,3 +565,63 @@ def ndcg_oracle_sql(k: int = 10) -> str:
     JOIN cnt ON ql.label = cnt.label
     ORDER BY p.query_id
     """
+
+
+def matryoshka_recall_oracle_sql(k: int = 10, dims=(16, 32)) -> str:
+    """ann_matryoshka_recall: recall@k of TRUNCATED-prefix cosine top-k
+    (Matryoshka representation evaluation, Kusupati et al. 2022 —
+    "how much of the neighborhood survives if we keep only the first d
+    coordinates") against the full-dimension brute-force ground truth.
+    Truncated and exact halves are the same brute-force shape with a
+    list_slice on both sides of the dot product."""
+
+    def brute(d: int | None) -> str:
+        vec = (
+            "CAST({0}.embedding AS DOUBLE[])"
+            if d is None
+            else f"list_slice(CAST({{0}}.embedding AS DOUBLE[]), 1, {d})"
+        )
+        dot = (
+            f"list_sum(list_transform(list_zip({vec.format('c')}, "
+            f"{vec.format('q')}), x -> x[1]*x[2]))"
+        )
+        normsq = f"list_sum(list_transform({vec}, x -> x*x))"
+        return f"""
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROUND({dot} / (sqrt({normsq.format('c')})
+                             * sqrt({normsq.format('q')})), 6) AS cosine
+                FROM embeddings c, embeddings q
+                WHERE q.vec_id < {QUERY_CUT} AND c.vec_id <> q.vec_id
+            )
+        ) WHERE rank <= {k}"""
+
+    tiers = []
+    for d in dims:
+        tiers.append(
+            f"""
+    SELECT {d} AS trunc_dim, t.query_id, n_exact,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_exact, 6) AS recall_at_k
+    FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY query_id) t
+    LEFT JOIN (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+               FROM exact e JOIN trunc{d} a
+                 ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+               GROUP BY e.query_id) h
+      ON t.query_id = h.query_id"""
+        )
+    trunc_ctes = ",".join(
+        f"\n    trunc{d} AS MATERIALIZED ({brute(d)})" for d in dims
+    )
+    return (
+        f"""
+    WITH exact AS MATERIALIZED ({brute(None)}),{trunc_ctes}
+    """
+        + "\n    UNION ALL".join(tiers)
+        + "\n    ORDER BY trunc_dim, query_id"
+    )

@@ -405,6 +405,7 @@ def simhash_near_dups(spark, sf_dir):
 
 from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     ivf_oracle_sql,
+    matryoshka_recall_oracle_sql,
     ndcg_oracle_sql,
     ivf_recall_oracle_sql,
     jl_distortion_oracle_sql,
@@ -7131,3 +7132,41 @@ def gbm_stumps_lang_model(spark, sf_dir):
     return gbm_stumps_train(
         docs, ["n_chars", "n_tokens"], "y", iterations=3, lr=0.5
     )
+
+
+@register(
+    "ann_matryoshka_recall",
+    matryoshka_recall_oracle_sql(k=10, dims=(16, 32)),
+)
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): recall@10
+    of prefix-truncated cosine top-k (first 16 and first 32 of 64 dims)
+    against the full-dimension exact neighbors — the acceptance metric
+    for serving shortened embeddings (4x/2x cheaper dot products and
+    memory) from the same stored vectors, next to the LSH/IVF/PQ recall
+    rows. Truncation is a zero-copy list slice; both halves replay in
+    the DuckDB oracle."""
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, qs, k=10)
+    outs = []
+    for d in (16, 32):
+        trunc = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = cosine_topk(trunc(emb), trunc(qs), k=10)
+        outs.append(
+            ann_recall_report(approx, exact).select(
+                F.lit(d).alias("trunc_dim"),
+                "query_id",
+                "n_exact",
+                "n_hit",
+                "recall_at_k",
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("trunc_dim", "query_id")

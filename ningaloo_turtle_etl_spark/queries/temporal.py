@@ -663,3 +663,71 @@ def shapley_attribution_channels(spark, sf_dir):
         channels=["click", "error", "signup", "view"],
         conversion="purchase",
     )
+
+
+@register(
+    "sequential_patterns_users",
+    """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL AND value >= 90.0
+    ),
+    upt AS (
+        SELECT u, t, list(e ORDER BY e) AS ts FROM base GROUP BY u, t
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM base),
+    types AS (SELECT DISTINCT t AS ty FROM base),
+    pats AS (
+        SELECT a.ty AS t1, b.ty AS t2, c.ty AS t3
+        FROM types a, types b, types c
+    ),
+    hits AS (
+        SELECT p.t1, p.t2, p.t3, a.u,
+               CASE WHEN len(list_filter(c.ts,
+                        x -> x > (list_filter(b.ts,
+                                 y -> y > a.ts[1]))[1])) > 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM pats p
+        JOIN upt a ON a.t = p.t1
+        JOIN upt b ON b.u = a.u AND b.t = p.t2
+        JOIN upt c ON c.u = a.u AND c.t = p.t3
+    ),
+    sup AS (
+        SELECT t1, t2, t3, CAST(SUM(hit) AS BIGINT) AS n_users
+        FROM hits GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n_users,
+           ROUND(n_users / nu.n, 6) AS support
+    FROM sup CROSS JOIN nu
+    WHERE n_users / nu.n >= 0.05
+    ORDER BY support DESC, t1, t2, t3
+    LIMIT 50
+    """,
+)
+def sequential_patterns_users(spark, sf_dir):
+    """Length-3 sequential-pattern support over user event histories
+    (`operators/temporal.py sequential_pattern_support`, min support
+    5%, top 50, restricted to high-value events so histories are sparse
+    enough for supports to differentiate): which ordered type triples
+    actually occur as subsequences and how often — the order-sensitive complement of
+    assoc_rules_copurchase. Greedy earliest-occurrence containment on
+    per-type sorted time arrays; the pattern grid is the type cube,
+    broadcast."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        _epoch_seconds,
+        sequential_pattern_support,
+    )
+
+    raw = load_table(spark, "events", sf_dir)
+    ev = raw.select(
+        "user_id",
+        "event_type",
+        _epoch_seconds(raw, "ts").alias("ts_epoch"),
+        "ts",
+    ).where(F.col("ts").isNotNull() & (F.col("value") >= 90.0))
+    return sequential_pattern_support(
+        ev, "user_id", "event_type", "ts_epoch", 0.05, 50
+    )

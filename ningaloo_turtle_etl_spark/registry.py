@@ -458,6 +458,12 @@ PRIORITY: list[str] = [
     # r11: L2 gradient-boosted decision stumps (the nonlinear-model
     # rung above logistic GD; grid-grain split search per round)
     "gbm_stumps_lang_model",
+    # r11: length-3 sequential-pattern support (GSP/PrefixSpan contract;
+    # greedy earliest-occurrence containment on sorted time arrays)
+    "sequential_patterns_users",
+    # r11: Matryoshka prefix-truncation recall (serve shorter embeddings
+    # from the same vectors; acceptance metric next to LSH/IVF/PQ rows)
+    "ann_matryoshka_recall",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -3378,3 +3378,43 @@ def test_als_rank1_factors_replica_and_rank1_recovery(spark):
             q2[i] = (num / 1e9) / (0.25 + den / 1e9)
         objs.append(objective(p2, q2))
     assert all(objs[t + 1] <= objs[t] + 1e-9 for t in range(len(objs) - 1))
+
+
+def test_matryoshka_recall_dominance_and_exact_case(spark):
+    """Truncation-recall pins: recall at the FULL dimension is exactly
+    1.0 (truncation to d=dim is the identity), and on vectors whose
+    information is entirely in the prefix, truncated recall is also
+    perfect — while a vector set that differs only in the tail
+    degrades at small prefixes."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    # tail-heavy: first 4 dims identical, info in dims 5..8
+    n = 30
+    tail = np.hstack(
+        [np.ones((n, 4)), rng.randn(n, 4)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in tail[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, qs, k=5)
+
+    def trunc(d):
+        t = lambda x: x.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return ann_recall_report(cosine_topk(t(df), t(qs), k=5), exact)
+
+    full = {r["query_id"]: r["recall_at_k"] for r in trunc(8).collect()}
+    assert all(v == 1.0 for v in full.values())
+    small = {r["query_id"]: r["recall_at_k"] for r in trunc(4).collect()}
+    # the first 4 dims carry no signal -> neighbors are arbitrary
+    assert sum(small.values()) / len(small) < 0.9
+    assert sum(small.values()) / len(small) < sum(full.values()) / len(full)

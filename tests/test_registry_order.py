@@ -357,6 +357,8 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "dp_value_median_exponential",
         "wordpiece_tokenizer_stats",
         "gbm_stumps_lang_model",
+        "sequential_patterns_users",
+        "ann_matryoshka_recall",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -646,3 +646,53 @@ def test_shapley_attribution_matches_permutation_bruteforce(spark):
         shapley_attribution(ev, channels=["a", "a"], conversion="buy")
     with _pt.raises(ValueError):
         shapley_attribution(ev, channels=[], conversion="buy")
+
+
+def test_sequential_pattern_support_semantics(spark):
+    """Subsequence-containment pins: order matters (a->b present, b->a
+    absent), gaps allowed, greedy earliest occurrence is not fooled by
+    an early b BEFORE the first a, strict-inequality ties, and the
+    support denominator is ALL users."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        sequential_pattern_support,
+    )
+
+    rows = [
+        # u1: a@1 b@2 c@3  -> contains every increasing pattern
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        # u2: b@1 a@2 c@9  -> contains a->c, b->a->c, NOT a->b->c
+        (2, "b", 1), (2, "a", 2), (2, "c", 9),
+        # u3: a@5 only     -> nothing longer than (a,?,?) with repeats
+        (3, "a", 5),
+        # u4: a@1 a@1 b@1  -> simultaneous: strict > means NO a->b
+        (4, "a", 1), (4, "a", 1), (4, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_epoch long")
+    got = {
+        (r["t1"], r["t2"], r["t3"]): (r["n_users"], r["support"])
+        for r in sequential_pattern_support(
+            df, min_support=0.0, top_n=1000
+        ).collect()
+    }
+    # a->b->c only in u1
+    assert got[("a", "b", "c")] == (1, 0.25)
+    # b->a->c only in u2 (u1 has no b before a)
+    assert got[("b", "a", "c")] == (1, 0.25)
+    # c->b->a nowhere
+    assert ("c", "b", "a") not in got or got[("c", "b", "a")][0] == 0
+    # u4 simultaneity: a->a->b requires strictly increasing times
+    assert ("a", "a", "b") not in got or got[("a", "a", "b")][0] == 0
+
+    # greedy earliest-occurrence correctness: an a BEFORE the only b
+    # must not consume the b-slot — u5: b@1 a@2 b@3 c@4 contains a->b->c
+    df2 = spark.createDataFrame(
+        rows + [(5, "b", 1), (5, "a", 2), (5, "b", 3), (5, "c", 4)],
+        "user_id long, event_type string, ts_epoch long",
+    )
+    got2 = {
+        (r["t1"], r["t2"], r["t3"]): r["n_users"]
+        for r in sequential_pattern_support(
+            df2, min_support=0.0, top_n=1000
+        ).collect()
+    }
+    assert got2[("a", "b", "c")] == 2  # u1 and u5
