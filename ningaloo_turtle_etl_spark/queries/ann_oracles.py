@@ -625,3 +625,48 @@ def matryoshka_recall_oracle_sql(k: int = 10, dims=(16, 32)) -> str:
         + "\n    UNION ALL".join(tiers)
         + "\n    ORDER BY trunc_dim, query_id"
     )
+
+
+def matryoshka_topk_oracle_sql(
+    k: int = 10, d_short: int = 16, shortlist: int = 50
+) -> str:
+    """ann_matryoshka_topk: the fused two-stage Matryoshka serving query
+    — prefix-truncated cosine SHORTLIST (cheap dot products over the
+    first ``d_short`` coords) re-ranked EXACTLY at full dimension, the
+    adaptive-retrieval pattern Matryoshka embeddings exist for. Same
+    rank/tiebreak conventions as the brute oracle at both stages."""
+    def vec(expr, d=None):
+        base = f"CAST({expr}.embedding AS DOUBLE[])"
+        return base if d is None else f"list_slice({base}, 1, {d})"
+
+    def cos(d=None):
+        dot = (
+            f"list_sum(list_transform(list_zip({vec('c', d)}, "
+            f"{vec('q', d)}), x -> x[1]*x[2]))"
+        )
+        nsq = lambda s: (  # noqa: E731
+            f"list_sum(list_transform({vec(s, d)}, x -> x*x))"
+        )
+        return f"ROUND({dot} / (sqrt({nsq('c')}) * sqrt({nsq('q')})), 6)"
+
+    return f"""
+    WITH short AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {cos(d_short)} DESC, c.vec_id) AS INT)
+                       AS srank
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < {QUERY_CUT} AND c.vec_id <> q.vec_id
+        ) WHERE srank <= {shortlist}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT s.query_id, s.vec_id, {cos(None)} AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                    ORDER BY {cos(None)} DESC, s.vec_id) AS INT) AS rank
+        FROM short s
+        JOIN embeddings c ON c.vec_id = s.vec_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

@@ -406,6 +406,7 @@ def simhash_near_dups(spark, sf_dir):
 from ningaloo_turtle_etl_spark.queries.ann_oracles import (
     ivf_oracle_sql,
     matryoshka_recall_oracle_sql,
+    matryoshka_topk_oracle_sql,
     ndcg_oracle_sql,
     ivf_recall_oracle_sql,
     jl_distortion_oracle_sql,
@@ -7170,3 +7171,64 @@ def ann_matryoshka_recall(spark, sf_dir):
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("trunc_dim", "query_id")
+
+
+@register(
+    "ann_matryoshka_topk",
+    matryoshka_topk_oracle_sql(k=10, d_short=16, shortlist=50),
+)
+def ann_matryoshka_topk(spark, sf_dir):
+    """Fused two-stage Matryoshka ANN serving: prefix-16 cosine
+    SHORTLIST (4x-cheaper dot products over the same stored vectors —
+    no index to build, the Matryoshka adaptive-retrieval pattern) then
+    EXACT full-dimension re-rank of the 50-candidate shortlist. The
+    production sibling of ann_ivf_pq_topk with truncation instead of
+    quantization as the cheap tier; full vectors touch only shortlist
+    rows. Both stages replay in the oracle."""
+    from ningaloo_turtle_etl_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    t16 = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    short = cosine_topk(t16(emb), t16(qs), k=50).select(
+        "query_id", "vec_id"
+    )
+    # full vectors are fetched BY ID for shortlist rows only — the
+    # ivf_pq_topk serving convention
+    cand = short.join(emb, on="vec_id").select(
+        "query_id", "vec_id", "embedding"
+    )
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("q_norm", _norm(F.col("qv")))
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(_as_double(F.col("embedding")), F.col("qv"))
+                / (_norm(_as_double(F.col("embedding"))) * F.col("q_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )

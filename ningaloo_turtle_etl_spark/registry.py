@@ -464,6 +464,9 @@ PRIORITY: list[str] = [
     # r11: Matryoshka prefix-truncation recall (serve shorter embeddings
     # from the same vectors; acceptance metric next to LSH/IVF/PQ rows)
     "ann_matryoshka_recall",
+    # r11: fused two-stage Matryoshka serving (prefix-16 shortlist →
+    # exact full-dim rerank; truncation as the cheap tier)
+    "ann_matryoshka_topk",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

