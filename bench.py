@@ -1294,6 +1294,64 @@ def _unigram_sf(spark, sf_dir):
     return registry.queries()["unigram_tokenizer_stats"](spark, sf_dir)
 
 
+def _gmm_sf(spark, sf_dir):
+    """Two-component EM over the full sf events table: 3 rounds, each
+    one exact-integer aggregate; watch that no round touches row grain
+    twice."""
+    return registry.queries()["gmm_em_value_components"](spark, sf_dir)
+
+
+def _cox_sf(spark, sf_dir):
+    """Cox Newton fit over the user survival frame: per step one scan
+    to the distinct-day grain + tiny window sums; watch the subject
+    aggregate staying map-side-combined."""
+    return registry.queries()["cox_ph_click_hazard"](spark, sf_dir)
+
+
+def _kcenter_sf(spark, sf_dir):
+    """Greedy k-center over the sf embeddings: 8 literal-center map
+    passes + TakeOrdered argmaxes on the persisted state frame."""
+    return registry.queries()["kcenter_coreset_select"](spark, sf_dir)
+
+
+def _als_sf(spark, sf_dir):
+    """Rank-1 ALS: 3 alternations of join + exact-integer aggregate on
+    the bounded rating matrix; factor tables broadcast."""
+    return registry.queries()["als_rank1_factors"](spark, sf_dir)
+
+
+def _gbm_sf(spark, sf_dir):
+    """Boosted stumps: per round one unpivot scan to the value grid +
+    grid windows + TakeOrdered; watch the grid staying distinct-value
+    grain."""
+    return registry.queries()["gbm_stumps_lang_model"](spark, sf_dir)
+
+
+def _fs_em_sf(spark, sf_dir):
+    """Fellegi-Sunter EM over blocked part pairs: the pair build joins
+    once, then 3 literal-parameter aggregates over the persisted
+    candidate frame."""
+    return registry.queries()["fellegi_sunter_part_weights"](spark, sf_dir)
+
+
+def _seqpat_sf(spark, sf_dir):
+    """Length-3 sequential patterns: one (user,type) array aggregate,
+    broadcast type-cube joins, pattern-keyed reduce."""
+    return registry.queries()["sequential_patterns_users"](spark, sf_dir)
+
+
+def _audio_sf(spark, sf_dir):
+    """WAV tier end-to-end: synth -> RIFF decode -> integer features via
+    two Arrow mapInPandas stages; per-blob cost, map-only."""
+    return registry.queries()["audio_wav_features"](spark, sf_dir)
+
+
+def _matryoshka_sf(spark, sf_dir):
+    """Fused two-stage truncation ANN: prefix-16 shortlist then exact
+    rerank of 50 candidates; full vectors move only for the shortlist."""
+    return registry.queries()["ann_matryoshka_topk"](spark, sf_dir)
+
+
 def _wordpiece_sf(spark, sf_dir):
     """WordPiece greedy scan over the full sf documents table: same
     vocab fit as unigram_sf, then the map-only greedy fold — watch that
@@ -1418,6 +1476,16 @@ EXTRAS = {
     # Holt-Winters, and the classifier/ranking eval grains.
     "wordpiece_sf": _wordpiece_sf,
     "ppr_sf": _ppr_sf,
+    # r11-family probes: telemetry from round one (the r10 lesson)
+    "gmm_sf": _gmm_sf,
+    "cox_sf": _cox_sf,
+    "kcenter_sf": _kcenter_sf,
+    "als_sf": _als_sf,
+    "gbm_sf": _gbm_sf,
+    "fs_em_sf": _fs_em_sf,
+    "seqpat_sf": _seqpat_sf,
+    "audio_sf": _audio_sf,
+    "matryoshka_sf": _matryoshka_sf,
     "holt_winters_sf": _holt_winters_sf,
     "cv_auc_sf": _cv_auc_sf,
     "ndcg_sf": _ndcg_sf,
@@ -1467,6 +1535,14 @@ EAGER_EXTRAS = {
     "ppr_sf",         # restart rounds localCheckpoint in the builder
     "unigram_sf",     # the vocab-fit collect runs in the builder
     "wordpiece_sf",   # shares unigram's vocab-fit collect in the builder
+    # r11 probes whose operators run jobs inside the builder
+    "gmm_sf",         # per-round aggregate collects
+    "cox_sf",         # per-step (U, I) collects
+    "kcenter_sf",     # per-round argmax collects
+    "als_sf",         # per-half-step localCheckpoints
+    "gbm_sf",         # per-round grid argmax collects
+    "fs_em_sf",       # per-round EM aggregate collects
+    "seqpat_sf",      # the n_users count runs in the builder
     "pca_100k",       # per-round localCheckpoints + count run in the builder
     "mf_gd_sf",       # per-round localCheckpoints run in the builder
     "bfs_600k_nodes", # frontier rounds localCheckpoint in the builder
