@@ -2426,3 +2426,86 @@ def spearman_value_vs_time(spark, sf_dir):
         _epoch_seconds(raw, "ts").cast("double").alias("y"),
     )
     return spearman_by_group(base, "x", "y", ["event_type"])
+
+
+@register(
+    "overdispersion_daily_counts",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, day
+    ),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           ROUND(mean_d, 6) AS mean_daily,
+           ROUND(var_d, 6) AS var_daily,
+           ROUND(CASE WHEN mean_d > 0 THEN var_d / mean_d END, 6)
+               AS dispersion_index,
+           ROUND(CASE WHEN var_d > mean_d
+                      THEN mean_d * mean_d / (var_d - mean_d) END, 6)
+               AS nb_r,
+           ROUND(CASE WHEN var_d > mean_d AND var_d > 0
+                      THEN mean_d / var_d END, 6) AS nb_p
+    FROM (SELECT event_type, n_days,
+                 CAST(s AS DOUBLE) / n_days AS mean_d,
+                 CAST(q AS DOUBLE) / n_days
+                     - (CAST(s AS DOUBLE) / n_days)
+                       * (CAST(s AS DOUBLE) / n_days) AS var_d
+          FROM agg)
+    ORDER BY event_type
+    """,
+)
+def overdispersion_daily_counts(spark, sf_dir):
+    """Overdispersion diagnosis of the daily event-count series per type
+    with negative-binomial method-of-moments parameters: dispersion
+    index D = var/mean (Poisson ⇒ 1; D > 1 means a Poisson volume model
+    will underestimate tail days) and, when overdispersed, the NB
+    moment fit r = m²/(v−m), p = m/v — the count-model rung next to
+    seasonal_profile_events and mann_kendall_daily_counts. Exact
+    integer daily counts and power sums; one day-grain aggregate then
+    one type-grain reduce."""
+    from ningaloo_turtle_etl_spark.operators.temporal import _epoch_seconds
+
+    raw = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = (
+        raw.select(
+            "event_type",
+            F.floor(_epoch_seconds(raw, "ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    mean_d = F.col("s").cast("double") / F.col("n_days")
+    var_d = (
+        F.col("q").cast("double") / F.col("n_days") - mean_d * mean_d
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(mean_d, 6).alias("mean_daily"),
+        F.round(var_d, 6).alias("var_daily"),
+        F.round(
+            F.when(mean_d > 0, var_d / mean_d), 6
+        ).alias("dispersion_index"),
+        F.round(
+            F.when(var_d > mean_d, mean_d * mean_d / (var_d - mean_d)), 6
+        ).alias("nb_r"),
+        F.round(
+            F.when((var_d > mean_d) & (var_d > 0), mean_d / var_d), 6
+        ).alias("nb_p"),
+    ).orderBy("event_type")

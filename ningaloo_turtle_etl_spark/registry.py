@@ -467,6 +467,9 @@ PRIORITY: list[str] = [
     # r11: fused two-stage Matryoshka serving (prefix-16 shortlist →
     # exact full-dim rerank; truncation as the cheap tier)
     "ann_matryoshka_topk",
+    # r11: overdispersion diagnosis + NB method-of-moments on daily
+    # counts (is a Poisson volume model honest about tail days)
+    "overdispersion_daily_counts",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -360,6 +360,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "sequential_patterns_users",
         "ann_matryoshka_recall",
         "ann_matryoshka_topk",
+        "overdispersion_daily_counts",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -666,3 +666,50 @@ def test_spearman_by_group_properties(spark):
     )
     got2 = spearman_by_group(df2, "x", "y", ["g"]).collect()[0]["rho"]
     assert got2 == got["ties"][1]
+
+
+def test_overdispersion_daily_counts_semantics(spark):
+    """NB moment-fit pins: a constant series has D=0 (underdispersed,
+    no NB fit); a two-point overdispersed series yields D>1 with the
+    hand-computed r and p; the Poisson boundary v==m returns NULL NB
+    params (r would be infinite)."""
+    from ningaloo_turtle_etl_spark.queries.trend import (
+        overdispersion_daily_counts,
+    )
+    import pyspark.sql.functions as F  # noqa: F401
+
+    # build a synthetic sf-like frame by calling the operator logic via
+    # the registered query is parquet-bound; test the math inline instead
+    from ningaloo_turtle_etl_spark.sources.tables import load_table  # noqa
+
+    rows = []
+    # type A: counts 10, 10, 10, 10 -> var 0
+    for d in range(4):
+        rows += [("A", d)] * 10
+    # type B: counts 5 and 15 -> mean 10, var 25, D=2.5, r=100/15, p=0.4
+    rows += [("B", 0)] * 5 + [("B", 1)] * 15
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (t, datetime.datetime(2026, 1, 1) + datetime.timedelta(days=d))
+            for t, d in rows
+        ],
+        "event_type string, ts timestamp",
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in overdispersion_daily_counts(spark, tmp).collect()
+    }
+    assert got["A"]["var_daily"] == 0.0
+    assert got["A"]["dispersion_index"] == 0.0
+    assert got["A"]["nb_r"] is None
+    assert got["B"]["mean_daily"] == 10.0
+    assert got["B"]["var_daily"] == 25.0
+    assert got["B"]["dispersion_index"] == 2.5
+    assert abs(got["B"]["nb_r"] - 100 / 15) < 1e-6
+    assert got["B"]["nb_p"] == 0.4
