@@ -459,3 +459,83 @@ def inequality_profile(
         F.round(theil, 6).alias("theil_t"),
         F.round(atk, 6).alias("atkinson_05"),
     ).orderBy(group_col)
+
+
+def rendezvous_shard_plan(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit
+    (Thaler & Ravishankar 1998 — the consistent-placement scheme behind
+    cache rings and shard routers): each key goes to the shard with the
+    maximum md5-derived weight h(key, shard), so adding one shard moves
+    ONLY the keys whose new shard wins — an expected 1/(n+1) of them —
+    while modulo sharding reshuffles almost everything. The layout
+    planner's placement rung next to compaction_bin_plan (sizing) and
+    zorder/hilbert (ordering).
+
+    Emits the per-shard audit for n and n+1 shards in one pass:
+    (shard, n_keys, share, n_keys_plus1, moved_in) where moved_in
+    counts keys assigned to this shard under n+1 that lived elsewhere
+    under n (shard n+1's row collects the classic 1/(n+1) inflow; an
+    existing shard's moved_in is 0 — rendezvous never moves a key
+    between surviving shards, the property the test pins).
+
+    Determinism: weights are the md5_hash60 family (identical both
+    engines); argmax by (weight, shard) total order. Scale shape:
+    map-only weight expressions (n+1 md5s per key — shard count is a
+    config constant), one shard-grain aggregate; keys never shuffle
+    except for that count."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from ningaloo_turtle_etl_spark.operators.dedup import md5_hash60
+
+    key = F.col(key_col).cast("string")
+
+    def shard_of(n: int):
+        pairs = [
+            F.struct(
+                md5_hash60(
+                    F.concat_ws("#", key, F.lit(f"shard={s}#seed={seed}"))
+                ).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n)
+        ]
+        return F.greatest(*pairs)["s"] if n > 1 else F.lit(0)
+
+    assigned = df.select(
+        shard_of(int(n_shards)).alias("s_n"),
+        shard_of(int(n_shards) + 1).alias("s_n1"),
+    )
+    agg_n = assigned.groupBy(F.col("s_n").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    agg_n1 = assigned.groupBy(F.col("s_n1").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_plus1")
+    )
+    moved = (
+        assigned.where(F.col("s_n") != F.col("s_n1"))
+        .groupBy(F.col("s_n1").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("moved_in"))
+    )
+    tot = assigned.count()
+    out = (
+        agg_n.join(agg_n1, on="shard", how="full")
+        .join(moved, on="shard", how="left")
+        .select(
+            "shard",
+            F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
+            F.round(
+                F.coalesce("n_keys", F.lit(0)) / F.lit(float(tot)), 6
+            ).alias("share"),
+            F.coalesce("n_keys_plus1", F.lit(0))
+            .cast("long")
+            .alias("n_keys_plus1"),
+            F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+        )
+        .orderBy("shard")
+    )
+    return out

@@ -470,6 +470,9 @@ PRIORITY: list[str] = [
     # r11: overdispersion diagnosis + NB method-of-moments on daily
     # counts (is a Poisson volume model honest about tail days)
     "overdispersion_daily_counts",
+    # r11: rendezvous (HRW) shard placement audit with the n->n+1
+    # minimal-disruption expansion plan
+    "rendezvous_shard_plan",
     # r10 Holt linear-trend smoothing (sequential in-group fold; oracle
     # is a recursive CTE — DuckDB list_reduce struct-aliasing bug
     # documented and avoided)

@@ -361,6 +361,7 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_matryoshka_recall",
         "ann_matryoshka_topk",
         "overdispersion_daily_counts",
+        "rendezvous_shard_plan",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

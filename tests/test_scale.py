@@ -414,3 +414,35 @@ def test_inequality_profile_replica_and_orderings(spark):
     for k in ("cv", "theil_t", "atkinson_05"):
         assert got["flat"][k] == 0.0 and got["single"][k] == 0.0
         assert got["skew"][k] > got["zeros"][k] > 0.0
+
+
+def test_rendezvous_shard_plan_minimal_disruption(spark):
+    """HRW pins: assignments are deterministic and balanced-ish; adding
+    one shard moves keys ONLY into the new shard (moved_in = 0 on every
+    surviving shard) at roughly 1/(n+1) of the keys; every key is
+    assigned under both n and n+1 (counts sum to the key count)."""
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        rendezvous_shard_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(600)], "k string"
+    )
+    rows = rendezvous_shard_plan(df, "k", n_shards=5, seed=7).collect()
+    by = {r["shard"]: r for r in rows}
+    assert set(by) == set(range(6))
+    assert sum(r["n_keys"] for r in rows) == 600
+    assert sum(r["n_keys_plus1"] for r in rows) == 600
+    # minimal disruption: survivors never receive moved keys
+    for s in range(5):
+        assert by[s]["moved_in"] == 0
+    moved = by[5]["moved_in"]
+    assert moved == by[5]["n_keys_plus1"]
+    # expected 1/6 of keys = 100; allow generous binomial slack
+    assert 60 <= moved <= 140
+    # balance: no shard holds more than 2.2x its fair share
+    for s in range(5):
+        assert by[s]["n_keys"] <= 2.2 * 600 / 5
+    # determinism
+    again = rendezvous_shard_plan(df, "k", n_shards=5, seed=7).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
