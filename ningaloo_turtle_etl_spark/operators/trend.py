@@ -2991,3 +2991,228 @@ def spearman_by_group(
     ).orderBy(*[F.col(c) for c in by]) if by else agg.select(
         "n", F.round(rho, 6).alias("rho")
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Armitage test for a linear trend in a binary outcome
+    across ORDERED exposure groups — the ordinal rung between
+    two_proportion_ztest (2 unordered arms) and chi2 independence
+    (k unordered arms): does P(outcome) rise or fall monotonically
+    with the integer score (dose level, priority rank, bucket index)?
+
+    Statistic: with per-row integer score s and 0/1 outcome y,
+    T = Σ s·y − p̄ Σ s and Var(T) = p̄(1−p̄)(Σ s² − (Σ s)²/N) where
+    p̄ = ΣY/N; z = T/√Var is asymptotically standard normal under no
+    trend. The five inputs (N, ΣY, Σs, Σs², Σs·y) are EXACT bigint
+    sums (s is a small integer, so Σs² ≤ s_max²·N never overflows);
+    the closed form runs in double over them with one fixed operation
+    association mirrored by the oracle.
+
+    Scale shape: ONE map-side-combined aggregate over the fact table —
+    no shuffle beyond the single-row reduce, no group-grain
+    intermediate at all (the per-group contingency table is implicit
+    in the score-weighted sums)."""
+    s = F.col(score_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(s).cast("long").alias("sum_s"),
+        F.sum(s * s).cast("long").alias("sum_s2"),
+        F.sum(s * y).cast("long").alias("sum_sy"),
+    )
+    nd = F.col("n_rows").cast("double")
+    r = F.col("n_pos").cast("double")
+    s1 = F.col("sum_s").cast("double")
+    s2 = F.col("sum_s2").cast("double")
+    sy = F.col("sum_sy").cast("double")
+    pbar = r / nd
+    t = sy - pbar * s1
+    var = pbar * (F.lit(1.0) - pbar) * (s2 - s1 * s1 / nd)
+    z = F.when(var > 0, t / F.sqrt(var))
+    return agg.select(
+        "n_rows",
+        "n_pos",
+        "sum_s",
+        "sum_s2",
+        "sum_sy",
+        F.round(z, 6).alias("z"),
+    )
+
+
+def kruskal_wallis_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis rank test: do k groups share one value
+    distribution? The k-group rung above mwu (2 groups) and the
+    rank-based sibling of a one-way ANOVA — H compares per-group mean
+    ranks without any normality assumption.
+
+    Exactness: ranks never materialize at row grain. Per DISTINCT
+    value v we have its total count c_v and the running count of
+    strictly smaller values lt_v, so the DOUBLED average rank
+    d_v = 2·lt_v + c_v + 1 is an exact integer on the distinct-value
+    grain; a group's doubled rank sum is Σ c_gv·d_v as DECIMAL(38,0)
+    (c·d ≤ 2N² outgrows int64 past ~2·10⁹ rows). H uses single-rank
+    units, so the doubled sums enter as (Rd/2): with per-group term
+    q_g = round(Rd_g²/n_g) quantized to the unit grid and summed
+    exactly, H = 3/(N(N+1))·Σq_g − 3(N+1) (the ¼ from squaring the
+    doubled sums folds into 12/4 = 3). Tie correction divides by
+    C = 1 − Σ(c_v³−c_v)/(N³−N), also exact-integer input.
+
+    Scale shape: one distinct-value-grain aggregate + ONE ordered
+    window over that (distinct) grain for the cumulative counts —
+    the same distinct-grain cumulative pattern as the Wasserstein and
+    KS families — then a group-grain reduce; rows shuffle only by
+    value and by (group, value), never sort globally."""
+    v = F.col(value_col)
+    dv = df.groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dv = dv.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("lt"),
+    ).select(
+        "v",
+        "c",
+        (F.lit(2) * F.col("lt") + F.col("c") + F.lit(1))
+        .cast("long")
+        .alias("d"),
+    )
+    gv = df.groupBy(F.col(group_col).alias("g"), v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        gv.join(dv, on="v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(dec(F.col("cg")) * dec(F.col("d"))).alias("rd"),
+        )
+    )
+    ties = dv.agg(
+        F.sum(dec(F.col("c")) * dec(F.col("c")) * dec(F.col("c"))
+              - dec(F.col("c"))).alias("tie_sum")
+    )
+    rd_d = F.col("rd").cast("double")
+    n_gd = F.col("n_g").cast("double")
+    # Unit-grid quantized per-group term, summed exactly so the k-group
+    # double summation order cannot differ between engines.
+    q = F.round(rd_d * rd_d / n_gd, 0).cast("decimal(38,0)")
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(q).alias("qsum"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(3.0) / (nd * (nd + F.lit(1.0)))
+        * F.col("qsum").cast("double")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    c_tie = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    scal = tot.select(
+        h.alias("_h"),
+        c_tie.alias("_c"),
+    )
+    avg_rank = F.col("rd").cast("double") / (
+        F.lit(2.0) * F.col("n_g").cast("double")
+    )
+    return (
+        per_g.crossJoin(F.broadcast(scal))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n"),
+            F.round(avg_rank, 6).alias("avg_rank"),
+            F.round(F.col("_h"), 6).alias("h"),
+            F.round(
+                F.when(F.col("_c") > 0, F.col("_h") / F.col("_c")), 6
+            ).alias("h_tie_adj"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group — the
+    heavy-tail diagnostic that tells a 100 TB planner WHICH columns
+    need skew handling: α̂ ≈ 1–2 means Zipf-like mass concentration
+    (salting / AQE skew joins mandatory), α̂ > 3 means moments exist
+    and uniform hash partitioning is safe. Companion to
+    key_skew_report (which measures the realized skew of one key):
+    Hill measures the distributional law generating it.
+
+    α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest values
+    per group, with x_(k+1) the (k+1)-th order statistic. Each log
+    ratio is micro-quantized (round(1e6·ln(x/x_{k+1}))) and summed as
+    an exact integer so the k-term double summation order cannot
+    diverge between engines; the ratio is divided FIRST so both
+    engines feed ln the identical double.
+
+    Scale shape: the per-group top-(k+1) is a rank window over groups
+    (the one per-group sort); at real scale a pre-filter on an
+    approximate quantile keeps the sorted set tiny — the selection is
+    TakeOrdered-class work, never a global sort. k is a config
+    constant, so the term grain is (groups × k) — driver-free."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("x").desc(), F.col(id_col).asc()
+    )
+    top = (
+        df.where(F.col(value_col) > 0)
+        .select(
+            group_col,
+            F.col(value_col).cast("double").alias("x"),
+            F.col(id_col),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k + 1)
+    )
+    thr = top.groupBy(group_col).agg(
+        F.min("x").alias("thr"),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+    )
+    terms = (
+        top.join(thr, on=group_col)
+        .where((F.col("rn") <= k) & (F.col("n_top") == k + 1))
+        .select(
+            group_col,
+            F.round(F.log(F.col("x") / F.col("thr")) * 1e6, 0)
+            .cast("decimal(38,0)")
+            .alias("t"),
+        )
+    )
+    out = terms.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t").alias("tsum"),
+    )
+    alpha = F.when(
+        F.col("tsum") > 0,
+        F.col("k").cast("double")
+        / (F.col("tsum").cast("double") / F.lit(1e6)),
+    )
+    return (
+        out.join(thr.select(group_col, "thr"), on=group_col)
+        .select(
+            group_col,
+            "k",
+            F.round(F.col("thr"), 6).alias("x_k1"),
+            F.round(alpha, 6).alias("alpha"),
+        )
+        .orderBy(group_col)
+    )

@@ -2509,3 +2509,192 @@ def overdispersion_daily_counts(spark, sf_dir):
             F.when((var_d > mean_d) & (var_d > 0), mean_d / var_d), 6
         ).alias("nb_p"),
     ).orderBy("event_type")
+
+
+@register(
+    "cochran_armitage_priority_fail",
+    """
+    WITH base AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(s) AS BIGINT) AS sum_s,
+               CAST(SUM(s * s) AS BIGINT) AS sum_s2,
+               CAST(SUM(s * y) AS BIGINT) AS sum_sy
+        FROM base
+    )
+    SELECT n_rows, n_pos, sum_s, sum_s2, sum_sy,
+           ROUND(CASE WHEN
+                     (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                     * (1.0 - CAST(n_pos AS DOUBLE)
+                              / CAST(n_rows AS DOUBLE))
+                     * (CAST(sum_s2 AS DOUBLE)
+                        - CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE)) > 0
+                 THEN (CAST(sum_sy AS DOUBLE)
+                       - (CAST(n_pos AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE))
+                         * CAST(sum_s AS DOUBLE))
+                      / sqrt((CAST(n_pos AS DOUBLE)
+                              / CAST(n_rows AS DOUBLE))
+                             * (1.0 - CAST(n_pos AS DOUBLE)
+                                      / CAST(n_rows AS DOUBLE))
+                             * (CAST(sum_s2 AS DOUBLE)
+                                - CAST(sum_s AS DOUBLE)
+                                  * CAST(sum_s AS DOUBLE)
+                                  / CAST(n_rows AS DOUBLE)))
+                 END, 6) AS z
+    FROM agg
+    """,
+)
+def q_cochran_armitage_priority_fail(spark, sf_dir):
+    """Cochran–Armitage linear-trend test of P(order failed) across the
+    ordered priority levels 1-URGENT … 5-LOW (`operators/trend.py
+    cochran_armitage_trend`): the ordinal dose-response rung between
+    two_prop_click_vs_view (2 arms) and chi2_lang_source (unordered k).
+    Score = leading digit of o_orderpriority; one map-side-combined
+    aggregate, exact bigint inputs to the closed form."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        cochran_armitage_trend,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    return cochran_armitage_trend(base, "s", "y")
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v),
+    dvr AS (
+        SELECT v, c,
+               CAST(2 * COALESCE(SUM(c) OVER (
+                        ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) + c + 1 AS BIGINT) AS d
+        FROM dv
+    ),
+    gv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cg
+        FROM base GROUP BY g, v
+    ),
+    per_g AS (
+        SELECT g, CAST(SUM(cg) AS BIGINT) AS n_g,
+               SUM(CAST(cg AS HUGEINT) * CAST(d AS HUGEINT)) AS rd
+        FROM gv JOIN dvr USING (v) GROUP BY g
+    ),
+    ties AS (
+        SELECT SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                   * CAST(c AS HUGEINT) - CAST(c AS HUGEINT)) AS tie_sum
+        FROM dvr
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM(CAST(ROUND(CAST(rd AS DOUBLE) * CAST(rd AS DOUBLE)
+                              / CAST(n_g AS DOUBLE), 0) AS HUGEINT))
+                   AS qsum
+        FROM per_g
+    ),
+    scal AS (
+        SELECT 3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * CAST(qsum AS DOUBLE)
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+               1.0 - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c_tie
+        FROM tot, ties
+    )
+    SELECT g AS event_type, n_g AS n,
+           ROUND(CAST(rd AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)), 6)
+               AS avg_rank,
+           ROUND(h, 6) AS h,
+           ROUND(CASE WHEN c_tie > 0 THEN h / c_tie END, 6) AS h_tie_adj
+    FROM per_g, scal
+    ORDER BY event_type
+    """,
+)
+def q_kruskal_wallis_value_by_type(spark, sf_dir):
+    """Kruskal–Wallis H across the five event types on value
+    (`operators/trend.py kruskal_wallis_by_group`): the k-group
+    distribution-equality rung above mwu_click_vs_view, rank-based so
+    it sees the same answer under any monotone transform. Doubled
+    average ranks on the distinct-value grain keep every rank sum an
+    exact integer; per-group H terms are unit-grid quantized before
+    the cross-group sum so double summation order is engine-free."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        kruskal_wallis_by_group,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type"), F.col("value").cast("double").alias("v")
+    )
+    return kruskal_wallis_by_group(base, "v", "event_type")
+
+
+@register(
+    "hill_tail_index_by_type",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x, event_id
+        FROM events WHERE value > 0
+    ),
+    rn AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x DESC, event_id ASC) AS rn
+        FROM base
+    ),
+    top AS (SELECT * FROM rn WHERE rn <= 51),
+    thr AS (
+        SELECT event_type, MIN(x) AS thr,
+               CAST(COUNT(*) AS BIGINT) AS n_top
+        FROM top GROUP BY event_type
+    ),
+    terms AS (
+        SELECT t.event_type,
+               CAST(ROUND(ln(t.x / th.thr) * 1000000.0, 0) AS HUGEINT)
+                   AS tt
+        FROM top t JOIN thr th USING (event_type)
+        WHERE t.rn <= 50 AND th.n_top = 51
+    ),
+    o AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k, SUM(tt) AS tsum
+        FROM terms GROUP BY event_type
+    )
+    SELECT o.event_type, k, ROUND(thr.thr, 6) AS x_k1,
+           ROUND(CASE WHEN tsum > 0
+                 THEN CAST(k AS DOUBLE)
+                      / (CAST(tsum AS DOUBLE) / 1000000.0) END, 6)
+               AS alpha
+    FROM o JOIN thr USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_hill_tail_index_by_type(spark, sf_dir):
+    """Hill tail-index estimate (k=50) of event value per type
+    (`operators/trend.py hill_tail_index`): the heavy-tail law
+    diagnostic behind skew planning — α̂ near 1–2 says the column is
+    Zipf-like and joins/aggs on it need salting or AQE skew handling,
+    α̂ > 3 says uniform hashing is safe. Complements key_skew_report
+    (realized skew of one key) with the generating-law view. Micro-
+    quantized log ratios summed exactly; ratio divided before ln so
+    both engines feed the identical double."""
+    from ningaloo_turtle_etl_spark.operators.trend import hill_tail_index
+
+    ev = load_table(spark, "events", sf_dir)
+    return hill_tail_index(ev, "value", "event_type", "event_id", k=50)

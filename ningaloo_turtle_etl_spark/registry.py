@@ -513,6 +513,18 @@ PRIORITY: list[str] = [
     # r10 pinball-subgradient quantile regression (the conditional-
     # quantile rung of the trainer stack; unrolled trajectory oracle)
     "quantile_gd_weights",
+    # r11 second batch: Cochran–Armitage ordinal trend test (the
+    # dose-response rung between two-prop and chi2; score-weighted
+    # exact-bigint sums, zero group-grain intermediates)
+    "cochran_armitage_priority_fail",
+    # r11 second batch: Kruskal–Wallis k-group rank test (doubled
+    # average ranks on the distinct-value grain; unit-grid quantized
+    # per-group H terms)
+    "kruskal_wallis_value_by_type",
+    # r11 second batch: Hill tail-index per type (the heavy-tail law
+    # diagnostic behind salting/AQE-skew planning; micro-quantized
+    # log-ratio sums over per-group top-k order statistics)
+    "hill_tail_index_by_type",
 ]
 
 

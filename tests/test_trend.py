@@ -713,3 +713,127 @@ def test_overdispersion_daily_counts_semantics(spark):
     assert got["B"]["dispersion_index"] == 2.5
     assert abs(got["B"]["nb_r"] - 100 / 15) < 1e-6
     assert got["B"]["nb_p"] == 0.4
+
+
+def test_cochran_armitage_trend_reference(spark):
+    """CA trend pins without scipy: exact closed-form agreement with a
+    Python reference on a graded dose-response table, z > 0 for a
+    rising trend, and the NULL contract when every score is equal
+    (Var(T) = 0)."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        cochran_armitage_trend,
+    )
+
+    # dose groups 1..4 with rising success rates 1/4, 2/4, 3/4, 4/4
+    rows = []
+    for s in (1, 2, 3, 4):
+        for i in range(4):
+            rows.append((s, 1 if i < s else 0))
+    df = spark.createDataFrame(rows, "s long, y long")
+    row = cochran_armitage_trend(df, "s", "y").collect()[0]
+
+    n = len(rows)
+    r = sum(y for _, y in rows)
+    s1 = sum(s for s, _ in rows)
+    s2 = sum(s * s for s, _ in rows)
+    sy = sum(s * y for s, y in rows)
+    assert (row["n_rows"], row["n_pos"]) == (n, r)
+    assert (row["sum_s"], row["sum_s2"], row["sum_sy"]) == (s1, s2, sy)
+    import math
+
+    pbar = r / n
+    t = sy - pbar * s1
+    var = pbar * (1 - pbar) * (s2 - s1 * s1 / n)
+    assert row["z"] == round(t / math.sqrt(var), 6)
+    assert row["z"] > 0
+
+    flat = spark.createDataFrame(
+        [(3, 1), (3, 0), (3, 1)], "s long, y long"
+    )
+    assert cochran_armitage_trend(flat, "s", "y").collect()[0]["z"] is None
+
+
+def test_kruskal_wallis_by_group_reference(spark):
+    """KW pins without scipy: H == 0 when groups are identical
+    permutations of one set, and exact agreement (H and tie-adjusted H)
+    with a tie-aware Python reference on mixed data."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        kruskal_wallis_by_group,
+    )
+
+    same = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(same, "g string, v double")
+    out = kruskal_wallis_by_group(df, "v", "g").collect()
+    assert all(r["h"] == 0.0 for r in out)
+    assert all(r["avg_rank"] == 4.5 for r in out)
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+        ("b", 2.0), ("b", 3.0), ("b", 4.0),
+        ("c", 4.0), ("c", 4.0), ("c", 6.0), ("c", 7.0),
+    ]
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in kruskal_wallis_by_group(df2, "v", "g").collect()}
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+
+    def avg_rank(v):
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        return lt + (eq + 1) / 2
+
+    groups = sorted({g for g, _ in rows})
+    h = 0.0
+    for g in groups:
+        gv = [avg_rank(v) for gg, v in rows if gg == g]
+        h += round((2 * sum(gv)) ** 2 / len(gv)) / 4
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(vals).values())
+    c_adj = 1 - tie / (n**3 - n)
+    for g in groups:
+        gv = [avg_rank(v) for gg, v in rows if gg == g]
+        assert got[g]["n"] == len(gv)
+        assert got[g]["avg_rank"] == round(sum(gv) / len(gv), 6)
+        assert abs(got[g]["h"] - round(h, 6)) <= 1e-6
+        assert abs(got[g]["h_tie_adj"] - round(h / c_adj, 6)) <= 1e-6
+
+
+def test_hill_tail_index_reference(spark):
+    """Hill pins without scipy: exact agreement with a Python replay of
+    the micro-quantized formula, scale invariance (alpha unchanged when
+    every value is multiplied by a constant), and groups with fewer
+    than k+1 positive rows are omitted."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.trend import hill_tail_index
+
+    # deterministic Pareto-ish values: x_i = (50/i)^(1/2) -> alpha ~ 2
+    xs = [(50.0 / i) ** 0.5 for i in range(1, 41)]
+    rows = [("g", float(x), i) for i, x in enumerate(xs)]
+    rows += [("tiny", 1.0, 999), ("tiny", 2.0, 998)]
+    df = spark.createDataFrame(rows, "g string, value double, id long")
+    out = {
+        r["g"]: r
+        for r in hill_tail_index(df, "value", "g", "id", k=10).collect()
+    }
+    assert "tiny" not in out  # < k+1 positive rows
+    top = sorted(xs, reverse=True)[:11]
+    thr = top[10]
+    tsum = sum(round(math.log(x / thr) * 1e6) for x in top[:10])
+    alpha = 10 / (tsum / 1e6)
+    assert out["g"]["k"] == 10
+    assert out["g"]["x_k1"] == round(thr, 6)
+    assert out["g"]["alpha"] == round(alpha, 6)
+    assert 1.5 < out["g"]["alpha"] < 3.0
+
+    scaled = df.selectExpr("g", "value * 1000.0 AS value", "id")
+    out2 = {
+        r["g"]: r
+        for r in hill_tail_index(scaled, "value", "g", "id", k=10).collect()
+    }
+    assert out2["g"]["alpha"] == out["g"]["alpha"]
