@@ -859,3 +859,76 @@ def personalized_pagerank(
     return ranks.select(
         "node", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
     )
+
+
+def newman_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a GIVEN node partition over an undirected
+    graph — the quality metric the community-detection stack was
+    missing: lpa_copurchase_communities finds a partition, this scores
+    one (any partition: LPA labels, brands, shards), answering "how
+    much denser inside communities than a degree-preserving random
+    rewiring?" Q = Σ_c [L_c/m − (D_c/2m)²].
+
+    Input edges are the symmetric-directed convention used by the rest
+    of the graph stack (both directions present, no self-loops), so
+    |rows| = 2m, a node's out-row count is its degree, and intra-
+    community directed rows = 2L_c — every input to Q is an exact
+    bigint on the community grain. Per-community Q terms are micro-
+    quantized and summed exactly so the cross-community double
+    summation order cannot differ between engines.
+
+    Scale shape: two broadcast-able community lookups (node→community
+    is entity-grain), one community-grain aggregate, one single-row
+    reduce; edges never self-join and nothing exceeds the community
+    grain after the first aggregate. Nodes absent from ``communities``
+    (and isolated nodes, which carry no rows) are dropped — document
+    the universe at the call site."""
+    cs = communities.select(
+        F.col(node_col).alias("src"), F.col(comm_col).alias("_cs")
+    )
+    cd = communities.select(
+        F.col(node_col).alias("dst"), F.col(comm_col).alias("_cd")
+    )
+    e2 = (
+        edges.select("src", "dst")
+        .join(F.broadcast(cs), on="src")
+        .join(F.broadcast(cd), on="dst")
+    )
+    per_c = e2.groupBy(F.col("_cs").alias(comm_col)).agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+        F.sum(
+            (F.col("_cs") == F.col("_cd")).cast("long")
+        ).cast("long").alias("intra_directed"),
+    )
+    m2 = per_c.agg(F.sum("degree_sum").cast("long").alias("m2"))
+    withm = per_c.crossJoin(F.broadcast(m2))
+    m2d = F.col("m2").cast("double")
+    q_term = (
+        F.col("intra_directed").cast("double") / m2d
+        - (F.col("degree_sum").cast("double") / m2d)
+        * (F.col("degree_sum").cast("double") / m2d)
+    )
+    terms = withm.select(
+        comm_col,
+        "n_nodes",
+        "degree_sum",
+        "intra_directed",
+        F.round(q_term, 6).alias("q_term"),
+        F.round(q_term * 1e6, 0).cast("decimal(38,0)").alias("_qu"),
+    )
+    q_tot = terms.agg(F.sum("_qu").alias("_qs")).select(
+        F.round(F.col("_qs").cast("double") / F.lit(1e6), 6).alias(
+            "modularity"
+        )
+    )
+    return (
+        terms.drop("_qu")
+        .crossJoin(F.broadcast(q_tot))
+        .orderBy(comm_col)
+    )

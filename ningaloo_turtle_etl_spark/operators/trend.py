@@ -3216,3 +3216,184 @@ def hill_tail_index(
         )
         .orderBy(group_col)
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-period × two-group difference-in-differences estimator —
+    the parallel-trends rung of the observational-causal stack next to
+    CUPED (variance reduction), IPW (confounder weighting) and CMH
+    (stratified odds): DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre).
+
+    Exactness: cell sums are centi-quantized (round(100·y) as bigint)
+    so all four cell means are exact-integer ratios; the three-way
+    subtraction runs in double over them with one fixed association
+    mirrored by the oracle.
+
+    Scale shape: ONE map-side-combined aggregate emitting the 2×2 cell
+    counts and sums — no shuffle beyond the single-row reduce."""
+    it = F.col(treat_col).cast("int")
+    po = F.col(post_col).cast("int")
+    cy = F.round(F.col(value_col) * 100, 0).cast("long")
+
+    def cell(i: int, p: int, agg, name: str):
+        cond = (it == i) & (po == p)
+        return agg(F.when(cond, cy)).alias(name) if agg is F.sum else (
+            F.sum(cond.cast("long")).alias(name)
+        )
+
+    agg = df.agg(
+        cell(1, 0, None, "n_treat_pre"),
+        cell(1, 1, None, "n_treat_post"),
+        cell(0, 0, None, "n_ctrl_pre"),
+        cell(0, 1, None, "n_ctrl_post"),
+        cell(1, 0, F.sum, "s_treat_pre"),
+        cell(1, 1, F.sum, "s_treat_post"),
+        cell(0, 0, F.sum, "s_ctrl_pre"),
+        cell(0, 1, F.sum, "s_ctrl_post"),
+    )
+
+    def mean(s: str, n: str):
+        return (
+            F.col(s).cast("double")
+            / F.lit(100.0)
+            / F.col(n).cast("double")
+        )
+
+    m_tp = mean("s_treat_pre", "n_treat_pre")
+    m_tq = mean("s_treat_post", "n_treat_post")
+    m_cp = mean("s_ctrl_pre", "n_ctrl_pre")
+    m_cq = mean("s_ctrl_post", "n_ctrl_post")
+    return agg.select(
+        "n_treat_pre",
+        "n_treat_post",
+        "n_ctrl_pre",
+        "n_ctrl_post",
+        F.round(m_tp, 6).alias("mean_treat_pre"),
+        F.round(m_tq, 6).alias("mean_treat_post"),
+        F.round(m_cp, 6).alias("mean_ctrl_pre"),
+        F.round(m_cq, 6).alias("mean_ctrl_post"),
+        F.round((m_tq - m_tp) - (m_cq - m_cp), 6).alias("did"),
+    )
+
+
+def logrank_two_group(
+    dur: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Two-group log-rank test on right-censored durations — the
+    hypothesis-test rung of the survival stack (KM/Nelson–Aalen draw
+    the curves, Cox fits a covariate model, log-rank answers "do the
+    two curves differ at all"). Input: one row per subject with group
+    (0/1), integer time, and event flag (false = censored).
+
+    At each distinct EVENT time t: O₁ accumulates group-1 deaths d₁t
+    (exact bigint); the expected count E₁ and hypergeometric variance
+    V use d_t·n₁t/n_t and d_t·(n₁t/n_t)(1−n₁t/n_t)(n_t−d_t)/(n_t−1) —
+    both micro-quantized per time point and summed as exact integers
+    so the event-time summation order cannot differ between engines.
+    z = (O₁−E₁)/√ΣV, chi2 = z².
+
+    Scale shape: the subject grain collapses to the (group, time)
+    grain immediately; at-risk counts are cumulative windows over the
+    per-group time axis UNION the global event-time axis (the km
+    pattern, doubled) — no row-grain state, one ordered window per
+    group, group count is 2 by contract."""
+    g = F.col(group_col).cast("int")
+    base = dur.select(
+        g.alias("g"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").alias("ev"),
+    )
+    # (g, t) grain: deaths + removals (death or censor) per time.
+    gt = base.groupBy("g", "t").agg(
+        F.sum(F.col("ev").cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("rem"),
+    )
+    n_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    # Global event times (any group) — the evaluation axis.
+    ev_times = (
+        gt.groupBy("t")
+        .agg(F.sum("d").alias("dt"))
+        .where(F.col("dt") > 0)
+        .select("t")
+    )
+    # Each group's timeline must carry a row AT every event time so the
+    # cumulative at-risk count is defined there: union in zero rows.
+    two = ev_times.crossJoin(
+        F.broadcast(n_g.select("g"))
+    ).select("g", "t", F.lit(0).cast("long").alias("d"),
+             F.lit(0).cast("long").alias("rem"))
+    axis = (
+        gt.unionByName(two)
+        .groupBy("g", "t")
+        .agg(F.sum("d").alias("d"), F.sum("rem").alias("rem"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = axis.join(n_g, on="g").select(
+        "g",
+        "t",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("rem").over(w), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    # Pivot the two groups side by side on the event-time axis.
+    at_ev = risk.join(ev_times, on="t")
+    piv = at_ev.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d"))).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_risk"))).alias("n1"),
+        F.sum("d").alias("d"),
+        F.sum("n_risk").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    dd = F.col("d").cast("double")
+    e1 = dd * n1d / nd
+    v = F.when(
+        F.col("n") > 1,
+        dd * (n1d / nd) * (F.lit(1.0) - n1d / nd)
+        * ((nd - dd) / (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    terms = piv.select(
+        F.col("d1"),
+        F.round(e1 * 1e6, 0).cast("decimal(38,0)").alias("e1u"),
+        F.round(v * 1e6, 0).cast("decimal(38,0)").alias("vu"),
+    )
+    tot = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1u").alias("e1s"),
+        F.sum("vu").alias("vs"),
+    )
+    counts = n_g.groupBy().pivot("g", [0, 1]).sum("n0")
+    e1d = F.col("e1s").cast("double") / F.lit(1e6)
+    vd = F.col("vs").cast("double") / F.lit(1e6)
+    z = F.when(
+        vd > 0, (F.col("o1").cast("double") - e1d) / F.sqrt(vd)
+    )
+    return (
+        tot.crossJoin(F.broadcast(counts))
+        .select(
+            F.col("0").cast("long").alias("n_ctrl"),
+            F.col("1").cast("long").alias("n_treat"),
+            F.col("o1"),
+            F.round(e1d, 6).alias("e1"),
+            F.round(vd, 6).alias("var1"),
+            F.round(z, 6).alias("z"),
+            F.round(z * z, 6).alias("chi2"),
+        )
+    )

@@ -7232,3 +7232,68 @@ def ann_matryoshka_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "modularity_copurchase_brands",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM items a JOIN items b USING (ok) WHERE a.pk <> b.pk
+    ),
+    e2 AS (
+        SELECT e.src, e.dst, ps.p_brand AS cs, pd.p_brand AS cd
+        FROM edges e
+        JOIN part ps ON e.src = ps.p_partkey
+        JOIN part pd ON e.dst = pd.p_partkey
+    ),
+    per_c AS (
+        SELECT cs AS community,
+               CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS degree_sum,
+               CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra_directed
+        FROM e2 GROUP BY 1
+    ),
+    m2 AS (SELECT CAST(SUM(degree_sum) AS BIGINT) AS m2 FROM per_c),
+    terms AS (
+        SELECT community, n_nodes, degree_sum, intra_directed,
+               CAST(intra_directed AS DOUBLE) / CAST(m2 AS DOUBLE)
+               - (CAST(degree_sum AS DOUBLE) / CAST(m2 AS DOUBLE))
+                 * (CAST(degree_sum AS DOUBLE) / CAST(m2 AS DOUBLE))
+                   AS qt
+        FROM per_c, m2
+    ),
+    qtot AS (
+        SELECT SUM(CAST(ROUND(qt * 1000000.0, 0) AS HUGEINT)) AS qs
+        FROM terms
+    )
+    SELECT community, n_nodes, degree_sum, intra_directed,
+           ROUND(qt, 6) AS q_term,
+           ROUND(CAST(qs AS DOUBLE) / 1000000.0, 6) AS modularity
+    FROM terms, qtot ORDER BY community
+    """,
+)
+def modularity_copurchase_brands(spark, sf_dir):
+    """Newman modularity of the BRAND partition over the part
+    co-purchase graph (`operators/graph.py newman_modularity`): scores
+    a given partition instead of discovering one — the quality metric
+    complement to lpa_copurchase_communities, usable on any labeling
+    (LPA output, brands, shard plans). Exact bigint degree/intra
+    counts on the community grain; micro-quantized Q terms summed
+    exactly."""
+    from ningaloo_turtle_etl_spark.operators.graph import (
+        copurchase_edges,
+        newman_modularity,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    parts = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    edges = copurchase_edges(li)
+    return newman_modularity(edges, parts, "node", "community")

@@ -2698,3 +2698,232 @@ def q_hill_tail_index_by_type(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     return hill_tail_index(ev, "value", "event_type", "event_id", k=50)
+
+
+@register(
+    "did_click_value",
+    """
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS it,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS po,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cy
+        FROM events
+        WHERE event_type IN ('click', 'view')
+          AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN it = 1 AND po = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_treat_pre,
+            CAST(SUM(CASE WHEN it = 1 AND po = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_treat_post,
+            CAST(SUM(CASE WHEN it = 0 AND po = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ctrl_pre,
+            CAST(SUM(CASE WHEN it = 0 AND po = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ctrl_post,
+            CAST(SUM(CASE WHEN it = 1 AND po = 0 THEN cy END)
+                 AS BIGINT) AS s_tp,
+            CAST(SUM(CASE WHEN it = 1 AND po = 1 THEN cy END)
+                 AS BIGINT) AS s_tq,
+            CAST(SUM(CASE WHEN it = 0 AND po = 0 THEN cy END)
+                 AS BIGINT) AS s_cp,
+            CAST(SUM(CASE WHEN it = 0 AND po = 1 THEN cy END)
+                 AS BIGINT) AS s_cq
+        FROM base
+    )
+    SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+           ROUND(CAST(s_tp AS DOUBLE) / 100.0
+                 / CAST(n_treat_pre AS DOUBLE), 6) AS mean_treat_pre,
+           ROUND(CAST(s_tq AS DOUBLE) / 100.0
+                 / CAST(n_treat_post AS DOUBLE), 6) AS mean_treat_post,
+           ROUND(CAST(s_cp AS DOUBLE) / 100.0
+                 / CAST(n_ctrl_pre AS DOUBLE), 6) AS mean_ctrl_pre,
+           ROUND(CAST(s_cq AS DOUBLE) / 100.0
+                 / CAST(n_ctrl_post AS DOUBLE), 6) AS mean_ctrl_post,
+           ROUND((CAST(s_tq AS DOUBLE) / 100.0
+                  / CAST(n_treat_post AS DOUBLE)
+                  - CAST(s_tp AS DOUBLE) / 100.0
+                    / CAST(n_treat_pre AS DOUBLE))
+                 - (CAST(s_cq AS DOUBLE) / 100.0
+                    / CAST(n_ctrl_post AS DOUBLE)
+                    - CAST(s_cp AS DOUBLE) / 100.0
+                      / CAST(n_ctrl_pre AS DOUBLE)), 6) AS did
+    FROM agg
+    """,
+)
+def q_did_click_value(spark, sf_dir):
+    """Difference-in-differences on event value, click (treated) vs
+    view (control), split at 2024-01-16 (`operators/trend.py
+    diff_in_diff`): the parallel-trends causal rung next to CUPED, IPW
+    and CMH. Centi-quantized cell sums make all four means exact-
+    integer ratios; one map-side-combined aggregate."""
+    from ningaloo_turtle_etl_spark.operators.trend import diff_in_diff
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        (F.col("event_type") == "click").alias("it"),
+        (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).alias("po"),
+        F.col("value"),
+    )
+    return diff_in_diff(base, "it", "po", "value")
+
+
+@register(
+    "logrank_signup_conversion",
+    """
+    WITH starts AS (
+        SELECT user_id AS k, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    sg AS (
+        SELECT DISTINCT user_id AS k FROM events
+        WHERE event_type = 'signup'
+    ),
+    ends AS (
+        SELECT e.user_id AS k, MIN(CAST(e.ts AS DATE)) AS de
+        FROM events e JOIN starts s ON e.user_id = s.k
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) > s.d0
+        GROUP BY 1
+    ),
+    h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events),
+    dur AS (
+        SELECT s.k,
+               CASE WHEN sg.k IS NOT NULL THEN 1 ELSE 0 END AS g,
+               CASE WHEN de IS NOT NULL THEN date_diff('day', d0, de)
+                    ELSE date_diff('day', d0, hd) END AS t,
+               de IS NOT NULL AS ev
+        FROM starts s LEFT JOIN sg ON s.k = sg.k
+        LEFT JOIN ends e ON s.k = e.k, h
+    ),
+    gt AS (
+        SELECT g, CAST(t AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS rem
+        FROM dur GROUP BY 1, 2
+    ),
+    ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n0 FROM dur GROUP BY 1),
+    evt AS (
+        SELECT t FROM (SELECT t, SUM(d) AS dt FROM gt GROUP BY t)
+        WHERE dt > 0
+    ),
+    axis AS (
+        SELECT g, t, CAST(SUM(d) AS BIGINT) AS d,
+               CAST(SUM(rem) AS BIGINT) AS rem
+        FROM (
+            SELECT g, t, d, rem FROM gt
+            UNION ALL
+            SELECT ng.g, evt.t, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM ng, evt
+        ) GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT a.g, a.t, a.d,
+               CAST(ng.n0 - COALESCE(SUM(a.rem) OVER (
+                   PARTITION BY a.g ORDER BY a.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+        FROM axis a JOIN ng USING (g)
+    ),
+    piv AS (
+        SELECT r.t,
+               CAST(SUM(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN g = 1 THEN n_risk END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(d) AS BIGINT) AS d,
+               CAST(SUM(n_risk) AS BIGINT) AS n
+        FROM risk r JOIN evt USING (t) GROUP BY r.t
+    ),
+    terms AS (
+        SELECT d1,
+               CAST(ROUND(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 1000000.0, 0)
+                    AS HUGEINT) AS e1u,
+               CASE WHEN n > 1 THEN
+                   CAST(ROUND(CAST(d AS DOUBLE)
+                              * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 - CAST(n1 AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                              * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0))
+                              * 1000000.0, 0) AS HUGEINT)
+                   ELSE 0 END AS vu
+        FROM piv
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1u) AS e1s,
+               SUM(vu) AS vs
+        FROM terms
+    )
+    SELECT (SELECT n0 FROM ng WHERE g = 0) AS n_ctrl,
+           (SELECT n0 FROM ng WHERE g = 1) AS n_treat,
+           o1,
+           ROUND(CAST(e1s AS DOUBLE) / 1000000.0, 6) AS e1,
+           ROUND(CAST(vs AS DOUBLE) / 1000000.0, 6) AS var1,
+           ROUND(CASE WHEN CAST(vs AS DOUBLE) / 1000000.0 > 0
+                 THEN (CAST(o1 AS DOUBLE)
+                       - CAST(e1s AS DOUBLE) / 1000000.0)
+                      / sqrt(CAST(vs AS DOUBLE) / 1000000.0) END, 6)
+               AS z,
+           ROUND(CASE WHEN CAST(vs AS DOUBLE) / 1000000.0 > 0
+                 THEN ((CAST(o1 AS DOUBLE)
+                        - CAST(e1s AS DOUBLE) / 1000000.0)
+                       / sqrt(CAST(vs AS DOUBLE) / 1000000.0))
+                      * ((CAST(o1 AS DOUBLE)
+                          - CAST(e1s AS DOUBLE) / 1000000.0)
+                         / sqrt(CAST(vs AS DOUBLE) / 1000000.0)) END, 6)
+               AS chi2
+    FROM tot
+    """,
+)
+def q_logrank_signup_conversion(spark, sf_dir):
+    """Log-rank test: do users who ever signed up convert (first view →
+    first purchase) on a different survival curve than those who never
+    did? (`operators/trend.py logrank_two_group`). Completes the
+    survival stack — km_conversion_curve / nelson_aalen_daily_conversion
+    draw the curves, cox_ph_click_hazard fits a model, this tests the
+    two-sample difference. Micro-quantized expected/variance terms
+    summed exactly on the event-time grain."""
+    from ningaloo_turtle_etl_spark.operators.trend import logrank_two_group
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    starts = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(d).alias("d0"))
+    )
+    sg = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .withColumn("_sg", F.lit(1))
+    )
+    ends = (
+        ev.join(starts, on="user_id")
+        .where((F.col("event_type") == "purchase") & (d > F.col("d0")))
+        .groupBy("user_id")
+        .agg(F.min(d).alias("de"))
+    )
+    h = ev.agg(F.max(d).alias("hd"))
+    dur = (
+        starts.join(sg, on="user_id", how="left")
+        .join(ends, on="user_id", how="left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.when(F.col("_sg").isNotNull(), 1).otherwise(0).alias("g"),
+            F.when(
+                F.col("de").isNotNull(),
+                F.datediff(F.col("de"), F.col("d0")),
+            )
+            .otherwise(F.datediff(F.col("hd"), F.col("d0")))
+            .cast("long")
+            .alias("t"),
+            F.col("de").isNotNull().alias("ev"),
+        )
+    )
+    return logrank_two_group(dur, "g", "t", "ev")

@@ -525,6 +525,18 @@ PRIORITY: list[str] = [
     # diagnostic behind salting/AQE-skew planning; micro-quantized
     # log-ratio sums over per-group top-k order statistics)
     "hill_tail_index_by_type",
+    # r11 second batch: difference-in-differences (the parallel-trends
+    # causal rung next to CUPED/IPW/CMH; centi-quantized 2x2 cells in
+    # one map-side-combined aggregate)
+    "did_click_value",
+    # r11 second batch: two-group log-rank test (the hypothesis-test
+    # rung of the survival stack over KM/NA/Cox; micro-quantized
+    # hypergeometric terms on the event-time grain)
+    "logrank_signup_conversion",
+    # r11 second batch: Newman modularity of a given partition over
+    # the co-purchase graph (scores what LPA discovers; community-
+    # grain exact counts, micro-quantized Q terms)
+    "modularity_copurchase_brands",
 ]
 
 

@@ -480,3 +480,33 @@ def test_personalized_pagerank_replica_and_seed_locality(spark):
         for r in pagerank(df, iterations=5).collect()
     }
     assert pr["b"] == pr["y"]
+
+
+def test_newman_modularity_pins(spark):
+    """Modularity pins: two disjoint triangles with matching labels
+    score exactly 0.5; collapsing everything into one community scores
+    exactly 0; per-community columns carry exact counts."""
+    from ningaloo_turtle_etl_spark.operators.graph import newman_modularity
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in tri] + [(b, a) for a, b in tri],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(n, "left" if n <= 3 else "right") for n in range(1, 7)],
+        "node long, community string",
+    )
+    out = {r["community"]: r
+           for r in newman_modularity(edges, comm).collect()}
+    for c in ("left", "right"):
+        assert out[c]["n_nodes"] == 3
+        assert out[c]["degree_sum"] == 6
+        assert out[c]["intra_directed"] == 6
+        assert out[c]["q_term"] == 0.25
+        assert out[c]["modularity"] == 0.5
+
+    one = spark.createDataFrame(
+        [(n, "all") for n in range(1, 7)], "node long, community string"
+    )
+    assert newman_modularity(edges, one).collect()[0]["modularity"] == 0.0

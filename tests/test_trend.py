@@ -837,3 +837,86 @@ def test_hill_tail_index_reference(spark):
         for r in hill_tail_index(scaled, "value", "g", "id", k=10).collect()
     }
     assert out2["g"]["alpha"] == out["g"]["alpha"]
+
+
+def test_diff_in_diff_cells(spark):
+    """DiD pins: exact cell means and estimator on a constructed 2x2,
+    and zero when both groups move in parallel."""
+    from ningaloo_turtle_etl_spark.operators.trend import diff_in_diff
+
+    rows = (
+        [(1, 0, 1.0)] * 4
+        + [(1, 1, 3.0)] * 2
+        + [(0, 0, 2.0)] * 5
+        + [(0, 1, 2.5)] * 4
+    )
+    df = spark.createDataFrame(rows, "it int, po int, y double")
+    r = diff_in_diff(df, "it", "po", "y").collect()[0]
+    assert (
+        r["n_treat_pre"], r["n_treat_post"], r["n_ctrl_pre"],
+        r["n_ctrl_post"],
+    ) == (4, 2, 5, 4)
+    assert r["mean_treat_pre"] == 1.0
+    assert r["mean_treat_post"] == 3.0
+    assert r["mean_ctrl_pre"] == 2.0
+    assert r["mean_ctrl_post"] == 2.5
+    assert r["did"] == 1.5
+
+    par = [(1, 0, 1.0), (1, 1, 2.0), (0, 0, 5.0), (0, 1, 6.0)]
+    df2 = spark.createDataFrame(par, "it int, po int, y double")
+    assert diff_in_diff(df2, "it", "po", "y").collect()[0]["did"] == 0.0
+
+
+def test_logrank_two_group_reference(spark):
+    """Log-rank pins without scipy: exact zero when the two groups are
+    identical, and exact agreement with a Python replay of the
+    micro-quantized hypergeometric terms on censored data."""
+    from ningaloo_turtle_etl_spark.operators.trend import logrank_two_group
+
+    same = [(g, t, e) for g in (0, 1)
+            for t, e in [(2, True), (3, True), (5, False), (7, True)]]
+    df = spark.createDataFrame(same, "g int, t long, ev boolean")
+    r = logrank_two_group(df, "g", "t", "ev").collect()[0]
+    assert (r["n_ctrl"], r["n_treat"]) == (4, 4)
+    assert r["z"] == 0.0 and r["chi2"] == 0.0
+
+    rows = [
+        (1, 1, True), (1, 2, False), (1, 4, True), (1, 6, True),
+        (1, 6, False),
+        (0, 1, True), (0, 1, True), (0, 3, True), (0, 5, False),
+        (0, 6, True), (0, 8, False),
+    ]
+    df2 = spark.createDataFrame(rows, "g int, t long, ev boolean")
+    got = logrank_two_group(df2, "g", "t", "ev").collect()[0]
+
+    import math
+    from collections import defaultdict
+
+    n0 = {g: sum(1 for gg, _, _ in rows if gg == g) for g in (0, 1)}
+    d_gt, rem_gt = defaultdict(int), defaultdict(int)
+    for g, t, e in rows:
+        rem_gt[(g, t)] += 1
+        if e:
+            d_gt[(g, t)] += 1
+    ev_times = sorted({t for (_, t), d in d_gt.items() if d > 0})
+    o1, e1s, vs = 0, 0, 0
+    for t in ev_times:
+        n_r = {
+            g: n0[g] - sum(rem_gt[(g, tt)] for tt in range(0, t))
+            for g in (0, 1)
+        }
+        d = d_gt[(0, t)] + d_gt[(1, t)]
+        n = n_r[0] + n_r[1]
+        o1 += d_gt[(1, t)]
+        e1s += round(d * n_r[1] / n * 1e6)
+        if n > 1:
+            vs += round(
+                d * (n_r[1] / n) * (1 - n_r[1] / n) * ((n - d) / (n - 1))
+                * 1e6
+            )
+    assert got["o1"] == o1
+    assert got["e1"] == round(e1s / 1e6, 6)
+    assert got["var1"] == round(vs / 1e6, 6)
+    z = (o1 - e1s / 1e6) / math.sqrt(vs / 1e6)
+    assert got["z"] == round(z, 6)
+    assert got["chi2"] == round(z * z, 6)
