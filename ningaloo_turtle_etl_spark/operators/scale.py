@@ -539,3 +539,92 @@ def rendezvous_shard_plan(
         .orderBy("shard")
     )
     return out
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    zone_col: str,
+    order_exprs: dict,
+    lo,
+    hi,
+    n_files: int = 32,
+) -> DataFrame:
+    """Zone-map (min/max) pruning audit across candidate file layouts —
+    the missing WHY next to the layout planners (zorder/hilbert order,
+    compaction_bin_plan sizes, rendezvous placement): given the same
+    rows laid out N ways, how many of the resulting files could a
+    reader SKIP for a range predicate on ``zone_col``?
+
+    Each layout in ``order_exprs`` (name → list of ordering Columns)
+    simulates writing the table in that order into ``n_files`` equal
+    files via ntile; per file the zone is (min, max) of ``zone_col``;
+    a file is hit when its zone overlaps [lo, hi). Emits per layout:
+    files hit/pruned, prune fraction, rows scanned in hit files, and
+    the (layout-invariant) matching row count as the sanity column.
+
+    Determinism: every ordering must be a TOTAL order (pass tiebreak
+    columns) so ntile assigns identically in both engines.
+
+    Scale shape: the ntile sort is the SIMULATION of a layout, not a
+    production step — real zone maps come from file metadata, and the
+    audit then runs on the (file × layout) grain only. Per layout:
+    one sort, one file-grain aggregate, one layout-grain reduce."""
+    outs = []
+    for name, cols in order_exprs.items():
+        w = Window.orderBy(*cols)
+        files = (
+            df.select(
+                F.col(zone_col).alias("z"),
+                F.ntile(n_files).over(w).alias("f"),
+            )
+            .groupBy("f")
+            .agg(
+                F.min("z").alias("zmin"),
+                F.max("z").alias("zmax"),
+                F.count(F.lit(1)).cast("long").alias("rows"),
+            )
+        )
+        hit = (F.col("zmax") >= F.lit(lo)) & (F.col("zmin") < F.lit(hi))
+        outs.append(
+            files.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(hit.cast("long")).cast("long").alias("files_hit"),
+                F.sum((~hit).cast("long")).cast("long").alias(
+                    "files_pruned"
+                ),
+                F.sum(F.when(hit, F.col("rows"))).cast("long").alias(
+                    "rows_scanned"
+                ),
+            )
+        )
+    matching = df.agg(
+        F.sum(
+            (
+                (F.col(zone_col) >= F.lit(lo))
+                & (F.col(zone_col) < F.lit(hi))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rows_matching")
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (
+        out.crossJoin(F.broadcast(matching))
+        .select(
+            "layout",
+            "n_files",
+            "files_hit",
+            "files_pruned",
+            F.round(
+                F.col("files_pruned").cast("double")
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("prune_frac"),
+            "rows_scanned",
+            "rows_matching",
+        )
+        .orderBy("layout")
+    )

@@ -1082,3 +1082,100 @@ def sequential_pattern_support(
         .orderBy(F.desc("support"), "t1", "t2", "t3")
         .limit(int(top_n))
     )
+
+
+# HMM forward-algorithm parameters: a 2-state browse/buy model over the
+# five event types. Literal constants so both engines unroll the exact
+# same arithmetic; probabilities are x.xx literals that sum to 1 per row.
+HMM_PI = (0.6, 0.4)
+HMM_T = ((0.8, 0.2), (0.3, 0.7))
+HMM_E = {
+    "view": (0.5, 0.2),
+    "click": (0.3, 0.3),
+    "error": (0.1, 0.1),
+    "signup": (0.05, 0.1),
+    "purchase": (0.05, 0.3),
+}
+
+
+def hmm_forward_loglik(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_cols: Sequence[str],
+    steps: int = 4,
+) -> DataFrame:
+    """Forward-algorithm log-likelihood of each user's first ``steps``
+    events under a fixed 2-state HMM — the hidden-state sequence model
+    above markov_attribution's observable-state chain: scores how well
+    a browse/buy latent structure explains early sessions, the
+    anomaly/segmentation signal (a low-likelihood prefix is a bot or a
+    new behavior class).
+
+    The recursion α'_j = (Σ_i α_i·T_ij)·E_j(obs) is UNROLLED for the
+    fixed step count into pure column expressions — no fold, no UDF —
+    with every multiply/add in one fixed association both engines
+    share. Per-user log-likelihoods are micro-quantized and summed
+    exactly per first-event type, so the cross-user double summation
+    order cannot diverge.
+
+    Scale shape: one rank window bounded at ``steps`` rows per user
+    (TakeOrdered-class), one user-grain pivot, map-only unrolled
+    arithmetic, one small-grain reduce. Driver state: none."""
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    firsts = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("x"),
+            F.row_number().over(w).alias("k"),
+        )
+        .where(F.col("k") <= steps)
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            *[
+                F.max(F.when(F.col("k") == i, F.col("x"))).alias(
+                    f"o{i}"
+                )
+                for i in range(1, steps + 1)
+            ],
+        )
+        .where(F.col("n_obs") == steps)
+    )
+
+    def emit(state: int, obs_col: str) -> Column:
+        expr = F.lit(None).cast("double")
+        for t, probs in HMM_E.items():
+            expr = F.when(F.col(obs_col) == t, F.lit(probs[state])).otherwise(
+                expr
+            )
+        return expr
+
+    a0 = F.lit(HMM_PI[0]) * emit(0, "o1")
+    a1 = F.lit(HMM_PI[1]) * emit(1, "o1")
+    for i in range(2, steps + 1):
+        b0 = (a0 * F.lit(HMM_T[0][0]) + a1 * F.lit(HMM_T[1][0])) * emit(
+            0, f"o{i}"
+        )
+        b1 = (a0 * F.lit(HMM_T[0][1]) + a1 * F.lit(HMM_T[1][1])) * emit(
+            1, f"o{i}"
+        )
+        a0, a1 = b0, b1
+    ll_micro = F.round(F.log(a0 + a1) * 1e6, 0).cast("long")
+    per_user = firsts.select(
+        F.col("o1").alias("first_type"), ll_micro.alias("llu")
+    )
+    out = per_user.groupBy("first_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("llu").cast("decimal(38,0)")).alias("lls"),
+    )
+    avg = F.col("lls").cast("double") / F.lit(1e6) / F.col(
+        "n_users"
+    ).cast("double")
+    return out.select(
+        "first_type",
+        "n_users",
+        F.round(avg, 6).alias("avg_loglik"),
+    ).orderBy("first_type")

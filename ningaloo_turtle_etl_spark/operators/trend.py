@@ -3397,3 +3397,68 @@ def logrank_two_group(
             F.round(z * z, 6).alias("chi2"),
         )
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F — the parametric twin of
+    kruskal_wallis_by_group (same k-group question, on means instead
+    of ranks): F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    Exactness: values are centi-quantized so every per-group sum and
+    sum-of-squares is an exact integer (DECIMAL(38,0) — cents² sums
+    outgrow int64 fast); the per-group between/within terms s²/n and
+    ss − s²/n are computed in double from those exact integers,
+    quantized to the unit grid, and summed exactly so the k-group
+    double summation order cannot differ between engines.
+
+    Scale shape: one group-grain map-side-combined aggregate + one
+    k-row reduce; nothing ever exceeds the group grain."""
+    cy = F.round(F.col(value_col) * 100, 0).cast("decimal(38,0)")
+    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cy).alias("s"),
+        F.sum(cy * cy).alias("ss"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n_g").cast("double")
+    ssd = F.col("ss").cast("double")
+    qb = F.round(sd * sd / nd, 0).cast("decimal(38,0)")
+    qw = F.round(ssd - sd * sd / nd, 0).cast("decimal(38,0)")
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s").alias("s_tot"),
+        F.sum(qb).alias("qb"),
+        F.sum(qw).alias("qw"),
+    )
+    n_d = F.col("n").cast("double")
+    st_d = F.col("s_tot").cast("double")
+    ssb = F.col("qb").cast("double") - st_d * st_d / n_d
+    ssw = F.col("qw").cast("double")
+    kd = F.col("k").cast("double")
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / (kd - F.lit(1.0)))
+        / (ssw / (n_d - kd)),
+    )
+    scal = tot.select(
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+    mean = F.col("s").cast("double") / F.lit(100.0) / F.col("n_g").cast(
+        "double"
+    )
+    return (
+        per_g.select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n"),
+            F.round(mean, 6).alias("mean"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .orderBy(group_col)
+    )

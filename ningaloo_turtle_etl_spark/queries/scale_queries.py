@@ -64,3 +64,96 @@ def rendezvous_shard_plan_query(spark, sf_dir):
         F.col("doc_id").cast("string").alias("k")
     )
     return rendezvous_shard_plan(docs, "k", n_shards=8, seed=7)
+
+
+@register(
+    "zonemap_prune_shipdate",
+    """
+    WITH base AS (
+        SELECT CAST(l_shipdate AS DATE) AS z, l_orderkey AS ok,
+               l_linenumber AS ln
+        FROM lineitem
+    ),
+    f1 AS (SELECT z, ntile(32) OVER (ORDER BY ok, ln) AS f FROM base),
+    z1 AS (
+        SELECT f, MIN(z) AS zmin, MAX(z) AS zmax,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM f1 GROUP BY f
+    ),
+    a1 AS (
+        SELECT 'insertion_order' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN 0 ELSE 1 END) AS BIGINT) AS files_pruned,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN n_rows END) AS BIGINT) AS rows_scanned
+        FROM z1
+    ),
+    f2 AS (SELECT z, ntile(32) OVER (ORDER BY z, ok, ln) AS f FROM base),
+    z2 AS (
+        SELECT f, MIN(z) AS zmin, MAX(z) AS zmax,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM f2 GROUP BY f
+    ),
+    a2 AS (
+        SELECT 'shipdate_sorted' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN 0 ELSE 1 END) AS BIGINT) AS files_pruned,
+               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+                             AND zmin < DATE '1998-06-08'
+                        THEN n_rows END) AS BIGINT) AS rows_scanned
+        FROM z2
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN z >= DATE '1998-06-01'
+                             AND z < DATE '1998-06-08'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+        FROM base
+    )
+    SELECT layout, n_files, files_hit, files_pruned,
+           ROUND(CAST(files_pruned AS DOUBLE)
+                 / CAST(n_files AS DOUBLE), 6) AS prune_frac,
+           rows_scanned, rows_matching
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2), m
+    ORDER BY layout
+    """,
+)
+def zonemap_prune_shipdate_query(spark, sf_dir):
+    """Zone-map pruning audit of lineitem for a one-week shipdate
+    predicate under two simulated 32-file layouts — insertion order vs
+    shipdate-sorted (`operators/scale.py zonemap_prune_audit`): the
+    WHY behind the layout stack (zorder/hilbert/compaction), showing
+    min/max skipping go from ~zero to ~31/32 files when the layout
+    matches the predicate column."""
+    import datetime
+
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        zonemap_prune_audit,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.to_date("l_shipdate").alias("z"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    return zonemap_prune_audit(
+        li,
+        "z",
+        {
+            "insertion_order": [F.col("ok"), F.col("ln")],
+            "shipdate_sorted": [F.col("z"), F.col("ok"), F.col("ln")],
+        },
+        datetime.date(1998, 6, 1),
+        datetime.date(1998, 6, 8),
+        n_files=32,
+    )

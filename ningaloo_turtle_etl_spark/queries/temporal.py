@@ -731,3 +731,97 @@ def sequential_patterns_users(spark, sf_dir):
     return sequential_pattern_support(
         ev, "user_id", "event_type", "ts_epoch", 0.05, 50
     )
+
+
+@register(
+    "hmm_forward_first4",
+    """
+    WITH ranked AS (
+        SELECT user_id AS u, event_type AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS k
+        FROM events
+    ),
+    firsts AS (
+        SELECT u,
+               MAX(CASE WHEN k = 1 THEN x END) AS o1,
+               MAX(CASE WHEN k = 2 THEN x END) AS o2,
+               MAX(CASE WHEN k = 3 THEN x END) AS o3,
+               MAX(CASE WHEN k = 4 THEN x END) AS o4
+        FROM ranked WHERE k <= 4 GROUP BY u
+        HAVING COUNT(*) = 4
+    ),
+    s1 AS (
+        SELECT u, o1, o2, o3, o4,
+               0.6 * (CASE o1 WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
+                      WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.05
+                      WHEN 'purchase' THEN 0.05 END) AS a0,
+               0.4 * (CASE o1 WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.3
+                      WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.1
+                      WHEN 'purchase' THEN 0.3 END) AS a1
+        FROM firsts
+    ),
+    s2 AS (
+        SELECT u, o1, o3, o4,
+               (a0 * 0.8 + a1 * 0.3)
+               * (CASE o2 WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.05
+                  WHEN 'purchase' THEN 0.05 END) AS a0,
+               (a0 * 0.2 + a1 * 0.7)
+               * (CASE o2 WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.1
+                  WHEN 'purchase' THEN 0.3 END) AS a1
+        FROM s1
+    ),
+    s3 AS (
+        SELECT u, o1, o4,
+               (a0 * 0.8 + a1 * 0.3)
+               * (CASE o3 WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.05
+                  WHEN 'purchase' THEN 0.05 END) AS a0,
+               (a0 * 0.2 + a1 * 0.7)
+               * (CASE o3 WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.1
+                  WHEN 'purchase' THEN 0.3 END) AS a1
+        FROM s2
+    ),
+    s4 AS (
+        SELECT u, o1,
+               (a0 * 0.8 + a1 * 0.3)
+               * (CASE o4 WHEN 'view' THEN 0.5 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.05
+                  WHEN 'purchase' THEN 0.05 END) AS a0,
+               (a0 * 0.2 + a1 * 0.7)
+               * (CASE o4 WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.3
+                  WHEN 'error' THEN 0.1 WHEN 'signup' THEN 0.1
+                  WHEN 'purchase' THEN 0.3 END) AS a1
+        FROM s3
+    ),
+    per_user AS (
+        SELECT o1 AS first_type,
+               CAST(ROUND(ln(a0 + a1) * 1000000.0, 0) AS HUGEINT) AS llu
+        FROM s4
+    )
+    SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(llu) AS DOUBLE) / 1000000.0
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_loglik
+    FROM per_user GROUP BY first_type ORDER BY first_type
+    """,
+)
+def q_hmm_forward_first4(spark, sf_dir):
+    """Forward-algorithm log-likelihood of each user's first four
+    events under the fixed 2-state browse/buy HMM
+    (`operators/temporal.py hmm_forward_loglik`), averaged per
+    first-event type: the hidden-state sequence model above
+    markov_attribution_channels' observable chain — low-likelihood
+    prefixes flag bots or new behavior classes. The recursion is
+    unrolled into pure column expressions (no fold, no UDF); per-user
+    log-likelihoods are micro-quantized before the cross-user sum."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        hmm_forward_loglik,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return hmm_forward_loglik(
+        ev, "user_id", "event_type", ["ts", "event_id"], steps=4
+    )

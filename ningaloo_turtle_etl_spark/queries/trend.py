@@ -2927,3 +2927,67 @@ def q_logrank_signup_conversion(spark, sf_dir):
         )
     )
     return logrank_two_group(dur, "g", "t", "ev")
+
+
+@register(
+    "anova_value_by_type",
+    """
+    WITH base AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS HUGEINT)
+                   AS cy
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_g AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(cy) AS s, SUM(cy * cy) AS ss
+        FROM base GROUP BY g
+    ),
+    q AS (
+        SELECT g, n_g, s,
+               CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_g AS DOUBLE), 0) AS HUGEINT) AS qb,
+               CAST(ROUND(CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n_g AS DOUBLE), 0) AS HUGEINT) AS qw
+        FROM per_g
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM(s) AS s_tot, SUM(qb) AS qbs, SUM(qw) AS qws
+        FROM q
+    ),
+    scal AS (
+        SELECT CAST(k - 1 AS BIGINT) AS dof_between,
+               CAST(n - k AS BIGINT) AS dof_within,
+               ROUND(CASE WHEN k > 1 AND n > k
+                              AND CAST(qws AS DOUBLE) > 0
+                     THEN ((CAST(qbs AS DOUBLE)
+                            - CAST(s_tot AS DOUBLE)
+                              * CAST(s_tot AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0))
+                          / (CAST(qws AS DOUBLE)
+                             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     END, 6) AS f_stat
+        FROM tot
+    )
+    SELECT g AS event_type, n_g AS n,
+           ROUND(CAST(s AS DOUBLE) / 100.0 / CAST(n_g AS DOUBLE), 6)
+               AS mean,
+           dof_between, dof_within, f_stat
+    FROM q, scal ORDER BY event_type
+    """,
+)
+def q_anova_value_by_type(spark, sf_dir):
+    """One-way ANOVA F of event value across the five event types
+    (`operators/trend.py anova_oneway`): the parametric twin of
+    kruskal_wallis_value_by_type — same k-group question on means.
+    Centi-quantized values make every per-group sum exact; between/
+    within terms are unit-grid quantized before the k-group sum."""
+    from ningaloo_turtle_etl_spark.operators.trend import anova_oneway
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull()
+    )
+    return anova_oneway(ev, "value", "event_type")

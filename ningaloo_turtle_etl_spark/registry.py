@@ -537,6 +537,17 @@ PRIORITY: list[str] = [
     # the co-purchase graph (scores what LPA discovers; community-
     # grain exact counts, micro-quantized Q terms)
     "modularity_copurchase_brands",
+    # r11 second batch: one-way ANOVA F (parametric twin of the
+    # Kruskal-Wallis row; centi-quantized sums, unit-grid terms)
+    "anova_value_by_type",
+    # r11 second batch: zone-map pruning audit across simulated file
+    # layouts (the WHY behind zorder/hilbert/compaction: min/max
+    # skipping vs layout-predicate alignment)
+    "zonemap_prune_shipdate",
+    # r11 second batch: 2-state HMM forward log-likelihood, unrolled
+    # 4 steps as pure column expressions (the hidden-state rung above
+    # markov_attribution's observable chain)
+    "hmm_forward_first4",
 ]
 
 

@@ -446,3 +446,38 @@ def test_rendezvous_shard_plan_minimal_disruption(spark):
     # determinism
     again = rendezvous_shard_plan(df, "k", n_shards=5, seed=7).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_zonemap_prune_audit_layouts(spark):
+    """Zone-map audit pins: a layout sorted on the predicate column
+    prunes all but the matching file; an uncorrelated layout prunes
+    nothing; rows_matching is layout-invariant."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        zonemap_prune_audit,
+    )
+
+    rows = [(i % 16, i) for i in range(64)]
+    df = spark.createDataFrame(rows, "z long, ok long")
+    out = {
+        r["layout"]: r
+        for r in zonemap_prune_audit(
+            df,
+            "z",
+            {
+                "insertion_order": [F.col("ok")],
+                "z_sorted": [F.col("z"), F.col("ok")],
+            },
+            4,
+            8,
+            n_files=4,
+        ).collect()
+    }
+    ins, srt = out["insertion_order"], out["z_sorted"]
+    assert ins["n_files"] == srt["n_files"] == 4
+    assert ins["files_pruned"] == 0 and ins["rows_scanned"] == 64
+    assert srt["files_pruned"] == 3 and srt["files_hit"] == 1
+    assert srt["rows_scanned"] == 16
+    assert ins["rows_matching"] == srt["rows_matching"] == 16
+    assert srt["prune_frac"] == 0.75

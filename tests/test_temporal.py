@@ -696,3 +696,33 @@ def test_sequential_pattern_support_semantics(spark):
         ).collect()
     }
     assert got2[("a", "b", "c")] == 2  # u1 and u5
+
+
+def test_hmm_forward_loglik_reference(spark):
+    """HMM forward pins: exact agreement with a Python replay of the
+    unrolled 2-state recursion on a known sequence, and users with
+    fewer than `steps` events are excluded."""
+    import math
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        HMM_E, HMM_PI, HMM_T, hmm_forward_loglik,
+    )
+
+    seq = ["view", "click", "purchase", "view"]
+    rows = [(1, t, i) for i, t in enumerate(seq)]
+    rows += [(2, "view", 0), (2, "click", 1)]  # too short -> excluded
+    df = spark.createDataFrame(rows, "u long, x string, o long")
+    out = hmm_forward_loglik(df, "u", "x", ["o"], steps=4).collect()
+    assert len(out) == 1
+
+    a = [HMM_PI[0] * HMM_E[seq[0]][0], HMM_PI[1] * HMM_E[seq[0]][1]]
+    for x in seq[1:]:
+        a = [
+            (a[0] * HMM_T[0][0] + a[1] * HMM_T[1][0]) * HMM_E[x][0],
+            (a[0] * HMM_T[0][1] + a[1] * HMM_T[1][1]) * HMM_E[x][1],
+        ]
+    ll = round(math.log(a[0] + a[1]) * 1e6)
+    r = out[0]
+    assert r["first_type"] == "view"
+    assert r["n_users"] == 1
+    assert r["avg_loglik"] == round(ll / 1e6 / 1, 6)

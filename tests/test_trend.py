@@ -920,3 +920,46 @@ def test_logrank_two_group_reference(spark):
     z = (o1 - e1s / 1e6) / math.sqrt(vs / 1e6)
     assert got["z"] == round(z, 6)
     assert got["chi2"] == round(z * z, 6)
+
+
+def test_anova_oneway_reference(spark):
+    """ANOVA pins without scipy: F == 0 when all group means are equal,
+    and exact agreement with a Python replay of the centi-quantized
+    computation on unbalanced groups."""
+    from ningaloo_turtle_etl_spark.operators.trend import anova_oneway
+
+    eq = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(eq, "g string, y double")
+    out = anova_oneway(df, "y", "g").collect()
+    assert all(r["f_stat"] == 0.0 for r in out)
+    assert all(r["mean"] == 2.0 for r in out)
+
+    rows = [
+        ("a", 1.25), ("a", 2.5), ("a", 2.25),
+        ("b", 4.0), ("b", 5.5), ("b", 4.75), ("b", 6.0),
+        ("c", 2.0), ("c", 3.0),
+    ]
+    df2 = spark.createDataFrame(rows, "g string, y double")
+    got = {r["g"]: r for r in anova_oneway(df2, "y", "g").collect()}
+
+    groups = sorted({g for g, _ in rows})
+    cents = {g: [round(y * 100) for gg, y in rows if gg == g]
+             for g in groups}
+    qb = sum(round(sum(c) ** 2 / len(c)) for c in cents.values())
+    qw = sum(
+        round(sum(x * x for x in c) - sum(c) ** 2 / len(c))
+        for c in cents.values()
+    )
+    n = len(rows)
+    s_tot = sum(sum(c) for c in cents.values())
+    k = len(groups)
+    ssb = qb - s_tot * s_tot / n
+    f = (ssb / (k - 1)) / (qw / (n - k))
+    for g in groups:
+        assert got[g]["n"] == len(cents[g])
+        assert got[g]["mean"] == round(
+            sum(cents[g]) / 100.0 / len(cents[g]), 6
+        )
+        assert got[g]["dof_between"] == k - 1
+        assert got[g]["dof_within"] == n - k
+        assert got[g]["f_stat"] == round(f, 6)
