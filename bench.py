@@ -1396,6 +1396,41 @@ def _rfm_sf(spark, sf_dir):
     return registry.queries()["rfm_customer_segments"](spark, sf_dir)
 
 
+def _kruskal_sf(spark, sf_dir):
+    """Kruskal-Wallis at the sf grain: the distinct-value-grain
+    cumulative window is the risk (value cardinality ~ row count at
+    this data) — watch it stay one window over the distinct grain,
+    never a row-grain rank."""
+    return registry.queries()["kruskal_wallis_value_by_type"](spark, sf_dir)
+
+
+def _logrank_sf(spark, sf_dir):
+    """Log-rank at the sf grain: user-grain survival build (three
+    type-filtered aggregates + two left joins), then the per-group
+    cumulative at-risk windows on the day grain."""
+    return registry.queries()["logrank_signup_conversion"](spark, sf_dir)
+
+
+def _modularity_sf(spark, sf_dir):
+    """Newman modularity at the sf grain: dominated by the per-order
+    co-purchase edge self-join (shared with the pagerank probes) +
+    two broadcast community lookups and a community-grain reduce."""
+    return registry.queries()["modularity_copurchase_brands"](spark, sf_dir)
+
+
+def _zonemap_sf(spark, sf_dir):
+    """Zone-map audit at the sf grain: two GLOBAL ntile sorts of
+    lineitem (the layout simulation — the documented single-partition
+    window) + file-grain aggregates."""
+    return registry.queries()["zonemap_prune_shipdate"](spark, sf_dir)
+
+
+def _hmm_sf(spark, sf_dir):
+    """HMM forward at the sf grain: one bounded rank window per user +
+    the unrolled 4-step column arithmetic; map-only after the pivot."""
+    return registry.queries()["hmm_forward_first4"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -1489,6 +1524,15 @@ EXTRAS = {
     "holt_winters_sf": _holt_winters_sf,
     "cv_auc_sf": _cv_auc_sf,
     "ndcg_sf": _ndcg_sf,
+    # r11 second-batch probes: the families with a distinct scale grain
+    # to watch (Cochran-Armitage / ANOVA / Hill / DiD ride single
+    # map-side-combined aggregates or bounded top-k windows — no
+    # distinct scale risk to probe).
+    "kruskal_sf": _kruskal_sf,
+    "logrank_sf": _logrank_sf,
+    "modularity_sf": _modularity_sf,
+    "zonemap_sf": _zonemap_sf,
+    "hmm_sf": _hmm_sf,
 }
 
 # 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
