@@ -362,6 +362,16 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "ann_matryoshka_topk",
         "overdispersion_daily_counts",
         "rendezvous_shard_plan",
+        # r11 second batch, full oracles
+        "cochran_armitage_priority_fail",
+        "kruskal_wallis_value_by_type",
+        "hill_tail_index_by_type",
+        "did_click_value",
+        "logrank_signup_conversion",
+        "modularity_copurchase_brands",
+        "anova_value_by_type",
+        "zonemap_prune_shipdate",
+        "hmm_forward_first4",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
