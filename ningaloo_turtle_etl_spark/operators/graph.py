@@ -899,12 +899,20 @@ def newman_modularity(
         .join(F.broadcast(cs), on="src")
         .join(F.broadcast(cd), on="dst")
     )
-    per_c = e2.groupBy(F.col("_cs").alias(comm_col)).agg(
-        F.countDistinct("src").cast("long").alias("n_nodes"),
-        F.count(F.lit(1)).cast("long").alias("degree_sum"),
-        F.sum(
-            (F.col("_cs") == F.col("_cd")).cast("long")
-        ).cast("long").alias("intra_directed"),
+    # Community-grain frame consumed by three branches (terms, the m2
+    # scalar, the Q total) — eagerly truncate so the upstream edge
+    # build runs ONCE, not once per branch (the weighted_pagerank
+    # fan-out lesson).
+    per_c = (
+        e2.groupBy(F.col("_cs").alias(comm_col))
+        .agg(
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.sum(
+                (F.col("_cs") == F.col("_cd")).cast("long")
+            ).cast("long").alias("intra_directed"),
+        )
+        .localCheckpoint(eager=True)
     )
     m2 = per_c.agg(F.sum("degree_sum").cast("long").alias("m2"))
     withm = per_c.crossJoin(F.broadcast(m2))

@@ -3091,6 +3091,9 @@ def kruskal_wallis_by_group(
         F.count(F.lit(1)).cast("long").alias("cg")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Group-grain (k rows) but derived from the value-grain join —
+    # eagerly truncate so the join runs once, not once per consumer
+    # (the H scalar and the per-group output both read it).
     per_g = (
         gv.join(dv, on="v")
         .groupBy("g")
@@ -3098,6 +3101,7 @@ def kruskal_wallis_by_group(
             F.sum("cg").cast("long").alias("n_g"),
             F.sum(dec(F.col("cg")) * dec(F.col("d"))).alias("rd"),
         )
+        .localCheckpoint(eager=True)
     )
     ties = dv.agg(
         F.sum(dec(F.col("c")) * dec(F.col("c")) * dec(F.col("c"))
@@ -3173,6 +3177,8 @@ def hill_tail_index(
     w = Window.partitionBy(group_col).orderBy(
         F.col("x").desc(), F.col(id_col).asc()
     )
+    # groups×(k+1) rows read by both the threshold agg and the term
+    # build — eagerly truncate so the scan + rank window run once.
     top = (
         df.where(F.col(value_col) > 0)
         .select(
@@ -3182,6 +3188,7 @@ def hill_tail_index(
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k + 1)
+        .localCheckpoint(eager=True)
     )
     thr = top.groupBy(group_col).agg(
         F.min("x").alias("thr"),
@@ -3313,12 +3320,17 @@ def logrank_two_group(
         F.col(event_col).cast("boolean").alias("ev"),
     )
     # (g, t) grain: deaths + removals (death or censor) per time.
+    # Eagerly truncated — every downstream frame (cohort sizes, event
+    # times, the union axis) derives from this one small frame, so the
+    # subject-grain input is scanned exactly once.
     gt = base.groupBy("g", "t").agg(
         F.sum(F.col("ev").cast("long")).alias("d"),
         F.count(F.lit(1)).cast("long").alias("rem"),
-    )
-    n_g = base.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n0")
+    ).localCheckpoint(eager=True)
+    # Every subject appears at exactly one (g, t), so cohort sizes are
+    # a rollup of gt — no second pass over the subject grain.
+    n_g = gt.groupBy("g").agg(
+        F.sum("rem").cast("long").alias("n0")
     )
     # Global event times (any group) — the evaluation axis.
     ev_times = (
@@ -3418,10 +3430,16 @@ def anova_oneway(
     Scale shape: one group-grain map-side-combined aggregate + one
     k-row reduce; nothing ever exceeds the group grain."""
     cy = F.round(F.col(value_col) * 100, 0).cast("decimal(38,0)")
-    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum(cy).alias("s"),
-        F.sum(cy * cy).alias("ss"),
+    # k-row group grain read by both the F scalar and the output rows —
+    # eagerly truncate so the fact scan runs once.
+    per_g = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(cy).alias("s"),
+            F.sum(cy * cy).alias("ss"),
+        )
+        .localCheckpoint(eager=True)
     )
     sd = F.col("s").cast("double")
     nd = F.col("n_g").cast("double")
