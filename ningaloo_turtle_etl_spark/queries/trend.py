@@ -2991,3 +2991,218 @@ def q_anova_value_by_type(spark, sf_dir):
         F.col("value").isNotNull()
     )
     return anova_oneway(ev, "value", "event_type")
+
+
+@register(
+    "market_concentration_brands",
+    """
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS HUGEINT)) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+               SUM(cents) AS tot_cents
+        FROM rev
+    ),
+    shares AS (
+        SELECT brand, cents,
+               CAST(cents AS DOUBLE) / CAST(tot_cents AS DOUBLE) AS sh,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, brand ASC) AS rnk
+        FROM rev, tot
+    ),
+    hhi AS (
+        SELECT SUM(CAST(ROUND(sh * sh * 1000000000000.0, 0) AS HUGEINT))
+                   AS hp
+        FROM shares
+    ),
+    cr AS (
+        SELECT SUM(cents) AS top4
+        FROM shares WHERE rnk <= 4
+    )
+    SELECT n_brands,
+           ROUND(CAST(tot_cents AS DOUBLE) / 100.0, 6) AS total_revenue,
+           ROUND(CAST(hp AS DOUBLE) / 1000000000000.0, 6) AS hhi,
+           ROUND(CAST(top4 AS DOUBLE) / CAST(tot_cents AS DOUBLE), 6)
+               AS cr4
+    FROM tot, hhi, cr
+    """,
+)
+def q_market_concentration_brands(spark, sf_dir):
+    """Brand revenue concentration — HHI and CR4 over discounted
+    lineitem revenue: the market-structure companions to source_gini
+    and inequality_profile_by_source (HHI is the regulator's Simpson
+    index; CR4 the top-k mass). Centi-quantized revenue keeps every
+    brand sum exact; share² terms are pico-quantized before the
+    cross-brand sum; the top-4 window runs on the ~25-row brand grain.
+    One fact scan, one broadcast dim join, entity-grain everything
+    after."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_brand"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100,
+        0,
+    ).cast("decimal(38,0)")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum("cents").alias("tot_cents"),
+    )
+    shares = rev.crossJoin(F.broadcast(tot.select("tot_cents"))).select(
+        "cents",
+        (
+            F.col("cents").cast("double")
+            / F.col("tot_cents").cast("double")
+        ).alias("sh"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), F.col("brand").asc()))
+        .alias("rnk"),
+    )
+    hhi = shares.agg(
+        F.sum(
+            F.round(F.col("sh") * F.col("sh") * 1e12, 0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("hp")
+    )
+    cr = shares.where(F.col("rnk") <= 4).agg(
+        F.sum("cents").alias("top4")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(hhi)).crossJoin(F.broadcast(cr))
+    )
+    return out.select(
+        "n_brands",
+        F.round(
+            F.col("tot_cents").cast("double") / F.lit(100.0), 6
+        ).alias("total_revenue"),
+        F.round(
+            F.col("hp").cast("double") / F.lit(1e12), 6
+        ).alias("hhi"),
+        F.round(
+            F.col("top4").cast("double")
+            / F.col("tot_cents").cast("double"),
+            6,
+        ).alias("cr4"),
+    )
+
+
+@register(
+    "relative_risk_daily_signup_purchase",
+    """
+    WITH units AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS e,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(SUM(e * y) AS BIGINT) AS a,
+               CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+        FROM units
+    )
+    SELECT a, b, c, d,
+           ROUND(CASE WHEN a > 0 AND c > 0
+                 THEN (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+                                            + CAST(b AS DOUBLE)))
+                      / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE)
+                                              + CAST(d AS DOUBLE)))
+                 END, 6) AS rr,
+           ROUND(CASE WHEN a > 0 AND c > 0
+                 THEN exp(ln((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+                                                   + CAST(b AS DOUBLE)))
+                             / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE)
+                                                     + CAST(d AS DOUBLE))))
+                          - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                        - 1.0 / (CAST(a AS DOUBLE)
+                                                 + CAST(b AS DOUBLE))
+                                        + 1.0 / CAST(c AS DOUBLE)
+                                        - 1.0 / (CAST(c AS DOUBLE)
+                                                 + CAST(d AS DOUBLE))))
+                 END, 6) AS rr_lo,
+           ROUND(CASE WHEN a > 0 AND c > 0
+                 THEN exp(ln((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+                                                   + CAST(b AS DOUBLE)))
+                             / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE)
+                                                     + CAST(d AS DOUBLE))))
+                          + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                        - 1.0 / (CAST(a AS DOUBLE)
+                                                 + CAST(b AS DOUBLE))
+                                        + 1.0 / CAST(c AS DOUBLE)
+                                        - 1.0 / (CAST(c AS DOUBLE)
+                                                 + CAST(d AS DOUBLE))))
+                 END, 6) AS rr_hi
+    FROM agg
+    """,
+)
+def q_relative_risk_daily_signup_purchase(spark, sf_dir):
+    """Relative risk with a 95% Katz log-interval on (user, day) units:
+    is a purchase more likely on a day the user also signed up?
+    (`operators/trend.py` closed-form family — the epidemiology rung
+    next to the CMH odds ratio and two_prop z.) One (user, day)-grain
+    aggregate collapses straight to the exact-bigint 2×2; ln/exp run
+    on identical doubles in both engines."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    units = ev.groupBy(
+        "user_id",
+        F.floor(F.to_unix_timestamp("ts") / 86400).cast("long").alias(
+            "day"
+        ),
+    ).agg(
+        F.max(
+            (F.col("event_type") == "signup").cast("int")
+        ).alias("e"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    agg = units.agg(
+        F.sum(F.col("e") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("e") * (F.lit(1) - F.col("y"))).cast("long").alias("b"),
+        F.sum((F.lit(1) - F.col("e")) * F.col("y")).cast("long").alias("c"),
+        F.sum(
+            (F.lit(1) - F.col("e")) * (F.lit(1) - F.col("y"))
+        ).cast("long").alias("d"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    dd = F.col("d").cast("double")
+    rr = (ad / (ad + bd)) / (cd / (cd + dd))
+    se = F.sqrt(
+        F.lit(1.0) / ad
+        - F.lit(1.0) / (ad + bd)
+        + F.lit(1.0) / cd
+        - F.lit(1.0) / (cd + dd)
+    )
+    ok = (F.col("a") > 0) & (F.col("c") > 0)
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.when(ok, rr), 6).alias("rr"),
+        F.round(
+            F.when(ok, F.exp(F.log(rr) - F.lit(1.96) * se)), 6
+        ).alias("rr_lo"),
+        F.round(
+            F.when(ok, F.exp(F.log(rr) + F.lit(1.96) * se)), 6
+        ).alias("rr_hi"),
+    )

