@@ -1611,12 +1611,20 @@ def _wait_for_idle() -> float:
     full bound then proceeded at loadavg 0.61-0.81, i.e. 0.5 is below this
     host's floor; 1.0 is attainable and still catches real contamination
     (the bad rounds ran at 2.5-7.1). Min-of-N headline reps are the primary
-    noise defense now."""
+    noise defense now.
+    r12: the gate is UNCONDITIONAL — even on an already-idle host it
+    settles for SPARK_GRAFT_IDLE_SETTLE seconds (default 20) while
+    polling, so ``idle_waited_sec`` is always > 0 and the artifact
+    carries proof the protocol ran (r11's "idle" artifact shipped
+    ``idle_waited_sec: 0.0`` — the name promised a wait it never did)."""
     threshold = float(os.environ.get("SPARK_GRAFT_MIN_IDLE", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_SEC", "600"))
+    settle = float(os.environ.get("SPARK_GRAFT_IDLE_SETTLE", "20"))
     t0 = time.monotonic()
-    while os.getloadavg()[0] >= threshold:
+    while True:
         waited = time.monotonic() - t0
+        if os.getloadavg()[0] < threshold and waited >= settle:
+            break
         if waited >= max_wait:
             print(
                 f"bench: proceeding despite loadavg "
@@ -1625,7 +1633,7 @@ def _wait_for_idle() -> float:
                 file=sys.stderr,
             )
             break
-        time.sleep(10)
+        time.sleep(5)
     return round(time.monotonic() - t0, 1)
 
 
@@ -1734,19 +1742,70 @@ def main() -> None:
         extras_table = EXTRAS
     ex_raw: dict[str, list[float]] = {n: [] for n in extras_table}
     ex_loads: dict[str, list[float]] = {n: [] for n in extras_table}
+
+    def _time_probe(name: str, fn) -> None:
+        gc.collect()
+        spark._jvm.System.gc()
+        ex_loads[name].append(os.getloadavg()[0])
+        if name in EAGER_EXTRAS:
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+        else:
+            df = fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.collect()
+        ex_raw[name].append(time.perf_counter() - t0)
+
+    # In-phase canary (r11 verdict item 1): one warm pricing_summary rep
+    # per extras pass, so each probe's canary_relative divides by a
+    # yardstick measured under the SAME host phase — round-over-round
+    # reads stop being polluted by co-tenant drift.
+    extras_canaries: list[float] = []
+
+    def _extras_canary() -> None:
+        gc.collect()
+        spark._jvm.System.gc()
+        df = queries["pricing_summary"](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.collect()
+        extras_canaries.append(time.perf_counter() - t0)
+
     for _ in range(n_extras_runs):
+        if extras_table:
+            _extras_canary()
         for name, fn in extras_table.items():
-            gc.collect()
-            spark._jvm.System.gc()
-            ex_loads[name].append(os.getloadavg()[0])
-            if name in EAGER_EXTRAS:
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).collect()
-            else:
-                df = fn(spark, SF_DIR)
-                t0 = time.perf_counter()
-                df.collect()
-            ex_raw[name].append(time.perf_counter() - t0)
+            _time_probe(name, fn)
+
+    # Adaptive reruns (r11 verdict item 5): a co-tenant burst can eat one
+    # of two reps (r11: fuzzy_clusters_200k spread 19.1 s vs min 20.9).
+    # When a probe's min is not corroborated — spread > 0.5×min and the
+    # two best reps still disagree by > 0.5×best — buy another sample,
+    # bounded by SPARK_GRAFT_BENCH_MAX_ADAPTIVE extra reps per probe.
+    def _needs_rerun(ts: list[float]) -> bool:
+        if len(ts) < 2 or (max(ts) - min(ts)) <= 0.5 * min(ts):
+            return False
+        if len(ts) >= 3:
+            best = sorted(ts)[:2]
+            return (best[1] - best[0]) > 0.5 * best[0]
+        return True
+
+    max_adaptive = int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_ADAPTIVE", "2")
+    )
+    adaptive_reruns: dict[str, int] = {}
+    for _ in range(max_adaptive):
+        offenders = [
+            n
+            for n, ts in ex_raw.items()
+            if _needs_rerun(ts) and adaptive_reruns.get(n, 0) < max_adaptive
+        ]
+        if not offenders:
+            break
+        _extras_canary()
+        for name in offenders:
+            _time_probe(name, extras_table[name])
+            adaptive_reruns[name] = adaptive_reruns.get(name, 0) + 1
+
     extras = {n: round(min(ts), 3) for n, ts in ex_raw.items()}
     extras_spread = {
         n: round(max(ts) - min(ts), 3) for n, ts in ex_raw.items()
@@ -1755,6 +1814,9 @@ def main() -> None:
         n: round(ex_loads[n][ts.index(min(ts))], 2)
         for n, ts in ex_raw.items()
     }
+    extras_canary_min = (
+        round(min(extras_canaries), 3) if extras_canaries else None
+    )
 
     # Canary: re-time the first headline query warm at the very end. A
     # canary far above its headline number means the host got busier while
@@ -1766,6 +1828,24 @@ def main() -> None:
     df.collect()
     canary = round(time.perf_counter() - t0, 3)
 
+    # canary_relative (r11 verdict item 1): every probe's min divided by
+    # the in-phase pricing_summary min — the headline phase uses
+    # pricing_summary's own headline min, the extras phase the min of the
+    # per-pass canary reps. Round-over-round comparisons should read
+    # THESE, not absolute seconds: pricing_summary's code is frozen
+    # (~r05), so co-tenant drift cancels out of the ratio.
+    head_canary = timings.get("pricing_summary")
+    canary_relative = (
+        {n: round(t / head_canary, 3) for n, t in timings.items()}
+        if head_canary
+        else {}
+    )
+    extras_canary_relative = (
+        {n: round(t / extras_canary_min, 3) for n, t in extras.items()}
+        if extras_canary_min
+        else {}
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -1773,13 +1853,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "canary_relative": canary_relative,
         "extras": extras,
         "extras_spread": extras_spread,
         "extras_loadavg": extras_loadavg,
+        "extras_canary_relative": extras_canary_relative,
         "env": {
             "loadavg_start": round(load_start, 2),
             "loadavg_end": round(os.getloadavg()[0], 2),
             "canary_pricing_summary_end": canary,
+            "canary_extras_phase_min": extras_canary_min,
+            "extras_adaptive_reruns": adaptive_reruns,
             "idle_waited_sec": idle_waited,
             "headline_runs": n_runs,
             "extras_runs": n_extras_runs,

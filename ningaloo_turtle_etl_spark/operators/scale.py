@@ -487,7 +487,12 @@ def rendezvous_shard_plan(
     engines); argmax by (weight, shard) total order. Scale shape:
     map-only weight expressions (n+1 md5s per key — shard count is a
     config constant), one shard-grain aggregate; keys never shuffle
-    except for that count."""
+    except for that count. The assigned frame persists once and the
+    four consumers (count + three shard-grain aggregates) read the
+    cache — without it the scan plus 2(n+1) md5s per key re-ran per
+    action (r11 verdict item 4); the tiny (n+1)-row output is
+    eager-checkpointed before the release, per the repo convention
+    (weighted_pagerank, markov)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     from ningaloo_turtle_etl_spark.operators.dedup import md5_hash60
@@ -509,36 +514,41 @@ def rendezvous_shard_plan(
     assigned = df.select(
         shard_of(int(n_shards)).alias("s_n"),
         shard_of(int(n_shards) + 1).alias("s_n1"),
-    )
-    agg_n = assigned.groupBy(F.col("s_n").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys")
-    )
-    agg_n1 = assigned.groupBy(F.col("s_n1").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys_plus1")
-    )
-    moved = (
-        assigned.where(F.col("s_n") != F.col("s_n1"))
-        .groupBy(F.col("s_n1").alias("shard"))
-        .agg(F.count(F.lit(1)).cast("long").alias("moved_in"))
-    )
-    tot = assigned.count()
-    out = (
-        agg_n.join(agg_n1, on="shard", how="full")
-        .join(moved, on="shard", how="left")
-        .select(
-            "shard",
-            F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
-            F.round(
-                F.coalesce("n_keys", F.lit(0)) / F.lit(float(tot)), 6
-            ).alias("share"),
-            F.coalesce("n_keys_plus1", F.lit(0))
-            .cast("long")
-            .alias("n_keys_plus1"),
-            F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+    ).persist()
+    try:
+        tot = assigned.count()  # materializes the cache for the aggregates
+        agg_n = assigned.groupBy(F.col("s_n").alias("shard")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys")
         )
-        .orderBy("shard")
-    )
-    return out
+        agg_n1 = assigned.groupBy(F.col("s_n1").alias("shard")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys_plus1")
+        )
+        moved = (
+            assigned.where(F.col("s_n") != F.col("s_n1"))
+            .groupBy(F.col("s_n1").alias("shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("moved_in"))
+        )
+        return (
+            agg_n.join(agg_n1, on="shard", how="full")
+            .join(moved, on="shard", how="left")
+            .select(
+                "shard",
+                F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
+                F.round(
+                    F.coalesce("n_keys", F.lit(0)) / F.lit(float(tot)), 6
+                ).alias("share"),
+                F.coalesce("n_keys_plus1", F.lit(0))
+                .cast("long")
+                .alias("n_keys_plus1"),
+                F.coalesce("moved_in", F.lit(0))
+                .cast("long")
+                .alias("moved_in"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        assigned.unpersist()
 
 
 def zonemap_prune_audit(
@@ -565,6 +575,12 @@ def zonemap_prune_audit(
     Determinism: every ordering must be a TOTAL order (pass tiebreak
     columns) so ntile assigns identically in both engines.
 
+    NULL contract (r11 ADVICE): a file whose zone stats are NULL (every
+    ``zone_col`` value in it is NULL) counts as PRUNED — the range
+    predicate is null-rejecting, which is exactly the null-count
+    metadata rule real readers apply; and ``rows_scanned`` is 0, never
+    NULL, when a layout prunes every file.
+
     Scale shape: the ntile sort is the SIMULATION of a layout, not a
     production step — real zone maps come from file metadata, and the
     audit then runs on the (file × layout) grain only. Per layout:
@@ -584,7 +600,13 @@ def zonemap_prune_audit(
                 F.count(F.lit(1)).cast("long").alias("rows"),
             )
         )
-        hit = (F.col("zmax") >= F.lit(lo)) & (F.col("zmin") < F.lit(hi))
+        # NULL zone stats (all-NULL file) => hit is NULL => coalesce to
+        # pruned: the range predicate is null-rejecting, so skipping the
+        # file is safe — and explicit, instead of "neither hit nor pruned".
+        hit = F.coalesce(
+            (F.col("zmax") >= F.lit(lo)) & (F.col("zmin") < F.lit(hi)),
+            F.lit(False),
+        )
         outs.append(
             files.agg(
                 F.lit(name).alias("layout"),
@@ -593,9 +615,9 @@ def zonemap_prune_audit(
                 F.sum((~hit).cast("long")).cast("long").alias(
                     "files_pruned"
                 ),
-                F.sum(F.when(hit, F.col("rows"))).cast("long").alias(
-                    "rows_scanned"
-                ),
+                F.coalesce(F.sum(F.when(hit, F.col("rows"))), F.lit(0))
+                .cast("long")
+                .alias("rows_scanned"),
             )
         )
     matching = df.agg(

@@ -89,9 +89,9 @@ def rendezvous_shard_plan_query(spark, sf_dir):
                CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
                              AND zmin < DATE '1998-06-08'
                         THEN 0 ELSE 1 END) AS BIGINT) AS files_pruned,
-               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+               CAST(COALESCE(SUM(CASE WHEN zmax >= DATE '1998-06-01'
                              AND zmin < DATE '1998-06-08'
-                        THEN n_rows END) AS BIGINT) AS rows_scanned
+                        THEN n_rows END), 0) AS BIGINT) AS rows_scanned
         FROM z1
     ),
     f2 AS (SELECT z, ntile(32) OVER (ORDER BY z, ok, ln) AS f FROM base),
@@ -109,9 +109,9 @@ def rendezvous_shard_plan_query(spark, sf_dir):
                CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
                              AND zmin < DATE '1998-06-08'
                         THEN 0 ELSE 1 END) AS BIGINT) AS files_pruned,
-               CAST(SUM(CASE WHEN zmax >= DATE '1998-06-01'
+               CAST(COALESCE(SUM(CASE WHEN zmax >= DATE '1998-06-01'
                              AND zmin < DATE '1998-06-08'
-                        THEN n_rows END) AS BIGINT) AS rows_scanned
+                        THEN n_rows END), 0) AS BIGINT) AS rows_scanned
         FROM z2
     ),
     m AS (

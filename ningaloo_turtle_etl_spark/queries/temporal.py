@@ -740,7 +740,7 @@ def sequential_patterns_users(spark, sf_dir):
         SELECT user_id AS u, event_type AS x,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS k
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     firsts AS (
         SELECT u,
@@ -821,7 +821,10 @@ def q_hmm_forward_first4(spark, sf_dir):
         hmm_forward_loglik,
     )
 
-    ev = load_table(spark, "events", sf_dir)
+    # ts IS NOT NULL on BOTH sides (r11 ADVICE): Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST — a future NULL ts would silently
+    # diverge; the filter pins the convention like did_click_value.
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     return hmm_forward_loglik(
         ev, "user_id", "event_type", ["ts", "event_id"], steps=4
     )

@@ -74,11 +74,18 @@ PRIORITY: list[str] = [
     # supplement artifacts).
     "ann_ivf_pq_topk",
     "dp_event_type_counts",
-    # Promoted r08 (verdict item 5): the window proves an r7 family
-    # directly — blocked fuzzy linkage. Slot freed by demoting
-    # first_event_per_user (the lag/window-shape component stays proven
-    # in-window by remigration_lag + topk_per_group).
-    "fuzzy_part_pairs",
+    # Promoted r12 (r11 verdict item 2, continuing the rotation): the
+    # window proves two r11 families directly — deflated top-p power-
+    # iteration PCA (the multi-eigenvector PCNM/RDA surface at the
+    # distributed shape) and Fellegi–Sunter EM linkage weights (the
+    # probabilistic layer over the blocking stack). Slots freed by
+    # demoting fuzzy_part_pairs (blocked-linkage shape stays proven
+    # in-window by symspell_customer_pairs + fellegi_sunter_part_weights)
+    # and pairwise_site_distances (A10's pairwise-matrix shape stays
+    # window-covered by correlation_diag; both demotions remain
+    # oracle-swept by pytest + the supplement artifacts).
+    "pca_power_components",
+    "fellegi_sunter_part_weights",
     # Promoted r09 (verdict item 2, continuing the r6/r7/r8 rotation):
     # the window proves an r8 family directly — PPJoin exact
     # set-similarity self-join, which also carries this round's
@@ -110,7 +117,6 @@ PRIORITY: list[str] = [
     "flagship_summary_pivot",
     "select_regex_columns",
     "grouped_html_popup",
-    "pairwise_site_distances",
     "mark_capture_history",
     "join_left_composite",
     "join_anti_orphans",
@@ -125,6 +131,13 @@ PRIORITY: list[str] = [
     "slice_topk",
     "timestamp_pipeline",
     # ---- 50-slot driver window ends here ----
+    # Demoted r12 (slots freed for pca_power_components /
+    # fellegi_sunter_part_weights): blocked-linkage stays in-window via
+    # symspell_customer_pairs + fellegi_sunter_part_weights; A10's
+    # pairwise-matrix shape stays window-covered by correlation_diag.
+    # Both remain oracle-swept by pytest + the supplement artifacts.
+    "fuzzy_part_pairs",
+    "pairwise_site_distances",
     # Demoted r11 (slots freed for ann_ivf_pq_topk /
     # symspell_customer_pairs): J1's left-equi shape stays in-window via
     # join_left_composite + join_inner_project; PQ acceptance stays
@@ -425,9 +438,7 @@ PRIORITY: list[str] = [
     # r10 matrix-free PCA power iteration (covariance never materialized;
     # unrolled nano-exact trajectory oracle)
     "pca_power_component",
-    # r11: top-p deflated power iteration (verdict item 8 — the
-    # PCNM/RDA multi-eigenvector surface at the distributed shape)
-    "pca_power_components",
+    # (pca_power_components promoted into the r12 driver window above)
     # r11: two-component 1-D Gaussian mixture by EM (soft-assignment
     # density twin of kmeans; unrolled moment-init + 3-round oracle)
     "gmm_em_value_components",
@@ -440,9 +451,8 @@ PRIORITY: list[str] = [
     # r11: Cox proportional hazards (Breslow ties, Newton on the
     # partial likelihood; the regression rung of the survival stack)
     "cox_ph_click_hazard",
-    # r11: Fellegi–Sunter EM match-weight estimation (the probabilistic
-    # foundation under the deterministic linkage blockers)
-    "fellegi_sunter_part_weights",
+    # (fellegi_sunter_part_weights promoted into the r12 driver window
+    # above)
     # r11: real WAV codec tier — synth→RIFF/PCM16 decode→integer-exact
     # audio features, full oracle from the regenerated PCM
     "audio_wav_features",

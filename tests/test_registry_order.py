@@ -53,9 +53,9 @@ def test_critical_components_inside_driver_window():
         # the ANN slot to the fused three-tier serving query
         "ann_ivf_pq_topk",
         "dp_event_type_counts",
-        # r08: the window must prove an r7 family directly (verdict item)
-        # — blocked fuzzy record linkage
-        "fuzzy_part_pairs",
+        # r08's blocked-fuzzy-linkage slot rotated out r12; the linkage
+        # surface stays proven in-window by symspell_customer_pairs (r11)
+        # and fellegi_sunter_part_weights (r12).
         # r09: the window must prove an r8 family directly (verdict item)
         # — PPJoin exact set-similarity join with the positional filter
         "ppjoin_jaccard_pairs",
@@ -66,6 +66,10 @@ def test_critical_components_inside_driver_window():
         # r11: the window must prove an r10 family directly (verdict
         # item) — SymSpell verification-free delete blocking
         "symspell_customer_pairs",
+        # r12: the window must prove two r11 families directly (verdict
+        # item 2) — deflated top-p PCA and Fellegi–Sunter EM weights
+        "pca_power_components",
+        "fellegi_sunter_part_weights",
     ]
     for name in critical:
         assert name in window, f"{name} fell outside the 50-slot driver window"
@@ -96,6 +100,14 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # oracle-checked by tests/test_oracle_all.py + the supplement.
         "join_left_single",
         "ann_pq_recall",
+        # r12 window demotions (slots freed for pca_power_components and
+        # fellegi_sunter_part_weights): blocked-linkage stays in-window
+        # via symspell_customer_pairs + fellegi_sunter_part_weights;
+        # A10's pairwise-matrix shape stays window-covered by
+        # correlation_diag. Both remain oracle-checked by
+        # tests/test_oracle_all.py + the supplement.
+        "fuzzy_part_pairs",
+        "pairwise_site_distances",
         # r10 window demotion (slot freed for kmeans_embedding_clusters):
         # the Jaccard-pair near-dup shape stays covered in-window by
         # ppjoin_jaccard_pairs; still oracle-checked by
@@ -344,14 +356,13 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "entropy_l_diversity_events",
         "ranking_ndcg_eval",
         "pca_power_component",
-        # r11: deflated top-p power iteration (r10 verdict item 8)
-        "pca_power_components",
+        # (pca_power_components promoted into the r12 driver window)
         # r11 extension families, full oracles
         "gmm_em_value_components",
         "kcenter_coreset_select",
         "als_rank1_factors",
         "cox_ph_click_hazard",
-        "fellegi_sunter_part_weights",
+        # (fellegi_sunter_part_weights promoted into the r12 driver window)
         "audio_wav_features",
         "spearman_value_vs_time",
         "dp_value_median_exponential",

@@ -990,8 +990,7 @@ def test_market_concentration_reference(spark):
     tot = int(rev.sum())
     sh = rev / tot
     hp = int(sum(round(s * s * 1e12) for s in sh))
-    top4 = int(rev.sort_values(ascending=False).head(4).sum())
-    # pandas sorts ties arbitrarily; re-apply the (cents desc, brand asc)
+    # pandas sorts ties arbitrarily; apply the (cents desc, brand asc)
     # tiebreak explicitly
     ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
     top4 = int(sum(c for _, c in ordered[:4]))
