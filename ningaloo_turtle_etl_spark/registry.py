@@ -567,6 +567,14 @@ PRIORITY: list[str] = [
     # r11 third batch: relative risk with the Katz log-interval on
     # (user, day) units (the epidemiology rung next to CMH/two-prop)
     "relative_risk_daily_signup_purchase",
+    # r12: the ANN train→serve loop (r11 verdict item 3) — distributed
+    # per-subspace Lloyd PQ-codebook training (the kmeans machinery at
+    # subvector grain, unrolled integer-micro oracle) ...
+    "pq_train_codebooks",
+    # ... and the fused train→encode→serve three-tier query with NO
+    # frozen fixture anywhere (trains coarse IVF centroids + PQ books,
+    # then probes/ADC/exact-reranks with the trained parameters)
+    "ann_trained_ivf_pq_topk",
 ]
 
 

@@ -386,6 +386,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "cohens_kappa_langid",
         "market_concentration_brands",
         "relative_risk_daily_signup_purchase",
+        # r12: the ANN train→serve loop, full unrolled-training oracles
+        "pq_train_codebooks",
+        "ann_trained_ivf_pq_topk",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
