@@ -481,3 +481,42 @@ def test_zonemap_prune_audit_layouts(spark):
     assert srt["rows_scanned"] == 16
     assert ins["rows_matching"] == srt["rows_matching"] == 16
     assert srt["prune_frac"] == 0.75
+
+
+def test_zonemap_prune_audit_null_contract(spark):
+    """r11 ADVICE: a layout that prunes EVERY file reports rows_scanned
+    = 0 (not NULL), and a file whose zone stats are all-NULL counts as
+    PRUNED (the range predicate is null-rejecting — the null-count
+    metadata rule real readers apply), never as neither-hit-nor-pruned.
+    Also pins the audit's aggregate grain: n_files rows per layout feed
+    one layout-grain reduce — files_hit + files_pruned == n_files
+    always (the simulation's ntile sort stands in for file metadata;
+    real zone maps arrive at (file x layout) grain from the manifest)."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.scale import (
+        zonemap_prune_audit,
+    )
+
+    # 48 rows: ids 0..15 have NULL z (one all-NULL file under the
+    # z-sorted layout, NULLS FIRST), the rest z = 100 + i (all far
+    # above the [4, 8) predicate, so every file with stats prunes too)
+    rows = [(None if i < 16 else 100 + i, i) for i in range(48)]
+    df = spark.createDataFrame(rows, "z long, ok long")
+    out = {
+        r["layout"]: r
+        for r in zonemap_prune_audit(
+            df,
+            "z",
+            {"z_sorted": [F.col("z"), F.col("ok")]},
+            4,
+            8,
+            n_files=3,
+        ).collect()
+    }
+    srt = out["z_sorted"]
+    assert srt["files_hit"] == 0
+    assert srt["files_pruned"] == 3  # the all-NULL file counts as pruned
+    assert srt["files_hit"] + srt["files_pruned"] == srt["n_files"]
+    assert srt["rows_scanned"] == 0  # coalesced, not NULL
+    assert srt["rows_matching"] == 0
