@@ -36,7 +36,13 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.persist()
+    # Persist PRE-PARTITIONED on dst: every round's edges⋈labels join
+    # requires hashpartitioning(dst), and a cached frame that already
+    # carries it lets Catalyst skip the edge-side exchange each round —
+    # one up-front shuffle instead of one per pointer-jumping round
+    # (~log2(diameter) rounds × |E| rows saved; the r11 sf1 probe spent
+    # its tail re-exchanging 1.9M edges every round).
+    edges = edges.repartition("dst").persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
