@@ -175,3 +175,66 @@ def bm25_topk(
         .orderBy(F.desc("bm25_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def query_likelihood_topk(
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 50.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2004) — the language-modeling retrieval rung next to
+    :func:`bm25_topk` (same index, different scoring family):
+
+        score(d) = Σ_t ln((tf_td + μ·p_t) / (dl_d + μ)),
+        p_t = ctf_t / |C|  (collection term probability).
+
+    Candidates are docs matching at least one query term; the missing
+    term still contributes its smoothed (tf = 0) mass via a left join
+    on the candidates × query-terms grid, so rankings are the true QL
+    scores over the candidate set, not a matched-terms-only
+    approximation. Corpus stats (|C|) ride a broadcast 1-row
+    aggregate; per-term log scores round to integer micro-units BEFORE
+    the per-doc sum (order-proof, the bm25_topk convention). Ties
+    break by doc id.
+
+    Scale shape: the term filter prunes the index to |q| postings
+    slices; the grid is candidates × |q| rows; dl re-aggregates from
+    the index — the corpus is never rescanned. Returns
+    (doc_id, ql_score, n_query_terms_matched), TakeOrdered top-k."""
+    q = sorted({t.lower() for t in terms})
+    if not q:
+        raise ValueError("terms must be non-empty")
+    hits = index.filter(F.col("term").isin(q)).select(
+        id_col, "term", "tf"
+    )
+    dl = index.groupBy(id_col).agg(F.sum("tf").cast("long").alias("_dl"))
+    stats = index.agg(F.sum("tf").cast("long").alias("_ctot"))
+    ctf = hits.groupBy("term").agg(F.sum("tf").cast("long").alias("_ctf"))
+    cand = hits.select(id_col).distinct()
+    grid = cand.crossJoin(F.broadcast(ctf))
+    g = (
+        grid.join(hits, on=[id_col, "term"], how="left")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    p_t = F.col("_ctf").cast("double") / F.col("_ctot").cast("double")
+    score_t = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(float(mu)) * p_t
+        )
+        / (F.col("_dl").cast("double") + F.lit(float(mu)))
+    )
+    scored = g.select(
+        F.col(id_col),
+        F.round(score_t * 1e6, 0).cast("long").alias("_sm"),
+        F.col("tf").isNotNull().cast("long").alias("_m"),
+    )
+    out = scored.groupBy(id_col).agg(
+        F.round(F.sum("_sm") / F.lit(1e6), 6).alias("ql_score"),
+        F.sum("_m").cast("long").alias("n_query_terms_matched"),
+    )
+    return out.orderBy(F.desc("ql_score"), F.asc(id_col)).limit(k)

@@ -1184,3 +1184,101 @@ def hmm_forward_loglik(
         "n_users",
         F.round(avg, 6).alias("avg_loglik"),
     ).orderBy("first_type")
+
+
+def hmm_viterbi_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_cols: Sequence[str],
+    steps: int = 4,
+) -> DataFrame:
+    """Viterbi decoding of each user's first ``steps`` events under the
+    SAME fixed 2-state HMM as :func:`hmm_forward_loglik` — the
+    most-likely hidden-state PATH (browse/buy segmentation label) where
+    forward gives the total likelihood. With 2 states and a fixed step
+    count the decoder is ENUMERATED, not folded: all 2^steps path
+    products are pure column expressions sharing one left-to-right
+    association, the argmax is ``greatest`` over them with ties to the
+    smallest path index (a first-match coalesce both engines replay as
+    the same CASE chain), so the decode is bit-identical cross-engine
+    with no log-sum or backpointer state.
+
+    Scale shape: one rank window bounded at ``steps`` rows per user
+    (TakeOrdered-class), one user-grain pivot, 2^steps map-only product
+    expressions, one (first_type, path)-grain reduce. Driver state:
+    none. Returns (first_type, path, n_users, avg_best_loglik) — the
+    decoded-path census with the mean best-path log-likelihood,
+    micro-quantized per user and summed exactly."""
+    import itertools
+
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    firsts = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("x"),
+            F.row_number().over(w).alias("k"),
+        )
+        .where(F.col("k") <= steps)
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            *[
+                F.max(F.when(F.col("k") == i, F.col("x"))).alias(f"o{i}")
+                for i in range(1, steps + 1)
+            ],
+        )
+        .where(F.col("n_obs") == steps)
+    )
+
+    def emit(state: int, obs_col: str) -> Column:
+        expr = F.lit(None).cast("double")
+        for t, probs in HMM_E.items():
+            expr = F.when(
+                F.col(obs_col) == t, F.lit(probs[state])
+            ).otherwise(expr)
+        return expr
+
+    paths = list(itertools.product((0, 1), repeat=steps))
+
+    def path_prob(pth) -> Column:
+        e = F.lit(HMM_PI[pth[0]]) * emit(pth[0], "o1")
+        for i in range(1, steps):
+            e = (
+                e
+                * F.lit(HMM_T[pth[i - 1]][pth[i]])
+                * emit(pth[i], f"o{i + 1}")
+            )
+        return e
+
+    probs = [path_prob(p) for p in paths]
+    best = F.greatest(*probs)
+    path_lbl = F.coalesce(
+        *[
+            F.when(pb == best, F.lit("".join(map(str, pth))))
+            for pb, pth in zip(probs, paths)
+        ]
+    )
+    llu = F.round(F.log(best) * 1e6, 0).cast("long")
+    per_user = firsts.select(
+        F.col("o1").alias("first_type"),
+        path_lbl.alias("path"),
+        llu.alias("llu"),
+    )
+    out = per_user.groupBy("first_type", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("llu").cast("decimal(38,0)")).alias("lls"),
+    )
+    avg = (
+        F.col("lls").cast("double")
+        / F.lit(1e6)
+        / F.col("n_users").cast("double")
+    )
+    return out.select(
+        "first_type",
+        "path",
+        "n_users",
+        F.round(avg, 6).alias("avg_best_loglik"),
+    ).orderBy("first_type", "path")

@@ -3480,3 +3480,214 @@ def anova_oneway(
         .crossJoin(F.broadcast(scal))
         .orderBy(group_col)
     )
+
+
+def split_conformal_coverage(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction-interval calibration + coverage audit
+    per group (Vovk et al.; Lei et al. 2018) — the distribution-free
+    serving-quality rung for any point predictor this repo trains
+    (quantile-GD, GBM stumps, Platt): does the interval the calibration
+    half promises actually cover the held-out half at 1−α?
+
+    Split rule: rows whose md5(id) first hex digit is 0-7 calibrate,
+    the rest test — the repo's deterministic hash-split primitive
+    (leakage_safe_split convention), identical in both engines. The
+    point model here is the per-group calibration mean; the conformal
+    score is |v − mean|; q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    calibration score (ties by id — the finite-sample-valid quantile),
+    and coverage is the test fraction within q̂.
+
+    Determinism: values micro-quantize once (round(v·1e6) as long);
+    the mean is one exact-integer sum divided once; every score is the
+    same double in both engines, and the order statistic ranks by
+    (score, id) — total order. Scale shape: one scan splits both
+    halves map-side; calibration reduces to (group, mean) then a rank
+    window bounded by the k-th row; test coverage is one
+    map-side-combined aggregate against the broadcast (group, mean,
+    q̂) dimension. Returns (group, n_cal, n_test, q_hat, coverage),
+    6dp, q̂ in original units."""
+    vm = F.round(F.col(value_col).cast("double") * 1e6, 0).cast("long")
+    is_cal = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        < 8
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("i"),
+        vm.alias("vm"),
+        is_cal.alias("cal"),
+    )
+    cal_stats = (
+        base.where("cal")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.sum("vm").alias("s"),
+        )
+        .withColumn("mu", F.col("s").cast("double") / F.col("n_cal"))
+    )
+    scores = (
+        base.where("cal")
+        .join(F.broadcast(cal_stats.select("g", "n_cal", "mu")), on="g")
+        .select(
+            "g",
+            "i",
+            "n_cal",
+            F.abs(F.col("vm").cast("double") - F.col("mu")).alias("r"),
+        )
+    )
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - float(alpha))).cast("long")
+    w = Window.partitionBy("g").orderBy(F.asc("r"), F.asc("i"))
+    qhat = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.least(k, F.col("n_cal")))
+        .select("g", F.col("r").alias("qhat"))
+    )
+    dim = cal_stats.select("g", "n_cal", "mu").join(qhat, on="g")
+    test = (
+        base.where(~F.col("cal"))
+        .join(F.broadcast(dim), on="g")
+        .groupBy("g", "n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("vm").cast("double") - F.col("mu"))
+                    <= F.col("qhat")
+                ).cast("long")
+            ).cast("long").alias("n_cov"),
+        )
+    )
+    return test.select(
+        F.col("g").alias(group_col),
+        "n_cal",
+        "n_test",
+        F.round(F.col("qhat") / F.lit(1e6), 6).alias("q_hat"),
+        F.round(
+            F.col("n_cov").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+    ).orderBy(group_col)
+
+
+def group_sequential_obf(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    day_col,
+    treat: str,
+    control: str,
+    c_boundary: float = 2.24,
+) -> DataFrame:
+    """Group-sequential monitoring with an O'Brien–Fleming-shaped
+    boundary (Lan–DeMets spending approximation b(t) = c/√t, c = 2.24
+    for two-sided α≈0.05): the SCHEDULED-looks sibling of
+    msprt_always_valid — one look per day, cumulative Welch z per look,
+    stop the first time |z| crosses the shrinking boundary. This is the
+    classic clinical/AB design where looks are pre-planned, vs mSPRT's
+    always-valid continuous monitoring.
+
+    Determinism: values micro-quantize once; per-day sums and square
+    sums are exact integers; cumulative sums ride an unbounded
+    preceding window over the DAY grain (days are few — the window is
+    dimension-sized); z and the boundary are the same fixed double
+    association in both engines. Scale shape: one event-grain
+    map-side-combined aggregate to (day, arm), then day-grain windows —
+    nothing beyond the daily dimension ever shuffles twice.
+
+    Returns one row per look with both arms present up to that day:
+    (look, day, n_treat, n_ctrl, z, boundary, crossed, info_frac)."""
+    vm = F.round(F.col(value_col).cast("double") * 1e6, 0).cast("long")
+    daily = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(arm_col).isin([treat, control])
+        )
+        .select(day_col.alias("day"), F.col(arm_col).alias("arm"), vm.alias("vm"))
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            # decimal(38,0): micro² terms reach 1e16 and the cumulative
+            # sums overflow int64 (DuckDB's HUGEINT mirrors this)
+            F.sum(F.col("vm").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("vm").cast("decimal(38,0)") * F.col("vm")
+            ).alias("q"),
+        )
+    )
+    wday = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(wday).alias("cn"),
+        F.sum("s").over(wday).alias("cs"),
+        F.sum("q").over(wday).alias("cq"),
+    )
+    t = cum.where(F.col("arm") == treat).select(
+        "day",
+        F.col("cn").alias("nt"),
+        F.col("cs").alias("st"),
+        F.col("cq").alias("qt"),
+    )
+    c = cum.where(F.col("arm") == control).select(
+        "day",
+        F.col("cn").alias("nc"),
+        F.col("cs").alias("sc"),
+        F.col("cq").alias("qc"),
+    )
+    # day-grain dimension; eager checkpoint so the count and the
+    # returned plan don't both re-run the event scan (the r12 fan-out
+    # sweep convention)
+    both = (
+        t.join(c, on="day")
+        .where((F.col("nt") > 1) & (F.col("nc") > 1))
+        .localCheckpoint(eager=True)
+    )
+    n_looks = both.count()
+    if n_looks == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "look long, day date, n_treat long, n_ctrl long, z double, "
+            "boundary double, crossed boolean, info_frac double",
+        )
+    mt = F.col("st").cast("double") / F.col("nt")
+    mc = F.col("sc").cast("double") / F.col("nc")
+    vt = (
+        F.col("qt").cast("double") / F.col("nt") - mt * mt
+    ) / (F.col("nt") - 1)
+    vc = (
+        F.col("qc").cast("double") / F.col("nc") - mc * mc
+    ) / (F.col("nc") - 1)
+    z = (mt - mc) / F.sqrt(vt + vc)
+    out = both.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("look"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        z.alias("_z"),
+    ).withColumn(
+        "info_frac",
+        F.col("look").cast("double") / F.lit(float(n_looks)),
+    )
+    boundary = F.lit(float(c_boundary)) / F.sqrt(F.col("info_frac"))
+    return out.select(
+        "look",
+        "day",
+        "n_treat",
+        "n_ctrl",
+        F.round("_z", 6).alias("z"),
+        F.round(boundary, 6).alias("boundary"),
+        (F.abs(F.col("_z")) > boundary).alias("crossed"),
+        F.round("info_frac", 6).alias("info_frac"),
+    ).orderBy("look")

@@ -7469,3 +7469,214 @@ def cohens_kappa_langid(spark, sf_dir):
             6,
         ).alias("kappa"),
     )
+
+
+@register(
+    "query_likelihood_top10",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    p2 AS (
+        SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(a := toks[i], b := toks[i + 1])))
+                       AS pr
+            FROM t
+        )
+    ),
+    top AS (SELECT a, b FROM (
+        SELECT a, b, COUNT(*) AS n FROM p2 GROUP BY 1, 2)
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    q AS (SELECT DISTINCT term FROM (
+        SELECT a AS term FROM top UNION ALL SELECT b FROM top)),
+    idx AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        GROUP BY 1, 2
+    ),
+    hits AS (SELECT i.doc_id, i.term, i.tf
+             FROM idx i JOIN q ON i.term = q.term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM idx GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(tf) AS BIGINT) AS ctot FROM idx),
+    ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf
+            FROM hits GROUP BY term),
+    cand AS (SELECT DISTINCT doc_id FROM hits),
+    g AS (
+        SELECT c.doc_id, f.term, f.ctf, h.tf, d.dl, s.ctot
+        FROM cand c CROSS JOIN ctf f
+        LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.term = f.term
+        JOIN dl d ON d.doc_id = c.doc_id, stats s
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln((CAST(COALESCE(tf, 0) AS DOUBLE)
+                              + CAST(50 AS DOUBLE)
+                                * (CAST(ctf AS DOUBLE)
+                                   / CAST(ctot AS DOUBLE)))
+                             / (CAST(dl AS DOUBLE) + CAST(50 AS DOUBLE)))
+                          * 1e6) AS BIGINT) AS sm,
+               CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS m
+        FROM g
+    )
+    SELECT doc_id,
+           ROUND(SUM(sm) / 1e6, 6) AS ql_score,
+           CAST(SUM(m) AS BIGINT) AS n_query_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY ql_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def query_likelihood_top10(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood top-10 for the corpus's most
+    frequent bigram (`operators/search.py query_likelihood_topk`,
+    μ = 50): the language-modeling retrieval rung next to bm25_top10 —
+    same inverted index, same query, the other classic scoring family.
+    Candidates × query-terms grid keeps the zero-tf smoothed term in
+    the score; per-term micro-units before the per-doc sum."""
+    from ningaloo_turtle_etl_spark.operators.search import (
+        build_inverted_index,
+        query_likelihood_topk,
+        top_bigram,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    a, b = top_bigram(docs)
+    idx = build_inverted_index(docs)
+    return query_likelihood_topk(idx, [a, b], k=10, mu=50.0)
+
+
+def _mrr_map_oracle_sql(k: int = 10, query_cut: int = 5) -> str:
+    """retrieval_mrr_map: MRR + MAP@k of brute-force cosine retrieval
+    against label-equality relevance — same rounded-cosine ranking as
+    the brute oracle, AP terms micro-quantized before the per-query
+    sum so the rational additions are order-proof."""
+    dot = (
+        "list_sum(list_transform(list_zip("
+        "CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), "
+        "x -> x[1]*x[2]))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(CAST({0}.embedding AS DOUBLE[]), "
+        "x -> x*x)))"
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT query_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+                   ROUND({dot} / ({norm.format('c')} * {norm.format('q')}),
+                         6) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < {query_cut} AND c.vec_id <> q.vec_id
+        )
+    ),
+    cum AS (
+        SELECT query_id, rank, rel,
+               SUM(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cumrel
+        FROM ranked WHERE rank <= {k}
+    ),
+    perq AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_retrieved,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS frr,
+               CAST(SUM(CASE WHEN rel = 1 THEN
+                        CAST(round(CAST(cumrel AS DOUBLE) / rank * 1e6)
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_micro
+        FROM cum GROUP BY query_id
+    ),
+    nrel AS (
+        SELECT q.vec_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {query_cut} GROUP BY q.vec_id
+    )
+    SELECT p.query_id,
+           CAST(COALESCE(n.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+           p.n_rel_retrieved,
+           CAST(COALESCE(p.frr, 0) AS BIGINT) AS first_rel_rank,
+           ROUND(CASE WHEN p.frr IS NOT NULL
+                      THEN CAST(1 AS DOUBLE) / p.frr ELSE 0.0 END,
+                 6) AS reciprocal_rank,
+           ROUND(CASE WHEN COALESCE(n.n_rel_total, 0) > 0
+                      THEN CAST(p.ap_micro AS DOUBLE) / 1e6
+                           / least(n.n_rel_total, {k})
+                      ELSE 0.0 END, 6) AS ap_at_k
+    FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+    ORDER BY p.query_id
+    """
+
+
+@register("retrieval_mrr_map", _mrr_map_oracle_sql(10, 5))
+def retrieval_mrr_map(spark, sf_dir):
+    """MRR and MAP@10 of brute-force cosine retrieval against
+    label-equality relevance — the order-sensitive retrieval-quality
+    rung next to ranking_ndcg_eval (reciprocal rank rewards the first
+    hit, average precision the whole prefix). Same rounded-cosine
+    ranking as embedding_cosine_topk; AP's rational terms quantize to
+    integer micro-units before the per-query sum. Scale shape: the
+    ranking is the brute baseline's broadcast cross-score (the ANN
+    tiers replace it at volume); relevance totals are one broadcast
+    self-join on the label dimension."""
+    from ningaloo_turtle_etl_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    ranked = cosine_topk(emb, q, k=10)
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    ).filter(F.col("query_id") < 5)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    hits = (
+        ranked.join(F.broadcast(labels), on="vec_id")
+        .join(F.broadcast(qlab), on="query_id")
+        .withColumn(
+            "rel", (F.col("label") == F.col("qlabel")).cast("long")
+        )
+        .withColumn("cumrel", F.sum("rel").over(w))
+    )
+    ap_term = F.when(
+        F.col("rel") == 1,
+        F.round(
+            F.col("cumrel").cast("double") / F.col("rank") * 1e6, 0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    perq = hits.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_retrieved"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("frr"),
+        F.sum(ap_term).alias("ap_micro"),
+    )
+    nrel = (
+        emb.alias("c")
+        .join(
+            F.broadcast(qlab),
+            (F.col("c.label") == F.col("qlabel"))
+            & (F.col("c.vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    out = perq.join(nrel, on="query_id", how="left")
+    rr = F.when(
+        F.col("frr").isNotNull(),
+        F.lit(1.0) / F.col("frr"),
+    ).otherwise(F.lit(0.0))
+    ap = F.when(
+        F.coalesce(F.col("n_rel_total"), F.lit(0)) > 0,
+        F.col("ap_micro").cast("double")
+        / F.lit(1e6)
+        / F.least(F.col("n_rel_total"), F.lit(10)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "query_id",
+        F.coalesce("n_rel_total", F.lit(0)).cast("long").alias("n_rel_total"),
+        "n_rel_retrieved",
+        F.coalesce("frr", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.round(rr, 6).alias("reciprocal_rank"),
+        F.round(ap, 6).alias("ap_at_k"),
+    ).orderBy("query_id")

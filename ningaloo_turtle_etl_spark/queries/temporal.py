@@ -828,3 +828,99 @@ def q_hmm_forward_first4(spark, sf_dir):
     return hmm_forward_loglik(
         ev, "user_id", "event_type", ["ts", "event_id"], steps=4
     )
+
+
+def _viterbi_oracle_sql(steps: int = 4) -> str:
+    """hmm_viterbi_first4: the 2^steps path products fully enumerated as
+    SQL double chains (every constant CAST AS DOUBLE so products,
+    GREATEST and the first-match CASE are IEEE-identical to the Spark
+    expressions — decimal literals would diverge exactly where the
+    argmax comparison needs bit-equality), over the same ranked-firsts
+    pivot as the forward-likelihood oracle."""
+    import itertools
+
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        HMM_E,
+        HMM_PI,
+        HMM_T,
+    )
+
+    def emit(s: int, col: str) -> str:
+        cases = " ".join(
+            f"WHEN '{t}' THEN CAST({p[s]} AS DOUBLE)"
+            for t, p in HMM_E.items()
+        )
+        return f"(CASE {col} {cases} END)"
+
+    paths = list(itertools.product((0, 1), repeat=steps))
+    exprs = []
+    for pth in paths:
+        e = f"(CAST({HMM_PI[pth[0]]} AS DOUBLE) * {emit(pth[0], 'o1')})"
+        for i in range(1, steps):
+            t = HMM_T[pth[i - 1]][pth[i]]
+            e = f"(({e} * CAST({t} AS DOUBLE)) * {emit(pth[i], f'o{i + 1}')})"
+        exprs.append(e)
+    pdefs = ",\n               ".join(
+        f"{e} AS p{i}" for i, e in enumerate(exprs)
+    )
+    plist = ", ".join(f"p{i}" for i in range(len(paths)))
+    case = "CASE " + " ".join(
+        f"WHEN p{i} = best THEN '{''.join(map(str, paths[i]))}'"
+        for i in range(len(paths))
+    ) + " END"
+    omax = " ".join(
+        f"MAX(CASE WHEN k = {i} THEN x END) AS o{i},"
+        for i in range(1, steps + 1)
+    ).rstrip(",")
+    return f"""
+    WITH ranked AS (
+        SELECT user_id AS u, event_type AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS k
+        FROM events WHERE ts IS NOT NULL
+    ),
+    firsts AS (
+        SELECT u,
+               {omax}
+        FROM ranked WHERE k <= {steps} GROUP BY u
+        HAVING COUNT(*) = {steps}
+    ),
+    probs AS (
+        SELECT u, o1,
+               {pdefs}
+        FROM firsts
+    ),
+    bestp AS (
+        SELECT u, o1, {plist}, GREATEST({plist}) AS best FROM probs
+    ),
+    dec AS (
+        SELECT o1 AS first_type, {case} AS path,
+               CAST(round(ln(best) * 1e6) AS BIGINT) AS llu
+        FROM bestp
+    )
+    SELECT first_type, path, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(llu) AS DOUBLE) / 1e6 / COUNT(*), 6)
+               AS avg_best_loglik
+    FROM dec GROUP BY first_type, path
+    ORDER BY first_type, path
+    """
+
+
+@register("hmm_viterbi_first4", _viterbi_oracle_sql(4))
+def q_hmm_viterbi_first4(spark, sf_dir):
+    """Viterbi-decoded most-likely hidden-state path of each user's
+    first four events under the fixed 2-state browse/buy HMM
+    (`operators/temporal.py hmm_viterbi_paths`) — the segmentation
+    label where hmm_forward_first4 gives the likelihood: the decoded
+    (first event type × path) census with mean best-path
+    log-likelihood. Enumerated 2^4 path products in one shared double
+    association; argmax ties to the smallest path index in both
+    engines."""
+    from ningaloo_turtle_etl_spark.operators.temporal import (
+        hmm_viterbi_paths,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    return hmm_viterbi_paths(
+        ev, "user_id", "event_type", ["ts", "event_id"], steps=4
+    )

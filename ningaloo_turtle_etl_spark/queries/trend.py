@@ -3206,3 +3206,143 @@ def q_relative_risk_daily_signup_purchase(spark, sf_dir):
             F.when(ok, F.exp(F.log(rr) + F.lit(1.96) * se)), 6
         ).alias("rr_hi"),
     )
+
+
+@register(
+    "conformal_interval_coverage",
+    """
+    WITH base AS (
+        SELECT event_type AS g, event_id AS i,
+               CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1))::BIGINT
+                   < 8 AS cal
+        FROM events WHERE value IS NOT NULL
+    ),
+    cs AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(SUM(vm) AS BIGINT) AS s
+        FROM base WHERE cal GROUP BY g
+    ),
+    mu AS (SELECT g, n_cal, CAST(s AS DOUBLE) / n_cal AS mu FROM cs),
+    ranked AS (
+        SELECT g, n_cal, r,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, i) AS rn
+        FROM (SELECT b.g, b.i, m.n_cal,
+                     abs(CAST(b.vm AS DOUBLE) - m.mu) AS r
+              FROM base b JOIN mu m ON b.g = m.g WHERE b.cal)
+    ),
+    qh AS (
+        SELECT g, r AS qhat FROM ranked
+        WHERE rn = least(CAST(ceil((n_cal + 1) * CAST(0.9 AS DOUBLE))
+                               AS BIGINT), n_cal)
+    ),
+    test AS (
+        SELECT b.g, m.n_cal, q.qhat,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(CAST(b.vm AS DOUBLE) - m.mu)
+                                  <= q.qhat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        FROM base b JOIN mu m ON b.g = m.g JOIN qh q ON b.g = q.g
+        WHERE NOT b.cal GROUP BY b.g, m.n_cal, q.qhat
+    )
+    SELECT g AS event_type, n_cal, n_test,
+           ROUND(qhat / 1e6, 6) AS q_hat,
+           ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage
+    FROM test ORDER BY event_type
+    """,
+)
+def q_conformal_interval_coverage(spark, sf_dir):
+    """Split-conformal prediction-interval calibration and held-out
+    coverage per event type (`operators/trend.py
+    split_conformal_coverage`, α = 0.1): the distribution-free
+    serving-quality audit for point predictors — md5-hash split,
+    per-group calibration-mean model, ⌈(n+1)(1−α)⌉-th smallest
+    absolute residual as q̂, coverage on the test half. Finite-sample
+    validity (coverage ≥ 1−α in expectation) is the contract the
+    test pins."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        split_conformal_coverage,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return split_conformal_coverage(
+        ev, "event_type", "value", "event_id", alpha=0.1
+    )
+
+
+@register(
+    "group_sequential_obf_daily",
+    """
+    WITH vm AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+               CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('click', 'view')
+    ),
+    daily AS (
+        SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(vm) AS s,
+               SUM(vm * vm) AS q
+        FROM vm GROUP BY day, arm
+    ),
+    cum AS (
+        SELECT day, arm,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               SUM(s) OVER w AS cs,
+               SUM(q) OVER w AS cq
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (SELECT day, cn AS nt, cs AS st, cq AS qt
+          FROM cum WHERE arm = 'click'),
+    c AS (SELECT day, cn AS nc, cs AS sc, cq AS qc
+          FROM cum WHERE arm = 'view'),
+    looks AS (
+        SELECT t.day, nt, st, qt, nc, sc, qc,
+               ROW_NUMBER() OVER (ORDER BY t.day) AS look,
+               COUNT(*) OVER () AS n_looks
+        FROM t JOIN c ON t.day = c.day WHERE nt > 1 AND nc > 1
+    )
+    SELECT CAST(look AS BIGINT) AS look, day,
+           nt AS n_treat, nc AS n_ctrl,
+           ROUND((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                 / sqrt((CAST(qt AS DOUBLE) / nt
+                         - (CAST(st AS DOUBLE) / nt)
+                           * (CAST(st AS DOUBLE) / nt)) / (nt - 1)
+                        + (CAST(qc AS DOUBLE) / nc
+                           - (CAST(sc AS DOUBLE) / nc)
+                             * (CAST(sc AS DOUBLE) / nc)) / (nc - 1)),
+                 6) AS z,
+           ROUND(CAST(2.24 AS DOUBLE)
+                 / sqrt(CAST(look AS DOUBLE) / n_looks), 6) AS boundary,
+           (abs((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+                / sqrt((CAST(qt AS DOUBLE) / nt
+                        - (CAST(st AS DOUBLE) / nt)
+                          * (CAST(st AS DOUBLE) / nt)) / (nt - 1)
+                       + (CAST(qc AS DOUBLE) / nc
+                          - (CAST(sc AS DOUBLE) / nc)
+                            * (CAST(sc AS DOUBLE) / nc)) / (nc - 1)))
+            > CAST(2.24 AS DOUBLE)
+              / sqrt(CAST(look AS DOUBLE) / n_looks)) AS crossed,
+           ROUND(CAST(look AS DOUBLE) / n_looks, 6) AS info_frac
+    FROM looks ORDER BY look
+    """,
+)
+def q_group_sequential_obf_daily(spark, sf_dir):
+    """O'Brien–Fleming group-sequential monitor of click-vs-view value
+    with one scheduled look per day (`operators/trend.py
+    group_sequential_obf`, Lan–DeMets b(t) = 2.24/√t): the
+    pre-planned-looks sibling of the always-valid mSPRT monitor —
+    cumulative Welch z per look against the shrinking boundary.
+    Exact-integer daily sums; z and boundary are the same double
+    association in both engines."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        group_sequential_obf,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    return group_sequential_obf(
+        ev, "event_type", "value", F.to_date("ts"), "click", "view"
+    )

@@ -575,6 +575,23 @@ PRIORITY: list[str] = [
     # frozen fixture anywhere (trains coarse IVF centroids + PQ books,
     # then probes/ADC/exact-reranks with the trained parameters)
     "ann_trained_ivf_pq_topk",
+    # r12 second batch: split-conformal interval calibration + coverage
+    # (the distribution-free serving-quality audit; hash split, exact
+    # order-statistic q-hat)
+    "conformal_interval_coverage",
+    # r12 second batch: O'Brien-Fleming group-sequential daily looks
+    # (the scheduled-looks sibling of the always-valid mSPRT monitor)
+    "group_sequential_obf_daily",
+    # r12 second batch: Dirichlet-smoothed query-likelihood retrieval
+    # (the LM scoring family next to bm25_top10, same index and query)
+    "query_likelihood_top10",
+    # r12 second batch: MRR + MAP@10 vs label relevance (the
+    # order-sensitive retrieval metrics next to ranking_ndcg_eval)
+    "retrieval_mrr_map",
+    # r12 second batch: Viterbi path decode under the fixed 2-state HMM
+    # (the segmentation label where hmm_forward_first4 is the score;
+    # enumerated path products, argmax exact in both engines)
+    "hmm_viterbi_first4",
 ]
 
 

@@ -389,6 +389,12 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         # r12: the ANN train→serve loop, full unrolled-training oracles
         "pq_train_codebooks",
         "ann_trained_ivf_pq_topk",
+        # r12 second batch, full oracles
+        "conformal_interval_coverage",
+        "group_sequential_obf_daily",
+        "query_likelihood_top10",
+        "retrieval_mrr_map",
+        "hmm_viterbi_first4",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
