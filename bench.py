@@ -1278,6 +1278,54 @@ def _hamming_at(target):
     return run
 
 
+def _ann_train_serve_at(target):
+    """The closed train→encode→serve ANN loop at ~target vectors (sf
+    embeddings replicated with id offsets): distributed Lloyd trains
+    coarse IVF centroids + PQ codebooks (one scan + one map-side-
+    combined aggregate per round), then the trained parameters drive
+    the cell-probe/ADC/exact tiers. Watch that training stays
+    scan+aggregate (no vector shuffle) and serving's exact stage only
+    materializes shortlist·|Q| vectors."""
+
+    def run(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ningaloo_turtle_etl_spark.operators.quantize import (
+            trained_ivf_pq_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        copies = max(target // max(n, 1), 1)
+        big = emb
+        for i in range(copies - 1):
+            big = big.unionByName(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
+                )
+            )
+        out = trained_ivf_pq_topk(
+            _spread(big),
+            emb.filter(F.col("vec_id") < 8),
+            k_cells=8,
+            coarse_iterations=2,
+            m_subvectors=8,
+            k_codes=8,
+            pq_iterations=2,
+            k=10,
+            nprobe=2,
+            shortlist=50,
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("distance").alias("chk"),
+        )
+
+    return run
+
+
 def _textrank_sf(spark, sf_dir):
     """TextRank over the full sf documents table: map-only pair
     extraction + 3 weighted-PageRank rounds on the vocabulary grain.
@@ -1503,6 +1551,7 @@ EXTRAS = {
     # classifier-eval grains — no distinct scale risk to probe.)
     "symspell_100k": _symspell_at(100_000),
     "hamming_100k": _hamming_at(100_000),
+    "ann_train_serve_100k": _ann_train_serve_at(100_000),
     "textrank_sf": _textrank_sf,
     "rfm_sf": _rfm_sf,
     "unigram_sf": _unigram_sf,
@@ -1579,6 +1628,9 @@ EAGER_EXTRAS = {
     "ppr_sf",         # restart rounds localCheckpoint in the builder
     "unigram_sf",     # the vocab-fit collect runs in the builder
     "wordpiece_sf",   # shares unigram's vocab-fit collect in the builder
+    # r12: Lloyd training rounds collect inside the builder; the served
+    # output is eager-checkpointed before the cache releases
+    "ann_train_serve_100k",
     # r11 probes whose operators run jobs inside the builder
     "gmm_sf",         # per-round aggregate collects
     "cox_sf",         # per-step (U, I) collects
