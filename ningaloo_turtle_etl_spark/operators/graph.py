@@ -946,3 +946,79 @@ def newman_modularity(
         .crossJoin(F.broadcast(q_tot))
         .orderBy(comm_col)
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition by synchronous peeling (Cohen 2008): keep
+    only edges that lie in >= k-2 triangles among SURVIVING edges — the
+    cohesion rung ABOVE k_core (every k-truss is inside a (k-1)-core,
+    but trussness requires the shared-neighbor witnesses, so it prunes
+    tree-like tendrils k-core keeps). The community-backbone filter for
+    copurchase/link graphs.
+
+    Canonicalizes to a < b edges; per round, triangles (x < y < z) come
+    from the two-join wedge closure — e(x,y) ⋈ e(y,z) on the shared
+    middle, closed by e(x,z) — and each triangle credits all three of
+    its edges; edges below the support floor peel synchronously.
+    Converges when a round removes nothing (peeling is idempotent at
+    the fixpoint); raises past ``max_rounds`` — the k_core operator's
+    convention, so a too-shallow unrolled oracle can't silently pass.
+
+    Scale shape: each round is one self-join pair on the surviving edge
+    set (shuffles edge-grain keys, never the input fact table), one
+    support aggregate, one filter; the edge frame is eager-checkpointed
+    per round so the next round and the convergence count read
+    materialized state, not a growing lineage. Returns the surviving
+    edges with their final support: (a, b, support), support >= k-2."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+
+    def support(ed: DataFrame) -> DataFrame:
+        xy = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        yz = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        xz = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = xy.join(yz, on="y").join(xz, on=["x", "z"])
+        sides = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        return sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+    for _ in range(int(max_rounds)):
+        s = support(e)
+        kept = (
+            e.join(s, on=["a", "b"], how="left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        if m == n:
+            final = e.join(support(e), on=["a", "b"], how="left").select(
+                "a",
+                "b",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            return final.orderBy("a", "b")
+        e, n = kept, m
+    raise RuntimeError(
+        f"k_truss: no fixpoint within {max_rounds} rounds"
+    )

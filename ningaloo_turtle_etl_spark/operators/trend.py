@@ -3691,3 +3691,170 @@ def group_sequential_obf(
         (F.abs(F.col("_z")) > boundary).alias("crossed"),
         F.round("info_frac", 6).alias("info_frac"),
     ).orderBy("look")
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    success_expr: Column,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (beta-binomial method of moments,
+    the James–Stein move for proportions): per-group success rates pull
+    toward the grand prior learned FROM the groups themselves — the
+    standard fix for small-sample league tables (a 2/2 group should not
+    outrank a 480/500 one). Prior: fit Beta(α₀, β₀) by moments from the
+    per-group rate mean m and variance v (α₀+β₀ = m(1−m)/v − 1), then
+    shrunk = (x + α₀) / (n + α₀ + β₀).
+
+    Determinism: rates quantize to integer micro-units per group; m and
+    v come from exact integer sums (decimal for the squares) divided
+    once; α₀/β₀/shrunk are one fixed double association both engines
+    share. Degenerate prior (v ≥ m(1−m), or ≤ 1 group) falls back to
+    no shrinkage (α₀ = β₀ = 0), emitted identically.
+
+    Scale shape: one map-side-combined aggregate to group grain, one
+    broadcast 1-row prior, map-only shrinkage. Returns
+    (group, n_trials, n_success, rate, alpha0, beta0, shrunk_rate)."""
+    per_g = (
+        df.select(
+            F.col(group_col).alias("g"),
+            success_expr.cast("long").alias("y"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("x"),
+        )
+        .where(F.col("n") >= int(min_trials))
+    )
+    rm = F.round(F.col("x") / F.col("n") * 1e6, 0).cast("long")
+    rates = per_g.select("g", "n", "x", rm.alias("rm"))
+    prior = rates.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("rm").alias("srm"),
+        F.sum(F.col("rm").cast("decimal(38,0)") * F.col("rm")).alias("qrm"),
+    )
+    m = F.col("srm").cast("double") / F.col("k") / F.lit(1e6)
+    v = (
+        F.col("qrm").cast("double") / F.col("k")
+        - (F.col("srm").cast("double") / F.col("k"))
+        * (F.col("srm").cast("double") / F.col("k"))
+    ) / F.lit(1e12)
+    s0 = F.when(
+        (F.col("k") > 1) & (v > 0) & (m * (F.lit(1.0) - m) / v > 1),
+        m * (F.lit(1.0) - m) / v - F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    pr = prior.select(
+        (m * s0).alias("a0"),
+        ((F.lit(1.0) - m) * s0).alias("b0"),
+    )
+    shrunk = (F.col("x").cast("double") + F.col("a0")) / (
+        F.col("n").cast("double") + F.col("a0") + F.col("b0")
+    )
+    return (
+        rates.crossJoin(F.broadcast(pr))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_trials"),
+            F.col("x").alias("n_success"),
+            F.round(F.col("rm") / F.lit(1e6), 6).alias("rate"),
+            F.round("a0", 6).alias("alpha0"),
+            F.round("b0", 6).alias("beta0"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def seeded_permutation_test(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_perm: int = 48,
+) -> DataFrame:
+    """Randomization test for a two-group mean difference with SEEDED
+    md5 relabelings — the exact-replay answer to "is this lift real"
+    when distributional assumptions (Welch, MWU) are off the table: the
+    observed |Δmean| is compared against ``n_perm`` random relabelings,
+    each assignment being bit b of md5(id) (independent fair coins, the
+    repo's deterministic-randomness primitive — no RNG state, identical
+    in both engines).
+
+    The caller supplies df pre-filtered to the two arms with an ``_arm``
+    0/1 column; the observed split is arm 0 vs arm 1, each permutation
+    b reassigns every row by hash bit b. p = (1 + #{b : |Δ_b| ≥
+    |Δ_obs|}) / (n_perm + 1), the add-one randomization-test estimate.
+
+    Determinism: values micro-quantize once; every permutation's sums
+    are exact integers folded in ONE map-side-combined aggregate
+    (2·n_perm+2 cells), means/deltas one double association. Scale
+    shape: a single corpus scan regardless of n_perm; the permutation
+    grid lives in the aggregate buffer, never as exploded rows. Returns
+    one row: (n_a, n_b, delta_obs, n_extreme, n_perm, p_value)."""
+    if not 1 <= int(n_perm) <= 56:
+        raise ValueError("n_perm must be in [1, 56] (md5_hash60 bits)")
+    from ningaloo_turtle_etl_spark.operators.dedup import md5_hash60
+
+    vm = F.round(F.col(value_col).cast("double") * 1e6, 0).cast("long")
+    h = md5_hash60(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col("_arm").cast("int").alias("arm"),
+        vm.alias("vm"),
+        h.alias("h"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("arm") == 1, F.col("vm")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_b"),
+        F.sum("vm").cast("long").alias("s_all"),
+    ]
+    for b in range(int(n_perm)):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"pn{b}")
+        )
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("vm")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"ps{b}")
+        )
+    t = base.agg(*aggs)
+
+    def delta(nb, sb):
+        na = F.col("n_all") - nb
+        sa = F.col("s_all") - sb
+        return F.abs(
+            sb.cast("double") / nb - sa.cast("double") / na
+        )
+    d_obs = delta(F.col("n_b"), F.col("s_b"))
+    extreme = sum(
+        (
+            F.when(
+                (F.col(f"pn{b}") > 0)
+                & (F.col("n_all") - F.col(f"pn{b}") > 0)
+                & (delta(F.col(f"pn{b}"), F.col(f"ps{b}")) >= d_obs),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for b in range(int(n_perm))
+        ),
+        start=F.lit(0),
+    )
+    return t.select(
+        (F.col("n_all") - F.col("n_b")).alias("n_a"),
+        F.col("n_b"),
+        F.round(d_obs / F.lit(1e6), 6).alias("delta_obs"),
+        extreme.cast("long").alias("n_extreme"),
+        F.lit(int(n_perm)).cast("long").alias("n_perm"),
+        F.round(
+            (extreme.cast("double") + F.lit(1.0))
+            / F.lit(float(n_perm) + 1.0),
+            6,
+        ).alias("p_value"),
+    )

@@ -7680,3 +7680,97 @@ def retrieval_mrr_map(spark, sf_dir):
         F.round(rr, 6).alias("reciprocal_rank"),
         F.round(ap, 6).alias("ap_at_k"),
     ).orderBy("query_id")
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 6, max_part: int = 2000) -> str:
+    """ktruss_copurchase_hist: unrolled synchronous truss peeling (the
+    k_core oracle's MATERIALIZED chaining — inlined, each round's CTE
+    re-expands the triangle join exponentially). ``rounds`` only needs
+    to be >= the true peel depth at every graded SF (measured 0 / 2 / 2
+    at sf0.001 / 0.01 / 0.1 with the part cut — 6 leaves margin);
+    peeling is idempotent at the fixpoint and the Spark operator
+    independently raises if IT hasn't converged."""
+    parts = [
+        f"""
+    eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s
+           FROM lineitem WHERE l_partkey < {max_part}),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM eo a JOIN eo b ON a.ok = b.ok AND a.s < b.s
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    t{i} AS MATERIALIZED (
+        SELECT xy.a AS x, xy.b AS y, yz.b AS z
+        FROM e{i - 1} xy
+        JOIN e{i - 1} yz ON xy.b = yz.a
+        JOIN e{i - 1} xz ON xz.a = xy.a AND xz.b = yz.b
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT x AS a, y AS b FROM t{i}
+            UNION ALL SELECT y AS a, z AS b FROM t{i}
+            UNION ALL SELECT x AS a, z AS b FROM t{i}
+        ) GROUP BY 1, 2
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i - 1} e LEFT JOIN s{i} s USING (a, b)
+        WHERE COALESCE(s.n, 0) >= {k - 2}
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""",
+    tf AS MATERIALIZED (
+        SELECT xy.a AS x, xy.b AS y, yz.b AS z
+        FROM e{rounds} xy
+        JOIN e{rounds} yz ON xy.b = yz.a
+        JOIN e{rounds} xz ON xz.a = xy.a AND xz.b = yz.b
+    ),
+    sf AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT x AS a, y AS b FROM tf
+            UNION ALL SELECT y AS a, z AS b FROM tf
+            UNION ALL SELECT x AS a, z AS b FROM tf
+        ) GROUP BY 1, 2
+    )
+    SELECT CAST(COALESCE(s.n, 0) AS BIGINT) AS support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e{rounds} e LEFT JOIN sf s USING (a, b)
+    GROUP BY 1 ORDER BY support"""
+    )
+
+
+@register("ktruss_copurchase_hist", _ktruss_oracle_sql(4, 6, 2000))
+def ktruss_copurchase_hist(spark, sf_dir):
+    """4-truss backbone of the copurchase graph (`operators/graph.py
+    k_truss`, parts < 2000 so the subgraph grain is SF-stable): every
+    surviving edge lies in >= 2 triangles among surviving edges — the
+    cohesion rung above kcore_copurchase that also demands shared-
+    neighbor witnesses, peeled synchronously to the fixpoint. Output is
+    the final support histogram (support, n_edges); the per-edge grain
+    stays inside the operator."""
+    from ningaloo_turtle_etl_spark.operators.graph import k_truss
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_partkey") < 2000
+    )
+    eo = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    ).distinct()
+    edges = (
+        eo.alias("a")
+        .join(eo.alias("b"), on="ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    out = k_truss(edges, k=4, max_rounds=16)
+    return (
+        out.groupBy("support")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("support")
+    )

@@ -3346,3 +3346,150 @@ def q_group_sequential_obf_daily(spark, sf_dir):
     return group_sequential_obf(
         ev, "event_type", "value", F.to_date("ts"), "click", "view"
     )
+
+
+@register(
+    "eb_shrunk_purchase_rate",
+    """
+    WITH per_g AS (
+        SELECT user_id % 64 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    rates AS (
+        SELECT g, n, x,
+               CAST(round(CAST(x AS DOUBLE) / n * 1e6) AS BIGINT) AS rm
+        FROM per_g
+    ),
+    prior AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(rm) AS BIGINT) AS srm,
+               SUM(rm * rm) AS qrm
+        FROM rates
+    ),
+    mv AS (
+        SELECT k,
+               CAST(srm AS DOUBLE) / k / 1e6 AS m,
+               (CAST(qrm AS DOUBLE) / k
+                - (CAST(srm AS DOUBLE) / k)
+                  * (CAST(srm AS DOUBLE) / k)) / 1e12 AS v
+        FROM prior
+    ),
+    pr AS (
+        SELECT m * s0 AS a0, (CAST(1 AS DOUBLE) - m) * s0 AS b0
+        FROM (SELECT m, v,
+                     CASE WHEN k > 1 AND v > 0
+                               AND m * (CAST(1 AS DOUBLE) - m) / v > 1
+                          THEN m * (CAST(1 AS DOUBLE) - m) / v
+                               - CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END AS s0
+              FROM mv)
+    )
+    SELECT g AS user_bucket, n AS n_trials, x AS n_success,
+           ROUND(rm / 1e6, 6) AS rate,
+           ROUND(a0, 6) AS alpha0,
+           ROUND(b0, 6) AS beta0,
+           ROUND((CAST(x AS DOUBLE) + a0)
+                 / (CAST(n AS DOUBLE) + a0 + b0), 6) AS shrunk_rate
+    FROM rates, pr ORDER BY user_bucket
+    """,
+)
+def q_eb_shrunk_purchase_rate(spark, sf_dir):
+    """Empirical-Bayes purchase-rate shrinkage across 64 user buckets
+    (`operators/trend.py eb_shrunk_rates`): beta-binomial
+    method-of-moments prior learned from the buckets themselves, then
+    (x + α₀)/(n + α₀ + β₀) — the James–Stein league-table fix that
+    keeps a 2-of-2 bucket from outranking a 480-of-500 one. Exact
+    integer-micro moment sums; one fixed double association."""
+    from ningaloo_turtle_etl_spark.operators.trend import eb_shrunk_rates
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 64
+    )
+    return eb_shrunk_rates(
+        ev, "user_bucket", F.col("event_type") == "purchase"
+    )
+
+
+def _perm_test_oracle_sql(n_perm: int = 48) -> str:
+    """permutation_test_purchase_view: the n_perm seeded relabelings
+    unroll into one wide aggregate (2·n_perm+4 cells) exactly like the
+    Spark single-scan fold; every per-permutation delta re-derives from
+    the same exact-integer sums with the same double association."""
+
+    def delta(nb: str, sb: str) -> str:
+        return (
+            f"abs(CAST({sb} AS DOUBLE) / {nb} "
+            f"- CAST(s_all - {sb} AS DOUBLE) / (n_all - {nb}))"
+        )
+
+    cols = []
+    for b in range(n_perm):
+        bit = f"(h >> {b}) & 1"
+        cols.append(
+            f"CAST(SUM(CASE WHEN {bit} = 1 THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS pn{b}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN {bit} = 1 THEN vm ELSE 0 END) "
+            f"AS BIGINT) AS ps{b}"
+        )
+    extreme = " + ".join(
+        f"(CASE WHEN pn{b} > 0 AND n_all - pn{b} > 0 "
+        f"AND {delta(f'pn{b}', f'ps{b}')} >= {delta('n_b', 's_b')} "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(n_perm)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm,
+               CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    t AS (
+        SELECT CAST(SUM(arm) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END)
+                    AS BIGINT) AS s_b,
+               CAST(SUM(vm) AS BIGINT) AS s_all,
+               {", ".join(cols)}
+        FROM base
+    )
+    SELECT CAST(n_all - n_b AS BIGINT) AS n_a, n_b,
+           ROUND({delta('n_b', 's_b')} / 1e6, 6) AS delta_obs,
+           CAST({extreme} AS BIGINT) AS n_extreme,
+           CAST({n_perm} AS BIGINT) AS n_perm,
+           ROUND((CAST({extreme} AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / CAST({n_perm + 1} AS DOUBLE), 6) AS p_value
+    FROM t
+    """
+
+
+@register("permutation_test_purchase_view", _perm_test_oracle_sql(48))
+def q_permutation_test_purchase_view(spark, sf_dir):
+    """Seeded randomization test of the purchase-vs-view mean value
+    difference (`operators/trend.py seeded_permutation_test`, 48
+    md5-bit relabelings): the assumption-free sibling of
+    welch_value_ttest / mwu_click_vs_view — p from the relabeled
+    |Δmean| distribution, all 48 permutations folded into ONE
+    map-side-combined aggregate (the scan never repeats, the grid
+    lives in the aggregate buffer)."""
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        seeded_permutation_test,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(["purchase", "view"])
+        )
+        .withColumn(
+            "_arm", (F.col("event_type") == "purchase").cast("int")
+        )
+    )
+    return seeded_permutation_test(ev, "value", "event_id", n_perm=48)

@@ -592,6 +592,15 @@ PRIORITY: list[str] = [
     # (the segmentation label where hmm_forward_first4 is the score;
     # enumerated path products, argmax exact in both engines)
     "hmm_viterbi_first4",
+    # r12 third batch: empirical-Bayes beta-binomial rate shrinkage
+    # (the James-Stein league-table fix; exact integer-micro moments)
+    "eb_shrunk_purchase_rate",
+    # r12 third batch: seeded md5-bit randomization test (48 relabelings
+    # folded into ONE map-side-combined aggregate — scan never repeats)
+    "permutation_test_purchase_view",
+    # r12 third batch: 4-truss peel of the copurchase graph (cohesion
+    # rung above k-core; unrolled MATERIALIZED triangle rounds)
+    "ktruss_copurchase_hist",
 ]
 
 

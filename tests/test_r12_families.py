@@ -262,3 +262,113 @@ def test_hmm_viterbi_replay(spark):
         assert abs(
             got[key]["avg_best_loglik"] - r6(s / 1e6 / n)
         ) < 1e-9
+
+
+def test_eb_shrunk_rates_replay(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import eb_shrunk_rates
+
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "user_bucket", F.col("user_id") % 64
+    )
+    got = {
+        r["user_bucket"]: r
+        for r in eb_shrunk_rates(
+            ev, "user_bucket", F.col("event_type") == "purchase"
+        ).collect()
+    }
+    rows = ev.select("user_bucket", "event_type").collect()
+    agg: dict = {}
+    for r in rows:
+        n, x = agg.get(r["user_bucket"], (0, 0))
+        agg[r["user_bucket"]] = (
+            n + 1,
+            x + (1 if r["event_type"] == "purchase" else 0),
+        )
+    rms = {
+        g: int(math.copysign(math.floor(abs(x / n * 1e6) + 0.5), x))
+        for g, (n, x) in agg.items()
+    }
+    k = len(rms)
+    srm = sum(rms.values())
+    qrm = sum(v * v for v in rms.values())
+    m = srm / k / 1e6
+    v = (qrm / k - (srm / k) * (srm / k)) / 1e12
+    s0 = (
+        m * (1.0 - m) / v - 1.0
+        if (k > 1 and v > 0 and m * (1.0 - m) / v > 1)
+        else 0.0
+    )
+    a0, b0 = m * s0, (1.0 - m) * s0
+    for g, (n, x) in agg.items():
+        r = got[g]
+        assert (r["n_trials"], r["n_success"]) == (n, x)
+        sh = (x + a0) / (n + a0 + b0)
+        assert abs(r["shrunk_rate"] - round(sh, 6)) < 1e-6
+        # shrinkage pulls every rate TOWARD the prior mean
+        raw = x / n
+        assert (sh - raw) * (m - raw) >= -1e-12
+
+
+def test_seeded_permutation_test_replay(spark):
+    from ningaloo_turtle_etl_spark.operators.trend import (
+        seeded_permutation_test,
+    )
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(["purchase", "view"])
+        )
+        .withColumn(
+            "_arm", (F.col("event_type") == "purchase").cast("int")
+        )
+    )
+    got = seeded_permutation_test(ev, "value", "event_id", n_perm=48).collect()[0]
+    rows = ev.select("_arm", "value", "event_id").collect()
+    data = [
+        (
+            r["_arm"],
+            round(r["value"] * 1e6),
+            int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:15], 16),
+        )
+        for r in rows
+    ]
+    n_all = len(data)
+    s_all = sum(vm for _, vm, _ in data)
+    n_b = sum(a for a, _, _ in data)
+    s_b = sum(vm for a, vm, _ in data if a == 1)
+
+    def delta(nb, sb):
+        return abs(sb / nb - (s_all - sb) / (n_all - nb))
+
+    d_obs = delta(n_b, s_b)
+    extreme = 0
+    for b in range(48):
+        pn = sum(1 for _, _, h in data if (h >> b) & 1)
+        ps = sum(vm for _, vm, h in data if (h >> b) & 1)
+        if 0 < pn < n_all and delta(pn, ps) >= d_obs:
+            extreme += 1
+    assert got["n_a"] == n_all - n_b and got["n_b"] == n_b
+    assert got["n_extreme"] == extreme
+    assert abs(got["p_value"] - round((extreme + 1) / 49.0, 6)) < 1e-9
+    # add-one estimate is bounded away from 0 and capped at 1
+    assert 1.0 / 49.0 <= got["p_value"] <= 1.0
+
+
+def test_k_truss_synthetic(spark):
+    import pytest
+
+    from ningaloo_turtle_etl_spark.operators.graph import k_truss
+
+    # 5-clique (every edge in 3 triangles) + a pendant chain hanging off
+    # node 0: the 4-truss keeps exactly the clique and peels the chain.
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = k_truss(df, k=4).collect()
+    assert len(out) == 10
+    assert all(r["support"] == 3 for r in out)
+    assert {(r["a"], r["b"]) for r in out} == set(clique)
+    with pytest.raises(ValueError):
+        k_truss(df, k=2)

@@ -395,6 +395,9 @@ def test_out_of_window_queries_are_redundant_or_pytest_pinned():
         "query_likelihood_top10",
         "retrieval_mrr_map",
         "hmm_viterbi_first4",
+        "eb_shrunk_purchase_rate",
+        "permutation_test_purchase_view",
+        "ktruss_copurchase_hist",
         "holt_linear_daily",
         "shapley_attribution_channels",
         # r10 second batch: RFM segment rollup + CMH pooled odds ratio
