@@ -3729,7 +3729,13 @@ def eb_shrunk_rates(
         .where(F.col("n") >= int(min_trials))
     )
     rm = F.round(F.col("x") / F.col("n") * 1e6, 0).cast("long")
-    rates = per_g.select("g", "n", "x", rm.alias("rm"))
+    # eager checkpoint at the bucket grain (tiny): the prior is an
+    # agg-of-agg and the final select both consume this frame —
+    # unmaterialized, the fact scan ran once per branch (r12 fan-out
+    # sweep class)
+    rates = per_g.select("g", "n", "x", rm.alias("rm")).localCheckpoint(
+        eager=True
+    )
     prior = rates.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("rm").alias("srm"),

@@ -609,3 +609,24 @@ def test_cmh_two_aggregates_no_fact_join(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters" in plan
+
+
+def test_permutation_test_single_scan_no_joins(spark):
+    plan = plan_of(spark, "permutation_test_purchase_view")
+    # all 48 relabelings fold into ONE map-side-combined aggregate —
+    # the events file is read exactly once, no join of any kind, and
+    # the md5-bit coins stay JVM-side
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_eb_shrunk_single_fact_scan_broadcast_prior(spark):
+    plan = plan_of(spark, "eb_shrunk_purchase_rate")
+    # the bucket grain is checkpointed, so the prior (an agg-of-agg)
+    # and the output branch both read the 64-row materialization — the
+    # events fact never appears twice, and the prior joins broadcast
+    assert plan.count("FileScan parquet") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
