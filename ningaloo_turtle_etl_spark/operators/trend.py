@@ -3495,6 +3495,16 @@ def split_conformal_coverage(
     (quantile-GD, GBM stumps, Platt): does the interval the calibration
     half promises actually cover the held-out half at 1−α?
 
+    Relationship to ``operators/classify.py split_conformal_report``
+    (the r07 surface): that one wraps an EXTERNAL scorer's residuals
+    with ONE global q̂ (percentile aggregate, driver-scalar n_cal) and
+    slices coverage per group to expose under-covered subpopulations;
+    this one calibrates PER GROUP — per-group model, per-group q̂ via a
+    rank window at the exact order-statistic index, zero driver state —
+    the grouped-serving shape (one interval per segment). The two cover
+    the conformal surface between them, like Ed-Join vs SymSpell on the
+    linkage side.
+
     Split rule: rows whose md5(id) first hex digit is 0-7 calibrate,
     the rest test — the repo's deterministic hash-split primitive
     (leakage_safe_split convention), identical in both engines. The
