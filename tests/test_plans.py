@@ -630,3 +630,57 @@ def test_eb_shrunk_single_fact_scan_broadcast_prior(spark):
     assert plan.count("FileScan parquet") <= 1
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trained_ivf_pq_serve_tiers_broadcast_no_cartesian(spark):
+    """The trained loop's SERVE stages (rebuilt lazily here — the
+    public operator eager-checkpoints its output, hiding the plan):
+    candidate selection is a broadcast cell equi-join + broadcast LUT
+    join, never a cartesian, and the whole serve path stays JVM-side."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        _lloyd_micro_rounds,
+    )
+    from ningaloo_turtle_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    vm = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    base = emb.select(F.col("vec_id").alias("id"), vm.alias("vm"))
+    cents = _lloyd_micro_rounds(base, 1, 4, 1, 64)[0]
+
+    def idist(col, c):
+        carr = F.array(*[F.lit(int(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cell = F.array_min(
+        F.array(
+            *[
+                F.struct(idist(F.col("vm"), c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+    )["j"]
+    enc = base.select(F.col("id").alias("vec_id"), cell.alias("cell"))
+    qcells = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0)], "query_id long, cell int"
+    )
+    cand = enc.join(F.broadcast(qcells), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
