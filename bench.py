@@ -1479,6 +1479,71 @@ def _hmm_sf(spark, sf_dir):
     return registry.queries()["hmm_forward_first4"](spark, sf_dir)
 
 
+# r13 (VERDICT r12 item 2): probes for the nine probe-less r12 families.
+# The ANN train→serve pair rides the existing ann_train_serve_100k row;
+# the eight below get their own rows — ktruss is the only iterative-join
+# family (the one the verdict flagged as slowest-with-no-number), the
+# rest are single-scan shapes probed so the convention (every family
+# lands with telemetry) holds.
+
+
+def _ktruss_sf(spark, sf_dir):
+    """4-truss peel at the sf grain: per round two edge self-joins +
+    wedge closure + a 3-way union aggregate, eager-checkpointed; the
+    r13 fixpoint fix reuses the converged round's support frame, so the
+    probe should show one FEWER triangle enumeration than r12's
+    driver_sim anecdote (the most expensive pass in the loop)."""
+    return registry.queries()["ktruss_copurchase_hist"](spark, sf_dir)
+
+
+def _conformal_sf(spark, sf_dir):
+    """Split-conformal calibration + coverage at the sf grain: one
+    event scan to the split grains, exact order-statistic q-hat via a
+    bounded sort, then the test-side coverage aggregate."""
+    return registry.queries()["conformal_interval_coverage"](spark, sf_dir)
+
+
+def _obf_sf(spark, sf_dir):
+    """O'Brien–Fleming group-sequential looks: one event-grain
+    map-side-combined aggregate to (day, arm), then day-grain windows;
+    builder runs the look-count job (eager)."""
+    return registry.queries()["group_sequential_obf_daily"](spark, sf_dir)
+
+
+def _ql_sf(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval: index prune to |q| posting
+    slices, candidates × |q| grid, TakeOrdered top-k — the corpus is
+    never rescanned; watch the grid stay candidate-grain."""
+    return registry.queries()["query_likelihood_top10"](spark, sf_dir)
+
+
+def _mrr_map_sf(spark, sf_dir):
+    """MRR/MAP@10 over the brute-force ranking baseline: one ranked
+    window per query then a query-grain aggregate."""
+    return registry.queries()["retrieval_mrr_map"](spark, sf_dir)
+
+
+def _viterbi_sf(spark, sf_dir):
+    """Viterbi decode under the fixed 2-state HMM: bounded rank window
+    per user + enumerated path products; map-only after the pivot
+    (hmm_sf's twin on the argmax side)."""
+    return registry.queries()["hmm_viterbi_first4"](spark, sf_dir)
+
+
+def _eb_sf(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage: one user-grain
+    aggregate to group rates (eager-checkpointed bucket grain in the
+    builder), moment-fit prior as an agg-of-agg, broadcast back."""
+    return registry.queries()["eb_shrunk_purchase_rate"](spark, sf_dir)
+
+
+def _perm_sf(spark, sf_dir):
+    """Seeded randomization test: all 48 md5-bit relabelings fold into
+    ONE map-side-combined aggregate of 2·48+2 exact-integer cells —
+    one corpus scan regardless of n_perm; watch it stay one scan."""
+    return registry.queries()["permutation_test_purchase_view"](spark, sf_dir)
+
+
 EXTRAS = {
     "range_join_tally": _range_join_tally,
     "snapshot_diff_600k": _snapshot_diff_600k,
@@ -1582,6 +1647,17 @@ EXTRAS = {
     "modularity_sf": _modularity_sf,
     "zonemap_sf": _zonemap_sf,
     "hmm_sf": _hmm_sf,
+    # r13 (VERDICT r12 item 2): rows for the probe-less r12 families —
+    # ktruss first (iterative-join; the only one with no committed
+    # number), the rest single-scan shapes.
+    "ktruss_sf": _ktruss_sf,
+    "conformal_sf": _conformal_sf,
+    "obf_sf": _obf_sf,
+    "ql_sf": _ql_sf,
+    "mrr_map_sf": _mrr_map_sf,
+    "viterbi_sf": _viterbi_sf,
+    "eb_sf": _eb_sf,
+    "perm_sf": _perm_sf,
 }
 
 # 10x-scaled probes for the iterative/quadratic-risk families (VERDICT r9
@@ -1631,6 +1707,10 @@ EAGER_EXTRAS = {
     # r12: Lloyd training rounds collect inside the builder; the served
     # output is eager-checkpointed before the cache releases
     "ann_train_serve_100k",
+    # r13 family probes whose operators run jobs inside the builder
+    "ktruss_sf",        # per-round localCheckpoint + count in the peel loop
+    "obf_sf",           # day-grain checkpoint + look-count in the builder
+    "eb_sf",            # bucket-grain eager checkpoint in the builder
     # r11 probes whose operators run jobs inside the builder
     "gmm_sf",         # per-round aggregate collects
     "cox_sf",         # per-step (U, I) collects
@@ -1728,6 +1808,14 @@ def main() -> None:
         "min-of-N exists to prevent (the default 2 applies here too)",
     )
     ap.add_argument(
+        "--only-extras",
+        default="",
+        help="comma-separated extras-probe names: run ONLY these probes "
+        "(headline skipped) — the fresh-session drift-reprobe path the "
+        "r12 forensics hand-rolled, now first-class; names must exist "
+        "in the selected extras table",
+    )
+    ap.add_argument(
         "--out",
         default=os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"),
         help="also write the result JSON to this file (the driver's "
@@ -1761,6 +1849,11 @@ def main() -> None:
     # runs of one query): a load spike then contaminates one REP of each
     # query instead of every rep of one query, and min-of-N recovers.
     raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # --only-extras is a probe-forensics run: skip the headline phase
+    # entirely (its canary_relative would only restate the extras canary).
+    if args.only_extras:
+        n_runs = 0
+        raw = {}
     for _ in range(n_runs):
         for name in HEADLINE:
             # Untimed GC between queries: session-lifetime debris (dropped
@@ -1792,6 +1885,12 @@ def main() -> None:
         extras_table = {}
     else:
         extras_table = EXTRAS
+    if args.only_extras:
+        want = [n.strip() for n in args.only_extras.split(",") if n.strip()]
+        unknown = [n for n in want if n not in extras_table]
+        if unknown:
+            raise SystemExit(f"--only-extras: unknown probes {unknown}")
+        extras_table = {n: extras_table[n] for n in want}
     ex_raw: dict[str, list[float]] = {n: [] for n in extras_table}
     ex_loads: dict[str, list[float]] = {n: [] for n in extras_table}
 

@@ -1012,7 +1012,12 @@ def k_truss(
         )
         m = kept.count()
         if m == n:
-            final = e.join(support(e), on=["a", "b"], how="left").select(
+            # Fixpoint: kept == e, so the support frame `s` computed two
+            # statements up is already support over the final edge set —
+            # reuse it rather than paying a second triangle enumeration
+            # (the loop's most expensive pass: two self-joins + wedge
+            # close + 3-way union + aggregate).
+            final = e.join(s, on=["a", "b"], how="left").select(
                 "a",
                 "b",
                 F.coalesce("support", F.lit(0)).cast("long").alias("support"),

@@ -585,8 +585,13 @@ def _lloyd_micro_rounds(
             .collect()
         )  # bounded: <= m·k rows of d_sub+3 ints
         got = {
+            # floor(sm/n + 0.5) computed as (2·sm + n) // (2·n) — EXACT
+            # integer arithmetic, so parity with the oracle survives
+            # |sm| > 2^53 (float division rounds sm first and can flip
+            # the half-up boundary by 1 ulp at 10⁹-vector scale; the
+            # oracle uses the same non-negative-remainder floor form).
             (int(r["s"]), int(r["code"])): [
-                int(math.floor(int(r[f"s{j}"]) / int(r["n"]) + 0.5))
+                (2 * int(r[f"s{j}"]) + int(r["n"])) // (2 * int(r["n"]))
                 for j in range(d_sub)
             ]
             for r in sums
@@ -703,6 +708,320 @@ def pq_train_codebooks_lloyd(
     ).orderBy("subspace", "code")
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class TrainedIvfPq:
+    """Trained IVF+PQ parameters in integer micro-units — the driver-side
+    artifact of the train stage (tiny: k_cells·dim + m·k_codes·(dim/m)
+    longs), consumed by encode and serve. Train once, serve many: persist
+    with ``write_trained_ivf_pq`` and reload in any later session."""
+
+    cents: list  # k_cells × dim coarse IVF centroids (micro ints)
+    books: list  # m × k_codes × (dim/m) PQ codebooks (micro ints)
+    dim: int
+
+
+def _micro_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vm) with vm = round(x·1e6) integer micro vector — the one
+    quantization point of the whole trained-ANN loop."""
+    vm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    return corpus.select(F.col(id_col).alias("id"), vm.alias("vm"))
+
+
+def _ivf_pq_argmin(col: Column, cs) -> Column:
+    """Exact-integer argmin over literal centroids; (dist, index) struct
+    min ties to the smallest index — the oracle's ORDER BY dist, code."""
+
+    def idist(c):
+        carr = F.array(*[F.lit(int(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(idist(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cs)
+            ]
+        )
+    )["j"]
+
+
+def _encode_from_base(base: DataFrame, params: TrainedIvfPq) -> DataFrame:
+    """Map-only encode of a micro-int (id, vm) frame into the serving
+    index grain (vec_id, cell, m codes)."""
+    m = len(params.books)
+    d_sub = params.dim // m
+    return base.select(
+        F.col("id").alias("vec_id"),
+        _ivf_pq_argmin(F.col("vm"), params.cents).alias("cell"),
+        F.array(
+            *[
+                _ivf_pq_argmin(
+                    F.slice(F.col("vm"), i * d_sub + 1, d_sub),
+                    params.books[i],
+                ).cast("int")
+                for i in range(m)
+            ]
+        ).alias("code"),
+    )
+
+
+def _collect_query_micros(queries: DataFrame, id_col: str, vec_col: str):
+    """Micro-quantize and collect the query set (small-broadcast
+    contract: query LUTs are driver-computed)."""
+    qvm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"), qvm.alias("qm")
+    ).collect()
+
+
+def _serve_from_index(
+    enc: DataFrame,
+    base: DataFrame,
+    q_rows,
+    params: TrainedIvfPq,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    spark,
+) -> DataFrame:
+    """The three-tier serve over an encoded index: IVF cell probe →
+    ADC shortlist → exact integer-micro² re-rank. ``enc`` may be the
+    just-encoded frame or an index reloaded from parquet; ``base``
+    supplies full vectors for the exact stage (fetched by id only for
+    shortlist·|Q| rows)."""
+    m = len(params.books)
+    kc = len(params.books[0])
+    d_sub = params.dim // m
+
+    # --- PROBE + LUT: driver-side exact-integer math on the tiny
+    # query set (same (dist, index) tie order as the oracle)
+    def pd2(a, b):
+        return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
+
+    qcells, luts, qfull = [], [], []
+    for r in q_rows:
+        qm = [int(x) for x in r["qm"]]
+        cd = sorted(
+            (pd2(qm, c), j) for j, c in enumerate(params.cents)
+        )[: int(nprobe)]
+        for _, cell in cd:
+            qcells.append((int(r["query_id"]), cell))
+        lut = [
+            pd2(qm[i * d_sub : (i + 1) * d_sub], params.books[i][j])
+            for i in range(m)
+            for j in range(kc)
+        ]
+        luts.append((int(r["query_id"]), lut))
+        qfull.append((int(r["query_id"]), qm))
+    qcells_df = spark.createDataFrame(qcells, "query_id long, cell int")
+    lut_df = spark.createDataFrame(luts, "query_id long, lut array<long>")
+    q_df = spark.createDataFrame(qfull, "query_id long, qm array<long>")
+
+    adc = sum(
+        (
+            F.element_at(
+                F.col("lut"),
+                F.lit(i * kc + 1)
+                + F.element_at(F.col("code"), i + 1),
+            )
+            for i in range(m)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    cand = (
+        enc.join(F.broadcast(qcells_df), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut_df), on="query_id")
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(shortlist))
+        .select("query_id", "vec_id")
+    )
+
+    # --- EXACT: integer micro² L2 on the shortlist only
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("vm"), F.col("qm"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        short.join(base.withColumnRenamed("id", "vec_id"), on="vec_id")
+        .join(F.broadcast(q_df), on="query_id")
+        .select("query_id", "vec_id", l2.alias("d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("d"), F.asc("vec_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("d") / F.lit(1e12), 6).alias("distance"),
+            "rank",
+        )
+    )
+
+
+def train_ivf_pq(
+    corpus: DataFrame,
+    k_cells: int = 4,
+    coarse_iterations: int = 2,
+    m_subvectors: int = 4,
+    k_codes: int = 4,
+    pq_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> TrainedIvfPq:
+    """The TRAIN stage alone: distributed Lloyd over the persisted
+    micro frame — coarse IVF centroids at full-vector grain (m=1) and
+    PQ codebooks at subvector grain. Returns the driver-side parameter
+    artifact; persist with ``write_trained_ivf_pq`` for
+    train-once/serve-many (r12 verdict item 7)."""
+    from pyspark import StorageLevel
+
+    base = _micro_base(corpus, id_col, vec_col)
+    if dim is None:
+        first = base.select(F.size("vm").alias("d")).first()
+        if first is None:
+            raise ValueError("train_ivf_pq: empty corpus")
+        dim = int(first["d"])
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base.count()
+        cents = _lloyd_micro_rounds(
+            base, 1, int(k_cells), int(coarse_iterations), dim
+        )[0]
+        books = _lloyd_micro_rounds(
+            base, int(m_subvectors), int(k_codes), int(pq_iterations), dim
+        )
+    finally:
+        base.unpersist()
+    return TrainedIvfPq(cents=cents, books=books, dim=dim)
+
+
+def encode_ivf_pq(
+    corpus: DataFrame,
+    params: TrainedIvfPq,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only ENCODE stage: corpus → (vec_id, cell, m codes) serving
+    index under trained parameters. Write with
+    ``write_ivf_pq_index`` (partitioned by cell) so probes prune."""
+    return _encode_from_base(_micro_base(corpus, id_col, vec_col), params)
+
+
+def write_trained_ivf_pq(spark, params: TrainedIvfPq, path: str) -> None:
+    """Persist trained parameters as a tiny parquet of
+    (kind, subspace, idx, vec) rows — kind='coarse' rows carry the IVF
+    centroids (subspace = -1), kind='pq' rows the per-subspace
+    codebooks. Engine-portable (plain longs), reload with
+    ``load_trained_ivf_pq`` in any later session."""
+    rows = [
+        ("coarse", -1, j, [int(x) for x in c])
+        for j, c in enumerate(params.cents)
+    ] + [
+        ("pq", i, j, [int(x) for x in c])
+        for i, bk in enumerate(params.books)
+        for j, c in enumerate(bk)
+    ]
+    spark.createDataFrame(
+        rows, "kind string, subspace int, idx int, vec array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_trained_ivf_pq(spark, path: str) -> TrainedIvfPq:
+    """Reload ``write_trained_ivf_pq`` output into the driver-side
+    parameter artifact."""
+    rows = spark.read.parquet(path).collect()
+    cents = {
+        int(r["idx"]): [int(x) for x in r["vec"]]
+        for r in rows
+        if r["kind"] == "coarse"
+    }
+    by_sub: dict = {}
+    for r in rows:
+        if r["kind"] == "pq":
+            by_sub.setdefault(int(r["subspace"]), {})[int(r["idx"])] = [
+                int(x) for x in r["vec"]
+            ]
+    if not cents or not by_sub:
+        raise ValueError(f"load_trained_ivf_pq: no parameters at {path}")
+    books = [
+        [by_sub[i][j] for j in sorted(by_sub[i])] for i in sorted(by_sub)
+    ]
+    return TrainedIvfPq(
+        cents=[cents[j] for j in sorted(cents)],
+        books=books,
+        dim=len(cents[0]),
+    )
+
+
+def write_ivf_pq_index(enc: DataFrame, path: str) -> None:
+    """Persist the encoded serving index PARTITIONED BY cell (the
+    write_ivf_index convention): a probe reads only the matching cell
+    directories — partition pruning is the on-disk probe."""
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def load_ivf_pq_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def serve_trained_ivf_pq_topk(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    params: TrainedIvfPq,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SERVE stage over a prebuilt (possibly reloaded) index: IVF
+    cell probe → ADC shortlist → exact re-rank, identical tiers to the
+    fused ``trained_ivf_pq_topk`` — equality between the two is pinned
+    in tests (train-once/serve-many, r12 verdict item 7)."""
+    if k < 1 or nprobe < 1 or shortlist < k:
+        raise ValueError("need k >= 1, nprobe >= 1, shortlist >= k")
+    spark = corpus.sparkSession
+    return _serve_from_index(
+        index,
+        _micro_base(corpus, id_col, vec_col),
+        _collect_query_micros(queries, id_col, vec_col),
+        params,
+        k=int(k),
+        nprobe=int(nprobe),
+        shortlist=int(shortlist),
+        spark=spark,
+    )
+
+
+
 def trained_ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -747,150 +1066,50 @@ def trained_ivf_pq_topk(
     if k < 1 or nprobe < 1 or shortlist < k:
         raise ValueError("need k >= 1, nprobe >= 1, shortlist >= k")
     spark = corpus.sparkSession
-    vm = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
-    )
-    base = corpus.select(F.col(id_col).alias("id"), vm.alias("vm"))
+    base = _micro_base(corpus, id_col, vec_col)
     if dim is None:
         first = base.select(F.size("vm").alias("d")).first()
         if first is None:
             raise ValueError("trained_ivf_pq_topk: empty corpus")
         dim = int(first["d"])
-    m, kc = int(m_subvectors), int(k_codes)
-    d_sub = dim // m
-    qvm = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
-    )
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), qvm.alias("qm")
-    ).collect()
+    q_rows = _collect_query_micros(queries, id_col, vec_col)
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         base.count()
         # --- TRAIN: coarse centroids (m=1) + PQ codebooks (subspace) ---
-        cents = _lloyd_micro_rounds(
-            base, 1, int(k_cells), int(coarse_iterations), dim
-        )[0]
-        books = _lloyd_micro_rounds(
-            base, m, kc, int(pq_iterations), dim
+        # (inlined against the SAME persisted base the encode and exact
+        # stages read — the standalone train_ivf_pq/encode_ivf_pq/
+        # serve_trained_ivf_pq_topk stages compose to the identical
+        # result, pinned in tests)
+        params = TrainedIvfPq(
+            cents=_lloyd_micro_rounds(
+                base, 1, int(k_cells), int(coarse_iterations), dim
+            )[0],
+            books=_lloyd_micro_rounds(
+                base, int(m_subvectors), int(k_codes), int(pq_iterations), dim
+            ),
+            dim=dim,
         )
-
-        def idist(col, c):
-            carr = F.array(*[F.lit(int(x)) for x in c])
-            return F.aggregate(
-                F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        def argmin(col, cs):
-            return F.array_min(
-                F.array(
-                    *[
-                        F.struct(idist(col, c).alias("d"), F.lit(j).alias("j"))
-                        for j, c in enumerate(cs)
-                    ]
-                )
-            )["j"]
-
         # --- ENCODE: the (vec_id, cell, m codes) serving index, map-only
-        enc = base.select(
-            F.col("id").alias("vec_id"),
-            argmin(F.col("vm"), cents).alias("cell"),
-            F.array(
-                *[
-                    argmin(
-                        F.slice(F.col("vm"), i * d_sub + 1, d_sub), books[i]
-                    ).cast("int")
-                    for i in range(m)
-                ]
-            ).alias("code"),
-        )
-
-        # --- PROBE + LUT: driver-side exact-integer math on the tiny
-        # query set (same (dist, index) tie order as the oracle)
-        def pd2(a, b):
-            return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
-
-        qcells, luts, qfull = [], [], []
-        for r in q_rows:
-            qm = [int(x) for x in r["qm"]]
-            cd = sorted(
-                (pd2(qm, c), j) for j, c in enumerate(cents)
-            )[: int(nprobe)]
-            for _, cell in cd:
-                qcells.append((int(r["query_id"]), cell))
-            lut = [
-                pd2(qm[i * d_sub : (i + 1) * d_sub], books[i][j])
-                for i in range(m)
-                for j in range(kc)
-            ]
-            luts.append((int(r["query_id"]), lut))
-            qfull.append((int(r["query_id"]), qm))
-        qcells_df = spark.createDataFrame(qcells, "query_id long, cell int")
-        lut_df = spark.createDataFrame(luts, "query_id long, lut array<long>")
-        q_df = spark.createDataFrame(qfull, "query_id long, qm array<long>")
-
-        adc = sum(
-            (
-                F.element_at(
-                    F.col("lut"),
-                    F.lit(i * kc + 1)
-                    + F.element_at(F.col("code"), i + 1),
-                )
-                for i in range(m)
-            ),
-            start=F.lit(0).cast("long"),
-        )
-        cand = (
-            enc.join(F.broadcast(qcells_df), on="cell")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .join(F.broadcast(lut_df), on="query_id")
-            .select("query_id", "vec_id", adc.alias("adc"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("adc"), F.asc("vec_id")
-        )
-        short = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(shortlist))
-            .select("query_id", "vec_id")
-        )
-
-        # --- EXACT: integer micro² L2 on the shortlist only
-        l2 = F.aggregate(
-            F.zip_with(
-                F.col("vm"), F.col("qm"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        rescored = (
-            short.join(base.withColumnRenamed("id", "vec_id"), on="vec_id")
-            .join(F.broadcast(q_df), on="query_id")
-            .select("query_id", "vec_id", l2.alias("d"))
-        )
-        w2 = Window.partitionBy("query_id").orderBy(
-            F.asc("d"), F.asc("vec_id")
-        )
-        out = (
-            rescored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= int(k))
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(F.col("d") / F.lit(1e12), 6).alias("distance"),
-                "rank",
-            )
+        enc = _encode_from_base(base, params)
+        # --- PROBE + ADC + EXACT
+        out = _serve_from_index(
+            enc,
+            base,
+            q_rows,
+            params,
+            k=int(k),
+            nprobe=int(nprobe),
+            shortlist=int(shortlist),
+            spark=spark,
         )
         # materialize before unpersist: the returned frame must not
         # depend on the released cache
         return out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
+
 
 
 # --- binary (sign-bit) quantization + Hamming search -------------------------

@@ -1131,6 +1131,13 @@ def kmeans_lloyd(
                 .collect()
             )  # bounded: <= k rows of dim+2 ints
             got = {
+                # NOTE float-division parity bound: int(sm)/int(n) is the
+                # correctly-rounded true quotient while the DuckDB oracle
+                # rounds sm to DOUBLE first — the two agree exactly while
+                # |sm| < 2^53 (~9e15 micro-units; 1e9 rows × 1e6 |x| sits
+                # at the edge). Past that, switch BOTH sides to the exact
+                # (2·sm + n) // (2·n) form used by quantize.py
+                # _lloyd_micro_rounds and its oracle.
                 int(r["cluster"]): [
                     int(math.floor(int(r[f"s{i}"]) / int(r["n"]) + 0.5))
                     for i in range(dim)

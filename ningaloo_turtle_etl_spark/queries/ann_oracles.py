@@ -726,7 +726,9 @@ def _lloyd_chain_sql(prefix: str, m: int, k: int, iterations: int, dim: int) -> 
         SELECT p.s, p.code, COALESCE(u.c, p.c) AS c
         FROM c{prefix}{t - 1} p LEFT JOIN (
             SELECT s, code,
-                   list(CAST(floor(CAST(sm AS DOUBLE) / n + 0.5) AS BIGINT)
+                   list(CAST((2*sm + n
+                              - (((2*sm + n) % (2*n)) + 2*n) % (2*n))
+                             // (2*n) AS BIGINT)
                         ORDER BY i) AS c
             FROM s{prefix}{t} GROUP BY s, code
         ) u USING (s, code)

@@ -7682,14 +7682,16 @@ def retrieval_mrr_map(spark, sf_dir):
     ).orderBy("query_id")
 
 
-def _ktruss_oracle_sql(k: int = 4, rounds: int = 6, max_part: int = 2000) -> str:
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 10, max_part: int = 2000) -> str:
     """ktruss_copurchase_hist: unrolled synchronous truss peeling (the
     k_core oracle's MATERIALIZED chaining — inlined, each round's CTE
     re-expands the triangle join exponentially). ``rounds`` only needs
     to be >= the true peel depth at every graded SF (measured 0 / 2 / 2
-    at sf0.001 / 0.01 / 0.1 with the part cut — 6 leaves margin);
-    peeling is idempotent at the fixpoint and the Spark operator
-    independently raises if IT hasn't converged."""
+    at sf0.001 / 0.01 / 0.1 with the part cut; 10 leaves the r12-ADVICE
+    margin — fixpoint rounds are idempotent no-ops, so the extra unrolls
+    cost little and a peel depth up to 10 can no longer diverge the
+    oracle from a correctly-converged operator); the Spark operator
+    independently raises past ITS max_rounds if it hasn't converged."""
     parts = [
         f"""
     eo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s
@@ -7744,7 +7746,7 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 6, max_part: int = 2000) -> str
     )
 
 
-@register("ktruss_copurchase_hist", _ktruss_oracle_sql(4, 6, 2000))
+@register("ktruss_copurchase_hist", _ktruss_oracle_sql(4, 10, 2000))
 def ktruss_copurchase_hist(spark, sf_dir):
     """4-truss backbone of the copurchase graph (`operators/graph.py
     k_truss`, parts < 2000 so the subgraph grain is SF-stable): every

@@ -68,11 +68,16 @@ PRIORITY: list[str] = [
     # Promoted extension-family rows (r07): the driver window should prove
     # at least one post-r04 family directly. A3 pivot coverage stays in
     # window via flagship_summary_pivot + mark_capture_history.
-    # r11 (verdict item 2): ann_pq_recall's slot upgraded to the fused
-    # three-tier IVF→PQ→exact serving query, which subsumes the PQ
-    # acceptance shape (recall vs exact stays pinned in pytest + the
-    # supplement artifacts).
-    "ann_ivf_pq_topk",
+    # r13 (r12 verdict item 1): the closed ANN train→serve loop runs
+    # under the real driver harness — distributed per-subspace Lloyd
+    # PQ-codebook training and the fused train→encode→serve three-tier
+    # query with NO frozen fixture anywhere. They supersede the
+    # frozen-fixture ann_ivf_pq_topk (demoted; the fixture-served
+    # three-tier shape stays oracle-swept by pytest + the supplement
+    # artifacts, and its serving tiers are exercised by the trained
+    # path end-to-end).
+    "pq_train_codebooks",
+    "ann_trained_ivf_pq_topk",
     "dp_event_type_counts",
     # Promoted r12 (r11 verdict item 2, continuing the rotation): the
     # window proves two r11 families directly — deflated top-p power-
@@ -93,14 +98,13 @@ PRIORITY: list[str] = [
     # (the lag/rank window shape stays proven in-window by
     # remigration_lag; O2/O3 TakeOrdered stays proven by slice_topk).
     "ppjoin_jaccard_pairs",
-    # Promoted r10 (verdict item 8, continuing the rotation): the window
-    # proves an r9 family directly — distributed Lloyd k-means, whose
-    # integer-micro unrolled-oracle pattern (exact centroid replay in
-    # DuckDB) the window had never carried. Slot freed by demoting
-    # ngram_jaccard_near_dups (the Jaccard-pair near-dup shape stays
-    # proven in-window by ppjoin_jaccard_pairs; still oracle-swept by
-    # pytest + the supplement artifacts).
-    "kmeans_embedding_clusters",
+    # r13: kmeans_embedding_clusters demoted to free the second slot for
+    # the trained-ANN pair — the distributed-Lloyd integer-micro
+    # unrolled-oracle shape it was promoted to prove (r10) is now
+    # proven in-window at STRICTLY finer grain by pq_train_codebooks
+    # (the same Lloyd machinery per subvector, same exact-centroid
+    # DuckDB replay); still oracle-swept by pytest + the supplement
+    # artifacts.
     # Promoted r11 (verdict item 2, continuing the rotation): the window
     # proves an r10 family directly — SymSpell verification-free
     # delete-neighborhood blocking, carrying this round's insdel
@@ -131,6 +135,14 @@ PRIORITY: list[str] = [
     "slice_topk",
     "timestamp_pipeline",
     # ---- 50-slot driver window ends here ----
+    # Demoted r13 (slots freed for pq_train_codebooks /
+    # ann_trained_ivf_pq_topk): the frozen-fixture fused serve is
+    # superseded by the trained path, which exercises the same
+    # cell-probe → ADC → exact-rerank tiers; Lloyd's unrolled-oracle
+    # shape stays in-window via pq_train_codebooks. Both remain
+    # oracle-swept by pytest + the supplement artifacts.
+    "ann_ivf_pq_topk",
+    "kmeans_embedding_clusters",
     # Demoted r12 (slots freed for pca_power_components /
     # fellegi_sunter_part_weights): blocked-linkage stays in-window via
     # symspell_customer_pairs + fellegi_sunter_part_weights; A10's
@@ -567,14 +579,8 @@ PRIORITY: list[str] = [
     # r11 third batch: relative risk with the Katz log-interval on
     # (user, day) units (the epidemiology rung next to CMH/two-prop)
     "relative_risk_daily_signup_purchase",
-    # r12: the ANN train→serve loop (r11 verdict item 3) — distributed
-    # per-subspace Lloyd PQ-codebook training (the kmeans machinery at
-    # subvector grain, unrolled integer-micro oracle) ...
-    "pq_train_codebooks",
-    # ... and the fused train→encode→serve three-tier query with NO
-    # frozen fixture anywhere (trains coarse IVF centroids + PQ books,
-    # then probes/ADC/exact-reranks with the trained parameters)
-    "ann_trained_ivf_pq_topk",
+    # r12: the ANN train→serve loop (r11 verdict item 3) — promoted into
+    # the 50-slot driver window in r13 (see above).
     # r12 second batch: split-conformal interval calibration + coverage
     # (the distribution-free serving-quality audit; hash split, exact
     # order-statistic q-hat)
