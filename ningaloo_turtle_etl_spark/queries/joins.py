@@ -56,14 +56,31 @@ def join_left_composite(spark, sf_dir):
     """J2: composite-natural-key join — the surveys ⟕ sites
     (division,section,subsection) trap where a single-column key is WRONG
     because names repeat across divisions (ningaloo-etl.Rmd:151-157,199).
-    Both sides shuffle on the same composite key → co-located join."""
-    li = load_table(spark, "lineitem", sf_dir)
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+
+    r13: the aggregate-then-join-back form is computed as two window
+    aggregates over the composite key. Semantically identical (the join key
+    derives from the fact table itself, so the left join matched every row
+    and n_lines/total_qty were exactly the per-(partkey,suppkey) group
+    aggregates), but the physical plan drops from two lineitem scans + an
+    aggregate exchange + a ~591k-row BroadcastExchange/hash-relation build
+    (the composite key is near-unique at this generator's grain) to ONE
+    scan + ONE exchange + sort + window — the dominant cost, broadcasting
+    an aggregate nearly as large as the fact table, is gone, and at 100 TB
+    the window form is the only one that survives (a fact-sized broadcast
+    OOMs the driver; the SMJ alternative shuffles the fact twice)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
-    return li.join(ps, on=["l_partkey", "l_suppkey"], how="left").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "n_lines", "total_qty"
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.count(F.lit(1)).over(w).alias("n_lines"),
+        F.round(F.sum("l_quantity").over(w), 2).alias("total_qty"),
     )
 
 
