@@ -493,6 +493,147 @@ def ivf_pq_topk(
 # float math anywhere in the loop.
 
 
+def _lloyd_grid_rows(
+    base: DataFrame,
+    books: list,
+    m: int,
+    k: int,
+    d_sub: int,
+    with_dist: bool = False,
+):
+    """ONE Lloyd assignment+reduce pass over the persisted (id, vm) frame,
+    computed as an Arrow partial grid: a ``mapInArrow`` stage assigns every
+    subvector to its nearest codebook entry with exact int64 numpy
+    arithmetic and folds (count, per-coordinate sums[, distance sum]) to
+    the (subspace, code) grid PER TASK, then one tiny Spark aggregate
+    merges the per-task grids. Returns the collected grid rows
+    (s, code, n, s0..s{d_sub-1}[, dsum]) — only cells with members.
+
+    Why Arrow (guide §4.2): the previous form inlined m·k
+    ``aggregate(zip_with(...))`` distance folds per row — higher-order
+    functions are CodegenFallback, so every row paid m·k interpreted
+    lambda folds plus array allocations (measured 3.7-7 s per scan at
+    100k×64 on local[32]); the numpy batch form computes the same exact
+    integer distances at ~0.9 s per scan. Exactness is unchanged:
+    micro-int subvectors are int64 throughout, argmin score uses
+    |c|² − 2·v·c (the |v|² term is constant per row, so the argmin and
+    its first-min tie — smallest code index, numpy argmin's rule, the
+    struct-min rule, and the oracle's ORDER BY dist, code — all agree),
+    per-cell sums are int64 scatter-adds, the cross-task merge is
+    Spark's exact long sum, and the optional distance sum re-adds |v|²
+    before folding. Shuffle shape is unchanged: only the m·k-cell grid
+    crosses the exchange (map-side-combined, now pre-folded per task);
+    vectors never shuffle and only the ``vm`` column crosses the Python
+    boundary.
+    """
+    rows = _lloyd_grid_rows_multi(
+        base, [(books, m, k, d_sub)], with_dist=with_dist
+    )
+    return rows[0]
+
+
+def _lloyd_grid_rows_multi(
+    base: DataFrame,
+    specs: list,
+    with_dist: bool = False,
+):
+    """`_lloyd_grid_rows` over SEVERAL independent codebook sets in the
+    SAME scan: ``specs`` is a list of (books, m, k, d_sub) whose
+    trajectories do not feed each other (IVF coarse at m=1 and PQ at
+    subvector grain train independently), so folding them into one pass
+    halves the per-iteration corpus scans of the fused trainer without
+    changing any trajectory. Sum columns are padded to the widest spec
+    (padding cells stay exactly 0 through the long-sum merge). Returns a
+    list aligned with specs, each entry the collected grid rows of that
+    spec."""
+    import pyarrow as pa
+
+    Cs = [np.array(b, dtype=np.int64).reshape(m, k, d) for b, m, k, d in specs]
+    cns = [(C * C).sum(axis=2) for C in Cs]
+    d_max = max(d for _, _, _, d in specs)
+    dim = specs[0][1] * specs[0][3]
+    for _, m, _, d in specs:
+        if m * d != dim:
+            raise ValueError("_lloyd_grid_rows_multi: inconsistent dim")
+    ddl = "g int, s int, code int, n long, " + ", ".join(
+        f"s{j} long" for j in range(d_max)
+    )
+    fields = [
+        ("g", pa.int32()),
+        ("s", pa.int32()),
+        ("code", pa.int32()),
+        ("n", pa.int64()),
+    ] + [(f"s{j}", pa.int64()) for j in range(d_max)]
+    if with_dist:
+        ddl += ", dsum long"
+        fields.append(("dsum", pa.int64()))
+    pa_schema = pa.schema(fields)
+
+    def partials(it):
+        accs = [
+            (
+                np.zeros((m, k), np.int64),
+                np.zeros((m, k, d), np.int64),
+                np.zeros((m, k), np.int64),
+            )
+            for _, m, k, d in specs
+        ]
+        seen = False
+        for batch in it:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
+                continue
+            arr = flat.reshape(-1, dim).astype(np.int64, copy=False)
+            seen = True
+            for g, (_, m, k, d_sub) in enumerate(specs):
+                acc_n, acc_s, acc_d = accs[g]
+                for i in range(m):
+                    sub = arr[:, i * d_sub : (i + 1) * d_sub]
+                    # score = dist − |v|²; constant shift per row keeps
+                    # the argmin and its ties identical to the full
+                    # distance
+                    scores = cns[g][i][None, :] - 2 * (sub @ Cs[g][i].T)
+                    codes = np.argmin(scores, axis=1)
+                    acc_n[i] += np.bincount(codes, minlength=k)
+                    np.add.at(acc_s[i], codes, sub)
+                    if with_dist:
+                        vn = (sub * sub).sum(axis=1)
+                        dmin = scores[np.arange(len(codes)), codes] + vn
+                        np.add.at(acc_d[i], codes, dmin)
+        if not seen:
+            return
+        for g, (_, m, k, d_sub) in enumerate(specs):
+            acc_n, acc_s, acc_d = accs[g]
+            ss, cc = np.nonzero(acc_n)
+            if len(ss) == 0:
+                continue
+            pad = np.zeros(len(ss), np.int64)
+            arrays = [
+                pa.array(np.full(len(ss), g, np.int32)),
+                pa.array(ss.astype(np.int32)),
+                pa.array(cc.astype(np.int32)),
+                pa.array(acc_n[ss, cc]),
+            ] + [
+                pa.array(acc_s[ss, cc, j]) if j < d_sub else pa.array(pad)
+                for j in range(d_max)
+            ]
+            if with_dist:
+                arrays.append(pa.array(acc_d[ss, cc]))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    part = base.select("vm").mapInArrow(partials, ddl)
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(f"s{j}").alias(f"s{j}") for j in range(d_max)
+    ]
+    if with_dist:
+        aggs.append(F.sum("dsum").alias("dsum"))
+    rows = part.groupBy("g", "s", "code").agg(*aggs).collect()
+    out: list = [[] for _ in specs]
+    for r in rows:
+        out[int(r["g"])].append(r)
+    return out
+
+
 def _lloyd_micro_rounds(
     base: DataFrame,
     m: int,
@@ -509,97 +650,87 @@ def _lloyd_micro_rounds(
 
     Scale shape (the kmeans_lloyd contract at subvector grain): per
     iteration ONE corpus scan — all m·k integer distance expressions
-    inlined, then an explode to (vector × subspace) grain — and ONE
-    map-side-combined aggregate to m·k·(dim/m + 1) cells; driver state
-    is m·k·(dim/m) ints. Vectors never shuffle; the explode output
-    combines map-side to the cell grid before any exchange.
+    evaluated as an exact-int64 Arrow batch stage that pre-folds the
+    grid per task (see _lloyd_grid_rows) — and ONE map-side-combined
+    aggregate to m·k·(dim/m + 1) cells; driver state is m·k·(dim/m)
+    ints. Vectors never shuffle; only the vm column crosses the Python
+    boundary and only the per-task cell grid reaches the exchange.
 
     Returns codebooks as nested ints [m][k][d_sub] in micro units."""
-    import math
+    return _lloyd_micro_rounds_multi(base, [(m, k)], iterations, dim)[0]
 
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    init_rows = base.orderBy("id").limit(k).collect()
-    if len(init_rows) < k:
-        raise ValueError(
-            f"_lloyd_micro_rounds: k={k} exceeds corpus size "
-            f"{len(init_rows)}"
-        )
-    books = [
-        [list(r["vm"])[i * d_sub : (i + 1) * d_sub] for r in init_rows]
-        for i in range(m)
-    ]
 
-    def sub_col(i):
-        return F.slice(F.col("vm"), i * d_sub + 1, d_sub)
-
-    def dist_expr(sv, c):
-        carr = F.array(*[F.lit(int(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(sv, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def assign_struct(i, bs):
-        # struct min = (dist, code): ties to the smallest code index,
-        # identical in the oracle's ORDER BY dist, code
-        sv = sub_col(i)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(dist_expr(sv, c).alias("d"), F.lit(j).alias("j"))
-                    for j, c in enumerate(bs)
+def _lloyd_micro_rounds_multi(
+    base: DataFrame,
+    specs: list,
+    iterations: int,
+    dim: int,
+    init_books: list | None = None,
+) -> list:
+    """`_lloyd_micro_rounds` over several INDEPENDENT codebook sets in
+    shared scans: ``specs`` is a list of (m, k). The trajectories never
+    feed each other, so per iteration ONE corpus scan folds every spec's
+    assignment grid (see _lloyd_grid_rows_multi) — the fused trainer's
+    coarse (m=1) and PQ codebooks train in half the scans with
+    bit-identical trajectories. ``init_books`` resumes given codebooks
+    instead of the deterministic smallest-id init (used when specs have
+    unequal iteration budgets). Returns books aligned with specs."""
+    for m, _ in specs:
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+    if init_books is None:
+        kmax = max(k for _, k in specs)
+        init_rows = base.orderBy("id").limit(kmax).collect()
+        if len(init_rows) < kmax:
+            raise ValueError(
+                f"_lloyd_micro_rounds: k={kmax} exceeds corpus size "
+                f"{len(init_rows)}"
+            )
+        books_list = []
+        for m, k in specs:
+            d_sub = dim // m
+            books_list.append(
+                [
+                    [
+                        list(r["vm"])[i * d_sub : (i + 1) * d_sub]
+                        for r in init_rows[:k]
+                    ]
+                    for i in range(m)
                 ]
             )
-        )
+    else:
+        books_list = [b for b in init_books]
 
     for _ in range(int(iterations)):
-        ex = (
-            base.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("s"),
-                                assign_struct(i, books[i])["j"].alias("code"),
-                                sub_col(i).alias("sv"),
-                            )
-                            for i in range(m)
-                        ]
-                    )
-                ).alias("e")
-            )
-            .select("e.s", "e.code", "e.sv")
+        # ONE Arrow-folded assignment scan + grid merge for ALL specs
+        # (see _lloyd_grid_rows for the exactness and plan-shape argument)
+        grids = _lloyd_grid_rows_multi(
+            base,
+            [
+                (books_list[g], m, k, dim // m)
+                for g, (m, k) in enumerate(specs)
+            ],
         )
-        sums = (
-            ex.groupBy("s", "code")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("sv").getItem(j)).alias(f"s{j}")
+        for g, (m, k) in enumerate(specs):
+            d_sub = dim // m
+            # bounded: <= m·k rows of d_sub+3 ints per spec
+            got = {
+                # floor(sm/n + 0.5) computed as (2·sm + n) // (2·n) — EXACT
+                # integer arithmetic, so parity with the oracle survives
+                # |sm| > 2^53 (float division rounds sm first and can flip
+                # the half-up boundary by 1 ulp at 10⁹-vector scale; the
+                # oracle uses the same non-negative-remainder floor form).
+                (int(r["s"]), int(r["code"])): [
+                    (2 * int(r[f"s{j}"]) + int(r["n"])) // (2 * int(r["n"]))
                     for j in range(d_sub)
-                ],
-            )
-            .collect()
-        )  # bounded: <= m·k rows of d_sub+3 ints
-        got = {
-            # floor(sm/n + 0.5) computed as (2·sm + n) // (2·n) — EXACT
-            # integer arithmetic, so parity with the oracle survives
-            # |sm| > 2^53 (float division rounds sm first and can flip
-            # the half-up boundary by 1 ulp at 10⁹-vector scale; the
-            # oracle uses the same non-negative-remainder floor form).
-            (int(r["s"]), int(r["code"])): [
-                (2 * int(r[f"s{j}"]) + int(r["n"])) // (2 * int(r["n"]))
-                for j in range(d_sub)
+                ]
+                for r in grids[g]
+            }
+            books_list[g] = [
+                [got.get((i, j), books_list[g][i][j]) for j in range(k)]
+                for i in range(m)
             ]
-            for r in sums
-        }
-        books = [
-            [got.get((i, j), books[i][j]) for j in range(k)] for i in range(m)
-        ]
-    return books
+    return books_list
 
 
 def pq_train_codebooks_lloyd(
@@ -642,47 +773,15 @@ def pq_train_codebooks_lloyd(
     try:
         base.count()  # materialize once for the iterations+1 passes
         books = _lloyd_micro_rounds(base, m, k, iterations, dim)
-
-        def sub_col(i):
-            return F.slice(F.col("vm"), i * d_sub + 1, d_sub)
-
-        def dist_expr(sv, c):
-            carr = F.array(*[F.lit(int(x)) for x in c])
-            return F.aggregate(
-                F.zip_with(sv, carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        final = base.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.array_min(
-                            F.array(
-                                *[
-                                    F.struct(
-                                        dist_expr(sub_col(i), c).alias("d"),
-                                        F.lit(i).alias("s"),
-                                        F.lit(j).alias("code"),
-                                    )
-                                    for j, c in enumerate(books[i])
-                                ]
-                            )
-                        )
-                        for i in range(m)
-                    ]
-                )
-            ).alias("e")
-        ).select("e.s", "e.code", "e.d")
-        rows = (
-            final.groupBy("s", "code")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                F.sum("d").alias("dsum"),
-            )
-            .collect()
-        )
+        # Final audit pass: the same Arrow grid scan with the exact
+        # integer distance sum folded per cell (dist re-adds the |v|²
+        # term the argmin score drops). The old struct-min tie order
+        # (d, s, code) is preserved: s is fixed per subspace and numpy
+        # argmin ties to the smallest code.
+        rows = [
+            {"s": r["s"], "code": r["code"], "n_vecs": r["n"], "dsum": r["dsum"]}
+            for r in _lloyd_grid_rows(base, books, m, k, d_sub, with_dist=True)
+        ]
     finally:
         base.unpersist()
     by_cell = {(int(r["s"]), int(r["code"])): r for r in rows}
@@ -733,45 +832,65 @@ def _micro_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return corpus.select(F.col(id_col).alias("id"), vm.alias("vm"))
 
 
-def _ivf_pq_argmin(col: Column, cs) -> Column:
-    """Exact-integer argmin over literal centroids; (dist, index) struct
-    min ties to the smallest index — the oracle's ORDER BY dist, code."""
-
-    def idist(c):
-        carr = F.array(*[F.lit(int(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(idist(c).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(cs)
-            ]
-        )
-    )["j"]
-
-
 def _encode_from_base(base: DataFrame, params: TrainedIvfPq) -> DataFrame:
     """Map-only encode of a micro-int (id, vm) frame into the serving
-    index grain (vec_id, cell, m codes)."""
+    index grain (vec_id, cell, m codes).
+
+    r13: the per-row argmins (1 coarse over dim + m PQ over dim/m, each
+    previously an interpreted ``aggregate(zip_with(...))`` fold per
+    centroid) run as ONE Arrow batch stage with exact int64 numpy
+    arithmetic — same score form and tie rule as ``_lloyd_grid_rows``
+    (|c|² − 2·v·c, first-min = smallest index), so cells and codes are
+    bit-identical to the expression form; the stage stays map-only and
+    only (id, vm) crosses the Python boundary."""
+    import pyarrow as pa
+
     m = len(params.books)
     d_sub = params.dim // m
-    return base.select(
-        F.col("id").alias("vec_id"),
-        _ivf_pq_argmin(F.col("vm"), params.cents).alias("cell"),
-        F.array(
-            *[
-                _ivf_pq_argmin(
-                    F.slice(F.col("vm"), i * d_sub + 1, d_sub),
-                    params.books[i],
-                ).cast("int")
-                for i in range(m)
-            ]
-        ).alias("code"),
+    dim = params.dim
+    CC = np.array(params.cents, dtype=np.int64)  # k_cells x dim
+    ccn = (CC * CC).sum(axis=1)
+    B = np.array(params.books, dtype=np.int64)  # m x k_codes x d_sub
+    bn = (B * B).sum(axis=2)
+    pa_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cell", pa.int32()),
+            ("code", pa.list_(pa.int32())),
+        ]
+    )
+
+    def enc_fn(it):
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            arr = flat.reshape(-1, dim).astype(np.int64, copy=False)
+            cell = np.argmin(ccn[None, :] - 2 * (arr @ CC.T), axis=1)
+            codes = np.empty((arr.shape[0], m), dtype=np.int32)
+            for i in range(m):
+                sub = arr[:, i * d_sub : (i + 1) * d_sub]
+                codes[:, i] = np.argmin(
+                    bn[i][None, :] - 2 * (sub @ B[i].T), axis=1
+                )
+            offsets = pa.array(
+                np.arange(0, (arr.shape[0] + 1) * m, m, dtype=np.int32)
+            )
+            code_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.ravel())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64, copy=False)),
+                    pa.array(cell.astype(np.int32)),
+                    code_arr,
+                ],
+                schema=pa_schema,
+            )
+
+    return base.select("id", "vm").mapInArrow(
+        enc_fn, "vec_id long, cell int, code array<int>"
     )
 
 
@@ -911,15 +1030,55 @@ def train_ivf_pq(
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         base.count()
-        cents = _lloyd_micro_rounds(
-            base, 1, int(k_cells), int(coarse_iterations), dim
-        )[0]
-        books = _lloyd_micro_rounds(
-            base, int(m_subvectors), int(k_codes), int(pq_iterations), dim
+        cents, books = _train_coarse_and_pq(
+            base,
+            int(k_cells),
+            int(coarse_iterations),
+            int(m_subvectors),
+            int(k_codes),
+            int(pq_iterations),
+            dim,
         )
     finally:
         base.unpersist()
     return TrainedIvfPq(cents=cents, books=books, dim=dim)
+
+
+def _train_coarse_and_pq(
+    base: DataFrame,
+    k_cells: int,
+    coarse_iterations: int,
+    m_subvectors: int,
+    k_codes: int,
+    pq_iterations: int,
+    dim: int,
+):
+    """Train the coarse (m=1) centroids and PQ codebooks with SHARED
+    per-iteration scans for the iterations the two budgets have in
+    common (they usually match), then finish any remainder per spec.
+    Trajectories are independent, so the result is bit-identical to two
+    separate _lloyd_micro_rounds calls — in half the corpus scans."""
+    shared = min(coarse_iterations, pq_iterations)
+    books_c, books_p = _lloyd_micro_rounds_multi(
+        base, [(1, k_cells), (m_subvectors, k_codes)], shared, dim
+    )
+    if coarse_iterations > shared:
+        books_c = _lloyd_micro_rounds_multi(
+            base,
+            [(1, k_cells)],
+            coarse_iterations - shared,
+            dim,
+            init_books=[books_c],
+        )[0]
+    if pq_iterations > shared:
+        books_p = _lloyd_micro_rounds_multi(
+            base,
+            [(m_subvectors, k_codes)],
+            pq_iterations - shared,
+            dim,
+            init_books=[books_p],
+        )[0]
+    return books_c[0], books_p
 
 
 def encode_ivf_pq(
@@ -1050,9 +1209,12 @@ def trained_ivf_pq_topk(
     arithmetic (round(x·1e6) once), so an unrolled DuckDB oracle replays
     it bit-for-bit; there is no float fold anywhere to order-diverge.
 
-    Scale shape: training = (coarse_iterations + pq_iterations + 2)
-    scans of the persisted micro frame, each ONE map-side-combined
-    aggregate (k·(dim+1) then m·k·(dim/m+1) cells); serving = one
+    Scale shape: training = (max(coarse_iterations, pq_iterations) + 2)
+    scans of the persisted micro frame — coarse and PQ trajectories are
+    independent, so each shared iteration folds BOTH assignment grids in
+    one Arrow-batched scan (r13; see _lloyd_grid_rows_multi) — each ONE
+    map-side-combined aggregate (k·(dim+1) then m·k·(dim/m+1) cells,
+    exact int64 numpy inside the scan); serving = one
     map-only encode pass producing the (vec_id, cell, m codes) index,
     a broadcast cell equi-join (never a full scan per query), ADC as m
     integer lookups, and an id-join exact stage that materializes only
@@ -1077,20 +1239,22 @@ def trained_ivf_pq_topk(
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         base.count()
-        # --- TRAIN: coarse centroids (m=1) + PQ codebooks (subspace) ---
+        # --- TRAIN: coarse centroids (m=1) + PQ codebooks (subspace),
+        # shared per-iteration scans (independent trajectories) ---
         # (inlined against the SAME persisted base the encode and exact
         # stages read — the standalone train_ivf_pq/encode_ivf_pq/
         # serve_trained_ivf_pq_topk stages compose to the identical
         # result, pinned in tests)
-        params = TrainedIvfPq(
-            cents=_lloyd_micro_rounds(
-                base, 1, int(k_cells), int(coarse_iterations), dim
-            )[0],
-            books=_lloyd_micro_rounds(
-                base, int(m_subvectors), int(k_codes), int(pq_iterations), dim
-            ),
-            dim=dim,
+        cents, books = _train_coarse_and_pq(
+            base,
+            int(k_cells),
+            int(coarse_iterations),
+            int(m_subvectors),
+            int(k_codes),
+            int(pq_iterations),
+            dim,
         )
+        params = TrainedIvfPq(cents=cents, books=books, dim=dim)
         # --- ENCODE: the (vec_id, cell, m codes) serving index, map-only
         enc = _encode_from_base(base, params)
         # --- PROBE + ADC + EXACT

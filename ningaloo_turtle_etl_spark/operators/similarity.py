@@ -1094,42 +1094,21 @@ def kmeans_lloyd(
             )
         cents = [list(r["vm"]) for r in init_rows]
 
-        def dist_expr(c):
-            carr = F.array(*[F.lit(int(x)) for x in c])
-            return F.aggregate(
-                F.zip_with(F.col("vm"), carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        def assign_expr(cs):
-            # struct ordering = (dist, cluster): min is smallest distance,
-            # ties to the smallest cluster index — identical in SQL
-            return F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            dist_expr(c).alias("d"),
-                            F.lit(j).alias("j"),
-                        )
-                        for j, c in enumerate(cs)
-                    ]
-                )
-            )
+        # r13: the assignment+sum scans run as the shared Arrow grid pass
+        # (quantize._lloyd_grid_rows at m=1 grain) — the inlined
+        # aggregate(zip_with(...)) distance folds were CodegenFallback and
+        # paid k interpreted lambda folds per row; the numpy batch form
+        # computes the same exact int64 distances with the identical
+        # first-min tie rule, the same per-cluster exact integer sums, and
+        # the same map-side-combined grid exchange. The float-division
+        # update below is untouched (it is what the oracle mirrors).
+        from ningaloo_turtle_etl_spark.operators.quantize import (
+            _lloyd_grid_rows,
+        )
 
         for _ in range(int(iterations)):
-            a = base.withColumn("cluster", assign_expr(cents)["j"])
-            sums = (
-                a.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.col("vm").getItem(i)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )  # bounded: <= k rows of dim+2 ints
+            sums = _lloyd_grid_rows(base, [cents], 1, k, dim)
+            # bounded: <= k rows of dim+2 ints
             got = {
                 # NOTE float-division parity bound: int(sm)/int(n) is the
                 # correctly-rounded true quotient while the DuckDB oracle
@@ -1138,7 +1117,7 @@ def kmeans_lloyd(
                 # at the edge). Past that, switch BOTH sides to the exact
                 # (2·sm + n) // (2·n) form used by quantize.py
                 # _lloyd_micro_rounds and its oracle.
-                int(r["cluster"]): [
+                int(r["code"]): [
                     int(math.floor(int(r[f"s{i}"]) / int(r["n"]) + 0.5))
                     for i in range(dim)
                 ]
@@ -1146,25 +1125,29 @@ def kmeans_lloyd(
             }
             cents = [got.get(j, cents[j]) for j in range(k)]
 
-        final = base.withColumn("a", assign_expr(cents)).select(
-            F.col("a")["j"].alias("cluster"), F.col("a")["d"].alias("d")
-        )
-        out = (
-            final.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                F.round(F.sum("d") / F.lit(1e12), 6).alias("inertia"),
-            )
-        )
-        # materialize before unpersist: the returned frame must not depend
-        # on the released cache
-        rows = out.collect()
+        # Final assignment: same grid pass with the exact integer distance
+        # sum folded per cluster (the |v|² term the argmin score drops is
+        # re-added before summing), then the SAME Spark-side round as
+        # before — the summed integer is identical, so round(dsum/1e12, 6)
+        # is bit-identical.
+        frows = _lloyd_grid_rows(base, [cents], 1, k, dim, with_dist=True)
+        rows = [
+            (int(r["code"]), int(r["n"]), int(r["dsum"])) for r in frows
+        ]
     finally:
         base.unpersist()
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        rows, "cluster int, n_vecs long, inertia double"
-    ).orderBy("cluster")
+    return (
+        spark.createDataFrame(
+            rows, "cluster int, n_vecs long, dsum long"
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            F.round(F.col("dsum") / F.lit(1e12), 6).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
 
 
 def mf_gd_factors(
