@@ -473,3 +473,181 @@ def test_trained_ivf_pq_incremental_encode_batches(spark, tmp_path):
         )
 
     assert rows(batched) == rows(full)
+
+
+def test_lloyd_arrow_grid_matches_catalyst_reference(spark):
+    """r13 pins the Arrow-batched Lloyd grid against the original
+    Catalyst expression form it replaced: same assignment (exact-int64
+    argmin, first-min tie to the smallest code), same per-cell counts,
+    per-coordinate sums, and distance sums — on a fixture with exact
+    distance TIES (duplicate vectors and symmetric centroids) so the tie
+    rule itself is exercised, for both the m=1 (coarse) and m>1 (PQ
+    subvector) grains."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        _lloyd_grid_rows,
+        _micro_base,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 5 - 2), float((i * 3) % 4 - 1),
+                 float(i % 3 - 1), float((i * 11) % 6 - 3)])
+            for i in range(40)
+        ]
+        # duplicate rows: equidistant cases must tie to the smaller code
+        + [(100 + i, [0.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    base = _micro_base(df, "vec_id", "embedding").persist()
+    base.count()
+    try:
+        for m, k in ((1, 3), (2, 2)):
+            d_sub = 4 // m
+            init = base.orderBy("id").limit(k).collect()
+            books = [
+                [list(r["vm"])[i * d_sub : (i + 1) * d_sub] for r in init]
+                for i in range(m)
+            ]
+            got = {
+                (int(r["s"]), int(r["code"])): (
+                    int(r["n"]),
+                    tuple(int(r[f"s{j}"]) for j in range(d_sub)),
+                    int(r["dsum"]),
+                )
+                for r in _lloyd_grid_rows(
+                    base, books, m, k, d_sub, with_dist=True
+                )
+            }
+
+            # Catalyst reference: the pre-r13 expression form
+            def dist_expr(sv, c):
+                carr = F.array(*[F.lit(int(x)) for x in c])
+                return F.aggregate(
+                    F.zip_with(sv, carr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+
+            def sub_col(i):
+                return F.slice(F.col("vm"), i * d_sub + 1, d_sub)
+
+            ex = base.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("s"),
+                                F.array_min(
+                                    F.array(
+                                        *[
+                                            F.struct(
+                                                dist_expr(sub_col(i), c).alias("d"),
+                                                F.lit(j).alias("j"),
+                                            )
+                                            for j, c in enumerate(books[i])
+                                        ]
+                                    )
+                                )["j"].alias("code"),
+                                F.array_min(
+                                    F.array(
+                                        *[
+                                            F.struct(
+                                                dist_expr(sub_col(i), c).alias("d"),
+                                                F.lit(j).alias("j"),
+                                            )
+                                            for j, c in enumerate(books[i])
+                                        ]
+                                    )
+                                )["d"].alias("d"),
+                                sub_col(i).alias("sv"),
+                            )
+                            for i in range(m)
+                        ]
+                    )
+                ).alias("e")
+            ).select("e.s", "e.code", "e.d", "e.sv")
+            ref = {
+                (int(r["s"]), int(r["code"])): (
+                    int(r["n"]),
+                    tuple(int(r[f"s{j}"]) for j in range(d_sub)),
+                    int(r["dsum"]),
+                )
+                for r in ex.groupBy("s", "code")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col("sv").getItem(j)).alias(f"s{j}")
+                        for j in range(d_sub)
+                    ],
+                    F.sum("d").alias("dsum"),
+                )
+                .collect()
+            }
+            assert got == ref, f"grid mismatch at m={m}, k={k}"
+    finally:
+        base.unpersist()
+
+
+def test_encode_arrow_matches_expression_argmin(spark):
+    """r13: the Arrow encode stage must reproduce the expression-form
+    per-row argmins (cell + m PQ codes) including distance ties."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.quantize import (
+        TrainedIvfPq,
+        _encode_from_base,
+        _micro_base,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 5) % 7 - 3), float((i * 2) % 5 - 2),
+              float(i % 4 - 2), float((i * 9) % 8 - 4)]) for i in range(30)]
+        + [(200 + i, [1.0, -1.0, 1.0, -1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    base = _micro_base(df, "vec_id", "embedding")
+    cents = [[0, 0, 0, 0], [1_000_000, -1_000_000, 1_000_000, -1_000_000]]
+    books = [
+        [[0, 0], [1_000_000, -1_000_000]],
+        [[0, 0], [-1_000_000, 1_000_000]],
+    ]
+    params = TrainedIvfPq(cents=cents, books=books, dim=4)
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["code"]))
+        for r in _encode_from_base(base, params).collect()
+    )
+
+    def argmin_expr(col, cs):
+        def idist(c):
+            carr = F.array(*[F.lit(int(x)) for x in c])
+            return F.aggregate(
+                F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(idist(c).alias("d"), F.lit(j).alias("j"))
+                    for j, c in enumerate(cs)
+                ]
+            )
+        )["j"]
+
+    ref_df = base.select(
+        F.col("id").alias("vec_id"),
+        argmin_expr(F.col("vm"), cents).alias("cell"),
+        F.array(
+            *[
+                argmin_expr(F.slice(F.col("vm"), i * 2 + 1, 2), books[i]).cast("int")
+                for i in range(2)
+            ]
+        ).alias("code"),
+    )
+    ref = sorted(
+        (r["vec_id"], r["cell"], tuple(r["code"])) for r in ref_df.collect()
+    )
+    assert got == ref
