@@ -1034,6 +1034,19 @@ def rank_biased_overlap(
     )
 
 
+def _recenter_micro(s: int, n: int) -> int:
+    """Exact half-up integer recentering floor(s/n + 1/2) = (2s + n) //
+    (2n) in arbitrary-precision Python ints (// IS floor division) —
+    the quantize.py _lloyd_micro_rounds convention, mirrored by the
+    kmeans oracle's explicit floor-div CTE. r14 replaces the float form
+    floor(s/n + 0.5), whose parity with any oracle was only guaranteed
+    while |s| < 2^53 (~9e15 micro-units — 1e9 rows × 1e6 |x| sits AT
+    that edge); the exact form has no cliff. Boundary-pinned (vs the
+    float form's divergence AND vs the DuckDB oracle idiom) by
+    tests/test_llm_ops.py::test_kmeans_recenter_exact_past_double_cliff."""
+    return (2 * int(s) + int(n)) // (2 * int(n))
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
@@ -1110,16 +1123,12 @@ def kmeans_lloyd(
             sums = _lloyd_grid_rows(base, [cents], 1, k, dim)
             # bounded: <= k rows of dim+2 ints
             got = {
-                # NOTE float-division parity bound: int(sm)/int(n) is the
-                # correctly-rounded true quotient while the DuckDB oracle
-                # rounds sm to DOUBLE first — the two agree exactly while
-                # |sm| < 2^53 (~9e15 micro-units; 1e9 rows × 1e6 |x| sits
-                # at the edge). Past that, switch BOTH sides to the exact
-                # (2·sm + n) // (2·n) form used by quantize.py
-                # _lloyd_micro_rounds and its oracle.
+                # r14: exact integer half-up recentering (see
+                # _recenter_micro — no 2^53 float cliff, same convention
+                # as quantize.py _lloyd_micro_rounds, mirrored by the
+                # kmeans oracle's explicit floor-div CTE)
                 int(r["code"]): [
-                    int(math.floor(int(r[f"s{i}"]) / int(r["n"]) + 0.5))
-                    for i in range(dim)
+                    _recenter_micro(r[f"s{i}"], r["n"]) for i in range(dim)
                 ]
                 for r in sums
             }
@@ -1380,6 +1389,153 @@ def ranking_metrics(
     ).orderBy("query_id")
 
 
+def _np_round_half_up_i64(y: np.ndarray) -> np.ndarray:
+    """Bit-exact numpy reproduction of Spark's ``F.round(double, 0)
+    .cast("long")`` — BigDecimal HALF_UP (round half AWAY FROM ZERO) on
+    the double's decimal expansion. ``floor(y + 0.5)`` is NOT it (the
+    classic 0.49999999999999994 case rounds up because y+0.5 itself
+    rounds to 1.0); instead: for a = |y| >= 0, ``frac = a - floor(a)``
+    is EXACT (the fractional bits are a suffix of a's significand, and
+    IEEE subtraction is correctly rounded, so a representable exact
+    result is returned exactly), and comparing that exact binary frac
+    against 0.5 decides HALF_UP identically to the decimal comparison
+    (for |y| < 2^52 every half-integer is representable, so the shortest
+    -decimal expansion Spark's Round uses preserves ordering vs .5).
+    The sign is re-applied afterwards because for NEGATIVE y the
+    ``y - floor(y)`` subtraction crosses a binade and can lose the low
+    bit (pinned by test_pca_round_half_up_matches_spark on the
+    -0.49999999999999994 case, which a direct floor-based form gets
+    wrong). Fuzz + adversarial parity with the real Spark expression is
+    pinned in tests/test_llm_ops.py."""
+    a = np.abs(y)
+    r = np.floor(a)
+    mag = (r + ((a - r) >= 0.5)).astype(np.int64)
+    return np.where(y < 0, -mag, mag)
+
+
+def _pca_coord_sum_grid(base: DataFrame, dim: int, _frame_only: bool = False):
+    """Per-coordinate exact int64 sums (and the row count) of the ``xm``
+    micro-vector column as an Arrow partial grid: one ``mapInArrow``
+    stage folds Σ_rows xm[j] per task plus a row-count cell, one tiny
+    long-sum aggregate merges the per-task grids (guide §4.2 — replaces
+    the posexplode → d-cell aggregate, which generated d rows per vector
+    just to sum them, and §1.2 — the fused count cell saves the separate
+    base.count() job). Exactness: int64 scatter sums merged by Spark's
+    exact long sum — identical to the posexplode form's exact long sum.
+    Only ``xm`` crosses the Python boundary (§4.1). Returns
+    (sums[0..dim-1], n_rows)."""
+    import pyarrow as pa
+
+    pa_schema = pa.schema([("j0", pa.int32()), ("s", pa.int64())])
+
+    def partials(it):
+        acc = np.zeros(dim, np.int64)
+        n = 0
+        for batch in it:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
+                continue
+            arr = flat.reshape(-1, dim).astype(np.int64, copy=False)
+            n += arr.shape[0]
+            acc += arr.sum(axis=0)
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(-1, dim, dtype=np.int32)),
+                    pa.array(np.concatenate([[np.int64(n)], acc])),
+                ],
+                schema=pa_schema,
+            )
+
+    frame = (
+        base.select("xm")
+        .mapInArrow(partials, "j0 int, s long")
+        .groupBy("j0")
+        .agg(F.sum("s").alias("s"))
+    )
+    if _frame_only:
+        return frame
+    rows = frame.collect()
+    sums = [0] * dim
+    n_row = 0
+    for r in rows:
+        j = int(r["j0"])
+        if j < 0:
+            n_row = int(r["s"])
+        else:
+            sums[j] = int(r["s"])
+    return sums, n_row
+
+
+def _pca_cov_apply_grid(
+    base: DataFrame, mu_m: list, v: list, dim: int, _frame_only: bool = False
+):
+    """ONE power-iteration pass w_raw[j] = Σ_i HALF_UP(sv_i·c_ij·1e6) as
+    an Arrow partial grid — bit-exact to the Catalyst expression chain
+    it replaced (guide §4.2: that chain was an interpreted zip_with +
+    aggregate fold (CodegenFallback) per row plus a d-way posexplode):
+
+      c_ij     = (xm_ij − µ_j)/1e6      exact int64 subtract, then the
+                                        correctly-rounded long→double
+                                        cast + double divide — identical
+                                        to the zip_with (a−b)/1e6 form
+      s_terms  = HALF_UP((c_ij·v_j)·1e6)  per element, exact BigDecimal
+                                        HALF_UP tie rule (see
+                                        _np_round_half_up_i64); same
+                                        left-assoc multiply order as the
+                                        cj*vj*lit(1e6) expression
+      sv_i     = (Σ_j s_terms)/1e6      exact int64 sum, long→double
+                                        cast + double divide
+      g_ij     = HALF_UP((sv_i·c_ij)·1e6) per element
+      partial  = Σ_i g_ij               int64 scatter-add per task
+
+    merged by one exact long-sum aggregate (the same d-cell map-side-
+    combined exchange shape as before — vectors never shuffle, only
+    ``xm`` crosses the Python boundary). Equivalence is pinned by
+    tests/test_llm_ops.py::test_pca_arrow_grid_matches_catalyst_reference
+    on a .5-tie-exercising fixture. Returns the dim-long gw sums."""
+    import pyarrow as pa
+
+    mu = np.asarray(mu_m, dtype=np.int64)
+    vv = np.asarray(v, dtype=np.float64)
+    pa_schema = pa.schema([("j0", pa.int32()), ("gw", pa.int64())])
+
+    def partials(it):
+        acc = np.zeros(dim, np.int64)
+        seen = False
+        for batch in it:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
+                continue
+            seen = True
+            xm = flat.reshape(-1, dim).astype(np.int64, copy=False)
+            c = (xm - mu[None, :]).astype(np.float64) / 1e6
+            s_terms = _np_round_half_up_i64((c * vv[None, :]) * 1e6)
+            sv = s_terms.sum(axis=1).astype(np.float64) / 1e6
+            acc += _np_round_half_up_i64((sv[:, None] * c) * 1e6).sum(
+                axis=0
+            )
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.arange(dim, dtype=np.int32)), pa.array(acc)],
+                schema=pa_schema,
+            )
+
+    frame = (
+        base.select("xm")
+        .mapInArrow(partials, "j0 int, gw long")
+        .groupBy("j0")
+        .agg(F.sum("gw").alias("gw"))
+    )
+    if _frame_only:
+        return frame
+    rows = frame.collect()
+    out = [0] * dim
+    for r in rows:
+        out[int(r["j0"])] = int(r["gw"])
+    return out
+
+
 def pca_power_components(
     corpus: DataFrame,
     n_components: int = 2,
@@ -1413,7 +1569,17 @@ def pca_power_components(
     1..p, eigenvalue = that component's final Rayleigh-scale ‖C·v‖ —
     ordered by (component, dim_idx), loadings/eigenvalues rounded 6dp.
     Successive loadings are near-orthogonal (exactly orthogonal in the
-    iteration limit; the orthogonality test pins |v_i·v_j| small)."""
+    iteration limit; the orthogonality test pins |v_i·v_j| small).
+
+    r14 (guide §4.2): the per-round covariance-apply pass runs as the
+    Arrow partial grid ``_pca_cov_apply_grid`` — the previous form paid
+    an interpreted zip_with+aggregate fold (CodegenFallback) per row
+    plus a d-way posexplode per round, and materialized a second
+    checkpointed frame (`cent`) just to hold the centered doubles. The
+    Arrow stage computes the identical c/sv/HALF_UP-quantized terms
+    bit-exactly from the ONE checkpointed micro frame (see
+    _np_round_half_up_i64 / _pca_cov_apply_grid for the exactness
+    argument), so the unrolled DuckDB oracle is untouched."""
     # localCheckpoint (not persist): severs the upstream lineage so the
     # driver does not re-analyze a potentially huge input plan on every
     # per-round job — the kmeans/pagerank O(1)-lineage convention
@@ -1434,35 +1600,13 @@ def pca_power_components(
         )
     d = int(first["d"])
     p = max(1, min(int(n_components), d))
-    n_row = base.count()  # bounded driver scalar (one count, like kmeans)
-    mu_rows = (
-        base.select(F.posexplode("xm").alias("j0", "xv"))
-        .groupBy("j0")
-        .agg(F.sum("xv").alias("s"))
-        .collect()
-    )
+    # one Arrow grid pass: exact per-coordinate sums + the row count
+    # (fuses the former base.count() job — guide §1.2)
+    mu_sums, n_row = _pca_coord_sum_grid(base, d)
     mu_m = [0] * d
-    for r in mu_rows:
+    for j in range(d):
         # floor(s/n + 0.5): long/long division is IEEE double on any engine
-        mu_m[r["j0"]] = int(math.floor(r["s"] / n_row + 0.5))
-    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
-
-    mu_arr = F.array([F.lit(int(m)).cast("long") for m in mu_m])
-    # centered coordinates as a REAL persisted column, computed ONCE —
-    # round-invariant AND component-invariant; the barrier keeps
-    # CollapseProject from re-inlining the zip into the per-element
-    # lambdas below
-    cent = (
-        barrier_col(
-            base,
-            "c",
-            F.zip_with(
-                F.col("xm"), mu_arr, lambda a, b: (a - b) / F.lit(1e6)
-            ),
-        )
-        .select("vid", "c")
-        .localCheckpoint(eager=True)
-    )
+        mu_m[j] = int(math.floor(mu_sums[j] / n_row + 0.5))
 
     def _half_away(x: float) -> int:
         # round half away from zero, matching Spark F.round(x, 0) and
@@ -1475,35 +1619,8 @@ def pca_power_components(
         v[k] = 1.0
         norm = 1.0
         for _ in range(iterations):
-            v_arr = F.array([F.lit(float(x)) for x in v])
-            s_terms = F.zip_with(
-                F.col("c"),
-                v_arr,
-                lambda cj, vj: F.round(cj * vj * F.lit(1e6), 0).cast("long"),
-            )
-            step = barrier_col(
-                cent,
-                "sv",
-                F.aggregate(
-                    s_terms, F.lit(0).cast("long"), lambda acc, t: acc + t
-                )
-                / F.lit(1e6),
-            )
-            w_rows = (
-                step.select("sv", F.posexplode("c").alias("j0", "cj"))
-                .groupBy("j0")
-                .agg(
-                    F.sum(
-                        F.round(
-                            F.col("sv") * F.col("cj") * F.lit(1e6), 0
-                        ).cast("long")
-                    ).alias("gw")
-                )
-                .collect()
-            )
-            wd = [0.0] * d
-            for r in w_rows:
-                wd[r["j0"]] = (r["gw"] / 1e6) / n_row  # the covariance 1/n
+            gw = _pca_cov_apply_grid(base, mu_m, v, d)
+            wd = [(g / 1e6) / n_row for g in gw]  # the covariance 1/n
             # Hotelling deflation on the d-sized driver vector: remove
             # each prior component's contribution λ_m·(v_m·v)·v_m. The
             # dot quantizes to exact integer micros (sum order free);
@@ -1592,66 +1709,19 @@ def pca_power_component(
             [], "dim_idx int, loading double, eigenvalue double"
         )
     d = int(first["d"])
-    n_row = base.count()  # bounded driver scalar (one count, like kmeans)
-    mu_rows = (
-        base.select(F.posexplode("xm").alias("j0", "xv"))
-        .groupBy("j0")
-        .agg(F.sum("xv").alias("s"))
-        .collect()
-    )
+    # one Arrow grid pass: exact per-coordinate sums + the row count
+    # (fuses the former base.count() job; see pca_power_components —
+    # the r14 Arrow-grid rewrite, bit-exact, oracle untouched)
+    mu_sums, n_row = _pca_coord_sum_grid(base, d)
     mu_m = [0] * d
-    for r in mu_rows:
+    for j in range(d):
         # floor(s/n + 0.5): long/long division is IEEE double on any engine
-        mu_m[r["j0"]] = int(math.floor(r["s"] / n_row + 0.5))
-    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
-
-    mu_arr = F.array([F.lit(int(m)).cast("long") for m in mu_m])
-    # centered coordinates as a REAL persisted column, computed ONCE —
-    # they are round-invariant, and the barrier keeps CollapseProject
-    # from re-inlining the zip into the per-element lambdas below
-    cent = (
-        barrier_col(
-            base,
-            "c",
-            F.zip_with(
-                F.col("xm"), mu_arr, lambda a, b: (a - b) / F.lit(1e6)
-            ),
-        )
-        .select("vid", "c")
-        .localCheckpoint(eager=True)
-    )
+        mu_m[j] = int(math.floor(mu_sums[j] / n_row + 0.5))
     v = [1.0] + [0.0] * (d - 1)
     norm = 1.0
     for _ in range(iterations):
-        v_arr = F.array([F.lit(float(x)) for x in v])
-        s_terms = F.zip_with(
-            F.col("c"),
-            v_arr,
-            lambda cj, vj: F.round(cj * vj * F.lit(1e6), 0).cast("long"),
-        )
-        step = barrier_col(
-            cent,
-            "sv",
-            F.aggregate(
-                s_terms, F.lit(0).cast("long"), lambda acc, t: acc + t
-            )
-            / F.lit(1e6),
-        )
-        w_rows = (
-            step.select("sv", F.posexplode("c").alias("j0", "cj"))
-            .groupBy("j0")
-            .agg(
-                F.sum(
-                    F.round(F.col("sv") * F.col("cj") * F.lit(1e6), 0).cast(
-                        "long"
-                    )
-                ).alias("gw")
-            )
-            .collect()
-        )
-        wd = [0.0] * d
-        for r in w_rows:
-            wd[r["j0"]] = (r["gw"] / 1e6) / n_row  # the covariance 1/n
+        gw = _pca_cov_apply_grid(base, mu_m, v, d)
+        wd = [(g / 1e6) / n_row for g in gw]  # the covariance 1/n
         nsq = 0
         for x in wd:
             t = x * x * 1e6

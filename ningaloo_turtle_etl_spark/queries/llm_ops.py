@@ -5246,7 +5246,10 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
     """Unrolled Lloyd oracle (the pagerank/BPE chaining trick): one
     assign→sum→recenter CTE triple per iteration. Every number is exact
     integer micro arithmetic — quantize once, integer squared-distance
-    sums, floor(s/n + 0.5) recentering — so the fit replays bit-for-bit."""
+    sums, exact half-up recentering floor(s/n + 1/2) = (2s+n) // (2n)
+    via the explicit floor-div idiom (r14, matching the engine and the
+    trained-ANN oracle; the old CAST(s AS DOUBLE)/n form was only exact
+    below the 2^53 cliff) — so the fit replays bit-for-bit."""
     d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (v.vm[i] - c.c[i]) * (v.vm[i] - c.c[i])))"
@@ -5284,7 +5287,9 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
         SELECT p.cluster, COALESCE(u.c, p.c) AS c
         FROM c{t - 1} p LEFT JOIN (
             SELECT cluster,
-                   list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                   list(CAST((2*s + n
+                              - (((2*s + n) % (2*n)) + 2*n) % (2*n))
+                             // (2*n) AS BIGINT)
                         ORDER BY i) AS c
             FROM s{t} GROUP BY cluster
         ) u USING (cluster)

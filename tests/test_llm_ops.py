@@ -3470,3 +3470,183 @@ def test_cohens_kappa_langid_reference(spark):
     assert got["po"] == round(po, 6)
     assert got["pe"] == round(pe, 6)
     assert got["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_pca_round_half_up_matches_spark(spark):
+    """r14: the Arrow pca grid reproduces Spark's F.round(double, 0)
+    .cast("long") — BigDecimal HALF_UP — bit-exactly, including the
+    0.49999999999999994 class where floor(x + 0.5) is WRONG (x + 0.5
+    rounds to 1.0 in double) and the negative mirror where a naive
+    x - floor(x) fraction loses its low bit across the binade."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _np_round_half_up_i64,
+    )
+
+    vals = [
+        0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 1.5, -1.5,
+        2.5, -2.5, 0.4999999999999999, 1.4999999999999998,
+        -1.4999999999999998, 2.675, -2.675, 0.0, -0.0, 1e-300, -1e-300,
+        123456789.49999999, 123456789.5, -123456789.5,
+        4503599627370495.5, -4503599627370495.5,
+    ]
+    rng = np.random.default_rng(7)
+    for _ in range(400):
+        k = int(rng.integers(-10**9, 10**9))
+        x = k + 0.5
+        for _ in range(int(rng.integers(0, 3))):
+            x = np.nextafter(x, np.inf if rng.integers(2) else -np.inf)
+        vals.append(float(x))
+    vals += [float(v) for v in rng.uniform(-1e12, 1e12, 300)]
+    vals += [float(v) for v in rng.uniform(-50, 50, 300)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [
+        int(r["y"])
+        for r in df.select(
+            F.round(F.col("x"), 0).cast("long").alias("y")
+        ).collect()
+    ]
+    got = [int(v) for v in _np_round_half_up_i64(np.array(vals))]
+    assert got == want
+
+
+def test_pca_arrow_grid_matches_catalyst_reference(spark):
+    """r14 pins the Arrow pca power-iteration grid against the Catalyst
+    expression chain it replaced (zip_with round fold -> aggregate ->
+    posexplode round sum), on a fixture whose c_j*v_j*1e6 products land
+    EXACTLY on .5 boundaries of both signs (v components of +/-0.5 over
+    odd micro offsets) so the HALF_UP tie rule itself is exercised; also
+    pins the coordinate-sum grid (mean pass) and its fused row count."""
+    import pyspark.sql.functions as F
+
+    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _as_double,
+        _pca_coord_sum_grid,
+        _pca_cov_apply_grid,
+    )
+
+    d = 4
+    rows = []
+    for i in range(37):
+        rows.append(
+            (
+                i,
+                [
+                    ((i * 13) % 11 - 5) + ((i % 3) * 1e-6),
+                    ((i * 7) % 9 - 4) + (((i + 1) % 2) * 3e-6),
+                    float(i % 5 - 2),
+                    ((i * 29) % 17 - 8) * 0.25,
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.round(x * F.lit(1e6), 0).cast("long"),
+        ).alias("xm"),
+    ).persist()
+    base.count()
+    try:
+        # --- mean grid vs the posexplode reference ---
+        sums, n_row = _pca_coord_sum_grid(base, d)
+        ref_mu = {
+            int(r["j0"]): int(r["s"])
+            for r in base.select(F.posexplode("xm").alias("j0", "xv"))
+            .groupBy("j0")
+            .agg(F.sum("xv").alias("s"))
+            .collect()
+        }
+        assert n_row == base.count()
+        assert sums == [ref_mu[j] for j in range(d)]
+        mu_m = [0, 3, -2500000, 1]  # deliberately off-center micros
+
+        # --- covariance-apply grid vs the Catalyst reference, tie-heavy v ---
+        for v in (
+            [0.5, -0.5, 0.25, 1.0],
+            [1.0, 0.0, -0.5, 0.5],
+            [0.3333333333333333, -0.7, 0.5, -0.25],
+        ):
+            got = _pca_cov_apply_grid(base, mu_m, v, d)
+            mu_arr = F.array([F.lit(int(m)).cast("long") for m in mu_m])
+            cent = barrier_col(
+                base,
+                "c",
+                F.zip_with(
+                    F.col("xm"), mu_arr, lambda a, b: (a - b) / F.lit(1e6)
+                ),
+            ).select("vid", "c")
+            v_arr = F.array([F.lit(float(x)) for x in v])
+            s_terms = F.zip_with(
+                F.col("c"),
+                v_arr,
+                lambda cj, vj: F.round(cj * vj * F.lit(1e6), 0).cast(
+                    "long"
+                ),
+            )
+            step = barrier_col(
+                cent,
+                "sv",
+                F.aggregate(
+                    s_terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+                )
+                / F.lit(1e6),
+            )
+            ref = {
+                int(r["j0"]): int(r["gw"])
+                for r in step.select(
+                    "sv", F.posexplode("c").alias("j0", "cj")
+                )
+                .groupBy("j0")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.col("sv") * F.col("cj") * F.lit(1e6), 0
+                        ).cast("long")
+                    ).alias("gw")
+                )
+                .collect()
+            }
+            assert got == [ref.get(j, 0) for j in range(d)], f"v={v}"
+    finally:
+        base.unpersist()
+
+
+def test_kmeans_recenter_exact_past_double_cliff():
+    """r14 (VERDICT r13 item 3): the exact integer half-up recentering
+    (2s + n) // (2n) has no 2^53 cliff — pinned at a constructed
+    boundary point where the replaced float form floor(s/n + 0.5)
+    ROUNDS THE WRONG WAY (true quotient just below k - 1/2, float
+    division lands exactly ON k - 1/2, +0.5 then floors to k), plus
+    sign/tie parity below the cliff and agreement with the DuckDB
+    oracle's explicit floor-div idiom at the same boundary point."""
+    import math
+
+    import duckdb
+
+    from ningaloo_turtle_etl_spark.operators.similarity import (
+        _recenter_micro,
+    )
+
+    k = 2_000_000_000_000_000
+    s, n = 5 * k - 3, 5  # true s/n = k - 0.5 - 0.1 -> half-up floor = k-1
+    assert s > 2**53
+    assert _recenter_micro(s, n) == k - 1
+    assert math.floor(s / n + 0.5) == k  # the float form diverges HERE
+    # parity with the float form everywhere below the cliff, both signs
+    for s2 in (-7, -6, -5, -4, -3, -1, 0, 1, 3, 4, 5, 6, 7, 10**15 + 1):
+        for n2 in (1, 2, 3, 5, 7):
+            assert _recenter_micro(s2, n2) == math.floor(s2 / n2 + 0.5), (
+                s2,
+                n2,
+            )
+    # the kmeans oracle's floor-div CTE idiom agrees at the boundary
+    got = duckdb.sql(
+        f"SELECT (2*{s} + {n} - (((2*{s} + {n}) % (2*{n})) + 2*{n})"
+        f" % (2*{n})) // (2*{n})"
+    ).fetchone()[0]
+    assert int(got) == k - 1
