@@ -73,7 +73,12 @@ def connected_components(
             )
             jumped = F.coalesce("cc", F.col("mid"))
             # The old label rides along so convergence is a filter on the
-            # checkpointed frame, not another join job per round.
+            # checkpointed frame, not another join job per round. r14
+            # (guide §1.2): the checkpoint is LAZY and the convergence
+            # count is the materializing action — one Spark job per round
+            # where the eager checkpoint + separate limit-1 count paid
+            # two. The count scans every partition (no limit), so the
+            # local checkpoint finalizes completely in that same job.
             new_labels = (
                 stepped.join(lookup, stepped.mid == lookup.cid, "left")
                 .select(
@@ -81,9 +86,9 @@ def connected_components(
                     jumped.alias("component"),
                     (jumped != F.col("old")).alias("chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            changed = new_labels.filter("chg").limit(1).count()
+            changed = new_labels.filter("chg").count()
             labels = new_labels.select("id", "component")
             if changed == 0:
                 return labels
@@ -270,15 +275,25 @@ def bfs_hops(
     )
     frontier = visited
     for h in range(1, max_hops + 1):
+        # r14 (guide §1.2): lazy checkpoint + full count fuses the
+        # frontier materialization and the emptiness check (the full
+        # count evaluates every partition, so the local checkpoint
+        # finalizes completely in the same job — a limit-1 probe over a
+        # lazy checkpoint would skip partitions and lose blocks).
+        # Measured honestly: job count is a WASH here — the fused
+        # count's final-aggregate exchange job replaces the removed
+        # isEmpty job one-for-one (JOB_COUNTS_r14: 44 → 44) — but the
+        # frontier is no longer computed ahead of a probe that reads
+        # one partition, and wall time reads slightly better.
         nxt = (
             frontier.join(e, on=frontier.node == e.src, how="inner")
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), on="node", how="left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -422,6 +437,11 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r14 (guide §1.2): carry the surviving-edge count in a driver
+    # variable so the fixpoint test is ONE fused job per round (lazy
+    # checkpoint materialized by its own full count) instead of three
+    # (eager checkpoint + pruned.count + a recount of the unchanged e).
+    n_e = e.count()
     for _ in range(max_iterations):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -429,22 +449,25 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
+        # keep stays EAGER: two semi-join branches consume it in the same
+        # pruned job, so it must be materialized before that job runs
         keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint(
             eager=True
         )
         pruned = (
             e.join(keep.withColumnRenamed("node", "a"), on="a", how="left_semi")
             .join(keep.withColumnRenamed("node", "b"), on="b", how="left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if pruned.count() == e.count():
+        n_pruned = pruned.count()
+        if n_pruned == n_e:
             return (
                 pruned.select(F.col("a").alias("node"))
                 .unionByName(pruned.select(F.col("b").alias("node")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("core_degree"))
             )
-        e = pruned
+        e, n_e = pruned, n_pruned
     raise RuntimeError(
         f"k_core: no convergence in {max_iterations} peeling rounds"
     )
@@ -948,6 +971,40 @@ def newman_modularity(
     )
 
 
+def _truss_edge_support(ed: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical a<b edge frame: the
+    two-join wedge closure e(x,y) ⋈ e(y,z) closed by e(x,z), each
+    triangle crediting all three of its edges.
+
+    r14 (guide §2.4 / §1.2): the three credits come from ONE Generate
+    (explode of a 3-struct array) instead of the former 3-way unionAll
+    of projections of the triangle frame. Catalyst performs no plan-
+    level CSE across union branches, so the union form executed the
+    whole wedge-closure join subtree THREE times per round
+    (ReusedExchange only dedupes the shuffle writes feeding the joins,
+    not the join/codegen work above them); the explode form enumerates
+    triangles once and emits the identical (a, b) multiset, so the
+    support counts — and the k_truss oracle — are unchanged. Plan
+    evidence: plans/r14/ktruss_support_round_{before,after}.txt;
+    result pin: test_k_truss_mixed_support_and_peel_to_empty."""
+    xy = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    yz = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    xz = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = xy.join(yz, on="y").join(xz, on=["x", "z"])
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b")
+    return sides.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
 def k_truss(
     edges: DataFrame,
     k: int = 4,
@@ -989,26 +1046,16 @@ def k_truss(
     )
     n = e.count()
 
-    def support(ed: DataFrame) -> DataFrame:
-        xy = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        yz = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        xz = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
-        tri = xy.join(yz, on="y").join(xz, on=["x", "z"])
-        sides = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-        )
-        return sides.groupBy("a", "b").agg(
-            F.count(F.lit(1)).cast("long").alias("support")
-        )
     for _ in range(int(max_rounds)):
-        s = support(e)
+        s = _truss_edge_support(e)
+        # r14 (guide §1.2): lazy checkpoint + count = ONE job per round
+        # (the eager checkpoint + separate count paid two); the full
+        # count materializes every partition, finalizing the checkpoint.
         kept = (
             e.join(s, on=["a", "b"], how="left")
             .where(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         m = kept.count()
         if m == n:
