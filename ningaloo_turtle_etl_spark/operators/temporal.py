@@ -1254,15 +1254,32 @@ def hmm_viterbi_paths(
         return e
 
     probs = [path_prob(p) for p in paths]
-    best = F.greatest(*probs)
+    # r14 (guide §1.2): materialize the 2^steps path products ONCE as a
+    # real array column behind a Generate barrier (operators/scale.py
+    # barrier_col), and the argmax value once more on top. Inlined, each
+    # deep product expression was duplicated into greatest() AND every
+    # argmax comparison (~2^steps·(2^steps+1) copies at steps=4): the
+    # physical plan was 278 KB of expression text costing ~3.5 s of
+    # DRIVER planning plus interpreted-size codegen per row; the
+    # materialized form carries 2^steps products + cheap array refs.
+    # Bit-identical: the products keep their association, greatest and
+    # the first-match CASE compare the same doubles — and the DuckDB
+    # oracle already names the products once in its `probs` CTE, so this
+    # mirrors the oracle's structure rather than changing it. Before/
+    # after plans: plans/r14/hmm_viterbi_first4_{before,after}.txt.
+    from ningaloo_turtle_etl_spark.operators.scale import barrier_col
+
+    staged = barrier_col(firsts, "_pv", F.array(*probs))
+    pcols = [F.col("_pv").getItem(i) for i in range(len(paths))]
+    staged = barrier_col(staged, "_best", F.greatest(*pcols))
     path_lbl = F.coalesce(
         *[
-            F.when(pb == best, F.lit("".join(map(str, pth))))
-            for pb, pth in zip(probs, paths)
+            F.when(pc == F.col("_best"), F.lit("".join(map(str, pth))))
+            for pc, pth in zip(pcols, paths)
         ]
     )
-    llu = F.round(F.log(best) * 1e6, 0).cast("long")
-    per_user = firsts.select(
+    llu = F.round(F.log(F.col("_best")) * 1e6, 0).cast("long")
+    per_user = staged.select(
         F.col("o1").alias("first_type"),
         path_lbl.alias("path"),
         llu.alias("llu"),
