@@ -143,6 +143,45 @@ def _spread(df):
     return df.repartition(sc.defaultParallelism)
 
 
+def _replicated(df, copies, id_col=None, shift=0):
+    """Replicate ``df`` ``copies``× as ONE scan crossJoined with a tiny
+    broadcast replica index — the IDENTICAL row multiset to the
+    unionByName loop it replaces (replica r has ``id_col`` shifted by
+    r·shift; plain copies when id_col is None), from the same parquet
+    input, computed inside the same timed region.
+
+    r14 (guide §1.2 fewer passes / §6, VERDICT r13 item 8): the union
+    form re-scanned and re-planned the same parquet file once per copy
+    — 10-20 scans of fixture cost charged inside every consumer probe's
+    timed region, conflating fixture cost with operator cost in every
+    probe delta. Affected probes keep their names; the old-form and
+    new-form numbers are both committed (BENCH_LOCAL_r14_baseline.json
+    vs the r14 idle artifact) per the sanctioned old+new transition, and
+    the per-probe attribution lives in OPTIMIZATION_r14.md."""
+    import pyspark.sql.functions as F
+
+    if copies <= 1:
+        return df
+    # Spread the BASE rows before expanding: the crossJoin inherits its
+    # stream side's partitioning, and a small parquet fixture arrives as
+    # 1-4 scan splits — without this the expansion stage (and the
+    # sort-before-shuffle of the consumer's keyless _spread repartition,
+    # guide §2.5) ran near-serially, which the first r14 idle run caught
+    # as a 2× regression on winsorize_6m_exact/minhash_pairs_100k. The
+    # union form had one partition per copy; this restores ≥ that
+    # parallelism for one tiny base-row shuffle.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    reps = F.broadcast(
+        df.sparkSession.range(copies).select(F.col("id").alias("_rep"))
+    )
+    out = df.crossJoin(reps)
+    if id_col is not None:
+        out = out.withColumn(
+            id_col, F.col(id_col) + F.col("_rep") * F.lit(int(shift))
+        )
+    return out.drop("_rep")
+
+
 def _simhash_signatures(signature):
     """SimHash signature stage over documents replicated to 50k rows — the
     round-1 perf-weak item. Catalyst (filter-count bit kernel) vs the
@@ -157,10 +196,7 @@ def _simhash_signatures(signature):
             "doc_id", "text"
         )
         copies = 50_000 // max(docs.count(), 1)
-        big = docs
-        for _ in range(max(copies - 1, 0)):
-            big = big.unionByName(docs)
-        big = _spread(big)
+        big = _spread(_replicated(docs, max(copies, 1)))
         if signature == "catalyst":
             sig = with_simhash(big)
         else:
@@ -188,12 +224,7 @@ def _decontam_50k(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = max(docs.count(), 1)
     copies = 50_000 // n
-    big = docs
-    for i in range(max(copies - 1, 0)):
-        big = big.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
-        )
-    big = _spread(big)
+    big = _spread(_replicated(docs, max(copies, 1), "doc_id", n))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     flags = contamination_flags(big, bench, n=3, threshold=0.2)
     return flags.agg(
@@ -222,12 +253,7 @@ def _bloom_decontam_50k(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = max(docs.count(), 1)
     copies = 50_000 // n
-    big = docs
-    for i in range(max(copies - 1, 0)):
-        big = big.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
-        )
-    big = _spread(big)
+    big = _spread(_replicated(docs, max(copies, 1), "doc_id", n))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     flags = bloom_contamination_flags(big, bench, n=3, threshold=0.2)
     return flags.agg(
@@ -281,12 +307,7 @@ def _dsir_50k(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = max(docs.count(), 1)
     copies = 50_000 // n
-    big = docs
-    for i in range(max(copies - 1, 0)):
-        big = big.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
-        )
-    big = _spread(big)
+    big = _spread(_replicated(docs, max(copies, 1), "doc_id", n))
     target = docs.filter(F.col("doc_id") % 5 == 0)
     with tracked_cache_scope():
         db = track_cache(doc_bucket_counts(big, 2, 512).persist())
@@ -311,12 +332,7 @@ def _docs_scaled(spark, sf_dir, target):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = max(docs.count(), 1)
-    big = docs
-    for i in range(max(target // n - 1, 0)):
-        big = big.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * n))
-        )
-    return _spread(big)
+    return _spread(_replicated(docs, max(target // n, 1), "doc_id", n))
 
 
 def _minhash_pairs_at(target, collapse_exact=False):
@@ -400,10 +416,7 @@ def _winsorize_6m(exact):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_extendedprice"
         )
-        big = li
-        for _ in range(9):
-            big = big.unionByName(li)
-        big = _spread(big)
+        big = _spread(_replicated(li, 10))
         w = winsorize(big, "l_extendedprice", 0.01, 0.99, name="vw", exact=exact)
         return w.agg(
             F.round(F.sum("vw"), 2).alias("chk"), F.count(F.lit(1)).alias("n")
@@ -1048,13 +1061,7 @@ def _pca_at(target):
         )
         n = emb.count()
         copies = max(target // max(n, 1), 1)
-        big = emb
-        for i in range(copies - 1):
-            big = big.unionByName(
-                emb.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
-                )
-            )
+        big = _replicated(emb, copies, "vec_id", n)
         return pca_power_component(_spread(big), iterations=3)
 
     return run
@@ -1146,13 +1153,7 @@ def _kmeans_at(target):
         )
         n = emb.count()
         copies = max(target // max(n, 1), 1)
-        big = emb
-        for i in range(copies - 1):
-            big = big.unionByName(
-                emb.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
-                )
-            )
+        big = _replicated(emb, copies, "vec_id", n)
         return kmeans_lloyd(_spread(big), k=8, iterations=3)
 
     return run
@@ -1260,13 +1261,7 @@ def _hamming_at(target):
         )
         n = emb.count()
         copies = max(target // max(n, 1), 1)
-        big = emb
-        for i in range(copies - 1):
-            big = big.unionByName(
-                emb.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
-                )
-            )
+        big = _replicated(emb, copies, "vec_id", n)
         out = hamming_topk(
             _spread(big), emb.filter(F.col("vec_id") < 8), dim=64, k=10
         )
@@ -1299,13 +1294,7 @@ def _ann_train_serve_at(target):
         )
         n = emb.count()
         copies = max(target // max(n, 1), 1)
-        big = emb
-        for i in range(copies - 1):
-            big = big.unionByName(
-                emb.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit((i + 1) * n)
-                )
-            )
+        big = _replicated(emb, copies, "vec_id", n)
         out = trained_ivf_pq_topk(
             _spread(big),
             emb.filter(F.col("vec_id") < 8),
