@@ -824,12 +824,30 @@ class TrainedIvfPq:
 
 def _micro_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, vm) with vm = round(x·1e6) integer micro vector — the one
-    quantization point of the whole trained-ANN loop."""
+    quantization point of the whole trained-ANN loop.
+
+    Integer-id contract (r14, from the r13 ADVICE): the Arrow encode
+    stage emits ids as ``long`` (the serving-index grain is
+    ``vec_id long``), so the id column must be an integral type —
+    byte/short/int widen losslessly, but a string or other non-integer
+    id would fail opaquely inside the Arrow stage. Checked here, once,
+    with a clear error."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"ivf-pq id column {id_col!r} must be an integral type "
+            f"(serving index carries vec_id as long), got "
+            f"{id_type.simpleString()}"
+        )
     vm = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
     )
-    return corpus.select(F.col(id_col).alias("id"), vm.alias("vm"))
+    return corpus.select(
+        F.col(id_col).cast("long").alias("id"), vm.alias("vm")
+    )
 
 
 def _encode_from_base(base: DataFrame, params: TrainedIvfPq) -> DataFrame:
@@ -1089,7 +1107,12 @@ def encode_ivf_pq(
 ) -> DataFrame:
     """Map-only ENCODE stage: corpus → (vec_id, cell, m codes) serving
     index under trained parameters. Write with
-    ``write_ivf_pq_index`` (partitioned by cell) so probes prune."""
+    ``write_ivf_pq_index`` (partitioned by cell) so probes prune.
+
+    ``id_col`` must be an integral type (the serving index carries
+    ``vec_id`` as long; smaller integer types widen losslessly) — a
+    non-integer id raises a clear TypeError up front instead of failing
+    inside the Arrow encode stage (r13 ADVICE)."""
     return _encode_from_base(_micro_base(corpus, id_col, vec_col), params)
 
 
@@ -1208,6 +1231,10 @@ def trained_ivf_pq_topk(
     PQ codes, ADC lookup tables, exact re-rank — is integer micro-unit
     arithmetic (round(x·1e6) once), so an unrolled DuckDB oracle replays
     it bit-for-bit; there is no float fold anywhere to order-diverge.
+
+    The corpus ``id_col`` must be an integral type (the serving grain is
+    ``vec_id long``; narrower integers widen losslessly) — enforced up
+    front with a clear TypeError (r13 ADVICE).
 
     Scale shape: training = (max(coarse_iterations, pq_iterations) + 2)
     scans of the persisted micro frame — coarse and PQ trajectories are

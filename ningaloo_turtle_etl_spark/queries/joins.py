@@ -67,7 +67,20 @@ def join_left_composite(spark, sf_dir):
     scan + ONE exchange + sort + window — the dominant cost, broadcasting
     an aggregate nearly as large as the fact table, is gone, and at 100 TB
     the window form is the only one that survives (a fact-sized broadcast
-    OOMs the driver; the SMJ alternative shuffles the fact twice)."""
+    OOMs the driver; the SMJ alternative shuffles the fact twice).
+
+    PRECONDITIONS of the window≡join equivalence (r14, pinned by
+    tests/test_flagship.py::test_join_left_composite_null_key_contract):
+    (1) NON-NULL composite keys — window partitionBy groups NULL keys
+    into one partition and emits their counts, while the join form's
+    aggregate side dropped NULL keys (IsNotNull on the join key) and
+    left-join would emit NULL n_lines/total_qty for those rows; and
+    (2) order-insensitively summable quantities (true here: l_quantity
+    is an integer-valued double 1..50, so the window's unspecified
+    accumulation order cannot move the sum). Both hold for this
+    generator (TPC-H-style NOT NULL keys); a schema change that
+    nullifies l_partkey/l_suppkey must revisit this query, not just
+    re-run it — the oracle keeps the join form and WOULD diverge."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, "lineitem", sf_dir).select(
